@@ -1,0 +1,46 @@
+"""Sources and sinks (SURVEY.md §2.1 S1-S7).
+
+All reads are DataFrame reader API (predicate pushdown + column pruning reach
+the Parquet scan); the reference's driver-local Source.fromFile reads
+(S4/S5 — netflow/FlowPreLDA.scala:73, utilities/TopDomains.scala:9-13) become
+distributed csv reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """S1-S3. Accepts multiple paths — fixing the reference quirk that used
+    only the first of a comma-separated list (dns/DNSPreLDA.scala:91)."""
+    return spark.read.parquet(*paths)
+
+
+def read_day(spark: SparkSession, root: str, year: int, month: int, day: int) -> DataFrame:
+    """Partition-pruned day read over the reference's y=/m=/d= Hive layout
+    (README.md:22,56). The filter is on partition columns only — Catalyst
+    prunes directories, no data files outside the day are opened."""
+    df = spark.read.parquet(root)
+    return df.where((F.col("y") == year) & (F.col("m") == month) & (F.col("d") == day))
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S6: delimited text sink (netflow/FlowPostLDA.scala:80). coalesce(1)
+    only on request — it serializes the write; the ml_ops.sh getmerge step
+    (ml_ops.sh:127-128) is the scalable equivalent."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def load_top_domains(spark: SparkSession, path: str) -> list[str]:
+    """S5: Alexa-style ``rank,domain`` csv → bare second-level names
+    (utilities/TopDomains.scala:9-13: parts(1).split('.')(0))."""
+    df = spark.read.csv(path).toDF("rank", "domain")
+    rows = (
+        df.select(F.split(F.col("domain"), r"\.").getItem(0).alias("name"))
+        .distinct()
+        .collect()
+    )
+    return [r["name"] for r in rows]

@@ -1,0 +1,93 @@
+"""Anomaly scoring: broadcast-join model tables + native array dot product.
+
+score(doc, word) = Σ_t P(word | topic_t) · P(topic_t | doc)
+(SuspiciousConnectsScoreFunction.scala:11-23, netflow/FlowPostLDA.scala:99-110).
+
+The reference resolves both probability vectors from driver-broadcast Scala
+Maps inside scalar UDFs; here both are small DataFrames attached via explicit
+broadcast hash joins, and the dot product is a native
+aggregate(zip_with(...)) — no Python in the hot path, scales with the fact
+table only.
+
+Fallback semantics (SURVEY.md §7.4.4): unseen doc or word → uniform 1/k
+vector (dns/proxy semantics; the flow pipeline's inner-join record-drop
+quirk is available via ``drop_unseen_docs=True``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.topics import TopicModel
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Native array dot product — Σ zip_with(a, b, *) (stays in codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def uniform_mix(k: int) -> Column:
+    return F.array(*[F.lit(1.0 / k)] * k)
+
+
+def score_records(
+    df: DataFrame,
+    model: TopicModel,
+    doc_col: str,
+    word_col: str,
+    score_col: str = "score",
+    drop_unseen_docs: bool = False,
+) -> DataFrame:
+    """Attach ``score_col`` to every record via two broadcast joins.
+
+    ``drop_unseen_docs=True`` reproduces the flow pipeline's inner join
+    (netflow/FlowPostLDA.scala:94) which silently drops records whose doc
+    never appeared in training; the default keeps them with the uniform
+    fallback like dns/proxy (SuspiciousConnectsScoreFunction.scala:17).
+    """
+    k = model.topic_count
+    mix = model.doc_topic_mix.withColumnRenamed("doc", "__doc")
+    wp = model.word_probs.withColumnRenamed("word", "__word")
+
+    how = "inner" if drop_unseen_docs else "left"
+    out = (
+        df.join(F.broadcast(mix), df[doc_col] == mix["__doc"], how)
+        .join(F.broadcast(wp), df[word_col] == wp["__word"], "left")
+        .withColumn(
+            score_col,
+            dot(
+                F.coalesce(F.col("topic_mix"), uniform_mix(k)),
+                F.coalesce(F.col("word_given_topic"), uniform_mix(k)),
+            ),
+        )
+        .drop("__doc", "__word", "topic_mix", "word_given_topic")
+    )
+    return out
+
+
+def min_endpoint_score(src_score: Column | str, dst_score: Column | str) -> Column:
+    """Flow records are scored from both endpoints; the record's score is the
+    minimum (netflow/FlowPostLDA.scala:115-126) — F.least, not a UDF."""
+    s = F.col(src_score) if isinstance(src_score, str) else src_score
+    d = F.col(dst_score) if isinstance(dst_score, str) else dst_score
+    return F.least(s, d)
+
+
+def most_suspicious(
+    df: DataFrame, score_col: str = "score", threshold: float = 1.0, top_k: int = -1
+) -> DataFrame:
+    """score <= threshold, ascending, bottom-K.
+
+    orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    top-K then a single small merge, replacing the reference's
+    count + RDD takeOrdered + re-parallelize + sortBy chain
+    (dns/DNSPostLDA.scala:51-69, utilities/DataFrameUtils.scala:21-38).
+    top_k = -1 means "no limit" (DataFrameUtils.scala:22 semantics).
+    """
+    out = df.filter(F.col(score_col) <= threshold).orderBy(score_col)
+    if top_k is not None and top_k >= 0:
+        out = out.limit(top_k)
+    return out

@@ -1,0 +1,45 @@
+"""Analyst-feedback ingestion and oversampling.
+
+Reference reads the TSV on the driver with scala.io.Source and replicates
+confirmed-benign (severity 3) rows duplicationFactor times via flatMap
+(netflow/FlowPreLDA.scala:73-99, dns/DNSPreLDA.scala:69-85,
+proxy/ProxyFeedback.scala:53-67). Here: a distributed CSV read and an
+explode(array_repeat(...)) — no driver materialization, no Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def load_feedback_tsv(spark, path: str, columns: list[str]) -> DataFrame:
+    """Read a header-ful tab-separated feedback file into named columns."""
+    df = spark.read.option("sep", "\t").option("header", True).csv(path)
+    # positional rename to the canonical layout (headers vary in the wild)
+    for old, new in zip(df.columns, columns):
+        if old != new:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def oversample(df: DataFrame, factor: int) -> DataFrame:
+    """Replicate every row ``factor`` times (bag semantics).
+
+    Reference: List.fill(duplicationFactor)(row) flatMap
+    (netflow/FlowPreLDA.scala:98). explode(array_repeat(lit(1), n)) keeps the
+    blow-up inside the executors and costs O(1) memory per input row in the
+    generated code (the repeated array holds a constant).
+    """
+    if factor <= 1:
+        return df
+    return (
+        df.withColumn("__dup", F.explode(F.array_repeat(F.lit(1), factor)))
+        .drop("__dup")
+    )
+
+
+def severity_filter(df: DataFrame, sev_col: str = "sev", severity: int = 3) -> DataFrame:
+    """Keep analyst-confirmed rows (severity == 3 by default) —
+    netflow/FlowPreLDA.scala:84, dns/DNSPreLDA.scala:72, proxy/ProxyFeedback.scala:57."""
+    return df.filter(F.col(sev_col).cast("int") == severity)

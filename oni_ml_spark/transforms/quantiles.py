@@ -1,0 +1,111 @@
+"""Exact discrete quantiles, ECDF, and quantile binning.
+
+Semantics match the reference (utilities/Quantiles.scala:21-99):
+
+- ``ecdf``: for each distinct value x, the fraction of rows with value <= x.
+- ``quantile_cuts``: for threshold t, the least x in the data with
+  P(X <= x) >= t ("discrete" quantiles, = DuckDB ``quantile_disc``); empty
+  input yields +inf cutoffs (Quantiles.scala:70-75).
+- ``bin_expr``: index of the first cutoff >= value, -1 when the value
+  exceeds every cutoff (Quantiles.scala:97-99).
+
+Scale notes: the ECDF aggregates to distinct values first (shuffle on value,
+map-side partial agg), so the window's input is |distinct values|, not |rows|.
+The cumulative-sum window is a single global sort — fine for the bounded
+cardinalities these cuts are computed over (feature columns); for raw
+high-cardinality columns at 100 TB use ``approx_quantile_cuts`` (Greenwald-
+Khanna sketch, one pass, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+QUINTILES = [0.2, 0.4, 0.6, 0.8, 1.0]
+
+
+def ecdf(df: DataFrame, value_col: str) -> DataFrame:
+    """Empirical CDF over one column → DataFrame[value double, cdf double].
+
+    Reference: utilities/Quantiles.scala:21-40 (reduceByKey + sortByKey +
+    manual per-partition prefix sums). Here: hash aggregate (partial+final)
+    then a running-sum window over distinct values only.
+    """
+    counts = (
+        df.select(F.col(value_col).cast("double").alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.select(F.sum("cnt").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select("value", (F.col("cum") / F.col("t")).alias("cdf"))
+    )
+
+
+def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataFrame:
+    """Cutoffs as a DataFrame[p double, cutoff double] (stays distributed).
+
+    cutoff(p) = min value whose ecdf >= p (Quantiles.scala:54-75).
+    The probs side is a tiny literal array — broadcast joined against the
+    (already small) distinct-value ECDF.
+    """
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    e = ecdf(df, value_col)
+    return (
+        e.join(F.broadcast(probs_df), F.col("cdf") >= F.col("p"))
+        .groupBy("p")
+        .agg(F.min("value").alias("cutoff"))
+    )
+
+
+def quantile_cuts(df: DataFrame, value_col: str, probs: list[float]) -> list[float]:
+    """Exact discrete quantile cutoffs, collected to the driver.
+
+    Only the |probs|-sized result crosses the driver boundary (the reference
+    collects the same — netflow/FlowWordCreation.scala:26-49). Empty input →
+    all +inf, matching Quantiles.scala:70-75.
+    """
+    rows = quantile_cuts_df(df, value_col, probs).collect()
+    by_p = {r["p"]: r["cutoff"] for r in rows}
+    return [by_p.get(float(p), float("inf")) for p in probs]
+
+
+def approx_quantile_cuts(
+    df: DataFrame, value_col: str, probs: list[float], rel_err: float = 0.001
+) -> list[float]:
+    """Fast path: single-pass approximate quantiles (no global sort).
+
+    At 100 TB this is the right default for high-cardinality columns; the
+    exact path exists for oracle parity. Empty input → +inf like the exact
+    path.
+    """
+    got = df.select(F.col(value_col).cast("double").alias("v")).approxQuantile(
+        "v", [min(p, 1.0) for p in probs], rel_err
+    )
+    return got if got else [float("inf")] * len(probs)
+
+
+def bin_expr(value: Column | str, cuts: list[float]) -> Column:
+    """Quantile-bin a column against driver-held cutoffs, fully native.
+
+    bin = index of first cutoff >= value = #{cuts strictly < value} for an
+    ascending cutoff list; -1 when the value exceeds every cutoff
+    (Quantiles.scala:97-99 ``indexWhere``; the -1 edge is reachable only when
+    scoring values beyond the training max, SURVEY.md §7.4.3).
+
+    Implemented as a literal-array scan (size(filter(...))) so it inlines
+    into whole-stage codegen — no UDF, no join, no lookup table.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    v = v.cast("double")
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    n_below = F.size(F.filter(arr, lambda c: c < v))
+    return F.when(n_below == len(cuts), F.lit(-1)).otherwise(n_below).cast("int")

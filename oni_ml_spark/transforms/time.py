@@ -1,0 +1,29 @@
+"""Time feature transforms — native arithmetic, no UDFs.
+
+Reference: netflow/FlowWordCreation.scala:88-92 (fractional hour) and
+utilities/TimeUtilities.scala:8-15 (HH:MM:SS → seconds past midnight).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def fractional_hour(hour: Column | str, minute: Column | str, second: Column | str) -> Column:
+    """hour + minute/60 + second/3600 as double (FlowWordCreation.scala:90-92)."""
+    h = F.col(hour) if isinstance(hour, str) else hour
+    m = F.col(minute) if isinstance(minute, str) else minute
+    s = F.col(second) if isinstance(second, str) else second
+    return h.cast("double") + m.cast("double") / 60 + s.cast("double") / 3600
+
+
+def seconds_of_day(time_str: Column | str) -> Column:
+    """"HH:MM:SS" → seconds past midnight as double (TimeUtilities.scala:8-15)."""
+    t = F.col(time_str) if isinstance(time_str, str) else time_str
+    parts = F.split(t, ":")
+    return (
+        F.element_at(parts, 1).cast("int") * 3600
+        + F.element_at(parts, 2).cast("int") * 60
+        + F.element_at(parts, 3).cast("int")
+    ).cast("double")
