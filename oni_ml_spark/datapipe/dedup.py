@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash/LSH, SimHash.
+
+Scale design:
+- exact: hash-groupBy on a digest of the normalized text — one shuffle keyed
+  by digest; no full-text comparisons.
+- n-gram Jaccard: shingle → explode → self-join on shingle → count. The
+  shingle join is the classic candidate-generation pattern; output is bounded
+  by pairs sharing at least one shingle. At 100 TB use minhash_lsh first to
+  cut the candidate space, then verify candidates with exact Jaccard.
+- MinHash+LSH: k independent hash functions derived from md5 (deterministic,
+  engine-portable), banded into b bands of r rows; pairs sharing a band
+  bucket are candidates. All pure DataFrame ops — explode/groupBy/join.
+- SimHash: 64-bit fingerprint from md5 bits of tokens; near-dup = small
+  Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace, trim."""
+    t = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups → (text_key, keep_id, dup_count).
+
+    keep_id = min id per group (deterministic survivor). One hash-partition
+    shuffle on the md5 digest; the digest (not the document body) is the
+    shuffle key, so map output stays small at scale.
+    """
+    key = F.md5(normalize_text(text_col)).alias("text_key")
+    return (
+        df.select(key, F.col(id_col).alias("id"))
+        .groupBy("text_key")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep only each group's survivor row (min id per normalized text)."""
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of normalized text (non-empty)."""
+    return F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    toks = tokens(c)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded table — candidate-generation input."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard similarity >= threshold.
+
+    |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|. Pairs sharing
+    zero shingles never materialize. Returns (id_a, id_b, jaccard).
+    """
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _md5_hash32(c: Column, salt: int) -> Column:
+    """Deterministic 32-bit hash from md5 — portable across engines (the same
+    value is computable in any SQL dialect with md5 + hex parsing), unlike
+    Spark's murmur3 ``hash()``."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig array<long>) — minhash over word n-gram shingles.
+
+    One explode + one groupBy; the k hash functions are computed per shingle
+    as literal expressions (no UDF). Deterministic across runs and engines.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(_md5_hash32(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Pairs agreeing on all rows of at least one band land in the same bucket
+    → groupBy(band, bucket) self-pairing. Returns distinct (id_a, id_b).
+    At scale: the band-bucket shuffle replaces the all-pairs O(N²) — the
+    standard minhash-LSH trade (tune bands/rows for the target Jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over whitespace tokens.
+
+    Each token contributes ±1 per bit position, signs taken from md5 bits of
+    the token (engine-portable); fingerprint bit b = 1 iff the sum is > 0.
+    Pure explode + groupBy + bit arithmetic — no UDF.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    # 64 bits from the md5 hex: bit b = bit (b % 32) of word (b // 32)
+    h_lo = _md5_hash32(F.col("token"), 0)
+    h_hi = _md5_hash32(F.col("token"), 1)
+    contribs = [
+        F.sum(
+            F.when(((h_lo if b < 32 else h_hi).bitwiseAND(F.lit(1 << (b % 32)))) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("id").agg(*contribs)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return per_doc.select("id", fp.alias("simhash"))

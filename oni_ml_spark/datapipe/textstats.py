@@ -1,0 +1,99 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All native expressions (regexp/split/length) —
+these run over every document at 100 TB, so nothing leaves codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.dedup import normalize_text, tokens
+
+# Marker stopwords per language for the n-gram-heuristic language ID.
+# Deterministic and tiny by design (a real system would plug in fastText etc.
+# — the operator contract is the same: text → lang label).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+}
+
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    """Count of tokens that are in the marker list."""
+    return F.size(F.filter(tokens(c), lambda t: t.isin(*words)))
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    t = F.col(c) if isinstance(c, str) else c
+    return {lang: _marker_hits(t, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(c: Column | str) -> Column:
+    """Predicted language = argmax marker-hit count; 'und' when all zero.
+
+    Deterministic tie-break: language-code order en < es < fr < de as listed
+    (first maximal wins), replicable in plain SQL with a CASE chain.
+    """
+    scores = lang_scores(c)
+    mx = F.greatest(*scores.values())
+    out = None
+    for lang, s in scores.items():  # chained when → first maximal wins
+        cond = (s > 0) & (s == mx)
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios + token count.
+
+    Returns (id, n_chars, n_tokens, punct_ratio, stopword_ratio, upper_ratio,
+    mean_token_len) — the standard cheap quality gates for a pretraining
+    corpus filter, all rounded for stable comparison.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    en_stop = LANG_MARKERS["en"]
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*en_stop)))
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    ws = F.size(tokens(text_col))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("regex_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text plus a
+    16-hex-char rolling prefix fingerprint (cheap locality clue)."""
+    norm = normalize_text(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("fp_md5"),
+        F.substring(F.md5(F.substring(norm, 1, 64)), 1, 16).alias("fp_prefix64"),
+    )

@@ -1,0 +1,869 @@
+"""The driver-facing query battery: every operator from SURVEY.md §2 plus the
+beyond-reference data-pipeline operators, each as a (spark, sf_dir) →
+DataFrame callable with a DuckDB oracle SQL twin.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before value-hashing). Float-producing queries round
+on both sides; sums go through DECIMAL(18,2) on both sides so the result is
+bit-identical regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oni_ml_spark.io import load_table
+from oni_ml_spark.transforms import (
+    DECILES,
+    QUINTILES,
+    bin_expr,
+    extract_domain,
+    extract_subdomain_cols,
+    flow_word_cols,
+    fractional_hour,
+    oversample,
+    quantile_cuts,
+    quantile_cuts_df,
+    string_entropy,
+)
+from oni_ml_spark.transforms.quantiles import ecdf
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# oracle SQL helpers
+# --------------------------------------------------------------------------
+
+
+def _cuts_cte(table: str, col: str, probs: list[float], where: str = "") -> str:
+    """CTE producing `cuts(cs)` — one row holding the ascending cutoff list
+    with exact reference semantics (least x with P(X<=x) >= t)."""
+    probs_sql = "[" + ", ".join(str(p) for p in probs) + "]"
+    w = f"WHERE {where}" if where else ""
+    return f"""
+      counts AS (SELECT {col} AS v, count(*) AS c FROM {table} {w} GROUP BY 1),
+      tot AS (SELECT sum(c)::DOUBLE AS t FROM counts),
+      e AS (SELECT v, sum(c) OVER (ORDER BY v) / (SELECT t FROM tot) AS cdf FROM counts),
+      cutlist AS (
+        SELECT p, min(v) AS cutoff
+        FROM e, (SELECT unnest({probs_sql})::DOUBLE AS p) ps
+        WHERE cdf >= p GROUP BY p),
+      cuts AS (SELECT list(cutoff ORDER BY p) AS cs FROM cutlist)
+    """
+
+
+def _bin_sql(v: str, cuts_list: str = "cs") -> str:
+    c = cuts_list
+    return (
+        f"CASE WHEN len(list_filter({c}, x -> x < {v})) = len({c}) THEN -1 "
+        f"ELSE len(list_filter({c}, x -> x < {v})) END"
+    )
+
+
+_NORM_TEXT = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_TOKENS = f"list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '')"
+
+
+# md5-derived portable 32-bit hash (matches transforms/datapipe _md5_hash32)
+def _h32_sql(expr: str, salt: int) -> str:
+    return f"('0x' || substr(md5('{salt}:' || {expr}), 1, 8))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# synthetic columns shared by Spark and oracle sides
+# --------------------------------------------------------------------------
+
+# Deterministic host strings over documents — exercise every branch of the
+# reference domain logic (arpa / ccTLD / gTLD / invalid TLD).
+_HOST_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '123.103.104.10.in-addr.arpa' "
+    "WHEN 1 THEN source || '.amazon.com.mx' "
+    "WHEN 2 THEN source || '.forrealz.net' "
+    "ELSE 'panasonic.c' END"
+)
+
+
+def _with_host(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "host",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("123.103.104.10.in-addr.arpa"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("source"), F.lit(".amazon.com.mx")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("source"), F.lit(".forrealz.net")))
+        .otherwise(F.lit("panasonic.c")),
+    )
+
+
+# Synthetic netflow fields over lineitem — port mixes cover all 14 adjustPort
+# branches (0 / privileged / unprivileged on both sides).
+def _with_flow_cols(df: DataFrame) -> DataFrame:
+    return df.withColumns(
+        {
+            "sip": F.concat_ws(
+                ".", F.lit("10"), F.lit("0"), (F.col("l_partkey") % 64).cast("string"),
+                (F.col("l_suppkey") % 64).cast("string"),
+            ),
+            "dip": F.concat_ws(
+                ".", F.lit("10"), F.lit("1"), (F.col("l_suppkey") % 64).cast("string"),
+                (F.col("l_orderkey") % 64).cast("string"),
+            ),
+            "sport": (F.col("l_partkey") % 2000).cast("int"),
+            "dport": (F.col("l_orderkey") % 2000).cast("int"),
+            "time_bin": (F.col("l_linenumber") % 10).cast("int"),
+            "ibyt_bin": (F.col("l_partkey") % 10).cast("int"),
+            "ipkt_bin": (F.col("l_suppkey") % 5).cast("int"),
+        }
+    )
+
+
+_FLOW_COLS_SQL = """
+  SELECT l_orderkey, l_linenumber,
+         '10.0.' || (l_partkey % 64)::VARCHAR || '.' || (l_suppkey % 64)::VARCHAR AS sip,
+         '10.1.' || (l_suppkey % 64)::VARCHAR || '.' || (l_orderkey % 64)::VARCHAR AS dip,
+         (l_partkey % 2000)::INT AS sport,
+         (l_orderkey % 2000)::INT AS dport,
+         (l_linenumber % 10)::INT AS time_bin,
+         (l_partkey % 10)::INT AS ibyt_bin,
+         (l_suppkey % 5)::INT AS ipkt_bin
+  FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# the battery
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- scans / projections / filters (S1-S3, P1-P4) ------------------------
+
+@_q(
+    "scan_project",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def scan_project(spark, sf):
+    """P1/S1: projection straight off the parquet scan (column pruning —
+    ReadSchema shows only 3 columns)."""
+    return load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@_q(
+    "filter_range",
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE extract('hour' FROM ts) BETWEEN 6 AND 17 AND value BETWEEN 10 AND 90",
+)
+def filter_range(spark, sf):
+    """P2: range predicates (reference: netflow/FlowPreLDA.scala:107-109)."""
+    e = load_table(spark, sf, "events")
+    return e.filter(
+        F.hour("ts").between(6, 17) & F.col("value").between(10, 90)
+    ).select("event_id", "event_type", "value")
+
+
+@_q(
+    "filter_null_groupcount",
+    "SELECT event_type, count(*) AS cnt FROM events "
+    "WHERE props IS NOT NULL AND value IS NOT NULL GROUP BY event_type",
+)
+def filter_null_groupcount(spark, sf):
+    """P3 + A2: null-rejection then count-by-key
+    (dns/DNSPreLDA.scala:92, proxy agent counts)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.filter(F.col("props").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "threshold_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 50000 "
+    "ORDER BY o_totalprice, o_orderkey LIMIT 100",
+)
+def threshold_topk(spark, sf):
+    """P4 + O1/O2: score-threshold filter then ascending top-K —
+    TakeOrderedAndProject (netflow/FlowPostLDA.scala:79-80)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_totalprice") <= 50000)
+        .orderBy("o_totalprice", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---- aggregations (A1-A8) ------------------------------------------------
+
+@_q(
+    "groupby_count_docword",
+    "SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2",
+)
+def groupby_count_docword(spark, sf):
+    """A1: the core (doc, word) → count corpus aggregation
+    (netflow/FlowPreLDA.scala:131-139)."""
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "agg_minmax",
+    "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
+    "max(value) AS max_value FROM events GROUP BY event_type",
+)
+def agg_minmax(spark, sf):
+    """A2/A8 variants: per-key count with exact min/max."""
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@_q(
+    "distinct_dictionary",
+    "SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS idx "
+    "FROM (SELECT DISTINCT event_type FROM events)",
+)
+def distinct_dictionary(spark, sf):
+    """A5: distinct values → stable dictionary ids
+    (OniLDACWrapper.scala:40-60, rebuilt without driver collect)."""
+    w = Window.orderBy("event_type")
+    return (
+        load_table(spark, sf, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("idx", F.row_number().over(w) - 1)
+    )
+
+
+@_q(
+    "ecdf_quantity",
+    "WITH counts AS (SELECT l_quantity AS value, count(*) AS c FROM lineitem GROUP BY 1), "
+    "tot AS (SELECT sum(c)::DOUBLE AS t FROM counts) "
+    "SELECT value, sum(c) OVER (ORDER BY value) / (SELECT t FROM tot) AS cdf FROM counts",
+)
+def ecdf_quantity(spark, sf):
+    """A6: exact distributed ECDF (utilities/Quantiles.scala:21-40)."""
+    return ecdf(load_table(spark, sf, "lineitem"), "l_quantity")
+
+
+@_q(
+    "quantile_cuts_deciles",
+    "WITH " + _cuts_cte("lineitem", "l_extendedprice", DECILES)
+    + " SELECT p, cutoff FROM cutlist",
+)
+def quantile_cuts_deciles(spark, sf):
+    """A7: exact discrete decile cutoffs (utilities/Quantiles.scala:54-86)."""
+    return quantile_cuts_df(load_table(spark, sf, "lineitem"), "l_extendedprice", DECILES)
+
+
+@_q(
+    "bin_deciles",
+    "WITH " + _cuts_cte("lineitem", "l_quantity", DECILES)
+    + f" SELECT l_orderkey, l_linenumber, {_bin_sql('l_quantity')} AS bin FROM lineitem, cuts",
+)
+def bin_deciles(spark, sf):
+    """F3: quantile binning against in-data decile cuts
+    (Quantiles.scala:97-99 + FlowWordCreation.scala:51-58)."""
+    li = load_table(spark, sf, "lineitem")
+    cuts = quantile_cuts(li, "l_quantity", DECILES)
+    return li.select("l_orderkey", "l_linenumber", bin_expr("l_quantity", cuts).alias("bin"))
+
+
+# ---- joins / set ops (J1-J2, U1-U2) --------------------------------------
+
+@_q(
+    "join_agg_revenue",
+    "SELECT n_name, count(*) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+)
+def join_agg_revenue(spark, sf):
+    """J1 + A1: equi joins (dims broadcast) + grouped aggregate. DECIMAL sum
+    → exact regardless of partial-agg order, then cast to double."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "broadcast_lookup_fallback",
+    "SELECT l_orderkey, l_linenumber, coalesce(p_retailprice, -1.0) AS price "
+    "FROM lineitem LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size < 25) p "
+    "ON l_partkey = p_partkey",
+)
+def broadcast_lookup_fallback(spark, sf):
+    """J2: broadcast lookup join with miss-fallback — the uniform-probability
+    fallback pattern (SuspiciousConnectsScoreFunction.scala:17) as
+    left join + coalesce."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_size") < 25).select(
+        "p_partkey", "p_retailprice"
+    )
+    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left").select(
+        "l_orderkey", "l_linenumber", F.coalesce("p_retailprice", F.lit(-1.0)).alias("price")
+    )
+
+
+@_q(
+    "union_counts",
+    "SELECT key, count(*) AS cnt FROM ("
+    "SELECT o_custkey AS key FROM orders UNION ALL SELECT c_custkey AS key FROM customer"
+    ") GROUP BY key",
+)
+def union_counts(spark, sf):
+    """U1/U2: bag-semantics union then count (src∪dst corpus,
+    netflow/FlowPreLDA.scala:139)."""
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    return o.unionByName(c).groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_q(
+    "oversample_nation",
+    "SELECT n_nationkey, count(*) AS cnt FROM nation, generate_series(1, 5) GROUP BY n_nationkey",
+)
+def oversample_nation(spark, sf):
+    """F14: row duplication ×N via explode(array_repeat)
+    (netflow/FlowPreLDA.scala:98)."""
+    n = load_table(spark, sf, "nation")
+    return oversample(n, 5).groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---- scalar functions (F1-F16) -------------------------------------------
+
+@_q(
+    "least_endpoint",
+    "SELECT l_orderkey, l_linenumber, least(l_discount, l_tax) AS min_rate FROM lineitem",
+)
+def least_endpoint(spark, sf):
+    """F13: least() of two scores (netflow/FlowPostLDA.scala:115-126)."""
+    return load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.least("l_discount", "l_tax").alias("min_rate")
+    )
+
+
+@_q(
+    "fractional_hour",
+    "SELECT event_id, round(extract('hour' FROM ts) + extract('minute' FROM ts) / 60.0 "
+    "+ extract('second' FROM ts) / 3600.0, 6) AS num_time FROM events",
+)
+def fractional_hour_q(spark, sf):
+    """F1: fractional hour (netflow/FlowWordCreation.scala:88-92)."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.round(
+            fractional_hour(F.hour("ts"), F.minute("ts"), F.second("ts")), 6
+        ).alias("num_time"),
+    )
+
+
+@_q(
+    "string_entropy",
+    "SELECT doc_id, round(ent, 5) AS text_entropy FROM ("
+    "SELECT doc_id, entropy(c) AS ent FROM ("
+    "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) GROUP BY doc_id)",
+)
+def string_entropy_q(spark, sf):
+    """F4: Shannon character entropy, native HOF chain
+    (utilities/Entropy.scala:16-23)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", F.round(string_entropy("text"), 5).alias("text_entropy"))
+
+
+@_q(
+    "extract_domain",
+    f"SELECT doc_id, CASE doc_id % 4 WHEN 1 THEN 'amazon' WHEN 2 THEN 'forrealz' "
+    f"ELSE 'None' END AS domain FROM documents",
+)
+def extract_domain_q(spark, sf):
+    """F6: proxy registered-domain extraction over synthesized hosts covering
+    arpa / ccTLD / gTLD / invalid branches (utilities/DomainProcessor.scala:28-49).
+    The oracle states the per-branch expected value directly."""
+    d = _with_host(load_table(spark, sf, "documents"))
+    return d.select("doc_id", extract_domain("host").alias("domain"))
+
+
+@_q(
+    "extract_subdomain",
+    "SELECT doc_id, "
+    "CASE doc_id % 4 WHEN 1 THEN 'amazon' WHEN 2 THEN 'forrealz' ELSE 'None' END AS domain, "
+    "CASE doc_id % 4 WHEN 1 THEN source WHEN 2 THEN source ELSE 'None' END AS subdomain, "
+    "CASE doc_id % 4 WHEN 1 THEN length(source) WHEN 2 THEN length(source) ELSE 0 END::DOUBLE AS subdomain_length, "
+    "CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 4 WHEN 2 THEN 3 ELSE 2 END::DOUBLE AS num_periods "
+    "FROM documents",
+)
+def extract_subdomain_q(spark, sf):
+    """F5: DNS domain/subdomain/length/parts extraction
+    (dns/DNSWordCreation.scala:157-196)."""
+    d = _with_host(load_table(spark, sf, "documents"))
+    cols = extract_subdomain_cols("host")
+    return d.select(
+        "doc_id", cols["domain"].alias("domain"), cols["subdomain"].alias("subdomain"),
+        cols["subdomain_length"].alias("subdomain_length"),
+        cols["num_periods"].alias("num_periods"),
+    )
+
+
+_FLOW_WORD_ORACLE = f"""
+WITH f AS ({_FLOW_COLS_SQL}),
+g AS (
+  SELECT *,
+    CASE WHEN (dport <= 1024 OR sport <= 1024) AND (dport > 1024 OR sport > 1024)
+              AND least(dport, sport) != 0 THEN 2
+         WHEN dport > 1024 AND sport > 1024 THEN 3
+         WHEN dport = 0 AND sport != 0 THEN 4
+         WHEN sport = 0 AND dport != 0 THEN 4
+         ELSE 1 END AS port_case,
+    CASE WHEN (dport <= 1024 OR sport <= 1024) AND (dport > 1024 OR sport > 1024)
+              AND least(dport, sport) != 0 THEN least(dport, sport)::DOUBLE
+         WHEN dport > 1024 AND sport > 1024 THEN 333333.0
+         WHEN dport = 0 AND sport != 0 THEN sport::DOUBLE
+         WHEN sport = 0 AND dport != 0 THEN dport::DOUBLE
+         ELSE CASE WHEN least(dport, sport) = 0 THEN greatest(dport, sport)::DOUBLE
+                   ELSE 111111.0 END END AS word_port
+  FROM f),
+h AS (
+  SELECT *,
+    word_port::VARCHAR || '_' || time_bin::DOUBLE::VARCHAR || '_'
+      || ibyt_bin::DOUBLE::VARCHAR || '_' || ipkt_bin::DOUBLE::VARCHAR AS base_word,
+    CASE WHEN sip < dip THEN sip || ' ' || dip ELSE dip || ' ' || sip END AS ip_pair
+  FROM g)
+SELECT l_orderkey, l_linenumber, word_port::VARCHAR AS word_port, ip_pair,
+  CASE WHEN (port_case = 2 AND sport < dport) OR (port_case = 4 AND dport = 0)
+       THEN '-1_' || base_word ELSE base_word END AS source_word,
+  CASE WHEN (port_case = 2 AND dport < sport) OR (port_case = 4 AND sport = 0)
+       THEN '-1_' || base_word ELSE base_word END AS destination_word
+FROM h
+"""
+
+
+@_q("flow_words", _FLOW_WORD_ORACLE)
+def flow_words_q(spark, sf):
+    """F8/F16: the full adjustPort word logic over synthesized netflow fields
+    (netflow/FlowWordCreation.scala:94-144), exact string formats included."""
+    li = _with_flow_cols(load_table(spark, sf, "lineitem"))
+    cols = flow_word_cols("sip", "dip", "sport", "dport", "time_bin", "ibyt_bin", "ipkt_bin")
+    return li.select(
+        "l_orderkey", "l_linenumber", cols["word_port"].alias("word_port"),
+        cols["ip_pair"].alias("ip_pair"), cols["source_word"].alias("source_word"),
+        cols["destination_word"].alias("destination_word"),
+    )
+
+
+_DNS_WORD_ORACLE = (
+    "WITH " + _cuts_cte("events", "value", DECILES) + ", "
+    "hc AS (SELECT extract('hour' FROM ts)::DOUBLE AS v, count(*) AS c FROM events GROUP BY 1), "
+    "htot AS (SELECT sum(c)::DOUBLE AS t FROM hc), "
+    "he AS (SELECT v, sum(c) OVER (ORDER BY v) / (SELECT t FROM htot) AS cdf FROM hc), "
+    "hcutlist AS (SELECT p, min(v) AS cutoff FROM he, "
+    "  (SELECT unnest([0.2, 0.4, 0.6, 0.8, 1.0]) AS p) ps WHERE cdf >= p GROUP BY p), "
+    "hcuts AS (SELECT list(cutoff ORDER BY p) AS hcs FROM hcutlist) "
+    "SELECT event_id, event_type || '_' || "
+    + _bin_sql("value") + " || '_' || "
+    + _bin_sql("extract('hour' FROM ts)::DOUBLE", "hcs")
+    + " AS word FROM events, cuts, hcuts"
+)
+
+
+@_q("dns_word_assembly", _DNS_WORD_ORACLE)
+def dns_word_assembly(spark, sf):
+    """F9-style word assembly: category × value-decile × hour-quintile
+    (dns/DNSWordCreation.scala:215-236 pattern) on the events table."""
+    e = load_table(spark, sf, "events").withColumn("hour", F.hour("ts").cast("double"))
+    value_cuts = quantile_cuts(e, "value", DECILES)
+    hour_cuts = quantile_cuts(e, "hour", QUINTILES)
+    return e.select(
+        "event_id",
+        F.concat_ws(
+            "_",
+            F.col("event_type"),
+            bin_expr("value", value_cuts).cast("string"),
+            bin_expr("hour", hour_cuts).cast("string"),
+        ).alias("word"),
+    )
+
+
+@_q(
+    "array_dot_product",
+    "SELECT a.vec_id, round(list_dot_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dot_q "
+    "FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q",
+)
+def array_dot_product(spark, sf):
+    """F11/F12: native array dot product (score function) — every vector
+    against the vec_id=0 query (netflow/FlowPostLDA.scala:99-110 re-expressed
+    as aggregate(zip_with(...)))."""
+    from oni_ml_spark.datapipe.similarity import as_double_array, dot
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qv")
+    )
+    return emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(dot(as_double_array("embedding"), F.col("qv")), 4).alias("dot_q")
+    )
+
+
+@_q(
+    "window_rank_topn",
+    "SELECT o_custkey, o_orderkey, rn FROM ("
+    "SELECT o_custkey, o_orderkey, row_number() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+    ") WHERE rn <= 3",
+)
+def window_rank_topn(spark, sf):
+    """Window functions (absent in the reference, SURVEY.md §2.9 — free in
+    Spark 3): per-customer top-3 orders."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        load_table(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    f"SELECT md5({_NORM_TEXT.format(c='text')}) AS text_key, min(doc_id) AS keep_id, "
+    "count(*) AS dup_count FROM documents GROUP BY 1",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup groups: digest-keyed hash aggregate."""
+    from oni_ml_spark.datapipe.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+_SHINGLES_SQL = f"""
+  sh AS (
+    SELECT doc_id AS id, unnest(list_distinct([
+      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+    ])) AS shingle
+    FROM (SELECT doc_id, {_TOKENS.format(c='text')} AS toks FROM documents)
+    WHERE len(toks) >= 3)
+"""
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    "WITH " + _SHINGLES_SQL + ", "
+    "sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common "
+    "  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
+    "WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3",
+)
+def ngram_jaccard_pairs_q(spark, sf):
+    """Near-dup candidate pairs by word-3-gram Jaccard >= 0.3."""
+    from oni_ml_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
+_MINHASH_COLS = ", ".join(
+    f"min({_h32_sql('shingle', i)}) AS h{i}" for i in range(8)
+)
+
+
+@_q(
+    "minhash_signatures",
+    "WITH " + _SHINGLES_SQL + f" SELECT id, {_MINHASH_COLS} FROM sh GROUP BY id",
+)
+def minhash_signatures_q(spark, sf):
+    """MinHash signatures (8 engine-portable md5-derived hash fns)."""
+    from oni_ml_spark.datapipe.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        load_table(spark, sf, "documents"), "doc_id", "text", n=3, num_hashes=8
+    )
+    return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)])
+
+
+@_q(
+    "minhash_lsh_candidates",
+    "WITH " + _SHINGLES_SQL + ", "
+    f"sig AS (SELECT id, {_MINHASH_COLS} FROM sh GROUP BY id), "
+    "banded AS ("
+    "  SELECT id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS bucket FROM sig UNION ALL "
+    "  SELECT id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig UNION ALL "
+    "  SELECT id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig UNION ALL "
+    "  SELECT id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig) "
+    "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+    "JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id",
+)
+def minhash_lsh_candidates_q(spark, sf):
+    """Banded-LSH candidate pairs (8 hashes, 4 bands of 2)."""
+    from oni_ml_spark.datapipe.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        load_table(spark, sf, "documents"), "doc_id", "text", n=3, num_hashes=8, bands=4
+    )
+
+
+def _simhash_oracle() -> str:
+    tok = f"unnest({_TOKENS.format(c='text')})"
+    lo = _h32_sql("token", 0)
+    hi = _h32_sql("token", 1)
+    sums = ", ".join(
+        f"sum(CASE WHEN ({(lo if b < 32 else hi)} & {1 << (b % 32)}) != 0 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b}::HUGEINT ELSE 0 END)" for b in range(64))
+    return (
+        f"WITH tok AS (SELECT doc_id AS id, {tok} AS token FROM documents), "
+        f"per AS (SELECT id, {sums} FROM tok GROUP BY id) "
+        f"SELECT id, CAST({fp} AS VARCHAR) AS simhash_str FROM per"
+    )
+
+
+@_q("simhash64", _simhash_oracle())
+def simhash64_q(spark, sf):
+    """64-bit SimHash fingerprints (md5-derived bit signs).
+
+    Compared as strings: the oracle needs HUGEINT for bit 63 (BIGINT would
+    overflow), Spark wraps to signed long — both sides render the unsigned
+    value via a decimal string."""
+    from oni_ml_spark.datapipe.dedup import simhash64
+
+    out = simhash64(load_table(spark, sf, "documents"), "doc_id", "text")
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+    unsigned = F.when(
+        F.col("simhash") < 0, F.col("simhash").cast("decimal(20,0)") + two64
+    ).otherwise(F.col("simhash").cast("decimal(20,0)"))
+    return out.select("id", unsigned.cast("decimal(20,0)").cast("string").alias("simhash_str"))
+
+
+@_q(
+    "ann_cosine_topk",
+    "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank FROM ("
+    "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim, "
+    "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank "
+    "  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings c "
+    "  WHERE q.vec_id != c.vec_id) WHERE rank <= 5",
+)
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 for 5 query vectors — the exact ANN baseline."""
+    from oni_ml_spark.datapipe.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@_q(
+    "embedding_near_dup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95",
+)
+def embedding_near_dup(spark, sf):
+    """Embedding-space near-duplicate pairs (cosine >= 0.95)."""
+    from oni_ml_spark.datapipe.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(load_table(spark, sf, "embeddings"), threshold=0.95)
+
+
+def _lang_oracle() -> str:
+    from oni_ml_spark.datapipe.textstats import LANG_MARKERS
+
+    toks = _TOKENS.format(c="text")
+    score = {
+        lang: f"len(list_filter({toks}, t -> list_contains({words!r}, t)))".replace("'", "''")
+        for lang, words in LANG_MARKERS.items()
+    }
+    # build DuckDB list literals properly (repr gives python list syntax, ok for duckdb)
+    score = {
+        lang: f"len(list_filter({toks}, t -> list_contains("
+        + "[" + ", ".join(f"'{w}'" for w in words) + "], t)))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in score) + ")"
+    case = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {mx} THEN '{l}'" for l in score
+    )
+    sels = ", ".join(f"{expr} AS s_{l}" for l, expr in score.items())
+    return (
+        f"WITH s AS (SELECT doc_id, {sels} FROM documents) "
+        f"SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM s"
+    )
+
+
+@_q("lang_id", _lang_oracle())
+def lang_id_q(spark, sf):
+    """Heuristic marker-stopword language ID."""
+    from oni_ml_spark.datapipe.textstats import lang_id
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@_q(
+    "quality_metrics",
+    f"""SELECT doc_id AS id, length(text) AS n_chars,
+      len({_TOKENS.format(c='text')}) AS n_tokens,
+      round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+            / greatest(length(text), 1), 6) AS punct_ratio,
+      round(len(list_filter({_TOKENS.format(c='text')},
+            t -> list_contains(['the','and','of','to','is','in','that','with'], t)))
+            / greatest(len({_TOKENS.format(c='text')}), 1), 6) AS stopword_ratio,
+      round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+            / greatest(length(text), 1), 6) AS upper_ratio,
+      round(CASE WHEN len({_TOKENS.format(c='text')}) > 0
+            THEN length(text)::DOUBLE / len({_TOKENS.format(c='text')}) ELSE 0.0 END, 6)
+            AS mean_token_len
+    FROM documents""",
+)
+def quality_metrics_q(spark, sf):
+    """Cheap corpus-quality gates: length/punct/stopword/case ratios."""
+    from oni_ml_spark.datapipe.textstats import quality_metrics
+
+    return quality_metrics(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "token_counts",
+    f"""SELECT doc_id AS id, len({_TOKENS.format(c='text')}) AS ws_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS regex_tokens
+    FROM documents""",
+)
+def token_counts_q(spark, sf):
+    """Whitespace + BPE-ish regex token counting."""
+    from oni_ml_spark.datapipe.textstats import token_counts
+
+    return token_counts(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "fingerprint",
+    f"""SELECT doc_id AS id, md5({_NORM_TEXT.format(c='text')}) AS fp_md5,
+      substr(md5(substr({_NORM_TEXT.format(c='text')}, 1, 64)), 1, 16) AS fp_prefix64
+    FROM documents""",
+)
+def fingerprint_q(spark, sf):
+    """Deterministic document fingerprints (md5 of normalized text)."""
+    from oni_ml_spark.datapipe.textstats import fingerprint
+
+    return fingerprint(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "multimodal_metadata",
+    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+    "'fake/raw' AS format, (octet_length(encode(text)) % 640)::INT AS width, "
+    "((octet_length(encode(text)) * 7) % 480)::INT AS height FROM documents",
+)
+def multimodal_metadata(spark, sf):
+    """Binary-payload decode plumbing: Arrow-batched mapInPandas over a
+    binary column (decode stubbed, deterministic)."""
+    from oni_ml_spark.datapipe.multimodal import attach_payload, extract_media_metadata
+
+    media = attach_payload(load_table(spark, sf, "documents"), "doc_id", "text")
+    return extract_media_metadata(media)
+
+
+@_q(
+    "frame_sampling",
+    "SELECT doc_id AS media_id, unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) "
+    "AS frame_no, unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS offset "
+    "FROM documents",
+)
+def frame_sampling(spark, sf):
+    """Frame-sampling shape: one row per 64-byte 'frame' of the payload."""
+    from oni_ml_spark.datapipe.multimodal import attach_payload, sample_frames
+
+    media = attach_payload(load_table(spark, sf, "documents"), "doc_id", "text")
+    return sample_frames(media, every_n_bytes=64)
+
+
+# ---- LDA pipelines: rows-only checks (seeded-random model, SURVEY.md §7.4.1)
+
+@_q("flagship_suspicious_events")
+def flagship_suspicious_events(spark, sf):
+    """End-to-end suspicious-connects on the events table (featurize → LDA →
+    score → bottom-K). No oracle: LDA is seeded-random; the driver's
+    rows-only check applies. Invariants tested in tests/test_pipelines.py."""
+    from oni_ml_spark.pipelines import events as ev
+
+    df = load_table(spark, sf, "events")
+    res = ev.run(df, topic_count=10, top_k=100, max_iter=5)
+    return res.suspicious.select(
+        "event_id", "user_id", "word", F.round("score", 6).alias("score")
+    )
+
+
+@_q("flow_pipeline_synthetic")
+def flow_pipeline_synthetic(spark, sf):
+    """Full flow pipeline over netflow synthesized from lineitem (rows-only:
+    LDA). Exercises featurize → both-endpoint corpus → LDA → inner-join
+    scoring → least() → bottom-K."""
+    from oni_ml_spark.pipelines import flow as flow_pipe
+
+    li = load_table(spark, sf, "lineitem")
+    df = li.select(
+        F.lit("2016-05-05 12:00:00").alias("treceived"),
+        F.lit(2016).alias("tryear"), F.lit(5).alias("trmonth"), F.lit(5).alias("trday"),
+        (F.col("l_orderkey") % 24).cast("int").alias("trhour"),
+        (F.col("l_partkey") % 60).cast("int").alias("trminute"),
+        (F.col("l_suppkey") % 60).cast("int").alias("trsec"),
+        F.lit(0.0).alias("tdur"),
+        F.concat_ws(".", F.lit("10"), F.lit("0"), (F.col("l_partkey") % 16).cast("string"),
+                    (F.col("l_suppkey") % 16).cast("string")).alias("sip"),
+        F.concat_ws(".", F.lit("10"), F.lit("1"), (F.col("l_suppkey") % 16).cast("string"),
+                    (F.col("l_orderkey") % 16).cast("string")).alias("dip"),
+        (F.col("l_partkey") % 2000).cast("int").alias("sport"),
+        (F.col("l_orderkey") % 2000).cast("int").alias("dport"),
+        F.lit("TCP").alias("proto"), F.lit(".AP...").alias("flag"),
+        (F.col("l_quantity") * 100).cast("long").alias("ipkt"),
+        (F.col("l_extendedprice")).cast("long").alias("ibyt"),
+    )
+    res = flow_pipe.run(df, topic_count=5, top_k=100, max_iter=3, exact_quantiles=False)
+    return res.suspicious.select(
+        "sip", "dip", "source_word", F.round("score", 6).alias("score")
+    )

@@ -18,6 +18,21 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+#: columns stored as TIMESTAMP(NANOS) in the synthetic testdata — Spark reads
+#: them as long (spark.sql.legacy.parquet.nanosAsLong); converted on load.
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic testdata table, normalizing nano-timestamp columns
+    to proper TimestampType (microsecond truncation)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
 def read_day(spark: SparkSession, root: str, year: int, month: int, day: int) -> DataFrame:
     """Partition-pruned day read over the reference's y=/m=/d= Hive layout
     (README.md:22,56). The filter is on partition columns only — Catalyst

@@ -1,0 +1,114 @@
+"""Flow (netflow) suspicious-connects pipeline.
+
+Reference dataflow: netflow/FlowSuspiciousConnects.scala:12-27 →
+FlowPreLDA → OniLDACWrapper → FlowPostLDA (SURVEY.md §3.1). Re-expressed:
+one featurization over raw ∪ oversampled-feedback, cached, feeding both
+training corpus (both endpoints) and scoring; LDA in-cluster; per-endpoint
+scores via broadcast joins; record score = least(src, dst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.pipelines.common import (
+    FEEDBACK_FLAG,
+    SuspiciousConnectsResult,
+    train_and_score,
+)
+from oni_ml_spark.scoring import min_endpoint_score, most_suspicious, score_records
+from oni_ml_spark.topics import corpus_counts, fit_topic_model
+from oni_ml_spark.transforms import (
+    DECILES,
+    QUINTILES,
+    bin_expr,
+    flow_word_cols,
+    fractional_hour,
+    oversample,
+    quantile_cuts,
+)
+from oni_ml_spark.transforms.feedback import severity_filter
+
+
+def valid_time_filter(df: DataFrame) -> DataFrame:
+    """Sanity range predicate (netflow/FlowPreLDA.scala:107-109)."""
+    return df.filter(
+        F.col("trhour").between(0, 23)
+        & F.col("trminute").between(0, 59)
+        & F.col("trsec").between(0, 59)
+    )
+
+
+def featurize(df: DataFrame, exact_quantiles: bool = True) -> DataFrame:
+    """num_time + three quantile-cut bins + flow words, single pass.
+
+    The three cut computations are Spark actions that each return a ≤10-double
+    array to the driver — the only driver-boundary crossings in the pipeline
+    (reference had the same, netflow/FlowWordCreation.scala:26-49).
+    """
+    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts
+
+    cuts_of = quantile_cuts if exact_quantiles else approx_quantile_cuts
+    df = df.withColumn("num_time", fractional_hour("trhour", "trminute", "trsec"))
+    df = df.cache()
+    time_cuts = cuts_of(df, "num_time", DECILES)
+    ibyt_cuts = cuts_of(df, "ibyt", DECILES)
+    ipkt_cuts = cuts_of(df, "ipkt", QUINTILES)
+
+    df = df.withColumns(
+        {
+            "time_bin": bin_expr("num_time", time_cuts),
+            "ibyt_bin": bin_expr("ibyt", ibyt_cuts),
+            "ipkt_bin": bin_expr("ipkt", ipkt_cuts),
+        }
+    )
+    return df.withColumns(
+        flow_word_cols("sip", "dip", "sport", "dport", "time_bin", "ibyt_bin", "ipkt_bin")
+    )
+
+
+def run(
+    df: DataFrame,
+    feedback: DataFrame | None = None,
+    *,
+    dup_factor: int = 1000,
+    topic_count: int = 20,
+    threshold: float = 1.0,
+    top_k: int = -1,
+    seed: int = 0,
+    max_iter: int = 10,
+    exact_quantiles: bool = True,
+) -> SuspiciousConnectsResult:
+    df = valid_time_filter(df).withColumn(FEEDBACK_FLAG, F.lit(False))
+    if feedback is not None:
+        fb = oversample(severity_filter(feedback), dup_factor).withColumn(
+            FEEDBACK_FLAG, F.lit(True)
+        )
+        df = df.unionByName(fb.select(df.columns), allowMissingColumns=False)
+
+    featurized = featurize(df, exact_quantiles=exact_quantiles).cache()
+
+    # Corpus: each IP's document collects words from both endpoints
+    # (netflow/FlowPreLDA.scala:131-139).
+    src_counts = corpus_counts(featurized, "sip", "source_word")
+    dst_counts = corpus_counts(featurized, "dip", "destination_word")
+    counts = (
+        src_counts.unionByName(dst_counts)
+        .groupBy("doc", "word")
+        .agg(F.sum("count").alias("count"))
+    )
+    model = fit_topic_model(counts, topic_count=topic_count, seed=seed, max_iter=max_iter)
+
+    to_score = featurized.filter(~F.col(FEEDBACK_FLAG))
+    # Flow quirk preserved: inner join drops IPs unseen in training
+    # (netflow/FlowPostLDA.scala:94, SURVEY.md §7.4.4).
+    scored = score_records(
+        to_score, model, "sip", "source_word", score_col="src_score", drop_unseen_docs=True
+    )
+    scored = score_records(
+        scored, model, "dip", "destination_word", score_col="dst_score", drop_unseen_docs=True
+    )
+    scored = scored.withColumn("score", min_endpoint_score("src_score", "dst_score"))
+    suspicious = most_suspicious(scored, threshold=threshold, top_k=top_k)
+    return SuspiciousConnectsResult(scored, suspicious, model)
