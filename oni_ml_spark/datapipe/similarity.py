@@ -47,15 +47,18 @@ def brute_force_topk(
     The corpus side is broadcast when small; at scale, swap in
     ``lsh_bucketed_topk``. Ties broken by neighbor id for determinism.
     """
+    # norms precomputed per side — each pair costs one dot product, not three
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     sims = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
@@ -140,11 +143,18 @@ def embedding_near_duplicates(
     Exact all-pairs; at scale run through lsh buckets first (same pattern as
     minhash_lsh_candidates for text).
     """
-    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        pairs.select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )

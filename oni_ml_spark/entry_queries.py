@@ -401,10 +401,15 @@ def fractional_hour_q(spark, sf):
     "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) GROUP BY doc_id)",
 )
 def string_entropy_q(spark, sf):
-    """F4: Shannon character entropy, native HOF chain
-    (utilities/Entropy.scala:16-23)."""
+    """F4: Shannon character entropy (utilities/Entropy.scala:16-23) — the
+    explode/groupBy formulation (linear in total chars); the per-row HOF
+    variant is exercised by the dns featurize tests on short strings."""
+    from oni_ml_spark.transforms.text import entropy_table
+
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", F.round(string_entropy("text"), 5).alias("text_entropy"))
+    return entropy_table(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.round("entropy", 5).alias("text_entropy")
+    )
 
 
 @_q(
@@ -857,8 +862,17 @@ def flow_pipeline_synthetic(spark, sf):
                     (F.col("l_suppkey") % 16).cast("string")).alias("sip"),
         F.concat_ws(".", F.lit("10"), F.lit("1"), (F.col("l_suppkey") % 16).cast("string"),
                     (F.col("l_orderkey") % 16).cast("string")).alias("dip"),
-        (F.col("l_partkey") % 2000).cast("int").alias("sport"),
-        (F.col("l_orderkey") % 2000).cast("int").alias("dport"),
+        # realistic port mix: mostly ephemeral client → small server-port set;
+        # rare privileged/zero source ports keep every adjustPort branch live
+        # without exploding the word vocabulary (word_port is a word component)
+        F.when(F.col("l_partkey") % 211 == 0, F.lit(0))
+        .when(F.col("l_partkey") % 101 == 0, (F.col("l_partkey") % 1024).cast("int"))
+        .otherwise(F.lit(1025) + (F.col("l_partkey") % 60000).cast("int"))
+        .cast("int").alias("sport"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in (80, 443, 22, 53, 25, 110, 8080, 0)]),
+            (F.col("l_orderkey") % 8).cast("int") + 1,
+        ).cast("int").alias("dport"),
         F.lit("TCP").alias("proto"), F.lit(".AP...").alias("flag"),
         (F.col("l_quantity") * 100).cast("long").alias("ipkt"),
         (F.col("l_extendedprice")).cast("long").alias("ibyt"),

@@ -66,13 +66,15 @@ def fit_topic_model(
     randomized algorithms, SURVEY.md §7.4.1) — consumers should test
     distributional invariants, not values.
     """
+    import pandas as pd
+
     counts = counts.cache()
     vocab_rows = counts.select("word").distinct().sort("word").collect()
     vocabulary = [r["word"] for r in vocab_rows]
     v_size = len(vocabulary)
     spark = counts.sparkSession
     vocab_df = spark.createDataFrame(
-        [(w, i) for i, w in enumerate(vocabulary)], "word string, word_idx int"
+        pd.DataFrame({"word": vocabulary, "word_idx": range(v_size)})
     )
 
     indexed = counts.join(F.broadcast(vocab_df), "word")
@@ -103,15 +105,25 @@ def fit_topic_model(
         "doc", to_array("topicDistribution").alias("topic_mix")
     )
 
-    # topicsMatrix: V x k, column t = P(word|topic t), already normalized.
-    # Driver-local but tiny (V*k doubles) — the only model state broadcast.
-    tm = model.topicsMatrix()
-    word_rows = [
-        (vocabulary[w], [float(tm[w, t]) for t in range(topic_count)])
-        for w in range(v_size)
-    ]
-    word_probs = spark.createDataFrame(
-        word_rows, "word string, word_given_topic array<double>"
+    # topicsMatrix: V x k. NOT normalized for the online optimizer (columns
+    # are expected word-count weights), so normalize each topic column to a
+    # distribution — the reference does the same exp-normalize for beta
+    # (OniLDACWrapper.scala:121-130). The matrix is V*k doubles — the only
+    # model state that transits the driver. Ship it back to the cluster via
+    # Arrow (pandas) columns, not pickled Python rows: at V ~ 10^5-10^6 the
+    # pickle path croaks Python workers; Arrow stays columnar end to end.
+    import numpy as np
+    import pandas as pd
+
+    tm = model.topicsMatrix().toArray()  # V x k numpy
+    col_sums = tm.sum(axis=0)
+    col_sums[col_sums == 0.0] = 1.0
+    tm = tm / col_sums
+    pdf = pd.DataFrame({"word": vocabulary})
+    for t in range(topic_count):
+        pdf[f"p{t}"] = tm[:, t]
+    word_probs = spark.createDataFrame(pdf).select(
+        "word", F.array(*[f"p{t}" for t in range(topic_count)]).alias("word_given_topic")
     )
     counts.unpersist()
     return TopicModel(doc_topic_mix, word_probs, topic_count, vocabulary)

@@ -57,7 +57,8 @@ def string_entropy(col: Column | str) -> Column:
     """
     s = F.col(col) if isinstance(col, str) else col
     n = F.length(s)
-    chars = F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(1)))
+    chars = F.split(s, "")  # ['a','b','c'] — O(n), unlike a substr loop
+
     uniq = F.array_distinct(chars)
     term = lambda c: (  # noqa: E731
         (F.size(F.filter(chars, lambda x: x == c)) / n)
@@ -65,6 +66,33 @@ def string_entropy(col: Column | str) -> Column:
     )
     ent = -F.aggregate(uniq, F.lit(0.0), lambda acc, c: acc + term(c))
     return F.when(s.isNull() | (n == 0), F.lit(0.0)).otherwise(ent)
+
+
+def entropy_table(df, id_col: str, text_col: str):
+    """Entropy per document for LONG texts: explode → (id, char) counts →
+    per-id Σ. Linear in total characters and fully parallel (the per-row HOF
+    in ``string_entropy`` is O(distinct·len) per row — right for short
+    subdomain strings, wrong for multi-KB documents).
+
+    H = log2(n) - (1/n)·Σ_c cnt_c·log2(cnt_c). Returns (id, entropy).
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    per_char = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_char.groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        )
+        .select(
+            "id",
+            F.when(F.col("n") > 0, F.log2("n") - F.col("clog") / F.col("n"))
+            .otherwise(F.lit(0.0))
+            .alias("entropy"),
+        )
+    )
 
 
 def _last(parts: Column) -> Column:
