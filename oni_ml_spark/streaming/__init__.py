@@ -1,0 +1,12 @@
+"""Structured Streaming extension (SURVEY.md §7.6).
+
+The reference is strictly daily batch (ml_ops.sh:5-11); this module is the
+natural streaming continuation: score an event stream against a batch-trained
+topic model (static-DataFrame joins against a stream are supported by
+Structured Streaming), plus windowed corpus aggregation with watermarks for
+continuous retraining input.
+"""
+
+from oni_ml_spark.streaming.score_stream import score_stream, windowed_corpus_counts
+
+__all__ = ["score_stream", "windowed_corpus_counts"]

@@ -1,0 +1,67 @@
+"""Streaming scoring and windowed corpus aggregation.
+
+- ``score_stream``: attach anomaly scores to a streaming DataFrame using a
+  batch-trained TopicModel. Stream-static broadcast joins + the same native
+  dot product as batch scoring — the logical plan is identical to the batch
+  path, so batch/stream parity holds by construction.
+- ``windowed_corpus_counts``: watermarked sliding-window (doc, word) counts —
+  the streaming input for periodic model refits; late events beyond the
+  watermark are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.scoring import dot, uniform_mix
+from oni_ml_spark.topics import TopicModel
+
+
+def score_stream(
+    stream: DataFrame,
+    model: TopicModel,
+    doc_col: str,
+    word_col: str,
+    score_col: str = "score",
+) -> DataFrame:
+    """Stream-static join scoring (left joins keep unseen docs/words with the
+    uniform 1/k fallback, matching batch dns/proxy semantics)."""
+    k = model.topic_count
+    mix = model.doc_topic_mix.withColumnRenamed("doc", "__doc")
+    wp = model.word_probs.withColumnRenamed("word", "__word")
+    return (
+        stream.join(F.broadcast(mix), stream[doc_col] == mix["__doc"], "left")
+        .join(F.broadcast(wp), stream[word_col] == wp["__word"], "left")
+        .withColumn(
+            score_col,
+            dot(
+                F.coalesce(F.col("topic_mix"), uniform_mix(k)),
+                F.coalesce(F.col("word_given_topic"), uniform_mix(k)),
+            ),
+        )
+        .drop("__doc", "__word", "topic_mix", "word_given_topic")
+    )
+
+
+def windowed_corpus_counts(
+    stream: DataFrame,
+    ts_col: str,
+    doc_col: str,
+    word_col: str,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked windowed (doc, word) counts for continuous retraining.
+
+    State is bounded by the watermark: Spark drops window state once
+    event-time passes window_end + watermark. Output mode "update"/"append"
+    both work downstream.
+    """
+    win = F.window(F.col(ts_col), window, slide or window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), F.col(doc_col).alias("doc"), F.col(word_col).alias("word"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )

@@ -1,0 +1,87 @@
+"""Structured Streaming tests: stream-static scoring parity with batch, and
+watermarked windowed corpus counts, driven end-to-end with a file stream
+source and memory sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.streaming import score_stream, windowed_corpus_counts
+from oni_ml_spark.topics import corpus_counts, fit_topic_model
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    events = spark.createDataFrame(
+        [(f"u{i % 4}", f"w{(i * 7) % 5}") for i in range(200)],
+        "doc string, word string",
+    )
+    return fit_topic_model(corpus_counts(events, "doc", "word"), topic_count=3, seed=1, max_iter=5)
+
+
+def test_stream_scoring_matches_batch(spark, model, tmp_path):
+    from oni_ml_spark.scoring import score_records
+
+    batch = spark.createDataFrame(
+        [("u0", "w1"), ("u1", "w2"), ("unknown", "w0"), ("u2", "nonword")],
+        "doc string, word string",
+    )
+    batch.write.mode("overwrite").parquet(str(tmp_path / "in"))
+
+    stream = spark.readStream.schema("doc string, word string").parquet(str(tmp_path / "in"))
+    scored = score_stream(stream, model, "doc", "word")
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc"], r["word"]): r["score"]
+        for r in spark.sql("SELECT * FROM scored_stream").collect()
+    }
+    want = {
+        (r["doc"], r["word"]): r["score"]
+        for r in score_records(batch, model, "doc", "word").collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_windowed_corpus_counts(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:01:00", "u0", "w0"),
+        ("2024-01-01 00:02:00", "u0", "w0"),
+        ("2024-01-01 00:14:00", "u0", "w1"),
+        ("2024-01-01 00:14:30", "u1", "w0"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, doc string, word string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "doc", "word"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "sin"))
+
+    stream = spark.readStream.schema("ts timestamp, doc string, word string").parquet(
+        str(tmp_path / "sin")
+    )
+    counts = windowed_corpus_counts(stream, "ts", "doc", "word", window="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window"]["start"].minute, r["doc"], r["word"]): r["count"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[(0, "u0", "w0")] == 2
+    assert got[(10, "u0", "w1")] == 1
+    assert got[(10, "u1", "w0")] == 1
