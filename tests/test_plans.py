@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale must
+stay visible in the plan (SURVEY.md §4) — column pruning to the parquet scan,
+predicate pushdown, broadcast joins for dims, TakeOrderedAndProject for
+top-K, and whole-stage codegen over the word-assembly expressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oni_ml_spark.entry_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "simple") -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_scan_projection_prunes_columns(spark):
+    p = _plan(spark, "scan_project")
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_quantity" not in read and "l_shipdate" not in read
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "filter_range")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(value,10.0)" in pushed
+    assert "LessThanOrEqual(value,90.0)" in pushed
+
+
+def test_dim_joins_broadcast(spark):
+    p = _plan(spark, "join_agg_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = _plan(spark, "threshold_topk")
+    assert "TakeOrderedAndProject" in p
+    # no full global sort node
+    assert "+- Sort" not in p
+
+
+def test_word_assembly_single_codegen_no_shuffle(spark):
+    p = _plan(spark, "flow_words")
+    assert "*(1)" in p and "*(2)" not in p  # one whole-stage codegen span
+    assert "Exchange" not in p              # pure map-side expression work
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col in read
+    assert "l_extendedprice" not in read
+
+
+def test_groupby_does_partial_aggregation(spark):
+    p = _plan(spark, "groupby_count_docword")
+    # partial + final HashAggregate around the exchange (map-side combine)
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in p
+
+
+def test_lookup_join_broadcasts_filtered_dim(spark):
+    p = _plan(spark, "broadcast_lookup_fallback")
+    assert "BroadcastHashJoin" in p
+    pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "LessThan(p_size,25)" in pushed
