@@ -869,8 +869,11 @@ def flow_pipeline_synthetic(spark, sf):
         .when(F.col("l_partkey") % 101 == 0, (F.col("l_partkey") % 1024).cast("int"))
         .otherwise(F.lit(1025) + (F.col("l_partkey") % 60000).cast("int"))
         .cast("int").alias("sport"),
+        # no 0 here: dport=0 makes word_port = the (ephemeral, near-unique)
+        # sport and explodes the vocabulary; zero-port coverage comes from
+        # the rare sport branch above
         F.element_at(
-            F.array(*[F.lit(p) for p in (80, 443, 22, 53, 25, 110, 8080, 0)]),
+            F.array(*[F.lit(p) for p in (80, 443, 22, 53, 25, 110, 8080, 8443)]),
             (F.col("l_orderkey") % 8).cast("int") + 1,
         ).cast("int").alias("dport"),
         F.lit("TCP").alias("proto"), F.lit(".AP...").alias("flag"),

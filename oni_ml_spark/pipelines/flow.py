@@ -18,7 +18,7 @@ from oni_ml_spark.pipelines.common import (
     train_and_score,
 )
 from oni_ml_spark.scoring import min_endpoint_score, most_suspicious, score_records
-from oni_ml_spark.topics import corpus_counts, fit_topic_model
+from oni_ml_spark.topics import fit_topic_model
 from oni_ml_spark.transforms import (
     DECILES,
     QUINTILES,
@@ -47,14 +47,19 @@ def featurize(df: DataFrame, exact_quantiles: bool = True) -> DataFrame:
     array to the driver — the only driver-boundary crossings in the pipeline
     (reference had the same, netflow/FlowWordCreation.scala:26-49).
     """
-    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts
+    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts_multi
 
-    cuts_of = quantile_cuts if exact_quantiles else approx_quantile_cuts
     df = df.withColumn("num_time", fractional_hour("trhour", "trminute", "trsec"))
     df = df.cache()
-    time_cuts = cuts_of(df, "num_time", DECILES)
-    ibyt_cuts = cuts_of(df, "ibyt", DECILES)
-    ipkt_cuts = cuts_of(df, "ipkt", QUINTILES)
+    if exact_quantiles:
+        time_cuts = quantile_cuts(df, "num_time", DECILES)
+        ibyt_cuts = quantile_cuts(df, "ibyt", DECILES)
+        ipkt_cuts = quantile_cuts(df, "ipkt", QUINTILES)
+    else:
+        # one sketch pass for all three columns; quintiles = every 2nd decile
+        cuts = approx_quantile_cuts_multi(df, ["num_time", "ibyt", "ipkt"], DECILES)
+        time_cuts, ibyt_cuts = cuts["num_time"], cuts["ibyt"]
+        ipkt_cuts = cuts["ipkt"][1::2]
 
     df = df.withColumns(
         {
@@ -90,13 +95,21 @@ def run(
     featurized = featurize(df, exact_quantiles=exact_quantiles).cache()
 
     # Corpus: each IP's document collects words from both endpoints
-    # (netflow/FlowPreLDA.scala:131-139).
-    src_counts = corpus_counts(featurized, "sip", "source_word")
-    dst_counts = corpus_counts(featurized, "dip", "destination_word")
+    # (netflow/FlowPreLDA.scala:131-139). One explode + one groupBy — a
+    # single shuffle over 2N rows, instead of the reference's two
+    # reduceByKeys + union (three shuffles).
     counts = (
-        src_counts.unionByName(dst_counts)
+        featurized.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("sip").alias("doc"), F.col("source_word").alias("word")),
+                    F.struct(F.col("dip").alias("doc"), F.col("destination_word").alias("word")),
+                )
+            ).alias("dw")
+        )
+        .select("dw.doc", "dw.word")
         .groupBy("doc", "word")
-        .agg(F.sum("count").alias("count"))
+        .agg(F.count(F.lit(1)).alias("count"))
     )
     model = fit_topic_model(counts, topic_count=topic_count, seed=seed, max_iter=max_iter)
 

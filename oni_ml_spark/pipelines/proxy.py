@@ -45,18 +45,25 @@ def featurize(
     Reference cuts: time deciles (ProxySuspiciousConnectsModel.scala:106-107),
     fulluri-entropy quintiles (:109-110), agent-count quintiles (:112-118).
     """
-    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts
+    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts_multi
 
-    cuts_of = quantile_cuts if exact_quantiles else approx_quantile_cuts
     df = df.withColumn("num_time", seconds_of_day("p_time"))
     df = df.withColumn("uri_entropy", string_entropy("fulluri"))
 
     agent_counts = df.groupBy("useragent").agg(F.count(F.lit(1)).alias("agent_count"))
     df = df.join(F.broadcast(agent_counts), "useragent", "left").cache()
 
-    time_cuts = cuts_of(df, "num_time", DECILES)
-    entropy_cuts = cuts_of(df, "uri_entropy", QUINTILES)
-    agent_cuts = cuts_of(df, "agent_count", QUINTILES)
+    if exact_quantiles:
+        time_cuts = quantile_cuts(df, "num_time", DECILES)
+        entropy_cuts = quantile_cuts(df, "uri_entropy", QUINTILES)
+        agent_cuts = quantile_cuts(df, "agent_count", QUINTILES)
+    else:
+        cuts = approx_quantile_cuts_multi(
+            df, ["num_time", "uri_entropy", "agent_count"], DECILES
+        )
+        time_cuts = cuts["num_time"]
+        entropy_cuts = cuts["uri_entropy"][1::2]
+        agent_cuts = cuts["agent_count"][1::2]
 
     df = df.withColumns(
         {

@@ -22,7 +22,6 @@ from pyspark.ml.clustering import LDA
 from pyspark.ml.linalg import SparseVector, VectorUDT
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def corpus_counts(df: DataFrame, doc_col: str, word_col: str) -> DataFrame:
@@ -68,27 +67,27 @@ def fit_topic_model(
     """
     import pandas as pd
 
+    from pyspark.ml.feature import CountVectorizer
+
     counts = counts.cache()
-    vocab_rows = counts.select("word").distinct().sort("word").collect()
-    vocabulary = [r["word"] for r in vocab_rows]
-    v_size = len(vocabulary)
     spark = counts.sparkSession
-    vocab_df = spark.createDataFrame(
-        pd.DataFrame({"word": vocabulary, "word_idx": range(v_size)})
+
+    # Per-doc sparse count vectors via CountVectorizer — fully JVM-side
+    # (no Python UDF, no driver-side vocabulary join). The token array per
+    # doc is the doc's distinct words repeated by count; its length is the
+    # doc's event count, the same order of magnitude CountVectorizer handles
+    # in any Spark NLP pipeline. Replaces the reference's driver-collected
+    # dictionaries + LDA-C text corpus (OniLDACWrapper.scala:40-60,146-168).
+    tokens = counts.groupBy("doc").agg(
+        F.flatten(
+            F.collect_list(F.array_repeat("word", F.col("count").cast("int")))
+        ).alias("tokens")
     )
-
-    indexed = counts.join(F.broadcast(vocab_df), "word")
-
-    @F.udf(returnType=VectorUDT())
-    def to_sparse(pairs):
-        pairs = sorted((int(i), float(c)) for i, c in pairs)
-        return SparseVector(v_size, [p[0] for p in pairs], [p[1] for p in pairs])
-
-    docs = (
-        indexed.groupBy("doc")
-        .agg(F.collect_list(F.struct("word_idx", "count")).alias("pairs"))
-        .select("doc", to_sparse("pairs").alias("features"))
-    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="features", vocabSize=1 << 21, minDF=1.0)
+    cv_model = cv.fit(tokens)
+    vocabulary = list(cv_model.vocabulary)
+    v_size = len(vocabulary)
+    docs = cv_model.transform(tokens).select("doc", "features")
 
     lda = LDA(
         k=topic_count,
@@ -99,11 +98,12 @@ def fit_topic_model(
     )
     model = lda.fit(docs)
 
+    from pyspark.ml.functions import vector_to_array
+
     transformed = model.transform(docs)
-    to_array = F.udf(lambda v: [float(x) for x in v], T.ArrayType(T.DoubleType()))
     doc_topic_mix = transformed.select(
-        "doc", to_array("topicDistribution").alias("topic_mix")
-    )
+        "doc", vector_to_array("topicDistribution").alias("topic_mix")
+    ).cache()
 
     # topicsMatrix: V x k. NOT normalized for the online optimizer (columns
     # are expected word-count weights), so normalize each topic column to a
@@ -125,5 +125,6 @@ def fit_topic_model(
     word_probs = spark.createDataFrame(pdf).select(
         "word", F.array(*[f"p{t}" for t in range(topic_count)]).alias("word_given_topic")
     )
+    doc_topic_mix.count()  # materialize the cache before counts is unpersisted
     counts.unpersist()
     return TopicModel(doc_topic_mix, word_probs, topic_count, vocabulary)

@@ -93,6 +93,20 @@ def approx_quantile_cuts(
     return got if got else [float("inf")] * len(probs)
 
 
+def approx_quantile_cuts_multi(
+    df: DataFrame, cols: list[str], probs: list[float], rel_err: float = 0.001
+) -> dict[str, list[float]]:
+    """One-pass approximate quantiles for SEVERAL columns — one Spark action
+    total, vs one per column (the reference ran five separate full-scan
+    quantile jobs per featurization, dns/DNSWordCreation.scala:78-122)."""
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    got = casted.approxQuantile(cols, [min(p, 1.0) for p in probs], rel_err)
+    return {
+        c: (vals if vals else [float("inf")] * len(probs))
+        for c, vals in zip(cols, got)
+    }
+
+
 def bin_expr(value: Column | str, cuts: list[float]) -> Column:
     """Quantile-bin a column against driver-held cutoffs, fully native.
 
