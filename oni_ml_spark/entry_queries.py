@@ -884,3 +884,157 @@ def flow_pipeline_synthetic(spark, sf):
     return res.suspicious.select(
         "sip", "dip", "source_word", F.round("score", 6).alias("score")
     )
+
+
+# --------------------------------------------------------------------------
+# round-1 widening: remaining §2 operators + composite analytics
+# --------------------------------------------------------------------------
+
+@_q(
+    "group_concat_words",
+    "SELECT user_id, string_agg(DISTINCT event_type, ' ' ORDER BY event_type) AS words "
+    "FROM events GROUP BY user_id",
+)
+def group_concat_words(spark, sf):
+    """A4: per-doc word-list concatenation (the LDA-C line builder,
+    OniLDACWrapper.scala:156-161) — collect_set + array_join, in-cluster."""
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), " ").alias("words")
+        )
+    )
+
+
+@_q(
+    "doc_total_words",
+    "SELECT user_id, count(*) AS total_words, count(DISTINCT event_type) AS distinct_words "
+    "FROM events GROUP BY user_id",
+)
+def doc_total_words(spark, sf):
+    """A3: words-per-document totals (OniLDACWrapper.scala:149-154)."""
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_words"),
+            F.countDistinct("event_type").alias("distinct_words"),
+        )
+    )
+
+
+@_q(
+    "top_domain_flag",
+    "SELECT doc_id, CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS top_domain FROM documents",
+)
+def top_domain_flag(spark, sf):
+    """F7: safelist/popularity flag over extracted domains
+    (dns/DNSWordCreation.scala:147-155; 'amazon' is in the top list, the
+    arpa/invalid branches extract 'None')."""
+    from oni_ml_spark.transforms import extract_domain, top_domain_expr
+
+    d = _with_host(load_table(spark, sf, "documents"))
+    return d.select(
+        "doc_id",
+        top_domain_expr(extract_domain("host"), ["amazon"]).alias("top_domain"),
+    )
+
+
+@_q(
+    "seconds_of_day",
+    "SELECT event_id, (extract('hour' FROM ts) * 3600 + extract('minute' FROM ts) * 60 "
+    "+ floor(extract('second' FROM ts)))::DOUBLE AS sec_of_day FROM events",
+)
+def seconds_of_day_q(spark, sf):
+    """F2/F15: HH:MM:SS string → seconds past midnight
+    (utilities/TimeUtilities.scala:8-15) — the string round-trips through
+    date_format to exercise the split path."""
+    from oni_ml_spark.transforms.time import seconds_of_day
+
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        seconds_of_day(F.date_format("ts", "HH:mm:ss")).alias("sec_of_day"),
+    )
+
+
+@_q(
+    "tpch_q1_like",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_like(spark, sf):
+    """Composite: TPC-H Q1-shaped pricing summary (filter + wide aggregate);
+    decimal-exact sums cast to double."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_like",
+    "SELECT o.o_orderkey, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+    "o.o_orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "GROUP BY o.o_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+)
+def tpch_q3_like(spark, sf):
+    """Composite: TPC-H Q3-shaped shipping-priority query (selective dim
+    filter → broadcast join → join to fact → agg → top-K)."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q("ann_lsh_topk")
+def ann_lsh_topk(spark, sf):
+    """Approximate ANN via sign-random-projection buckets (the scale path for
+    ann_cosine_topk; rows-only — recall is approximate by construction,
+    verified against the exact baseline in tests/test_datapipe.py)."""
+    from oni_ml_spark.datapipe.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_bucketed_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, planes=6, dim=64)
+
+
+@_q(
+    "dedup_kept_rows",
+    "SELECT doc_id FROM documents WHERE doc_id IN ("
+    "SELECT min(doc_id) FROM documents "
+    "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))",
+)
+def dedup_kept_rows(spark, sf):
+    """Exact-dedup survivor selection (keep min-id row per normalized text)."""
+    from oni_ml_spark.datapipe.dedup import drop_exact_duplicates
+
+    d = load_table(spark, sf, "documents")
+    return drop_exact_duplicates(d, "doc_id", "text").select("doc_id")
