@@ -132,6 +132,73 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells around sampled
+    centroids, search only the query's n_probe nearest cells.
+
+    Centroids are a deterministic corpus sample (every ceil(N/n_cells)-th id)
+    — a stand-in for k-means that keeps the operator reproducible. Both
+    assignment joins are broadcasts of the tiny centroid table; the expensive
+    pairwise work happens only inside probed cells (~n_probe/n_cells of the
+    corpus per query).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+
+    w = Window.orderBy("neighbor_id")
+    numbered = c.withColumn("__rn", F.row_number().over(w) - 1)
+    n_total = numbered.count()
+    stride = max(n_total // n_cells, 1)
+    cents = (
+        numbered.filter(F.col("__rn") % stride == 0)
+        .limit(n_cells)
+        .select(
+            F.col("__rn").alias("cell"), F.col("cv").alias("centv"),
+            F.col("cn").alias("centn"),
+        )
+    )
+
+    def assign(side: DataFrame, vcol: str, ncol: str, probes: int) -> DataFrame:
+        sims = side.crossJoin(F.broadcast(cents)).withColumn(
+            "csim", dot(F.col(vcol), F.col("centv")) / (F.col(ncol) * F.col("centn"))
+        )
+        ww = Window.partitionBy(side.columns[0]).orderBy(F.desc("csim"), F.col("cell"))
+        return (
+            sims.withColumn("__cr", F.row_number().over(ww))
+            .filter(F.col("__cr") <= probes)
+            .drop("centv", "centn", "csim", "__cr")
+        )
+
+    c_assigned = assign(c, "cv", "cn", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    q_assigned = assign(q, "qv", "qn", n_probe)
+
+    pairs = q_assigned.join(c_assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1038,3 +1038,13 @@ def dedup_kept_rows(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return drop_exact_duplicates(d, "doc_id", "text").select("doc_id")
+
+
+@_q("ann_ivf_topk")
+def ann_ivf_topk(spark, sf):
+    """IVF-style ANN (coarse cells + probed search; rows-only — approximate
+    recall verified against the exact baseline in tests/test_datapipe.py)."""
+    from oni_ml_spark.datapipe.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, n_cells=16, n_probe=3)

@@ -112,3 +112,33 @@ class TestMultimodal:
         n16 = frames.groupBy("media_id").count().collect()
         for r in n16:
             assert r["count"] == max(len(texts[r["media_id"]].encode()) // 16, 1)
+
+
+class TestIvf:
+    def test_ivf_recalls_exact_topk_on_clustered_data(self, spark):
+        """On clustered data (where IVF is the right tool) the probed search
+        must recall the exact nearest neighbor. Uniform random embeddings are
+        deliberately NOT used: with all pairwise cosines ≈ 0, cell assignment
+        carries no signal and recall is a coin flip by construction."""
+        from oni_ml_spark.datapipe.similarity import ivf_topk
+
+        # 4 well-separated clusters of 10 vectors in 8 dims: cluster c points
+        # near axis 2c, with a small deterministic per-member perturbation
+        rows = []
+        for vid in range(40):
+            c, m = vid // 10, vid % 10
+            v = [0.0] * 8
+            v[2 * c] = 1.0
+            v[(2 * c + 1) % 8] = 0.05 * (m + 1)
+            rows.append((vid, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        q = emb.filter(F.col("vec_id").isin(0, 10, 20, 30))
+        exact = brute_force_topk(q, emb, k=3).collect()
+        approx = ivf_topk(q, emb, k=3, n_cells=8, n_probe=2).collect()
+        exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+        got = {}
+        for r in approx:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for qid, nid in exact_top1.items():
+            assert nid in got[qid], f"query {qid}: true NN {nid} not recalled"

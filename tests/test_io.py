@@ -1,0 +1,57 @@
+"""Source/sink tests (SURVEY.md §2.1): feedback TSV, top-domains CSV, TSV
+sink round-trip, day-partitioned reads."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from oni_ml_spark.io import load_top_domains, read_day, write_tsv
+from oni_ml_spark.transforms.feedback import load_feedback_tsv, oversample, severity_filter
+
+
+def test_load_top_domains(spark, tmp_path):
+    p = tmp_path / "top-1m.csv"
+    p.write_text("1,google.com\n2,youtube.com\n3,amazon.co.uk\n4,intel.com\n")
+    got = sorted(load_top_domains(spark, str(p)))
+    # bare first label only (utilities/TopDomains.scala:9-13)
+    assert got == ["amazon", "google", "intel", "youtube"]
+
+
+def test_feedback_tsv_severity_and_oversample(spark, tmp_path):
+    p = tmp_path / "scores.tsv"
+    p.write_text(
+        "sev\ttstart\tsrcIP\n"
+        "3\t2016-05-05 01:00:00\t10.0.0.1\n"
+        "2\t2016-05-05 02:00:00\t10.0.0.2\n"
+        "3\t2016-05-05 03:00:00\t10.0.0.3\n"
+    )
+    df = load_feedback_tsv(spark, str(p), ["sev", "tstart", "srcIP"])
+    assert df.count() == 3
+    kept = severity_filter(df)
+    assert {r["srcIP"] for r in kept.collect()} == {"10.0.0.1", "10.0.0.3"}
+    assert oversample(kept, 10).count() == 20
+
+
+def test_tsv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = str(tmp_path / "out")
+    write_tsv(df.orderBy("k"), out, single_file=True)
+    part = glob.glob(f"{out}/part-*.csv")[0]
+    assert open(part).read().strip().splitlines() == ["1\ta", "2\tb"]
+
+
+def test_read_day_prunes_partitions(spark, tmp_path):
+    root = str(tmp_path / "days")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.lit(2016)).alias("y"),
+        (F.lit(5)).alias("m"),
+        (F.col("id") % 3 + 1).cast("int").alias("d"),
+    )
+    df.write.partitionBy("y", "m", "d").parquet(root)
+    day = read_day(spark, root, 2016, 5, 1)
+    assert day.count() == 34
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning reaches the scan
