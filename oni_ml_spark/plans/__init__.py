@@ -1,0 +1,11 @@
+"""Physical-plan-shaping utilities: skew salting, bucketed co-located joins.
+
+AQE (enabled in session.py) handles most runtime skew; these helpers cover
+the cases you plan for explicitly — a known-hot key set, or a join repeated
+often enough that co-bucketing both sides pays for itself.
+"""
+
+from oni_ml_spark.plans.skew import salted_join
+from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
+
+__all__ = ["salted_join", "write_bucketed", "read_bucketed"]

@@ -48,6 +48,10 @@ def get_spark(
         # read TIMESTAMP(NANOS) parquet (e.g. the events table) as long nanos;
         # io.load_table converts back to a timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/oni_ml_spark_warehouse"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

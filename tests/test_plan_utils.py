@@ -1,0 +1,46 @@
+"""Tests for the plan-shaping utilities: salted joins return identical
+results to plain joins; bucketed joins plan without an exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oni_ml_spark.plans import salted_join, write_bucketed, read_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact: one hot key with 5k rows, 9 cold keys
+    fact = spark.range(5000).select(
+        F.when(F.col("id") < 4500, F.lit(0)).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k long, name string")
+
+    plain = fact.join(dim, "k").groupBy("name").count()
+    salted = salted_join(fact, dim, "k", salt=8).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+    got = {tuple(r) for r in salted_join(fact, dim, "k", salt=4, how="left").collect()}
+    assert got == {(1, "a", "one"), (99, "b", None)}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    tl, tr = f"t_left_{tmp_path.name}", f"t_right_{tmp_path.name}"
+    for t in (tl, tr):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, tl, "k", num_buckets=8)
+    write_bucketed(right, tr, "k", num_buckets=8)
+
+    # hint("merge") forces SMJ (small sides would otherwise broadcast and
+    # bypass bucketing entirely) — the point is the absent Exchange
+    j = read_bucketed(spark, tl).hint("merge").join(read_bucketed(spark, tr), "k")
+    assert j.count() == 1000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed equi join must not shuffle"
