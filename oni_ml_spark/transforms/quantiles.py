@@ -30,22 +30,49 @@ def ecdf(df: DataFrame, value_col: str) -> DataFrame:
     """Empirical CDF over one column → DataFrame[value double, cdf double].
 
     Reference: utilities/Quantiles.scala:21-40 (reduceByKey + sortByKey +
-    manual per-partition prefix sums). Here: hash aggregate (partial+final)
-    then a running-sum window over distinct values only.
+    manual per-partition prefix sums). Same two-phase shape here, DataFrame-
+    native: hash-aggregate to distinct-value counts, range-partition by
+    value, per-partition running sums, then add per-partition offsets (a
+    tiny driver-side cumulative of partition subtotals — the same
+    totalCountPerPartition collect the reference does). No single-partition
+    global window, so the exact path scales with distinct-value cardinality
+    across the cluster.
     """
+    spark = df.sparkSession
     counts = (
         df.select(F.col(value_col).cast("double").alias("value"))
         .where(F.col("value").isNotNull())
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = counts.select(F.sum("cnt").alias("t"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        counts.withColumn("cum", F.sum("cnt").over(w))
-        .crossJoin(F.broadcast(total))
-        .select("value", (F.col("cum") / F.col("t")).alias("cdf"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = counts.repartitionByRange(n_parts, "value").withColumn(
+        "pid", F.spark_partition_id()
     )
+    ranged = ranged.cache()
+    subtotals = sorted(
+        (r["pid"], r["s"])
+        for r in ranged.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()
+    )
+    total = sum(s for _, s in subtotals) or 1
+    offsets, acc = {}, 0
+    for pid, s in subtotals:
+        offsets[pid] = acc
+        acc += s
+    offset_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        if off:
+            offset_expr = F.when(F.col("pid") == pid, F.lit(off)).otherwise(offset_expr)
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.select(
+        "value",
+        ((F.sum("cnt").over(w) + offset_expr) / F.lit(float(total))).alias("cdf"),
+    )
+    return out
 
 
 def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataFrame:
