@@ -1048,3 +1048,20 @@ def ann_ivf_topk(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, n_cells=16, n_probe=3)
+
+
+_SQL_PRICING = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@_q("sql_interface", _SQL_PRICING)
+def sql_interface(spark, sf):
+    """The SQL surface: the SAME ANSI text runs on spark.sql (over registered
+    temp views) and on the DuckDB oracle — dialect-portable by construction."""
+    from oni_ml_spark.sql import register_testdata, sql
+
+    register_testdata(spark, sf, ["lineitem"])
+    return sql(spark, _SQL_PRICING)

@@ -49,6 +49,22 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("sep", "\t").csv(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, year_col: str, month_col: str, day_col: str
+) -> None:
+    """Write results under the reference's y=/m=/d= Hive layout (README.md:22)
+    so downstream day reads partition-prune. Renames to the y/m/d partition
+    names the reference's directory convention uses."""
+    (
+        df.withColumn("y", F.col(year_col))
+        .withColumn("m", F.col(month_col))
+        .withColumn("d", F.col(day_col))
+        .write.mode("overwrite")
+        .partitionBy("y", "m", "d")
+        .parquet(path)
+    )
+
+
 def load_top_domains(spark: SparkSession, path: str) -> list[str]:
     """S5: Alexa-style ``rank,domain`` csv → bare second-level names
     (utilities/TopDomains.scala:9-13: parts(1).split('.')(0))."""

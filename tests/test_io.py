@@ -55,3 +55,16 @@ def test_read_day_prunes_partitions(spark, tmp_path):
     assert day.count() == 34
     plan = day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan  # pruning reaches the scan
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    from oni_ml_spark.io import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, 2016, 5, 5), (2, 2016, 5, 6)], "id int, yy int, mm int, dd int"
+    )
+    out = str(tmp_path / "scored")
+    write_partitioned(df, out, "yy", "mm", "dd")
+    back = read_day(spark, out, 2016, 5, 6)
+    assert [r["id"] for r in back.collect()] == [2]
+    assert glob.glob(f"{out}/y=2016/m=5/d=5/*.parquet")
