@@ -29,6 +29,10 @@ def main() -> None:
     spark = get_spark("oni_ml_spark_bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
+    # warm up the JVM / file listings so query 1 doesn't absorb session init
+    spark.range(1000).count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()

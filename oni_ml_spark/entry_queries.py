@@ -1065,3 +1065,56 @@ def sql_interface(spark, sf):
 
     register_testdata(spark, sf, ["lineitem"])
     return sql(spark, _SQL_PRICING)
+
+
+_PROXY_WORD_ORACLE = (
+    "SELECT doc_id, "
+    "(CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END)::VARCHAR || '_' "
+    "|| (CASE WHEN (doc_id % 24) * 3600 <= 21600 THEN 0 WHEN (doc_id % 24) * 3600 <= 43200 THEN 1 "
+    "WHEN (doc_id % 24) * 3600 <= 64800 THEN 2 WHEN (doc_id % 24) * 3600 <= 86400 THEN 3 ELSE -1 END)::VARCHAR "
+    "|| '_' || (CASE doc_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'CONNECT' END) "
+    "|| '_' || (doc_id % 5)::VARCHAR || '_' "
+    "|| (CASE doc_id % 2 WHEN 0 THEN 'text' ELSE 'image' END) "
+    "|| '_' || (doc_id % 4)::VARCHAR || '_' "
+    "|| (CASE doc_id % 3 WHEN 0 THEN '2' WHEN 1 THEN '4' ELSE '5' END) AS word "
+    "FROM documents"
+)
+
+
+@_q("proxy_word_assembly", _PROXY_WORD_ORACLE)
+def proxy_word_assembly(spark, sf):
+    """F10: the proxy word operator (proxy/ProxyWordCreation.scala:30-51) over
+    synthesized proxy fields: topDomain_timeBin_method_entropyBin_contentTop_
+    agentBin_respFirstChar. Time cuts are the literal 6h quartiles; the
+    oracle states each component's expected value per branch."""
+    from oni_ml_spark.transforms.words import proxy_word
+
+    d = _with_host(load_table(spark, sf, "documents"))
+    hours = (F.col("doc_id") % 24).cast("int")
+    d = d.withColumns(
+        {
+            "p_time": F.concat_ws(
+                ":", F.lpad(hours.cast("string"), 2, "0"), F.lit("00"), F.lit("00")
+            ),
+            "reqmethod": F.when(F.col("doc_id") % 3 == 0, F.lit("GET"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("POST"))
+            .otherwise(F.lit("CONNECT")),
+            "uri_entropy_bin": (F.col("doc_id") % 5).cast("int"),
+            "resconttype": F.when(F.col("doc_id") % 2 == 0, F.lit("text/html")).otherwise(
+                F.lit("image/png")
+            ),
+            "agent_count_bin": (F.col("doc_id") % 4).cast("int"),
+            "respcode": F.when(F.col("doc_id") % 3 == 0, F.lit("200"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("404"))
+            .otherwise(F.lit("503")),
+        }
+    )
+    return d.select(
+        "doc_id",
+        proxy_word(
+            "host", "p_time", "reqmethod", "uri_entropy_bin", "resconttype",
+            "agent_count_bin", "respcode",
+            time_cuts=[21600.0, 43200.0, 64800.0, 86400.0],
+            top_domains=["amazon"],
+        ).alias("word"),
+    )

@@ -29,7 +29,12 @@ def test_salted_left_join_keeps_unmatched(spark):
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
-    tl, tr = f"t_left_{tmp_path.name}", f"t_right_{tmp_path.name}"
+    import uuid
+
+    # unique names: the in-memory catalog forgets tables between sessions but
+    # their warehouse directories persist, and saveAsTable refuses to reuse them
+    suffix = uuid.uuid4().hex[:10]
+    tl, tr = f"t_left_{suffix}", f"t_right_{suffix}"
     for t in (tl, tr):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
