@@ -24,6 +24,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def normalize_log_probs(log_probs: list[float]) -> list[float]:
+    """exp-then-renormalize a log-probability vector (the reference's β line
+    normalization, OniLDACWrapper.scala:121-130). Golden:
+    [1..5] → [0.0117, 0.0317, 0.0861, 0.2341, 0.6364] (OniLDACWrapperTest:11-23).
+
+    Kept as an explicit utility: `ml.LDA` makes it unnecessary in the main
+    path, but any externally-trained topic matrix imported in log space goes
+    through this."""
+    import math
+
+    exps = [math.exp(x) for x in log_probs]
+    s = sum(exps)
+    return [e / s for e in exps]
+
+
+def normalize_topic_mix(weights: list[float]) -> list[float]:
+    """Row-normalize per-doc topic weights; all-zero (or cancelling) sum →
+    all zeros (the reference's γ normalization incl. the zero-sum edge,
+    OniLDACWrapper.scala:132-144, goldens OniLDACWrapperTest:25-51)."""
+    s = sum(weights)
+    if s == 0:
+        return [0.0] * len(weights)
+    return [w / s for w in weights]
+
+
 def corpus_counts(df: DataFrame, doc_col: str, word_col: str) -> DataFrame:
     """(doc, word) → count — the core corpus aggregation (A1).
 
