@@ -25,7 +25,14 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic testdata table, normalizing nano-timestamp columns
-    to proper TimestampType (microsecond truncation)."""
+    to proper TimestampType (microsecond truncation).
+
+    Sets the nanos-as-long legacy conf on the LIVE session too (it is a
+    runtime SQLConf): the driver's verify harness calls queries() with its
+    own SparkSession, which won't have session.py's configs.
+    """
+    if name in _NANO_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
