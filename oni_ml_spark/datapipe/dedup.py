@@ -67,11 +67,33 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded table — candidate-generation input."""
-    return df.select(
+def shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """(id, shingle) exploded table — candidate-generation input.
+
+    ``max_df_fraction`` drops stop-shingles appearing in more than that
+    fraction of documents (boilerplate headers/footers) — the standard guard
+    against hot-bucket blowup in the downstream self-joins at scale. Off by
+    default so exact-Jaccard semantics (and the DuckDB oracles) hold.
+    """
+    sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
+    if max_df_fraction is not None:
+        n_docs = df.count()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > n_docs * max_df_fraction)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
 
 
 def ngram_jaccard_pairs(

@@ -76,6 +76,7 @@ def fit_topic_model(
     doc_concentration: float = 2.5,
     seed: int = 0,
     max_iter: int = 20,
+    max_count_per_word: int | None = None,
 ) -> TopicModel:
     """Fit LDA over a (doc, word, count) corpus, all in-cluster.
 
@@ -96,6 +97,15 @@ def fit_topic_model(
 
     counts = counts.cache()
     spark = counts.sparkSession
+
+    if max_count_per_word is not None:
+        # adversarial-doc guard (SCALE.md): one IP with 10^8 identical events
+        # would otherwise build a token array of that length below. Capping
+        # the per-(doc,word) count bounds the array at |distinct words| × cap
+        # and barely moves the topic posterior (counts enter LDA sublinearly).
+        counts = counts.withColumn(
+            "count", F.least(F.col("count"), F.lit(max_count_per_word))
+        )
 
     # Per-doc sparse count vectors via CountVectorizer — fully JVM-side
     # (no Python UDF, no driver-side vocabulary join). The token array per
