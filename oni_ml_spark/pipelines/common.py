@@ -56,7 +56,11 @@ def train_and_score(
         max_iter=max_iter,
     )
 
-    to_score = featurized.filter(~F.col(FEEDBACK_FLAG)) if has_flag else featurized
+    to_score = (
+        featurized.filter(~F.col(FEEDBACK_FLAG)).drop(FEEDBACK_FLAG)
+        if has_flag
+        else featurized
+    )
     scored = score_records(
         to_score, model, doc_col, word_col, drop_unseen_docs=drop_unseen_docs
     )

@@ -113,7 +113,7 @@ def run(
     )
     model = fit_topic_model(counts, topic_count=topic_count, seed=seed, max_iter=max_iter)
 
-    to_score = featurized.filter(~F.col(FEEDBACK_FLAG))
+    to_score = featurized.filter(~F.col(FEEDBACK_FLAG)).drop(FEEDBACK_FLAG)
     # Flow quirk preserved: inner join drops IPs unseen in training
     # (netflow/FlowPostLDA.scala:94, SURVEY.md §7.4.4).
     scored = score_records(
