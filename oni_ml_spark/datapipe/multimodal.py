@@ -95,5 +95,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.select(
         "media_id", F.posexplode(frames).alias("frame_no", "offset_idx")
     ).select(
-        "media_id", "frame_no", (F.col("offset_idx") * every_n_bytes).alias("offset")
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        (F.col("offset_idx") * every_n_bytes).cast("long").alias("offset"),
     )

@@ -66,8 +66,8 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
@@ -83,8 +83,8 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col).alias("id"),
-        ws.alias("ws_tokens"),
-        bpe.alias("regex_tokens"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("regex_tokens"),
     )
 
 

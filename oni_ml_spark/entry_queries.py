@@ -257,7 +257,7 @@ def distinct_dictionary(spark, sf):
         load_table(spark, sf, "events")
         .select("event_type")
         .distinct()
-        .withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
     )
 
 
@@ -292,7 +292,9 @@ def bin_deciles(spark, sf):
     (Quantiles.scala:97-99 + FlowWordCreation.scala:51-58)."""
     li = load_table(spark, sf, "lineitem")
     cuts = quantile_cuts(li, "l_quantity", DECILES)
-    return li.select("l_orderkey", "l_linenumber", bin_expr("l_quantity", cuts).alias("bin"))
+    return li.select(
+        "l_orderkey", "l_linenumber", bin_expr("l_quantity", cuts).cast("long").alias("bin")
+    )
 
 
 # ---- joins / set ops (J1-J2, U1-U2) --------------------------------------
@@ -558,7 +560,7 @@ def window_rank_topn(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
     return (
         load_table(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
     )
