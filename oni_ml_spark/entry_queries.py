@@ -1120,3 +1120,80 @@ def proxy_word_assembly(spark, sf):
             top_domains=["amazon"],
         ).alias("word"),
     )
+
+
+@_q("dns_pipeline_synthetic")
+def dns_pipeline_synthetic(spark, sf):
+    """Full DNS pipeline over records synthesized from events (rows-only:
+    LDA). Query names mix benign/ccTLD/arpa/high-entropy shapes so every
+    featurization branch runs."""
+    from oni_ml_spark.pipelines import dns as dns_pipe
+
+    e = load_table(spark, sf, "events")
+    df = e.select(
+        F.date_format("ts", "MMM d yyyy HH:mm:ss").alias("frame_time"),
+        F.unix_timestamp("ts").alias("unix_tstamp"),
+        (F.lit(40) + (F.col("value") * 10).cast("int") % 1400).alias("frame_len"),
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 32).cast("string")).alias("ip_dst"),
+        F.lit("8.8.8.8").alias("ip_src"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("123.103.104.10.in-addr.arpa"))
+        .when(F.col("event_id") % 13 == 0,
+              F.concat(F.md5(F.col("event_id").cast("string")), F.lit(".evil.net")))
+        .when(F.col("event_id") % 3 == 0,
+              F.concat(F.col("event_type"), F.lit(".amazon.com.mx")))
+        .otherwise(F.concat(F.col("event_type"), F.lit(".example.com"))).alias("dns_qry_name"),
+        F.lit("0x00000001").alias("dns_qry_class"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(28)).otherwise(F.lit(1)).cast("int").alias("dns_qry_type"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(3)).otherwise(F.lit(0)).cast("int").alias("dns_qry_rcode"),
+        F.lit("1.2.3.4").alias("dns_a"),
+    )
+    res = dns_pipe.run(
+        df, top_domains=["amazon", "example"], topic_count=5, top_k=100,
+        max_iter=3, exact_quantiles=False,
+    )
+    return res.suspicious.select(
+        "ip_dst", "dns_qry_name", "word", F.round("score", 6).alias("score")
+    )
+
+
+@_q("proxy_pipeline_synthetic")
+def proxy_pipeline_synthetic(spark, sf):
+    """Full proxy pipeline over records synthesized from events (rows-only:
+    LDA). Skewed useragent distribution exercises the agent-count feature."""
+    from oni_ml_spark.pipelines import proxy as proxy_pipe
+
+    e = load_table(spark, sf, "events")
+    df = e.select(
+        F.lit("2016-05-05").alias("p_date"),
+        F.date_format("ts", "HH:mm:ss").alias("p_time"),
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 32).cast("string")).alias("clientip"),
+        F.when(F.col("event_id") % 13 == 0,
+               F.concat(F.md5(F.col("event_id").cast("string")), F.lit(".evil.net")))
+        .otherwise(F.concat(F.col("event_type"), F.lit(".amazon.com"))).alias("host"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("POST")).otherwise(F.lit("GET")).alias("reqmethod"),
+        F.when(F.col("event_id") % 29 == 0,
+               F.concat(F.lit("rare-agent/"), (F.col("event_id") % 97).cast("string")))
+        .otherwise(F.lit("Mozilla/5.0")).alias("useragent"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("image/png")).alias("resconttype"),
+        F.lit(100).cast("int").alias("duration"),
+        F.lit("-").alias("username"), F.lit("-").alias("authgroup"),
+        F.lit("-").alias("exceptionid"), F.lit("OBSERVED").alias("filterresult"),
+        F.lit("Shopping").alias("webcat"), F.lit("-").alias("referer"),
+        F.when(F.col("event_id") % 19 == 0, F.lit("503")).otherwise(F.lit("200")).alias("respcode"),
+        F.lit("TCP_HIT").alias("action"), F.lit("http").alias("urischeme"),
+        F.lit("80").alias("uriport"), F.lit("/").alias("uripath"),
+        F.lit("-").alias("uriquery"), F.lit("html").alias("uriextension"),
+        F.lit("1.1.1.1").alias("serverip"),
+        F.lit(1000).cast("int").alias("scbytes"), F.lit(300).cast("int").alias("csbytes"),
+        F.lit("-").alias("virusid"), F.lit("-").alias("bcappname"), F.lit("-").alias("bcappoper"),
+        F.concat(F.lit("http://"), F.col("event_type"), F.lit(".amazon.com/"),
+                 F.col("props")).alias("fulluri"),
+    )
+    res = proxy_pipe.run(
+        df, top_domains=["amazon"], topic_count=5, top_k=100,
+        max_iter=3, exact_quantiles=False,
+    )
+    return res.suspicious.select(
+        "clientip", "host", "word", F.round("score", 6).alias("score")
+    )
