@@ -9,7 +9,7 @@ render bins as ints ("7").
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from oni_ml_spark.transforms.quantiles import bin_expr

@@ -6,8 +6,6 @@ top-K, and whole-stage codegen over the word-assembly expressions.
 
 from __future__ import annotations
 
-import pytest
-
 from oni_ml_spark.entry_queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
