@@ -1,0 +1,63 @@
+"""Deterministic sampling / splitting / cross-corpus dedup operators.
+
+Training-data pipelines need reproducible splits and incremental dedup far
+more often than random ones: every operator here is a pure function of the
+row content (md5-derived), so reruns, backfills, and different engines
+produce identical assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.dedup import normalize_text
+
+
+def hash_bucket(c: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of a key column."""
+    k = F.col(c) if isinstance(c, str) else c
+    return (
+        F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test...) by hash bucket.
+
+    ``splits`` maps name → fraction (must sum to <= 1; remainder falls into
+    the last split). Deterministic: the same key lands in the same split on
+    any engine, any run — the property random sampling can't give a
+    multi-stage pipeline.
+    """
+    b = hash_bucket(key_col, 10_000)
+    out: Column | None = None
+    lo = 0
+    names = list(splits)
+    for name in names:
+        hi = lo + int(round(splits[name] * 10_000))
+        cond = (b >= lo) & (b < hi)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn(split_col, out.otherwise(F.lit(names[-1])))
+
+
+def anti_join_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental corpus dedup: keep only new docs whose normalized-text
+    fingerprint is absent from the existing corpus (left anti join on the
+    digest — the shuffle key is 32 bytes, not the document)."""
+    key = F.md5(normalize_text(text_col)).alias("__fp")
+    new_k = new_docs.withColumn("__fp", F.md5(normalize_text(text_col)))
+    old_k = existing.select(F.md5(normalize_text(text_col)).alias("__fp")).distinct()
+    return new_k.join(old_k, "__fp", "left_anti").drop("__fp")

@@ -88,6 +88,25 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def strip_html(c: Column | str) -> Column:
+    """Remove tags and collapse whitespace — the cheap boilerplate-stripping
+    pass before quality scoring (regexp, stays in codegen)."""
+    t = F.col(c) if isinstance(c, str) else c
+    no_tags = F.regexp_replace(t, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_REGEX = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def mask_pii(c: Column | str, email_token: str = "<EMAIL>", ip_token: str = "<IP>") -> Column:
+    """Replace emails and IPv4 literals with placeholder tokens — the
+    minimal PII scrub a pretraining pipeline applies before anything else."""
+    t = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.regexp_replace(t, EMAIL_REGEX, email_token), IPV4_REGEX, ip_token)
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text plus a
     16-hex-char rolling prefix fingerprint (cheap locality clue)."""

@@ -1197,3 +1197,114 @@ def proxy_pipeline_synthetic(spark, sf):
     return res.suspicious.select(
         "clientip", "host", "word", F.round("score", 6).alias("score")
     )
+
+
+# --------------------------------------------------------------------------
+# round-1 widening #2: sampling / splits / sessionization / text cleaning
+# --------------------------------------------------------------------------
+
+@_q(
+    "hash_split",
+    "SELECT split, count(*) AS cnt FROM ("
+    "  SELECT CASE "
+    "    WHEN b >= 0 AND b < 8000 THEN 'train' "
+    "    WHEN b >= 8000 AND b < 9000 THEN 'val' "
+    "    ELSE 'test' END AS split "
+    "  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b "
+    "        FROM documents)) GROUP BY split",
+)
+def hash_split_q(spark, sf):
+    """Deterministic train/val/test assignment by content hash — identical
+    assignment on any engine/run (the reproducibility property random
+    sampling can't give)."""
+    from oni_ml_spark.datapipe.sampling import hash_split
+
+    d = load_table(spark, sf, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_q(
+    "anti_join_dedup",
+    f"""WITH fp AS (SELECT doc_id, md5({_NORM_TEXT.format(c='text')}) AS f FROM documents),
+    old AS (SELECT DISTINCT f FROM fp WHERE doc_id < 100)
+    SELECT doc_id FROM fp WHERE doc_id >= 100 AND f NOT IN (SELECT f FROM old)""",
+)
+def anti_join_dedup_q(spark, sf):
+    """Incremental cross-corpus dedup: new docs (id >= 100) not already in
+    the existing corpus (id < 100), joined on normalized-text digest."""
+    from oni_ml_spark.datapipe.sampling import anti_join_dedup
+
+    d = load_table(spark, sf, "documents")
+    out = anti_join_dedup(
+        d.filter(F.col("doc_id") >= 100), d.filter(F.col("doc_id") < 100),
+        "doc_id", "text",
+    )
+    return out.select("doc_id")
+
+
+@_q(
+    "sessionize",
+    "WITH s AS (SELECT user_id, event_id, ts, "
+    "  sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) "
+    "    OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no "
+    "  FROM (SELECT user_id, event_id, ts, "
+    "        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)) "
+    "SELECT user_id, session_no, count(*) AS n_events FROM s GROUP BY user_id, session_no",
+)
+def sessionize_q(spark, sf):
+    """Gap-based sessionization (30-min timeout) + per-session event counts.
+    Event_id breaks timestamp ties deterministically on both sides."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800), 1
+    ).otherwise(0)
+    s = e.withColumn(
+        "session_no",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "user_id", "session_no", F.col("cnt").alias("n_events")
+    )
+
+
+@_q(
+    "strip_html_clean",
+    "SELECT doc_id, trim(regexp_replace(regexp_replace("
+    "'<p>' || text || '</p><br/>', '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean "
+    "FROM documents",
+)
+def strip_html_clean(spark, sf):
+    """Boilerplate stripping: wrap each text in tags, strip them back out —
+    verifies tag removal + whitespace collapse round-trips the content."""
+    from oni_ml_spark.datapipe.textstats import strip_html
+
+    d = load_table(spark, sf, "documents")
+    wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
+    return d.select("doc_id", strip_html(wrapped).alias("clean"))
+
+
+@_q(
+    "mask_pii",
+    "SELECT doc_id, regexp_replace(regexp_replace("
+    "text || ' contact: user' || doc_id::VARCHAR || '@example.com from 10.1.2.3', "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS masked "
+    "FROM documents",
+)
+def mask_pii_q(spark, sf):
+    """PII scrubbing: plant an email + IPv4 per document, assert both sides
+    mask them identically."""
+    from oni_ml_spark.datapipe.textstats import mask_pii
+
+    d = load_table(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1.2.3"),
+    )
+    return d.select("doc_id", mask_pii(planted).alias("masked"))

@@ -142,3 +142,50 @@ class TestIvf:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         for qid, nid in exact_top1.items():
             assert nid in got[qid], f"query {qid}: true NN {nid} not recalled"
+
+
+class TestSamplingAndSessions:
+    def test_hash_split_deterministic_and_proportional(self, spark):
+        from oni_ml_spark.datapipe.sampling import hash_split
+
+        df = spark.range(10_000).select(F.col("id"))
+        a = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        b = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        ca = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+        cb = {r["split"]: r["count"] for r in b.groupBy("split").count().collect()}
+        assert ca == cb  # deterministic
+        assert abs(ca["train"] / 10_000 - 0.8) < 0.02
+        assert abs(ca["val"] / 10_000 - 0.1) < 0.02
+
+    def test_session_stats(self, spark):
+        from oni_ml_spark.datapipe.sessions import session_stats
+
+        rows = [
+            ("u1", "2024-01-01 10:00:00"),
+            ("u1", "2024-01-01 10:10:00"),   # same session (10 min gap)
+            ("u1", "2024-01-01 11:30:00"),   # new session (80 min gap)
+            ("u2", "2024-01-01 10:05:00"),
+        ]
+        df = spark.createDataFrame(rows, "u string, t string").select(
+            "u", F.col("t").cast("timestamp").alias("ts")
+        )
+        got = {
+            (r["u"], r["session_no"]): (r["n_events"], r["duration_sec"])
+            for r in session_stats(df, "u", "ts", gap_seconds=1800).collect()
+        }
+        assert got[("u1", 1)] == (2, 600.0)
+        assert got[("u1", 2)] == (1, 0.0)
+        assert got[("u2", 1)] == (1, 0.0)
+
+    def test_mask_pii_and_strip_html(self, spark):
+        from oni_ml_spark.datapipe.textstats import mask_pii, strip_html
+
+        df = spark.createDataFrame(
+            [("reach me at bob.smith+x@corp.co.uk or 192.168.0.1 <b>now</b>",)],
+            "s string",
+        )
+        got = df.select(
+            mask_pii("s").alias("m"), strip_html("s").alias("h")
+        ).collect()[0]
+        assert got["m"] == "reach me at <EMAIL> or <IP> <b>now</b>"
+        assert got["h"] == "reach me at bob.smith+x@corp.co.uk or 192.168.0.1 now"
