@@ -57,7 +57,6 @@ def anti_join_dedup(
     """Incremental corpus dedup: keep only new docs whose normalized-text
     fingerprint is absent from the existing corpus (left anti join on the
     digest — the shuffle key is 32 bytes, not the document)."""
-    key = F.md5(normalize_text(text_col)).alias("__fp")
     new_k = new_docs.withColumn("__fp", F.md5(normalize_text(text_col)))
     old_k = existing.select(F.md5(normalize_text(text_col)).alias("__fp")).distinct()
     return new_k.join(old_k, "__fp", "left_anti").drop("__fp")
