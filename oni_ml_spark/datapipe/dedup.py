@@ -227,3 +227,44 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
     return per_doc.select("id", fp.alias("simhash"))
+
+
+def minhash_ml_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via the built-in ml.feature.MinHashLSH.
+
+    The MLlib alternative to ``minhash_lsh_candidates``: shingles →
+    CountVectorizer(binary) sparse sets → MinHashLSH approxSimilarityJoin.
+    Faster to stand up, but hash functions are JVM-internal (not
+    engine-portable), so it is verified by overlap with the md5-portable
+    implementation rather than a SQL oracle.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    cvm = cv.fit(sh)
+    feats = cvm.transform(sh).select("id", "features")
+
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=num_hash_tables, seed=7)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )

@@ -225,3 +225,67 @@ def embedding_near_duplicates(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+def ivf_kmeans_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN with real k-means coarse quantization (ml.clustering.KMeans).
+
+    The production variant of ``ivf_topk``: centroids learned from the
+    corpus, assignment via the model (JVM), probed search identical. Seeded
+    k-means is deterministic per Spark version but not engine-portable →
+    verified by recall against the exact baseline, not a SQL oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    cf = c.withColumn("fv", array_to_vector(F.col("cv")))
+
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(cf)
+    c_assigned = model.transform(cf).select("neighbor_id", "cv", "cn", "cell")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+        "cell int, centv array<double>",
+    ).withColumn("centn", norm(F.col("centv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    qsims = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "csim", dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.col("cell"))
+    q_assigned = (
+        qsims.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    pairs = q_assigned.join(c_assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )

@@ -1308,3 +1308,24 @@ def mask_pii_q(spark, sf):
         F.lit("@example.com from 10.1.2.3"),
     )
     return d.select("doc_id", mask_pii(planted).alias("masked"))
+
+
+@_q("minhash_ml_builtin")
+def minhash_ml_builtin(spark, sf):
+    """ml.feature.MinHashLSH near-dup candidates (rows-only: JVM-internal
+    hash functions; overlap with the md5-portable implementation is tested
+    in tests/test_datapipe.py)."""
+    from oni_ml_spark.datapipe.dedup import minhash_ml_candidates
+
+    d = load_table(spark, sf, "documents")
+    return minhash_ml_candidates(d, "doc_id", "text", jaccard_distance_threshold=0.8)
+
+
+@_q("ann_ivf_kmeans")
+def ann_ivf_kmeans(spark, sf):
+    """KMeans-quantized IVF ANN (rows-only: seeded k-means is not
+    engine-portable; recall verified against the exact baseline)."""
+    from oni_ml_spark.datapipe.similarity import ivf_kmeans_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_kmeans_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, n_cells=8, n_probe=3)

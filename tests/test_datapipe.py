@@ -189,3 +189,37 @@ class TestSamplingAndSessions:
         ).collect()[0]
         assert got["m"] == "reach me at <EMAIL> or <IP> <b>now</b>"
         assert got["h"] == "reach me at bob.smith+x@corp.co.uk or 192.168.0.1 now"
+
+
+class TestMllibVariants:
+    def test_ml_minhash_overlaps_portable_minhash(self, spark, docs):
+        from oni_ml_spark.datapipe.dedup import minhash_ml_candidates
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_ml_candidates(docs, "doc_id", "text").collect()
+        }
+        # the true near-dup cluster {0,1,5} must surface as candidates
+        assert {(0, 1), (0, 5), (1, 5)} <= got
+        assert (3, 4) not in got
+
+    def test_kmeans_ivf_recall_on_clustered_data(self, spark):
+        from oni_ml_spark.datapipe.similarity import ivf_kmeans_topk
+
+        rows = []
+        for vid in range(40):
+            c, m = vid // 10, vid % 10
+            v = [0.0] * 8
+            v[2 * c] = 1.0
+            v[(2 * c + 1) % 8] = 0.05 * (m + 1)
+            rows.append((vid, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter(F.col("vec_id").isin(0, 10, 20, 30))
+        exact = brute_force_topk(q, emb, k=3).collect()
+        approx = ivf_kmeans_topk(q, emb, k=3, n_cells=4, n_probe=1).collect()
+        exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+        got = {}
+        for r in approx:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for qid, nid in exact_top1.items():
+            assert nid in got[qid]
