@@ -42,6 +42,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record failures, keep benching
             timings[name] = -1.0
             print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+        # isolate queries: pipelines cache intermediates; letting them pile up
+        # skews later timings with eviction/GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -1332,3 +1332,51 @@ def ann_ivf_kmeans(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     return ivf_kmeans_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, n_cells=8, n_probe=3)
+
+
+@_q(
+    "rollup_agg",
+    "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, "
+    "count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def rollup_agg(spark, sf):
+    """Hierarchical aggregates (ROLLUP) — absent in the reference
+    (SURVEY.md §2.4 'no grouping sets/cube/rollup'), native in Spark SQL."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt", "sum_qty",
+        )
+    )
+
+
+@_q(
+    "intersect_except",
+    "SELECT 'both' AS side, key FROM ("
+    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
+    "  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
+    "UNION ALL "
+    "SELECT 'only_orders', key FROM ("
+    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
+    "  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
+)
+def intersect_except(spark, sf):
+    """Set operations beyond the reference's unions: INTERSECT / EXCEPT."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("key")
+    )
+    c = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    both = o.intersect(c).select(F.lit("both").alias("side"), "key")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep multiplicity
+    only_o = o.subtract(c).select(F.lit("only_orders").alias("side"), "key")
+    return both.unionByName(only_o)
