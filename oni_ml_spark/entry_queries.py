@@ -1380,3 +1380,48 @@ def intersect_except(spark, sf):
     # subtract == SQL EXCEPT (set semantics); exceptAll would keep multiplicity
     only_o = o.subtract(c).select(F.lit("only_orders").alias("side"), "key")
     return both.unionByName(only_o)
+
+
+@_q(
+    "top_ngrams",
+    "WITH " + _SHINGLES_SQL + ", "
+    "g AS (SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle) "
+    "SELECT shingle, cnt FROM g ORDER BY cnt DESC, shingle LIMIT 20",
+)
+def top_ngrams(spark, sf):
+    """Corpus-level n-gram frequency table (top-20 word-3-grams) — the
+    vocabulary-inspection operator for corpus curation."""
+    from oni_ml_spark.datapipe.dedup import shingle_table
+
+    sh = shingle_table(load_table(spark, sf, "documents"), "doc_id", "text", 3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("shingle"))
+        .limit(20)
+    )
+
+
+@_q(
+    "pivot_counts",
+    "SELECT user_id, "
+    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
+    "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, "
+    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+    "FROM events GROUP BY user_id",
+)
+def pivot_counts(spark, sf):
+    """Pivoted per-user event-type counts (groupBy().pivot() — wide feature
+    table construction). Pivot values pinned for a deterministic schema."""
+    e = load_table(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
