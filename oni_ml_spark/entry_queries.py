@@ -78,15 +78,6 @@ def _h32_sql(expr: str, salt: int) -> str:
 
 # Deterministic host strings over documents — exercise every branch of the
 # reference domain logic (arpa / ccTLD / gTLD / invalid TLD).
-_HOST_SQL = (
-    "CASE doc_id % 4 "
-    "WHEN 0 THEN '123.103.104.10.in-addr.arpa' "
-    "WHEN 1 THEN source || '.amazon.com.mx' "
-    "WHEN 2 THEN source || '.forrealz.net' "
-    "ELSE 'panasonic.c' END"
-)
-
-
 def _with_host(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "host",

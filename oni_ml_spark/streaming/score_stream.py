@@ -65,3 +65,15 @@ def windowed_corpus_counts(
         .groupBy(win.alias("window"), F.col(doc_col).alias("doc"), F.col(word_col).alias("word"))
         .agg(F.count(F.lit(1)).alias("count"))
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys within the watermark
+    horizon (state bounded by the watermark — the streaming face of
+    datapipe.dedup.drop_exact_duplicates)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

@@ -85,3 +85,26 @@ def test_windowed_corpus_counts(spark, tmp_path):
     assert got[(0, "u0", "w0")] == 2
     assert got[(10, "u0", "w1")] == 1
     assert got[(10, "u1", "w0")] == 1
+
+
+def test_stream_dedup(spark, tmp_path):
+    from oni_ml_spark.streaming.score_stream import dedup_stream
+
+    rows = [
+        ("2024-01-01 00:01:00", "k1"),
+        ("2024-01-01 00:02:00", "k1"),  # dup within watermark
+        ("2024-01-01 00:03:00", "k2"),
+    ]
+    df = spark.createDataFrame(rows, "t string, k string").select(
+        F.col("t").cast("timestamp").alias("ts"), "k"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "din"))
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(str(tmp_path / "din"))
+    out = dedup_stream(stream, ["k"], "ts")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream").collect())
+    assert got == ["k1", "k2"]
