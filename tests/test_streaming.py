@@ -108,3 +108,53 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream").collect())
     assert got == ["k1", "k2"]
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization matches the batch sessionizer,
+    including state carried across micro-batches (two input files → two
+    batches with maxFilesPerTrigger=1)."""
+    from oni_ml_spark.datapipe.sessions import sessionize as batch_sessionize
+    from oni_ml_spark.streaming.stateful import sessionize_stream
+
+    batch1 = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:10:00"),
+        ("u2", "2024-01-01 09:00:00"),
+    ]
+    batch2 = [
+        ("u1", "2024-01-01 11:30:00"),   # > 30 min after batch1 → session 2
+        ("u2", "2024-01-01 09:05:00"),   # continues session 1
+    ]
+    # two separate availableNow runs against one checkpoint: batch order is
+    # deterministic AND state must survive a full query restart
+    for rows in [batch1, batch2]:
+        spark.createDataFrame(rows, "user string, t string").select(
+            "user", F.col("t").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "sess_in"))
+        stream = spark.readStream.schema("user string, ts timestamp").parquet(
+            str(tmp_path / "sess_in")
+        )
+        out = sessionize_stream(stream, "user", "ts", gap_seconds=1800)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {
+        (r["user"], r["ts"].isoformat()): r["session_no"]
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+    }
+    all_rows = batch1 + batch2
+    batch_df = spark.createDataFrame(all_rows, "user string, t string").select(
+        "user", F.col("t").cast("timestamp").alias("ts")
+    )
+    want = {
+        (r["user"], r["ts"].isoformat()): r["session_no"]
+        for r in batch_sessionize(batch_df, "user", "ts", gap_seconds=1800).collect()
+    }
+    assert got == want
