@@ -7,6 +7,11 @@ Structured Streaming), plus windowed corpus aggregation with watermarks for
 continuous retraining input.
 """
 
-from oni_ml_spark.streaming.score_stream import score_stream, windowed_corpus_counts
+from oni_ml_spark.streaming.score_stream import (
+    dedup_stream,
+    score_stream,
+    windowed_corpus_counts,
+)
+from oni_ml_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["score_stream", "windowed_corpus_counts"]
+__all__ = ["score_stream", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]

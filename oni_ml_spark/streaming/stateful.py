@@ -3,15 +3,19 @@
 The brief's pattern for operators Structured Streaming lacks natively:
 per-key Arrow-batched Python with explicit managed state. Demonstrated here
 with streaming sessionization — per-user session numbering that persists
-(last event time, session counter) across micro-batches, the stateful twin
-of datapipe.sessions.sessionize.
+(last event epoch, session counter) across micro-batches and query
+restarts, the stateful twin of datapipe.sessions.sessionize.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -26,9 +30,15 @@ def sessionize_stream(
 
     State per user = (epoch of last event, running session counter); a new
     session starts when the gap since the last seen event exceeds
-    ``gap_seconds``. State size is two scalars per key — bounded by the key
-    cardinality, not the stream length. Within a micro-batch, events are
-    processed in event-time order.
+    ``gap_seconds``. State size is two scalars per key — bounded by key
+    cardinality, not stream length.
+
+    The gap math runs on a true-epoch column computed Spark-side
+    (``cast(ts as double)``), so results match the batch sessionizer in any
+    session timezone — pandas-side naive-timestamp arithmetic would drift
+    across DST transitions. All rows of a key's micro-batch are concatenated
+    and sorted once (Arrow may deliver them as several chunks), then session
+    numbers come from one vectorized cumsum.
     """
     out_schema = T.StructType(
         [
@@ -48,33 +58,31 @@ def sessionize_stream(
         if state.exists:
             last_epoch, session_no = state.get
         else:
-            last_epoch, session_no = None, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            sessions = []
-            for t in pdf[ts_col]:
-                epoch = t.timestamp()
-                if last_epoch is None or epoch - last_epoch > gap_seconds:
-                    session_no += 1
-                last_epoch = epoch
-                sessions.append(session_no)
-            yield pd.DataFrame(
-                {
-                    "user": [key[0]] * len(pdf),
-                    "ts": pdf[ts_col].tolist(),
-                    "session_no": sessions,
-                }
-            )
-        state.update((float(last_epoch) if last_epoch is not None else 0.0, session_no))
-
-    return (
-        stream.select(user_col, ts_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            assign_sessions,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            last_epoch, session_no = -math.inf, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values("__epoch", kind="mergesort", ignore_index=True)
+        epochs = pdf["__epoch"].to_numpy()
+        prev = np.concatenate(([last_epoch], epochs[:-1]))
+        new_session = (epochs - prev) > gap_seconds  # -inf prev → True
+        sessions = session_no + np.cumsum(new_session)
+        state.update((float(epochs[-1]), int(sessions[-1])))
+        yield pd.DataFrame(
+            {
+                "user": pdf[user_col],
+                "ts": pdf[ts_col],
+                "session_no": sessions.astype("int64"),
+            }
         )
+
+    with_epoch = stream.select(
+        user_col, ts_col, F.col(ts_col).cast("double").alias("__epoch")
+    )
+    return with_epoch.groupBy(user_col).applyInPandasWithState(
+        assign_sessions,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

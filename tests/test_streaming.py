@@ -112,8 +112,9 @@ def test_stream_dedup(spark, tmp_path):
 
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionization matches the batch sessionizer,
-    including state carried across micro-batches (two input files → two
-    batches with maxFilesPerTrigger=1)."""
+    including state carried across micro-batches: two availableNow runs
+    against one checkpoint (deterministic batch order + a full query
+    restart between them)."""
     from oni_ml_spark.datapipe.sessions import sessionize as batch_sessionize
     from oni_ml_spark.streaming.stateful import sessionize_stream
 
