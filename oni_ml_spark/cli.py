@@ -69,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     kwargs = dict(
         dup_factor=args.dupfactor,
         topic_count=args.ldatopiccount,
+        doc_concentration=args.lda_alpha,
         threshold=args.threshold,
         top_k=args.maxresults,
         seed=args.seed,
@@ -80,7 +81,11 @@ def main(argv: list[str] | None = None) -> int:
         from oni_ml_spark.pipelines import flow as pipe
 
         if args.feedback:
-            feedback = load_feedback_tsv(spark, args.feedback, schemas.FLOW_FEEDBACK_COLUMNS)
+            from oni_ml_spark.transforms.feedback import flow_feedback_to_raw
+
+            feedback = flow_feedback_to_raw(
+                load_feedback_tsv(spark, args.feedback, schemas.FLOW_FEEDBACK_COLUMNS)
+            )
         result = pipe.run(df, feedback, **kwargs)
     elif args.analysis == "dns":
         from oni_ml_spark.pipelines import dns as pipe

@@ -57,13 +57,18 @@ def tokens(c: Column | str) -> Column:
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
+    """Distinct word n-gram shingles as an array<string>; empty array for
+    documents shorter than n tokens (sequence() would otherwise count DOWN
+    from 1 to a non-positive bound and feed slice() an invalid start)."""
     toks = tokens(c)
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

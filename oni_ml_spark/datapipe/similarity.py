@@ -17,14 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from oni_ml_spark.scoring import dot  # the engine's one native dot product
+
 
 def as_double_array(c: Column | str) -> Column:
     v = F.col(c) if isinstance(c, str) else c
     return F.transform(v, lambda x: x.cast("double"))
-
-
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
 def norm(a: Column) -> Column:
@@ -69,15 +67,24 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic ±1 hyperplanes from a tiny LCG (no numpy dependency,
-    reproducible across runs/engines)."""
-    state = seed & 0x7FFFFFFF
+    """Deterministic ±1 hyperplanes from md5 bits (reproducible across
+    runs/engines). An LCG's low bit strictly alternates, which made every
+    plane identical for even dims — md5 per (seed, plane, block) has no such
+    correlation."""
+    import hashlib
+
     out = []
-    for _ in range(planes):
-        row = []
-        for _ in range(dim):
-            state = (1103515245 * state + 12345) & 0x7FFFFFFF
-            row.append(1.0 if state & 1 else -1.0)
+    for p in range(planes):
+        row: list[float] = []
+        block = 0
+        while len(row) < dim:
+            digest = hashlib.md5(f"{seed}:{p}:{block}".encode()).digest()
+            for byte in digest:
+                for bit in range(8):
+                    if len(row) >= dim:
+                        break
+                    row.append(1.0 if (byte >> bit) & 1 else -1.0)
+            block += 1
         out.append(row)
     return out
 

@@ -713,11 +713,6 @@ def _lang_oracle() -> str:
 
     toks = _TOKENS.format(c="text")
     score = {
-        lang: f"len(list_filter({toks}, t -> list_contains({words!r}, t)))".replace("'", "''")
-        for lang, words in LANG_MARKERS.items()
-    }
-    # build DuckDB list literals properly (repr gives python list syntax, ok for duckdb)
-    score = {
         lang: f"len(list_filter({toks}, t -> list_contains("
         + "[" + ", ".join(f"'{w}'" for w in words) + "], t)))"
         for lang, words in LANG_MARKERS.items()

@@ -28,7 +28,7 @@ from oni_ml_spark.transforms import (
     oversample,
     quantile_cuts,
 )
-from oni_ml_spark.transforms.feedback import severity_filter
+from oni_ml_spark.transforms.feedback import conform_feedback, severity_filter
 
 
 def valid_time_filter(df: DataFrame) -> DataFrame:
@@ -79,6 +79,7 @@ def run(
     *,
     dup_factor: int = 1000,
     topic_count: int = 20,
+    doc_concentration: float = 2.5,
     threshold: float = 1.0,
     top_k: int = -1,
     seed: int = 0,
@@ -90,7 +91,7 @@ def run(
         fb = oversample(severity_filter(feedback), dup_factor).withColumn(
             FEEDBACK_FLAG, F.lit(True)
         )
-        df = df.unionByName(fb.select(df.columns), allowMissingColumns=False)
+        df = df.unionByName(conform_feedback(fb, df))
 
     featurized = featurize(df, exact_quantiles=exact_quantiles).cache()
 
@@ -111,7 +112,9 @@ def run(
         .groupBy("doc", "word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    model = fit_topic_model(counts, topic_count=topic_count, seed=seed, max_iter=max_iter)
+    model = fit_topic_model(counts, topic_count=topic_count,
+                            doc_concentration=doc_concentration,
+                            seed=seed, max_iter=max_iter)
 
     to_score = featurized.filter(~F.col(FEEDBACK_FLAG)).drop(FEEDBACK_FLAG)
     # Flow quirk preserved: inner join drops IPs unseen in training

@@ -26,7 +26,7 @@ from oni_ml_spark.transforms import (
     string_entropy,
     proxy_word,
 )
-from oni_ml_spark.transforms.feedback import severity_filter
+from oni_ml_spark.transforms.feedback import conform_feedback, severity_filter
 from oni_ml_spark.transforms.time import seconds_of_day
 
 
@@ -88,6 +88,7 @@ def run(
     top_domains: list[str] | None = None,
     dup_factor: int = 1000,
     topic_count: int = 20,
+    doc_concentration: float = 2.5,
     threshold: float = 1.0,
     top_k: int = -1,
     seed: int = 0,
@@ -99,7 +100,7 @@ def run(
         fb = oversample(severity_filter(feedback, "uri_sev"), dup_factor).withColumn(
             FEEDBACK_FLAG, F.lit(True)
         )
-        df = df.unionByName(fb.select(df.columns))
+        df = df.unionByName(conform_feedback(fb, df))
 
     featurized = featurize(df, top_domains or [], exact_quantiles=exact_quantiles).cache()
     return train_and_score(
@@ -107,6 +108,7 @@ def run(
         doc_col="clientip",
         word_col="word",
         topic_count=topic_count,
+        doc_concentration=doc_concentration,
         threshold=threshold,
         top_k=top_k,
         seed=seed,

@@ -74,6 +74,9 @@ def dedup_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming exact dedup: drop repeated keys within the watermark
-    horizon (state bounded by the watermark — the streaming face of
-    datapipe.dedup.drop_exact_duplicates)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    horizon (the streaming face of datapipe.dedup.drop_exact_duplicates).
+
+    dropDuplicatesWithinWatermark is the variant whose state is actually
+    evicted by the watermark for keys that don't include the event-time
+    column — plain dropDuplicates(keys) would grow state forever."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -147,7 +147,6 @@ def fit_topic_model(
     # Arrow (pandas) columns, not pickled Python rows: at V ~ 10^5-10^6 the
     # pickle path croaks Python workers; Arrow stays columnar end to end.
     import numpy as np
-    import pandas as pd
 
     tm = model.topicsMatrix().toArray()  # V x k numpy
     col_sums = tm.sum(axis=0)

@@ -43,3 +43,40 @@ def severity_filter(df: DataFrame, sev_col: str = "sev", severity: int = 3) -> D
     """Keep analyst-confirmed rows (severity == 3 by default) —
     netflow/FlowPreLDA.scala:84, dns/DNSPreLDA.scala:72, proxy/ProxyFeedback.scala:57."""
     return df.filter(F.col(sev_col).cast("int") == severity)
+
+
+def conform_feedback(fb: DataFrame, to: DataFrame) -> DataFrame:
+    """Project a feedback frame onto another frame's schema: shared columns
+    are cast to the target types, missing ones become typed nulls (they are
+    never featurized — only the word-building columns matter). Makes the
+    raw ∪ feedback union schema-safe for any input layout."""
+    cols = []
+    for name, dtype in to.dtypes:
+        if name in fb.columns:
+            cols.append(F.col(name).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return fb.select(*cols)
+
+
+def flow_feedback_to_raw(fb: DataFrame) -> DataFrame:
+    """Map the flow feedback layout (sev/tstart/srcIP/... —
+    netflow/FlowPreLDA.scala:32-54) onto raw netflow column names; tstart
+    ("YYYY-MM-DD HH:MM:SS") is re-split into date/time components the way
+    the reference does (FlowPreLDA.scala:85-88)."""
+    date_part = F.split(F.col("tstart"), " ").getItem(0)
+    time_part = F.split(F.col("tstart"), " ").getItem(1)
+    return fb.withColumns(
+        {
+            "treceived": F.col("tstart"),
+            "tryear": F.split(date_part, "-").getItem(0).cast("int"),
+            "trmonth": F.split(date_part, "-").getItem(1).cast("int"),
+            "trday": F.split(date_part, "-").getItem(2).cast("int"),
+            "trhour": F.split(time_part, ":").getItem(0).cast("int"),
+            "trminute": F.split(time_part, ":").getItem(1).cast("int"),
+            "trsec": F.split(time_part, ":").getItem(2).cast("int"),
+            "tdur": F.lit(0.0),
+            "sip": F.col("srcIP"),
+            "dip": F.col("dstIP"),
+        }
+    )

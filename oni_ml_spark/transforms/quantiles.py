@@ -49,6 +49,12 @@ def ecdf(df: DataFrame, value_col: str) -> DataFrame:
     ranged = counts.repartitionByRange(n_parts, "value").withColumn(
         "pid", F.spark_partition_id()
     )
+    # The cache is CORRECTNESS-critical, not an optimization: the subtotals
+    # action and the output plan both read `pid`, and without pinning the
+    # materialized partitioning, repartitionByRange may re-sample different
+    # boundaries in the second job — offsets would then be applied to a
+    # different partition layout. (Storage is bounded: |distinct values|
+    # rows; callers doing many ECDFs clear caches between runs.)
     ranged = ranged.cache()
     subtotals = sorted(
         (r["pid"], r["s"])

@@ -36,3 +36,36 @@ def test_flow_cli_end_to_end(spark, tmp_path):
     lines = open(parts[0]).read().strip().splitlines()
     assert 0 < len(lines) <= 20
     assert all("\t" in ln for ln in lines)
+
+
+def test_flow_cli_with_feedback(spark, tmp_path):
+    """The --feedback path end-to-end: feedback TSV in the reference layout
+    is mapped onto raw columns, oversampled, and trains without error."""
+    inp = str(tmp_path / "flow_fb.parquet")
+    out = str(tmp_path / "out_fb")
+    _flow_fixture(spark, n_common=300, n_rare=2).write.parquet(inp)
+
+    fb = tmp_path / "flow_scores.tsv"
+    header = "\t".join(
+        ["sev", "tstart", "srcIP", "dstIP", "sport", "dport", "proto", "flag",
+         "ipkt", "ibyt", "lda_score", "rank", "srcIpInternal", "destIpInternal",
+         "srcGeo", "dstGeo", "srcDomain", "dstDomain", "srcIP_rep", "dstIP_rep",
+         "gti_srcIP_rep", "gti_dstIP_rep"]
+    )
+    row = "\t".join(
+        ["3", "2024-01-01 03:13:00", "10.0.0.1", "10.0.1.2", "50001", "6667",
+         "TCP", ".AP...", "999999", "99999999", "0.001", "1", "Y", "Y",
+         "US", "US", "-", "-", "0", "0", "0", "0"]
+    )
+    fb.write_text(header + "\n" + row + "\n")
+
+    rc = main(
+        ["--analysis", "flow", "--input", inp, "--output", out,
+         "--feedback", str(fb), "--dupfactor", "50",
+         "--ldatopiccount", "3", "--lda-maxiter", "3", "--lda-alpha", "1.5",
+         "--maxresults", "10", "--single-file", "--approx-quantiles"]
+    )
+    assert rc == 0
+    parts = glob.glob(f"{out}/part-*.csv")
+    lines = open(parts[0]).read().strip().splitlines()
+    assert 0 < len(lines) <= 10

@@ -67,20 +67,46 @@ class TestDedup:
 
 
 class TestSimilarity:
-    def test_lsh_recalls_exact_topk(self, spark):
-        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-        q = emb.filter(F.col("vec_id") < 3)
+    def test_lsh_recalls_exact_topk_on_clustered_data(self, spark):
+        """SRP-LSH recall on clustered vectors (its actual use case): a
+        query's near-identical neighbors project to the same side of every
+        hyperplane with high probability. Uniform random embeddings are not
+        used — sharing all plane signs with an unrelated random vector is
+        ~2^-planes by construction, so recall there is meaningless."""
+        rows = []
+        for vid in range(40):
+            c, m = vid // 10, vid % 10
+            v = [0.0] * 8
+            v[2 * c] = 1.0
+            v[(2 * c + 1) % 8] = 0.05 * (m + 1)
+            rows.append((vid, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter(F.col("vec_id").isin(0, 10, 20, 30))
         exact = brute_force_topk(q, emb, k=3).collect()
-        approx = lsh_bucketed_topk(q, emb, k=3, planes=4, dim=64).collect()
+        approx = lsh_bucketed_topk(q, emb, k=3, planes=3, dim=8).collect()
         exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
-        approx_all = {}
+        got = {}
         for r in approx:
-            approx_all.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        # each query's true nearest neighbor is recalled by the 4-plane LSH
-        hits = sum(
-            1 for qid, nid in exact_top1.items() if nid in approx_all.get(qid, set())
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(1 for qid, nid in exact_top1.items() if nid in got.get(qid, set()))
+        assert hits >= 3  # same-cluster vectors share buckets w.h.p.
+
+    def test_lsh_buckets_are_diverse(self, spark):
+        """Regression for the degenerate-hyperplane bug: 8 planes must
+        produce many distinct buckets, not 2."""
+        from oni_ml_spark.datapipe.similarity import _hyperplanes, srp_bucket
+
+        hp = _hyperplanes(64, 8, seed=7)
+        assert len({tuple(p) for p in hp}) == 8  # planes distinct
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        from oni_ml_spark.datapipe.similarity import as_double_array
+
+        n_buckets = (
+            emb.select(srp_bucket(as_double_array("embedding"), hp).alias("b"))
+            .distinct()
+            .count()
         )
-        assert hits >= 2  # 4-plane SRP: allow one miss out of 3 queries
+        assert n_buckets > 32  # 500 random 64-dim vectors over 256 buckets
 
     def test_embedding_near_dups_symmetric_and_thresholded(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
