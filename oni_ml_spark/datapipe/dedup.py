@@ -273,3 +273,47 @@ def minhash_ml_candidates(
             F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """The production near-dup flow: LSH candidate generation → exact
+    Jaccard verification of candidates only.
+
+    This is the composition SCALE.md prescribes for 100 TB: the banded-LSH
+    bucket join bounds the candidate set, then the exact intersection count
+    runs only over candidate pairs (broadcast-joined against the shingle
+    table), never all pairs. Returns (id_a, id_b, jaccard >= threshold).
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = shingle_table(df, id_col, text_col, n, max_df_fraction).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1411,3 +1411,33 @@ def pivot_counts(spark, sf):
     return out.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
     )
+
+
+@_q(
+    "near_dup_verified",
+    "WITH " + _SHINGLES_SQL + ", "
+    f"sig AS (SELECT id, {_MINHASH_COLS} FROM sh GROUP BY id), "
+    "banded AS ("
+    "  SELECT id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS bucket FROM sig UNION ALL "
+    "  SELECT id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig UNION ALL "
+    "  SELECT id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig UNION ALL "
+    "  SELECT id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig), "
+    "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+    "  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id), "
+    "sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id), "
+    "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_common FROM cand c "
+    "  JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle "
+    "  GROUP BY c.id_a, c.id_b) "
+    "SELECT id_a, id_b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
+    "WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3",
+)
+def near_dup_verified(spark, sf):
+    """The production dedup composition: banded-LSH candidates → exact
+    Jaccard verification of candidates only (SCALE.md flow)."""
+    from oni_ml_spark.datapipe.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text",
+        n=3, num_hashes=8, bands=4, threshold=0.3,
+    )

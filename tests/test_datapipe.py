@@ -249,3 +249,35 @@ class TestMllibVariants:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         for qid, nid in exact_top1.items():
             assert nid in got[qid]
+
+
+class TestNearDupComposition:
+    def test_lsh_then_exact_verify(self, spark, docs):
+        from oni_ml_spark.datapipe.dedup import near_dup_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 5)] == 1.0
+        assert (3, 4) not in got
+        # verified jaccard matches the all-pairs exact path on shared pairs
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        for pair, j in got.items():
+            assert exact[pair] == j
+
+    def test_short_docs_do_not_crash(self, spark):
+        from oni_ml_spark.datapipe.dedup import minhash_signatures, ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(0, "only two"), (1, ""), (2, "a b c d e f g"), (3, "a b c d e f g")],
+            "doc_id long, text string",
+        )
+        pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+        sigs = minhash_signatures(df, "doc_id", "text").collect()
+        assert {r["id"] for r in sigs} == {2, 3}  # short docs: no shingles, no sig
