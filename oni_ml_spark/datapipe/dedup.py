@@ -140,6 +140,20 @@ def _md5_hash32(c: Column, salt: int) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1, 8), 16, 10).cast("long")
 
 
+def minhash_hash_exprs(c: Column, num_hashes: int) -> list[Column]:
+    """k independent 32-bit hash expressions for a string column, md5-derived
+    and engine-portable: each md5 digest yields FOUR 8-hex-char hashes
+    (hash i = slice i%4 of md5('{i//4}:' || s)), so k hashes cost ceil(k/4)
+    md5 evaluations instead of k."""
+    out = []
+    for i in range(num_hashes):
+        digest = F.md5(F.concat(F.lit(f"{i // 4}:"), c))
+        out.append(
+            F.conv(F.substring(digest, 1 + 8 * (i % 4), 8), 16, 10).cast("long")
+        )
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -149,9 +163,8 @@ def minhash_signatures(
     as literal expressions (no UDF). Deterministic across runs and engines.
     """
     sh = shingle_table(df, id_col, text_col, n)
-    mins = [
-        F.min(_md5_hash32(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    hashes = minhash_hash_exprs(F.col("shingle"), num_hashes)
+    mins = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 

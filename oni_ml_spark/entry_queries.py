@@ -602,8 +602,15 @@ def ngram_jaccard_pairs_q(spark, sf):
     )
 
 
+def _minhash_h_sql(expr: str, i: int) -> str:
+    # slice i%4 of md5('{i//4}:'||s) — matches datapipe.dedup.minhash_hash_exprs
+    return (
+        f"('0x' || substr(md5('{i // 4}:' || {expr}), {1 + 8 * (i % 4)}, 8))::BIGINT"
+    )
+
+
 _MINHASH_COLS = ", ".join(
-    f"min({_h32_sql('shingle', i)}) AS h{i}" for i in range(8)
+    f"min({_minhash_h_sql('shingle', i)}) AS h{i}" for i in range(8)
 )
 
 
@@ -1440,4 +1447,30 @@ def near_dup_verified(spark, sf):
     return near_dup_pairs(
         load_table(spark, sf, "documents"), "doc_id", "text",
         n=3, num_hashes=8, bands=4, threshold=0.3,
+    )
+
+
+@_q(
+    "salted_skew_join",
+    "SELECT n_name, count(*) AS cnt, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+)
+def salted_skew_join(spark, sf):
+    """Skew-salted fact⋈dim join (plans/skew.salted_join) — result-identical
+    to the plain join (the oracle IS the plain join); the salt spreads each
+    hot nation key over 8 sub-keys."""
+    from oni_ml_spark.plans import salted_join
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation")
+    fact = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_totalprice", F.col("c_nationkey").alias("n_nationkey")
+    )
+    joined = salted_join(fact, n, "n_nationkey", salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )

@@ -84,3 +84,38 @@ def load_top_domains(spark: SparkSession, path: str) -> list[str]:
         .collect()
     )
     return [r["name"] for r in rows]
+
+
+class SchemaMismatch(ValueError):
+    """Raised when an input frame doesn't provide the expected columns/types."""
+
+
+def validate_schema(df: DataFrame, expected, strict: bool = False) -> DataFrame:
+    """Validate a DataFrame against an expected StructType.
+
+    The reference trusts parquet schema-on-read and dies mid-job with cast
+    errors (SURVEY.md §1.2, e.g. the Row(ibyt: Long) match at
+    netflow/FlowWordCreation.scala:38); this fails fast at read time instead.
+
+    - missing columns → SchemaMismatch (always)
+    - type mismatches → SchemaMismatch listing every offender
+    - strict=True additionally rejects unexpected extra columns
+    Returns df unchanged on success (chainable).
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for f in expected.fields:
+        want = f.dataType.simpleString()
+        if f.name not in actual:
+            problems.append(f"missing column '{f.name}' ({want})")
+        elif actual[f.name] != want:
+            problems.append(
+                f"column '{f.name}': expected {want}, got {actual[f.name]}"
+            )
+    if strict:
+        extra = set(actual) - {f.name for f in expected.fields}
+        if extra:
+            problems.append(f"unexpected columns: {sorted(extra)}")
+    if problems:
+        raise SchemaMismatch("; ".join(problems))
+    return df

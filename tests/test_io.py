@@ -68,3 +68,30 @@ def test_write_partitioned_layout(spark, tmp_path):
     back = read_day(spark, out, 2016, 5, 6)
     assert [r["id"] for r in back.collect()] == [2]
     assert glob.glob(f"{out}/y=2016/m=5/d=5/*.parquet")
+
+
+def test_validate_schema(spark):
+    from pyspark.sql import types as T
+
+    from oni_ml_spark.io import SchemaMismatch, validate_schema
+
+    expected = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    ok = spark.createDataFrame([(1, "x")], "a int, b string")
+    assert validate_schema(ok, expected) is ok
+
+    import pytest as _pytest
+
+    wrong_type = spark.createDataFrame([(1, 2)], "a int, b int")
+    with _pytest.raises(SchemaMismatch, match="column 'b': expected string"):
+        validate_schema(wrong_type, expected)
+
+    missing = spark.createDataFrame([(1,)], "a int")
+    with _pytest.raises(SchemaMismatch, match="missing column 'b'"):
+        validate_schema(missing, expected)
+
+    extra = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    assert validate_schema(extra, expected) is extra  # lenient by default
+    with _pytest.raises(SchemaMismatch, match="unexpected columns"):
+        validate_schema(extra, expected, strict=True)
