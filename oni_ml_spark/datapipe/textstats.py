@@ -116,3 +116,38 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.substring(F.md5(F.substring(norm, 1, 64)), 1, 16).alias("fp_prefix64"),
     )
+
+
+def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key robust statistics via grouped applyInPandas:
+    (key, n, median, mad) with mad = median(|x - median(x)|).
+
+    The applyInPandas surface (Arrow-batched grouped UDF) for aggregations
+    Spark SQL can't express in one pass — medians-of-derived-values need
+    the whole group in hand. Groups stream through Arrow; memory is bounded
+    by the largest single group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("median", T.DoubleType()),
+            T.StructField("mad", T.DoubleType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        return pd.DataFrame(
+            {"key": [int(pdf[key_col].iloc[0])], "n": [len(vals)],
+             "median": [med], "mad": [mad]}
+        )
+
+    return df.groupBy(key_col).applyInPandas(stats, out_schema)

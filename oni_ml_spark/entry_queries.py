@@ -1474,3 +1474,24 @@ def salted_skew_join(spark, sf):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@_q(
+    "robust_stats",
+    "WITH med AS (SELECT user_id AS key, count(*) AS n, median(value) AS median "
+    "  FROM events GROUP BY user_id) "
+    "SELECT m.key, m.n, round(m.median, 6) AS median, "
+    "round(median(abs(e.value - m.median)), 6) AS mad "
+    "FROM events e JOIN med m ON e.user_id = m.key "
+    "GROUP BY m.key, m.n, m.median",
+)
+def robust_stats_q(spark, sf):
+    """Grouped applyInPandas: per-user median + MAD (whole-group-in-hand
+    aggregation Spark SQL can't do in one pass)."""
+    from oni_ml_spark.datapipe.textstats import robust_stats
+
+    e = load_table(spark, sf, "events")
+    out = robust_stats(e, "user_id", "value")
+    return out.select(
+        "key", "n", F.round("median", 6).alias("median"), F.round("mad", 6).alias("mad")
+    )
