@@ -26,17 +26,29 @@ DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 QUINTILES = [0.2, 0.4, 0.6, 0.8, 1.0]
 
 
-def ecdf(df: DataFrame, value_col: str) -> DataFrame:
+def ecdf(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
     """Empirical CDF over one column → DataFrame[value double, cdf double].
 
     Reference: utilities/Quantiles.scala:21-40 (reduceByKey + sortByKey +
-    manual per-partition prefix sums). Same two-phase shape here, DataFrame-
-    native: hash-aggregate to distinct-value counts, range-partition by
-    value, per-partition running sums, then add per-partition offsets (a
-    tiny driver-side cumulative of partition subtotals — the same
-    totalCountPerPartition collect the reference does). No single-partition
-    global window, so the exact path scales with distinct-value cardinality
-    across the cluster.
+    manual per-partition prefix sums). Same two-phase shape, DataFrame-
+    native: hash-aggregate to distinct-value counts, split the value domain
+    into ~num_buckets ranges, per-bucket running sums via a partitioned
+    window, then add per-bucket offsets (a tiny driver-side cumulative of
+    bucket subtotals — the same totalCountPerPartition collect the
+    reference does, ≤ num_buckets longs).
+
+    Robustness: bucket membership is derived from the DATA (value vs a
+    driver-held boundary list), never from a physical partition id — so a
+    recomputed/lost partition reproduces the identical bucketing. Earlier
+    designs keyed offsets on spark_partition_id() over repartitionByRange,
+    which silently corrupts the CDF if the cached layout is evicted and the
+    range sampler re-draws different boundaries. Offsets attach via a
+    broadcast join, so plan depth is independent of the bucket count.
+
+    No single-partition global window anywhere: the per-bucket window's
+    input is |distinct values| / num_buckets, balanced by the approximate
+    boundary quantiles, so the exact path scales with distinct-value
+    cardinality across the cluster.
     """
     spark = df.sparkSession
     counts = (
@@ -45,40 +57,44 @@ def ecdf(df: DataFrame, value_col: str) -> DataFrame:
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = counts.repartitionByRange(n_parts, "value").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    # The cache is CORRECTNESS-critical, not an optimization: the subtotals
-    # action and the output plan both read `pid`, and without pinning the
-    # materialized partitioning, repartitionByRange may re-sample different
-    # boundaries in the second job — offsets would then be applied to a
-    # different partition layout. (Storage is bounded: |distinct values|
-    # rows; callers doing many ECDFs clear caches between runs.)
-    ranged = ranged.cache()
+    b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # cache is a pure optimization here (three jobs read counts); correctness
+    # does not depend on residency — see docstring.
+    counts = counts.cache()
+    boundaries: list[float] = []
+    if b > 1:
+        probs = [i / b for i in range(1, b)]
+        got = counts.approxQuantile("value", probs, 0.25 / b)
+        boundaries = sorted(set(got))
+    if boundaries:
+        arr = F.array(*[F.lit(float(x)) for x in boundaries])
+        bucket = F.size(F.filter(arr, lambda c: c < F.col("value")))
+    else:
+        bucket = F.lit(0)
+    bucketed = counts.withColumn("bucket", bucket.cast("int"))
+
     subtotals = sorted(
-        (r["pid"], r["s"])
-        for r in ranged.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()
+        (r["bucket"], r["s"])
+        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("s")).collect()
     )
     total = sum(s for _, s in subtotals) or 1
-    offsets, acc = {}, 0
-    for pid, s in subtotals:
-        offsets[pid] = acc
+    offsets, acc = [], 0
+    for bkt, s in subtotals:
+        offsets.append((bkt, acc))
         acc += s
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        if off:
-            offset_expr = F.when(F.col("pid") == pid, F.lit(off)).otherwise(offset_expr)
+    if not offsets:
+        offsets = [(0, 0)]
+    offsets_df = spark.createDataFrame(offsets, "bucket int, __offset long")
+
     w = (
-        Window.partitionBy("pid")
+        Window.partitionBy("bucket")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = ranged.select(
+    return bucketed.join(F.broadcast(offsets_df), "bucket").select(
         "value",
-        ((F.sum("cnt").over(w) + offset_expr) / F.lit(float(total))).alias("cdf"),
+        ((F.sum("cnt").over(w) + F.col("__offset")) / F.lit(float(total))).alias("cdf"),
     )
-    return out
 
 
 def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataFrame:
