@@ -5,8 +5,11 @@
 - LSH-bucketed variant: sign-random-projection buckets computed with
   deterministic ±1 hyperplanes (seeded), then brute-force only within
   buckets — the scale path (candidates shrink by ~2^planes).
-- IVF-style variant: coarse k-means-ish assignment via nearest of C sampled
-  centroids, search within the query's cell(s).
+- IVF variant (``ivf_kmeans_topk``): coarse k-means quantization
+  (ml.clustering.KMeans), probed search inside the query's nearest cells.
+- near-duplicate pairs: exact all-pairs (test oracle only) and the banded
+  SRP-bucketed composition (candidate buckets → exact verify) that replaces
+  the O(N²) cross join at scale.
 
 All vector arithmetic is native zip_with/aggregate — JVM-side, no Python in
 the row loop.
@@ -108,7 +111,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     planes: int = 8,
-    dim: int | None = None,
+    dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, join on bucket, rank within.
@@ -117,9 +120,11 @@ def lsh_bucketed_topk(
     ~2^planes for uniformly spread data. Recall is approximate (neighbors in
     adjacent buckets are missed); raise recall with multi-probe or fewer
     planes. Returns the same shape as brute_force_topk.
+
+    ``dim`` must match the embedding length: hyperplanes are generated
+    driver-side, and inferring the length would cost a `.first()` action
+    inside a library function.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
     hp = _hyperplanes(dim, planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
@@ -139,73 +144,6 @@ def lsh_bucketed_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into cells around sampled
-    centroids, search only the query's n_probe nearest cells.
-
-    Centroids are a deterministic corpus sample (every ceil(N/n_cells)-th id)
-    — a stand-in for k-means that keeps the operator reproducible. Both
-    assignment joins are broadcasts of the tiny centroid table; the expensive
-    pairwise work happens only inside probed cells (~n_probe/n_cells of the
-    corpus per query).
-    """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
-
-    w = Window.orderBy("neighbor_id")
-    numbered = c.withColumn("__rn", F.row_number().over(w) - 1)
-    n_total = numbered.count()
-    stride = max(n_total // n_cells, 1)
-    cents = (
-        numbered.filter(F.col("__rn") % stride == 0)
-        .limit(n_cells)
-        .select(
-            F.col("__rn").alias("cell"), F.col("cv").alias("centv"),
-            F.col("cn").alias("centn"),
-        )
-    )
-
-    def assign(side: DataFrame, vcol: str, ncol: str, probes: int) -> DataFrame:
-        sims = side.crossJoin(F.broadcast(cents)).withColumn(
-            "csim", dot(F.col(vcol), F.col("centv")) / (F.col(ncol) * F.col("centn"))
-        )
-        ww = Window.partitionBy(side.columns[0]).orderBy(F.desc("csim"), F.col("cell"))
-        return (
-            sims.withColumn("__cr", F.row_number().over(ww))
-            .filter(F.col("__cr") <= probes)
-            .drop("centv", "centn", "csim", "__cr")
-        )
-
-    c_assigned = assign(c, "cv", "cn", 1)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    q_assigned = assign(q, "qv", "qn", n_probe)
-
-    pairs = q_assigned.join(c_assigned, "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    sims = pairs.select(
-        "query_id", "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
-    ).groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
-    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
-    )
-
-
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -214,8 +152,9 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold — embedding-space near-dup.
 
-    Exact all-pairs; at scale run through lsh buckets first (same pattern as
-    minhash_lsh_candidates for text).
+    Exact all-pairs — O(N²), the TEST ORACLE for
+    ``embedding_near_duplicates_bucketed``, not a production path. Anything
+    beyond ~10^4 vectors goes through the bucketed composition.
     """
     a = df.select(
         F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")
@@ -228,6 +167,88 @@ def embedding_near_duplicates(
         pairs.select(
             "id_a", "id_b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def srp_banded_buckets(
+    vec: Column, planes: list[list[float]], bands: int
+) -> Column:
+    """Array of (band, bucket) structs: band i's bucket uses its own slice of
+    ``planes`` (planes are split evenly across bands). A pair of vectors is a
+    candidate iff they share a bucket in at least one band — the OR-of-ANDs
+    amplification that makes SRP recall tunable (more bands → higher recall,
+    more candidates)."""
+    per_band = len(planes) // bands
+    entries = []
+    for bi in range(bands):
+        band_planes = planes[bi * per_band : (bi + 1) * per_band]
+        entries.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                srp_bucket(vec, band_planes).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
+def embedding_near_duplicates_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    planes_per_band: int = 8,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded SRP-LSH candidates → exact verify.
+
+    The scale path for ``embedding_near_duplicates`` — mirrors
+    dedup.near_dup_pairs (text minhash-LSH → exact Jaccard):
+
+    1. each vector hashes to ``bands`` buckets (one per band, each from
+       ``planes_per_band`` sign-random projections),
+    2. the candidate set is the (band, bucket) self-join — no cross join
+       anywhere in the plan,
+    3. candidates (and only candidates) get an exact cosine check.
+
+    Recall: a pair at angle θ survives one band with (1-θ/π)^planes_per_band
+    and is missed by all bands with (1-that)^bands. At the near-dup regime
+    (cos ≥ 0.9 → θ ≤ 0.45 rad) the default 8×8 misses < 1e-4 of pairs;
+    tighter thresholds are found with near certainty. For an exact-recall
+    requirement use the all-pairs oracle on a bounded subset instead.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+
+    hp = _hyperplanes(dim, planes_per_band * bands, seed)
+    buckets = v.select(
+        "id", F.explode(srp_banded_buckets(F.col("v"), hp, bands)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))

@@ -140,34 +140,45 @@ class TestMultimodal:
             assert r["count"] == max(len(texts[r["media_id"]].encode()) // 16, 1)
 
 
-class TestIvf:
-    def test_ivf_recalls_exact_topk_on_clustered_data(self, spark):
-        """On clustered data (where IVF is the right tool) the probed search
-        must recall the exact nearest neighbor. Uniform random embeddings are
-        deliberately NOT used: with all pairwise cosines ≈ 0, cell assignment
-        carries no signal and recall is a coin flip by construction."""
-        from oni_ml_spark.datapipe.similarity import ivf_topk
+class TestBucketedNearDup:
+    def test_bucketed_matches_exact_on_planted_dups(self, spark):
+        """The banded-SRP composition must find every planted near-dup pair
+        that the exact all-pairs oracle finds — on real testdata embeddings
+        plus perturbed copies (the same fixture shape the battery query
+        uses)."""
+        from oni_ml_spark.datapipe.similarity import (
+            as_double_array,
+            embedding_near_duplicates_bucketed,
+        )
 
-        # 4 well-separated clusters of 10 vectors in 8 dims: cluster c points
-        # near axis 2c, with a small deterministic per-member perturbation
-        rows = []
-        for vid in range(40):
-            c, m = vid // 10, vid % 10
-            v = [0.0] * 8
-            v[2 * c] = 1.0
-            v[(2 * c + 1) % 8] = 0.05 * (m + 1)
-            rows.append((vid, v))
-        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = emb.select("vec_id", as_double_array("embedding").alias("embedding"))
+        planted = base.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 0.999 + 0.001).alias("embedding"),
+        )
+        fixture = base.unionByName(planted)
 
-        q = emb.filter(F.col("vec_id").isin(0, 10, 20, 30))
-        exact = brute_force_topk(q, emb, k=3).collect()
-        approx = ivf_topk(q, emb, k=3, n_cells=8, n_probe=2).collect()
-        exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
-        got = {}
-        for r in approx:
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        for qid, nid in exact_top1.items():
-            assert nid in got[qid], f"query {qid}: true NN {nid} not recalled"
+        exact = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in embedding_near_duplicates(fixture, threshold=0.9).collect()
+        }
+        bucketed = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in embedding_near_duplicates_bucketed(
+                fixture, threshold=0.9, dim=64
+            ).collect()
+        }
+        assert len(exact) >= 25  # the fixture is non-vacuous
+        assert bucketed == exact
+
+    def test_bucketed_plan_has_no_cartesian(self, spark):
+        from oni_ml_spark.datapipe.similarity import embedding_near_duplicates_bucketed
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = embedding_near_duplicates_bucketed(emb, dim=64)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestSamplingAndSessions:
