@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bottom-K size; -1 = all below threshold")
     p.add_argument("--topdomains", default=None,
                    help="Alexa-style rank,domain CSV for the top-domain flag")
+    p.add_argument("--delimiter", default="\t",
+                   help="output field delimiter "
+                        "(SuspiciousConnectsArgumentParser.scala:107)")
+    p.add_argument("--max-count-per-word", type=int, default=10_000,
+                   help="cap per-(doc,word) corpus counts before LDA; "
+                        "0 = uncapped (adversarial hot-doc guard)")
     p.add_argument("--single-file", action="store_true",
                    help="coalesce the TSV to one part file")
     p.add_argument("--approx-quantiles", action="store_true",
@@ -75,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         max_iter=args.lda_maxiter,
         exact_quantiles=not args.approx_quantiles,
+        max_count_per_word=args.max_count_per_word or None,
     )
 
     if args.analysis == "flow":
@@ -100,7 +107,10 @@ def main(argv: list[str] | None = None) -> int:
             feedback = load_feedback_tsv(spark, args.feedback, schemas.PROXY_FEEDBACK_COLUMNS)
         result = pipe.run(df, feedback, top_domains=top_domains, **kwargs)
 
-    write_tsv(result.suspicious, args.output, single_file=args.single_file)
+    write_tsv(
+        result.suspicious, args.output,
+        single_file=args.single_file, delimiter=args.delimiter,
+    )
     return 0
 
 

@@ -132,9 +132,10 @@ def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # the key column keeps its input type — string keys are the common case
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", df.schema[key_col].dataType),
             T.StructField("n", T.LongType()),
             T.StructField("median", T.DoubleType()),
             T.StructField("mad", T.DoubleType()),
@@ -146,7 +147,7 @@ def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         med = float(np.median(vals))
         mad = float(np.median(np.abs(vals - med)))
         return pd.DataFrame(
-            {"key": [int(pdf[key_col].iloc[0])], "n": [len(vals)],
+            {"key": [pdf[key_col].iloc[0]], "n": [len(vals)],
              "median": [med], "mad": [mad]}
         )
 

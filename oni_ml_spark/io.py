@@ -50,12 +50,16 @@ def read_day(spark: SparkSession, root: str, year: int, month: int, day: int) ->
     return df.where((F.col("y") == year) & (F.col("m") == month) & (F.col("d") == day))
 
 
-def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
-    """S6: delimited text sink (netflow/FlowPostLDA.scala:80). coalesce(1)
-    only on request — it serializes the write; the ml_ops.sh getmerge step
+def write_tsv(
+    df: DataFrame, path: str, single_file: bool = False, delimiter: str = "\t"
+) -> None:
+    """S6: delimited text sink (netflow/FlowPostLDA.scala:80); ``delimiter``
+    mirrors the reference's --delimiter option
+    (SuspiciousConnectsArgumentParser.scala:107). coalesce(1) only on
+    request — it serializes the write; the ml_ops.sh getmerge step
     (ml_ops.sh:127-128) is the scalable equivalent."""
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("sep", "\t").csv(path)
+    out.write.mode("overwrite").option("sep", delimiter).csv(path)
 
 
 def write_partitioned(

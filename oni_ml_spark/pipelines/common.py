@@ -33,6 +33,7 @@ def train_and_score(
     top_k: int = -1,
     drop_unseen_docs: bool = False,
     extra_corpus: DataFrame | None = None,
+    max_count_per_word: int | None = 10_000,
 ) -> SuspiciousConnectsResult:
     """Train LDA on the full featurized corpus (feedback rows included when
     flagged via FEEDBACK_FLAG), score only the real records, rank.
@@ -54,6 +55,7 @@ def train_and_score(
         doc_concentration=doc_concentration,
         seed=seed,
         max_iter=max_iter,
+        max_count_per_word=max_count_per_word,
     )
 
     to_score = (

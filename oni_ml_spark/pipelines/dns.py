@@ -87,6 +87,7 @@ def run(
     seed: int = 0,
     max_iter: int = 10,
     exact_quantiles: bool = True,
+    max_count_per_word: int | None = 10_000,
 ) -> SuspiciousConnectsResult:
     df = null_filter(df).withColumn(FEEDBACK_FLAG, F.lit(False))
     if feedback is not None:
@@ -106,4 +107,5 @@ def run(
         top_k=top_k,
         seed=seed,
         max_iter=max_iter,
+        max_count_per_word=max_count_per_word,
     )

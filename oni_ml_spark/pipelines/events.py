@@ -49,6 +49,7 @@ def run(
     top_k: int = 100,
     seed: int = 0,
     max_iter: int = 10,
+    max_count_per_word: int | None = 10_000,
     exact_quantiles: bool = True,
 ) -> SuspiciousConnectsResult:
     featurized = featurize(df, exact_quantiles=exact_quantiles).cache()
@@ -61,4 +62,5 @@ def run(
         top_k=top_k,
         seed=seed,
         max_iter=max_iter,
+        max_count_per_word=max_count_per_word,
     )

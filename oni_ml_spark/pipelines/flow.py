@@ -85,6 +85,7 @@ def run(
     seed: int = 0,
     max_iter: int = 10,
     exact_quantiles: bool = True,
+    max_count_per_word: int | None = 10_000,
 ) -> SuspiciousConnectsResult:
     df = valid_time_filter(df).withColumn(FEEDBACK_FLAG, F.lit(False))
     if feedback is not None:
@@ -114,7 +115,8 @@ def run(
     )
     model = fit_topic_model(counts, topic_count=topic_count,
                             doc_concentration=doc_concentration,
-                            seed=seed, max_iter=max_iter)
+                            seed=seed, max_iter=max_iter,
+                            max_count_per_word=max_count_per_word)
 
     to_score = featurized.filter(~F.col(FEEDBACK_FLAG)).drop(FEEDBACK_FLAG)
     # Flow quirk preserved: inner join drops IPs unseen in training

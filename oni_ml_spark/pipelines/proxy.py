@@ -93,6 +93,7 @@ def run(
     top_k: int = -1,
     seed: int = 0,
     max_iter: int = 10,
+    max_count_per_word: int | None = 10_000,
     exact_quantiles: bool = True,
 ) -> SuspiciousConnectsResult:
     df = null_filter(df).withColumn(FEEDBACK_FLAG, F.lit(False))
@@ -113,4 +114,5 @@ def run(
         top_k=top_k,
         seed=seed,
         max_iter=max_iter,
+        max_count_per_word=max_count_per_word,
     )

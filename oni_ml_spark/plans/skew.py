@@ -30,7 +30,16 @@ def salted_join(
     (deterministic: hash of all fact columns), the dim side is exploded
     ``salt`` times — dim grows by the salt factor, so use for small-to-medium
     dims with skewed fact keys.
+
+    Only inner and left joins are supported: under right/full semantics an
+    unmatched dim row survives once per salt replica, multiplying output rows
+    versus the unsalted join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "outer dim rows would be duplicated salt times"
+        )
     fact_s = fact.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salt))
     )

@@ -33,6 +33,13 @@ def uniform_mix(k: int) -> Column:
     return F.array(*[F.lit(1.0 / k)] * k)
 
 
+#: docs above which the doc-topic-mix join degrades from broadcast to a
+#: plain shuffle join. At k=20 topics a mix row is ~180 bytes, so the default
+#: caps the broadcast near ~1 GiB — a day with more distinct IPs than that
+#: would OOM every executor if the hint were unconditional.
+DEFAULT_BROADCAST_DOC_LIMIT = 5_000_000
+
+
 def score_records(
     df: DataFrame,
     model: TopicModel,
@@ -40,21 +47,31 @@ def score_records(
     word_col: str,
     score_col: str = "score",
     drop_unseen_docs: bool = False,
+    broadcast_doc_limit: int = DEFAULT_BROADCAST_DOC_LIMIT,
 ) -> DataFrame:
-    """Attach ``score_col`` to every record via two broadcast joins.
+    """Attach ``score_col`` to every record via model-table joins.
 
     ``drop_unseen_docs=True`` reproduces the flow pipeline's inner join
     (netflow/FlowPostLDA.scala:94) which silently drops records whose doc
     never appeared in training; the default keeps them with the uniform
     fallback like dns/proxy (SuspiciousConnectsScoreFunction.scala:17).
+
+    The word-probs side is always broadcast (V is a cross of small
+    categorical alphabets, bounded ~1e5). The doc-mix side scales with
+    |distinct docs| = |IPs seen today|, so it is broadcast only while its
+    row count (cheap — fit_topic_model leaves it cached) stays under
+    ``broadcast_doc_limit``; past that the join degrades to a plain shuffle
+    join and Catalyst/AQE picks the strategy.
     """
     k = model.topic_count
     mix = model.doc_topic_mix.withColumnRenamed("doc", "__doc")
     wp = model.word_probs.withColumnRenamed("word", "__word")
+    if broadcast_doc_limit and mix.count() <= broadcast_doc_limit:
+        mix = F.broadcast(mix)
 
     how = "inner" if drop_unseen_docs else "left"
     out = (
-        df.join(F.broadcast(mix), df[doc_col] == mix["__doc"], how)
+        df.join(mix, df[doc_col] == mix["__doc"], how)
         .join(F.broadcast(wp), df[word_col] == wp["__word"], "left")
         .withColumn(
             score_col,

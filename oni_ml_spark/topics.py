@@ -75,7 +75,7 @@ def fit_topic_model(
     doc_concentration: float = 2.5,
     seed: int = 0,
     max_iter: int = 20,
-    max_count_per_word: int | None = None,
+    max_count_per_word: int | None = 10_000,
 ) -> TopicModel:
     """Fit LDA over a (doc, word, count) corpus, all in-cluster.
 
@@ -102,6 +102,8 @@ def fit_topic_model(
         # would otherwise build a token array of that length below. Capping
         # the per-(doc,word) count bounds the array at |distinct words| × cap
         # and barely moves the topic posterior (counts enter LDA sublinearly).
+        # ON BY DEFAULT — every pipeline hits this path unless a caller
+        # explicitly passes max_count_per_word=None for uncapped parity runs.
         counts = counts.withColumn(
             "count", F.least(F.col("count"), F.lit(max_count_per_word))
         )

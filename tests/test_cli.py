@@ -28,6 +28,7 @@ def test_flow_cli_end_to_end(spark, tmp_path):
             "--analysis", "flow", "--input", inp, "--output", out,
             "--ldatopiccount", "3", "--lda-maxiter", "3",
             "--maxresults", "20", "--single-file", "--approx-quantiles",
+            "--delimiter", ",",
         ]
     )
     assert rc == 0
@@ -35,7 +36,9 @@ def test_flow_cli_end_to_end(spark, tmp_path):
     assert len(parts) == 1
     lines = open(parts[0]).read().strip().splitlines()
     assert 0 < len(lines) <= 20
-    assert all("\t" in ln for ln in lines)
+    # --delimiter , (SuspiciousConnectsArgumentParser.scala:107): comma-
+    # delimited output, no stray tabs
+    assert all("," in ln and "\t" not in ln for ln in lines)
 
 
 def test_flow_cli_with_feedback(spark, tmp_path):

@@ -181,6 +181,23 @@ class TestBucketedNearDup:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestRobustStats:
+    def test_string_keys_pass_through(self, spark):
+        """Regression: the output key field takes the INPUT column's dtype —
+        string group keys (the common case) must survive unmangled."""
+        from oni_ml_spark.datapipe.textstats import robust_stats
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("a", 100.0), ("b", 5.0)],
+            "grp string, v double",
+        )
+        rows = {r["key"]: r for r in robust_stats(df, "grp", "v").collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"]["median"] == 3.0
+        assert rows["a"]["mad"] == 2.0
+        assert rows["b"]["n"] == 1
+
+
 class TestSamplingAndSessions:
     def test_hash_split_deterministic_and_proportional(self, spark):
         from oni_ml_spark.datapipe.sampling import hash_split

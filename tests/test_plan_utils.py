@@ -28,6 +28,51 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert got == {(1, "a", "one"), (99, "b", None)}
 
 
+def test_salted_join_rejects_outer_hows(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(fact, dim, "k", salt=4, how=how)
+
+
+def test_score_records_broadcast_is_size_adaptive(spark):
+    """Under the limit the doc-mix join is broadcast; over it (limit=0 here)
+    it degrades to a shuffle join instead of OOMing the executors."""
+    from oni_ml_spark.scoring import score_records
+    from oni_ml_spark.topics import TopicModel
+
+    mix = spark.createDataFrame(
+        [(f"d{i}", [0.5, 0.5]) for i in range(20)], "doc string, topic_mix array<double>"
+    )
+    wp = spark.createDataFrame(
+        [(f"w{i}", [0.3, 0.7]) for i in range(5)],
+        "word string, word_given_topic array<double>",
+    )
+    model = TopicModel(mix, wp, 2, [f"w{i}" for i in range(5)])
+    records = spark.createDataFrame(
+        [(f"d{i % 20}", f"w{i % 5}") for i in range(100)], "doc string, word string"
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = score_records(records, model, "doc", "word")
+        plan_hinted = hinted._jdf.queryExecution().executedPlan().toString()
+        # both model joins broadcast (doc mix under the limit + word probs)
+        assert plan_hinted.count("BroadcastHashJoin") == 2
+
+        shuffled = score_records(records, model, "doc", "word", broadcast_doc_limit=1)
+        plan_shuffled = shuffled._jdf.queryExecution().executedPlan().toString()
+        # doc-mix join degraded to non-broadcast; word probs still broadcast
+        assert plan_shuffled.count("BroadcastHashJoin") == 1
+        assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, shuffled.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     import uuid
 
