@@ -16,13 +16,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oni_ml_spark.entry_queries import ORACLES, QUERIES
+from oni_ml_spark.entry_queries import ORACLES, QUERIES, flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end suspicious-connects (featurize → in-cluster LDA →
     broadcast scoring → bottom-K) on the sf0.001 events table."""
-    return QUERIES["flagship_suspicious_events"](spark, "/root/testdata/sf0.001")
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

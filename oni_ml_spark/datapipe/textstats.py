@@ -49,11 +49,13 @@ def lang_id(c: Column | str) -> Column:
 
 
 def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Length / punctuation / stopword / uppercase ratios + token count.
+    """Length / punctuation / stopword / uppercase ratios + token counts.
 
-    Returns (id, n_chars, n_tokens, punct_ratio, stopword_ratio, upper_ratio,
-    mean_token_len) — the standard cheap quality gates for a pretraining
-    corpus filter, all rounded for stable comparison.
+    Returns (id, n_chars, n_tokens, regex_tokens, punct_ratio,
+    stopword_ratio, upper_ratio, mean_token_len) — the standard cheap
+    quality gates for a pretraining corpus filter, all rounded for stable
+    comparison. n_tokens is the whitespace count; regex_tokens the BPE-ish
+    regex count (both token-budget estimators in one pass).
     """
     t = F.col(text_col)
     toks = tokens(text_col)
@@ -64,10 +66,12 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*en_stop)))
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_REGEX), F.lit(0)))
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
+        bpe.cast("long").alias("regex_tokens"),
         F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
