@@ -181,6 +181,25 @@ class TestBucketedNearDup:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestTopNgrams:
+    def test_top_ngram_frequencies(self, spark, docs):
+        """Corpus n-gram frequency table: shared shingles across the dup
+        cluster must dominate the top of the list."""
+        from oni_ml_spark.datapipe.dedup import shingle_table
+
+        sh = shingle_table(docs, "doc_id", "text", 3)
+        top = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("shingle"))
+            .limit(5)
+            .collect()
+        )
+        # docs 0/1 are identical and 2 is a near-dup: shared 3-grams occur 3x
+        assert top[0]["cnt"] == 3
+        assert all(top[i]["cnt"] >= top[i + 1]["cnt"] for i in range(len(top) - 1))
+
+
 class TestRobustStats:
     def test_string_keys_pass_through(self, spark):
         """Regression: the output key field takes the INPUT column's dtype —
