@@ -92,12 +92,19 @@ def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
     return out
 
 
+def _plane_lit(plane: list[float]) -> Column:
+    """Array literal built from ONE parsed SQL expression instead of one
+    py4j `lit` roundtrip per element — constructing 64 planes × 64 dims as
+    individual lits costs several driver seconds; parsing is ~free. The `D`
+    suffix keeps the elements DOUBLE (bare 1.0 parses as DECIMAL)."""
+    return F.expr("array(" + ",".join(f"{x}D" for x in plane) + ")")
+
+
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: bit p = sign(vec · plane_p)."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vec, lit_plane) > 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(dot(vec, _plane_lit(plane)) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
@@ -180,7 +187,11 @@ def srp_banded_buckets(
     ``planes`` (planes are split evenly across bands). A pair of vectors is a
     candidate iff they share a bucket in at least one band — the OR-of-ANDs
     amplification that makes SRP recall tunable (more bands → higher recall,
-    more candidates)."""
+    more candidates).
+
+    Plane literals are parsed SQL expressions (see _plane_lit) so the
+    unrolled per-plane dots stay whole-stage-codegen'd at runtime without
+    paying thousands of py4j roundtrips at plan-construction time."""
     per_band = len(planes) // bands
     entries = []
     for bi in range(bands):
@@ -192,6 +203,34 @@ def srp_banded_buckets(
             )
         )
     return F.array(*entries)
+
+
+def _srp_banded_expr(vec_col: str, planes: list[list[float]], bands: int) -> Column:
+    """srp_banded_buckets as ONE parsed SQL expression over a named column.
+
+    Functionally identical to srp_banded_buckets; exists because building
+    64 per-plane dot products through the Python HOF API costs one py4j
+    lambda-construction roundtrip per plane (~3-4 driver seconds at 8×8),
+    while shipping a single SQL string is one roundtrip and Catalyst parses
+    it JVM-side. The hot battery path uses this; the Column-API version
+    stays for composability with arbitrary vector expressions."""
+    per_band = len(planes) // bands
+    structs = []
+    for bi in range(bands):
+        bits = []
+        for p in range(per_band):
+            plane = planes[bi * per_band + p]
+            arr = "array(" + ",".join(f"{x}D" for x in plane) + ")"
+            d = (
+                f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> x * y), "
+                "0D, (a, x) -> a + x)"
+            )
+            bits.append(
+                f"(CASE WHEN {d} > 0 THEN CAST({1 << p} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        structs.append(f"struct({bi} AS band, ({' + '.join(bits)}) AS bucket)")
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def embedding_near_duplicates_bucketed(
@@ -216,10 +255,12 @@ def embedding_near_duplicates_bucketed(
     3. candidates (and only candidates) get an exact cosine check.
 
     Recall: a pair at angle θ survives one band with (1-θ/π)^planes_per_band
-    and is missed by all bands with (1-that)^bands. At the near-dup regime
-    (cos ≥ 0.9 → θ ≤ 0.45 rad) the default 8×8 misses < 1e-4 of pairs;
-    tighter thresholds are found with near certainty. For an exact-recall
-    requirement use the all-pairs oracle on a bounded subset instead.
+    and is missed by all bands with (1-that)^bands. With the default 8×8,
+    true near-duplicates (cos ≥ 0.999, θ ≤ 0.045) are missed with
+    probability < 1e-9; pairs sitting exactly at a 0.9 threshold boundary
+    are missed ~6% of the time — lower ``planes_per_band`` or raise
+    ``bands`` when boundary recall matters. For an exact-recall requirement
+    use the all-pairs oracle on a bounded subset instead.
     """
     v = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
@@ -227,7 +268,7 @@ def embedding_near_duplicates_bucketed(
 
     hp = _hyperplanes(dim, planes_per_band * bands, seed)
     buckets = v.select(
-        "id", F.explode(srp_banded_buckets(F.col("v"), hp, bands)).alias("bb")
+        "id", F.explode(_srp_banded_expr("v", hp, bands)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
 
     a, b = buckets.alias("a"), buckets.alias("b")
