@@ -19,7 +19,6 @@ from oni_ml_spark.transforms import (
     dns_word,
     extract_subdomain_cols,
     oversample,
-    quantile_cuts,
     string_entropy,
     top_domain_expr,
 )
@@ -41,19 +40,40 @@ def featurize(
     preserved (P5). With exact_quantiles=False all five use the single-pass
     approxQuantile sketch.
     """
-    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts
+    from oni_ml_spark.transforms.quantiles import (
+        approx_quantile_cuts,
+        quantile_cuts_multi,
+    )
 
-    cuts_of = quantile_cuts if exact_quantiles else approx_quantile_cuts
     df = df.withColumns(extract_subdomain_cols("dns_qry_name"))
     df = df.withColumn("subdomain_entropy", string_entropy("subdomain"))
     df = df.cache()
 
-    time_cuts = cuts_of(df, "unix_tstamp", DECILES)
-    frame_len_cuts = cuts_of(df, "frame_len", DECILES)
-    pos = lambda c: df.filter(F.col(c) > 0)  # noqa: E731  (P5 predicate)
-    subdomain_len_cuts = cuts_of(pos("subdomain_length"), "subdomain_length", QUINTILES)
-    entropy_cuts = cuts_of(pos("subdomain_entropy"), "subdomain_entropy", QUINTILES)
-    periods_cuts = cuts_of(pos("num_periods"), "num_periods", QUINTILES)
+    if exact_quantiles:
+        # the reference's five full-scan quantile jobs in 3 jobs total,
+        # >0 predicates (P5) applied per column inside the melt
+        cuts = quantile_cuts_multi(
+            df,
+            {
+                "unix_tstamp": DECILES,
+                "frame_len": DECILES,
+                "subdomain_length": QUINTILES,
+                "subdomain_entropy": QUINTILES,
+                "num_periods": QUINTILES,
+            },
+            positive_only={"subdomain_length", "subdomain_entropy", "num_periods"},
+        )
+        time_cuts, frame_len_cuts = cuts["unix_tstamp"], cuts["frame_len"]
+        subdomain_len_cuts = cuts["subdomain_length"]
+        entropy_cuts, periods_cuts = cuts["subdomain_entropy"], cuts["num_periods"]
+    else:
+        cuts_of = approx_quantile_cuts
+        time_cuts = cuts_of(df, "unix_tstamp", DECILES)
+        frame_len_cuts = cuts_of(df, "frame_len", DECILES)
+        pos = lambda c: df.filter(F.col(c) > 0)  # noqa: E731  (P5 predicate)
+        subdomain_len_cuts = cuts_of(pos("subdomain_length"), "subdomain_length", QUINTILES)
+        entropy_cuts = cuts_of(pos("subdomain_entropy"), "subdomain_entropy", QUINTILES)
+        periods_cuts = cuts_of(pos("num_periods"), "num_periods", QUINTILES)
 
     df = df.withColumns(
         {

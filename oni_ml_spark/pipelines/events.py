@@ -14,16 +14,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oni_ml_spark.pipelines.common import SuspiciousConnectsResult, train_and_score
-from oni_ml_spark.transforms import DECILES, QUINTILES, bin_expr, quantile_cuts
+from oni_ml_spark.transforms import DECILES, QUINTILES, bin_expr
 
 
 def featurize(df: DataFrame, exact_quantiles: bool = True) -> DataFrame:
-    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts
+    from oni_ml_spark.transforms.quantiles import (
+        approx_quantile_cuts,
+        quantile_cuts_multi,
+    )
 
-    cuts_of = quantile_cuts if exact_quantiles else approx_quantile_cuts
     df = df.withColumn("hour", F.hour("ts").cast("double")).cache()
-    value_cuts = cuts_of(df, "value", DECILES)
-    hour_cuts = cuts_of(df, "hour", QUINTILES)
+    if exact_quantiles:
+        cuts = quantile_cuts_multi(df, {"value": DECILES, "hour": QUINTILES})
+        value_cuts, hour_cuts = cuts["value"], cuts["hour"]
+    else:
+        value_cuts = approx_quantile_cuts(df, "value", DECILES)
+        hour_cuts = approx_quantile_cuts(df, "hour", QUINTILES)
     df = df.withColumns(
         {
             "value_bin": bin_expr("value", value_cuts),

@@ -26,7 +26,6 @@ from oni_ml_spark.transforms import (
     flow_word_cols,
     fractional_hour,
     oversample,
-    quantile_cuts,
 )
 from oni_ml_spark.transforms.feedback import conform_feedback, severity_filter
 
@@ -47,14 +46,19 @@ def featurize(df: DataFrame, exact_quantiles: bool = True) -> DataFrame:
     array to the driver — the only driver-boundary crossings in the pipeline
     (reference had the same, netflow/FlowWordCreation.scala:26-49).
     """
-    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts_multi
+    from oni_ml_spark.transforms.quantiles import (
+        approx_quantile_cuts_multi,
+        quantile_cuts_multi,
+    )
 
     df = df.withColumn("num_time", fractional_hour("trhour", "trminute", "trsec"))
     df = df.cache()
     if exact_quantiles:
-        time_cuts = quantile_cuts(df, "num_time", DECILES)
-        ibyt_cuts = quantile_cuts(df, "ibyt", DECILES)
-        ipkt_cuts = quantile_cuts(df, "ipkt", QUINTILES)
+        # all three cut sets in 3 jobs total (vs 3 per column)
+        cuts = quantile_cuts_multi(
+            df, {"num_time": DECILES, "ibyt": DECILES, "ipkt": QUINTILES}
+        )
+        time_cuts, ibyt_cuts, ipkt_cuts = cuts["num_time"], cuts["ibyt"], cuts["ipkt"]
     else:
         # one sketch pass for all three columns; quintiles = every 2nd decile
         cuts = approx_quantile_cuts_multi(df, ["num_time", "ibyt", "ipkt"], DECILES)

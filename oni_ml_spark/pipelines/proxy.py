@@ -22,7 +22,6 @@ from oni_ml_spark.transforms import (
     QUINTILES,
     bin_expr,
     oversample,
-    quantile_cuts,
     string_entropy,
     proxy_word,
 )
@@ -45,7 +44,10 @@ def featurize(
     Reference cuts: time deciles (ProxySuspiciousConnectsModel.scala:106-107),
     fulluri-entropy quintiles (:109-110), agent-count quintiles (:112-118).
     """
-    from oni_ml_spark.transforms.quantiles import approx_quantile_cuts_multi
+    from oni_ml_spark.transforms.quantiles import (
+        approx_quantile_cuts_multi,
+        quantile_cuts_multi,
+    )
 
     df = df.withColumn("num_time", seconds_of_day("p_time"))
     df = df.withColumn("uri_entropy", string_entropy("fulluri"))
@@ -54,9 +56,12 @@ def featurize(
     df = df.join(F.broadcast(agent_counts), "useragent", "left").cache()
 
     if exact_quantiles:
-        time_cuts = quantile_cuts(df, "num_time", DECILES)
-        entropy_cuts = quantile_cuts(df, "uri_entropy", QUINTILES)
-        agent_cuts = quantile_cuts(df, "agent_count", QUINTILES)
+        cuts = quantile_cuts_multi(
+            df,
+            {"num_time": DECILES, "uri_entropy": QUINTILES, "agent_count": QUINTILES},
+        )
+        time_cuts = cuts["num_time"]
+        entropy_cuts, agent_cuts = cuts["uri_entropy"], cuts["agent_count"]
     else:
         cuts = approx_quantile_cuts_multi(
             df, ["num_time", "uri_entropy", "agent_count"], DECILES

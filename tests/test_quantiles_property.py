@@ -64,3 +64,34 @@ def test_bin_expr_matches_python_oracle(spark, values, raw_cuts):
     got = [r[0] for r in df.select(bin_expr("v", cuts)).collect()]
     want = [py_bin(v, cuts) for v in values]
     assert got == want, (values, cuts)
+
+
+def test_quantile_cuts_multi_matches_per_column(spark):
+    """The 3-jobs-total multi-column exact path must produce IDENTICAL cuts
+    to the per-column exact path, including the positive-only (P5) filter
+    and the empty-input +inf edge."""
+    from pyspark.sql import functions as F
+
+    from oni_ml_spark.io import load_table
+    from oni_ml_spark.transforms.quantiles import quantile_cuts_multi
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    multi = quantile_cuts_multi(
+        li, {"l_quantity": DECILES, "l_extendedprice": DECILES, "l_discount": QUINTILES}
+    )
+    for c, probs in [
+        ("l_quantity", DECILES), ("l_extendedprice", DECILES), ("l_discount", QUINTILES)
+    ]:
+        assert multi[c] == quantile_cuts(li, c, probs), c
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "hour", F.hour("ts").cast("double")
+    )
+    m2 = quantile_cuts_multi(
+        e, {"value": DECILES, "hour": QUINTILES}, positive_only={"value"}
+    )
+    assert m2["value"] == quantile_cuts(e.filter(F.col("value") > 0), "value", DECILES)
+    assert m2["hour"] == quantile_cuts(e, "hour", QUINTILES)
+
+    m3 = quantile_cuts_multi(e.filter(F.lit(False)), {"value": QUINTILES})
+    assert all(x == float("inf") for x in m3["value"])
