@@ -1,0 +1,130 @@
+"""Temporal joins vs DuckDB oracles: as_of_join against native ASOF JOIN,
+range_join_bucketed against a plain BETWEEN join — same local-oracle rigor
+as the driver gate, run here because the 50-slot battery is full.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.temporal import as_of_join, range_join_bucketed
+from oni_ml_spark.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    e = load_table(spark, SF_DIR, "events")
+    left = e.select("event_id", "user_id", F.col("ts").cast("double").alias("t"))
+    # every 7th event is a per-user "checkpoint" carrying a value
+    right = e.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", F.col("ts").cast("double").alias("rt"), "value"
+    )
+    return left, right
+
+
+def _duck_with(con, spark_df, name):
+    pdf = spark_df.toPandas()
+    con.register(name, pdf)
+
+
+class TestAsOf:
+    def test_backward_matches_duckdb_asof(self, spark, frames):
+        left, right = frames
+        got = as_of_join(
+            left, right, key="user_id", left_time="t", right_time="rt"
+        ).select("event_id", "__matched_time", "value")
+
+        con = duckdb.connect()
+        _duck_with(con, left, "l")
+        _duck_with(con, right, "r")
+        want = con.execute(
+            "SELECT l.event_id, r.rt AS __matched_time, r.value "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rt <= l.t"
+        ).fetchall()
+        assert sorted(map(str, (tuple(x) for x in got.collect()))) == sorted(
+            map(str, want)
+        )
+
+    def test_forward_and_tolerance(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 25.0), (3, "b", 5.0)], "id long, k string, t double"
+        )
+        right = spark.createDataFrame(
+            [("a", 12.0, "x"), ("a", 30.0, "y"), ("b", 1.0, "z")],
+            "k string, rt double, tag string",
+        )
+        fwd = {
+            r["id"]: (r["__matched_time"], r["tag"])
+            for r in as_of_join(
+                left, right, "k", "t", "rt", direction="forward"
+            ).collect()
+        }
+        assert fwd[1] == (12.0, "x")   # earliest rt >= 10
+        assert fwd[2] == (30.0, "y")
+        assert fwd[3] == (None, None)  # no rt >= 5 for b? rt=1 < 5 → no match
+
+        tol = {
+            r["id"]: r["tag"]
+            for r in as_of_join(
+                left, right, "k", "t", "rt", direction="backward", tolerance=5.0
+            ).collect()
+        }
+        # id=2 (t=25): last rt<=25 is 12, distance 13 > 5 → nulled
+        assert tol[2] is None
+        # id=3 (t=5): rt=1, distance 4 <= 5 → kept
+        assert tol[3] == "z"
+
+    def test_ties_match_backward(self, spark):
+        left = spark.createDataFrame([(1, "a", 10.0)], "id long, k string, t double")
+        right = spark.createDataFrame([("a", 10.0, "same")], "k string, rt double, tag string")
+        row = as_of_join(left, right, "k", "t", "rt").collect()[0]
+        assert row["tag"] == "same"  # rt <= t includes equality
+
+    def test_no_join_node_in_plan(self, spark, frames):
+        left, right = frames
+        plan = (
+            as_of_join(left, right, "user_id", "t", "rt")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRangeJoin:
+    def test_matches_duckdb_between(self, spark):
+        points = load_table(spark, SF_DIR, "events").select("event_id", "value")
+        iv = spark.createDataFrame(
+            [(k, k * 5.0, k * 5.0 + 7.0) for k in range(20)],
+            "iv_id long, lo double, hi double",
+        )
+        got = range_join_bucketed(points, iv, "value", "lo", "hi", bucket_width=4.0)
+
+        con = duckdb.connect()
+        _duck_with(con, points, "p")
+        _duck_with(con, iv, "i")
+        want = con.execute(
+            "SELECT p.event_id, i.iv_id FROM p JOIN i ON p.value BETWEEN i.lo AND i.hi"
+        ).fetchall()
+        gotset = sorted((r["event_id"], r["iv_id"]) for r in got.collect())
+        assert gotset == sorted(want)
+        assert len(gotset) > 0  # non-vacuous
+
+    def test_equi_join_plan_no_nested_loop(self, spark):
+        points = load_table(spark, SF_DIR, "events").select("event_id", "value")
+        iv = spark.createDataFrame([(1, 0.0, 10.0)], "iv_id long, lo double, hi double")
+        plan = (
+            range_join_bucketed(points, iv, "value", "lo", "hi", 4.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rejects_nonpositive_width(self, spark):
+        iv = spark.createDataFrame([(1, 0.0, 1.0)], "iv_id long, lo double, hi double")
+        p = spark.createDataFrame([(1, 0.5)], "id long, value double")
+        with pytest.raises(ValueError):
+            range_join_bucketed(p, iv, "value", "lo", "hi", 0.0)
