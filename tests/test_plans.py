@@ -66,3 +66,20 @@ def test_lookup_join_broadcasts_filtered_dim(spark):
     assert "BroadcastHashJoin" in p
     pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
     assert "LessThan(p_size,25)" in pushed
+
+
+def test_bucketed_near_dup_has_no_cartesian(spark):
+    """The embedding near-dup battery entry must candidate-generate through
+    the banded-SRP bucket self-join — never a cross join (VERDICT r01)."""
+    p = _plan(spark, "embedding_near_dup_bucketed")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_no_single_partition_exchange_in_similarity_battery(spark):
+    """No battery similarity query may funnel the corpus through a
+    single-partition exchange (the r01 ivf_topk global-window
+    scale-killer plans as 'Exchange SinglePartition' feeding a Window)."""
+    for name in ("embedding_near_dup_bucketed", "ann_cosine_topk"):
+        p = _plan(spark, name)
+        assert "Exchange SinglePartition" not in p, name
