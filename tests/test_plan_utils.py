@@ -94,3 +94,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed equi join must not shuffle"
+
+
+def test_bucketed_featurized_day_aggregates_without_shuffle(spark):
+    """SCALE.md item: persisting the featurized day bucketed by doc lets the
+    corpus aggregation groupBy(doc, word) run with NO exchange — a
+    HashPartitioning(doc) satisfies the clustered distribution of any
+    grouping-key superset of {doc}, so re-runs against the same day skip
+    the corpus shuffle entirely."""
+    import uuid
+
+    from oni_ml_spark.topics import corpus_counts
+
+    t = f"feat_day_{uuid.uuid4().hex[:10]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    feat = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("doc"),
+        (F.col("id") % 7).cast("string").alias("word"),
+    )
+    write_bucketed(feat, t, "doc", num_buckets=8)
+
+    counts = corpus_counts(read_bucketed(spark, t), "doc", "word")
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {(r["doc"], r["word"]): r["count"] for r in counts.collect()}
+    # doc "0" = ids divisible by 50; word "0" = ids divisible by 7 →
+    # ids divisible by 350 in [0, 2000): 0, 350, ..., 1750 = 6 rows
+    assert got[("0", "0")] == 6
+    assert sum(got.values()) == 2000
