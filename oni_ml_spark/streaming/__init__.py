@@ -9,9 +9,10 @@ continuous retraining input.
 
 from oni_ml_spark.streaming.score_stream import (
     dedup_stream,
+    as_of_enrich_stream,
     score_stream,
     windowed_corpus_counts,
 )
 from oni_ml_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["score_stream", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]
+__all__ = ["as_of_enrich_stream", "score_stream", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]

@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oni_ml_spark.scoring import dot, uniform_mix
@@ -64,6 +64,47 @@ def windowed_corpus_counts(
         stream.withWatermark(ts_col, watermark)
         .groupBy(win.alias("window"), F.col(doc_col).alias("doc"), F.col(word_col).alias("word"))
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def as_of_enrich_stream(
+    stream: DataFrame,
+    right: DataFrame,
+    key: str,
+    stream_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static as-of enrichment: attach the latest static right row
+    at-or-before each stream row's event time, per key.
+
+    The batch as-of (datapipe/temporal.as_of_join) uses an ordered window,
+    which streams don't allow — instead the STATIC side precomputes each
+    row's validity interval [right_time, next right_time) via lead(), and
+    the stream joins on key + time-in-interval. Inequality conditions are
+    supported for stream-static joins, the static side broadcasts, and no
+    streaming state is kept at all (the validity table is a bounded model
+    artifact, same class as the scoring tables)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_time)
+    ]
+    w = Window.partitionBy(key).orderBy(right_time)
+    intervals = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).cast("double").alias("__start"),
+        F.lead(F.col(right_time).cast("double")).over(w).alias("__end"),
+        *[F.col(c) for c in right_cols],
+    )
+    st = F.col(stream_time).cast("double")
+    cond = (
+        (stream[key] == intervals["__k"])
+        & (st >= F.col("__start"))
+        & (F.col("__end").isNull() | (st < F.col("__end")))
+    )
+    return (
+        stream.join(F.broadcast(intervals), cond, "left")
+        .withColumn("__matched_time", F.col("__start"))
+        .drop("__k", "__start", "__end")
     )
 
 

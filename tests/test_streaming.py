@@ -159,3 +159,45 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         for r in batch_sessionize(batch_df, "user", "ts", gap_seconds=1800).collect()
     }
     assert got == want
+
+
+def test_stream_as_of_enrich_matches_batch_asof(spark, tmp_path):
+    """Stream-static as-of enrichment must agree with the batch as_of_join
+    on the same frames (the interval-join reformulation is semantics-
+    preserving, including ties and never-matched rows)."""
+    from oni_ml_spark.datapipe.temporal import as_of_join
+    from oni_ml_spark.streaming import as_of_enrich_stream
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 12.0), (3, "a", 30.0), (4, "b", 5.0), (5, "c", 9.0)],
+        "id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("a", 12.0, "x"), ("a", 20.0, "y"), ("b", 1.0, "z")],
+        "k string, rt double, tag string",
+    )
+    left.write.mode("overwrite").parquet(str(tmp_path / "asof_in"))
+
+    stream = spark.readStream.schema("id long, k string, t double").parquet(
+        str(tmp_path / "asof_in")
+    )
+    q = (
+        as_of_enrich_stream(stream, right, key="k", stream_time="t", right_time="rt")
+        .writeStream.format("memory").queryName("asof_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["__matched_time"], r["tag"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    want = {
+        r["id"]: (r["__matched_time"], r["tag"])
+        for r in as_of_join(left, right, "k", "t", "rt").collect()
+    }
+    assert got == want
+    assert got[1] == (None, None)       # before the first checkpoint
+    assert got[2] == (12.0, "x")        # tie matches
+    assert got[3] == (20.0, "y")        # open-ended last interval
+    assert got[5] == (None, None)       # key never in right
