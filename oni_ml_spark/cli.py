@@ -43,10 +43,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bottom-K size; -1 = all below threshold")
     p.add_argument("--topdomains", default=None,
                    help="Alexa-style rank,domain CSV for the top-domain flag")
-    p.add_argument("--delimiter", default="\t",
-                   help="output field delimiter "
+    def _one_char(s: str) -> str:
+        # Spark's CSV writer requires a single-character sep; fail at parse
+        # time, not after minutes of featurize+LDA
+        if len(s) != 1:
+            raise argparse.ArgumentTypeError(
+                f"delimiter must be exactly one character, got {s!r}"
+            )
+        return s
+
+    def _non_negative(s: str) -> int:
+        v = int(s)
+        if v < 0:
+            raise argparse.ArgumentTypeError(f"must be >= 0, got {v}")
+        return v
+
+    p.add_argument("--delimiter", default="\t", type=_one_char,
+                   help="output field delimiter, one character "
                         "(SuspiciousConnectsArgumentParser.scala:107)")
-    p.add_argument("--max-count-per-word", type=int, default=10_000,
+    p.add_argument("--max-count-per-word", type=_non_negative, default=10_000,
                    help="cap per-(doc,word) corpus counts before LDA; "
                         "0 = uncapped (adversarial hot-doc guard)")
     p.add_argument("--single-file", action="store_true",

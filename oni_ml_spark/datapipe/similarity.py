@@ -92,6 +92,21 @@ def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
     return out
 
 
+def _checked_dim(vec_col: str, dim: int) -> Column:
+    """Pass the vector through unchanged but raise at runtime if its length
+    doesn't match the hyperplane dimension (assert_true returns NULL on
+    success, raises on failure)."""
+    v = F.col(vec_col)
+    ok = F.assert_true(
+        F.size(v) == dim,
+        F.concat(
+            F.lit(f"embedding length != dim={dim} (got "),
+            F.size(v).cast("string"), F.lit(")"),
+        ),
+    )
+    return F.when(ok.isNull(), v)
+
+
 def _plane_lit(plane: list[float]) -> Column:
     """Array literal built from ONE parsed SQL expression instead of one
     py4j `lit` roundtrip per element — constructing 64 planes × 64 dims as
@@ -135,10 +150,14 @@ def lsh_bucketed_topk(
     hp = _hyperplanes(dim, planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).withColumn("bucket", srp_bucket(F.col("qv"), hp))
+    ).withColumn("qv", _checked_dim("qv", dim)).withColumn(
+        "bucket", srp_bucket(F.col("qv"), hp)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    ).withColumn("bucket", srp_bucket(F.col("cv"), hp))
+    ).withColumn("cv", _checked_dim("cv", dim)).withColumn(
+        "bucket", srp_bucket(F.col("cv"), hp)
+    )
     pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     sims = pairs.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
@@ -180,40 +199,17 @@ def embedding_near_duplicates(
     )
 
 
-def srp_banded_buckets(
-    vec: Column, planes: list[list[float]], bands: int
-) -> Column:
-    """Array of (band, bucket) structs: band i's bucket uses its own slice of
-    ``planes`` (planes are split evenly across bands). A pair of vectors is a
-    candidate iff they share a bucket in at least one band — the OR-of-ANDs
-    amplification that makes SRP recall tunable (more bands → higher recall,
-    more candidates).
-
-    Plane literals are parsed SQL expressions (see _plane_lit) so the
-    unrolled per-plane dots stay whole-stage-codegen'd at runtime without
-    paying thousands of py4j roundtrips at plan-construction time."""
-    per_band = len(planes) // bands
-    entries = []
-    for bi in range(bands):
-        band_planes = planes[bi * per_band : (bi + 1) * per_band]
-        entries.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                srp_bucket(vec, band_planes).alias("bucket"),
-            )
-        )
-    return F.array(*entries)
-
-
 def _srp_banded_expr(vec_col: str, planes: list[list[float]], bands: int) -> Column:
-    """srp_banded_buckets as ONE parsed SQL expression over a named column.
+    """Banded SRP (band, bucket) structs as ONE parsed SQL expression over a
+    named column: band i's bucket packs the sign bits of its own slice of
+    ``planes``. A pair of vectors is a candidate iff they share a bucket in
+    at least one band — the OR-of-ANDs amplification that makes SRP recall
+    tunable (more bands → higher recall, more candidates).
 
-    Functionally identical to srp_banded_buckets; exists because building
-    64 per-plane dot products through the Python HOF API costs one py4j
-    lambda-construction roundtrip per plane (~3-4 driver seconds at 8×8),
-    while shipping a single SQL string is one roundtrip and Catalyst parses
-    it JVM-side. The hot battery path uses this; the Column-API version
-    stays for composability with arbitrary vector expressions."""
+    A single SQL string because building 64 per-plane dot products through
+    the Python HOF API costs one py4j lambda-construction roundtrip per
+    plane (~3-4 driver seconds at 8×8); Catalyst parses the string JVM-side
+    in one roundtrip and the unrolled dots stay whole-stage-codegen'd."""
     per_band = len(planes) // bands
     structs = []
     for bi in range(bands):
@@ -265,6 +261,11 @@ def embedding_near_duplicates_bucketed(
     v = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     ).withColumn("n", norm(F.col("v")))
+    # a dim mismatch would null every plane dot (zip_with pads with nulls)
+    # and silently collapse all vectors into one bucket — the equi join
+    # would then be quadratic while the no-cartesian plan test still
+    # passes. Fail loudly instead.
+    v = v.withColumn("v", _checked_dim("v", dim))
 
     hp = _hyperplanes(dim, planes_per_band * bands, seed)
     buckets = v.select(

@@ -44,8 +44,13 @@ def as_of_join(
     timestamps) nulls out matches further away than that.
 
     Same semantics as DuckDB's ASOF LEFT JOIN (the test oracle) and
-    pandas.merge_asof. Output = every left row + ``right_cols`` + the
-    matched right time as ``__matched_time``.
+    pandas.merge_asof: right rows with a null time never match, left rows
+    with a null time never match, and the matched row's payload travels as
+    a unit (a NULL inside the matched row's payload stays NULL — it is
+    never backfilled from an older right row). Duplicate (key, time) right
+    rows are resolved deterministically by the greatest payload tuple.
+    Output = every left row + ``right_cols`` + the matched right time as
+    ``__matched_time``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -53,59 +58,61 @@ def as_of_join(
         c for c in right.columns if c not in (key, right_time)
     ]
 
-    # one unioned frame: right rows carry payload, left rows carry nulls;
-    # within equal times the right row must sort so the window sees it as
-    # "already happened" for ties to match (backward: right first)
+    # one unioned frame: right rows carry their WHOLE payload as one struct
+    # (so last(ignorenulls) can't mix columns from different right rows),
+    # left rows carry a null struct; within equal times the right row sorts
+    # first so the window sees it as "already happened" and ties match
     lt = F.col(left_time).cast("double")
     rt = F.col(right_time).cast("double")
+    r_payload = F.struct(rt.alias("__rt"), *[F.col(c) for c in right_cols])
+    r_tagged = right.filter(rt.isNotNull()).select(
+        F.col(key).alias("__k"), rt.alias("__t"), F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns)).schema[0].dataType
+        ).alias("__left"),
+        r_payload.alias("__rpay"),
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"), lt.alias("__t"), F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__left"),
-        F.lit(None).cast("double").alias("__rt"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
-    )
-    r_tagged = right.select(
-        F.col(key).alias("__k"), rt.alias("__t"), F.lit(0).alias("__side"),
-        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
-        rt.alias("__rt"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(
+            right.select(r_payload).schema[0].dataType
+        ).alias("__rpay"),
     )
     u = l_tagged.unionByName(r_tagged)
 
+    # the trailing __rpay sort key makes duplicate (key, time) right rows
+    # deterministic: the greatest payload tuple wins (nulls — left rows —
+    # sort first, so they never displace a real payload)
     if direction == "backward":
-        w = Window.partitionBy("__k").orderBy(F.asc("__t"), F.asc("__side")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        order = [F.asc_nulls_first("__t"), F.asc("__side"), F.asc_nulls_first("__rpay")]
     else:
-        w = Window.partitionBy("__k").orderBy(F.desc("__t"), F.asc("__side")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        order = [F.desc_nulls_last("__t"), F.asc("__side"), F.asc_nulls_first("__rpay")]
+    w = Window.partitionBy("__k").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
 
+    matched = F.last("__rpay", ignorenulls=True).over(w)
+    # a left row with null time must never match (forward ordering would
+    # otherwise sort it after every right row and pick one up)
+    matched = F.when(F.col("__t").isNotNull(), matched)
     carried = u.select(
-        "__side", "__left", "__t",
-        F.last("__rt", ignorenulls=True).over(w).alias("__matched_time"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_cols
-        ],
+        "__side", "__left", "__t", matched.alias("__m")
     ).filter(F.col("__side") == 1)
 
     if tolerance is not None:
         dist = (
-            F.col("__t") - F.col("__matched_time")
+            F.col("__t") - F.col("__m.__rt")
             if direction == "backward"
-            else F.col("__matched_time") - F.col("__t")
+            else F.col("__m.__rt") - F.col("__t")
         )
-        in_tol = F.col("__matched_time").isNotNull() & (dist <= tolerance)
-        carried = carried.select(
-            "__left",
-            F.when(in_tol, F.col("__matched_time")).alias("__matched_time"),
-            *[F.when(in_tol, F.col(f"__m_{c}")).alias(f"__m_{c}") for c in right_cols],
+        carried = carried.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & (dist <= tolerance), F.col("__m"))
         )
     return carried.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        F.col("__matched_time").alias("__matched_time"),
-        *[F.col(f"__m_{c}").alias(c) for c in right_cols],
+        F.col("__m.__rt").alias("__matched_time"),
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )
 
 

@@ -23,6 +23,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def regex_token_count(c: Column | str) -> Column:
+    """BPE-ish regex token count (shared by token_counts / quality_metrics)."""
+    t = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_REGEX), F.lit(0)))
+
+
 def _marker_hits(c: Column, words: list[str]) -> Column:
     """Count of tokens that are in the marker list."""
     return F.size(F.filter(tokens(c), lambda t: t.isin(*words)))
@@ -66,7 +72,7 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*en_stop)))
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
-    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_REGEX), F.lit(0)))
+    bpe = regex_token_count(t)
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.cast("long").alias("n_chars"),
@@ -82,9 +88,7 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
     ws = F.size(tokens(text_col))
-    bpe = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0))
-    )
+    bpe = regex_token_count(text_col)
     return df.select(
         F.col(id_col).alias("id"),
         ws.cast("long").alias("ws_tokens"),
@@ -111,14 +115,25 @@ def mask_pii(c: Column | str, email_token: str = "<EMAIL>", ip_token: str = "<IP
     return F.regexp_replace(F.regexp_replace(t, EMAIL_REGEX, email_token), IPV4_REGEX, ip_token)
 
 
+def fingerprint_cols(text_col: Column | str) -> dict[str, Column]:
+    """The fingerprint expressions (md5 of normalized text + 16-hex rolling
+    prefix) as named Columns — composable into wider per-doc selects (the
+    text_normalize battery query) without a join."""
+    norm = normalize_text(text_col)
+    return {
+        "fp_md5": F.md5(norm),
+        "fp_prefix64": F.substring(F.md5(F.substring(norm, 1, 64)), 1, 16),
+    }
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text plus a
     16-hex-char rolling prefix fingerprint (cheap locality clue)."""
-    norm = normalize_text(text_col)
+    cols = fingerprint_cols(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        F.md5(norm).alias("fp_md5"),
-        F.substring(F.md5(F.substring(norm, 1, 64)), 1, 16).alias("fp_prefix64"),
+        cols["fp_md5"].alias("fp_md5"),
+        cols["fp_prefix64"].alias("fp_prefix64"),
     )
 
 

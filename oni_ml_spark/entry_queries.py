@@ -1220,8 +1220,7 @@ def text_normalize_q(spark, sf):
       mask identically),
     - deterministic document fingerprints (md5 of normalized text + 16-hex
       rolling prefix)."""
-    from oni_ml_spark.datapipe.dedup import normalize_text
-    from oni_ml_spark.datapipe.textstats import mask_pii, strip_html
+    from oni_ml_spark.datapipe.textstats import fingerprint_cols, mask_pii, strip_html
 
     d = load_table(spark, sf, "documents")
     wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
@@ -1229,13 +1228,13 @@ def text_normalize_q(spark, sf):
         F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
         F.lit("@example.com from 10.1.2.3"),
     )
-    norm = normalize_text("text")
+    fp = fingerprint_cols("text")
     return d.select(
         "doc_id",
         strip_html(wrapped).alias("clean"),
         mask_pii(planted).alias("masked"),
-        F.md5(norm).alias("fp_md5"),
-        F.substring(F.md5(F.substring(norm, 1, 64)), 1, 16).alias("fp_prefix64"),
+        fp["fp_md5"].alias("fp_md5"),
+        fp["fp_prefix64"].alias("fp_prefix64"),
     )
 
 

@@ -59,15 +59,19 @@ def score_records(
     The word-probs side is always broadcast (V is a cross of small
     categorical alphabets, bounded ~1e5). The doc-mix side scales with
     |distinct docs| = |IPs seen today|, so it is broadcast only while its
-    row count (cheap — fit_topic_model leaves it cached) stays under
-    ``broadcast_doc_limit``; past that the join degrades to a plain shuffle
-    join and Catalyst/AQE picks the strategy.
+    row count stays under ``broadcast_doc_limit``; past that the join
+    degrades to a plain shuffle join and Catalyst/AQE picks the strategy.
+    fit_topic_model records the tally on the model (``n_docs``), so the
+    decision costs no Spark action there; a hand-built TopicModel without
+    one is counted lazily (cached by fit; once per call otherwise).
     """
     k = model.topic_count
     mix = model.doc_topic_mix.withColumnRenamed("doc", "__doc")
     wp = model.word_probs.withColumnRenamed("word", "__word")
-    if broadcast_doc_limit and mix.count() <= broadcast_doc_limit:
-        mix = F.broadcast(mix)
+    if broadcast_doc_limit:
+        n_docs = model.n_docs if model.n_docs is not None else mix.count()
+        if n_docs <= broadcast_doc_limit:
+            mix = F.broadcast(mix)
 
     how = "inner" if drop_unseen_docs else "left"
     out = (

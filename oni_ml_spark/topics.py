@@ -67,6 +67,10 @@ class TopicModel:
     word_probs: DataFrame     # word, word_given_topic array<double>
     topic_count: int
     vocabulary: list[str]
+    #: |docs|, captured from the cache-materializing count in fit_topic_model
+    #: so scoring's size-adaptive broadcast decision is free (None → the
+    #: scorer counts lazily once)
+    n_docs: int | None = None
 
 
 def fit_topic_model(
@@ -160,6 +164,8 @@ def fit_topic_model(
     word_probs = spark.createDataFrame(pdf).select(
         "word", F.array(*[f"p{t}" for t in range(topic_count)]).alias("word_given_topic")
     )
-    doc_topic_mix.count()  # materialize the cache before counts is unpersisted
+    # materialize the cache before counts is unpersisted; the count doubles
+    # as the doc tally the scorer's broadcast decision needs
+    n_docs = doc_topic_mix.count()
     counts.unpersist()
-    return TopicModel(doc_topic_mix, word_probs, topic_count, vocabulary)
+    return TopicModel(doc_topic_mix, word_probs, topic_count, vocabulary, n_docs)

@@ -128,3 +128,64 @@ class TestRangeJoin:
         p = spark.createDataFrame([(1, 0.5)], "id long, value double")
         with pytest.raises(ValueError):
             range_join_bucketed(p, iv, "value", "lo", "hi", 0.0)
+
+
+class TestAsOfEdges:
+    """Regressions from the round-2 review: payload must travel as a unit,
+    null times never match, duplicate (key, time) rows resolve
+    deterministically."""
+
+    def test_null_payload_in_matched_row_stays_null(self, spark):
+        left = spark.createDataFrame([(1, "k", 3.0)], "id long, k string, t double")
+        right = spark.createDataFrame(
+            [("k", 1.0, "x"), ("k", 2.0, None)], "k string, rt double, tag string"
+        )
+        row = as_of_join(left, right, "k", "t", "rt").collect()[0]
+        # matched row is rt=2 whose tag IS null — must not backfill 'x'
+        assert row["__matched_time"] == 2.0
+        assert row["tag"] is None
+
+    def test_null_right_time_rows_never_match(self, spark):
+        left = spark.createDataFrame([(1, "k", 3.0)], "id long, k string, t double")
+        right = spark.createDataFrame(
+            [("k", None, "ghost")], "k string, rt double, tag string"
+        )
+        row = as_of_join(left, right, "k", "t", "rt").collect()[0]
+        assert row["__matched_time"] is None and row["tag"] is None
+
+    def test_null_left_time_never_matches_either_direction(self, spark):
+        left = spark.createDataFrame([(1, "k", None)], "id long, k string, t double")
+        right = spark.createDataFrame(
+            [("k", 5.0, "x"), ("k", 9.0, "y")], "k string, rt double, tag string"
+        )
+        for direction in ("backward", "forward"):
+            row = as_of_join(left, right, "k", "t", "rt", direction=direction).collect()[0]
+            assert row["__matched_time"] is None and row["tag"] is None, direction
+
+    def test_duplicate_time_rows_resolve_deterministically(self, spark):
+        left = spark.createDataFrame([(1, "k", 12.0)], "id long, k string, t double")
+        right = spark.createDataFrame(
+            [("k", 10.0, "a"), ("k", 10.0, "b")], "k string, rt double, tag string"
+        )
+        tags = {
+            as_of_join(left, right, "k", "t", "rt").collect()[0]["tag"]
+            for _ in range(3)
+        }
+        assert tags == {"b"}  # greatest payload tuple wins, every run
+
+
+def test_dim_mismatch_raises_instead_of_degrading(spark):
+    """A wrong dim must fail loudly — silently nulled plane dots would
+    collapse every vector into one bucket and make the 'bucketed' path
+    quadratic while all plan assertions still pass."""
+    from py4j.protocol import Py4JJavaError
+
+    from oni_ml_spark.datapipe.similarity import embedding_near_duplicates_bucketed
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception) as exc:
+        embedding_near_duplicates_bucketed(emb, dim=64).collect()
+    assert "dim" in str(exc.value) or "assert" in str(exc.value).lower()
