@@ -62,12 +62,31 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
-def extract_media_metadata(media: DataFrame) -> DataFrame:
+def parallelize_for_decode(media: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a decode stage gets enough partitions to use every core.
+
+    Small parquet inputs arrive as ONE split (a 1 MB file never crosses
+    maxPartitionBytes), which serializes the whole Python decode behind a
+    single Arrow worker. Cluster-sized inputs already have many splits and
+    pass through untouched — the repartition only fires when the input has
+    fewer partitions than the session's parallelism.
+    """
+    target = min_partitions or media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        return media.repartition(target)
+    return media
+
+
+def extract_media_metadata(media: DataFrame, parallelize: bool = True) -> DataFrame:
     """mapInPandas decode stage: (media_id, payload) → MEDIA_META_SCHEMA.
 
     Arrow-batched; one Python roundtrip per batch, not per row. This is the
-    pattern every real decode/resize/frame-sample stage follows.
+    pattern every real decode/resize/frame-sample stage follows. Input is
+    spread across the session's cores first (see parallelize_for_decode) —
+    decode is the Python-side stage where partition count IS the speedup.
     """
+    if parallelize:
+        media = parallelize_for_decode(media)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
