@@ -530,9 +530,11 @@ _DNS_WORD_ORACLE = (
 def dns_word_assembly(spark, sf):
     """F9-style word assembly: category × value-decile × hour-quintile
     (dns/DNSWordCreation.scala:215-236 pattern) on the events table."""
+    from oni_ml_spark.transforms.quantiles import quantile_cuts_multi
+
     e = load_table(spark, sf, "events").withColumn("hour", F.hour("ts").cast("double"))
-    value_cuts = quantile_cuts(e, "value", DECILES)
-    hour_cuts = quantile_cuts(e, "hour", QUINTILES)
+    cuts = quantile_cuts_multi(e, {"value": DECILES, "hour": QUINTILES})
+    value_cuts, hour_cuts = cuts["value"], cuts["hour"]
     return e.select(
         "event_id",
         F.concat_ws(
