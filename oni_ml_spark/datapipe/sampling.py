@@ -48,6 +48,34 @@ def hash_split(
     return df.withColumn(split_col, out.otherwise(F.lit(names[-1])))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum sampling with a chosen fraction per value of
+    ``strata_col`` — the class-rebalancing operator (downsample the dominant
+    language / source / label before training).
+
+    With ``key_col`` the sample is DETERMINISTIC: a row is kept iff its
+    key's hash bucket falls under the stratum's fraction (same rows every
+    run, any engine — consistent with hash_split). Without a key column it
+    falls back to Spark's seeded ``sampleBy`` (Bernoulli per row, fast but
+    only run-stable, not engine-portable).
+    """
+    if key_col is not None:
+        b = hash_bucket(key_col, 10_000)
+        thresh = None
+        for value, frac in fractions.items():
+            cut = int(round(float(frac) * 10_000))
+            cond = F.col(strata_col) == value
+            thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+        # strata absent from `fractions` are dropped entirely (sampleBy parity)
+        return df.filter(b < F.coalesce(thresh, F.lit(0)))
+    return df.sampleBy(strata_col, {k: float(v) for k, v in fractions.items()}, seed=7)
+
+
 def anti_join_dedup(
     new_docs: DataFrame,
     existing: DataFrame,

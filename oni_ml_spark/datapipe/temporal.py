@@ -43,9 +43,12 @@ def as_of_join(
     ``tolerance`` (in the time column's numeric units, seconds for
     timestamps) nulls out matches further away than that.
 
-    Same semantics as DuckDB's ASOF LEFT JOIN (the test oracle) and
-    pandas.merge_asof: right rows with a null time never match, left rows
-    with a null time never match, and the matched row's payload travels as
+    Same semantics as DuckDB's ASOF LEFT JOIN (the test oracle, including a
+    hypothesis fuzz comparison) with one deliberate divergence: DuckDB's
+    sort-based ASOF matches a NULL left time to the LAST right row (nulls
+    sort past everything) — here a null time never matches anything. Right
+    rows with a null time never match either, and the matched row's payload
+    travels as
     a unit (a NULL inside the matched row's payload stays NULL — it is
     never backfilled from an older right row). Duplicate (key, time) right
     rows are resolved deterministically by the greatest payload tuple.

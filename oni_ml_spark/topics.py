@@ -169,3 +169,43 @@ def fit_topic_model(
     n_docs = doc_topic_mix.count()
     counts.unpersist()
     return TopicModel(doc_topic_mix, word_probs, topic_count, vocabulary, n_docs)
+
+
+def save_model(model: TopicModel, path: str) -> None:
+    """Persist a TopicModel as parquet model tables + a metadata file.
+
+    The reference shipped model state as driver-local LDA-C text files
+    (OniLDACWrapper.scala:91-144, S7) that every scoring run re-parsed; here
+    the model IS two distributed tables, so persistence is two parquet
+    writes any later session (or another engine) can read. Layout:
+    ``{path}/doc_topic_mix``, ``{path}/word_probs``, ``{path}/meta.json``.
+    """
+    import json
+
+    model.doc_topic_mix.write.mode("overwrite").parquet(f"{path}/doc_topic_mix")
+    model.word_probs.write.mode("overwrite").parquet(f"{path}/word_probs")
+    spark = model.doc_topic_mix.sparkSession
+    meta = {
+        "topic_count": model.topic_count,
+        "vocabulary": model.vocabulary,
+        "n_docs": model.n_docs,
+    }
+    # one-row text write through the engine (no driver-local filesystem
+    # assumption — path may be s3://, hdfs://, ...)
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/meta.json")
+
+
+def load_model(spark, path: str) -> TopicModel:
+    """Load a TopicModel persisted by ``save_model``."""
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}/meta.json").collect()[0]["value"])
+    return TopicModel(
+        doc_topic_mix=spark.read.parquet(f"{path}/doc_topic_mix"),
+        word_probs=spark.read.parquet(f"{path}/word_probs"),
+        topic_count=int(meta["topic_count"]),
+        vocabulary=list(meta["vocabulary"]),
+        n_docs=meta.get("n_docs"),
+    )

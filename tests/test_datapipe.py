@@ -329,3 +329,59 @@ class TestNearDupComposition:
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
         sigs = minhash_signatures(df, "doc_id", "text").collect()
         assert {r["id"] for r in sigs} == {2, 3}  # short docs: no shingles, no sig
+
+
+class TestStratifiedSample:
+    def test_deterministic_per_stratum_fractions(self, spark):
+        from oni_ml_spark.datapipe.sampling import stratified_sample
+
+        df = spark.range(10_000).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 < 8, "en").otherwise("de").alias("lang"),
+        )
+        a = stratified_sample(df, "lang", {"en": 0.1, "de": 1.0}, key_col="id")
+        b = stratified_sample(df, "lang", {"en": 0.1, "de": 1.0}, key_col="id")
+        ca = {r["lang"]: r["count"] for r in a.groupBy("lang").count().collect()}
+        cb = {r["lang"]: r["count"] for r in b.groupBy("lang").count().collect()}
+        assert ca == cb  # deterministic
+        assert ca["de"] == 2000  # fraction 1.0 keeps every row
+        assert abs(ca["en"] / 8000 - 0.1) < 0.02  # downsampled dominant class
+
+    def test_unlisted_strata_dropped(self, spark):
+        from oni_ml_spark.datapipe.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "zz")], "id long, lang string"
+        )
+        kept = stratified_sample(df, "lang", {"en": 1.0}, key_col="id").collect()
+        assert [r["lang"] for r in kept] == ["en"]
+
+
+class TestModelPersistence:
+    def test_save_load_roundtrip_scores_identically(self, spark, tmp_path):
+        from oni_ml_spark.scoring import score_records
+        from oni_ml_spark.topics import (
+            corpus_counts, fit_topic_model, load_model, save_model,
+        )
+
+        events = spark.createDataFrame(
+            [(f"u{i % 4}", f"w{(i * 7) % 5}") for i in range(200)],
+            "doc string, word string",
+        )
+        model = fit_topic_model(
+            corpus_counts(events, "doc", "word"), topic_count=3, seed=1, max_iter=5
+        )
+        path = str(tmp_path / "model")
+        save_model(model, path)
+        loaded = load_model(spark, path)
+
+        assert loaded.topic_count == model.topic_count
+        assert loaded.vocabulary == model.vocabulary
+        assert loaded.n_docs == model.n_docs
+        want = sorted(
+            map(tuple, score_records(events, model, "doc", "word").collect())
+        )
+        got = sorted(
+            map(tuple, score_records(events, loaded, "doc", "word").collect())
+        )
+        assert got == want

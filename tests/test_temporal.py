@@ -189,3 +189,54 @@ def test_dim_mismatch_raises_instead_of_degrading(spark):
     with pytest.raises(Exception) as exc:
         embedding_near_duplicates_bucketed(emb, dim=64).collect()
     assert "dim" in str(exc.value) or "assert" in str(exc.value).lower()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.sampled_from(["a", "b"])
+_times = st.one_of(st.none(), st.integers(min_value=0, max_value=20).map(float))
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(_keys, _times), min_size=1, max_size=8),
+    st.lists(st.tuples(_keys, _times, st.integers(0, 99)), min_size=0, max_size=8),
+)
+def test_asof_backward_fuzz_vs_duckdb(spark, lefts, rights):
+    """Property check: as_of_join backward == DuckDB ASOF LEFT JOIN on random
+    tiny frames including null times, duplicate times, and empty rights.
+    DuckDB picks arbitrarily among duplicate (key, time) right rows, so the
+    compare checks the matched TIME only (which is well-defined). Left rows
+    with a NULL time are checked separately: DuckDB's sort-based ASOF
+    matches them to the LAST right row (nulls sort last), which we consider
+    an artifact — this engine never matches a null time (documented)."""
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "id long, k string, t double"
+    )
+    right_rows = [(k, t, v) for (k, t, v) in rights]
+    right = (
+        spark.createDataFrame(right_rows, "k string, rt double, v long")
+        if right_rows
+        else spark.createDataFrame([], "k string, rt double, v long")
+    )
+    got = {
+        r["id"]: r["__matched_time"]
+        for r in as_of_join(left, right, "k", "t", "rt").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    want = dict(
+        con.execute(
+            "SELECT l.id, r.rt FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND r.rt <= l.t WHERE l.t IS NOT NULL"
+        ).fetchall()
+    )
+    null_ids = {i for i, (_, t) in enumerate(lefts) if t is None}
+    assert {i: v for i, v in got.items() if i not in null_ids} == want, (lefts, rights)
+    assert all(got[i] is None for i in null_ids), (lefts, rights)
