@@ -201,3 +201,56 @@ def test_stream_as_of_enrich_matches_batch_asof(spark, tmp_path):
     assert got[2] == (12.0, "x")        # tie matches
     assert got[3] == (20.0, "y")        # open-ended last interval
     assert got[5] == (None, None)       # key never in right
+
+
+def test_stream_stream_asof_two_batches(spark, tmp_path):
+    """Stream-STREAM as-of: rights buffer in per-key state across
+    micro-batches; lefts in a LATER batch match rights from an EARLIER one.
+    Batch 1 = two rights + one left; batch 2 = lefts only (they must match
+    the buffered rights, incl. an update that arrived in batch 1)."""
+    import time
+
+    from oni_ml_spark.streaming import as_of_join_stream
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema, rschema = "id long, k string, t double", "k string, rt double, price double"
+
+    def write(d, rows, schema, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 1 files
+    write(rdir, [("a", 10.0, 1.5), ("a", 20.0, 2.5), ("b", 5.0, 9.0)], rschema, "r1")
+    write(ldir, [(1, "a", 15.0)], lschema, "l1")
+
+    left = spark.readStream.schema(lschema).parquet(ldir)
+    right = spark.readStream.schema(rschema).parquet(rdir)
+    out = as_of_join_stream(left, right, key="k", left_time="t", right_time="rt")
+    q = (
+        out.writeStream.format("memory").queryName("ss_asof")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM ss_asof").collect()[0]["c"] >= 1:
+                break
+            time.sleep(1)
+        # batch 2: lefts only — matches must come from state
+        write(ldir, [(2, "a", 25.0), (3, "a", 9.0), (4, "b", 6.0), (5, "zz", 1.0)], lschema, "l2")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM ss_asof").collect()[0]["c"] >= 5:
+                break
+            time.sleep(1)
+        got = {
+            r["id"]: (r["__matched_time"], r["price"])
+            for r in spark.sql("SELECT * FROM ss_asof").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got[1] == (10.0, 1.5)     # in-batch match
+    assert got[2] == (20.0, 2.5)     # cross-batch: right buffered in state
+    assert got[3] is not None and got[3][0] is None   # before first right
+    assert got[4] == (5.0, 9.0)
+    assert got[5][0] is None         # key never seen on the right
