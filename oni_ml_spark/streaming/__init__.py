@@ -7,7 +7,10 @@ Structured Streaming), plus windowed corpus aggregation with watermarks for
 continuous retraining input.
 """
 
-from oni_ml_spark.streaming.asof_stream import as_of_join_stream
+from oni_ml_spark.streaming.asof_stream import (
+    as_of_join_stream,
+    as_of_join_stream_watermarked,
+)
 from oni_ml_spark.streaming.score_stream import (
     dedup_stream,
     as_of_enrich_stream,
@@ -16,4 +19,4 @@ from oni_ml_spark.streaming.score_stream import (
 )
 from oni_ml_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["as_of_join_stream", "as_of_enrich_stream", "score_stream", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]
+__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]

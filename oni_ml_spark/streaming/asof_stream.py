@@ -21,6 +21,13 @@ Semantics (deliberately simple and documented, in processing order):
 Supported right payload types: string / long / double / boolean (the state
 buffer serializes rows as JSON strings; keep heavy payloads out of the
 right stream and join them back by id downstream).
+
+``as_of_join_stream_watermarked`` is the completeness-first variant: left
+rows wait in state until the stream watermark passes their event time, so a
+right row arriving within the watermark delay still matches retroactively.
+The price is emission latency (one watermark delay) and that left rows
+beyond the final watermark never flush — the same append-mode semantics as
+Spark's windowed aggregations.
 """
 
 from __future__ import annotations
@@ -143,4 +150,128 @@ def as_of_join_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def as_of_join_stream_watermarked(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    watermark_delay: str = "10 seconds",
+    buffer_seconds: float = 86_400.0,
+) -> DataFrame:
+    """Watermark-aligned stream-stream as-of: emit each left row only once
+    the event-time watermark passes its time, so every right row the
+    watermark still admits has been buffered before the match is decided.
+
+    Event-time columns must be timestamps (the watermark is event-time).
+    Left rows with t > final watermark stay in state forever (append-mode
+    semantics); right buffer pruning follows ``buffer_seconds``.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_time)
+    ]
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    for c in right_cols:
+        if not isinstance(rfields[c], _OK_TYPES):
+            raise ValueError(
+                f"right column {c!r} has unsupported type {rfields[c]} "
+                "(string/long/int/double/boolean only)"
+            )
+
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.to_json(F.struct(*left.columns)).alias("__payload"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.to_json(F.struct(*[F.col(c) for c in right_cols])).alias("__payload"),
+    )
+    u = (
+        l_tagged.unionByName(r_tagged)
+        .filter(F.col("__ts").isNotNull())
+        .withWatermark("__ts", watermark_delay)
+        .withColumn("__t", F.col("__ts").cast("double"))
+    )
+
+    out_fields = [T.StructField(f.name, f.dataType) for f in left.schema.fields]
+    out_fields.append(T.StructField("__matched_time", T.DoubleType()))
+    out_fields += [T.StructField(c, rfields[c]) for c in right_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("rts", T.ArrayType(T.DoubleType())),
+            T.StructField("rpayloads", T.ArrayType(T.StringType())),
+            T.StructField("lts", T.ArrayType(T.DoubleType())),
+            T.StructField("lpayloads", T.ArrayType(T.StringType())),
+        ]
+    )
+    left_names = [f.name for f in left.schema.fields]
+
+    def join_group(group_key, pdf_iter, state: GroupState):
+        import bisect
+
+        rts, rpays, lts, lpays = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        rbuf = sorted(zip(rts, rpays))
+        lbuf = sorted(zip(lts, lpays))
+        for pdf in pdf_iter:
+            for t, side, payload in zip(pdf["__t"], pdf["__side"], pdf["__payload"]):
+                bisect.insort(rbuf if side == 0 else lbuf, (float(t), payload))
+
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        ready = [x for x in lbuf if x[0] <= wm]
+        lbuf = [x for x in lbuf if x[0] > wm]
+
+        out_rows = []
+        for t, payload in ready:
+            row = json.loads(payload)
+            idx = bisect.bisect_right([b[0] for b in rbuf], t) - 1
+            if idx >= 0:
+                rt, rpay = rbuf[idx]
+                row["__matched_time"] = rt
+                row.update(json.loads(rpay))
+            else:
+                row["__matched_time"] = None
+            out_rows.append(row)
+
+        # prune rights the watermark AND the buffer horizon are both past;
+        # keep anything a pending left might still need (min pending t)
+        floor_t = min([x[0] for x in lbuf], default=wm) - buffer_seconds
+        rbuf = [b for b in rbuf if b[0] >= min(floor_t, wm)] or rbuf[-1:]
+        state.update(
+            (
+                [b[0] for b in rbuf], [b[1] for b in rbuf],
+                [x[0] for x in lbuf], [x[1] for x in lbuf],
+            )
+        )
+        if lbuf:
+            # wake this key when the watermark passes its earliest pending
+            # left, even if no new data arrives for it
+            state.setTimeoutTimestamp(int(min(x[0] for x in lbuf) * 1000) + 1)
+
+        if out_rows:
+            out = pd.DataFrame(out_rows)
+            for name in [*left_names, "__matched_time", *right_cols]:
+                if name not in out.columns:
+                    out[name] = None
+            for f in out_schema.fields:
+                if isinstance(f.dataType, T.TimestampType) and f.name in out.columns:
+                    out[f.name] = pd.to_datetime(out[f.name])
+            yield out[[*left_names, "__matched_time", *right_cols]]
+
+    return u.groupBy("__k").applyInPandasWithState(
+        join_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -254,3 +254,59 @@ def test_stream_stream_asof_two_batches(spark, tmp_path):
     assert got[3] is not None and got[3][0] is None   # before first right
     assert got[4] == (5.0, 9.0)
     assert got[5][0] is None         # key never seen on the right
+
+
+def test_stream_stream_asof_watermarked_retroactive_match(spark, tmp_path):
+    """Watermark-aligned variant: a left row is held in state until the
+    watermark passes its event time, so a LATE right row (arriving a batch
+    later, but within the watermark delay) still matches retroactively —
+    the completeness guarantee the emit-on-arrival variant trades away."""
+    import time
+
+    from oni_ml_spark.streaming.asof_stream import as_of_join_stream_watermarked
+
+    ldir, rdir = str(tmp_path / "wl"), str(tmp_path / "wr")
+    lschema, rschema = "id long, k string, t double", "k string, rt double, price double"
+
+    def write(d, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 1: an early right + the left under test (t=105)
+    write(rdir, [("a", 100.0, 1.0)], rschema)
+    write(ldir, [(1, "a", 105.0)], lschema)
+
+    left = spark.readStream.schema(lschema).parquet(ldir)
+    right = spark.readStream.schema(rschema).parquet(rdir)
+    out = as_of_join_stream_watermarked(
+        left, right, key="k", left_time="t", right_time="rt",
+        watermark_delay="5 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_asof_wm")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        time.sleep(4)  # let batch 1 process (watermark still 0 → no output)
+        # batch 2: the LATE right the left must pick up, plus a future row
+        # that drags the watermark past t=105 on the following batch
+        write(rdir, [("a", 104.0, 2.0), ("a", 200.0, 9.9)], rschema)
+        time.sleep(4)
+        # batch 3: unrelated key; its arrival (plus the event-time timeout)
+        # lets the now-advanced watermark flush the pending left
+        write(ldir, [(7, "zz", 1.0)], lschema)
+        deadline = time.time() + 90
+        n = 100
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM ss_asof_wm WHERE id = 1").collect()[0]["c"] >= 1:
+                break
+            time.sleep(1)
+            n += 1
+            write(ldir, [(n, "zz2", 1.0)], lschema)  # keep batches flowing
+        rows = {r["id"]: r for r in spark.sql("SELECT * FROM ss_asof_wm").collect()}
+    finally:
+        q.stop()
+
+    assert 1 in rows, f"pending left never flushed: {rows}"
+    # the late right (rt=104) won over the early one (rt=100)
+    assert rows[1]["__matched_time"] == 104.0
+    assert rows[1]["price"] == 2.0
