@@ -71,7 +71,15 @@ def parallelize_for_decode(media: DataFrame, min_partitions: int | None = None) 
     pass through untouched — the repartition only fires when the input has
     fewer partitions than the session's parallelism.
     """
-    target = min_partitions or media.sparkSession.sparkContext.defaultParallelism
+    if media.isStreaming:
+        # .rdd is illegal on a streaming frame; micro-batch sizing is the
+        # source's job (maxFilesPerTrigger / maxOffsetsPerTrigger)
+        return media
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else media.sparkSession.sparkContext.defaultParallelism
+    )
     if media.rdd.getNumPartitions() < target:
         return media.repartition(target)
     return media

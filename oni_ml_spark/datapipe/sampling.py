@@ -60,12 +60,17 @@ def stratified_sample(
 
     With ``key_col`` the sample is DETERMINISTIC: a row is kept iff its
     key's hash bucket falls under the stratum's fraction (same rows every
-    run, any engine — consistent with hash_split). Without a key column it
-    falls back to Spark's seeded ``sampleBy`` (Bernoulli per row, fast but
-    only run-stable, not engine-portable).
+    run, any engine). The hash is SALTED with an operator tag so composing
+    with hash_split on the same key stays independent — an unsalted shared
+    hash would make a 10% sample land entirely inside the first split.
+    Without a key column it falls back to Spark's seeded ``sampleBy``
+    (Bernoulli per row, fast but only run-stable, not engine-portable).
     """
     if key_col is not None:
-        b = hash_bucket(key_col, 10_000)
+        if not fractions:
+            return df.filter(F.lit(False))
+        salted = F.concat(F.col(key_col).cast("string"), F.lit("#stratified"))
+        b = hash_bucket(salted, 10_000)
         thresh = None
         for value, frac in fractions.items():
             cut = int(round(float(frac) * 10_000))

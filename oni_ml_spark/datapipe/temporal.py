@@ -57,9 +57,8 @@ def as_of_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    right_cols = right_cols or [
-        c for c in right.columns if c not in (key, right_time)
-    ]
+    if right_cols is None:  # explicit [] means "matched time only"
+        right_cols = [c for c in right.columns if c not in (key, right_time)]
 
     # one unioned frame: right rows carry their WHOLE payload as one struct
     # (so last(ignorenulls) can't mix columns from different right rows),
