@@ -1,0 +1,132 @@
+"""Document chunking and sequence packing — the shape operators between a
+cleaned corpus and a training run.
+
+- ``chunk_documents``: split each document into fixed-size token windows
+  (with overlap) — one row per chunk. Pure native expressions: tokenize
+  once, explode a window-start sequence, slice + rejoin. Linear, no
+  shuffle, no Python.
+- ``pack_sequences``: greedily pack documents into fixed-capacity bins
+  (context windows) so short documents don't waste sequence slots.
+  Bin packing is inherently sequential, so the scalable formulation packs
+  WITHIN partitions: documents range-repartition and sort by descending
+  token count, then an Arrow-batched ``mapInPandas`` runs first-fit-
+  decreasing per partition (the iterator spans the whole sorted partition,
+  so the greedy state survives Arrow batch boundaries). Bin ids are
+  globally unique via (partition, local bin). Guarantee: no bin exceeds
+  ``capacity`` unless a single document alone does (chunk first for strict
+  caps — compose with ``chunk_documents``). A naive cumsum/div bucketing
+  does NOT give this guarantee: a bin straddling a capacity boundary can
+  collect two documents that jointly overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.dedup import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_no, chunk_text, n_tokens) — token-window chunks.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final window
+    may be shorter. Empty/whitespace-only documents yield zero rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= n (1-based slice);
+    # any non-empty doc yields at least one chunk even when n <= overlap
+    n_chunks = F.when(
+        n > 0, F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    ).otherwise(F.lit(0))
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"),
+        F.posexplode(
+            F.when(n_chunks > 0, starts).otherwise(F.array().cast("array<long>"))
+        ).alias("chunk_no", "__start_idx"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start_idx").cast("int") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        "id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, bin_id) — assign each document to a packing bin.
+
+    First-fit-decreasing per partition (see module docstring). Documents
+    longer than the capacity get a bin of their own.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sized = df.select(
+        F.col(id_col).alias("id"), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    ranged = sized.repartitionByRange(
+        n_parts, F.desc("n_tokens")
+    ).sortWithinPartitions(F.desc("n_tokens"), F.col("id"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", sized.schema["id"].dataType),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.StringType()),
+        ]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        remaining: list[int] = []  # remaining capacity per open bin
+        for pdf in batches:
+            bins = []
+            for n in pdf["n_tokens"]:
+                n = int(n)
+                for bi, rem in enumerate(remaining):
+                    if rem >= n:
+                        remaining[bi] = rem - n
+                        bins.append(bi)
+                        break
+                else:
+                    remaining.append(max(capacity - n, 0))
+                    bins.append(len(remaining) - 1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_tokens": pdf["n_tokens"].astype("int64"),
+                    "bin_id": [f"{pid}_{b}" for b in bins],
+                }
+            )
+
+    return ranged.mapInPandas(pack, out_schema)

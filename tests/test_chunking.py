@@ -1,0 +1,84 @@
+"""Chunking + sequence packing: chunk contents against a DuckDB list-slicing
+oracle; packing invariants (full assignment, capacity, determinism)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.chunking import chunk_documents, pack_sequences
+from oni_ml_spark.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestChunking:
+    def test_chunks_match_duckdb_oracle(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        got = sorted(
+            map(tuple, chunk_documents(docs, "doc_id", "text", chunk_tokens=16,
+                                       overlap=4).collect())
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+        want = sorted(con.execute("""
+          WITH toks AS (
+            SELECT doc_id AS id,
+              list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                          t -> t != '') AS tk
+            FROM documents),
+          idx AS (
+            SELECT id, tk, unnest(range(0, greatest(CAST(ceil((len(tk) - 4) / 12.0) AS BIGINT), 1))) AS chunk_no
+            FROM toks WHERE len(tk) > 0)
+          SELECT id, chunk_no,
+                 array_to_string(tk[chunk_no * 12 + 1 : chunk_no * 12 + 16], ' ') AS chunk_text,
+                 len(tk[chunk_no * 12 + 1 : chunk_no * 12 + 16]) AS n_tokens
+          FROM idx
+        """).fetchall())
+        assert [tuple(map(str, r)) for r in got] == [tuple(map(str, r)) for r in want]
+        assert len(got) > 500  # docs actually split into multiple chunks
+
+    def test_overlap_and_edges(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e"), (2, ""), (3, "x")],
+                                   "doc_id long, text string")
+        rows = chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=1)
+        by = {}
+        for r in rows.collect():
+            by.setdefault(r["id"], []).append((r["chunk_no"], r["chunk_text"]))
+        assert sorted(by[1]) == [(0, "a b c"), (1, "c d e")]
+        assert 2 not in by                      # empty doc -> no chunks
+        assert by[3] == [(0, "x")]              # short doc -> single chunk
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=3)
+
+
+class TestPacking:
+    def test_full_assignment_capacity_and_determinism(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        capacity = 256
+        a = pack_sequences(docs, "doc_id", "text", capacity=capacity)
+        b = pack_sequences(docs, "doc_id", "text", capacity=capacity)
+        rows = a.collect()
+        assert sorted(r["id"] for r in rows) == sorted(
+            r["doc_id"] for r in docs.collect()
+        )  # every doc assigned exactly once
+        totals = {}
+        for r in rows:
+            totals[r["bin_id"]] = totals.get(r["bin_id"], 0) + r["n_tokens"]
+        for bid, tot in totals.items():
+            members = [r for r in rows if r["bin_id"] == bid]
+            assert tot <= capacity or len(members) == 1, (bid, tot)
+        # deterministic across runs
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+        # packing actually packs: far fewer bins than docs
+        assert len(totals) < len(rows) / 2
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 50)), (2, "a b"), (3, "c d")],
+            "doc_id long, text string",
+        )
+        rows = pack_sequences(df, "doc_id", "text", capacity=10)
+        bins = {r["id"]: r["bin_id"] for r in rows.collect()}
+        assert bins[1] not in (bins[2], bins[3])  # oversized doc isolated
