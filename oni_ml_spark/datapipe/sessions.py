@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from oni_ml_spark.transforms.time import epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -27,7 +29,7 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         session_col,
@@ -47,6 +49,6 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+        (F.max(epoch_seconds(F.col(ts_col))) - F.min(epoch_seconds(F.col(ts_col))))
         .alias("duration_sec"),
     )

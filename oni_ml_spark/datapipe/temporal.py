@@ -64,8 +64,10 @@ def as_of_join(
     # (so last(ignorenulls) can't mix columns from different right rows),
     # left rows carry a null struct; within equal times the right row sorts
     # first so the window sees it as "already happened" and ties match
-    lt = F.col(left_time).cast("double")
-    rt = F.col(right_time).cast("double")
+    # route timestamps through TIMESTAMP first: TIMESTAMP_NTZ inputs (tz-free
+    # parquet like events.ts) cannot cast straight to DOUBLE
+    lt = F.col(left_time).cast("timestamp").cast("double")
+    rt = F.col(right_time).cast("timestamp").cast("double")
     r_payload = F.struct(rt.alias("__rt"), *[F.col(c) for c in right_cols])
     r_tagged = right.filter(rt.isNotNull()).select(
         F.col(key).alias("__k"), rt.alias("__t"), F.lit(0).alias("__side"),

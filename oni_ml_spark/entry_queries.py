@@ -1185,11 +1185,13 @@ def sessionize_q(spark, sf):
     Event_id breaks timestamp ties deterministically on both sides."""
     from pyspark.sql import Window
 
+    from oni_ml_spark.transforms.time import epoch_seconds
+
     e = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_s = F.when(
-        prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800), 1
+        prev_ts.isNull() | ((epoch_seconds("ts") - epoch_seconds(prev_ts)) > 1800), 1
     ).otherwise(0)
     s = e.withColumn(
         "session_no",
@@ -1291,11 +1293,11 @@ def intersect_except(spark, sf):
 @_q(
     "pivot_counts",
     "SELECT user_id, "
-    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
-    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, "
-    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
-    "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, "
-    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase, "
+    "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, "
+    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view "
     "FROM events GROUP BY user_id",
 )
 def pivot_counts(spark, sf):

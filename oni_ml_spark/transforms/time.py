@@ -18,6 +18,20 @@ def fractional_hour(hour: Column | str, minute: Column | str, second: Column | s
     return h.cast("double") + m.cast("double") / 60 + s.cast("double") / 3600
 
 
+def epoch_seconds(ts: Column | str) -> Column:
+    """Timestamp → epoch seconds as double, safe for TIMESTAMP_NTZ.
+
+    Parquet files written without isAdjustedToUTC (e.g. the synthetic
+    ``events.ts``) load as TIMESTAMP_NTZ, which Spark refuses to cast
+    straight to DOUBLE. Routing through TIMESTAMP (LTZ) first is legal for
+    both timestamp flavors; with the session timezone pinned to UTC
+    (io.load_table does this) the NTZ wall-clock maps 1:1 onto the epoch,
+    matching DuckDB's tz-free ``epoch(ts)``.
+    """
+    t = F.col(ts) if isinstance(ts, str) else ts
+    return t.cast("timestamp").cast("double")
+
+
 def seconds_of_day(time_str: Column | str) -> Column:
     """"HH:MM:SS" → seconds past midnight as double (TimeUtilities.scala:8-15)."""
     t = F.col(time_str) if isinstance(time_str, str) else time_str

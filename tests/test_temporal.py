@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from oni_ml_spark.datapipe.temporal import as_of_join, range_join_bucketed
 from oni_ml_spark.io import load_table
+from oni_ml_spark.transforms.time import epoch_seconds
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -18,10 +19,10 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def frames(spark):
     e = load_table(spark, SF_DIR, "events")
-    left = e.select("event_id", "user_id", F.col("ts").cast("double").alias("t"))
+    left = e.select("event_id", "user_id", epoch_seconds("ts").alias("t"))
     # every 7th event is a per-user "checkpoint" carrying a value
     right = e.filter(F.col("event_id") % 7 == 0).select(
-        "user_id", F.col("ts").cast("double").alias("rt"), "value"
+        "user_id", epoch_seconds("ts").alias("rt"), "value"
     )
     return left, right
 
