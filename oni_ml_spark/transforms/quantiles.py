@@ -26,29 +26,25 @@ DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 QUINTILES = [0.2, 0.4, 0.6, 0.8, 1.0]
 
 
-def ecdf(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
-    """Empirical CDF over one column → DataFrame[value double, cdf double].
+def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
+    """Internal: DataFrame[value, cnt, cdf, __prev, __total] — the exact ECDF
+    plus the per-value predecessor CDF, entirely lazy (zero driver actions).
 
-    Reference: utilities/Quantiles.scala:21-40 (reduceByKey + sortByKey +
-    manual per-partition prefix sums). Same two-phase shape, DataFrame-
-    native: hash-aggregate to distinct-value counts, split the value domain
-    into ~num_buckets ranges, per-bucket running sums via a partitioned
-    window, then add per-bucket offsets (a tiny driver-side cumulative of
-    bucket subtotals — the same totalCountPerPartition collect the
-    reference does, ≤ num_buckets longs).
+    Shape (Quantiles.scala:21-40 rebuilt declaratively):
 
-    Robustness: bucket membership is derived from the DATA (value vs a
-    driver-held boundary list), never from a physical partition id — so a
-    recomputed/lost partition reproduces the identical bucketing. Earlier
-    designs keyed offsets on spark_partition_id() over repartitionByRange,
-    which silently corrupts the CDF if the cached layout is evicted and the
-    range sampler re-draws different boundaries. Offsets attach via a
-    broadcast join, so plan depth is independent of the bucket count.
+    1. hash-aggregate to distinct-value counts (the only full-data shuffle),
+    2. bucket boundaries from an in-plan ``percentile_approx`` over the
+       distinct values — a 1-row DataFrame broadcast back, never collected,
+    3. per-bucket running sums via a partitioned window,
+    4. cross-bucket offsets + grand total from a window over the ≤ b bucket
+       subtotal rows (bounded: b ≈ shuffle partitions, not data-sized).
 
-    No single-partition global window anywhere: the per-bucket window's
-    input is |distinct values| / num_buckets, balanced by the approximate
-    boundary quantiles, so the exact path scales with distinct-value
-    cardinality across the cluster.
+    Every branch hangs off the same counts exchange, so Spark's exchange
+    reuse executes the expensive shuffle once. Bucket membership derives
+    from the data (value vs boundary array), never a physical partition id,
+    so recomputed partitions reproduce identical bucketing. No data-sized
+    single-partition window: the per-bucket window input is
+    |distinct values| / b, balanced by the boundary sketch.
     """
     spark = df.sparkSession
     counts = (
@@ -58,60 +54,84 @@ def ecdf(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataF
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # cache is a pure optimization here (three jobs read counts); correctness
-    # does not depend on residency — see docstring.
-    counts = counts.cache()
-    boundaries: list[float] = []
     if b > 1:
-        probs = [i / b for i in range(1, b)]
-        got = counts.approxQuantile("value", probs, 0.25 / b)
-        boundaries = sorted(set(got))
-    if boundaries:
-        arr = F.array(*[F.lit(float(x)) for x in boundaries])
-        bucket = F.size(F.filter(arr, lambda c: c < F.col("value")))
+        probs = F.array(*[F.lit(i / b) for i in range(1, b)])
+        acc = max(100, 4 * b)  # percentile_approx: relative error ≈ 1/accuracy
+        bnd = counts.agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.coalesce(
+                        F.percentile_approx("value", probs, F.lit(acc)),
+                        F.array().cast("array<double>"),
+                    )
+                )
+            ).alias("__bs")
+        )
+        bucketed = (
+            counts.join(F.broadcast(bnd))
+            .withColumn(
+                "bucket",
+                F.size(F.filter(F.col("__bs"), lambda x: x < F.col("value"))).cast("int"),
+            )
+            .drop("__bs")
+        )
     else:
-        bucket = F.lit(0)
-    bucketed = counts.withColumn("bucket", bucket.cast("int"))
+        bucketed = counts.withColumn("bucket", F.lit(0))
 
-    subtotals = sorted(
-        (r["bucket"], r["s"])
-        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("s")).collect()
+    subtot = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("__s"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    total = sum(s for _, s in subtotals) or 1
-    offsets, acc = [], 0
-    for bkt, s in subtotals:
-        offsets.append((bkt, acc))
-        acc += s
-    if not offsets:
-        offsets = [(0, 0)]
-    offsets_df = spark.createDataFrame(offsets, "bucket int, __offset long")
+    # single-partition windows over ≤ b rows (bucket subtotals) — bounded
+    offsets = subtot.select(
+        "bucket",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__s").over(w_tot).alias("__total"),
+    )
 
     w = (
         Window.partitionBy("bucket")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return bucketed.join(F.broadcast(offsets_df), "bucket").select(
+    cum = F.sum("cnt").over(w) + F.col("__offset")
+    return bucketed.join(F.broadcast(offsets), "bucket").select(
         "value",
-        ((F.sum("cnt").over(w) + F.col("__offset")) / F.lit(float(total))).alias("cdf"),
+        "cnt",
+        (cum / F.col("__total").cast("double")).alias("cdf"),
+        ((cum - F.col("cnt")) / F.col("__total").cast("double")).alias("__prev"),
+        "__total",
     )
+
+
+def ecdf(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
+    """Empirical CDF over one column → DataFrame[value double, cdf double].
+
+    Reference: utilities/Quantiles.scala:21-40. Fully lazy — see
+    ``_ecdf_parts`` for the plan shape.
+    """
+    return _ecdf_parts(df, value_col, num_buckets).select("value", "cdf")
 
 
 def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataFrame:
     """Cutoffs as a DataFrame[p double, cutoff double] (stays distributed).
 
     cutoff(p) = min value whose ecdf >= p (Quantiles.scala:54-75).
-    The probs side is a tiny literal array — broadcast joined against the
-    (already small) distinct-value ECDF.
+
+    Interval cover instead of a nested-loop join: value x is the cutoff for
+    exactly the probs in (cdf(prev x), cdf(x)] — filter the literal probs
+    array per row and explode. One row out per prob, no join, no re-agg;
+    the predecessor CDF reuses the same exact long-arithmetic numerator, so
+    the float comparison is bit-identical to "min value with cdf >= p".
     """
-    probs_df = df.sparkSession.createDataFrame(
-        [(float(p),) for p in probs], "p double"
-    )
-    e = ecdf(df, value_col)
-    return (
-        e.join(F.broadcast(probs_df), F.col("cdf") >= F.col("p"))
-        .groupBy("p")
-        .agg(F.min("value").alias("cutoff"))
+    parts = _ecdf_parts(df, value_col)
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return parts.select(
+        F.explode(
+            F.filter(probs_arr, lambda p: (p > F.col("__prev")) & (p <= F.col("cdf")))
+        ).alias("p"),
+        F.col("value").alias("cutoff"),
     )
 
 
@@ -133,15 +153,15 @@ def quantile_cuts_multi(
     positive_only: set[str] | frozenset[str] = frozenset(),
     num_buckets: int | None = None,
 ) -> dict[str, list[float]]:
-    """EXACT discrete quantile cutoffs for SEVERAL columns in 3 Spark jobs
-    total, instead of 3 jobs per column.
+    """EXACT discrete quantile cutoffs for SEVERAL columns in ONE Spark job.
 
     The reference ran one full-scan quantile job per featurization column
     (five per day for dns, dns/DNSWordCreation.scala:78-122). Here all
-    columns melt into one (col, value) frame: one shuffle aggregates
-    distinct-value counts for every column, one boundary sketch pass
-    balances the per-(col, bucket) windows, one job computes the per-bucket
-    prefix sums and the cutoffs.
+    columns melt into one (col, value) frame; a single plan aggregates
+    distinct-value counts for every column, derives per-column bucket
+    boundaries from an in-plan grouped ``percentile_approx`` (broadcast, not
+    collected), computes per-(col, bucket) prefix sums, and picks cutoffs by
+    interval cover — the only action is the final |cols|·|probs|-row collect.
 
     ``positive_only`` columns replicate the reference's >0 predicate before
     the quantile (P5, dns/DNSWordCreation.scala:98-101). Semantics per
@@ -161,69 +181,81 @@ def quantile_cuts_multi(
             F.array(*[F.struct(F.lit(c).alias("col"), _val(c).alias("value")) for c in cols])
         ).alias("cv")
     ).select("cv.col", "cv.value").where(F.col("value").isNotNull())
-    counts = melted.groupBy("col", "value").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    counts = melted.groupBy("col", "value").agg(F.count(F.lit(1)).alias("cnt"))
 
-    # job 1: one multi-column boundary sketch over the raw frame (balance
-    # only — correctness never depends on the boundary values)
-    raw = df.select(*[_val(c).alias(c) for c in cols])
-    probs_b = [i / b for i in range(1, b)] if b > 1 else []
-    bounds = raw.approxQuantile(cols, probs_b, 0.25 / b) if probs_b else [[] for _ in cols]
-    bucket_of: dict[str, object] = {}
-    for c, bnds in zip(cols, bounds):
-        uniq = sorted({x for x in bnds if x == x})  # drop NaN from empty cols
-        if uniq:
-            arr = F.array(*[F.lit(float(x)) for x in uniq])
-            bucket_of[c] = F.size(F.filter(arr, lambda x: x < F.col("value")))
-        else:
-            bucket_of[c] = F.lit(0)
-    bucket = None
-    for c in cols:
-        bucket = (
-            F.when(F.col("col") == c, bucket_of[c])
-            if bucket is None
-            else bucket.when(F.col("col") == c, bucket_of[c])
+    # per-column boundary sketch, in-plan (balance only — correctness never
+    # depends on the boundary values); ≤ |cols| rows, broadcast back
+    if b > 1:
+        probs_b = F.array(*[F.lit(i / b) for i in range(1, b)])
+        acc = max(100, 4 * b)
+        bnd = counts.groupBy("col").agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.coalesce(
+                        F.percentile_approx("value", probs_b, F.lit(acc)),
+                        F.array().cast("array<double>"),
+                    )
+                )
+            ).alias("__bs")
         )
-    bucketed = counts.withColumn("bucket", bucket.cast("int"))
+        bucketed = (
+            counts.join(F.broadcast(bnd), "col")
+            .withColumn(
+                "bucket",
+                F.size(F.filter(F.col("__bs"), lambda x: x < F.col("value"))).cast("int"),
+            )
+            .drop("__bs")
+        )
+    else:
+        bucketed = counts.withColumn("bucket", F.lit(0))
 
-    # job 2: per-(col, bucket) subtotals — ≤ |cols|·b longs to the driver,
-    # the same bounded collect the reference's totalCountPerPartition did
-    subtotals: dict[str, list[tuple[int, int]]] = {c: [] for c in cols}
-    for r in bucketed.groupBy("col", "bucket").agg(F.sum("cnt").alias("s")).collect():
-        subtotals[r["col"]].append((r["bucket"], r["s"]))
-    offsets_rows, totals = [], {}
-    for c in cols:
-        acc = 0
-        for bkt, s in sorted(subtotals[c]):
-            offsets_rows.append((c, bkt, acc, 0))
-            acc += s
-        totals[c] = acc or 1
-    offsets_rows = [(c, bkt, off, totals[c]) for c, bkt, off, _ in offsets_rows]
-    if not offsets_rows:
-        offsets_rows = [(cols[0], 0, 0, 1)]
-    offsets_df = spark.createDataFrame(
-        offsets_rows, "col string, bucket int, __offset long, __total long"
+    # cross-bucket offsets + per-column totals from the ≤ |cols|·b subtotal
+    # rows — tiny windows partitioned by col, broadcast back
+    subtot = bucketed.groupBy("col", "bucket").agg(F.sum("cnt").alias("__s"))
+    w_off = (
+        Window.partitionBy("col").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("col").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = subtot.select(
+        "col", "bucket",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__s").over(w_tot).alias("__total"),
     )
 
-    probs_df = spark.createDataFrame(
-        [(c, float(p)) for c in cols for p in probs_by_col[c]], "col string, p double"
-    )
     w = (
         Window.partitionBy("col", "bucket")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # job 3: prefix sums + cutoff selection, all columns at once
-    cdf = bucketed.join(F.broadcast(offsets_df), ["col", "bucket"]).select(
-        "col", "value",
-        ((F.sum("cnt").over(w) + F.col("__offset")) / F.col("__total").cast("double")).alias("cdf"),
+    cum = F.sum("cnt").over(w) + F.col("__offset")
+    cdf = bucketed.join(F.broadcast(offsets), ["col", "bucket"]).select(
+        "col", "value", "cnt",
+        (cum / F.col("__total").cast("double")).alias("cdf"),
+        ((cum - F.col("cnt")) / F.col("__total").cast("double")).alias("__prev"),
     )
+
+    # interval cover: value x is the cutoff for probs in (cdf(prev), cdf(x)]
+    probs_of = None
+    for c in cols:
+        arr = F.array(*[F.lit(float(p)) for p in sorted(set(probs_by_col[c]))])
+        probs_of = (
+            F.when(F.col("col") == c, arr) if probs_of is None
+            else probs_of.when(F.col("col") == c, arr)
+        )
     cut_rows = (
-        cdf.join(F.broadcast(probs_df), (F.col("cdf") >= F.col("p")) & (cdf["col"] == probs_df["col"]))
-        .groupBy(probs_df["col"].alias("c"), "p")
-        .agg(F.min("value").alias("cutoff"))
+        cdf.select(
+            "col",
+            F.col("value").alias("cutoff"),
+            F.explode(
+                F.filter(probs_of, lambda p: (p > F.col("__prev")) & (p <= F.col("cdf")))
+            ).alias("p"),
+        )
         .collect()
     )
-    by_cp = {(r["c"], r["p"]): r["cutoff"] for r in cut_rows}
+    by_cp = {(r["col"], r["p"]): r["cutoff"] for r in cut_rows}
     return {
         c: [by_cp.get((c, float(p)), float("inf")) for p in probs_by_col[c]]
         for c in cols
