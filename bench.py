@@ -45,6 +45,13 @@ def main() -> None:
         # isolate queries: pipelines cache intermediates; letting them pile up
         # skews later timings with eviction/GC pressure
         spark.catalog.clearCache()
+        # drive ContextCleaner: broadcasts and shuffle files are only
+        # reclaimed when the driver GC collects their weak refs, and with a
+        # 64g heap that almost never happens on its own — 50 queries of
+        # accumulated state slowed late heavy queries 2-3x (measured: the
+        # flow pipeline degraded 41s -> 78s run-over-run without this, and
+        # improved 66s -> 20s with it). ~0.2s per query.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -854,7 +854,7 @@ def flagship(spark, sf):
     from oni_ml_spark.pipelines import events as ev
 
     df = load_table(spark, sf, "events")
-    res = ev.run(df, topic_count=10, top_k=100, max_iter=5)
+    res = ev.run(df, topic_count=10, top_k=100, max_iter=5, exact_quantiles=False)
     return res.suspicious.select(
         "event_id", "user_id", "word", F.round("score", 6).alias("score")
     )
@@ -869,7 +869,7 @@ def flagship_invariants(spark, sf):
     from oni_ml_spark.pipelines import events as ev
 
     df = load_table(spark, sf, "events")
-    res = ev.run(df, topic_count=10, top_k=100, max_iter=5)
+    res = ev.run(df, topic_count=10, top_k=100, max_iter=5, exact_quantiles=False)
     return _pipeline_invariants(res)
 
 

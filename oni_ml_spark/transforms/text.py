@@ -60,11 +60,13 @@ def string_entropy(col: Column | str) -> Column:
     chars = F.split(s, "")  # ['a','b','c'] — O(n), unlike a substr loop
 
     uniq = F.array_distinct(chars)
-    term = lambda c: (  # noqa: E731
-        (F.size(F.filter(chars, lambda x: x == c)) / n)
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n)
-    )
-    ent = -F.aggregate(uniq, F.lit(0.0), lambda acc, c: acc + term(c))
+    # counts materialized once via transform — HOF lambdas are interpreted
+    # per element, so evaluating the O(len) filter once per distinct char
+    # (not twice, for p and log2(p)) halves the dominant cost; the float
+    # expression and summation order are unchanged (p*log2(p) in
+    # first-appearance order), keeping reference goldens bit-identical
+    cnts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"))
+    ent = -F.aggregate(cnts, F.lit(0.0), lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n))
     return F.when(s.isNull() | (n == 0), F.lit(0.0)).otherwise(ent)
 
 

@@ -83,3 +83,35 @@ def test_no_single_partition_exchange_in_similarity_battery(spark):
     for name in ("embedding_near_dup_bucketed", "ann_cosine_topk"):
         p = _plan(spark, name)
         assert "Exchange SinglePartition" not in p, name
+
+
+def test_quantile_cuts_plan_is_lazy_and_join_free(spark):
+    """The exact-quantile path must (a) build with ZERO driver actions — the
+    r02 version ran an approxQuantile job and a subtotal collect during
+    DataFrame construction — and (b) select cutoffs by interval-cover
+    explode, never a nested-loop probs join."""
+    from oni_ml_spark.transforms.quantiles import DECILES, ecdf, quantile_cuts_df
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.schema  # absorb the read-side footer job before counting
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    ecdf(li, "l_quantity")
+    quantile_cuts_df(li, "l_extendedprice", DECILES)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the quantile plans ran Spark jobs"
+    p = _plan(spark, "quantile_cuts_deciles")
+    e = _plan(spark, "ecdf_quantity")
+    # the only nested-loop join allowed is the 1-row boundary-array attach
+    # (broadcasting a scalar aggregate). It feeds both the cdf branch and
+    # the subtotal branch, and pre-AQE explain prints the shared subtree
+    # once per consumer — so the attach accounts for up to 2 occurrences;
+    # the old data×probs nested loop would add a third.
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert e.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in p
+    # cutoff selection is the interval-cover explode, not a join + re-agg
+    assert "Generate explode" in p
+    # the boundary sketch must be in-plan (percentile_approx), not collected
+    assert "percentile_approx" in p.lower() or "approximatepercentile" in p.lower()
+    assert "percentile_approx" in e.lower() or "approximatepercentile" in e.lower()
