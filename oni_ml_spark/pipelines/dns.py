@@ -41,7 +41,7 @@ def featurize(
     approxQuantile sketch.
     """
     from oni_ml_spark.transforms.quantiles import (
-        approx_quantile_cuts,
+        approx_quantile_cuts_multi,
         quantile_cuts_multi,
     )
 
@@ -67,13 +67,19 @@ def featurize(
         subdomain_len_cuts = cuts["subdomain_length"]
         entropy_cuts, periods_cuts = cuts["subdomain_entropy"], cuts["num_periods"]
     else:
-        cuts_of = approx_quantile_cuts
-        time_cuts = cuts_of(df, "unix_tstamp", DECILES)
-        frame_len_cuts = cuts_of(df, "frame_len", DECILES)
-        pos = lambda c: df.filter(F.col(c) > 0)  # noqa: E731  (P5 predicate)
-        subdomain_len_cuts = cuts_of(pos("subdomain_length"), "subdomain_length", QUINTILES)
-        entropy_cuts = cuts_of(pos("subdomain_entropy"), "subdomain_entropy", QUINTILES)
-        periods_cuts = cuts_of(pos("num_periods"), "num_periods", QUINTILES)
+        # all five sketches in ONE action; quintile columns take every 2nd
+        # decile, and the >0 predicate (P5) is a null-mask inside the pass
+        cuts = approx_quantile_cuts_multi(
+            df,
+            ["unix_tstamp", "frame_len", "subdomain_length",
+             "subdomain_entropy", "num_periods"],
+            DECILES,
+            positive_only={"subdomain_length", "subdomain_entropy", "num_periods"},
+        )
+        time_cuts, frame_len_cuts = cuts["unix_tstamp"], cuts["frame_len"]
+        subdomain_len_cuts = cuts["subdomain_length"][1::2]
+        entropy_cuts = cuts["subdomain_entropy"][1::2]
+        periods_cuts = cuts["num_periods"][1::2]
 
     df = df.withColumns(
         {

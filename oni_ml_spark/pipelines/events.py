@@ -19,7 +19,7 @@ from oni_ml_spark.transforms import DECILES, QUINTILES, bin_expr
 
 def featurize(df: DataFrame, exact_quantiles: bool = True) -> DataFrame:
     from oni_ml_spark.transforms.quantiles import (
-        approx_quantile_cuts,
+        approx_quantile_cuts_multi,
         quantile_cuts_multi,
     )
 
@@ -28,8 +28,9 @@ def featurize(df: DataFrame, exact_quantiles: bool = True) -> DataFrame:
         cuts = quantile_cuts_multi(df, {"value": DECILES, "hour": QUINTILES})
         value_cuts, hour_cuts = cuts["value"], cuts["hour"]
     else:
-        value_cuts = approx_quantile_cuts(df, "value", DECILES)
-        hour_cuts = approx_quantile_cuts(df, "hour", QUINTILES)
+        # both sketches in one action; hour quintiles = every 2nd decile
+        cuts = approx_quantile_cuts_multi(df, ["value", "hour"], DECILES)
+        value_cuts, hour_cuts = cuts["value"], cuts["hour"][1::2]
     df = df.withColumns(
         {
             "value_bin": bin_expr("value", value_cuts),

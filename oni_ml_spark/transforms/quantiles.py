@@ -278,12 +278,25 @@ def approx_quantile_cuts(
 
 
 def approx_quantile_cuts_multi(
-    df: DataFrame, cols: list[str], probs: list[float], rel_err: float = 0.001
+    df: DataFrame,
+    cols: list[str],
+    probs: list[float],
+    rel_err: float = 0.001,
+    positive_only: set[str] | frozenset[str] = frozenset(),
 ) -> dict[str, list[float]]:
     """One-pass approximate quantiles for SEVERAL columns — one Spark action
     total, vs one per column (the reference ran five separate full-scan
-    quantile jobs per featurization, dns/DNSWordCreation.scala:78-122)."""
-    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    quantile jobs per featurization, dns/DNSWordCreation.scala:78-122).
+
+    ``positive_only`` columns apply the reference's >0 predicate (P5) by
+    masking non-positive values to null INSIDE the one pass — approxQuantile
+    ignores nulls, so a per-column pre-filter job is never needed."""
+
+    def _val(c: str):
+        v = F.col(c).cast("double")
+        return (F.when(v > 0, v) if c in positive_only else v).alias(c)
+
+    casted = df.select(*[_val(c) for c in cols])
     got = casted.approxQuantile(cols, [min(p, 1.0) for p in probs], rel_err)
     return {
         c: (vals if vals else [float("inf")] * len(probs))
