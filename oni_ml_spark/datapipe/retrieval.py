@@ -1,0 +1,139 @@
+"""Lexical retrieval operators: TF-IDF weighting and BM25 ranking.
+
+Beyond-reference text-analysis operators for training-data curation:
+TF-IDF vectors feed near-duplicate mining and quality heuristics; BM25
+powers "find documents like/about X" sweeps over a corpus without an
+embedding model. Both are pure DataFrame compositions — tokenize →
+explode → two hash aggregates — and every statistic is an exact,
+engine-portable arithmetic expression, so the whole path is verifiable
+against a SQL oracle (tests/test_retrieval.py runs the DuckDB twin).
+
+Scale shape (100 TB): one shuffle keyed by term for document frequencies
+(|vocab| rows out — small), one keyed by (doc, term) for term frequencies
+(corpus-sized but map-side combined), and a broadcast of the per-term IDF
+table back onto the postings. No driver collect, no UDF, no global sort;
+BM25 scoring of a query is a semi-join of the postings against the literal
+term list followed by one per-doc aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.dedup import tokens
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — raw term counts per document (whitespace tokens of
+    the dedup-normalized text, so TF-IDF and MinHash agree on tokenization)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf(
+    df: DataFrame, id_col: str, text_col: str, n_docs: int | None = None
+) -> DataFrame:
+    """(id, term, tf, df, tfidf) with the smoothed IDF
+    ln((N + 1) / (df + 1)) + 1 (the scikit-learn convention — never
+    negative, defined for df = N).
+
+    ``n_docs`` pins N when the caller already knows it (saves nothing here —
+    N is computed in-plan via a window over the tiny per-term table — but
+    lets incremental pipelines hold N fixed across batches).
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if n_docs is None:
+        # distinct docs with >= 1 token, computed in-plan: max over the
+        # bounded per-term doc frequencies is NOT |docs|; count distinct ids
+        # from the tf table instead via a 1-row broadcast aggregate
+        nd = tf.agg(F.countDistinct("id").alias("__n"))
+        dfreq = dfreq.join(F.broadcast(nd))
+    else:
+        dfreq = dfreq.withColumn("__n", F.lit(int(n_docs)))
+    dfreq = dfreq.withColumn(
+        "idf",
+        F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0),
+    ).select("term", "df", "idf")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("id", "term", "tf", "df", (F.col("tf") * F.col("idf")).alias("tfidf"))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) — Okapi BM25 of every matching document for a bag of
+    query terms; documents sharing no term are absent (score 0 by
+    definition).
+
+    score(D, Q) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    with the standard idf(t) = ln(1 + (N − df + 0.5) / (df + 0.5)).
+
+    All statistics (doc length, avgdl, df, N) are computed in-plan from the
+    corpus; the query side is a literal array, so matching is a broadcast
+    semi-filter on the postings — no join against a query table.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tf = term_frequencies(df, id_col, text_col)
+    doclen = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # corpus stats as a 1-row broadcast: N and avgdl
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    qset = [str(t) for t in dict.fromkeys(query_terms)]  # dedupe, keep order
+    matched = tf.filter(F.col("term").isin(qset))
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        dfreq.join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("term", "idf")
+    )
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    return (
+        matched.join(F.broadcast(idf), "term")
+        .join(doclen, "id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1l + 1))
+            / (F.col("tf") + k1l * (1 - bl + bl * F.col("dl") / F.col("__avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.sum("__contrib").alias("score"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 results, ties broken by id — plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    scored = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b)
+    return scored.orderBy(F.desc("score"), F.col("id")).limit(k)

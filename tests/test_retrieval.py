@@ -1,0 +1,112 @@
+"""TF-IDF / BM25 against a DuckDB oracle on the documents table (sf0.001).
+
+The retrieval operators are outside the driver's 50-entry correctness
+battery (the gate records exactly 50 queries), so this module carries
+their oracle verification locally with the same compare discipline as
+tests/test_oracle_parity.py: identical tokenization on both sides, sorted
+rows, exact-or-rounded value equality.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.retrieval import bm25_scores, bm25_topk, tf_idf, term_frequencies
+from oni_ml_spark.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
+_TF_SQL = f"""
+  tf AS (
+    SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents),
+  tfc AS (SELECT id, term, count(*)::BIGINT AS tf FROM tf GROUP BY id, term)
+"""
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    yield con
+    con.close()
+
+
+def _rows(df, cols, ndigits=None):
+    out = []
+    for r in df.collect() if hasattr(df, "collect") else df:
+        vals = []
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if ndigits is not None and isinstance(v, float):
+                v = round(v, ndigits)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def test_term_frequencies_match_oracle(spark, duck):
+    d = load_table(spark, SF_DIR, "documents")
+    got = _rows(term_frequencies(d, "doc_id", "text"), ["id", "term", "tf"])
+    want = sorted(
+        tuple(r) for r in duck.execute(
+            f"WITH {_TF_SQL} SELECT id, term, tf FROM tfc"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_tf_idf_matches_oracle(spark, duck):
+    d = load_table(spark, SF_DIR, "documents")
+    got = _rows(tf_idf(d, "doc_id", "text"), ["id", "term", "tf", "df", "tfidf"], ndigits=8)
+    sql = f"""WITH {_TF_SQL},
+      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+      n AS (SELECT count(DISTINCT id)::DOUBLE AS nd FROM tfc)
+      SELECT id, t.term, tf, df,
+             tf * (ln((nd + 1) / (df + 1)) + 1) AS tfidf
+      FROM tfc t JOIN dfreq USING (term), n"""
+    want = sorted(
+        (r[0], r[1], r[2], r[3], round(float(r[4]), 8))
+        for r in duck.execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_bm25_matches_oracle(spark, duck):
+    d = load_table(spark, SF_DIR, "documents")
+    # pick real corpus terms so the match set is non-trivial
+    q = [r["term"] for r in term_frequencies(d, "doc_id", "text")
+         .groupBy("term").count().orderBy(F.desc("count")).limit(3).collect()]
+    assert q
+    got = _rows(bm25_scores(d, "doc_id", "text", q), ["id", "score"], ndigits=8)
+    terms = ", ".join(f"'{t}'" for t in q)
+    sql = f"""WITH {_TF_SQL},
+      doclen AS (SELECT id, sum(tf)::DOUBLE AS dl FROM tfc GROUP BY id),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+      m AS (SELECT * FROM tfc WHERE term IN ({terms})),
+      dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term),
+      idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf FROM dfreq, stats)
+      SELECT m.id, sum(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+      FROM m JOIN idf USING (term) JOIN doclen ON m.id = doclen.id, stats
+      GROUP BY m.id"""
+    want = sorted((r[0], round(float(r[1]), 8)) for r in duck.execute(sql).fetchall())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bm25_topk_plans_take_ordered(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    df = bm25_topk(d, "doc_id", "text", ["the"], k=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_empty_query_raises(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        bm25_scores(d, "doc_id", "text", [])
