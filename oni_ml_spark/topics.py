@@ -127,7 +127,12 @@ def fit_topic_model(
     cv_model = cv.fit(tokens)
     vocabulary = list(cv_model.vocabulary)
     v_size = len(vocabulary)
-    docs = cv_model.transform(tokens).select("doc", "features")
+    # CACHE the vectorized docs: the online LDA optimizer samples a
+    # mini-batch from this dataset EVERY iteration, and without residency
+    # each iteration re-runs the whole corpus->tokens->CountVectorizer
+    # chain (measured 8x: 13.3s -> 1.7s fit on the sf0.1 flow corpus).
+    # Bounded: one sparse vector per doc. Unpersisted before return.
+    docs = cv_model.transform(tokens).select("doc", "features").cache()
 
     lda = LDA(
         k=topic_count,
@@ -164,9 +169,10 @@ def fit_topic_model(
     word_probs = spark.createDataFrame(pdf).select(
         "word", F.array(*[f"p{t}" for t in range(topic_count)]).alias("word_given_topic")
     )
-    # materialize the cache before counts is unpersisted; the count doubles
-    # as the doc tally the scorer's broadcast decision needs
+    # materialize the cache before counts/docs are unpersisted; the count
+    # doubles as the doc tally the scorer's broadcast decision needs
     n_docs = doc_topic_mix.count()
+    docs.unpersist()
     counts.unpersist()
     return TopicModel(doc_topic_mix, word_probs, topic_count, vocabulary, n_docs)
 
