@@ -18,9 +18,7 @@ term list followed by one per-doc aggregate.
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oni_ml_spark.datapipe.dedup import tokens

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oni_ml_spark.transforms.time import epoch_seconds
+from oni_ml_spark.transforms.time import time_as_double
 
 
 def sessionize(
@@ -28,8 +28,9 @@ def sessionize(
     be added by callers needing total order).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
+    t = time_as_double(df, ts_col)
+    gap = t - F.lag(t).over(w)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         session_col,
@@ -49,6 +50,6 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(epoch_seconds(F.col(ts_col))) - F.min(epoch_seconds(F.col(ts_col))))
+        (F.max(time_as_double(df, ts_col)) - F.min(time_as_double(df, ts_col)))
         .alias("duration_sec"),
     )

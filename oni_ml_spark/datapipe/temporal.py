@@ -64,10 +64,14 @@ def as_of_join(
     # (so last(ignorenulls) can't mix columns from different right rows),
     # left rows carry a null struct; within equal times the right row sorts
     # first so the window sees it as "already happened" and ties match
-    # route timestamps through TIMESTAMP first: TIMESTAMP_NTZ inputs (tz-free
-    # parquet like events.ts) cannot cast straight to DOUBLE
-    lt = F.col(left_time).cast("timestamp").cast("double")
-    rt = F.col(right_time).cast("timestamp").cast("double")
+    # type-dispatched time axis: numeric columns stay numeric (a
+    # double→timestamp round-trip would saturate past ±2^63 micros and
+    # silently equalize large times), TIMESTAMP_NTZ takes the
+    # session-tz-independent epoch path, LTZ casts straight to its epoch
+    from oni_ml_spark.transforms.time import time_as_double
+
+    lt = time_as_double(left, left_time)
+    rt = time_as_double(right, right_time)
     r_payload = F.struct(rt.alias("__rt"), *[F.col(c) for c in right_cols])
     r_tagged = right.filter(rt.isNotNull()).select(
         F.col(key).alias("__k"), rt.alias("__t"), F.lit(0).alias("__side"),

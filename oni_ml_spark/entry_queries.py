@@ -1185,13 +1185,13 @@ def sessionize_q(spark, sf):
     Event_id breaks timestamp ties deterministically on both sides."""
     from pyspark.sql import Window
 
-    from oni_ml_spark.transforms.time import epoch_seconds
+    from oni_ml_spark.transforms.time import time_as_double
 
     e = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
+    t = time_as_double(e, "ts")
     new_s = F.when(
-        prev_ts.isNull() | ((epoch_seconds("ts") - epoch_seconds(prev_ts)) > 1800), 1
+        F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > 1800), 1
     ).otherwise(0)
     s = e.withColumn(
         "session_no",

@@ -33,11 +33,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name in _NANO_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # events.ts is stored tz-free (TIMESTAMP_NTZ on micros parquet); pin
-        # the session tz so NTZ→LTZ conversions (transforms.time.epoch_seconds)
-        # are deterministic regardless of the host session's zone — this is
-        # how DuckDB's tz-free epoch(ts) and ours agree bit-for-bit.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # NOTE: no session-timezone mutation here. events.ts loads as
+        # TIMESTAMP_NTZ (tz-free micros parquet); all epoch arithmetic on it
+        # goes through transforms.time.time_as_double, whose NTZ branch is
+        # an interval division against the NTZ epoch literal — independent
+        # of the session timezone, so results cannot depend on table load
+        # order or a caller's deliberate timezone setting.
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

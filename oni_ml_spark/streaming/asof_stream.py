@@ -83,8 +83,13 @@ def _out_schema(left: DataFrame, right_cols, rfields) -> T.StructType:
 
 
 def _tag_sides(left, right, key, left_time, right_time, right_cols, as_timestamp):
-    lt = F.col(left_time).cast("timestamp" if as_timestamp else "double")
-    rt = F.col(right_time).cast("timestamp" if as_timestamp else "double")
+    from oni_ml_spark.transforms.time import time_as_double
+
+    # time_as_double dispatches on the column's actual type: numeric stays
+    # numeric, TIMESTAMP_NTZ takes the session-tz-independent epoch path
+    # (a straight NTZ→DOUBLE cast is illegal in Spark)
+    lt = F.col(left_time).cast("timestamp") if as_timestamp else time_as_double(left, left_time)
+    rt = F.col(right_time).cast("timestamp") if as_timestamp else time_as_double(right, right_time)
     l_tagged = left.select(
         F.col(key).alias("__k"), lt.alias("__ts"), F.lit(1).alias("__side"),
         F.to_json(F.struct(*left.columns)).alias("__payload"),

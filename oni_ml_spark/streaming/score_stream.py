@@ -88,14 +88,17 @@ def as_of_enrich_stream(
     right_cols = right_cols or [
         c for c in right.columns if c not in (key, right_time)
     ]
+    from oni_ml_spark.transforms.time import time_as_double
+
     w = Window.partitionBy(key).orderBy(right_time)
+    rtd = time_as_double(right, right_time)
     intervals = right.select(
         F.col(key).alias("__k"),
-        F.col(right_time).cast("double").alias("__start"),
-        F.lead(F.col(right_time).cast("double")).over(w).alias("__end"),
+        rtd.alias("__start"),
+        F.lead(rtd).over(w).alias("__end"),
         *[F.col(c) for c in right_cols],
     )
-    st = F.col(stream_time).cast("double")
+    st = time_as_double(stream, stream_time)
     cond = (
         (stream[key] == intervals["__k"])
         & (st >= F.col("__start"))

@@ -76,8 +76,10 @@ def sessionize_stream(
             }
         )
 
+    from oni_ml_spark.transforms.time import time_as_double
+
     with_epoch = stream.select(
-        user_col, ts_col, F.col(ts_col).cast("double").alias("__epoch")
+        user_col, ts_col, time_as_double(stream, ts_col).alias("__epoch")
     )
     return with_epoch.groupBy(user_col).applyInPandasWithState(
         assign_sessions,

@@ -127,10 +127,15 @@ def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataF
     """
     parts = _ecdf_parts(df, value_col)
     probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    # p <= 0 is a legal discrete quantile meaning "the minimum value": it
+    # falls outside every (prev, cdf] interval, so attach it to the global
+    # first value (the only row whose predecessor CDF is exactly 0)
+    covers = lambda p: (  # noqa: E731
+        ((p > F.col("__prev")) & (p <= F.col("cdf")))
+        | ((p <= 0) & (F.col("__prev") == 0))
+    )
     return parts.select(
-        F.explode(
-            F.filter(probs_arr, lambda p: (p > F.col("__prev")) & (p <= F.col("cdf")))
-        ).alias("p"),
+        F.explode(F.filter(probs_arr, covers)).alias("p"),
         F.col("value").alias("cutoff"),
     )
 
@@ -250,7 +255,11 @@ def quantile_cuts_multi(
             "col",
             F.col("value").alias("cutoff"),
             F.explode(
-                F.filter(probs_of, lambda p: (p > F.col("__prev")) & (p <= F.col("cdf")))
+                F.filter(
+                    probs_of,
+                    lambda p: ((p > F.col("__prev")) & (p <= F.col("cdf")))
+                    | ((p <= 0) & (F.col("__prev") == 0)),  # p<=0 → column min
+                )
             ).alias("p"),
         )
         .collect()

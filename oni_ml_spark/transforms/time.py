@@ -27,9 +27,42 @@ def epoch_seconds(ts: Column | str) -> Column:
     both timestamp flavors; with the session timezone pinned to UTC
     (io.load_table does this) the NTZ wall-clock maps 1:1 onto the epoch,
     matching DuckDB's tz-free ``epoch(ts)``.
+
+    Prefer ``time_as_double`` when the frame is at hand — it dispatches on
+    the actual column type (numeric columns must NOT take this path: a
+    double→timestamp cast reinterprets seconds and saturates past ±2^63
+    micros) and its NTZ branch is session-timezone-independent.
     """
     t = F.col(ts) if isinstance(ts, str) else ts
     return t.cast("timestamp").cast("double")
+
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def time_as_double(df, col: str) -> Column:
+    """Column ``col`` of ``df`` as a double time axis, dispatching on type.
+
+    - numeric → plain double cast (the value IS the time axis; routing a
+      raw epoch-nanos long or a sequence number through a timestamp cast
+      would saturate at ±~9.2e12 and silently equalize all large times)
+    - TIMESTAMP_NTZ → exact epoch seconds via timestampdiff against the NTZ
+      epoch literal — pure NTZ arithmetic, no session-timezone dependence
+      (double stays micro-exact through year ~2255; matches DuckDB's
+      tz-free epoch(ts) bit for bit)
+    - TIMESTAMP (LTZ) → double cast (defined as the epoch, tz-free)
+    - DATE/strings → through TIMESTAMP then double
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "timestamp_ntz":
+        return (
+            F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)") / F.lit(1000000.0)
+        )
+    if dtype == "timestamp":
+        return F.col(col).cast("double")
+    if dtype in ("date",) or (dtype or "").startswith(("string", "varchar")):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
 
 
 def seconds_of_day(time_str: Column | str) -> Column:

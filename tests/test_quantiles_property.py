@@ -95,3 +95,14 @@ def test_quantile_cuts_multi_matches_per_column(spark):
 
     m3 = quantile_cuts_multi(e.filter(F.lit(False)), {"value": QUINTILES})
     assert all(x == float("inf") for x in m3["value"])
+
+
+def test_prob_zero_means_minimum(spark):
+    """p <= 0 is a legal discrete quantile meaning 'the minimum value' —
+    the interval-cover selection must not drop it (round-3 review finding)."""
+    from oni_ml_spark.transforms.quantiles import quantile_cuts, quantile_cuts_multi
+
+    df = spark.createDataFrame([(float(v),) for v in [5, 3, 9, 3, 7]], "x double")
+    assert quantile_cuts(df, "x", [0.0, 0.5, 1.0]) == [3.0, 5.0, 9.0]
+    got = quantile_cuts_multi(df, {"x": [0.0, 1.0]})
+    assert got["x"] == [3.0, 9.0]

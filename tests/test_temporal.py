@@ -241,3 +241,21 @@ def test_asof_backward_fuzz_vs_duckdb(spark, lefts, rights):
     null_ids = {i for i, (_, t) in enumerate(lefts) if t is None}
     assert {i: v for i, v in got.items() if i not in null_ids} == want, (lefts, rights)
     assert all(got[i] is None for i in null_ids), (lefts, rights)
+
+
+def test_asof_numeric_times_survive_large_magnitudes(spark):
+    """Numeric time columns must stay numeric: routing a raw epoch-nanos
+    long through a timestamp cast saturates at ±2^63 micros, equalizing all
+    large times and corrupting every match (round-3 review finding)."""
+    left = spark.createDataFrame(
+        [(1, 1, 1_700_000_000_000_000_000), (2, 1, 1_700_000_002_000_000_000)],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 1_699_999_999_000_000_000, 10.0), (1, 1_700_000_001_000_000_000, 20.0)],
+        "k long, rt long, v double",
+    )
+    out = {r["event_id"]: r["v"] for r in
+           as_of_join(left, right, key="k", left_time="t", right_time="rt").collect()}
+    # event 1 (t=...000) must match the ...999 checkpoint, event 2 the ...001
+    assert out == {1: 10.0, 2: 20.0}

@@ -51,13 +51,26 @@ print("RESULT:" + json.dumps(out))
 """
 
 
-def test_sensitive_queries_match_oracle_on_vanilla_session():
+import os
+
+import pytest
+
+
+@pytest.mark.parametrize("tz", ["UTC", "America/New_York"])
+def test_sensitive_queries_match_oracle_on_vanilla_session(tz):
+    """Runs twice: once in UTC (the container default) and once in a
+    DST-observing zone, proving the NTZ epoch arithmetic is independent of
+    the driver JVM's timezone (round-3 review finding: the former
+    session-tz pin inside load_table was a hidden global mutation; now no
+    pin exists and no query may depend on the zone)."""
+    env = dict(os.environ, TZ=tz)
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT, json.dumps(SENSITIVE)],
         capture_output=True,
         text=True,
         timeout=420,
         cwd="/root/repo",
+        env=env,
     )
     assert proc.returncode == 0, f"vanilla-session run failed:\n{proc.stderr[-3000:]}"
     line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
