@@ -271,6 +271,59 @@ def quantile_cuts_multi(
     }
 
 
+def grouped_quantile_cuts(
+    df: DataFrame, key_col: str, value_col: str, probs: list[float]
+) -> DataFrame:
+    """EXACT discrete quantile cutoffs PER GROUP, fully distributed —
+    DataFrame[key, p double, cutoff double], one row per (group, prob).
+
+    Same semantics as ``quantile_cuts`` (least x with P(X <= x | group)
+    >= p; DuckDB ``quantile_disc(...) GROUP BY key``) but for every group
+    in one plan: hash-aggregate to (key, value) counts, per-group prefix
+    sums via a window partitioned by (key, value-order), interval-cover
+    explode for the cutoffs. No per-group loop, no driver action, no
+    global sort — the window partitions by group, so parallelism is
+    |groups| and the per-task input is one group's distinct values. For
+    millions of tiny groups this beats per-group ``approxQuantile`` calls
+    structurally (those would be |groups| driver round-trips).
+
+    Groups whose values are all NULL are absent (no rows, matching
+    GROUP-BY-over-non-null-aggregate SQL semantics).
+    """
+    counts = (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).cast("double").alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("cnt").over(w)
+    total = F.sum("cnt").over(w_tot).cast("double")
+    parts = counts.select(
+        "key",
+        "value",
+        (cum / total).alias("cdf"),
+        ((cum - F.col("cnt")) / total).alias("__prev"),
+    )
+    probs_arr = F.array(*[F.lit(float(p)) for p in sorted(set(float(p) for p in probs))])
+    covers = lambda p: (  # noqa: E731 — p <= 0 means "the group minimum"
+        ((p > F.col("__prev")) & (p <= F.col("cdf")))
+        | ((p <= 0) & (F.col("__prev") == 0))
+    )
+    return parts.select(
+        "key",
+        F.explode(F.filter(probs_arr, covers)).alias("p"),
+        F.col("value").alias("cutoff"),
+    )
+
+
 def approx_quantile_cuts(
     df: DataFrame, value_col: str, probs: list[float], rel_err: float = 0.001
 ) -> list[float]:

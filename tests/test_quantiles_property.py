@@ -106,3 +106,37 @@ def test_prob_zero_means_minimum(spark):
     assert quantile_cuts(df, "x", [0.0, 0.5, 1.0]) == [3.0, 5.0, 9.0]
     got = quantile_cuts_multi(df, {"x": [0.0, 1.0]})
     assert got["x"] == [3.0, 9.0]
+
+
+def test_grouped_quantile_cuts_match_duckdb(spark):
+    """Per-group exact discrete quantiles vs DuckDB quantile_disc GROUP BY."""
+    import duckdb
+
+    from oni_ml_spark.transforms.quantiles import grouped_quantile_cuts
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = sorted(
+        (r["key"], r["p"], r["cutoff"])
+        for r in grouped_quantile_cuts(
+            li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 1.0]
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (k, float(p), float(c))
+        for k, p, c in con.execute(
+            "WITH g AS (SELECT l_returnflag AS k, "
+            "  quantile_disc(l_quantity, [0.25, 0.5, 0.75, 1.0]) AS cs "
+            "  FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+            "  GROUP BY l_returnflag) "
+            "SELECT k, [0.25, 0.5, 0.75, 1.0][i] AS p, cs[i] AS cutoff "
+            "FROM g, (SELECT unnest([1, 2, 3, 4]) AS i) idx"
+        ).fetchall()
+    )
+    assert got == want
+    # window parallelism is per group — no single-partition exchange
+    plan = grouped_quantile_cuts(li, "l_returnflag", "l_quantity", [0.5])
+    p = plan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange SinglePartition" not in p
