@@ -26,11 +26,20 @@ def dot(a: Column, b: Column, k: int | None = None) -> Column:
     """Native array dot product.
 
     With ``k`` (the vector length, always known for model vectors) the sum
-    unrolls to element_at products — a plain codegen expression. Without
-    it, the generic aggregate(zip_with(...)) form runs interpreted HOF
-    lambdas per row (~3x slower in the scoring hot path)."""
+    unrolls to try_element_at products — a plain codegen expression.
+    Without it, the generic aggregate(zip_with(...)) form runs interpreted
+    HOF lambdas per row (~3x slower in the scoring hot path).
+
+    try_element_at (not element_at) keeps the generic form's semantics for
+    malformed rows: an array shorter than k yields a NULL score instead of
+    an ANSI out-of-bounds job failure; k=0 yields 0.0 like an empty fold."""
     if k is not None:
-        terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(k)]
+        if k == 0:
+            return F.lit(0.0)
+        terms = [
+            F.try_element_at(a, F.lit(i + 1)) * F.try_element_at(b, F.lit(i + 1))
+            for i in range(k)
+        ]
         out = terms[0]
         for t in terms[1:]:
             out = out + t

@@ -83,13 +83,15 @@ def _out_schema(left: DataFrame, right_cols, rfields) -> T.StructType:
 
 
 def _tag_sides(left, right, key, left_time, right_time, right_cols, as_timestamp):
-    from oni_ml_spark.transforms.time import time_as_double
+    from oni_ml_spark.transforms.time import time_as_double, time_as_timestamp
 
-    # time_as_double dispatches on the column's actual type: numeric stays
-    # numeric, TIMESTAMP_NTZ takes the session-tz-independent epoch path
-    # (a straight NTZ→DOUBLE cast is illegal in Spark)
-    lt = F.col(left_time).cast("timestamp") if as_timestamp else time_as_double(left, left_time)
-    rt = F.col(right_time).cast("timestamp") if as_timestamp else time_as_double(right, right_time)
+    # both branches dispatch on the column's actual type so TIMESTAMP_NTZ
+    # inputs are handled session-timezone-independently: the double branch
+    # via NTZ epoch arithmetic (a straight NTZ→DOUBLE cast is illegal), the
+    # timestamp branch (watermark variant) via to_utc_timestamp rather than
+    # a session-tz NTZ→LTZ cast
+    lt = time_as_timestamp(left, left_time) if as_timestamp else time_as_double(left, left_time)
+    rt = time_as_timestamp(right, right_time) if as_timestamp else time_as_double(right, right_time)
     l_tagged = left.select(
         F.col(key).alias("__k"), lt.alias("__ts"), F.lit(1).alias("__side"),
         F.to_json(F.struct(*left.columns)).alias("__payload"),

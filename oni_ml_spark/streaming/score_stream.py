@@ -38,6 +38,7 @@ def score_stream(
             dot(
                 F.coalesce(F.col("topic_mix"), uniform_mix(k)),
                 F.coalesce(F.col("word_given_topic"), uniform_mix(k)),
+                k=k,
             ),
         )
         .drop("__doc", "__word", "topic_mix", "word_given_topic")

@@ -26,6 +26,16 @@ DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 QUINTILES = [0.2, 0.4, 0.6, 0.8, 1.0]
 
 
+def _interval_covers(p, prev=None, cdf=None):
+    """Interval-cover predicate shared by every cutoff selector: value x is
+    the cutoff for the probs in (cdf(prev x), cdf(x)]; p <= 0 (a legal
+    discrete quantile meaning "the minimum") attaches to the first value —
+    the only row whose predecessor CDF is exactly 0."""
+    prev = F.col("__prev") if prev is None else prev
+    cdf = F.col("cdf") if cdf is None else cdf
+    return ((p > prev) & (p <= cdf)) | ((p <= 0) & (prev == 0))
+
+
 def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
     """Internal: DataFrame[value, cnt, cdf, __prev, __total] — the exact ECDF
     plus the per-value predecessor CDF, entirely lazy (zero driver actions).
@@ -127,15 +137,8 @@ def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataF
     """
     parts = _ecdf_parts(df, value_col)
     probs_arr = F.array(*[F.lit(float(p)) for p in probs])
-    # p <= 0 is a legal discrete quantile meaning "the minimum value": it
-    # falls outside every (prev, cdf] interval, so attach it to the global
-    # first value (the only row whose predecessor CDF is exactly 0)
-    covers = lambda p: (  # noqa: E731
-        ((p > F.col("__prev")) & (p <= F.col("cdf")))
-        | ((p <= 0) & (F.col("__prev") == 0))
-    )
     return parts.select(
-        F.explode(F.filter(probs_arr, covers)).alias("p"),
+        F.explode(F.filter(probs_arr, lambda p: _interval_covers(p))).alias("p"),
         F.col("value").alias("cutoff"),
     )
 
@@ -255,11 +258,7 @@ def quantile_cuts_multi(
             "col",
             F.col("value").alias("cutoff"),
             F.explode(
-                F.filter(
-                    probs_of,
-                    lambda p: ((p > F.col("__prev")) & (p <= F.col("cdf")))
-                    | ((p <= 0) & (F.col("__prev") == 0)),  # p<=0 → column min
-                )
+                F.filter(probs_of, lambda p: _interval_covers(p))
             ).alias("p"),
         )
         .collect()
@@ -313,13 +312,9 @@ def grouped_quantile_cuts(
         ((cum - F.col("cnt")) / total).alias("__prev"),
     )
     probs_arr = F.array(*[F.lit(float(p)) for p in sorted(set(float(p) for p in probs))])
-    covers = lambda p: (  # noqa: E731 — p <= 0 means "the group minimum"
-        ((p > F.col("__prev")) & (p <= F.col("cdf")))
-        | ((p <= 0) & (F.col("__prev") == 0))
-    )
     return parts.select(
         "key",
-        F.explode(F.filter(probs_arr, covers)).alias("p"),
+        F.explode(F.filter(probs_arr, lambda p: _interval_covers(p))).alias("p"),
         F.col("value").alias("cutoff"),
     )
 
@@ -383,6 +378,10 @@ def bin_expr(value: Column | str, cuts: list[float]) -> Column:
     """
     v = F.col(value) if isinstance(value, str) else value
     v = v.cast("double")
+    if not cuts:
+        # old size(filter(...)) semantics: 0 == len([]) → -1 for every row,
+        # NULL included
+        return F.lit(-1).cast("int")
     out = F.when(v.isNull(), F.lit(0))
     for i, c in enumerate(cuts):
         out = out.when(v <= F.lit(float(c)), F.lit(i))

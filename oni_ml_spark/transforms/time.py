@@ -19,19 +19,17 @@ def fractional_hour(hour: Column | str, minute: Column | str, second: Column | s
 
 
 def epoch_seconds(ts: Column | str) -> Column:
-    """Timestamp → epoch seconds as double, safe for TIMESTAMP_NTZ.
+    """Timestamp → epoch seconds as double via TIMESTAMP (LTZ).
 
-    Parquet files written without isAdjustedToUTC (e.g. the synthetic
-    ``events.ts``) load as TIMESTAMP_NTZ, which Spark refuses to cast
-    straight to DOUBLE. Routing through TIMESTAMP (LTZ) first is legal for
-    both timestamp flavors; with the session timezone pinned to UTC
-    (io.load_table does this) the NTZ wall-clock maps 1:1 onto the epoch,
-    matching DuckDB's tz-free ``epoch(ts)``.
-
-    Prefer ``time_as_double`` when the frame is at hand — it dispatches on
-    the actual column type (numeric columns must NOT take this path: a
-    double→timestamp cast reinterprets seconds and saturates past ±2^63
-    micros) and its NTZ branch is session-timezone-independent.
+    CAVEAT — for TIMESTAMP_NTZ inputs the NTZ→LTZ step interprets the wall
+    clock in the SESSION timezone, so on a session that is not UTC the
+    result shifts by the zone offset (and is non-monotonic across DST).
+    Use ``time_as_double`` instead whenever the frame is at hand: it
+    dispatches on the actual column type, its NTZ branch is
+    session-timezone-independent, and numeric columns keep their value (a
+    double→timestamp round-trip would saturate past ±2^63 micros). This
+    helper remains for Column-only call sites that guarantee an LTZ or
+    UTC-session input.
     """
     t = F.col(ts) if isinstance(ts, str) else ts
     return t.cast("timestamp").cast("double")
@@ -63,6 +61,19 @@ def time_as_double(df, col: str) -> Column:
     if dtype in ("date",) or (dtype or "").startswith(("string", "varchar")):
         return F.col(col).cast("timestamp").cast("double")
     return F.col(col).cast("double")
+
+
+def time_as_timestamp(df, col: str) -> Column:
+    """Column ``col`` as a TIMESTAMP (LTZ) for APIs that require one (e.g.
+    ``withWatermark``), with the same session-timezone independence as
+    ``time_as_double``: a TIMESTAMP_NTZ wall clock is interpreted as UTC
+    via ``to_utc_timestamp(col, 'UTC')`` — deterministic on any driver —
+    instead of a session-tz NTZ→LTZ cast. Other types take the plain
+    timestamp cast (numeric = epoch seconds, the cast's own convention).
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.to_utc_timestamp(F.col(col), "UTC")
+    return F.col(col).cast("timestamp")
 
 
 def seconds_of_day(time_str: Column | str) -> Column:
