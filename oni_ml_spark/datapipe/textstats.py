@@ -171,3 +171,44 @@ def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         )
 
     return df.groupBy(key_col).applyInPandas(stats, out_schema)
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, avg_logprob) — mean natural-log unigram probability of
+    each document under the corpus's own MLE unigram model (add-one
+    smoothed over the corpus vocabulary).
+
+    The classic cheap perplexity proxy for training-data curation: very
+    negative avg_logprob flags gibberish/boilerplate-mix documents, near-0
+    flags degenerate repetition. Pure DataFrame composition — token
+    explode, one corpus-counts shuffle (|vocab| rows out, broadcast back),
+    one per-doc aggregate — every statistic exact arithmetic, so the whole
+    operator verifies against a SQL oracle (tests/test_retrieval.py).
+
+    p(t) = (cnt(t) + 1) / (N + V); tokens weighted by their occurrence
+    count in the document (i.e. the sum runs over token instances).
+    """
+    from oni_ml_spark.datapipe.dedup import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    per_doc = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = per_doc.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    stats = corpus.agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    model = corpus.join(F.broadcast(stats)).select(
+        "term",
+        F.log((F.col("cnt") + 1) / (F.col("__n") + F.col("__v")).cast("double")).alias(
+            "__logp"
+        ),
+    )
+    return (
+        per_doc.join(F.broadcast(model), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("__logp")) / F.sum("tf")).alias("avg_logprob"),
+        )
+    )

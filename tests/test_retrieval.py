@@ -110,3 +110,21 @@ def test_bm25_empty_query_raises(spark):
     d = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError):
         bm25_scores(d, "doc_id", "text", [])
+
+
+def test_unigram_logprob_matches_oracle(spark, duck):
+    from oni_ml_spark.datapipe.textstats import unigram_logprob
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = _rows(unigram_logprob(d, "doc_id", "text"), ["id", "n_tokens", "avg_logprob"], ndigits=8)
+    sql = f"""WITH {_TF_SQL},
+      corpus AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tfc GROUP BY term),
+      stats AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM corpus),
+      model AS (SELECT term, ln((cnt + 1) / (n + v)) AS logp FROM corpus, stats)
+      SELECT id, sum(tf)::BIGINT AS n_tokens, sum(tf * logp) / sum(tf) AS avg_logprob
+      FROM tfc JOIN model USING (term) GROUP BY id"""
+    want = sorted(
+        (r[0], r[1], round(float(r[2]), 8)) for r in duck.execute(sql).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
