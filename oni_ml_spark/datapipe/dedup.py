@@ -338,3 +338,89 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster) — undirected connected components by iterative
+    min-label propagation; cluster = smallest node id in the component.
+
+    ``edges`` is DataFrame[id_a, id_b]; ``nodes`` optionally supplies the
+    full vertex set (DataFrame[id]) so isolated documents appear as
+    singleton clusters. Each round joins labels across edges and keeps the
+    per-node minimum; rounds needed = graph diameter (near-dup graphs are
+    shallow — duplicates of one source form near-cliques). Each iteration
+    materializes its label table (bounded: one row per node) so lineage
+    stays flat; convergence is detected by a changed-label count.
+
+    At 100 TB scale this is the textbook alternating propagation; for
+    adversarial long-chain graphs swap in large-star/small-star — the
+    per-iteration dataflow (join + min-aggregate) is identical, only the
+    edge rewriting differs.
+    """
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    verts = both.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        verts = verts.unionByName(nodes.select(F.col("id"))).distinct()
+    labels = verts.select("id", F.col("id").alias("cluster")).cache()
+    labels.count()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("__nmin", F.col("cluster"))
+                ).alias("cluster"),
+                (F.coalesce("__nmin", F.col("cluster")) < F.col("cluster")).alias("__chg"),
+            )
+        ).cache()
+        changed = updated.filter(F.col("__chg")).count()
+        labels.unpersist()
+        labels = updated.select("id", "cluster").cache()
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster, keep) — full near-duplicate grouping: banded-LSH
+    candidates → exact-Jaccard verify (near_dup_pairs) → connected
+    components → per-cluster survivor flag (keep = id == cluster, i.e. the
+    smallest id in the component).
+
+    The end-to-end curation flow: ``df.join(out.filter("keep"), id)``
+    yields the deduplicated corpus; the cluster column preserves the
+    duplicate-group lineage for audit.
+    """
+    pairs = near_dup_pairs(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    ).select("id_a", "id_b")
+    nodes = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, nodes=nodes, max_iter=max_iter)
+    return comp.select(
+        "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep")
+    )

@@ -385,3 +385,65 @@ class TestModelPersistence:
             map(tuple, score_records(events, loaded, "doc", "word").collect())
         )
         assert got == want
+
+
+class TestNearDupClusters:
+    def test_connected_components_chain_and_singleton(self, spark):
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id long")
+        got = {r["id"]: r["cluster"]
+               for r in connected_components(edges, nodes=nodes).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    def test_clusters_match_duckdb_recursive_components(self, spark):
+        """End-to-end near_dup_clusters vs DuckDB: same verified pairs →
+        recursive-CTE reachability → min reachable id per node."""
+        import duckdb
+
+        from oni_ml_spark.datapipe.dedup import near_dup_clusters, near_dup_pairs
+        from oni_ml_spark.io import load_table
+
+        SF_DIR_ORACLE = "/root/testdata/sf0.01"
+        d = load_table(spark, SF_DIR_ORACLE, "documents")
+        got = sorted(
+            (r["id"], r["cluster"], r["keep"])
+            for r in near_dup_clusters(
+                d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+            ).collect()
+        )
+        pairs = near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+        ).select("id_a", "id_b").collect()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE edges (a BIGINT, b BIGINT)")
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?)",
+            [(r["id_a"], r["id_b"]) for r in pairs] or [(None, None)],
+        )
+        n_docs = con.execute(
+            f"SELECT count(*) FROM '{SF_DIR_ORACLE}/documents.parquet'"
+        ).fetchone()[0]
+        want_rows = con.execute(
+            f"""
+            WITH RECURSIVE
+            und AS (SELECT a, b FROM edges WHERE a IS NOT NULL
+                    UNION ALL SELECT b, a FROM edges WHERE a IS NOT NULL),
+            nodes AS (SELECT doc_id AS id FROM '{SF_DIR_ORACLE}/documents.parquet'),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.id
+            )
+            SELECT id, min(r) AS cluster FROM reach GROUP BY id
+            """
+        ).fetchall()
+        want = sorted((i, c, i == c) for i, c in want_rows)
+        assert len(got) == n_docs
+        assert got == want
+        # at least one multi-doc cluster must exist at this threshold, or
+        # the comparison is vacuous
+        assert any(not keep for _, _, keep in got)
