@@ -424,3 +424,72 @@ def near_dup_clusters(
     return comp.select(
         "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep")
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs whose 64-bit SimHash fingerprints
+    differ in at most ``max_hamming`` bits, via pigeonhole band blocking.
+
+    The 64 bits split into ``bands`` contiguous blocks; two fingerprints
+    within ``max_hamming < bands`` Hamming distance MUST agree on at least
+    one whole block (pigeonhole), so the (band, block-value) self-join has
+    EXACT recall — unlike probabilistic LSH there is no missed-pair rate.
+    Candidates then verify with one xor + bit_count. All native
+    expressions; the join shuffles (band, 16-bit value) keys, never
+    documents.
+    """
+    if not 0 < bands <= 64 or 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole exactness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fp = simhash64(df, id_col, text_col)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

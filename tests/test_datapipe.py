@@ -447,3 +447,37 @@ class TestNearDupClusters:
         # at least one multi-doc cluster must exist at this threshold, or
         # the comparison is vacuous
         assert any(not keep for _, _, keep in got)
+
+
+class TestSimhashNearDups:
+    def test_blocked_pairs_equal_brute_force(self, spark):
+        """Pigeonhole banding must have EXACT recall: the blocked result at
+        max_hamming=3 equals the all-pairs brute force over fingerprints."""
+        from oni_ml_spark.datapipe.dedup import simhash64, simhash_near_dups
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(d, "doc_id", "text", max_hamming=3).collect()
+        )
+        fp = {r["id"]: r["simhash"] for r in simhash64(d, "doc_id", "text").collect()}
+        ids = sorted(fp)
+        ham = lambda a, b: bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")  # noqa: E731
+        want = sorted(
+            (a, b, ham(a, b))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if ham(a, b) <= 3
+        )
+        assert got == want
+
+    def test_rejects_unreachable_recall(self, spark):
+        from oni_ml_spark.datapipe.dedup import simhash_near_dups
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        with pytest.raises(ValueError):
+            simhash_near_dups(d, "doc_id", "text", max_hamming=4, bands=4)
+        with pytest.raises(ValueError):
+            simhash_near_dups(d, "doc_id", "text", bands=5)
