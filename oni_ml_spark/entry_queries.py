@@ -1178,7 +1178,11 @@ def anti_join_dedup_q(spark, sf):
     "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no "
     "  FROM (SELECT user_id, event_id, ts, "
     "        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)) "
-    "SELECT user_id, session_no, count(*) AS n_events FROM s GROUP BY user_id, session_no",
+    # session_no::BIGINT: DuckDB's windowed sum(CASE...) yields HUGEINT, which
+    # hash-mismatches Spark's BIGINT even when values are identical (same trap
+    # as pivot_counts in r2 — see BASELINE.md oracle-authoring notes).
+    "SELECT user_id, session_no::BIGINT AS session_no, count(*) AS n_events "
+    "FROM s GROUP BY user_id, session_no",
 )
 def sessionize_q(spark, sf):
     """Gap-based sessionization (30-min timeout) + per-session event counts.

@@ -63,6 +63,22 @@ def _normalize(rows, colnames):
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_has_no_hugeint_columns(duck, name):
+    """The driver hashes raw typed values, so a DuckDB HUGEINT column (the
+    default result of windowed sum(CASE...) etc.) hash-mismatches Spark's
+    BIGINT even when every value is identical — this bit pivot_counts (r2)
+    and sessionize (r3). The fix is always `::BIGINT` in the oracle's outer
+    projection; this test makes the trap impossible to reintroduce."""
+    rel = duck.sql(_ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not bad, f"{name}: HUGEINT oracle columns (cast ::BIGINT): {bad}"
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = _QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
