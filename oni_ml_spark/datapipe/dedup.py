@@ -127,11 +127,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes has one row per document — unbounded at corpus scale, so no
+    # broadcast hint: let AQE pick broadcast when the corpus is small enough.
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -344,6 +346,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """(id, cluster) — undirected connected components by iterative
     min-label propagation; cluster = smallest node id in the component.
@@ -353,14 +356,33 @@ def connected_components(
     singleton clusters. Each round joins labels across edges and keeps the
     per-node minimum; rounds needed = graph diameter (near-dup graphs are
     shallow — duplicates of one source form near-cliques). Each iteration
-    materializes its label table (bounded: one row per node) so lineage
-    stays flat; convergence is detected by a changed-label count.
+    materializes its label table (bounded: one row per node), and every
+    ``checkpoint_interval`` iterations the labels are checkpointed so the
+    lineage chain is TRUNCATED, not just materialized — without this, an
+    executor loss at iteration 15 on a real cluster recomputes the whole
+    chain from iteration 0, and the plan string grows linearly with the
+    iteration count. A reliable ``checkpoint()`` is used when the session
+    has a checkpoint dir configured (``sc.setCheckpointDir`` — what you'd do
+    on a 1000-executor cluster); otherwise ``localCheckpoint()`` (blocks on
+    executors; fine for local mode, not fault-tolerant).
+
+    The returned DataFrame is backed by cached/checkpointed blocks; they are
+    released when the frame is garbage-collected on the driver (Spark's
+    ContextCleaner), or immediately if the caller unpersists it after
+    materializing downstream results. Non-convergence within ``max_iter``
+    (possible only on graphs whose diameter exceeds it, e.g. adversarial
+    long chains) emits a ``RuntimeWarning`` — labels are then a valid
+    over-segmentation: every reported cluster is a subset of a true
+    component, but one component may appear as several clusters.
 
     At 100 TB scale this is the textbook alternating propagation; for
     adversarial long-chain graphs swap in large-star/small-star — the
     per-iteration dataflow (join + min-aggregate) is identical, only the
     edge rewriting differs.
     """
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
     both = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -372,7 +394,8 @@ def connected_components(
     labels = verts.select("id", F.col("id").alias("cluster")).cache()
     labels.count()
 
-    for _ in range(max_iter):
+    converged = False
+    for it in range(1, max_iter + 1):
         neighbor_min = (
             both.join(labels, both["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -387,12 +410,28 @@ def connected_components(
                 ).alias("cluster"),
                 (F.coalesce("__nmin", F.col("cluster")) < F.col("cluster")).alias("__chg"),
             )
-        ).cache()
+        )
+        if it % checkpoint_interval == 0:
+            # eager: materializes AND truncates lineage at this iteration
+            updated = updated.checkpoint() if reliable else updated.localCheckpoint()
+        else:
+            updated = updated.cache()
         changed = updated.filter(F.col("__chg")).count()
         labels.unpersist()
-        labels = updated.select("id", "cluster").cache()
+        labels = updated.select("id", "cluster")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} iterations "
+            "(graph diameter exceeds max_iter); labels are an over-segmentation "
+            "— components may be split. Raise max_iter or use star contraction.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

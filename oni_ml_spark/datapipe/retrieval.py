@@ -41,9 +41,12 @@ def tf_idf(
     ln((N + 1) / (df + 1)) + 1 (the scikit-learn convention — never
     negative, defined for df = N).
 
-    ``n_docs`` pins N when the caller already knows it (saves nothing here —
-    N is computed in-plan via a window over the tiny per-term table — but
-    lets incremental pipelines hold N fixed across batches).
+    N is the number of documents with >= 1 token, computed in-plan as a
+    1-row countDistinct aggregate over the postings and broadcast onto the
+    tiny per-term table. NOTE: documents whose normalized text is empty do
+    not count toward N (they have no postings) — sklearn's TfidfVectorizer
+    counts every input row. Pass ``n_docs`` to pin N explicitly (e.g. the
+    full corpus size, or a constant held fixed across incremental batches).
     """
     tf = term_frequencies(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -77,8 +80,11 @@ def bm25_scores(
     query terms; documents sharing no term are absent (score 0 by
     definition).
 
-    score(D, Q) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
-    with the standard idf(t) = ln(1 + (N − df + 0.5) / (df + 0.5)).
+    score(D, Q) = Σ_t qtf(t) · idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    with the standard idf(t) = ln(1 + (N − df + 0.5) / (df + 0.5)) and
+    qtf(t) = the term's multiplicity in the query — a term repeated in Q
+    contributes proportionally (true bag-of-terms Okapi; callers wanting
+    set semantics dedupe query_terms themselves).
 
     All statistics (doc length, avgdl, df, N) are computed in-plan from the
     corpus; the query side is a literal array, so matching is a broadcast
@@ -86,13 +92,20 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    from collections import Counter
+
+    qtf = Counter(str(t) for t in query_terms)
     tf = term_frequencies(df, id_col, text_col)
     doclen = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     # corpus stats as a 1-row broadcast: N and avgdl
     stats = doclen.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
     )
-    qset = [str(t) for t in dict.fromkeys(query_terms)]  # dedupe, keep order
+    qset = list(qtf)
+    # literal term → query-multiplicity map (bounded by the query length)
+    qtf_map = F.create_map(
+        *[lit for t, c in qtf.items() for lit in (F.lit(t), F.lit(float(c)))]
+    )
     matched = tf.filter(F.col("term").isin(qset))
     dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
@@ -113,7 +126,8 @@ def bm25_scores(
         .join(F.broadcast(stats))
         .withColumn(
             "__contrib",
-            F.col("idf")
+            F.element_at(qtf_map, F.col("term"))
+            * F.col("idf")
             * (F.col("tf") * (k1l + 1))
             / (F.col("tf") + k1l * (1 - bl + bl * F.col("dl") / F.col("__avgdl"))),
         )

@@ -53,8 +53,12 @@ def time_as_double(df, col: str) -> Column:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "timestamp_ntz":
+        # F.col for the data column (a name containing backticks would break
+        # SQL-string interpolation); only the constant epoch literal goes
+        # through F.expr, which references no columns.
         return (
-            F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)") / F.lit(1000000.0)
+            F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH), F.col(col))
+            / F.lit(1000000.0)
         )
     if dtype == "timestamp":
         return F.col(col).cast("double")

@@ -399,6 +399,47 @@ class TestNearDupClusters:
                for r in connected_components(edges, nodes=nodes).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
+    def test_checkpoint_bounds_plan_depth_on_long_chain(self, spark):
+        """A 30-node path graph needs many propagation rounds; the periodic
+        checkpoint must keep the final plan bounded (lineage truncated at the
+        last checkpoint) instead of chaining all iterations, and still label
+        every node with the chain head."""
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        labels = connected_components(edges, max_iter=40, checkpoint_interval=3)
+        got = {r["id"]: r["cluster"] for r in labels.collect()}
+        assert got == {i: 0 for i in range(31)}
+        # plan rooted at the last checkpoint: at most checkpoint_interval
+        # iterations of lineage (~6 KB). Without truncation the plan chains
+        # all ~30 iterations and Catalyst analysis alone takes minutes —
+        # the no-checkpoint control doesn't even finish planning here.
+        plan = labels._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 20_000, f"plan not truncated ({len(plan)} chars)"
+
+    def test_nonconvergence_warns_and_oversegments(self, spark):
+        import warnings
+
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            labels = connected_components(edges, max_iter=2)
+            got = {r["id"]: r["cluster"] for r in labels.collect()}
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "not converged" in str(w.message)
+            for w in caught
+        )
+        # over-segmentation, never mis-merge: each label is a reachable
+        # smaller id within the same true component
+        assert all(c <= i for i, c in got.items())
+
     def test_clusters_match_duckdb_recursive_components(self, spark):
         """End-to-end near_dup_clusters vs DuckDB: same verified pairs →
         recursive-CTE reachability → min reachable id per node."""

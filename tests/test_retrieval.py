@@ -106,6 +106,21 @@ def test_bm25_topk_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_repeated_query_term_weights_by_multiplicity(spark):
+    """Okapi bag-of-terms: a term repeated in the query contributes
+    proportionally (qtf weighting), so Q=[t, t] doubles Q=[t] exactly."""
+    d = load_table(spark, SF_DIR, "documents")
+    t = (
+        term_frequencies(d, "doc_id", "text")
+        .groupBy("term").count().orderBy(F.desc("count")).limit(1)
+        .collect()[0]["term"]
+    )
+    single = {r["id"]: r["score"] for r in bm25_scores(d, "doc_id", "text", [t]).collect()}
+    double = {r["id"]: r["score"] for r in bm25_scores(d, "doc_id", "text", [t, t]).collect()}
+    assert single and set(single) == set(double)
+    assert all(abs(double[i] - 2 * single[i]) < 1e-9 for i in single)
+
+
 def test_bm25_empty_query_raises(spark):
     d = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError):
