@@ -383,11 +383,16 @@ def connected_components(
     sc = edges.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
+    # materialize the symmetric edge list ONCE: every iteration (and its
+    # convergence count) joins against it, and `edges` is typically the tail
+    # of an expensive chain (shingle → minhash → LSH → verify) that must not
+    # re-execute per round. Bounded: 2 rows per input edge.
     both = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    both = both.checkpoint() if reliable else both.localCheckpoint()
     verts = both.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         verts = verts.unionByName(nodes.select(F.col("id"))).distinct()

