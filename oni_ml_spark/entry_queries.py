@@ -1564,11 +1564,15 @@ def curation_pipeline(spark, sf):
     surv = d.join(
         clusters.filter(F.col("keep")).select(F.col("id").alias("doc_id")), "doc_id"
     )
-    chunks = chunk_documents(surv, "doc_id", "text", chunk_tokens=64, overlap=8)
     cid = F.concat_ws("_", F.col("id").cast("string"), F.col("chunk_no").cast("string"))
-    packed = pack_sequences(
-        chunks.withColumn("cid", cid), "cid", "chunk_text", capacity=256
-    )
+    # cache the chunk table before the fan-out: three consumers (chunk agg,
+    # packing's range-sampling pass, packing execution) would otherwise each
+    # re-run the dedup-join + chunk explode — measured 51 s → 4 s at sf0.1.
+    # At real scale this is the same spot you'd persist(DISK_ONLY).
+    chunks = chunk_documents(
+        surv, "doc_id", "text", chunk_tokens=64, overlap=8
+    ).withColumn("cid", cid).cache()
+    packed = pack_sequences(chunks, "cid", "chunk_text", capacity=256)
     bins = packed.groupBy("bin_id").agg(
         F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("nchunks")
     )
