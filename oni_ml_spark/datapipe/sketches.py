@@ -1,0 +1,124 @@
+"""Mergeable sketch aggregates — the approximate-analytics layer a 100 TB
+pipeline leans on when exact answers don't justify their shuffle.
+
+Why sketches and not exact aggregates at scale: an exact COUNT(DISTINCT)
+shuffles every distinct value; a Datasketches HLL sketch is a fixed-size
+(~KB) state that (a) partial-aggregates map-side, (b) MERGES — a sketch per
+partition/day/source can be unioned later without touching the raw data.
+That second property is the one exact counts lack entirely: you cannot add
+two exact distinct counts, but you can union two sketches. The functions
+here expose that workflow as DataFrame transforms:
+
+- ``approx_distinct_by_group``: one sketch per group, estimate attached.
+- ``rollup_distinct_sketches``: re-aggregate SAVED sketches to a coarser
+  grouping (day → month, source → all) via ``hll_union_agg`` — the
+  incremental-rollup pattern (never rescans the fact table).
+- ``approx_freq_items``: per-column frequent-item candidates via the native
+  one-pass ``DataFrame.stat.freqItems`` (Karp-Papadimitriou-Shenker).
+- ``grouped_approx_quantiles``: per-group percentile_approx (Greenwald-
+  Khanna sketch) — the approximate sibling of
+  ``transforms.quantiles.grouped_quantile_cuts`` for high-cardinality
+  groups where exact per-group ECDFs are overkill.
+
+Accuracy is verified against exact aggregates in tests/test_sketches.py
+(these are estimators, so there is deliberately no DuckDB value oracle —
+the exact sides ARE the oracles, with published error bounds as the
+tolerance: HLL lgK=12 → ~1.6% standard error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """(group_cols..., distinct_sketch binary, approx_distinct long) — one
+    Datasketches HLL sketch per group plus its estimate.
+
+    Keep the sketch column when persisting: it is the mergeable state that
+    lets ``rollup_distinct_sketches`` build coarser rollups later without
+    rescanning the data. ``lg_k=12`` → 2^12 buckets ≈ 1.6% standard error
+    in ~4 KB.
+    """
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("distinct_sketch"))
+        .withColumn(
+            "approx_distinct", F.hll_sketch_estimate("distinct_sketch").cast("long")
+        )
+    )
+
+
+def rollup_distinct_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "distinct_sketch",
+) -> DataFrame:
+    """Re-aggregate saved per-group sketches to a coarser grouping — the
+    incremental-rollup pattern: daily sketches union into monthly/all-time
+    distinct counts with NO rescan of the fact table (impossible with exact
+    counts, which don't add).
+
+    ``group_cols=[]`` yields the single global rollup row.
+    """
+    agg = F.hll_union_agg(sketch_col).alias("distinct_sketch")
+    grouped = (
+        sketches.groupBy(*group_cols).agg(agg) if group_cols
+        else sketches.agg(agg)
+    )
+    return grouped.withColumn(
+        "approx_distinct", F.hll_sketch_estimate("distinct_sketch").cast("long")
+    )
+
+
+def approx_freq_items(
+    df: DataFrame, cols: list[str], support: float = 0.01
+) -> dict[str, list]:
+    """Per-column frequent-item CANDIDATES with frequency > ``support``
+    (one pass, Karp-Papadimitriou-Shenker via ``DataFrame.stat.freqItems``).
+
+    No false negatives (every item above support is present); false
+    positives possible — filter with an exact count over the candidate set
+    (bounded: ≤ 1/support items) when precision matters.
+    """
+    row = df.stat.freqItems(cols, support).collect()[0]
+    return {c: list(row[f"{c}_freqItems"]) for c in cols}
+
+
+def grouped_approx_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """(group_cols..., p double, cutoff double) — per-group approximate
+    quantiles via the percentile_approx sketch (one pass, map-side
+    partials, accuracy 1/rel_err).
+
+    The approximate sibling of ``quantiles.grouped_quantile_cuts``: use
+    this for millions of groups / high-cardinality values where exact
+    per-group ECDFs cost a wide shuffle; use the exact one when reference
+    semantics (least x with P(X<=x) >= p) must hold bit-for-bit.
+    """
+    probs_sorted = sorted(set(float(p) for p in probs))
+    accuracy = max(int(1.0 / rel_err), 100)
+    arr = F.percentile_approx(
+        F.col(value_col).cast("double"),
+        F.array(*[F.lit(p) for p in probs_sorted]),
+        F.lit(accuracy),
+    )
+    g = df.groupBy(*group_cols).agg(arr.alias("__cuts"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in probs_sorted]).alias("p"),
+        F.col("__cuts").alias("cutoff"),
+    )
+    return g.select(
+        *group_cols, F.explode(pairs).alias("__pc")
+    ).select(*group_cols, F.col("__pc.p").alias("p"), F.col("__pc.cutoff").alias("cutoff"))

@@ -82,6 +82,30 @@ def test_no_single_partition_exchange_in_similarity_battery(spark):
         assert "Exchange SinglePartition" not in p, name
 
 
+def test_as_of_join_plans_as_window_not_join(spark):
+    """The as-of battery entry must plan as union → one hash exchange on the
+    key → window carry-forward, with NO join node (a naive non-equi
+    formulation plans a per-key nested loop that is quadratic per key)."""
+    p = _plan(spark, "as_of_join")
+    assert "Join" not in p
+    assert p.count("Window") == 1
+    assert "Exchange hashpartitioning" in p
+
+
+def test_new_dedup_entries_have_no_cartesian(spark):
+    """Candidate generation in every round-4 dedup/retrieval entry must be a
+    bucket/equi join — never an all-pairs plan."""
+    for name in ("simhash_near_dups", "near_dup_clusters", "tf_idf_bm25",
+                 "unigram_logprob", "grouped_quantile_cuts"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_grouped_quantiles_no_single_partition(spark):
+    p = _plan(spark, "grouped_quantile_cuts")
+    assert "Exchange SinglePartition" not in p
+
+
 def test_quantile_cuts_plan_is_lazy_and_join_free(spark):
     """The exact-quantile path must (a) build with ZERO driver actions — the
     r02 version ran an approxQuantile job and a subtotal collect during

@@ -1,0 +1,120 @@
+"""Sketch aggregates vs exact oracles: the exact aggregate IS the oracle,
+with the sketch's published error bound as the tolerance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.sketches import (
+    approx_distinct_by_group,
+    approx_freq_items,
+    grouped_approx_quantiles,
+    rollup_distinct_sketches,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+class TestHll:
+    def test_per_group_estimates_within_bound(self, spark, events):
+        got = {
+            r["event_type"]: r["approx_distinct"]
+            for r in approx_distinct_by_group(
+                events, ["event_type"], "user_id"
+            ).collect()
+        }
+        exact = {
+            r["event_type"]: r["d"]
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for k, d in exact.items():
+            # lgK=12 -> ~1.6% standard error; 5 sigma margin
+            assert abs(got[k] - d) <= max(0.08 * d, 3.0), (k, got[k], d)
+
+    def test_rollup_unions_sketches_not_counts(self, spark, events):
+        """The union of per-group sketches must estimate the GLOBAL distinct
+        count (~|users|), not the sum of per-group counts (~5x larger here
+        since users appear under every event type) — proving the rollup
+        merges sketch state rather than adding estimates."""
+        per_group = approx_distinct_by_group(events, ["event_type"], "user_id")
+        total = rollup_distinct_sketches(per_group, []).collect()[0]["approx_distinct"]
+        exact_total = events.select("user_id").distinct().count()
+        summed = per_group.agg(F.sum("approx_distinct")).collect()[0][0]
+        assert abs(total - exact_total) <= max(0.08 * exact_total, 3.0)
+        assert summed > 2 * exact_total  # the naive wrong answer is far off
+
+    def test_sketches_survive_persistence_roundtrip(self, spark, events, tmp_path):
+        """The binary sketch column written to parquet and read back must
+        still union — the save-daily-sketches workflow."""
+        per_group = approx_distinct_by_group(events, ["event_type"], "user_id")
+        path = str(tmp_path / "sketches.parquet")
+        per_group.write.mode("overwrite").parquet(path)
+        reloaded = spark.read.parquet(path)
+        total = rollup_distinct_sketches(reloaded, []).collect()[0]["approx_distinct"]
+        exact_total = events.select("user_id").distinct().count()
+        assert abs(total - exact_total) <= max(0.08 * exact_total, 3.0)
+
+
+class TestFreqItems:
+    def test_no_false_negatives_above_support(self, spark, events):
+        n = events.count()
+        exact_over = {
+            r["event_type"]
+            for r in events.groupBy("event_type").count().collect()
+            if r["count"] / n > 0.15
+        }
+        got = approx_freq_items(events, ["event_type"], support=0.15)
+        assert exact_over <= set(got["event_type"])
+
+
+class TestGroupedApproxQuantiles:
+    def test_within_rank_tolerance_of_exact(self, spark, lineitem):
+        """percentile_approx guarantees rank error <= rel_err * n; check the
+        approximate per-group cutoffs against the exact per-group ECDF."""
+        probs = [0.25, 0.5, 0.75]
+        got = grouped_approx_quantiles(
+            lineitem, ["l_returnflag"], "l_quantity", probs, rel_err=0.001
+        ).collect()
+        exact = {
+            (r["l_returnflag"],): r
+            for r in lineitem.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sort_array(F.collect_list(F.col("l_quantity").cast("double"))).alias("v"),
+            )
+            .collect()
+        }
+        for row in got:
+            n, v = exact[(row["l_returnflag"],)]["n"], exact[(row["l_returnflag"],)]["v"]
+            rank = sorted(v).index(row["cutoff"]) if row["cutoff"] in v else None
+            assert rank is not None, "cutoff must be a real data value"
+            # value at the target rank within +-(rel_err*n + 1) positions
+            target = row["p"] * n
+            lo = v[max(int(target - 0.001 * n - 2), 0)]
+            hi = v[min(int(target + 0.001 * n + 2), n - 1)]
+            assert lo <= row["cutoff"] <= hi
+
+    def test_matches_single_group_percentile_approx(self, spark, lineitem):
+        one = lineitem.withColumn("g", F.lit("all"))
+        got = {
+            r["p"]: r["cutoff"]
+            for r in grouped_approx_quantiles(one, ["g"], "l_quantity", [0.5]).collect()
+        }
+        want = lineitem.agg(
+            F.percentile_approx(F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(1000))
+        ).collect()[0][0]
+        assert got[0.5] == want
