@@ -8,7 +8,7 @@ produce identical assignments.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oni_ml_spark.datapipe.dedup import normalize_text
@@ -93,3 +93,31 @@ def anti_join_dedup(
     new_k = new_docs.withColumn("__fp", F.md5(normalize_text(text_col)))
     old_k = existing.select(F.md5(normalize_text(text_col)).alias("__fp")).distinct()
     return new_k.join(old_k, "__fp", "left_anti").drop("__fp")
+
+
+def deterministic_k_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by md5-hash rank of
+    the key — a uniform-ish sample that is IDENTICAL on every run and
+    engine (the property random sampling and LIMIT both lack), the
+    per-group sibling of ``hash_split``.
+
+    Window partitioned by group (parallelism = |groups|; rank stops early
+    per partition), hash salted with an operator tag so composing with
+    hash_split / stratified_sample on the same key stays independent.
+    Ties broken by the key itself for full determinism on hash collisions.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    salted = F.concat(F.col(key_col).cast("string"), F.lit("#ksample"))
+    h = hash_bucket(salted, 1 << 62)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -359,3 +359,42 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """(group, centroid array<double>, n) — per-group mean embedding.
+
+    The dataset-summarization / IVF-bootstrap aggregate: one JVM-side
+    shuffle via ``ml.stat.Summarizer`` (vector partial sums merge map-side;
+    |groups| rows out) — never a posexplode to (group, dim) rows and never
+    a collect_list of whole vectors. ``normalize=True`` L2-normalizes each
+    centroid (what cosine-space retrieval wants).
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    v = df.select(
+        F.col(group_col).alias("group"),
+        array_to_vector(as_double_array(vec_col)).alias("__v"),
+    )
+    agg = v.groupBy("group").agg(
+        Summarizer.mean(F.col("__v")).alias("__mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = agg.select(
+        "group", vector_to_array(F.col("__mean")).alias("centroid"), "n"
+    )
+    if normalize:
+        out = out.select(
+            "group",
+            F.transform("centroid", lambda x: x / norm(F.col("centroid"))).alias(
+                "centroid"
+            ),
+            "n",
+        )
+    return out

@@ -522,3 +522,80 @@ class TestSimhashNearDups:
             simhash_near_dups(d, "doc_id", "text", max_hamming=4, bands=4)
         with pytest.raises(ValueError):
             simhash_near_dups(d, "doc_id", "text", bands=5)
+
+
+class TestGroupCentroids:
+    def test_matches_manual_mean(self, spark):
+        from oni_ml_spark.datapipe.similarity import group_centroids
+
+        rows = [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [5.0, 6.0])]
+        df = spark.createDataFrame(rows, "g string, embedding array<double>")
+        got = {r["group"]: (r["centroid"], r["n"])
+               for r in group_centroids(df, "g").collect()}
+        assert got["a"][0] == [2.0, 3.0] and got["a"][1] == 2
+        assert got["b"][0] == [5.0, 6.0] and got["b"][1] == 1
+
+    def test_normalized_centroids_unit_length(self, spark):
+        import math
+
+        from oni_ml_spark.datapipe.similarity import group_centroids
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        df = emb.withColumn("g", (F.col("vec_id") % 4).cast("string"))
+        for r in group_centroids(df, "g", normalize=True).collect():
+            assert abs(math.sqrt(sum(x * x for x in r["centroid"])) - 1.0) < 1e-9
+
+    def test_no_explode_in_plan(self, spark):
+        """The centroid aggregate must be one vector aggregation — not a
+        posexplode to (group, dim) rows (dim x the shuffle volume)."""
+        from oni_ml_spark.datapipe.similarity import group_centroids
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        df = emb.withColumn("g", (F.col("vec_id") % 4).cast("string"))
+        p = group_centroids(df, "g")._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "Generate" not in p
+
+
+class TestDeterministicKSample:
+    def test_exact_k_per_group_and_stable(self, spark):
+        from oni_ml_spark.datapipe.sampling import deterministic_k_sample
+        from oni_ml_spark.io import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        s1 = deterministic_k_sample(e, "event_type", "event_id", 7)
+        sizes = {r["event_type"]: r["n"] for r in
+                 s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        group_sizes = {r["event_type"]: r["n"] for r in
+                       e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes == {g: min(7, n) for g, n in group_sizes.items()}
+        ids1 = sorted(r["event_id"] for r in s1.collect())
+        # re-run (fresh plan): identical selection
+        ids2 = sorted(r["event_id"] for r in
+                      deterministic_k_sample(e, "event_type", "event_id", 7).collect())
+        assert ids1 == ids2
+
+    def test_independent_of_hash_split(self, spark):
+        """The salted sample must not collapse into one hash_split bucket:
+        sampled rows should span train AND the tail splits."""
+        from oni_ml_spark.datapipe.sampling import deterministic_k_sample, hash_split
+        from oni_ml_spark.io import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        s = deterministic_k_sample(e, "event_type", "event_id", 50)
+        splits = hash_split(s, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        kinds = {r["split"] for r in splits.select("split").distinct().collect()}
+        assert "train" in kinds and len(kinds) >= 2
+
+    def test_k_positive_required(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.sampling import deterministic_k_sample
+        from oni_ml_spark.io import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        with _pytest.raises(ValueError):
+            deterministic_k_sample(e, "event_type", "event_id", 0)
