@@ -15,8 +15,9 @@ from oni_ml_spark.streaming.score_stream import (
     dedup_stream,
     as_of_enrich_stream,
     score_stream,
+    windowed_approx_distinct,
     windowed_corpus_counts,
 )
 from oni_ml_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]
+__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_approx_distinct", "windowed_corpus_counts", "dedup_stream", "sessionize_stream"]

@@ -125,3 +125,34 @@ def dedup_stream(
     evicted by the watermark for keys that don't include the event-time
     column — plain dropDuplicates(keys) would grow state forever."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def windowed_approx_distinct(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "5 minutes",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Watermarked per-window approximate distinct counts
+    (window, group_cols..., approx_distinct) — the streaming "distinct
+    users per window/source" rollup.
+
+    approx_count_distinct's HLL++ state is a fixed-size MERGEABLE sketch,
+    which is exactly what an incremental streaming aggregation needs:
+    partial sketches merge across micro-batches without keeping the value
+    set, so state per (window, group) is ~KB regardless of cardinality —
+    an exact countDistinct would hold every distinct value in the state
+    store. State lifetime is bounded by the watermark; batch parity with
+    the same expression is asserted in tests/test_streaming.py.
+    """
+    win = F.window(F.col(ts_col), window, slide or window)
+    keys = [win.alias("window")] + [F.col(c) for c in (group_cols or [])]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.approx_count_distinct(value_col, rsd).alias("approx_distinct"))
+    )

@@ -310,3 +310,36 @@ def test_stream_stream_asof_watermarked_retroactive_match(spark, tmp_path):
     # the late right (rt=104) won over the early one (rt=100)
     assert rows[1]["__matched_time"] == 104.0
     assert rows[1]["price"] == 2.0
+
+
+def test_windowed_approx_distinct_matches_batch(spark, tmp_path):
+    """Streaming per-window approx distinct must equal the identical batch
+    expression (same HLL++ sketch merged across micro-batches), and be
+    exact-accurate at this tiny cardinality."""
+    from oni_ml_spark.streaming import windowed_approx_distinct
+
+    rows = [
+        ("2024-01-01 00:01:00", "s1", "u1"),
+        ("2024-01-01 00:02:00", "s1", "u1"),  # same user again
+        ("2024-01-01 00:03:00", "s1", "u2"),
+        ("2024-01-01 00:14:00", "s1", "u1"),
+        ("2024-01-01 00:14:30", "s2", "u3"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, src string, user string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "src", "user"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "adin"))
+    stream = spark.readStream.schema("ts timestamp, src string, user string").parquet(
+        str(tmp_path / "adin")
+    )
+    out = windowed_approx_distinct(stream, "ts", "user", ["src"], window="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("win_ad")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].minute, r["src"]): r["approx_distinct"]
+        for r in spark.sql("SELECT * FROM win_ad").collect()
+    }
+    assert got == {(0, "s1"): 2, (10, "s1"): 1, (10, "s2"): 1}
