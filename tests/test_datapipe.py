@@ -599,3 +599,87 @@ class TestDeterministicKSample:
         e = load_table(spark, "/root/testdata/sf0.001", "events")
         with _pytest.raises(ValueError):
             deterministic_k_sample(e, "event_type", "event_id", 0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0, max_size=30,
+    ),
+    st.integers(25, 30),
+)
+def test_connected_components_fuzz_vs_union_find(spark, raw_edges, n_nodes):
+    """Random graphs (self-loops and duplicate edges included) vs a
+    pure-Python union-find: every node must get the smallest id reachable
+    from it."""
+    from oni_ml_spark.datapipe.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n_nodes)}
+
+    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        edf = edf.filter("id_a != id_a")  # empty edge frame, schema kept
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(edf, nodes=nodes, max_iter=40).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2, max_size=12,
+    ),
+    st.integers(0, 3),
+)
+def test_simhash_blocking_fuzz_exact_recall(spark, texts, max_hamming):
+    """Pigeonhole blocking must reproduce the all-pairs brute force exactly
+    on adversarial tiny corpora (near-identical token multisets collide
+    heavily in every band)."""
+    from oni_ml_spark.datapipe.dedup import simhash64, simhash_near_dups
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(
+            df, "doc_id", "text", max_hamming=max_hamming, bands=4
+        ).collect()
+    )
+    fp = {r["id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    ids = sorted(fp)
+    ham = lambda a, b: bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    want = sorted(
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(a, b) <= max_hamming
+    )
+    assert got == want

@@ -19,7 +19,7 @@ import sys
 
 # queries whose semantics touch session config: timestamp handling (tz,
 # parquet timestamp flavor), date literals, and integer-sum hashing
-SENSITIVE = ["sessionize", "time_features", "pivot_counts", "tpch_q1_like"]
+SENSITIVE = ["sessionize", "time_features", "pivot_counts", "tpch_q1_like", "as_of_join"]
 
 _SCRIPT = r"""
 import json, sys
