@@ -129,3 +129,49 @@ def validate_schema(df: DataFrame, expected, strict: bool = False) -> DataFrame:
     if problems:
         raise SchemaMismatch("; ".join(problems))
     return df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    *paths: str,
+    schema=None,
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed JSON-lines source — the other log-delivery format network
+    telemetry commonly arrives in (beyond the reference's parquet-only
+    S1-S3 surface).
+
+    ALWAYS pass ``schema`` in production: without one Spark runs a full
+    inference pass over the data (twice the IO) and infers unstable types
+    across days. With a schema the read is single-pass and malformed lines
+    land in ``_corrupt_record`` (PERMISSIVE) instead of failing the job;
+    ``strict=True`` switches to FAILFAST so a bad line kills the read
+    loudly.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    reader = reader.option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    return reader.json(list(paths))
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines sink (one object per line, splittable files per
+    partition). Gzip by default — results tables are small; for big
+    exports prefer parquet (columnar + pushdown on re-read)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning properties as parquet
+    (PushedFilters + ReadSchema reach the scan), for lakes standardized on
+    ORC. Interchangeable with read_parquet in every pipeline here."""
+    return spark.read.orc(*paths)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy by default)."""
+    df.write.mode("overwrite").orc(path)

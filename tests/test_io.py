@@ -95,3 +95,54 @@ def test_validate_schema(spark):
     assert validate_schema(extra, expected) is extra  # lenient by default
     with _pytest.raises(SchemaMismatch, match="unexpected columns"):
         validate_schema(extra, expected, strict=True)
+
+
+class TestJsonlOrc:
+    def test_jsonl_roundtrip_with_schema(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from oni_ml_spark.io import read_jsonl, write_jsonl
+
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("k"),
+            F.concat(F.lit("row"), F.col("id").cast("string")).alias("s"),
+        )
+        path = str(tmp_path / "out.jsonl")
+        write_jsonl(df, path)
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ])
+        back = read_jsonl(spark, path, schema=schema)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_jsonl_permissive_captures_corrupt_lines(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from oni_ml_spark.io import read_jsonl
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text('{"id": 1}\nnot json at all\n{"id": 2}\n')
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ])
+        got = read_jsonl(spark, str(p), schema=schema).collect()
+        ids = sorted(r["id"] for r in got if r["id"] is not None)
+        bad = [r["_corrupt_record"] for r in got if r["_corrupt_record"] is not None]
+        assert ids == [1, 2] and bad == ["not json at all"]
+
+    def test_orc_roundtrip_and_pushdown(self, spark, tmp_path):
+        from oni_ml_spark.io import read_orc, write_orc
+
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        path = str(tmp_path / "orders.orc")
+        write_orc(src, path)
+        back = read_orc(spark, path)
+        assert back.count() == src.count()
+        q = back.filter(F.col("o_totalprice") <= 1000).select("o_orderkey")
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PushedFilters" in plan and "o_totalprice" in plan.split("ReadSchema")[1][:200]
