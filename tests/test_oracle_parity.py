@@ -78,6 +78,39 @@ def test_oracle_has_no_hugeint_columns(duck, name):
     assert not bad, f"{name}: HUGEINT oracle columns (cast ::BIGINT): {bad}"
 
 
+# Spark dtype → DuckDB types the driver's raw-typed compare is known to
+# accept (empirically: int-width and timestamp-flavor differences hashed
+# equal across r1-r3; HUGEINT did not — see the test above).
+_TYPE_OK = {
+    "bigint": {"BIGINT", "INTEGER"},
+    "int": {"INTEGER", "BIGINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP_NS"},
+    "timestamp_ntz": {"TIMESTAMP", "TIMESTAMP_NS"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_column_types_align(spark, duck, name):
+    """Every oracle column's DuckDB type must be hash-compatible with the
+    Spark column's type — the raw-typed driver compare fails on pairs the
+    local stringified compare can't see (the HUGEINT class of bug,
+    generalized)."""
+    sdt = dict(_QUERIES[name](spark, SF_DIR).dtypes)
+    rel = duck.sql(_ORACLES[name])
+    ddt = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    bad = []
+    for c, st in sdt.items():
+        allowed = _TYPE_OK.get(st, {st.upper()})
+        if ddt.get(c, "").upper() not in allowed:
+            bad.append((c, st, ddt.get(c)))
+    assert not bad, f"{name}: spark-vs-oracle type mismatches {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = _QUERIES[name](spark, SF_DIR)
