@@ -44,7 +44,10 @@ def main() -> None:
     def _family(name: str) -> int:
         if name.endswith("_invariants"):
             return 0
-        if "minhash" in name or "near_dup" in name or "simhash" in name:
+        if (
+            "minhash" in name or "near_dup" in name or "simhash" in name
+            or "curation" in name or "dedup" in name
+        ):
             return 1
         if name.startswith("ann_") or "embedding" in name:
             return 2
