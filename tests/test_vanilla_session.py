@@ -19,7 +19,13 @@ import sys
 
 # queries whose semantics touch session config: timestamp handling (tz,
 # parquet timestamp flavor), date literals, and integer-sum hashing
-SENSITIVE = ["sessionize", "time_features", "pivot_counts", "tpch_q1_like", "as_of_join"]
+SENSITIVE = [
+    "sessionize", "time_features", "pivot_counts", "tpch_q1_like", "as_of_join",
+    # seeded-MLlib invariant flags: k-means|| init and MinHashLSH sampling
+    # see the session's partitioning, which differs on a vanilla session
+    # (shuffle.partitions 200 vs our 32) — the flags must hold regardless
+    "ann_ivf_kmeans", "minhash_ml_builtin",
+]
 
 _SCRIPT = r"""
 import json, sys
