@@ -222,3 +222,88 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.sum(F.col("tf") * F.col("__logp")) / F.sum("tf")).alias("avg_logprob"),
         )
     )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, n_grams, distinct_n_grams, top_gram_frac, dup_gram_frac) — the
+    degenerate-repetition gate (looping generations, boilerplate spam,
+    keyword stuffing).
+
+    - top_gram_frac: occurrences of the single most frequent word n-gram /
+      total n-grams (near 1.0 = one phrase looping)
+    - dup_gram_frac: fraction of n-gram instances beyond each gram's first
+      occurrence (1 - distinct/total; high = low information density)
+
+    One explode + one (id, gram) count + one per-id aggregate — all
+    map-side-combinable; no windows over data-sized input. Documents with
+    fewer than n tokens have no n-grams and are absent (no gate signal).
+    """
+    from oni_ml_spark.datapipe.dedup import word_shingles
+
+    # positional (non-distinct) n-grams: word_shingles dedupes, so rebuild
+    # the counted variant from the same shifted-zip construction
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    acc = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(k >= 1, F.slice(acc, 1, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    )
+    per_gram = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_n_grams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6).alias("dup_gram_frac"),
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_shingles, n_contaminated, contamination_frac) — per-document
+    fraction of word n-gram shingles that also appear ANYWHERE in the
+    evaluation corpus: the train/test leakage check run before training.
+
+    n=8 is the usual benchmark-decontamination window (long enough that a
+    shared gram implies copying, short enough to catch partial overlap).
+    The eval side reduces to a DISTINCT shingle set — typically small next
+    to the training corpus, so the membership probe is a broadcast-able
+    left semi join keyed on the shingle; Spark/AQE picks broadcast when it
+    fits and degrades to a shuffle join when the eval set is genuinely
+    large. Documents shorter than n tokens have no shingles and report no
+    row (no evidence either way).
+    """
+    from oni_ml_spark.datapipe.dedup import shingle_table
+
+    ecol = eval_text_col or text_col
+    train = shingle_table(df, id_col, text_col, n)
+    eval_sh = (
+        shingle_table(eval_df, id_col, ecol, n)
+        .select("shingle")
+        .distinct()
+    )
+    hit = train.join(eval_sh, "shingle", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    tot = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return tot.join(hit, "id", "left").select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce("__hits", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.round(
+            F.coalesce("__hits", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination_frac"),
+    )

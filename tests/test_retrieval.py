@@ -143,3 +143,68 @@ def test_unigram_logprob_matches_oracle(spark, duck):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_repetition_metrics_matches_oracle(spark, duck):
+    """Positional trigram counts vs DuckDB list slicing."""
+    from oni_ml_spark.datapipe.textstats import repetition_metrics
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = _rows(
+        repetition_metrics(d, "doc_id", "text", n=3),
+        ["id", "n_grams", "distinct_n_grams", "top_gram_frac", "dup_gram_frac"],
+        ndigits=6,
+    )
+    sql = f"""WITH g AS (
+        SELECT doc_id AS id,
+          unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS gram
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      pg AS (SELECT id, gram, count(*)::BIGINT AS c FROM g GROUP BY id, gram)
+      SELECT id, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS distinct_n_grams,
+        round(max(c) / sum(c), 6) AS top_gram_frac,
+        round((sum(c) - count(*)) / sum(c), 6) AS dup_gram_frac
+      FROM pg GROUP BY id"""
+    want = sorted(
+        (r[0], r[1], r[2], round(float(r[3]), 6), round(float(r[4]), 6))
+        for r in duck.execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_repetition_flags_degenerate_text(spark):
+    from oni_ml_spark.datapipe.textstats import repetition_metrics
+
+    rows = [
+        (0, "spam ham eggs " * 40),                     # one trigram loops
+        (1, " ".join(f"w{i} x{i} y{i}" for i in range(40))),  # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert got[0]["dup_gram_frac"] > 0.9 and got[0]["top_gram_frac"] > 0.3
+    assert got[1]["dup_gram_frac"] == 0.0
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    """Train docs copying an eval passage are flagged; clean docs report
+    zero; fractions are exact."""
+    from oni_ml_spark.datapipe.textstats import ngram_contamination
+
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # 12 tokens: first 10 copied from eval -> 3 of 5 8-shingles hit
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"),
+            (1, "one two three four five six seven eight nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination_frac"])
+        for r in ngram_contamination(train, evalset, "doc_id", "text", n=8).collect()
+    }
+    assert got[0] == (5, 3, 0.6)
+    assert got[1] == (4, 0, 0.0)
