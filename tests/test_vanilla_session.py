@@ -25,6 +25,10 @@ SENSITIVE = [
     # see the session's partitioning, which differs on a vanilla session
     # (shuffle.partitions 200 vs our 32) — the flags must hold regardless
     "ann_ivf_kmeans", "minhash_ml_builtin",
+    # partitioning-sensitive composition: pack_sequences' bin assignment
+    # depends on the session's shuffle partitioning — the invariant flags
+    # (capacity, bin lower bound) must hold under ANY partitioning
+    "curation_pipeline",
 ]
 
 _SCRIPT = r"""
