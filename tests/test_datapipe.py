@@ -683,3 +683,48 @@ def test_simhash_blocking_fuzz_exact_recall(spark, texts, max_hamming):
         if ham(a, b) <= max_hamming
     )
     assert got == want
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded_and_size_shrinks(self, spark):
+        import math
+
+        from oni_ml_spark.datapipe.similarity import (
+            as_double_array,
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", as_double_array("embedding").alias("embedding")
+        )
+        q = quantize_embeddings(emb)
+        deq = dequantize_embeddings(q.select("vec_id", "qvec", "qvec_scale"),
+                                    "qvec", "emb2")
+        joined = emb.join(deq, "vec_id").collect()
+        assert len(joined) > 0
+        for r in joined:
+            a, b, n = r["embedding"], r["emb2"], len(r["embedding"])
+            # per-dim error <= scale/2 = max|x|/254
+            amax = max(abs(x) for x in a) or 1.0
+            assert all(abs(x - y) <= amax / 254 + 1e-12 for x, y in zip(a, b))
+            # cosine preserved to ~1e-3 on these vectors
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(y * y for y in b))
+            if na > 0 and nb > 0:
+                assert dot / (na * nb) > 0.999
+
+    def test_all_zero_vector(self, spark):
+        from oni_ml_spark.datapipe.similarity import quantize_embeddings
+
+        df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "id long, embedding array<double>")
+        r = quantize_embeddings(df).collect()[0]
+        assert r["qvec"] == [0, 0, 0] and r["qvec_scale"] == 0.0
+
+    def test_qvec_is_tinyint(self, spark):
+        from oni_ml_spark.datapipe.similarity import quantize_embeddings
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        dt = dict(quantize_embeddings(emb).dtypes)
+        assert dt["qvec"] == "array<tinyint>"
