@@ -56,9 +56,9 @@ def tokens(c: Column | str) -> Column:
     return F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>; empty array for
-    documents shorter than n tokens.
+def positional_ngrams(c: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams in document order (duplicates kept) as an
+    array<string>; empty array for documents shorter than n tokens.
 
     Built with n-1 zip_with passes over shifted views of the token array —
     O(n·len) total work — instead of one slice+array_join per position
@@ -74,10 +74,15 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     for i in range(1, n):
         shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(k >= 1, F.slice(acc, 1, k)).otherwise(
+    return F.when(k >= 1, F.slice(acc, 1, k)).otherwise(
         F.array().cast("array<string>")
     )
-    return F.array_distinct(grams)
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set semantics — the dedup/minhash
+    input); see ``positional_ngrams`` for the counted variant."""
+    return F.array_distinct(positional_ngrams(c, n))
 
 
 def shingle_table(
@@ -380,6 +385,10 @@ def connected_components(
     per-iteration dataflow (join + min-aggregate) is identical, only the
     edge rewriting differs.
     """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     sc = edges.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
@@ -396,8 +405,14 @@ def connected_components(
     verts = both.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         verts = verts.unionByName(nodes.select(F.col("id"))).distinct()
-    labels = verts.select("id", F.col("id").alias("cluster")).cache()
-    labels.count()
+    # `prev_pinned` tracks the actual cached/checkpointed frame backing the
+    # current labels: unpersist must target IT, not the `select` projection
+    # derived from it (CacheManager matches the registered plan exactly, so
+    # unpersisting the projection is a silent no-op and every iteration's
+    # label table would stay pinned for the session).
+    prev_pinned = verts.select("id", F.col("id").alias("cluster")).cache()
+    prev_pinned.count()
+    labels = prev_pinned
 
     converged = False
     for it in range(1, max_iter + 1):
@@ -422,7 +437,11 @@ def connected_components(
         else:
             updated = updated.cache()
         changed = updated.filter(F.col("__chg")).count()
-        labels.unpersist()
+        # the new iteration is materialized — release the previous one
+        # (recompute after an eviction flows through lineage to the edge
+        # checkpoint, so this is a perf-only trade, never a correctness one)
+        prev_pinned.unpersist()
+        prev_pinned = updated
         labels = updated.select("id", "cluster")
         if changed == 0:
             converged = True

@@ -390,12 +390,20 @@ def group_centroids(
         "group", vector_to_array(F.col("__mean")).alias("centroid"), "n"
     )
     if normalize:
-        out = out.select(
-            "group",
-            F.transform("centroid", lambda x: x / norm(F.col("centroid"))).alias(
-                "centroid"
-            ),
-            "n",
+        # norm computed ONCE into a column — embedding the aggregate inside
+        # the transform lambda would re-evaluate it per element (O(d^2));
+        # zero-norm centroids (all-zero group mean) stay zero vectors
+        # instead of dividing by zero (an error under ANSI mode).
+        out = (
+            out.withColumn("__n2", norm(F.col("centroid")))
+            .select(
+                "group",
+                F.when(
+                    F.col("__n2") > 0,
+                    F.transform("centroid", lambda x: x / F.col("__n2")),
+                ).otherwise(F.col("centroid")).alias("centroid"),
+                "n",
+            )
         )
     return out
 

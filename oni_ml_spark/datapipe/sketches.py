@@ -65,15 +65,17 @@ def rollup_distinct_sketches(
     distinct counts with NO rescan of the fact table (impossible with exact
     counts, which don't add).
 
-    ``group_cols=[]`` yields the single global rollup row.
+    ``group_cols=[]`` yields the single global rollup row. The merged
+    sketch keeps the ``sketch_col`` name, so rollup output chains straight
+    into a further (coarser) rollup.
     """
-    agg = F.hll_union_agg(sketch_col).alias("distinct_sketch")
+    agg = F.hll_union_agg(sketch_col).alias(sketch_col)
     grouped = (
         sketches.groupBy(*group_cols).agg(agg) if group_cols
         else sketches.agg(agg)
     )
     return grouped.withColumn(
-        "approx_distinct", F.hll_sketch_estimate("distinct_sketch").cast("long")
+        "approx_distinct", F.hll_sketch_estimate(sketch_col).cast("long")
     )
 
 

@@ -240,21 +240,11 @@ def repetition_metrics(
     map-side-combinable; no windows over data-sized input. Documents with
     fewer than n tokens have no n-grams and are absent (no gate signal).
     """
-    from oni_ml_spark.datapipe.dedup import word_shingles
+    from oni_ml_spark.datapipe.dedup import positional_ngrams
 
-    # positional (non-distinct) n-grams: word_shingles dedupes, so rebuild
-    # the counted variant from the same shifted-zip construction
-    toks = tokens(text_col)
-    k = F.size(toks) - (n - 1)
-    acc = toks
-    for i in range(1, n):
-        shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(k >= 1, F.slice(acc, 1, k)).otherwise(
-        F.array().cast("array<string>")
-    )
     exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+        F.col(id_col).alias("id"),
+        F.explode(positional_ngrams(text_col, n)).alias("gram"),
     )
     per_gram = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy("id").agg(

@@ -1588,7 +1588,7 @@ def curation_pipeline(spark, sf):
         F.count(F.lit(1)).alias("__n_bins"),
         F.sum("tot").alias("__bin_tot"),
     )
-    return (
+    result = (
         a_docs.crossJoin(a_surv).crossJoin(a_chunks).crossJoin(a_bins).select(
             "n_docs", "n_survivors", "n_chunks", "chunk_tokens_total",
             "overfull_multibins",
@@ -1597,6 +1597,13 @@ def curation_pipeline(spark, sf):
             ).otherwise(F.lit(0)).cast("long").alias("bins_lower_ok"),
         )
     )
+    # materialize the 1-row invariant table eagerly so the corpus-sized
+    # chunk cache can be released NOW instead of pinning the storage pool
+    # for the rest of the battery session (the driver runs 50 entries in
+    # one session); the returned frame is a local 1-row DataFrame.
+    rows = result.collect()
+    chunks.unpersist()
+    return spark.createDataFrame(rows, schema=result.schema)
 
 
 # ---- formerly rows-only entries, now invariant-oracle-checked (the LDA

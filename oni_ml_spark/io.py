@@ -168,8 +168,13 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> N
 def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
     """ORC source — same columnar pushdown/pruning properties as parquet
     (PushedFilters + ReadSchema reach the scan), for lakes standardized on
-    ORC. Interchangeable with read_parquet in every pipeline here."""
-    return spark.read.orc(*paths)
+    ORC. Interchangeable with read_parquet in every pipeline here.
+
+    Paths go through as a list: ``DataFrameReader.orc``'s second positional
+    parameter is ``mergeSchema``, so ``orc(*paths)`` would silently bind a
+    second path to it and fail.
+    """
+    return spark.read.orc(list(paths))
 
 
 def write_orc(df: DataFrame, path: str) -> None:

@@ -728,3 +728,64 @@ class TestQuantization:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         dt = dict(quantize_embeddings(emb).dtypes)
         assert dt["qvec"] == "array<tinyint>"
+
+
+class TestReviewRegressions:
+    def test_normalized_centroid_of_zero_vectors_stays_zero(self, spark):
+        """Regression: normalize divided by a zero norm (ANSI error)."""
+        from oni_ml_spark.datapipe.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [("z", [0.0, 0.0]), ("z", [0.0, 0.0]), ("a", [3.0, 4.0])],
+            "g string, embedding array<double>",
+        )
+        got = {r["group"]: r["centroid"]
+               for r in group_centroids(df, "g", normalize=True).collect()}
+        assert got["z"] == [0.0, 0.0]
+        assert abs(got["a"][0] - 0.6) < 1e-12 and abs(got["a"][1] - 0.8) < 1e-12
+
+    def test_connected_components_releases_intermediate_caches(self, spark):
+        """Regression: unpersist targeted a projection of the cached frame
+        (a CacheManager no-op), pinning every iteration's label table. Only
+        the final labels (caller-owned), the edge checkpoint, and at most
+        one preceding checkpoint may stay pinned — never one block set per
+        iteration."""
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        spark.catalog.clearCache()
+        sc = spark.sparkContext
+        before = sc._jsc.getPersistentRDDs().size()
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+        )
+        labels = connected_components(edges, max_iter=20, checkpoint_interval=3)
+        got = {r["id"]: r["cluster"] for r in labels.collect()}
+        assert got == {i: 0 for i in range(7)}
+        pinned = sc._jsc.getPersistentRDDs().size() - before
+        # ~7 iterations ran; before the fix each stayed pinned (7+). Allowed:
+        # edge localCheckpoint + final labels + intermediate checkpoints
+        # (released only by GC, <= iterations/interval).
+        assert pinned <= 5, f"{pinned} RDD block sets leaked"
+
+    def test_connected_components_rejects_bad_interval(self, spark):
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            connected_components(edges, checkpoint_interval=0)
+
+    def test_rollup_sketch_keeps_custom_column_name(self, spark):
+        from oni_ml_spark.datapipe.sketches import (
+            approx_distinct_by_group,
+            rollup_distinct_sketches,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        per = approx_distinct_by_group(e, ["event_type"], "user_id").withColumnRenamed(
+            "distinct_sketch", "daily"
+        )
+        r1 = rollup_distinct_sketches(per, [], sketch_col="daily")
+        assert "daily" in r1.columns
+        # chains into a second rollup without renaming
+        r2 = rollup_distinct_sketches(r1, [], sketch_col="daily")
+        assert r2.collect()[0]["approx_distinct"] > 0

@@ -146,3 +146,13 @@ class TestJsonlOrc:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         assert "PushedFilters" in plan and "o_totalprice" in plan.split("ReadSchema")[1][:200]
+
+    def test_orc_multi_path_read(self, spark, tmp_path):
+        """Regression: orc(*paths) bound path #2 to the mergeSchema param."""
+        from oni_ml_spark.io import read_orc, write_orc
+
+        src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        p1, p2 = str(tmp_path / "a.orc"), str(tmp_path / "b.orc")
+        write_orc(src, p1)
+        write_orc(src, p2)
+        assert read_orc(spark, p1, p2).count() == 2 * src.count()
