@@ -556,3 +556,208 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = r"\n{2,}",
+    joiner: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide unit-level (paragraph/line) exact dedup: split each
+    document into units on ``sep``, keep only the globally FIRST occurrence
+    of each distinct normalized unit (first = smallest (id, position)), and
+    reassemble the surviving units in document order.
+
+    The line/paragraph-dedup pass web-curation pipelines run before
+    document-level near-dup (repeated boilerplate — headers, footers, nav
+    text — repeats across documents while full documents rarely do).
+
+    Returns (id, text, n_units, n_units_kept); documents whose every unit
+    was dropped keep an empty string. Shuffle keys are md5 digests of
+    units, never documents; reassembly is one groupBy(id) whose output is
+    no larger than the input corpus.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= min_chars)
+        .withColumn("pkey", F.md5(normalize_text("para")))
+    )
+    first = paras.groupBy("pkey").agg(
+        F.min(F.struct("id", "pos")).alias("__first")
+    )
+    kept = (
+        paras.join(first, "pkey")
+        .filter(
+            (F.col("id") == F.col("__first.id")) & (F.col("pos") == F.col("__first.pos"))
+        )
+        .select("id", "pos", "para")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_units_kept"),
+    )
+    totals = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= min_chars)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_units"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_units", F.lit(0)).cast("long").alias("n_units"),
+            F.coalesce("n_units_kept", F.lit(0)).cast("long").alias("n_units_kept"),
+        )
+    )
+
+
+def duplicate_span_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the diagnostic side of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": repeated >=span-token passages are memorized
+    disproportionately).
+
+    A position is a duplicate-span start when its ``span``-token window
+    occurs >= ``min_count`` times corpus-wide (counting every occurrence,
+    within- and cross-document). covered_tokens is the EXACT size of the
+    union of those [pos, pos+span) intervals, computed with one per-document
+    lead() window over duplicate starts: sorted starts p_i contribute
+    min(span, p_{i+1} - p_i), the last contributes span.
+
+    Returns (id, n_tokens, dup_span_starts, covered_tokens,
+    dup_token_fraction) for every document (zeros when clean). The
+    corpus-wide count groups on md5 digests of spans, never span text.
+    """
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_ngrams(text_col, span)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("gkey"))
+    occ = grams.groupBy("gkey").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (
+        grams.join(occ.filter(F.col("occ") >= min_count), "gkey")
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cov = dup.withColumn("__nxt", F.lead("pos").over(w)).withColumn(
+        "__c",
+        F.when(F.col("__nxt").isNull(), F.lit(span)).otherwise(
+            F.least(F.lit(span), F.col("__nxt") - F.col("pos"))
+        ),
+    )
+    per_doc = cov.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dup_span_starts"),
+        F.sum("__c").alias("covered_tokens"),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_span_starts", F.lit(0)).cast("long").alias("dup_span_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup at token granularity: rebuild each document
+    with every token covered by a NON-FIRST occurrence of a corpus-
+    duplicated ``span``-token window removed (the first occurrence — the
+    globally smallest (id, pos) — keeps its text).
+
+    Token-window approximation of Lee et al.'s suffix-array substring dedup
+    re-expressed as DataFrame ops: the duplicated-window table is the same
+    digest-grouped aggregate as ``duplicate_span_metrics``; removal explodes
+    ONLY duplicate windows into covered positions (cost ∝ duplicated
+    volume, not corpus size), and reassembly is one groupBy(id).
+
+    Returns (id, text, n_tokens, n_tokens_kept).
+    """
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_ngrams(text_col, span)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("gkey"))
+    occ = grams.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("occ"), F.min(F.struct("id", "pos")).alias("__first")
+    )
+    later = (
+        grams.join(occ.filter(F.col("occ") >= min_count), "gkey")
+        .filter(
+            (F.col("id") != F.col("__first.id")) | (F.col("pos") != F.col("__first.pos"))
+        )
+        .select("id", "pos")
+    )
+    covered = later.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (span - 1))).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("tpos", "tok"),
+    )
+    kept = toks.join(covered, ["id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )

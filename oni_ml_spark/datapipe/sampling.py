@@ -121,3 +121,63 @@ def deterministic_k_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic weighted mixture resampling — the dataset-mixing
+    operator of a training pipeline: resample a multi-source corpus so each
+    source contributes ~``total_rows * weight/Σweights`` rows, UPSAMPLING
+    (deterministic repetition with an epoch index) sources below their
+    target and downsampling those above.
+
+    Per source s: target_s = total_rows·w_s/Σw, rate_s = target_s/n_s.
+    Every row emits copies 1..ceil(rate); copy i survives iff
+    i <= floor(rate), or i == ceil(rate) and the md5 bucket of
+    (key, '#mix', i) falls under the fractional part — so the expected
+    count is exactly target_s, the variance is binomial in the fraction
+    only, and the SAME rows+epochs come back on any engine or rerun
+    (portable md5 arithmetic, no RNG). Sources absent from ``weights``
+    are dropped.
+
+    Per-source counts are an in-plan |sources|-row aggregate joined back
+    (AQE broadcasts it); the fan-out is explode(sequence), so map output
+    is bounded by the target mixture size, not by max(rate)·corpus.
+    """
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive")
+    if not weights:
+        return df.filter(F.lit(False)).withColumn(copy_col, F.lit(1))
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    targets = {s: float(total_rows) * float(w) / wsum for s, w in weights.items()}
+    tmap = F.create_map(
+        *[lit for s, t in targets.items() for lit in (F.lit(s), F.lit(t))]
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    rate = F.element_at(tmap, F.col(source_col)) / F.col("__n_s")
+    j = (
+        df.join(counts, source_col)
+        .withColumn("__rate", rate)
+        .filter(F.col("__rate") > 0)  # also drops sources not in `weights`
+    )
+    copies = j.withColumn(
+        copy_col,
+        F.explode(F.sequence(F.lit(1), F.ceil("__rate").cast("int"))),
+    )
+    frac = F.col("__rate") - F.floor("__rate")
+    salted = F.concat(
+        F.col(key_col).cast("string"), F.lit("#mix"), F.col(copy_col).cast("string")
+    )
+    keep = (F.col(copy_col) <= F.floor("__rate")) | (
+        (F.col(copy_col) == F.ceil("__rate"))
+        & (hash_bucket(salted, 10_000) < frac * 10_000)
+    )
+    return copies.filter(keep).drop("__n_s", "__rate")

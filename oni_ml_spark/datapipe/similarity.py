@@ -446,3 +446,58 @@ def dequantize_embeddings(
             F.col(qvec_col), lambda q: q.cast("double") * F.col(f"{qvec_col}_scale")
         ),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embedding space into ``n_cells`` clusters, then inside each cluster
+    drop every vector that has a SMALLER-id neighbor with cosine similarity
+    >= ``threshold`` (greedy min-id survivor — deterministic, one pass).
+
+    Returns (id, cell, keep). Duplicates that land in different clusters
+    are missed by design — that is SemDeDup's scale trade: the pairwise
+    work is Σ|cell|², never N², so the knob for 100 TB is ``n_cells``
+    (≈ N/⟨cell⟩² stays flat when cells grow with N). The within-cell join
+    shuffles (cell, id, vector) once; survivors come from one left_anti
+    join against the dropped-id set.
+
+    Like the paper's implementation, "drop" is decided against ALL
+    smaller-id in-cell neighbors (not only surviving ones): a chain
+    a~b, b~c with a≁c keeps a only — slightly more aggressive than
+    connected-component survivor selection (near_dup_clusters covers the
+    exact-grouping variant for text).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    feat = base.withColumn("fv", array_to_vector(F.col("v")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("id", "v", "n", "cell")
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dropped.withColumn("__d", F.lit(True)), "id", "left")
+        .select("id", "cell", F.col("__d").isNull().alias("keep"))
+    )

@@ -789,3 +789,203 @@ class TestReviewRegressions:
         # chains into a second rollup without renaming
         r2 = rollup_distinct_sketches(r1, [], sketch_col="daily")
         assert r2.collect()[0]["approx_distinct"] > 0
+
+
+class TestParagraphDedup:
+    @pytest.fixture(scope="class")
+    def para_docs(self, spark):
+        rows = [
+            (0, "Header\n\nBody A\n\nFooter"),
+            (1, "Header\n\nBody B\n\nFooter"),
+            (2, "header\n\n\n\nbody a"),  # normalizes to dups of doc 0's units
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_survives_and_reassembles(self, para_docs):
+        from oni_ml_spark.datapipe.dedup import paragraph_dedup
+
+        out = {
+            r["id"]: r
+            for r in paragraph_dedup(para_docs, "doc_id", "text").collect()
+        }
+        assert out[0]["text"] == "Header\n\nBody A\n\nFooter"
+        assert (out[0]["n_units"], out[0]["n_units_kept"]) == (3, 3)
+        assert out[1]["text"] == "Body B"
+        assert (out[1]["n_units"], out[1]["n_units_kept"]) == (3, 1)
+        # every unit of doc 2 is a (case-insensitive) dup of doc 0's
+        assert out[2]["text"] == ""
+        assert (out[2]["n_units"], out[2]["n_units_kept"]) == (2, 0)
+
+    def test_matches_duckdb_oracle_on_fixture(self, spark, para_docs):
+        import duckdb
+
+        from oni_ml_spark.datapipe.dedup import paragraph_dedup
+
+        got = sorted(
+            (r["id"], r["text"], r["n_units"], r["n_units_kept"])
+            for r in paragraph_dedup(para_docs, "doc_id", "text").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO d VALUES (?, ?)",
+            [(r["doc_id"], r["text"]) for r in para_docs.collect()],
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                r"""
+            WITH p0 AS (
+              SELECT doc_id AS id, regexp_split_to_array(text, '\n{2,}') AS arr
+              FROM d),
+            paras AS (
+              SELECT id, unnest(range(len(arr))) AS pos, unnest(arr) AS para
+              FROM p0),
+            keptp AS (
+              SELECT id, pos, para,
+                row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g')))
+                  ORDER BY id, pos) AS rn
+              FROM paras WHERE length(trim(para)) >= 1),
+            rebuilt AS (
+              SELECT id, string_agg(para, e'\n\n' ORDER BY pos) AS text,
+                     count(*) AS n_units_kept
+              FROM keptp WHERE rn = 1 GROUP BY id),
+            totals AS (
+              SELECT id, count(*) AS n_units FROM paras
+              WHERE length(trim(para)) >= 1 GROUP BY id)
+            SELECT d.doc_id AS id, coalesce(rebuilt.text, '') AS text,
+                   coalesce(totals.n_units, 0) AS n_units,
+                   coalesce(rebuilt.n_units_kept, 0) AS n_units_kept
+            FROM d LEFT JOIN totals ON totals.id = d.doc_id
+                   LEFT JOIN rebuilt ON rebuilt.id = d.doc_id
+            """
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestDuplicateSpans:
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        rows = [
+            (0, "a b c d e f"),
+            (1, "x y a b c z"),    # shares span "a b c" with doc 0
+            (2, "p q r s"),        # clean
+            (3, "m n m n m n m n"),  # self-repeating
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_coverage_arithmetic(self, span_docs):
+        from oni_ml_spark.datapipe.dedup import duplicate_span_metrics
+
+        out = {
+            r["id"]: r
+            for r in duplicate_span_metrics(
+                span_docs, "doc_id", "text", span=3
+            ).collect()
+        }
+        assert (out[0]["dup_span_starts"], out[0]["covered_tokens"]) == (1, 3)
+        assert out[0]["dup_token_fraction"] == 0.5
+        assert (out[1]["dup_span_starts"], out[1]["covered_tokens"]) == (1, 3)
+        assert (out[2]["dup_span_starts"], out[2]["covered_tokens"]) == (0, 0)
+        # every 3-gram of doc 3 repeats; overlapping intervals merge exactly
+        assert (out[3]["dup_span_starts"], out[3]["covered_tokens"]) == (6, 8)
+        assert out[3]["dup_token_fraction"] == 1.0
+
+    def test_removal_keeps_first_occurrence(self, span_docs):
+        from oni_ml_spark.datapipe.dedup import remove_duplicate_spans
+
+        out = {
+            r["id"]: r
+            for r in remove_duplicate_spans(
+                span_docs, "doc_id", "text", span=3
+            ).collect()
+        }
+        # doc 0 holds the first occurrence of "a b c" — untouched
+        assert out[0]["text"] == "a b c d e f"
+        assert out[0]["n_tokens_kept"] == 6
+        # doc 1 loses tokens 2..4, keeps the rest in order
+        assert out[1]["text"] == "x y z"
+        assert out[1]["n_tokens_kept"] == 3
+        assert out[2]["text"] == "p q r s"
+        # doc 3: non-first occurrences of "m n m"/"n m n" start at 2,3,4,5
+        # → covered positions 2..7 → "m n" survives
+        assert out[3]["text"] == "m n"
+        assert out[3]["n_tokens_kept"] == 2
+
+
+class TestWeightedMix:
+    def test_exact_integer_rate_and_determinism(self, spark):
+        from oni_ml_spark.datapipe.sampling import weighted_mix
+
+        rows = [(i, "a" if i < 10 else ("b" if i < 50 else "c")) for i in range(60)]
+        df = spark.createDataFrame(rows, "k long, source string")
+        out = weighted_mix(df, "source", "k", {"a": 3.0, "b": 1.0}, total_rows=40)
+        got = sorted((r["k"], r["source"], r["epoch"]) for r in out.collect())
+        # source a: 10 rows, target 30, rate exactly 3.0 → every row 3 epochs
+        a_rows = [g for g in got if g[1] == "a"]
+        assert len(a_rows) == 30
+        assert {g[2] for g in a_rows} == {1, 2, 3}
+        # source c not in weights → dropped entirely
+        assert not [g for g in got if g[1] == "c"]
+        # source b: rate 0.25 — deterministic hash sample near the target
+        b_rows = [g for g in got if g[1] == "b"]
+        assert all(g[2] == 1 for g in b_rows)
+        assert 3 <= len(b_rows) <= 17  # 5σ binomial band around 10
+        # same rows, same epochs on a rerun
+        again = sorted(
+            (r["k"], r["source"], r["epoch"])
+            for r in weighted_mix(
+                df, "source", "k", {"a": 3.0, "b": 1.0}, total_rows=40
+            ).collect()
+        )
+        assert got == again
+
+    def test_fractional_upsampling(self, spark):
+        from oni_ml_spark.datapipe.sampling import weighted_mix
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(20)], "k long, source string"
+        )
+        out = weighted_mix(df, "source", "k", {"s": 1.0}, total_rows=50).collect()
+        # rate 2.5: every row twice + deterministic half get a 3rd epoch
+        per_key = {}
+        for r in out:
+            per_key.setdefault(r["k"], []).append(r["epoch"])
+        assert all(sorted(v)[:2] == [1, 2] for v in per_key.values())
+        n3 = sum(1 for v in per_key.values() if len(v) == 3)
+        assert 2 <= n3 <= 18  # expected 10 of 20
+        assert len(out) == 40 + n3
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_dropped_within_cluster(self, spark):
+        import random
+
+        from oni_ml_spark.datapipe.similarity import semantic_dedup
+
+        rng = random.Random(11)
+        centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+        rows = []
+        for i in range(60):
+            c = centers[i % 3]
+            rows.append((i, [x + rng.uniform(-1.0, 1.0) for x in c]))
+        # planted semantic dups: tiny scaled copies of vectors 0..5
+        for i in range(6):
+            rows.append((1000 + i, [x * 1.001 for x in rows[i][1]]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.999, n_cells=3, seed=7
+        )
+        res = {r["id"]: r for r in out.collect()}
+        assert len(res) == 66
+        # every planted copy has a smaller-id near-identical neighbor → dropped
+        for i in range(6):
+            assert res[1000 + i]["keep"] is False, i
+            assert res[i]["keep"] is True
+            # scaled copy lands in the same k-means cell as its original
+            assert res[1000 + i]["cell"] == res[i]["cell"]
+        # determinism
+        again = {r["id"]: r["keep"] for r in out.collect()}
+        assert again == {k: v["keep"] for k, v in res.items()}
