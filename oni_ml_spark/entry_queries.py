@@ -287,29 +287,53 @@ def broadcast_lookup_fallback(spark, sf):
 
 
 @_q(
-    "union_oversample_counts",
-    "SELECT key, count(*) AS cnt FROM ("
-    "SELECT o_custkey AS key FROM orders "
-    "UNION ALL SELECT c_custkey AS key FROM customer "
-    "UNION ALL SELECT n_nationkey AS key FROM nation, generate_series(1, 5)"
-    ") GROUP BY key",
+    "set_ops",
+    "SELECT 'union' AS side, key, count(*) AS cnt FROM ("
+    "  SELECT o_custkey AS key FROM orders "
+    "  UNION ALL SELECT c_custkey AS key FROM customer "
+    "  UNION ALL SELECT n_nationkey AS key FROM nation, generate_series(1, 5)"
+    ") GROUP BY key "
+    "UNION ALL "
+    "SELECT 'both', key, 1 FROM ("
+    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
+    "  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
+    "UNION ALL "
+    "SELECT 'only_orders', key, 1 FROM ("
+    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
+    "  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
 )
-def union_oversample_counts(spark, sf):
-    """U1/U2 + F14 in one entry: bag-semantics union then count (src∪dst
-    corpus, netflow/FlowPreLDA.scala:139) with one branch oversampled ×5
-    via explode(array_repeat) — the feedback duplication operator
-    (netflow/FlowPreLDA.scala:98) feeding the union exactly as the
-    reference's feedback loop does."""
+def set_ops(spark, sf):
+    """Every set operation in one entry. U1/U2 + F14: bag-semantics union
+    then count (src∪dst corpus, netflow/FlowPreLDA.scala:139) with one
+    branch oversampled ×5 via explode(array_repeat) — the feedback
+    duplication operator (netflow/FlowPreLDA.scala:98) feeding the union
+    exactly as the reference's feedback loop does. Beyond the reference's
+    unions: INTERSECT / EXCEPT (set semantics) of the same key domains."""
     o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
     c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
     n = oversample(load_table(spark, sf, "nation"), 5).select(
         F.col("n_nationkey").alias("key")
     )
-    return (
+    union_counts = (
         o.unionByName(c).unionByName(n)
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("union").alias("side"), "key", "cnt")
     )
+    of = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("key")
+    )
+    cf = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    both = of.intersect(cf).select(
+        F.lit("both").alias("side"), "key", F.lit(1).cast("long").alias("cnt")
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep multiplicity
+    only_o = of.subtract(cf).select(
+        F.lit("only_orders").alias("side"), "key", F.lit(1).cast("long").alias("cnt")
+    )
+    return union_counts.unionByName(both).unionByName(only_o)
 
 
 # ---- scalar functions (F1-F16) -------------------------------------------
@@ -526,13 +550,29 @@ def window_rank_topn(spark, sf):
 @_q(
     "dedup_exact",
     f"SELECT md5({_NORM_TEXT.format(c='text')}) AS text_key, min(doc_id) AS keep_id, "
-    "count(*) AS dup_count FROM documents GROUP BY 1",
+    "count(*) AS dup_count, (min(doc_id) >= 100)::BIGINT AS is_new "
+    "FROM documents GROUP BY 1",
 )
 def dedup_exact(spark, sf):
-    """Exact dedup groups: digest-keyed hash aggregate."""
+    """Exact dedup groups (digest-keyed hash aggregate) + incremental
+    cross-corpus dedup in one entry: is_new flags groups whose survivor
+    came through anti_join_dedup of the new docs (id >= 100) against the
+    existing corpus (id < 100) — a group is new iff its smallest id is a
+    new doc whose fingerprint is absent from the base, which the oracle
+    states as min(doc_id) >= 100 over the same digest groups."""
     from oni_ml_spark.datapipe.dedup import exact_dedup_groups
+    from oni_ml_spark.datapipe.sampling import anti_join_dedup
 
-    return exact_dedup_groups(load_table(spark, sf, "documents"), "doc_id", "text")
+    d = load_table(spark, sf, "documents")
+    groups = exact_dedup_groups(d, "doc_id", "text")
+    new_docs = anti_join_dedup(
+        d.filter(F.col("doc_id") >= 100), d.filter(F.col("doc_id") < 100),
+        "doc_id", "text",
+    ).select(F.col("doc_id").alias("keep_id"), F.lit(1).alias("__new"))
+    return groups.join(new_docs, "keep_id", "left").select(
+        "text_key", "keep_id", "dup_count",
+        F.coalesce("__new", F.lit(0)).cast("long").alias("is_new"),
+    )
 
 
 _SHINGLES_SQL = f"""
@@ -682,6 +722,7 @@ def _text_profile_oracle() -> str:
     mx = "greatest(" + ", ".join(f"s_{l}" for l in score) + ")"
     case = " ".join(f"WHEN s_{l} > 0 AND s_{l} = {mx} THEN '{l}'" for l in score)
     sels = ", ".join(f"{expr} AS s_{l}" for l, expr in score.items())
+    norm = _NORM_TEXT.format(c="text")
     return f"""WITH s AS (SELECT doc_id, {sels} FROM documents),
     lang AS (SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM s)
     SELECT doc_id AS id, length(text) AS n_chars,
@@ -697,22 +738,55 @@ def _text_profile_oracle() -> str:
       round(CASE WHEN len({toks}) > 0
             THEN length(text)::DOUBLE / len({toks}) ELSE 0.0 END, 6)
             AS mean_token_len,
-      lang_pred
+      lang_pred,
+      trim(regexp_replace(regexp_replace(
+        '<p>' || text || '</p><br/>', '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean,
+      regexp_replace(regexp_replace(
+        text || ' contact: user' || doc_id::VARCHAR || '@example.com from 10.1.2.3',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g') AS masked,
+      md5({norm}) AS fp_md5,
+      substr(md5(substr({norm}, 1, 64)), 1, 16) AS fp_prefix64
     FROM documents JOIN lang USING (doc_id)"""
 
 
 @_q("text_profile", _text_profile_oracle())
 def text_profile(spark, sf):
-    """Per-document text profile in ONE projection over one scan: the cheap
-    corpus-quality gates (length/punct/stopword/case ratios, whitespace +
-    BPE-ish regex token counts) plus heuristic marker-stopword language ID
-    — the combined lang_id + quality_metrics pass a curation pipeline
-    actually runs (no self-join of separate passes)."""
-    from oni_ml_spark.datapipe.textstats import lang_id, quality_metrics
+    """Per-document text profile + normalization in ONE projection over one
+    scan: the cheap corpus-quality gates (length/punct/stopword/case
+    ratios, whitespace + BPE-ish regex token counts), heuristic
+    marker-stopword language ID, boilerplate stripping (each text wrapped
+    in tags that must strip back out), PII scrubbing (a planted email +
+    IPv4 per document, masked identically on both engines), and
+    deterministic md5 fingerprints — the combined
+    lang_id + quality_metrics + strip_html + mask_pii + fingerprint pass a
+    curation pipeline actually runs (no self-join of separate passes)."""
+    from oni_ml_spark.datapipe.textstats import (
+        fingerprint_cols,
+        lang_id,
+        mask_pii,
+        quality_metrics,
+        strip_html,
+    )
 
     d = load_table(spark, sf, "documents")
+    wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
+    planted = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1.2.3"),
+    )
+    fp = fingerprint_cols("text")
     return quality_metrics(
-        d, "doc_id", "text", extra={"lang_pred": lang_id("text")}
+        d,
+        "doc_id",
+        "text",
+        extra={
+            "lang_pred": lang_id("text"),
+            "clean": strip_html(wrapped),
+            "masked": mask_pii(planted),
+            "fp_md5": fp["fp_md5"],
+            "fp_prefix64": fp["fp_prefix64"],
+        },
     )
 
 
@@ -1090,43 +1164,70 @@ def proxy_pipeline_invariants(spark, sf):
 # --------------------------------------------------------------------------
 
 @_q(
-    "hash_split",
-    "SELECT split, count(*) AS cnt FROM ("
-    "  SELECT CASE "
+    "deterministic_sampling",
+    # id_sum makes each aggregate row verify the FULL assignment, not just
+    # the size: any row assigned differently changes the per-group key sum.
+    "SELECT 'split' AS part, split AS key, count(*) AS cnt, sum(doc_id)::BIGINT AS id_sum "
+    "FROM ("
+    "  SELECT doc_id, CASE "
     "    WHEN b >= 0 AND b < 8000 THEN 'train' "
     "    WHEN b >= 8000 AND b < 9000 THEN 'val' "
     "    ELSE 'test' END AS split "
-    "  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b "
-    "        FROM documents)) GROUP BY split",
+    "  FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b "
+    "        FROM documents)) GROUP BY split "
+    "UNION ALL "
+    "SELECT 'stratum', lang, count(*), sum(doc_id)::BIGINT FROM ("
+    "  SELECT doc_id, lang, "
+    "    ('0x' || substr(md5(doc_id::VARCHAR || '#stratified'), 1, 8))::BIGINT % 10000 AS b "
+    "  FROM documents) "
+    "WHERE b < CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 8000 "
+    "  WHEN 'zh' THEN 2500 ELSE 0 END "
+    "GROUP BY lang "
+    "UNION ALL "
+    "SELECT 'ksample', source, count(*), sum(doc_id)::BIGINT FROM ("
+    "  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY "
+    "    ('0x' || substr(md5(doc_id::VARCHAR || '#ksample'), 1, 8))::BIGINT "
+    "      % 4611686018427387904, doc_id) AS rn "
+    "  FROM documents) WHERE rn <= 3 GROUP BY source",
 )
-def hash_split_q(spark, sf):
-    """Deterministic train/val/test assignment by content hash — identical
-    assignment on any engine/run (the reproducibility property random
-    sampling can't give)."""
-    from oni_ml_spark.datapipe.sampling import hash_split
+def deterministic_sampling(spark, sf):
+    """The deterministic-sampling family in one entry, each side's per-group
+    (count, key-sum) hash-verifying the exact row assignment:
 
-    d = load_table(spark, sf, "documents")
-    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    return out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@_q(
-    "anti_join_dedup",
-    f"""WITH fp AS (SELECT doc_id, md5({_NORM_TEXT.format(c='text')}) AS f FROM documents),
-    old AS (SELECT DISTINCT f FROM fp WHERE doc_id < 100)
-    SELECT doc_id FROM fp WHERE doc_id >= 100 AND f NOT IN (SELECT f FROM old)""",
-)
-def anti_join_dedup_q(spark, sf):
-    """Incremental cross-corpus dedup: new docs (id >= 100) not already in
-    the existing corpus (id < 100), joined on normalized-text digest."""
-    from oni_ml_spark.datapipe.sampling import anti_join_dedup
-
-    d = load_table(spark, sf, "documents")
-    out = anti_join_dedup(
-        d.filter(F.col("doc_id") >= 100), d.filter(F.col("doc_id") < 100),
-        "doc_id", "text",
+    - hash_split: train/val/test by content hash — identical assignment on
+      any engine/run (the reproducibility property random sampling lacks);
+    - stratified_sample: per-language fractions (en 0.4 / de 0.8 / zh 0.25,
+      other languages dropped) with the salted key hash;
+    - deterministic_k_sample: exactly min(k, |group|) rows per source by
+      salted md5 rank."""
+    from oni_ml_spark.datapipe.sampling import (
+        deterministic_k_sample,
+        hash_split,
+        stratified_sample,
     )
-    return out.select("doc_id")
+
+    d = load_table(spark, sf, "documents")
+    split = (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+        .select(F.lit("split").alias("part"), F.col("split").alias("key"), "cnt", "id_sum")
+    )
+    strat = (
+        stratified_sample(
+            d, "lang", {"en": 0.4, "de": 0.8, "zh": 0.25}, key_col="doc_id"
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+        .select(F.lit("stratum").alias("part"), F.col("lang").alias("key"), "cnt", "id_sum")
+    )
+    ksamp = (
+        deterministic_k_sample(d, "source", "doc_id", 3)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+        .select(F.lit("ksample").alias("part"), F.col("source").alias("key"), "cnt", "id_sum")
+    )
+    return split.unionByName(strat).unionByName(ksamp)
 
 
 @_q(
@@ -1166,46 +1267,6 @@ def sessionize_q(spark, sf):
 
 
 @_q(
-    "text_normalize",
-    "SELECT doc_id, "
-    "trim(regexp_replace(regexp_replace("
-    "'<p>' || text || '</p><br/>', '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean, "
-    "regexp_replace(regexp_replace("
-    "text || ' contact: user' || doc_id::VARCHAR || '@example.com from 10.1.2.3', "
-    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-    "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS masked, "
-    f"md5({_NORM_TEXT.format(c='text')}) AS fp_md5, "
-    f"substr(md5(substr({_NORM_TEXT.format(c='text')}, 1, 64)), 1, 16) AS fp_prefix64 "
-    "FROM documents",
-)
-def text_normalize_q(spark, sf):
-    """The text-normalization trio in one per-document pass:
-
-    - boilerplate stripping (wrap each text in tags, strip them back out —
-      verifies tag removal + whitespace collapse round-trips the content),
-    - PII scrubbing (plant an email + IPv4 per document, both sides must
-      mask identically),
-    - deterministic document fingerprints (md5 of normalized text + 16-hex
-      rolling prefix)."""
-    from oni_ml_spark.datapipe.textstats import fingerprint_cols, mask_pii, strip_html
-
-    d = load_table(spark, sf, "documents")
-    wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
-    planted = F.concat(
-        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com from 10.1.2.3"),
-    )
-    fp = fingerprint_cols("text")
-    return d.select(
-        "doc_id",
-        strip_html(wrapped).alias("clean"),
-        mask_pii(planted).alias("masked"),
-        fp["fp_md5"].alias("fp_md5"),
-        fp["fp_prefix64"].alias("fp_prefix64"),
-    )
-
-
-@_q(
     "rollup_agg",
     "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, "
     "count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
@@ -1227,30 +1288,6 @@ def rollup_agg(spark, sf):
             "cnt", "sum_qty",
         )
     )
-
-
-@_q(
-    "intersect_except",
-    "SELECT 'both' AS side, key FROM ("
-    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
-    "  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
-    "UNION ALL "
-    "SELECT 'only_orders', key FROM ("
-    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
-    "  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
-)
-def intersect_except(spark, sf):
-    """Set operations beyond the reference's unions: INTERSECT / EXCEPT."""
-    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 150000).select(
-        F.col("o_custkey").alias("key")
-    )
-    c = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
-        F.col("c_custkey").alias("key")
-    )
-    both = o.intersect(c).select(F.lit("both").alias("side"), "key")
-    # subtract == SQL EXCEPT (set semantics); exceptAll would keep multiplicity
-    only_o = o.subtract(c).select(F.lit("only_orders").alias("side"), "key")
-    return both.unionByName(only_o)
 
 
 @_q(
@@ -1691,3 +1728,103 @@ def ann_ivf_kmeans(spark, sf):
         F.when(F.coalesce(F.col("__bad_sim"), F.lit(0)) == 0, F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("sims_ok"),
     )
+
+
+# ---- round-4 additions: span dedup, dataset mixing, range join ------------
+
+@_q(
+    "duplicate_span_metrics",
+    f"""WITH t AS (SELECT doc_id AS id, {_TOKENS.format(c='text')} AS toks FROM documents),
+    g0 AS (SELECT id, toks, unnest(range(greatest(len(toks) - 7, 0))) AS pos FROM t),
+    grams AS (SELECT id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS gkey FROM g0),
+    occ AS (SELECT gkey, count(*) AS n_occ FROM grams GROUP BY gkey),
+    dup AS (SELECT id, pos FROM grams JOIN occ USING (gkey) WHERE n_occ >= 2),
+    cov AS (SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt FROM dup),
+    per AS (SELECT id, count(*) AS dup_span_starts,
+            sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS covered
+            FROM cov GROUP BY id)
+    SELECT t.id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(per.dup_span_starts, 0)::BIGINT AS dup_span_starts,
+           coalesce(per.covered, 0)::BIGINT AS covered_tokens,
+           round(coalesce(per.covered, 0) / greatest(len(t.toks), 1), 6)
+             AS dup_token_fraction
+    FROM t LEFT JOIN per ON per.id = t.id""",
+)
+def duplicate_span_metrics_q(spark, sf):
+    """Exact-substring dedup diagnostics (Lee et al.): per-document coverage
+    by 8-token windows that occur >= 2 times corpus-wide. The covered-token
+    count is the EXACT interval-union size (per-doc lead() window over
+    duplicate starts); corpus counting groups on md5 digests of windows,
+    never window text."""
+    from oni_ml_spark.datapipe.dedup import duplicate_span_metrics
+
+    d = load_table(spark, sf, "documents")
+    return duplicate_span_metrics(d, "doc_id", "text", span=8, min_count=2)
+
+
+# weights/targets shared between the Spark entry and the oracle so the
+# fractional-rate arithmetic is literal-identical on both engines.
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0}
+_MIX_TOTAL = 100
+_MIX_TARGETS = {
+    s: float(_MIX_TOTAL) * w / sum(_MIX_WEIGHTS.values())
+    for s, w in _MIX_WEIGHTS.items()
+}
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {t!r}" for s, t in _MIX_TARGETS.items()
+)
+
+
+@_q(
+    "weighted_mix",
+    f"""WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    r AS (SELECT source, (CASE source {_MIX_CASE} END) / n_s AS rate FROM n),
+    base AS (SELECT d.doc_id, d.source, r.rate FROM documents d
+             JOIN r USING (source) WHERE r.rate > 0),
+    copies AS (SELECT doc_id, source, rate,
+               unnest(range(1, ceil(rate)::BIGINT + 1)) AS epoch FROM base),
+    kept AS (SELECT * FROM copies WHERE epoch <= floor(rate)
+             OR (epoch = ceil(rate)
+                 AND ('0x' || substr(md5(doc_id::VARCHAR || '#mix' || epoch::VARCHAR),
+                      1, 8))::BIGINT % 10000 < (rate - floor(rate)) * 10000))
+    SELECT source, epoch::BIGINT AS epoch, count(*) AS cnt,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM kept GROUP BY source, epoch""",
+)
+def weighted_mix_q(spark, sf):
+    """Deterministic weighted mixture resampling (dataset mixing for a
+    training run): sources src0/src1/src2 at weights 3/2/1 toward a
+    100-row mixture — rates above 1 upsample with epoch-indexed
+    deterministic repetition, rates below 1 hash-downsample. Per
+    (source, epoch) count + id-sum verifies the exact row selection."""
+    from oni_ml_spark.datapipe.sampling import weighted_mix
+
+    d = load_table(spark, sf, "documents")
+    out = weighted_mix(d, "source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL)
+    return out.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum")
+    ).select("source", F.col("epoch").cast("long").alias("epoch"), "cnt", "id_sum")
+
+
+@_q(
+    "range_join_bucketed",
+    "SELECT e.event_id, n.n_nationkey AS iv_id FROM events e JOIN nation n "
+    "ON e.value >= n.n_nationkey * 4.0 AND e.value <= n.n_nationkey * 4.0 + 6.0",
+)
+def range_join_bucketed_q(spark, sf):
+    """Interval containment (value ∈ [lo, hi]) as an EQUI join: each
+    interval explodes to the fixed-width buckets it overlaps, each point
+    hashes to exactly one bucket, so a qualifying pair meets in exactly one
+    bucket — no theta/nested-loop join, no post-join dedup. The oracle is
+    DuckDB's plain BETWEEN join over overlapping per-nation value bands."""
+    from oni_ml_spark.datapipe.temporal import range_join_bucketed
+
+    points = load_table(spark, sf, "events").select("event_id", "value")
+    nk = F.col("n_nationkey").cast("double")
+    intervals = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("iv_id"),
+        (nk * 4.0).alias("lo"),
+        (nk * 4.0 + 6.0).alias("hi"),
+    )
+    out = range_join_bucketed(points, intervals, "value", "lo", "hi", bucket_width=8.0)
+    return out.select("event_id", "iv_id")

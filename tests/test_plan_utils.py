@@ -122,3 +122,72 @@ def test_bucketed_featurized_day_aggregates_without_shuffle(spark):
     # ids divisible by 350 in [0, 2000): 0, 350, ..., 1750 = 6 rows
     assert got[("0", "0")] == 6
     assert sum(got.values()) == 2000
+
+
+class TestZOrderLayout:
+    def test_roundtrip_and_file_pruning(self, spark, tmp_path):
+        """Z-ordering by (user_id, value) must (a) preserve the row set and
+        (b) give tight per-file min/max on BOTH columns, so a box predicate
+        touches a strict subset of files — the parquet row-group-skipping
+        contract the layout exists for."""
+        import glob
+
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans import write_zordered
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "value"
+        )
+        zpath = str(tmp_path / "z")
+        write_zordered(e, zpath, ["user_id", "value"], bits=10, num_files=8)
+
+        back = spark.read.parquet(zpath)
+        assert sorted(r["event_id"] for r in back.collect()) == sorted(
+            r["event_id"] for r in e.collect()
+        )
+        assert set(back.columns) == {"event_id", "user_id", "value"}
+
+        glob_u = e.agg(
+            (F.max("user_id") - F.min("user_id")).alias("su"),
+            (F.max("value") - F.min("value")).alias("sv"),
+        ).first()
+        files = sorted(glob.glob(f"{zpath}/part-*.parquet"))
+        assert len(files) > 2
+        spans_u, spans_v, boxes = [], [], []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                    F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+                )
+                .first()
+            )
+            spans_u.append(r["uhi"] - r["ulo"])
+            spans_v.append(r["vhi"] - r["vlo"])
+            boxes.append(r)
+        # both dimensions cluster: mean per-file span well under the global
+        assert sum(spans_u) / len(spans_u) < 0.75 * glob_u["su"]
+        assert sum(spans_v) / len(spans_v) < 0.75 * glob_u["sv"]
+        # a small box predicate intersects a strict subset of files
+        q_ulo = boxes[0]["ulo"]
+        hits = [
+            b for b in boxes
+            if not (b["uhi"] < q_ulo or b["ulo"] > q_ulo + 2)
+        ]
+        assert len(hits) < len(files)
+
+    def test_known_bounds_skip_the_scan_and_clamp(self, spark, tmp_path):
+        from oni_ml_spark.plans import write_zordered
+
+        df = spark.createDataFrame(
+            [(i, float(i % 50), i % 20) for i in range(400)],
+            "id long, a double, b long",
+        )
+        p = str(tmp_path / "zb")
+        # bounds tighter than the data on `a`: out-of-range rows clamp, write succeeds
+        write_zordered(df, p, ["a", "b"], bits=8, num_files=4,
+                       bounds={"a": (0.0, 25.0), "b": (0, 19)})
+        back = spark.read.parquet(p)
+        assert back.count() == 400
+        assert set(back.columns) == {"id", "a", "b"}

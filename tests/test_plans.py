@@ -137,3 +137,22 @@ def test_quantile_cuts_plan_is_lazy_and_join_free(spark):
     # the boundary sketch must be in-plan (percentile_approx), not collected
     assert "percentile_approx" in p.lower() or "approximatepercentile" in p.lower()
     assert "percentile_approx" in e.lower() or "approximatepercentile" in e.lower()
+
+
+def test_span_mix_rangejoin_entries_plan_clean(spark):
+    """The second round-4 battery additions: no all-pairs plan anywhere,
+    and the range join must be the bucket EQUI join (no BroadcastNestedLoop
+    from a raw BETWEEN theta join)."""
+    for name in ("duplicate_span_metrics", "weighted_mix", "range_join_bucketed"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+    p = _plan(spark, "range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_mix_reads_only_needed_columns(spark):
+    """The mixture resampler must not drag full document bodies through the
+    shuffle: the per-source count aggregate prunes to the source column."""
+    p = _plan(spark, "weighted_mix")
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert any("source" in l and "text" not in l for l in reads)
