@@ -46,7 +46,7 @@ def main() -> None:
             return 0
         if (
             "minhash" in name or "near_dup" in name or "simhash" in name
-            or "curation" in name or "dedup" in name or "span" in name
+            or "curation" in name or "dedup" in name or "ngram" in name
         ):
             return 1
         if name.startswith("ann_") or "embedding" in name:

@@ -1733,7 +1733,7 @@ def ann_ivf_kmeans(spark, sf):
 # ---- round-4 additions: span dedup, dataset mixing, range join ------------
 
 @_q(
-    "duplicate_span_metrics",
+    "ngram_diagnostics",
     f"""WITH t AS (SELECT doc_id AS id, {_TOKENS.format(c='text')} AS toks FROM documents),
     g0 AS (SELECT id, toks, unnest(range(greatest(len(toks) - 7, 0))) AS pos FROM t),
     grams AS (SELECT id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS gkey FROM g0),
@@ -1742,24 +1742,66 @@ def ann_ivf_kmeans(spark, sf):
     cov AS (SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt FROM dup),
     per AS (SELECT id, count(*) AS dup_span_starts,
             sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS covered
-            FROM cov GROUP BY id)
+            FROM cov GROUP BY id),
+    g3 AS (SELECT id, array_to_string(toks[pos+1:pos+3], ' ') AS gram
+           FROM (SELECT id, toks, unnest(range(greatest(len(toks) - 2, 0))) AS pos FROM t)),
+    pg AS (SELECT id, gram, count(*) AS c FROM g3 GROUP BY id, gram),
+    rep AS (SELECT id, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS distinct_n_grams,
+            round(max(c) / sum(c), 6) AS top_gram_frac,
+            round((sum(c) - count(*)) / sum(c), 6) AS dup_gram_frac
+            FROM pg GROUP BY id),
+    shd AS (SELECT DISTINCT id, gkey FROM grams),
+    evals AS (SELECT DISTINCT gkey FROM shd WHERE id % 10 = 0),
+    cont AS (SELECT id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN gkey IN (SELECT gkey FROM evals) THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated
+             FROM shd WHERE id % 10 != 0 GROUP BY id)
     SELECT t.id, len(t.toks)::BIGINT AS n_tokens,
            coalesce(per.dup_span_starts, 0)::BIGINT AS dup_span_starts,
            coalesce(per.covered, 0)::BIGINT AS covered_tokens,
            round(coalesce(per.covered, 0) / greatest(len(t.toks), 1), 6)
-             AS dup_token_fraction
-    FROM t LEFT JOIN per ON per.id = t.id""",
+             AS dup_token_fraction,
+           rep.n_grams, rep.distinct_n_grams, rep.top_gram_frac, rep.dup_gram_frac,
+           cont.n_shingles, cont.n_contaminated,
+           round(cont.n_contaminated / cont.n_shingles, 6) AS contamination_frac
+    FROM t LEFT JOIN per ON per.id = t.id
+           LEFT JOIN rep ON rep.id = t.id
+           LEFT JOIN cont ON cont.id = t.id""",
 )
-def duplicate_span_metrics_q(spark, sf):
-    """Exact-substring dedup diagnostics (Lee et al.): per-document coverage
-    by 8-token windows that occur >= 2 times corpus-wide. The covered-token
-    count is the EXACT interval-union size (per-doc lead() window over
-    duplicate starts); corpus counting groups on md5 digests of windows,
-    never window text."""
+def ngram_diagnostics_q(spark, sf):
+    """The per-document n-gram diagnostic battery in one driver entry:
+
+    - duplicate_span_metrics (Lee et al. exact-substring dedup coverage):
+      8-token windows occurring >= 2 times corpus-wide; covered_tokens is
+      the EXACT interval-union size (per-doc lead() window over duplicate
+      starts); corpus counting groups on md5 digests, never window text.
+    - repetition_metrics: 3-gram top-gram / duplicate-gram fractions (the
+      degenerate-repetition gate).
+    - ngram_contamination: fraction of each training doc's distinct
+      8-gram shingles that appear anywhere in the eval split (docs with
+      id % 10 == 0 stand in as the eval set; its members carry NULL
+      contamination columns — no evidence either way)."""
     from oni_ml_spark.datapipe.dedup import duplicate_span_metrics
+    from oni_ml_spark.datapipe.textstats import ngram_contamination, repetition_metrics
 
     d = load_table(spark, sf, "documents")
-    return duplicate_span_metrics(d, "doc_id", "text", span=8, min_count=2)
+    spans = duplicate_span_metrics(d, "doc_id", "text", span=8, min_count=2)
+    rep = repetition_metrics(d, "doc_id", "text", n=3)
+    cont = ngram_contamination(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", n=8,
+    )
+    return (
+        spans.join(rep, "id", "left")
+        .join(cont, "id", "left")
+        .select(
+            "id", "n_tokens", "dup_span_starts", "covered_tokens",
+            "dup_token_fraction", "n_grams", "distinct_n_grams",
+            "top_gram_frac", "dup_gram_frac", "n_shingles", "n_contaminated",
+            "contamination_frac",
+        )
+    )
 
 
 # weights/targets shared between the Spark entry and the oracle so the

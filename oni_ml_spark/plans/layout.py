@@ -28,9 +28,15 @@ def _normalize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
     scaled = F.when(
         c.isNull() | (span <= 0), F.lit(0)
     ).otherwise(
-        F.least(
-            F.floor((c.cast("double") - lo.cast("double")) / span * (1 << bits)),
-            F.lit((1 << bits) - 1),
+        # clamp BOTH sides: with caller-supplied bounds tighter than the
+        # data, out-of-range rows must land on the edge cells, not produce
+        # negative (sign-extended) grid values that scramble the curve
+        F.greatest(
+            F.least(
+                F.floor((c.cast("double") - lo.cast("double")) / span * (1 << bits)),
+                F.lit((1 << bits) - 1),
+            ),
+            F.lit(0),
         )
     )
     return scaled.cast("long")

@@ -185,9 +185,11 @@ class TestZOrderLayout:
             "id long, a double, b long",
         )
         p = str(tmp_path / "zb")
-        # bounds tighter than the data on `a`: out-of-range rows clamp, write succeeds
+        # bounds tighter than the data on BOTH sides of `a`: out-of-range
+        # rows clamp to edge cells (low side regression: negative grid
+        # values used to sign-extend into the z-key), write succeeds
         write_zordered(df, p, ["a", "b"], bits=8, num_files=4,
-                       bounds={"a": (0.0, 25.0), "b": (0, 19)})
+                       bounds={"a": (5.0, 25.0), "b": (0, 19)})
         back = spark.read.parquet(p)
         assert back.count() == 400
         assert set(back.columns) == {"id", "a", "b"}

@@ -143,7 +143,7 @@ def test_span_mix_rangejoin_entries_plan_clean(spark):
     """The second round-4 battery additions: no all-pairs plan anywhere,
     and the range join must be the bucket EQUI join (no BroadcastNestedLoop
     from a raw BETWEEN theta join)."""
-    for name in ("duplicate_span_metrics", "weighted_mix", "range_join_bucketed"):
+    for name in ("ngram_diagnostics", "weighted_mix", "range_join_bucketed"):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
     p = _plan(spark, "range_join_bucketed")
