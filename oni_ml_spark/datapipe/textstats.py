@@ -297,3 +297,70 @@ def ngram_contamination(
             F.coalesce("__hits", F.lit(0)) / F.col("n_shingles"), 6
         ).alias("contamination_frac"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based document quality gate (Rae et al. 2021,
+    appendix A1.1) — the standard pretraining corpus filter, as ONE
+    codegen projection returning (id, n_tokens, failed_rules, passes):
+
+    - token count within [min_tokens, max_tokens]
+    - mean token length within [min_mean_token_len, max_mean_token_len]
+    - symbol-word ratio (words containing '#' or '...') <= max
+    - fraction of words with >= 1 alphabetic character >= min
+    - at least ``min_stopword_hits`` occurrences from the English
+      stop-list (LANG_MARKERS['en'])
+
+    failed_rules names every violated rule (empty array = clean), so the
+    gate doubles as per-rule rejection accounting — aggregate
+    explode(failed_rules) for the corpus rejection report; filter on
+    ``passes`` for the corpus itself. Thresholds are keyword args: tighten
+    or loosen per corpus without touching the plan shape.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.length(F.array_join(toks, "")) / n).otherwise(0.0)
+    symbolic = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+
+    def rule(name: str, failed: Column) -> Column:
+        return F.when(failed, F.lit(name)).otherwise(F.lit(None).cast("string"))
+
+    failed = F.filter(
+        F.array(
+            rule("too_few_tokens", n < min_tokens),
+            rule("too_many_tokens", n > max_tokens),
+            rule("mean_token_len_low", mean_len < min_mean_token_len),
+            rule("mean_token_len_high", mean_len > max_mean_token_len),
+            rule(
+                "symbol_ratio",
+                symbolic > max_symbol_word_ratio * F.greatest(n, F.lit(1)),
+            ),
+            rule(
+                "alpha_words",
+                alpha < min_alpha_word_frac * F.greatest(n, F.lit(1)),
+            ),
+            rule("stopword_hits", stop_hits < min_stopword_hits),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        failed.alias("failed_rules"),
+        (F.size(failed) == 0).alias("passes"),
+    )

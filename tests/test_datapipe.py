@@ -989,3 +989,173 @@ class TestSemanticDedup:
         # determinism
         again = {r["id"]: r["keep"] for r in out.collect()}
         assert again == {k: v["keep"] for k, v in res.items()}
+
+
+class TestSpanDedupProperty:
+    def test_random_corpora_match_python_reference(self, spark):
+        """Randomized cross-check of the span-dedup pair against a direct
+        Python reference (explicit gram counting, first-occurrence marking,
+        interval union) — the window arithmetic is the easiest place for an
+        off-by-one to hide."""
+        import random
+
+        from oni_ml_spark.datapipe.dedup import (
+            duplicate_span_metrics,
+            remove_duplicate_spans,
+        )
+
+        rng = random.Random(23)
+        vocab = ["a", "b", "c", "d"]
+        span = 3
+        for trial in range(3):
+            docs = [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+                for i in range(30)
+            ]
+            # python reference -------------------------------------------------
+            toks = {i: [t for t in s.split() if t] for i, s in docs}
+            grams: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+            for i, ts in toks.items():
+                for p in range(max(len(ts) - span + 1, 0)):
+                    grams.setdefault(tuple(ts[p:p + span]), []).append((i, p))
+            dup_starts: dict[int, set[int]] = {i: set() for i, _ in docs}
+            removed: dict[int, set[int]] = {i: set() for i, _ in docs}
+            for g, occs in grams.items():
+                if len(occs) >= 2:
+                    first = min(occs)
+                    for (i, p) in occs:
+                        dup_starts[i].add(p)
+                        if (i, p) != first:
+                            removed[i].update(range(p, p + span))
+            want_metrics = {}
+            for i, _ in docs:
+                starts = sorted(dup_starts[i])
+                covered = set()
+                for p in starts:
+                    covered.update(range(p, p + span))
+                want_metrics[i] = (len(toks[i]), len(starts), len(covered))
+            want_removed = {
+                i: " ".join(
+                    t for p, t in enumerate(toks[i]) if p not in removed[i]
+                )
+                for i, _ in docs
+            }
+            # spark ------------------------------------------------------------
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got_m = {
+                r["id"]: (r["n_tokens"], r["dup_span_starts"], r["covered_tokens"])
+                for r in duplicate_span_metrics(
+                    df, "doc_id", "text", span=span
+                ).collect()
+            }
+            assert got_m == want_metrics, f"trial {trial}"
+            got_r = {
+                r["id"]: r["text"]
+                for r in remove_duplicate_spans(
+                    df, "doc_id", "text", span=span
+                ).collect()
+            }
+            assert got_r == want_removed, f"trial {trial}"
+
+
+class TestQualityFilter:
+    def test_each_rule_fires_and_clean_doc_passes(self, spark):
+        from oni_ml_spark.datapipe.textstats import quality_filter
+
+        clean = "the cat and the dog ran off to the park with all of the other dogs " * 3
+        rows = [
+            (0, clean),                                     # passes everything
+            (1, "the of and to"),                           # too few tokens
+            (2, "a b c d e f g h " * 10),                   # mean len low + no stopwords
+            (3, ("supercalifragilistic " * 60) + "the of"), # mean len high
+            (4, ("### " * 20) + clean),                     # symbol ratio
+            (5, ("123 456 789 " * 20) + clean),             # alpha fraction
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: (set(r["failed_rules"]), r["passes"])
+            for r in quality_filter(df, "doc_id", "text", min_tokens=20).collect()
+        }
+        assert out[0] == (set(), True)
+        assert "too_few_tokens" in out[1][0] and not out[1][1]
+        assert {"mean_token_len_low", "stopword_hits"} <= out[2][0]
+        assert "mean_token_len_high" in out[3][0]
+        assert "symbol_ratio" in out[4][0]
+        assert "alpha_words" in out[5][0]
+
+    def test_rejection_accounting_on_corpus(self, spark):
+        from oni_ml_spark.datapipe.textstats import quality_filter
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = quality_filter(d, "doc_id", "text", min_tokens=20)
+        total = out.count()
+        assert total == d.count()
+        # per-rule rejection report is one explode + count
+        report = {
+            r["rule"]: r["cnt"]
+            for r in out.select(F.explode("failed_rules").alias("rule"))
+            .groupBy("rule").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n_pass = out.filter("passes").count()
+        # the synthetic corpus is word soup: some docs pass, some fail,
+        # and every failure is accounted to at least one named rule
+        assert 0 < n_pass < total
+        assert sum(report.values()) >= total - n_pass
+
+
+class TestBPE:
+    def test_train_and_apply_golden(self, spark):
+        from oni_ml_spark.datapipe.bpe import (
+            END,
+            apply_bpe,
+            segment_word,
+            train_bpe_merges,
+        )
+
+        # classic BPE corpus: "low lower newest widest" family — shared
+        # subwords must become merges
+        rows = [
+            (0, "low low low low low lower lower newest newest newest"),
+            (1, "newest newest newest widest widest widest"),
+            (2, "low lowest newest widest wider"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = train_bpe_merges(df, "text", num_merges=30)
+        assert merges, "no merges learned"
+        # 'est</w>' family and 'lo'/'low' family must emerge from this corpus
+        joined = {a + b for a, b in merges}
+        assert any("est" in m for m in joined)
+        assert any(m.startswith("lo") for m in joined)
+
+        out = {r["doc_id"]: r for r in apply_bpe(df, "doc_id", "text", merges).collect()}
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for i, text in rows:
+            want = [s for w in text.split() for s in segment_word(w, ranks)]
+            assert out[i]["bpe_tokens"] == want, i
+            assert out[i]["n_bpe_tokens"] == len(want)
+        # frequent whole words collapse to single symbols
+        assert "low" + END in set(out[0]["bpe_tokens"])
+
+    def test_deterministic_across_runs(self, spark):
+        from oni_ml_spark.datapipe.bpe import apply_bpe, train_bpe_merges
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+        m1 = train_bpe_merges(d, "text", num_merges=50)
+        m2 = train_bpe_merges(d, "text", num_merges=50)
+        assert m1 == m2
+        t1 = sorted(
+            (r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in apply_bpe(d, "doc_id", "text", m1).collect()
+        )
+        t2 = sorted(
+            (r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in apply_bpe(d, "doc_id", "text", m2).collect()
+        )
+        assert t1 == t2
+        # round-trip: concatenating a word's pieces reproduces the word
+        from oni_ml_spark.datapipe.bpe import END as E
+        for _, toks in t1[:5]:
+            rebuilt = "".join(toks).replace(E, " ").strip()
+            assert rebuilt  # non-empty, all pieces concatenate cleanly
