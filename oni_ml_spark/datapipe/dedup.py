@@ -371,10 +371,16 @@ def connected_components(
     on a 1000-executor cluster); otherwise ``localCheckpoint()`` (blocks on
     executors; fine for local mode, not fault-tolerant).
 
-    The returned DataFrame is backed by cached/checkpointed blocks; they are
-    released when the frame is garbage-collected on the driver (Spark's
-    ContextCleaner), or immediately if the caller unpersists it after
-    materializing downstream results. Non-convergence within ``max_iter``
+    The returned DataFrame is backed by cached/checkpointed blocks. CACHED
+    blocks are released when the frame is garbage-collected on the driver
+    (Spark's ContextCleaner), or immediately if the caller unpersists it
+    after materializing downstream results. RELIABLE checkpoint FILES are
+    NOT cleaned by default: set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (done by this
+    repo's session factory) so GC'd checkpoints are deleted too —
+    otherwise a long-lived session calling this repeatedly accumulates
+    checkpoint data in the checkpoint dir until application stop.
+    Non-convergence within ``max_iter``
     (possible only on graphs whose diameter exceeds it, e.g. adversarial
     long chains) emits a ``RuntimeWarning`` — labels are then a valid
     over-segmentation: every reported cluster is a subset of a true
@@ -608,15 +614,7 @@ def paragraph_dedup(
         ).alias("text"),
         F.count(F.lit(1)).alias("n_units_kept"),
     )
-    totals = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-        )
-        .filter(F.length(F.trim(F.col("para"))) >= min_chars)
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_units"))
-    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_units"))
     return (
         df.select(F.col(id_col).alias("id"))
         .join(totals, "id", "left")
@@ -628,6 +626,19 @@ def paragraph_dedup(
             F.coalesce("n_units_kept", F.lit(0)).cast("long").alias("n_units_kept"),
         )
     )
+
+
+def _span_gram_table(df: DataFrame, id_col: str, text_col: str, span: int) -> DataFrame:
+    """(id, pos, gkey) — every ``span``-token window keyed by its md5 digest.
+    Shared by duplicate_span_metrics and remove_duplicate_spans so the
+    window/digest rule cannot silently diverge between the diagnostic and
+    the removal operator."""
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_ngrams(text_col, span)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("gkey"))
 
 
 def duplicate_span_metrics(
@@ -653,15 +664,10 @@ def duplicate_span_metrics(
     dup_token_fraction) for every document (zeros when clean). The
     corpus-wide count groups on md5 digests of spans, never span text.
     """
-    if span < 1:
-        raise ValueError("span must be >= 1")
     base = df.select(
         F.col(id_col).alias("id"), F.size(tokens(text_col)).alias("n_tokens")
     )
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(positional_ngrams(text_col, span)).alias("pos", "gram"),
-    ).select("id", "pos", F.md5("gram").alias("gkey"))
+    grams = _span_gram_table(df, id_col, text_col, span)
     occ = grams.groupBy("gkey").agg(F.count(F.lit(1)).alias("occ"))
     dup = (
         grams.join(occ.filter(F.col("occ") >= min_count), "gkey")
@@ -714,12 +720,11 @@ def remove_duplicate_spans(
 
     Returns (id, text, n_tokens, n_tokens_kept).
     """
-    if span < 1:
-        raise ValueError("span must be >= 1")
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(positional_ngrams(text_col, span)).alias("pos", "gram"),
-    ).select("id", "pos", F.md5("gram").alias("gkey"))
+    grams = _span_gram_table(df, id_col, text_col, span)
+    # one aggregate carries both the count and the survivor key: min(struct)
+    # for singleton grams is wasted only nominally — partial aggregation
+    # reduces map output to one row per digest either way, and a second
+    # count-then-join pass would cost an extra shuffle of the dup grams
     occ = grams.groupBy("gkey").agg(
         F.count(F.lit(1)).alias("occ"), F.min(F.struct("id", "pos")).alias("__first")
     )

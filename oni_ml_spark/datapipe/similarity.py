@@ -477,15 +477,26 @@ def semantic_dedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     base = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     ).withColumn("n", norm(F.col("v")))
     feat = base.withColumn("fv", array_to_vector(F.col("v")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select("id", "v", "n", "cell")
+    if n_cells == 1:
+        # degenerate exact-SemDeDup: one cell, no clustering (MLlib KMeans
+        # rejects k=1) — all-pairs within the corpus, caller's choice
+        assigned = feat.select("id", "v", "n", F.lit(0).alias("cell"))
+    else:
+        km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+        model = km.fit(feat)
+        assigned = model.transform(feat).select("id", "v", "n", "cell")
 
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # zero-norm vectors have no defined cosine: they never generate pairs
+    # (keep=True trivially) and, under ANSI mode — the Spark 4 session
+    # default — an unguarded 0/0 here would fail the whole job
+    nz = assigned.filter(F.col("n") > 0)
+    a, b = nz.alias("a"), nz.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     dropped = (
         a.join(

@@ -280,8 +280,15 @@ def ngram_contamination(
 
     ecol = eval_text_col or text_col
     train = shingle_table(df, id_col, text_col, n)
+    # the eval side reduces to its distinct shingle set — synthesize a
+    # throwaway id so ANY eval frame works (a benchmark table need not
+    # share the training corpus's id column)
     eval_sh = (
-        shingle_table(eval_df, id_col, ecol, n)
+        shingle_table(
+            eval_df.select(F.monotonically_increasing_id().alias("__eid"),
+                           F.col(ecol)),
+            "__eid", ecol, n,
+        )
         .select("shingle")
         .distinct()
     )

@@ -143,10 +143,14 @@ def read_jsonl(
 
     ALWAYS pass ``schema`` in production: without one Spark runs a full
     inference pass over the data (twice the IO) and infers unstable types
-    across days. With a schema the read is single-pass and malformed lines
-    land in ``_corrupt_record`` (PERMISSIVE) instead of failing the job;
-    ``strict=True`` switches to FAILFAST so a bad line kills the read
-    loudly.
+    across days. Under PERMISSIVE (the default), malformed lines are
+    quarantined into a ``_corrupt_record`` string column ONLY IF the
+    caller's schema includes that field — with a data-columns-only schema
+    Spark silently yields an all-null row for a bad line, so production
+    schemas should append
+    ``StructField("_corrupt_record", StringType())`` and alert on
+    non-null counts. ``strict=True`` switches to FAILFAST so a bad line
+    kills the read loudly instead.
     """
     reader = spark.read
     if schema is not None:

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable checkpoints (connected_components on a cluster with a
+        # checkpoint dir) are deleted when their frame is GC'd instead of
+        # accumulating until application stop
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # read TIMESTAMP(NANOS) parquet (e.g. the events table) as long nanos;
         # io.load_table converts back to a timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1159,3 +1159,55 @@ class TestBPE:
         for _, toks in t1[:5]:
             rebuilt = "".join(toks).replace(E, " ").strip()
             assert rebuilt  # non-empty, all pieces concatenate cleanly
+
+
+class TestSemanticDedupEdges:
+    def test_zero_norm_vectors_survive_under_ansi(self, spark):
+        """Two all-zero embeddings co-locate in a k-means cell; cosine is
+        undefined for them, so they must be kept (no pair) rather than
+        crash the job with DIVIDE_BY_ZERO under ANSI mode."""
+        from oni_ml_spark.datapipe.similarity import semantic_dedup
+
+        rows = [(0, [0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]),
+                (2, [1.0, 0.0, 0.0]), (3, [1.001, 0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["id"]: r["keep"] for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.999, n_cells=2, seed=7
+        ).collect()}
+        assert out[0] is True and out[1] is True
+        assert (out[2], out[3]) == (True, False)
+
+    def test_single_cell_degenerate(self, spark):
+        from oni_ml_spark.datapipe.similarity import semantic_dedup
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0001]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["id"]: r for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.999, n_cells=1
+        ).collect()}
+        assert all(r["cell"] == 0 for r in out.values())
+        assert out[0]["keep"] is True and out[1]["keep"] is False
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            semantic_dedup(df, "vec_id", "embedding", n_cells=0)
+
+
+class TestContaminationEvalIdIndependence:
+    def test_eval_frame_without_train_id_column(self, spark):
+        from oni_ml_spark.datapipe.textstats import ngram_contamination
+
+        train = spark.createDataFrame(
+            [(0, "a b c d e f g h i j"), (1, "k l m n o p q r s t")],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [("q1", "a b c d e f g h x y")], "qid string, question string"
+        )
+        out = {r["id"]: r for r in ngram_contamination(
+            train, eval_df, "doc_id", "text", eval_text_col="question", n=8
+        ).collect()}
+        # train doc 0 shares exactly the 8-gram "a b c d e f g h"
+        assert out[0]["n_contaminated"] == 1
+        assert out[1]["n_contaminated"] == 0
