@@ -112,6 +112,11 @@ def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -
         (cum / F.col("__total").cast("double")).alias("cdf"),
         ((cum - F.col("cnt")) / F.col("__total").cast("double")).alias("__prev"),
         "__total",
+        # exact long-arithmetic rank interval [__lo, __hi] (0-based order
+        # statistics covered by this value) — what quantile_cont interpolates
+        # over without refloating the CDF
+        (cum - F.col("cnt")).alias("__lo"),
+        (cum - 1).alias("__hi"),
     )
 
 
@@ -140,6 +145,51 @@ def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataF
     return parts.select(
         F.explode(F.filter(probs_arr, lambda p: _interval_covers(p))).alias("p"),
         F.col("value").alias("cutoff"),
+    )
+
+
+def quantile_cont_cuts_df(
+    df: DataFrame, value_col: str, probs: list[float]
+) -> DataFrame:
+    """Continuous (linearly interpolated, type-7 / numpy & DuckDB
+    ``quantile_cont``) quantiles → DataFrame[p double, cutoff double],
+    fully lazy and exact — the sibling of the reference's DISCRETE cuts
+    for consumers that want percentile values rather than bin edges.
+
+    For n values, p targets fractional 0-based rank h = p·(n−1); the
+    result interpolates the order statistics at floor(h) and ceil(h).
+    Both lookups ride the same interval-cover explode as
+    ``quantile_cuts_df`` (a value covers the ranks [__lo, __hi] it owns in
+    exact long arithmetic), so the plan is the one ECDF shuffle plus two
+    bounded |probs|-row branches joined on p — no sort, no collect.
+    """
+    parts = _ecdf_parts(df, value_col)
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    h = lambda p: p * (F.col("__total") - 1).cast("double")  # noqa: E731
+
+    def covers(rank_of_p):
+        return lambda p: (rank_of_p(p) >= F.col("__lo")) & (
+            rank_of_p(p) <= F.col("__hi")
+        )
+
+    lo = parts.select(
+        F.explode(
+            F.filter(probs_arr, covers(lambda p: F.floor(h(p))))
+        ).alias("p"),
+        F.col("value").alias("__vlo"),
+        "__total",
+    )
+    hi = parts.select(
+        F.explode(
+            F.filter(probs_arr, covers(lambda p: F.ceil(h(p))))
+        ).alias("p"),
+        F.col("value").alias("__vhi"),
+    )
+    hf = F.col("p") * (F.col("__total") - 1).cast("double")
+    frac = hf - F.floor(hf)
+    return lo.join(hi, "p").select(
+        "p",
+        (F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo"))).alias("cutoff"),
     )
 
 

@@ -1211,3 +1211,79 @@ class TestContaminationEvalIdIndependence:
         # train doc 0 shares exactly the 8-gram "a b c d e f g h"
         assert out[0]["n_contaminated"] == 1
         assert out[1]["n_contaminated"] == 0
+
+
+class TestWeightedMixProperty:
+    def test_random_configs_match_python_reference(self, spark):
+        """weighted_mix vs a direct Python reference of the same md5
+        arithmetic — guards the sequence fan-out and keep-condition logic
+        across integer/fractional/over-1 rates."""
+        import hashlib
+        import math
+        import random
+
+        from oni_ml_spark.datapipe.sampling import weighted_mix
+
+        def bucket(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10_000
+
+        rng = random.Random(31)
+        rows = [(i, f"s{i % 4}") for i in range(80)]
+        df = spark.createDataFrame(rows, "k long, source string")
+        counts = {f"s{j}": sum(1 for _, s in rows if s == f"s{j}") for j in range(4)}
+        for trial in range(3):
+            weights = {f"s{j}": rng.choice([0.5, 1.0, 2.0, 3.5]) for j in range(rng.randint(1, 4))}
+            total = rng.choice([10, 55, 160])
+            wsum = sum(weights.values())
+            want = set()
+            for k, s in rows:
+                if s not in weights:
+                    continue
+                rate = (float(total) * float(weights[s]) / wsum) / counts[s]
+                if rate <= 0:
+                    continue
+                for epoch in range(1, math.ceil(rate) + 1):
+                    keep = epoch <= math.floor(rate) or (
+                        epoch == math.ceil(rate)
+                        and bucket(f"{k}#mix{epoch}") < (rate - math.floor(rate)) * 10_000
+                    )
+                    if keep:
+                        want.add((k, s, epoch))
+            got = {
+                (r["k"], r["source"], r["epoch"])
+                for r in weighted_mix(df, "source", "k", weights, total).collect()
+            }
+            assert got == want, f"trial {trial}: {weights} total={total}"
+
+
+class TestCube:
+    def test_cube_matches_duckdb_grouping_sets(self, spark):
+        """CUBE hierarchical aggregates (beyond the reference's plain
+        groupBy, sibling of the rollup_agg battery entry) — all four
+        grouping sets vs DuckDB's native CUBE."""
+        import duckdb
+
+        from oni_ml_spark.io import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        got = sorted(
+            (r["rf"], r["ls"], r["cnt"])
+            for r in li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "cnt",
+            )
+            .collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'), "
+                "count(*) FROM '/root/testdata/sf0.001/lineitem.parquet' "
+                "GROUP BY CUBE (l_returnflag, l_linestatus)"
+            ).fetchall()
+        )
+        assert got == want

@@ -140,3 +140,52 @@ def test_grouped_quantile_cuts_match_duckdb(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "Exchange SinglePartition" not in p
+
+
+class TestQuantileCont:
+    def test_matches_duckdb_quantile_cont(self, spark):
+        import duckdb
+
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.transforms.quantiles import quantile_cont_cuts_df
+
+        probs = [0.0, 0.1, 0.25, 0.5, 0.73, 0.9, 1.0]
+        for table, col in (("events", "value"), ("lineitem", "l_quantity")):
+            df = load_table(spark, "/root/testdata/sf0.001", table)
+            got = {
+                r["p"]: r["cutoff"]
+                for r in quantile_cont_cuts_df(df, col, probs).collect()
+            }
+            con = duckdb.connect()
+            want = con.execute(
+                f"SELECT {', '.join(f'quantile_cont({col}, {p})' for p in probs)} "
+                f"FROM '/root/testdata/sf0.001/{table}.parquet'"
+            ).fetchone()
+            assert set(got) == set(probs), table
+            for p, w in zip(probs, want):
+                assert abs(got[p] - float(w)) <= 1e-9 * max(1.0, abs(float(w))), (
+                    table, p, got[p], w)
+
+    def test_interpolates_between_order_statistics(self, spark):
+        from oni_ml_spark.transforms.quantiles import quantile_cont_cuts_df
+
+        # values 10, 20, 30, 40 → p=0.5 is exactly between 20 and 30;
+        # duplicates shift the rank intervals
+        df = spark.createDataFrame(
+            [(10.0,), (20.0,), (30.0,), (40.0,)], "v double"
+        )
+        got = {
+            r["p"]: r["cutoff"]
+            for r in quantile_cont_cuts_df(df, "v", [0.0, 0.5, 1.0, 1 / 3]).collect()
+        }
+        assert got[0.0] == 10.0 and got[1.0] == 40.0
+        assert got[0.5] == 25.0
+        assert abs(got[1 / 3] - 20.0) < 1e-12
+        dup = spark.createDataFrame([(1.0,), (1.0,), (1.0,), (5.0,)], "v double")
+        got2 = {
+            r["p"]: r["cutoff"]
+            for r in quantile_cont_cuts_df(dup, "v", [0.5, 2 / 3, 1.0]).collect()
+        }
+        assert got2[0.5] == 1.0
+        assert abs(got2[2 / 3] - 1.0) < 1e-12  # h=2 still inside the 1.0 run
+        assert got2[1.0] == 5.0
