@@ -162,9 +162,17 @@ def quantile_cont_cuts_df(
     ``quantile_cuts_df`` (a value covers the ranks [__lo, __hi] it owns in
     exact long arithmetic), so the plan is the one ECDF shuffle plus two
     bounded |probs|-row branches joined on p — no sort, no collect.
+
+    Probs are deduplicated (duplicates would cross-match in the lo⋈hi join
+    into k² rows) and must lie in [0, 1] — interpolation outside the data
+    range is undefined, matching numpy/DuckDB which reject it.
     """
+    uniq = sorted({float(p) for p in probs})
+    bad = [p for p in uniq if not 0.0 <= p <= 1.0]
+    if bad:
+        raise ValueError(f"probs must be within [0, 1], got {bad}")
     parts = _ecdf_parts(df, value_col)
-    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    probs_arr = F.array(*[F.lit(p) for p in uniq])
     h = lambda p: p * (F.col("__total") - 1).cast("double")  # noqa: E731
 
     def covers(rank_of_p):

@@ -189,3 +189,16 @@ class TestQuantileCont:
         assert got2[0.5] == 1.0
         assert abs(got2[2 / 3] - 1.0) < 1e-12  # h=2 still inside the 1.0 run
         assert got2[1.0] == 5.0
+
+    def test_duplicate_probs_dedupe_and_out_of_range_rejected(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.transforms.quantiles import quantile_cont_cuts_df
+
+        df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+        rows = quantile_cont_cuts_df(df, "v", [0.5, 0.5, 1.0]).collect()
+        assert sorted(r["p"] for r in rows) == [0.5, 1.0]  # no k^2 blowup
+        with _pytest.raises(ValueError):
+            quantile_cont_cuts_df(df, "v", [-0.1])
+        with _pytest.raises(ValueError):
+            quantile_cont_cuts_df(df, "v", [1.5])
