@@ -184,3 +184,39 @@ def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (snappy by default)."""
     df.write.mode("overwrite").orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each (returns the output file count).
+
+    Streaming sinks and fine-grained partitioned writes leave thousands of
+    KB-scale files; at 100 TB the resulting driver listing + per-file open
+    overhead dominates scan time long before row decoding does. Input size
+    comes from the file index (no data read); the rewrite is one
+    repartition — round-robin by default (best size balance), or
+    repartitionByRange on ``sort_col`` + a within-partition sort so the
+    compacted files also carry tight min/max stats for that column
+    (single-column cousin of plans.write_zordered).
+
+    dst must differ from src: a same-path overwrite would delete the
+    input mid-read.
+    """
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("dst must differ from src (overwrite-in-place is unsafe)")
+    df = spark.read.parquet(src)
+    # size via the already-built file index — metadata only, no data scan
+    jpaths = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int(int(jpaths) / (target_file_mb * 1024 * 1024)))
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -377,6 +377,73 @@ def grouped_quantile_cuts(
     )
 
 
+def grouped_quantile_cont_cuts(
+    df: DataFrame, key_col: str, value_col: str, probs: list[float]
+) -> DataFrame:
+    """Continuous (type-7 interpolated) quantiles PER GROUP —
+    DataFrame[key, p double, cutoff double]; DuckDB
+    ``quantile_cont(...) GROUP BY key`` semantics in one distributed plan.
+
+    Same per-group prefix-sum window as ``grouped_quantile_cuts``, but each
+    (key, value) row carries its exact 0-based rank interval; the two order
+    statistics per prob come from interval-cover explodes joined on
+    (key, p). Parallelism = |groups|; no per-group loop, no driver action.
+    Probs are deduplicated and must lie in [0, 1].
+    """
+    uniq = sorted({float(p) for p in probs})
+    bad = [p for p in uniq if not 0.0 <= p <= 1.0]
+    if bad:
+        raise ValueError(f"probs must be within [0, 1], got {bad}")
+    counts = (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).cast("double").alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("cnt").over(w)
+    parts = counts.select(
+        "key",
+        "value",
+        (cum - F.col("cnt")).alias("__lo"),
+        (cum - 1).alias("__hi"),
+        F.sum("cnt").over(w_tot).alias("__total"),
+    )
+    probs_arr = F.array(*[F.lit(p) for p in uniq])
+    h = lambda p: p * (F.col("__total") - 1).cast("double")  # noqa: E731
+
+    def covers(rank_of_p):
+        return lambda p: (rank_of_p(p) >= F.col("__lo")) & (
+            rank_of_p(p) <= F.col("__hi")
+        )
+
+    lo = parts.select(
+        "key",
+        F.explode(F.filter(probs_arr, covers(lambda p: F.floor(h(p))))).alias("p"),
+        F.col("value").alias("__vlo"),
+        "__total",
+    )
+    hi = parts.select(
+        "key",
+        F.explode(F.filter(probs_arr, covers(lambda p: F.ceil(h(p))))).alias("p"),
+        F.col("value").alias("__vhi"),
+    )
+    hf = F.col("p") * (F.col("__total") - 1).cast("double")
+    frac = hf - F.floor(hf)
+    return lo.join(hi, ["key", "p"]).select(
+        "key",
+        "p",
+        (F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo"))).alias("cutoff"),
+    )
+
+
 def approx_quantile_cuts(
     df: DataFrame, value_col: str, probs: list[float], rel_err: float = 0.001
 ) -> list[float]:

@@ -156,3 +156,26 @@ class TestJsonlOrc:
         write_orc(src, p1)
         write_orc(src, p2)
         assert read_orc(spark, p1, p2).count() == 2 * src.count()
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from oni_ml_spark.io import compact_parquet, load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    # simulate a fragmented sink: many tiny files
+    e.repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    n = compact_parquet(spark, src, dst, target_file_mb=512, sort_col="user_id")
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) <= 2 and n <= 2
+    back = spark.read.parquet(dst)
+    assert back.count() == e.count()
+    assert sorted(back.columns) == sorted(e.columns)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src)

@@ -202,3 +202,41 @@ class TestQuantileCont:
             quantile_cont_cuts_df(df, "v", [-0.1])
         with _pytest.raises(ValueError):
             quantile_cont_cuts_df(df, "v", [1.5])
+
+    def test_grouped_cont_matches_duckdb(self, spark):
+        import duckdb
+
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.transforms.quantiles import grouped_quantile_cont_cuts
+
+        probs = [0.1, 0.5, 0.9, 1.0]
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        got = {
+            (r["key"], r["p"]): r["cutoff"]
+            for r in grouped_quantile_cont_cuts(
+                df, "event_type", "value", probs
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {}
+        for et, *qs in con.execute(
+            "SELECT event_type, "
+            + ", ".join(f"quantile_cont(value, {p})" for p in probs)
+            + " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY event_type"
+        ).fetchall():
+            for p, q in zip(probs, qs):
+                want[(et, p)] = float(q)
+        assert set(got) == set(want)
+        for k, w in want.items():
+            assert abs(got[k] - w) <= 1e-9 * max(1.0, abs(w)), (k, got[k], w)
+
+    def test_grouped_cont_plan_no_single_partition(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.transforms.quantiles import grouped_quantile_cont_cuts
+
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        plan = (
+            grouped_quantile_cont_cuts(df, "event_type", "value", [0.5])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange SinglePartition" not in plan
