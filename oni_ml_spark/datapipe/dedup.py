@@ -184,24 +184,12 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over minhash signatures.
-
-    Pairs agreeing on all rows of at least one band land in the same bucket
-    → groupBy(band, bucket) self-pairing. Returns distinct (id_a, id_b).
-    At scale: the band-bucket shuffle replaces the all-pairs O(N²) — the
-    standard minhash-LSH trade (tune bands/rows for the target Jaccard).
-    """
+def _banded_buckets(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from a (id, sig) signature table — bucket ids
+    derive from the signature alone, so a persisted index never needs the
+    original text (or a re-shingling pass) to be queried."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sig.select(
+    return sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -221,6 +209,25 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Pairs agreeing on all rows of at least one band land in the same bucket
+    → groupBy(band, bucket) self-pairing. Returns distinct (id_a, id_b).
+    At scale: the band-bucket shuffle replaces the all-pairs O(N²) — the
+    standard minhash-LSH trade (tune bands/rows for the target Jaccard).
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = _banded_buckets(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -765,4 +772,74 @@ def remove_duplicate_spans(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
         )
+    )
+
+
+def lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) — the persistable near-dup index of a corpus: just the
+    minhash signatures (write to parquet; ~num_hashes longs per document).
+
+    Band buckets are DERIVED from the signature at query time
+    (``_banded_buckets``), so the index (a) is band-parameter-agnostic —
+    re-tune bands/rows without re-shingling petabytes — and (b) never
+    stores or re-reads document text.
+    """
+    return minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicates of NEW documents against an EXISTING corpus's
+    ``lsh_index`` — the daily-ingest dedup pattern: each batch is checked
+    against the accumulated index without re-shingling (or even storing)
+    the old corpus text.
+
+    Candidates come from the band-bucket equi join of the new batch's
+    signatures against buckets derived from the stored ones; verification
+    uses the minhash Jaccard ESTIMATE (fraction of agreeing signature
+    positions — the only verify possible without old text, unbiased with
+    stderr ≈ 1/sqrt(num_hashes); raise num_hashes for tighter gating).
+    Returns (new_id, index_id, est_jaccard >= threshold). Append the new
+    batch's signatures to the index afterwards:
+    ``index.unionByName(lsh_index(new_batch, ...))``.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    new_sig = minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+    a = _banded_buckets(new_sig, num_hashes, bands).alias("a")
+    b = _banded_buckets(index, num_hashes, bands).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("index_id"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("new_id"), F.col("sig").alias("__sa"))
+    sb = index.select(F.col("id").alias("index_id"), F.col("sig").alias("__sb"))
+    agree = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda t: t)
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "index_id")
+        .withColumn("est_jaccard", F.round(agree / num_hashes, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "est_jaccard")
     )

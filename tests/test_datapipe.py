@@ -1287,3 +1287,54 @@ class TestCube:
             ).fetchall()
         )
         assert got == want
+
+
+class TestIncrementalLshIndex:
+    def test_new_batch_dedups_against_persisted_index(self, spark, tmp_path):
+        """The daily-ingest pattern: index a corpus once, persist signatures,
+        then check a new batch against it without re-shingling old text."""
+        from oni_ml_spark.datapipe.dedup import incremental_near_dups, lsh_index
+
+        base = "the quick brown fox jumps over the lazy dog again and again in the park"
+        corpus = spark.createDataFrame(
+            [(0, base),
+             (1, "completely different text about spark query engines and shuffles"),
+             (2, "another unrelated document mentioning entropy and quantiles only")],
+            "doc_id long, text string",
+        )
+        idx_path = str(tmp_path / "lsh_index")
+        lsh_index(corpus, "doc_id", "text").write.parquet(idx_path)
+        index = spark.read.parquet(idx_path)
+
+        new_batch = spark.createDataFrame(
+            [(100, base.replace("park", "yard")),   # near-dup of doc 0
+             (101, "a totally novel story about gardens and rivers flowing north")],
+            "doc_id long, text string",
+        )
+        hits = incremental_near_dups(
+            new_batch, index, "doc_id", "text", threshold=0.5
+        ).collect()
+        pairs = {(r["new_id"], r["index_id"]): r["est_jaccard"] for r in hits}
+        assert (100, 0) in pairs
+        assert all(nid != 101 for nid, _ in pairs)
+        assert 0.5 <= pairs[(100, 0)] <= 1.0
+
+    def test_estimate_tracks_true_jaccard_and_exact_dup_is_one(self, spark):
+        from oni_ml_spark.datapipe.dedup import incremental_near_dups, lsh_index
+
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus = spark.createDataFrame([(0, t)], "doc_id long, text string")
+        index = lsh_index(corpus, "doc_id", "text")
+        new = spark.createDataFrame([(9, t)], "doc_id long, text string")
+        out = incremental_near_dups(new, index, "doc_id", "text", threshold=0.9).collect()
+        assert len(out) == 1 and out[0]["est_jaccard"] == 1.0
+
+    def test_bands_must_divide_hashes(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.dedup import incremental_near_dups, lsh_index
+
+        df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            incremental_near_dups(df, lsh_index(df, "doc_id", "text"),
+                                  "doc_id", "text", num_hashes=16, bands=5)
