@@ -314,8 +314,25 @@ def ivf_kmeans_topk(
     k-means is deterministic per Spark version but not engine-portable →
     verified by recall against the exact baseline, not a SQL oracle.
     """
+    cent_df, c_assigned = build_ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    return ivf_search(queries, cent_df, c_assigned, id_col, vec_col, k, n_probe)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) — the persistable halves of an IVF index:
+    centroids (cell, centv, centn; n_cells rows) and the assigned corpus
+    (neighbor_id, cv, cn, cell). Write both to parquet and reload for
+    ``ivf_search`` — the k-means fit (the expensive, corpus-scale part)
+    runs once per index build, not per query batch, which is the pattern a
+    recurring retrieval job needs."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
@@ -332,7 +349,22 @@ def ivf_kmeans_topk(
         [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
         "cell int, centv array<double>",
     ).withColumn("centn", norm(F.col("centv")))
+    return cent_df, c_assigned
 
+
+def ivf_search(
+    queries: DataFrame,
+    cent_df: DataFrame,
+    c_assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probed IVF search against a built (or parquet-reloaded) index: rank
+    cells by query-centroid cosine, join the top ``n_probe`` cells'
+    members, exact-cosine rerank to top-k. Centroids broadcast (n_cells
+    rows); the member join shuffles on the cell id only."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))

@@ -1338,3 +1338,74 @@ class TestIncrementalLshIndex:
         with _pytest.raises(ValueError):
             incremental_near_dups(df, lsh_index(df, "doc_id", "text"),
                                   "doc_id", "text", num_hashes=16, bands=5)
+
+
+class TestParagraphDedupProperty:
+    def test_random_corpora_match_python_reference(self, spark):
+        """Randomized paragraph_dedup vs an explicit Python reference:
+        first-occurrence survival by (id, pos) over normalized units,
+        in-order reassembly, empty-doc handling."""
+        import random
+        import re
+
+        from oni_ml_spark.datapipe.dedup import paragraph_dedup
+
+        rng = random.Random(41)
+        units = ["alpha one", "Beta two", "gamma  three", "delta four", "epsilon"]
+        for trial in range(3):
+            docs = []
+            for i in range(25):
+                k = rng.randint(0, 4)
+                paras = [rng.choice(units) for _ in range(k)]
+                docs.append((i, "\n\n".join(paras)))
+            # python reference
+            def norm(s):
+                return re.sub(r"\s+", " ", s.lower()).strip()
+
+            seen = {}
+            for i, text in docs:
+                ps = [p for p in re.split(r"\n{2,}", text) if len(p.strip()) >= 1] if text else []
+                for pos, p in enumerate(ps):
+                    seen.setdefault(norm(p), (i, pos))
+            want = {}
+            for i, text in docs:
+                ps = [p for p in re.split(r"\n{2,}", text) if len(p.strip()) >= 1] if text else []
+                kept = [p for pos, p in enumerate(ps) if seen[norm(p)] == (i, pos)]
+                want[i] = ("\n\n".join(kept), len(ps), len(kept))
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                r["id"]: (r["text"], r["n_units"], r["n_units_kept"])
+                for r in paragraph_dedup(df, "doc_id", "text").collect()
+            }
+            assert got == want, f"trial {trial}"
+
+
+class TestIvfIndexPersistence:
+    def test_persisted_index_search_equals_inline(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.similarity import (
+            as_double_array,
+            build_ivf_index,
+            ivf_kmeans_topk,
+            ivf_search,
+        )
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("embedding")
+        )
+        q = emb.filter(F.col("vec_id") < 5)
+        inline = sorted(
+            tuple(r) for r in ivf_kmeans_topk(q, emb, k=5, n_cells=8, n_probe=3).collect()
+        )
+        cent, assigned = build_ivf_index(emb, n_cells=8)
+        cp, ap = str(tmp_path / "cent"), str(tmp_path / "assigned")
+        cent.write.parquet(cp)
+        assigned.write.parquet(ap)
+        reloaded = sorted(
+            tuple(r)
+            for r in ivf_search(
+                q, spark.read.parquet(cp), spark.read.parquet(ap), k=5, n_probe=3
+            ).collect()
+        )
+        assert reloaded == inline
+        assert len(reloaded) > 0
