@@ -343,3 +343,67 @@ def test_windowed_approx_distinct_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_ad").collect()
     }
     assert got == {(0, "s1"): 2, (10, "s1"): 1, (10, "s2"): 1}
+
+
+def test_streaming_ingest_dedup_against_growing_lsh_index(spark, tmp_path):
+    """The streaming ingest-dedup loop: each micro-batch is checked against
+    the persisted LSH index via foreachBatch, duplicate docs are dropped,
+    and the survivors' signatures are APPENDED to the index so later
+    batches dedup against everything seen so far (including earlier
+    batches of the same stream)."""
+    from oni_ml_spark.datapipe.dedup import incremental_near_dups, lsh_index
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    seed_corpus = spark.createDataFrame(
+        [(0, "completely different text about spark query engines and shuffles")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "index")
+    lsh_index(seed_corpus, "doc_id", "text").write.mode("overwrite").parquet(idx_path)
+
+    # two files -> two (or one) micro-batches; maxFilesPerTrigger forces order
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(100, base), (101, "a novel story about gardens and rivers flowing north")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(
+        # 200 is a near-dup of 100 (seen in the previous batch) — must drop
+        [(200, base.replace("park", "yard")),
+         (201, "unique musings on distributed quantile sketches at dusk")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    accepted: list[int] = []
+
+    def process(batch_df, _bid):
+        index = spark.read.parquet(idx_path)
+        dups = incremental_near_dups(
+            batch_df, index, "doc_id", "text", threshold=0.5
+        ).select("new_id").distinct()
+        keep = batch_df.join(
+            dups.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
+        )
+        accepted.extend(r["doc_id"] for r in keep.select("doc_id").collect())
+        lsh_index(keep, "doc_id", "text").write.mode("append").parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(accepted)
+    # novel docs always survive; 100 and 200 are near-dups of each other, so
+    # whichever micro-batch ran first wins and the other is dropped by the
+    # grown index (file order is mtime-based — don't depend on it)
+    assert 101 in got and 201 in got
+    assert len({100, 200} & set(got)) == 1
+    # the index grew by exactly the accepted docs
+    idx_ids = sorted(
+        r["id"] for r in spark.read.parquet(idx_path).select("id").collect()
+    )
+    assert idx_ids == sorted([0] + got)
