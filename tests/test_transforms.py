@@ -230,3 +230,63 @@ class TestOversample:
         assert oversample(df, 1).count() == 2
         got = sorted(r["x"] for r in oversample(df, 3).collect())
         assert got == [1, 1, 1, 2, 2, 2]
+
+
+class TestSemistructured:
+    def test_infer_parse_matches_duckdb_json_extract(self, spark):
+        import duckdb
+
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.transforms.semistructured import (
+            infer_json_schema,
+            json_get,
+            parse_json,
+        )
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        schema = infer_json_schema(spark, e, "props")
+        assert "k" in schema.fieldNames()
+        parsed = parse_json(e, "props", schema, out_col="p")
+        got = sorted(
+            (r["event_id"], r["k"])
+            for r in parsed.select("event_id", F.col("p.k").alias("k")).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            (a, b)
+            for a, b in con.execute(
+                "SELECT event_id, (props->>'k')::BIGINT FROM "
+                "'/root/testdata/sf0.001/events.parquet'"
+            ).fetchall()
+        )
+        assert got == want
+        # single-field path agrees too (string-typed)
+        one = parsed.select(json_get("props", "k").alias("ks")).first()
+        assert one["ks"] is not None and one["ks"].isdigit()
+
+    def test_corrupt_documents_null_or_dropped(self, spark):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from oni_ml_spark.transforms.semistructured import parse_json
+
+        df = spark.createDataFrame(
+            [(0, '{"k": 1}'), (1, "not json"), (2, None)],
+            "id long, props string",
+        )
+        schema = StructType([StructField("k", LongType())])
+        parsed = parse_json(df, "props", schema, out_col="p")
+        rows = {r["id"]: r["p"] for r in parsed.collect()}
+        # PERMISSIVE from_json yields an all-null-fields struct for corrupt
+        # docs (not a NULL struct) and a NULL struct only for NULL input
+        assert rows[0]["k"] == 1 and rows[1]["k"] is None and rows[2] is None
+        kept = parse_json(df, "props", schema, out_col="p", drop_corrupt=True)
+        assert sorted(r["id"] for r in kept.collect()) == [0, 2]
+
+    def test_infer_raises_on_all_null(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.transforms.semistructured import infer_json_schema
+
+        df = spark.createDataFrame([(1, None)], "id long, props string")
+        with _pytest.raises(ValueError):
+            infer_json_schema(spark, df, "props")
