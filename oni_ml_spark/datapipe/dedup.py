@@ -187,7 +187,26 @@ def minhash_signatures(
 def _banded_buckets(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bucket) from a (id, sig) signature table — bucket ids
     derive from the signature alone, so a persisted index never needs the
-    original text (or a re-shingling pass) to be queried."""
+    original text (or a re-shingling pass) to be queried.
+
+    bands must divide num_hashes (a remainder would silently ignore the
+    tail hash positions and quietly degrade recall), and every signature
+    must actually be num_hashes long — a persisted index built with a
+    different num_hashes would otherwise produce degenerate null buckets
+    and miss even exact duplicates; the in-plan assert turns that silent
+    recall loss into a runtime error.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    ok = F.assert_true(
+        F.size("sig") == num_hashes,
+        F.concat(
+            F.lit(f"signature length != num_hashes={num_hashes} (got "),
+            F.size("sig").cast("string"),
+            F.lit(") — index built with different parameters?"),
+        ),
+    )
+    sig_df = sig_df.withColumn("sig", F.when(ok.isNull(), F.col("sig")))
     rows_per_band = num_hashes // bands
     return sig_df.select(
         "id",
@@ -817,9 +836,10 @@ def incremental_near_dups(
     batch's signatures to the index afterwards:
     ``index.unionByName(lsh_index(new_batch, ...))``.
     """
-    if num_hashes % bands:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    new_sig = minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+    # cache: the batch's signatures feed BOTH the candidate branch and the
+    # verify join — uncached, the shingle+minhash DAG (the expensive step
+    # this function exists to avoid repeating) would execute twice
+    new_sig = minhash_signatures(new_df, id_col, text_col, n, num_hashes).cache()
     a = _banded_buckets(new_sig, num_hashes, bands).alias("a")
     b = _banded_buckets(index, num_hashes, bands).alias("b")
     cand = (

@@ -206,14 +206,31 @@ def compact_parquet(
     (single-column cousin of plans.write_zordered).
 
     dst must differ from src: a same-path overwrite would delete the
-    input mid-read.
+    input mid-read. Local paths (schemeless or file:) are resolved through
+    realpath so aliases of the same directory are caught too; comparisons
+    of other schemes are textual.
+
+    Returns the REQUESTED output partition count (ceil of size/target);
+    the actual file count can be lower when repartitionByRange on a
+    low-cardinality sort_col leaves empty partitions.
     """
-    if src.rstrip("/") == dst.rstrip("/"):
+    import math
+    import os
+
+    def _norm(p: str) -> str:
+        bare = p[len("file://"):] if p.startswith("file://") else (
+            p[len("file:"):] if p.startswith("file:") else p
+        )
+        if "://" in bare:
+            return bare.rstrip("/")
+        return os.path.realpath(bare)
+
+    if _norm(src) == _norm(dst):
         raise ValueError("dst must differ from src (overwrite-in-place is unsafe)")
     df = spark.read.parquet(src)
     # size via the already-built file index — metadata only, no data scan
     jpaths = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n_files = max(1, int(int(jpaths) / (target_file_mb * 1024 * 1024)))
+    n_files = max(1, math.ceil(int(jpaths) / (target_file_mb * 1024 * 1024)))
     if sort_col is not None:
         out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
     else:

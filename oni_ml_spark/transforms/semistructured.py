@@ -29,13 +29,20 @@ def infer_json_schema(
     per pipeline deployment and persist/declare the result — inference per
     job would re-scan and can drift day to day.
     """
+    from pyspark.sql.types import StructType
+
     sample = [
         r[0]
         for r in df.select(col).where(F.col(col).isNotNull()).limit(sample_rows).collect()
     ]
     if not sample:
         raise ValueError(f"no non-null documents in '{col}' to infer from")
-    return spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    inferred = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    # malformed sampled docs make Spark's inference emit a _corrupt_record
+    # field — strip it: it is an inference artifact, not a data field, and
+    # leaving it in would collide with parse_json(drop_corrupt=True)'s own
+    # corrupt-record column (AMBIGUOUS_REFERENCE_TO_FIELDS)
+    return StructType([f for f in inferred.fields if f.name != "_corrupt_record"])
 
 
 def parse_json(
@@ -57,9 +64,14 @@ def parse_json(
     from pyspark.sql.types import StringType, StructField, StructType
 
     out = out_col or col
+    crpt = "_corrupt_record"
+    if any(f.name == crpt for f in schema.fields):
+        raise ValueError(
+            f"schema must not contain '{crpt}' (reserved for corrupt-record "
+            "detection; infer_json_schema strips it automatically)"
+        )
     if not drop_corrupt:
         return df.withColumn(out, F.from_json(F.col(col), schema))
-    crpt = "_corrupt_record"
     with_crpt = StructType(list(schema.fields) + [StructField(crpt, StringType())])
     parsed = df.withColumn(
         out,

@@ -1409,3 +1409,31 @@ class TestIvfIndexPersistence:
         )
         assert reloaded == inline
         assert len(reloaded) > 0
+
+
+class TestLshIndexParamMismatch:
+    def test_wrong_num_hashes_raises_instead_of_silent_misses(self, spark):
+        """An index persisted with num_hashes=8 queried at 16 used to cap
+        the Jaccard estimate at 0.5 (null-padded zip) and silently drop
+        even exact duplicates; now the in-plan assert raises."""
+        from oni_ml_spark.datapipe.dedup import incremental_near_dups, lsh_index
+
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus = spark.createDataFrame([(0, t)], "doc_id long, text string")
+        index8 = lsh_index(corpus, "doc_id", "text", num_hashes=8)
+        new = spark.createDataFrame([(9, t)], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="signature length"):
+            incremental_near_dups(
+                new, index8, "doc_id", "text", num_hashes=16
+            ).collect()
+
+    def test_bands_check_lives_in_shared_helper(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.dedup import minhash_lsh_candidates
+
+        df = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            minhash_lsh_candidates(df, "doc_id", "text", num_hashes=16, bands=5)

@@ -179,3 +179,8 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+    # scheme/relative aliases of the same directory are caught too
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, "file://" + src)
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src + "/../" + src.rsplit("/", 1)[-1])

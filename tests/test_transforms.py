@@ -290,3 +290,29 @@ class TestSemistructured:
         df = spark.createDataFrame([(1, None)], "id long, props string")
         with _pytest.raises(ValueError):
             infer_json_schema(spark, df, "props")
+
+    def test_infer_strips_corrupt_record_and_composes_with_drop(self, spark):
+        """Dirty sample -> inference must not leak _corrupt_record into the
+        schema (it used to, making parse_json(drop_corrupt=True) throw
+        AMBIGUOUS_REFERENCE_TO_FIELDS on exactly the corpora drop_corrupt
+        exists for)."""
+        from oni_ml_spark.transforms.semistructured import (
+            infer_json_schema,
+            parse_json,
+        )
+
+        df = spark.createDataFrame(
+            [(0, '{"k": 1}'), (1, "not json"), (2, None)],
+            "id long, props string",
+        )
+        schema = infer_json_schema(spark, df, "props")
+        assert "_corrupt_record" not in schema.fieldNames()
+        kept = parse_json(df, "props", schema, out_col="p", drop_corrupt=True)
+        assert sorted(r["id"] for r in kept.collect()) == [0, 2]
+        # explicitly passing a reserved-field schema is rejected loudly
+        import pytest as _pytest
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        bad = StructType([StructField("_corrupt_record", StringType())])
+        with _pytest.raises(ValueError):
+            parse_json(df, "props", bad, drop_corrupt=True)
