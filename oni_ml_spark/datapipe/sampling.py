@@ -181,3 +181,20 @@ def weighted_mix(
         & (hash_bucket(salted, 10_000) < frac * 10_000)
     )
     return copies.filter(keep).drop("__n_s", "__rate")
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: str | int = 0
+) -> DataFrame:
+    """Global pseudo-random ordering that is identical on every run and
+    engine — the final "shuffle the training data" step, md5-keyed like
+    every sampler here (no RNG, no partition-order dependence).
+
+    orderBy on the salted digest is a range-partitioned sort: Spark samples
+    boundaries and sorts within partitions, so downstream writes preserve
+    the order per output file. Different ``seed`` values give independent
+    permutations (epoch reshuffling: seed=epoch number). Ties (md5
+    collisions) break on the key itself for full determinism.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#shuffle{seed}")))
+    return df.orderBy(h, F.col(key_col))
