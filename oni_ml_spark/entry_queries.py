@@ -1734,7 +1734,7 @@ def ann_ivf_kmeans(spark, sf):
 
 @_q(
     "ngram_diagnostics",
-    f"""WITH t AS (SELECT doc_id AS id, {_TOKENS.format(c='text')} AS toks FROM documents),
+    rf"""WITH t AS (SELECT doc_id AS id, {_TOKENS.format(c='text')} AS toks FROM documents),
     g0 AS (SELECT id, toks, unnest(range(greatest(len(toks) - 7, 0))) AS pos FROM t),
     grams AS (SELECT id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS gkey FROM g0),
     occ AS (SELECT gkey, count(*) AS n_occ FROM grams GROUP BY gkey),
@@ -1755,7 +1755,22 @@ def ann_ivf_kmeans(spark, sf):
     cont AS (SELECT id, count(*)::BIGINT AS n_shingles,
              sum(CASE WHEN gkey IN (SELECT gkey FROM evals) THEN 1 ELSE 0 END)::BIGINT
                AS n_contaminated
-             FROM shd WHERE id % 10 != 0 GROUP BY id)
+             FROM shd WHERE id % 10 != 0 GROUP BY id),
+    comp AS (
+      SELECT a.doc_id AS id,
+             a.text || CASE WHEN b.text IS NULL THEN ''
+                            ELSE chr(10) || chr(10) || b.text END AS ctext
+      FROM documents a LEFT JOIN documents b ON b.doc_id = xor(a.doc_id, 1)),
+    pp0 AS (SELECT id, regexp_split_to_array(ctext, '\n{{2,}}') AS arr FROM comp),
+    pvalid AS (SELECT id, pos, para FROM (
+        SELECT id, unnest(range(len(arr))) AS pos, unnest(arr) AS para FROM pp0)
+      WHERE length(trim(para)) >= 1),
+    pkept AS (SELECT id, pos, para, row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g')))
+        ORDER BY id, pos) AS rn FROM pvalid),
+    prebuilt AS (SELECT id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                 count(*) AS kept FROM pkept WHERE rn = 1 GROUP BY id),
+    ptot AS (SELECT id, count(*) AS n FROM pvalid GROUP BY id)
     SELECT t.id, len(t.toks)::BIGINT AS n_tokens,
            coalesce(per.dup_span_starts, 0)::BIGINT AS dup_span_starts,
            coalesce(per.covered, 0)::BIGINT AS covered_tokens,
@@ -1763,10 +1778,15 @@ def ann_ivf_kmeans(spark, sf):
              AS dup_token_fraction,
            rep.n_grams, rep.distinct_n_grams, rep.top_gram_frac, rep.dup_gram_frac,
            cont.n_shingles, cont.n_contaminated,
-           round(cont.n_contaminated / cont.n_shingles, 6) AS contamination_frac
+           round(cont.n_contaminated / cont.n_shingles, 6) AS contamination_frac,
+           coalesce(ptot.n, 0)::BIGINT AS para_units,
+           coalesce(prebuilt.kept, 0)::BIGINT AS para_units_kept,
+           md5(coalesce(prebuilt.text, '')) AS para_text_md5
     FROM t LEFT JOIN per ON per.id = t.id
            LEFT JOIN rep ON rep.id = t.id
-           LEFT JOIN cont ON cont.id = t.id""",
+           LEFT JOIN cont ON cont.id = t.id
+           LEFT JOIN ptot ON ptot.id = t.id
+           LEFT JOIN prebuilt ON prebuilt.id = t.id""",
 )
 def ngram_diagnostics_q(spark, sf):
     """The per-document n-gram diagnostic battery in one driver entry:
@@ -1780,8 +1800,13 @@ def ngram_diagnostics_q(spark, sf):
     - ngram_contamination: fraction of each training doc's distinct
       8-gram shingles that appear anywhere in the eval split (docs with
       id % 10 == 0 stand in as the eval set; its members carry NULL
-      contamination columns — no evidence either way)."""
-    from oni_ml_spark.datapipe.dedup import duplicate_span_metrics
+      contamination columns — no evidence either way).
+    - paragraph_dedup: over an in-plan composite corpus (each doc
+      concatenated with its XOR-1 partner, so every original text appears
+      as a unit in exactly TWO composites) — unit counts AND the md5 of
+      the reassembled deduped text hash-check first-occurrence survival
+      and in-order reassembly end to end."""
+    from oni_ml_spark.datapipe.dedup import duplicate_span_metrics, paragraph_dedup
     from oni_ml_spark.datapipe.textstats import ngram_contamination, repetition_metrics
 
     d = load_table(spark, sf, "documents")
@@ -1792,14 +1817,39 @@ def ngram_diagnostics_q(spark, sf):
         d.filter(F.col("doc_id") % 10 == 0),
         "doc_id", "text", n=8,
     )
+    partner = d.select(
+        F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+        F.col("text").alias("__ptext"),
+    )
+    comp = (
+        d.select("doc_id", "text")
+        .join(partner, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("__ptext").isNull(), F.lit("")).otherwise(
+                    F.concat(F.lit("\n\n"), F.col("__ptext"))
+                ),
+            ).alias("ctext"),
+        )
+    )
+    para = paragraph_dedup(comp, "doc_id", "ctext").select(
+        "id",
+        F.col("n_units").alias("para_units"),
+        F.col("n_units_kept").alias("para_units_kept"),
+        F.md5("text").alias("para_text_md5"),
+    )
     return (
         spans.join(rep, "id", "left")
         .join(cont, "id", "left")
+        .join(para, "id", "left")
         .select(
             "id", "n_tokens", "dup_span_starts", "covered_tokens",
             "dup_token_fraction", "n_grams", "distinct_n_grams",
             "top_gram_frac", "dup_gram_frac", "n_shingles", "n_contaminated",
-            "contamination_frac",
+            "contamination_frac", "para_units", "para_units_kept",
+            "para_text_md5",
         )
     )
 
