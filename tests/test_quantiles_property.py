@@ -240,3 +240,27 @@ class TestQuantileCont:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange SinglePartition" not in plan
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    probs=st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_quantile_cont_matches_numpy_linear(spark, vals, probs):
+    """Continuous quantiles == numpy's type-7 linear interpolation on
+    arbitrary inputs (duplicates, negatives, single element, p=0/1)."""
+    import numpy as np
+
+    from oni_ml_spark.transforms.quantiles import quantile_cont_cuts_df
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["p"]: r["cutoff"]
+        for r in quantile_cont_cuts_df(df, "v", probs).collect()
+    }
+    for p in set(float(x) for x in probs):
+        want = float(np.quantile(np.array(vals), p, method="linear"))
+        assert abs(got[p] - want) <= 1e-9 * max(1.0, abs(want)), (p, vals)
