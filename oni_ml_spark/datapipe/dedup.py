@@ -838,7 +838,10 @@ def incremental_near_dups(
     """
     # cache: the batch's signatures feed BOTH the candidate branch and the
     # verify join — uncached, the shingle+minhash DAG (the expensive step
-    # this function exists to avoid repeating) would execute twice
+    # this function exists to avoid repeating) would execute twice. The
+    # blocks are batch-sized and released by ContextCleaner when the result
+    # frame is GC'd (same ownership contract as near_dup_pairs' shingle
+    # cache and connected_components' labels).
     new_sig = minhash_signatures(new_df, id_col, text_col, n, num_hashes).cache()
     a = _banded_buckets(new_sig, num_hashes, bands).alias("a")
     b = _banded_buckets(index, num_hashes, bands).alias("b")

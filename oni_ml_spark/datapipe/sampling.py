@@ -152,6 +152,11 @@ def weighted_mix(
     """
     if total_rows <= 0:
         raise ValueError("total_rows must be positive")
+    if copy_col in df.columns:
+        raise ValueError(
+            f"copy_col '{copy_col}' already exists in the input — pass a "
+            "different name (withColumn would silently overwrite it)"
+        )
     if not weights:
         return df.filter(F.lit(False)).withColumn(copy_col, F.lit(1))
     wsum = float(sum(weights.values()))

@@ -1463,3 +1463,21 @@ class TestDeterministicShuffle:
             ).fetchall()
         ]
         assert o1 == want
+
+
+class TestWeightedMixGuards:
+    def test_copy_col_collision_rejected(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.sampling import weighted_mix
+
+        df = spark.createDataFrame(
+            [(1, "a", 1)], "k long, source string, epoch long"
+        )
+        with _pytest.raises(ValueError, match="copy_col"):
+            weighted_mix(df, "source", "k", {"a": 1.0}, total_rows=5)
+        # a non-colliding name works
+        out = weighted_mix(
+            df, "source", "k", {"a": 1.0}, total_rows=5, copy_col="mix_epoch"
+        )
+        assert "mix_epoch" in out.columns
