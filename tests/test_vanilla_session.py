@@ -89,3 +89,32 @@ def test_sensitive_queries_match_oracle_on_vanilla_session(tz):
     bad = {k: v for k, v in results.items() if not v["match"]}
     assert not bad, f"vanilla-session oracle mismatches: {bad}"
     assert set(results) == set(SENSITIVE)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_GATE") != "1",
+    reason="full 50-entry vanilla-session gate simulation (~4 min); "
+    "set SPARK_GRAFT_FULL_GATE=1 to run — the SENSITIVE subset above runs always",
+)
+def test_full_battery_matches_oracle_on_vanilla_session():
+    """Direct simulation of the round driver's CORRECTNESS gate: every
+    registered entry, fresh vanilla SparkSession, non-UTC timezone."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    env = dict(os.environ, TZ="America/New_York")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, json.dumps(names)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, f"vanilla-session run failed:\n{proc.stderr[-3000:]}"
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, f"no RESULT line in output:\n{proc.stdout[-2000:]}"
+    results = json.loads(line[0][len("RESULT:"):])
+    bad = {k: v for k, v in results.items() if not v["match"]}
+    assert not bad, f"vanilla-session oracle mismatches: {bad}"
+    assert set(results) == set(names)
