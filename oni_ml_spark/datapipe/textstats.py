@@ -371,3 +371,42 @@ def quality_filter(
         failed.alias("failed_rules"),
         (F.size(failed) == 0).alias("passes"),
     )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    col: str,
+    form: str = "NFKC",
+    casefold: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFD/NFKC/NFKD, optional
+    casefold) — the canonicalization pass a multilingual corpus needs
+    before ANY digest-keyed dedup: visually-identical strings with
+    different codepoint sequences (composed é vs e+combining accent,
+    full-width digits, ligatures) otherwise hash to different keys and
+    slip through exact and MinHash dedup alike.
+
+    Spark SQL has no Unicode-normalization expression, so this is the
+    designated Arrow path: a vectorized pandas UDF over ``unicodedata``
+    (per-batch, no Python-per-row loop in Spark's runtime — the .map is
+    C-batched through pandas). Deterministic; NULL passes through.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            return y.casefold() if casefold else y
+
+        return s.map(one)
+
+    return df.withColumn(out_col or col, _norm(F.col(col)))

@@ -316,3 +316,40 @@ class TestSemistructured:
         bad = StructType([StructField("_corrupt_record", StringType())])
         with _pytest.raises(ValueError):
             parse_json(df, "props", bad, drop_corrupt=True)
+
+
+class TestUnicodeNormalize:
+    def test_forms_casefold_and_dedup_convergence(self, spark):
+        from oni_ml_spark.datapipe.dedup import exact_dedup_groups
+        from oni_ml_spark.datapipe.textstats import unicode_normalize
+
+        composed = "café １２３"          # é composed + fullwidth 123
+        decomposed = "café 123"                      # e + combining accent
+        rows = [(0, composed), (1, decomposed), (2, "STRASSE ß")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text"]
+            for r in unicode_normalize(df, "text", form="NFKC").collect()
+        }
+        assert out[0] == out[1] == "café 123"
+        folded = {
+            r["doc_id"]: r["text"]
+            for r in unicode_normalize(df, "text", form="NFKC", casefold=True).collect()
+        }
+        assert folded[2] == "strasse ss"                   # ß casefolds to ss
+        # the motivating property: normalization makes digest dedup converge
+        groups_raw = exact_dedup_groups(df, "doc_id", "text").count()
+        groups_norm = exact_dedup_groups(
+            unicode_normalize(df, "text", form="NFKC"), "doc_id", "text"
+        ).count()
+        assert groups_raw == 3 and groups_norm == 2
+
+    def test_null_passthrough_and_bad_form(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.textstats import unicode_normalize
+
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        assert unicode_normalize(df, "text").first()["text"] is None
+        with _pytest.raises(ValueError):
+            unicode_normalize(df, "text", form="NFX")
