@@ -139,12 +139,13 @@ def weighted_mix(
 
     Per source s: target_s = total_rows·w_s/Σw, rate_s = target_s/n_s.
     Every row emits copies 1..ceil(rate); copy i survives iff
-    i <= floor(rate), or i == ceil(rate) and the md5 bucket of
-    (key, '#mix', i) falls under the fractional part — so the expected
-    count is exactly target_s, the variance is binomial in the fraction
-    only, and the SAME rows+epochs come back on any engine or rerun
-    (portable md5 arithmetic, no RNG). Sources absent from ``weights``
-    are dropped.
+    i <= floor(rate), or i == ceil(rate) and the full 32-bit md5 hash of
+    (key, '#mix', i) falls under fraction·2³² — so the expected count
+    matches target_s to within 2⁻³² per row (a coarser bucket grid would
+    quantize the keep probability and bias large sources upward), the
+    variance is binomial in the fraction only, and the SAME rows+epochs
+    come back on any engine or rerun (portable md5 arithmetic, no RNG).
+    Sources absent from ``weights`` are dropped.
 
     Per-source counts are an in-plan |sources|-row aggregate joined back
     (AQE broadcasts it); the fan-out is explode(sequence), so map output
@@ -183,7 +184,8 @@ def weighted_mix(
     )
     keep = (F.col(copy_col) <= F.floor("__rate")) | (
         (F.col(copy_col) == F.ceil("__rate"))
-        & (hash_bucket(salted, 10_000) < frac * 10_000)
+        # full 32-bit hash (uniform: conv of 8 hex chars is exactly [0, 2^32))
+        & (hash_bucket(salted, 1 << 32) < frac * float(1 << 32))
     )
     return copies.filter(keep).drop("__n_s", "__rate")
 

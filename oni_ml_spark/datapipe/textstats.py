@@ -72,6 +72,16 @@ def quality_metrics(
     per-document profiling stays one projection over one scan instead of a
     self-join of separate passes.
     """
+    base_names = {
+        "id", "n_chars", "n_tokens", "regex_tokens", "punct_ratio",
+        "stopword_ratio", "upper_ratio", "mean_token_len",
+    }
+    clash = sorted(base_names & set(extra or {}))
+    if clash:
+        raise ValueError(
+            f"extra column names collide with base outputs: {clash} — a "
+            "silent duplicate column breaks any downstream reference"
+        )
     t = F.col(text_col)
     toks = tokens(text_col)
     n_chars = F.length(t)

@@ -1878,7 +1878,7 @@ _MIX_CASE = " ".join(
     kept AS (SELECT * FROM copies WHERE epoch <= floor(rate)
              OR (epoch = ceil(rate)
                  AND ('0x' || substr(md5(doc_id::VARCHAR || '#mix' || epoch::VARCHAR),
-                      1, 8))::BIGINT % 10000 < (rate - floor(rate)) * 10000))
+                      1, 8))::BIGINT % 4294967296 < (rate - floor(rate)) * 4294967296))
     SELECT source, epoch::BIGINT AS epoch, count(*) AS cnt,
            sum(doc_id)::BIGINT AS id_sum
     FROM kept GROUP BY source, epoch""",

@@ -160,9 +160,10 @@ def read_jsonl(
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
-    """JSON-lines sink (one object per line, splittable files per
-    partition). Gzip by default — results tables are small; for big
-    exports prefer parquet (columnar + pushdown on re-read)."""
+    """JSON-lines sink (one file per partition). Gzip by default — results
+    tables are small and gzip is NOT splittable (a re-read gets one task
+    per file); pass ``compression=None`` for splittable plain-text files,
+    or prefer parquet for big exports (columnar + pushdown on re-read)."""
     w = df.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
@@ -225,8 +226,14 @@ def compact_parquet(
             return bare.rstrip("/")
         return os.path.realpath(bare)
 
-    if _norm(src) == _norm(dst):
-        raise ValueError("dst must differ from src (overwrite-in-place is unsafe)")
+    a, b = _norm(src), _norm(dst)
+    # nesting is as destructive as equality: overwriting an ancestor deletes
+    # the source directory recursively before/while the lazy read executes
+    if a == b or a.startswith(b + "/") or b.startswith(a + "/"):
+        raise ValueError(
+            "dst must not equal, contain, or be contained in src "
+            "(overwrite would delete the input mid-read)"
+        )
     df = spark.read.parquet(src)
     # size via the already-built file index — metadata only, no data scan
     jpaths = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

@@ -167,11 +167,20 @@ def quantile_cont_cuts_df(
     into k² rows) and must lie in [0, 1] — interpolation outside the data
     range is undefined, matching numpy/DuckDB which reject it.
     """
+    parts = _ecdf_parts(df, value_col)
+    return _interp_cont(parts, probs, key_cols=[])
+
+
+def _interp_cont(parts: DataFrame, probs: list[float], key_cols: list[str]) -> DataFrame:
+    """Shared type-7 interpolation core for the ungrouped and grouped
+    continuous-quantile paths (ONE home for the rank formula — per the
+    drift lesson of dedup._span_gram_table). ``parts`` must carry
+    (*key_cols, value, __lo, __hi, __total) with exact long rank
+    intervals; output is (*key_cols, p, cutoff)."""
     uniq = sorted({float(p) for p in probs})
     bad = [p for p in uniq if not 0.0 <= p <= 1.0]
     if bad:
         raise ValueError(f"probs must be within [0, 1], got {bad}")
-    parts = _ecdf_parts(df, value_col)
     probs_arr = F.array(*[F.lit(p) for p in uniq])
     h = lambda p: p * (F.col("__total") - 1).cast("double")  # noqa: E731
 
@@ -181,6 +190,7 @@ def quantile_cont_cuts_df(
         )
 
     lo = parts.select(
+        *key_cols,
         F.explode(
             F.filter(probs_arr, covers(lambda p: F.floor(h(p))))
         ).alias("p"),
@@ -188,6 +198,7 @@ def quantile_cont_cuts_df(
         "__total",
     )
     hi = parts.select(
+        *key_cols,
         F.explode(
             F.filter(probs_arr, covers(lambda p: F.ceil(h(p))))
         ).alias("p"),
@@ -195,7 +206,8 @@ def quantile_cont_cuts_df(
     )
     hf = F.col("p") * (F.col("__total") - 1).cast("double")
     frac = hf - F.floor(hf)
-    return lo.join(hi, "p").select(
+    return lo.join(hi, [*key_cols, "p"]).select(
+        *key_cols,
         "p",
         (F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo"))).alias("cutoff"),
     )
@@ -386,14 +398,11 @@ def grouped_quantile_cont_cuts(
 
     Same per-group prefix-sum window as ``grouped_quantile_cuts``, but each
     (key, value) row carries its exact 0-based rank interval; the two order
-    statistics per prob come from interval-cover explodes joined on
+    statistics per prob come from the SAME ``_interp_cont`` core as the
+    ungrouped path (one home for the type-7 rank formula), joined on
     (key, p). Parallelism = |groups|; no per-group loop, no driver action.
     Probs are deduplicated and must lie in [0, 1].
     """
-    uniq = sorted({float(p) for p in probs})
-    bad = [p for p in uniq if not 0.0 <= p <= 1.0]
-    if bad:
-        raise ValueError(f"probs must be within [0, 1], got {bad}")
     counts = (
         df.select(F.col(key_col).alias("key"), F.col(value_col).cast("double").alias("value"))
         .where(F.col("value").isNotNull())
@@ -416,32 +425,7 @@ def grouped_quantile_cont_cuts(
         (cum - 1).alias("__hi"),
         F.sum("cnt").over(w_tot).alias("__total"),
     )
-    probs_arr = F.array(*[F.lit(p) for p in uniq])
-    h = lambda p: p * (F.col("__total") - 1).cast("double")  # noqa: E731
-
-    def covers(rank_of_p):
-        return lambda p: (rank_of_p(p) >= F.col("__lo")) & (
-            rank_of_p(p) <= F.col("__hi")
-        )
-
-    lo = parts.select(
-        "key",
-        F.explode(F.filter(probs_arr, covers(lambda p: F.floor(h(p))))).alias("p"),
-        F.col("value").alias("__vlo"),
-        "__total",
-    )
-    hi = parts.select(
-        "key",
-        F.explode(F.filter(probs_arr, covers(lambda p: F.ceil(h(p))))).alias("p"),
-        F.col("value").alias("__vhi"),
-    )
-    hf = F.col("p") * (F.col("__total") - 1).cast("double")
-    frac = hf - F.floor(hf)
-    return lo.join(hi, ["key", "p"]).select(
-        "key",
-        "p",
-        (F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo"))).alias("cutoff"),
-    )
+    return _interp_cont(parts, probs, key_cols=["key"])
 
 
 def approx_quantile_cuts(

@@ -1225,7 +1225,7 @@ class TestWeightedMixProperty:
         from oni_ml_spark.datapipe.sampling import weighted_mix
 
         def bucket(s: str) -> int:
-            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10_000
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)  # [0, 2^32)
 
         rng = random.Random(31)
         rows = [(i, f"s{i % 4}") for i in range(80)]
@@ -1245,7 +1245,8 @@ class TestWeightedMixProperty:
                 for epoch in range(1, math.ceil(rate) + 1):
                     keep = epoch <= math.floor(rate) or (
                         epoch == math.ceil(rate)
-                        and bucket(f"{k}#mix{epoch}") < (rate - math.floor(rate)) * 10_000
+                        and bucket(f"{k}#mix{epoch}")
+                        < (rate - math.floor(rate)) * float(1 << 32)
                     )
                     if keep:
                         want.add((k, s, epoch))

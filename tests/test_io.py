@@ -184,3 +184,8 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
         compact_parquet(spark, src, "file://" + src)
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src + "/../" + src.rsplit("/", 1)[-1])
+    # nested paths in either direction are equally destructive
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src + "/child")
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src.rsplit("/", 1)[0])

@@ -264,3 +264,27 @@ def test_quantile_cont_matches_numpy_linear(spark, vals, probs):
     for p in set(float(x) for x in probs):
         want = float(np.quantile(np.array(vals), p, method="linear"))
         assert abs(got[p] - want) <= 1e-9 * max(1.0, abs(want)), (p, vals)
+
+
+def test_grouped_single_key_equals_ungrouped(spark):
+    """Ties the two continuous paths to one semantics: a constant group
+    key must reproduce the ungrouped result exactly."""
+    from pyspark.sql import functions as F
+
+    from oni_ml_spark.transforms.quantiles import (
+        grouped_quantile_cont_cuts,
+        quantile_cont_cuts_df,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [5, 1, 9, 1, 7, 3, 3, 8]], "v double"
+    )
+    probs = [0.0, 0.3, 0.5, 0.77, 1.0]
+    ung = {r["p"]: r["cutoff"] for r in quantile_cont_cuts_df(df, "v", probs).collect()}
+    grp = {
+        r["p"]: r["cutoff"]
+        for r in grouped_quantile_cont_cuts(
+            df.withColumn("g", F.lit("one")), "g", "v", probs
+        ).collect()
+    }
+    assert ung == grp

@@ -353,3 +353,13 @@ class TestUnicodeNormalize:
         assert unicode_normalize(df, "text").first()["text"] is None
         with _pytest.raises(ValueError):
             unicode_normalize(df, "text", form="NFX")
+
+
+def test_quality_metrics_extra_collision_rejected(spark):
+    import pytest as _pytest
+
+    from oni_ml_spark.datapipe.textstats import quality_metrics
+
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="collide"):
+        quality_metrics(df, "doc_id", "text", extra={"n_tokens": F.lit(1)})
