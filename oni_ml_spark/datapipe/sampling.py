@@ -205,3 +205,19 @@ def deterministic_shuffle(
     """
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#shuffle{seed}")))
     return df.orderBy(h, F.col(key_col))
+
+
+def deterministic_global_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exactly min(k, |df|) rows, chosen by salted md5 rank of the key —
+    the global sibling of ``deterministic_k_sample``: identical selection
+    on every run and engine, for eval-slice carving and debugging samples.
+
+    Planned as TakeOrderedAndProject (each partition keeps its local top-k,
+    the driver merges k·partitions candidates) — NOT a global sort and NOT
+    a single-partition row_number window, so it scales with k, not N.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    salted = F.concat(F.col(key_col).cast("string"), F.lit("#gsample"))
+    h = hash_bucket(salted, 1 << 62)
+    return df.orderBy(h, F.col(key_col)).limit(k)

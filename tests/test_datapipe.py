@@ -1482,3 +1482,25 @@ class TestWeightedMixGuards:
             df, "source", "k", {"a": 1.0}, total_rows=5, copy_col="mix_epoch"
         )
         assert "mix_epoch" in out.columns
+
+
+class TestGlobalSample:
+    def test_deterministic_take_ordered_plan(self, spark):
+        from oni_ml_spark.datapipe.sampling import deterministic_global_sample
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        s1 = sorted(r["doc_id"] for r in deterministic_global_sample(d, "doc_id", 25).collect())
+        s2 = sorted(r["doc_id"] for r in deterministic_global_sample(d, "doc_id", 25).collect())
+        assert s1 == s2 and len(s1) == 25
+        # independent of the per-group sampler's picks (different salt)
+        plan = (
+            deterministic_global_sample(d, "doc_id", 25)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange SinglePartition" not in plan
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            deterministic_global_sample(d, "doc_id", 0)
