@@ -27,22 +27,27 @@ from pyspark.sql import functions as F
 from oni_ml_spark.datapipe.dedup import tokens
 
 
-def chunk_documents(
+def chunk_token_arrays(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    tokens_col: str,
     chunk_tokens: int = 512,
     overlap: int = 0,
 ) -> DataFrame:
-    """(id, chunk_no, chunk_text, n_tokens) — token-window chunks.
+    """(id, chunk_no, tokens array, n_tokens) — token-window chunks over a
+    PRETOKENIZED array column: the variant a tokenizer-faithful pipeline
+    uses (e.g. ``bpe.apply_bpe``'s pieces, where whitespace counts under-
+    or over-estimate the real sequence budget). ``chunk_documents`` is the
+    whitespace-text wrapper over this same window logic — one home for the
+    stride/edge arithmetic.
 
     Windows start every ``chunk_tokens - overlap`` tokens; the final window
-    may be shorter. Empty/whitespace-only documents yield zero rows.
+    may be shorter. Empty arrays yield zero rows.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
     stride = chunk_tokens - overlap
-    toks = tokens(text_col)
+    toks = F.col(tokens_col)
     n = F.size(toks)
     # window starts: 1, 1+stride, ... while start <= n (1-based slice);
     # any non-empty doc yields at least one chunk even when n <= overlap
@@ -62,8 +67,31 @@ def chunk_documents(
     return exploded.select(
         "id",
         F.col("chunk_no").cast("long").alias("chunk_no"),
-        F.array_join(chunk, " ").alias("chunk_text"),
+        chunk.alias("tokens"),
         F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_no, chunk_text, n_tokens) — token-window chunks of a text
+    column (whitespace tokens; see ``chunk_token_arrays`` for pretokenized
+    input). Windows start every ``chunk_tokens - overlap`` tokens; the
+    final window may be shorter. Empty/whitespace-only documents yield
+    zero rows.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    out = chunk_token_arrays(base, "id", "__t", chunk_tokens, overlap)
+    return out.select(
+        "id",
+        "chunk_no",
+        F.array_join("tokens", " ").alias("chunk_text"),
+        "n_tokens",
     )
 
 

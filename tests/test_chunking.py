@@ -82,3 +82,50 @@ class TestPacking:
         rows = pack_sequences(df, "doc_id", "text", capacity=10)
         bins = {r["id"]: r["bin_id"] for r in rows.collect()}
         assert bins[1] not in (bins[2], bins[3])  # oversized doc isolated
+
+
+class TestPretokenizedChunking:
+    def test_bpe_pieces_chunk_by_real_token_budget(self, spark):
+        """The tokenizer-faithful composition: BPE pieces -> windowed chunks
+        counted in PIECES (whitespace counting would under-budget)."""
+        from oni_ml_spark.datapipe.bpe import apply_bpe, train_bpe_merges
+        from oni_ml_spark.datapipe.chunking import chunk_token_arrays
+
+        df = spark.createDataFrame(
+            [(0, "low lower lowest " * 20), (1, "newest widest")],
+            "doc_id long, text string",
+        )
+        merges = train_bpe_merges(df, "text", num_merges=20)
+        toks = apply_bpe(df, "doc_id", "text", merges)
+        chunks = chunk_token_arrays(toks, "doc_id", "bpe_tokens", chunk_tokens=16, overlap=4)
+        rows = chunks.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append(r)
+        # full coverage: stride reassembly reproduces each doc's piece stream
+        piece_streams = {r["doc_id"]: r["bpe_tokens"] for r in toks.collect()}
+        for i, stream in piece_streams.items():
+            got = []
+            for r in sorted(by_doc[i], key=lambda r: r["chunk_no"]):
+                got.extend(r["tokens"] if r["chunk_no"] == 0 else r["tokens"][4:])
+            assert got == list(stream), i
+        assert all(r["n_tokens"] <= 16 for r in rows)
+
+    def test_wrapper_equals_direct_text_chunking(self, spark):
+        """chunk_documents (the text wrapper) must be unchanged by the
+        shared-core refactor: same rows as chunking the token arrays."""
+        from oni_ml_spark.datapipe.chunking import chunk_documents, chunk_token_arrays
+        from oni_ml_spark.datapipe.dedup import tokens
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = sorted(
+            (r["id"], r["chunk_no"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(d, "doc_id", "text", 16, 4).collect()
+        )
+        pre = d.select(F.col("doc_id"), tokens("text").alias("t"))
+        b = sorted(
+            (r["id"], r["chunk_no"], " ".join(r["tokens"]), r["n_tokens"])
+            for r in chunk_token_arrays(pre, "doc_id", "t", 16, 4).collect()
+        )
+        assert a == b
