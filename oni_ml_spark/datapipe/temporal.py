@@ -155,3 +155,45 @@ def range_join_bucketed(
         .filter((v >= lo) & (v <= hi))
         .drop("__bucket")
     )
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    window_seconds: float,
+    out_prefix: str = "rolling",
+) -> DataFrame:
+    """Time-based (RANGE-frame) rolling aggregates per key: for every row,
+    the sum/count/mean of ``value_col`` over the PRECEDING
+    ``window_seconds`` up to and including the row — rate limiting,
+    rolling spend, burst detection.
+
+    A RANGE frame (not ROWS): all rows whose time falls in the interval
+    contribute, regardless of how many there are — the semantics a
+    per-user "last hour" aggregate actually needs. One shuffle on the key;
+    the frame evaluates within each key's sorted run. ``time_col`` must be
+    numeric seconds (pipe timestamps through
+    ``transforms.time.epoch_seconds`` first). The frame computes on
+    integer MICROSECONDS (Spark range frames take integer boundaries;
+    micros keep epoch_seconds' full precision exactly), so membership is
+    exact — no double-boundary ambiguity.
+
+    Adds ``{prefix}_sum``, ``{prefix}_cnt``, ``{prefix}_mean``.
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    micros = F.round(F.col(time_col).cast("double") * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-int(round(window_seconds * 1_000_000)), 0)
+    )
+    s = F.sum(F.col(value_col)).over(w)
+    c = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn(f"{out_prefix}_sum", s)
+        .withColumn(f"{out_prefix}_cnt", c.cast("long"))
+        .withColumn(f"{out_prefix}_mean", s / c)
+    )

@@ -259,3 +259,45 @@ def test_asof_numeric_times_survive_large_magnitudes(spark):
            as_of_join(left, right, key="k", left_time="t", right_time="rt").collect()}
     # event 1 (t=...000) must match the ...999 checkpoint, event 2 the ...001
     assert out == {1: 10.0, 2: 20.0}
+
+
+class TestRollingAggregate:
+    def test_matches_duckdb_range_frame(self, spark):
+        from oni_ml_spark.datapipe.temporal import rolling_aggregate
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.transforms.time import epoch_seconds
+
+        e = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", epoch_seconds("ts").alias("t"), "value"
+        )
+        got = sorted(
+            (r["event_id"], r["rolling_sum"], r["rolling_cnt"])
+            for r in rolling_aggregate(e, "user_id", "t", "value", 3600.0).collect()
+        )
+        con = duckdb.connect()
+        _duck_with(con, e, "e")
+        want = sorted(
+            (a, b, c)
+            for a, b, c in con.execute(
+                "SELECT event_id, "
+                "sum(value) OVER (PARTITION BY user_id ORDER BY mt "
+                "  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS s, "
+                "count(*) OVER (PARTITION BY user_id ORDER BY mt "
+                "  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT AS c "
+                "FROM (SELECT *, CAST(round(t * 1000000) AS BIGINT) AS mt FROM e)"
+            ).fetchall()
+        )
+        assert [(a, c) for a, _, c in got] == [(a, c) for a, _, c in want]
+        for (_, gs, _), (_, ws, _) in zip(got, want):
+            assert abs(gs - ws) < 1e-6
+        # frame really is RANGE: a singleton window only covers itself
+        assert any(c == 1 for _, _, c in got)
+
+    def test_rejects_nonpositive_window(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.temporal import rolling_aggregate
+
+        df = spark.createDataFrame([(1, 0.0, 1.0)], "k long, t double, value double")
+        with _pytest.raises(ValueError):
+            rolling_aggregate(df, "k", "t", "value", 0)

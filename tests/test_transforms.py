@@ -363,3 +363,36 @@ def test_quality_metrics_extra_collision_rejected(spark):
     df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="collide"):
         quality_metrics(df, "doc_id", "text", extra={"n_tokens": F.lit(1)})
+
+
+def test_unpivot_melt_matches_duckdb(spark):
+    """UNPIVOT / melt — the inverse of the pivot_counts reshape (wide
+    per-metric columns back to long (key, metric, value) rows), native via
+    DataFrame.unpivot; DuckDB's UNPIVOT is the oracle."""
+    import duckdb
+
+    from oni_ml_spark.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    got = sorted(
+        tuple(r)
+        for r in li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT l_orderkey, l_linenumber, metric, value FROM ("
+            "  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax "
+            "  FROM '/root/testdata/sf0.001/lineitem.parquet') "
+            "UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
