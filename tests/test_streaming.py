@@ -407,3 +407,35 @@ def test_streaming_ingest_dedup_against_growing_lsh_index(spark, tmp_path):
         r["id"] for r in spark.read.parquet(idx_path).select("id").collect()
     )
     assert idx_ids == sorted([0] + got)
+
+
+def test_quality_filter_on_stream_matches_batch(spark, tmp_path):
+    """The curation gate is a stateless projection, so it runs unchanged on
+    a stream — batch/stream value parity over the same files."""
+    from oni_ml_spark.datapipe.textstats import quality_filter
+
+    batch = spark.createDataFrame(
+        [(0, "the cat and the dog ran off to the park with all of the other dogs " * 2),
+         (1, "tiny"),
+         (2, "123 456 789 " * 30)],
+        "doc_id long, text string",
+    )
+    batch.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "in")
+    )
+    out = quality_filter(stream, "doc_id", "text", min_tokens=10)
+    q = (
+        out.writeStream.format("memory").queryName("qgate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (tuple(r["failed_rules"]), r["passes"])
+        for r in spark.sql("SELECT * FROM qgate_stream").collect()
+    }
+    want = {
+        r["id"]: (tuple(r["failed_rules"]), r["passes"])
+        for r in quality_filter(batch, "doc_id", "text", min_tokens=10).collect()
+    }
+    assert got == want and not want[1][1] and want[0][1]
