@@ -339,67 +339,49 @@ def set_ops(spark, sf):
 # ---- scalar functions (F1-F16) -------------------------------------------
 
 @_q(
-    "least_endpoint",
-    "SELECT l_orderkey, l_linenumber, least(l_discount, l_tax) AS min_rate FROM lineitem",
-)
-def least_endpoint(spark, sf):
-    """F13: least() of two scores (netflow/FlowPostLDA.scala:115-126)."""
-    return load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", F.least("l_discount", "l_tax").alias("min_rate")
-    )
-
-
-@_q(
     "time_features",
     "SELECT event_id, round(extract('hour' FROM ts) + extract('minute' FROM ts) / 60.0 "
     "+ extract('second' FROM ts) / 3600.0, 6) AS num_time, "
     "(extract('hour' FROM ts) * 3600 + extract('minute' FROM ts) * 60 "
-    "+ floor(extract('second' FROM ts)))::DOUBLE AS sec_of_day FROM events",
+    "+ floor(extract('second' FROM ts)))::DOUBLE AS sec_of_day, "
+    "least(round(extract('hour' FROM ts) + extract('minute' FROM ts) / 60.0 "
+    "+ extract('second' FROM ts) / 3600.0, 6), value) AS min_score FROM events",
 )
 def time_features_q(spark, sf):
-    """F1 + F2/F15 in one pass: fractional hour
-    (netflow/FlowWordCreation.scala:88-92) and HH:MM:SS-string → seconds past
+    """F1 + F2/F15 + F13 in one pass: fractional hour
+    (netflow/FlowWordCreation.scala:88-92), HH:MM:SS-string → seconds past
     midnight (utilities/TimeUtilities.scala:8-15; the string round-trips
-    through date_format to exercise the split path)."""
+    through date_format to exercise the split path), and least() of two
+    scores (netflow/FlowPostLDA.scala:115-126 — the src/dst endpoint-score
+    min, here over the two per-event doubles; merged from r04's
+    least_endpoint entry)."""
     from oni_ml_spark.transforms.time import seconds_of_day
 
     e = load_table(spark, sf, "events")
+    num_time = F.round(
+        fractional_hour(F.hour("ts"), F.minute("ts"), F.second("ts")), 6
+    )
     return e.select(
         "event_id",
-        F.round(
-            fractional_hour(F.hour("ts"), F.minute("ts"), F.second("ts")), 6
-        ).alias("num_time"),
+        num_time.alias("num_time"),
         seconds_of_day(F.date_format("ts", "HH:mm:ss")).alias("sec_of_day"),
-    )
-
-
-@_q(
-    "string_entropy",
-    "SELECT doc_id, round(ent, 5) AS text_entropy FROM ("
-    "SELECT doc_id, entropy(c) AS ent FROM ("
-    "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) GROUP BY doc_id)",
-)
-def string_entropy_q(spark, sf):
-    """F4: Shannon character entropy (utilities/Entropy.scala:16-23) — the
-    explode/groupBy formulation (linear in total chars); the per-row HOF
-    variant is exercised by the dns featurize tests on short strings."""
-    from oni_ml_spark.transforms.text import entropy_table
-
-    d = load_table(spark, sf, "documents")
-    return entropy_table(d, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), F.round("entropy", 5).alias("text_entropy")
+        F.least(num_time, F.col("value")).alias("min_score"),
     )
 
 
 @_q(
     "dns_featurize",
-    "SELECT doc_id, "
-    "CASE doc_id % 4 WHEN 1 THEN 'amazon' WHEN 2 THEN 'forrealz' ELSE 'None' END AS domain, "
-    "CASE doc_id % 4 WHEN 1 THEN source WHEN 2 THEN source ELSE 'None' END AS subdomain, "
-    "CASE doc_id % 4 WHEN 1 THEN length(source) WHEN 2 THEN length(source) ELSE 0 END::DOUBLE AS subdomain_length, "
-    "CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 4 WHEN 2 THEN 3 ELSE 2 END::DOUBLE AS num_periods, "
-    "CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS top_domain "
-    "FROM documents",
+    "SELECT d.doc_id, "
+    "CASE d.doc_id % 4 WHEN 1 THEN 'amazon' WHEN 2 THEN 'forrealz' ELSE 'None' END AS domain, "
+    "CASE d.doc_id % 4 WHEN 1 THEN source WHEN 2 THEN source ELSE 'None' END AS subdomain, "
+    "CASE d.doc_id % 4 WHEN 1 THEN length(source) WHEN 2 THEN length(source) ELSE 0 END::DOUBLE AS subdomain_length, "
+    "CASE d.doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 4 WHEN 2 THEN 3 ELSE 2 END::DOUBLE AS num_periods, "
+    "CASE d.doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS top_domain, "
+    "e.text_entropy "
+    "FROM documents d JOIN ("
+    "  SELECT doc_id, round(entropy(c), 5) AS text_entropy FROM ("
+    "    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) "
+    "  GROUP BY doc_id) e ON d.doc_id = e.doc_id",
 )
 def dns_featurize_q(spark, sf):
     """F5 + F6 + F7 in one pass over synthesized hosts covering the
@@ -408,17 +390,28 @@ def dns_featurize_q(spark, sf):
     proxy registered-domain operator, utilities/DomainProcessor.scala:28-49)
     plus the safelist top-domain flag (dns/DNSWordCreation.scala:147-155;
     'amazon' is on the top list, arpa/invalid branches extract 'None'). The
-    oracle states each branch's expected value directly."""
-    from oni_ml_spark.transforms import top_domain_expr
+    oracle states each branch's expected value directly.
 
-    d = _with_host(load_table(spark, sf, "documents"))
+    Also carries F4, Shannon character entropy of the document text
+    (utilities/Entropy.scala:16-23) in the explode/groupBy formulation
+    (linear in total chars; merged from r04's string_entropy entry — the
+    per-row HOF variant is exercised by the dns featurize tests)."""
+    from oni_ml_spark.transforms import top_domain_expr
+    from oni_ml_spark.transforms.text import entropy_table
+
+    base = load_table(spark, sf, "documents")
+    d = _with_host(base)
     cols = extract_subdomain_cols("host")
-    return d.select(
+    ent = entropy_table(base, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.round("entropy", 5).alias("text_entropy")
+    )
+    feats = d.select(
         "doc_id", cols["domain"].alias("domain"), cols["subdomain"].alias("subdomain"),
         cols["subdomain_length"].alias("subdomain_length"),
         cols["num_periods"].alias("num_periods"),
         top_domain_expr(extract_domain("host"), ["amazon"]).alias("top_domain"),
     )
+    return feats.join(ent, "doc_id")
 
 
 _FLOW_WORD_ORACLE = f"""
@@ -651,24 +644,6 @@ def simhash64_q(spark, sf):
         F.col("simhash") < 0, F.col("simhash").cast("decimal(20,0)") + two64
     ).otherwise(F.col("simhash").cast("decimal(20,0)"))
     return out.select("id", unsigned.cast("decimal(20,0)").cast("string").alias("simhash_str"))
-
-
-@_q(
-    "ann_cosine_topk",
-    "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank FROM ("
-    "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
-    "    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim, "
-    "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
-    "      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank "
-    "  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings c "
-    "  WHERE q.vec_id != c.vec_id) WHERE rank <= 5",
-)
-def ann_cosine_topk(spark, sf):
-    """Brute-force cosine top-5 for 5 query vectors — the exact ANN baseline."""
-    from oni_ml_spark.datapipe.similarity import brute_force_topk
-
-    emb = load_table(spark, sf, "embeddings")
-    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
 
 @_q(
@@ -974,59 +949,72 @@ def doc_word_profile(spark, sf):
     )
 
 
+# Q1 and Q3, normalized to one (q, k1, k2, v1, v2, cnt) schema so both live
+# in a single battery entry (r05 merge of tpch_q1_like + tpch_q3_like).
 _TPCH_Q1_SQL = (
-    "SELECT l_returnflag, l_linestatus, "
-    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
-    "count(*) AS count_order "
+    "SELECT 'q1' AS q, l_returnflag AS k1, l_linestatus AS k2, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v1, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v2, "
+    "count(*) AS cnt "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
     "GROUP BY l_returnflag, l_linestatus"
 )
 
-
-@_q("tpch_q1_like", _TPCH_Q1_SQL)
-def tpch_q1_like(spark, sf):
-    """Composite: TPC-H Q1-shaped pricing summary (filter + wide aggregate;
-    decimal-exact sums cast to double), run through the SQL surface — the
-    IDENTICAL ANSI text executes on spark.sql over registered temp views and
-    on the DuckDB oracle, dialect-portable by construction."""
-    from oni_ml_spark.sql import register_testdata, sql
-
-    register_testdata(spark, sf, ["lineitem"])
-    return sql(spark, _TPCH_Q1_SQL)
-
-
-@_q(
-    "tpch_q3_like",
-    "SELECT o.o_orderkey, "
-    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
-    "o.o_orderdate "
+_TPCH_Q3_SQL = (
+    "SELECT 'q3' AS q, CAST(o.o_orderkey AS STRING) AS k1, "
+    "CAST(o.o_orderdate AS STRING) AS k2, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS v1, "
+    "CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS cnt "
     "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
     "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
     "WHERE c.c_mktsegment = 'BUILDING' "
     "GROUP BY o.o_orderkey, o.o_orderdate "
-    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    "ORDER BY v1 DESC, k1 LIMIT 10"
 )
-def tpch_q3_like(spark, sf):
-    """J1 + composite: TPC-H Q3-shaped shipping-priority query (selective
+
+
+# the Q3 side is a subquery so its ORDER BY/LIMIT binds to Q3, not the union
+@_q("tpch_q1_q3", f"{_TPCH_Q1_SQL} UNION ALL SELECT * FROM ({_TPCH_Q3_SQL})")
+def tpch_q1_q3(spark, sf):
+    """Composite (r05 merge of tpch_q1_like + tpch_q3_like): the Q1-shaped
+    pricing summary (filter + wide decimal-exact aggregate) runs through the
+    SQL surface — the IDENTICAL ANSI text executes on spark.sql over
+    registered temp views and on the DuckDB oracle, dialect-portable by
+    construction — while the Q3-shaped shipping-priority query (selective
     dim filter → broadcast join → equi join to fact → grouped decimal-exact
-    agg → top-K) — the battery's equi-join evidence."""
+    agg → top-K; J1, the battery's equi-join evidence) stays DataFrame-API
+    with an explicit broadcast() on the filtered dim. Both normalize to one
+    (q, k1, k2, v1, v2, cnt) schema; NULL slots are typed casts so the union
+    schema is stable."""
+    from oni_ml_spark.sql import register_testdata, sql
+
+    register_testdata(spark, sf, ["lineitem"])
+    q1 = sql(spark, _TPCH_Q1_SQL)
+
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
-    return (
+    q3 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).cast("double").alias("revenue")
+            ).cast("double").alias("v1")
         )
-        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .orderBy(F.desc("v1"), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "revenue", "o_orderdate")
+        .select(
+            F.lit("q3").alias("q"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.col("o_orderdate").cast("string").alias("k2"),
+            "v1",
+            F.lit(None).cast("double").alias("v2"),
+            F.lit(None).cast("long").alias("cnt"),
+        )
     )
+    return q1.unionByName(q3)
 
 
 _PROXY_WORD_ORACLE = (
@@ -1188,7 +1176,21 @@ def proxy_pipeline_invariants(spark, sf):
     "  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY "
     "    ('0x' || substr(md5(doc_id::VARCHAR || '#ksample'), 1, 8))::BIGINT "
     "      % 4611686018427387904, doc_id) AS rn "
-    "  FROM documents) WHERE rn <= 3 GROUP BY source",
+    "  FROM documents) WHERE rn <= 3 GROUP BY source "
+    "UNION ALL "
+    # gshuffle: the first 20 rows of the global deterministic shuffle, with
+    # their rank as cnt — the (key, rank) pairs pin the exact order prefix
+    "SELECT 'gshuffle', doc_id::VARCHAR, rn, doc_id FROM ("
+    "  SELECT doc_id, row_number() OVER (ORDER BY "
+    "    md5(doc_id::VARCHAR || '#shuffle0'), doc_id) AS rn FROM documents) "
+    "WHERE rn <= 20 "
+    "UNION ALL "
+    # gsample: exactly 25 rows by salted md5 rank of the key, globally
+    "SELECT 'gsample', doc_id::VARCHAR, 1, doc_id FROM ("
+    "  SELECT doc_id, row_number() OVER (ORDER BY "
+    "    ('0x' || substr(md5(doc_id::VARCHAR || '#gsample'), 1, 8))::BIGINT "
+    "      % 4611686018427387904, doc_id) AS rn FROM documents) "
+    "WHERE rn <= 25",
 )
 def deterministic_sampling(spark, sf):
     """The deterministic-sampling family in one entry, each side's per-group
@@ -1199,9 +1201,17 @@ def deterministic_sampling(spark, sf):
     - stratified_sample: per-language fractions (en 0.4 / de 0.8 / zh 0.25,
       other languages dropped) with the salted key hash;
     - deterministic_k_sample: exactly min(k, |group|) rows per source by
-      salted md5 rank."""
+      salted md5 rank;
+    - deterministic_shuffle (r05): the global md5-keyed pseudo-random
+      ordering — verified by the (key, rank) pairs of its first 20 rows
+      (the prefix is rank-computed AFTER limit(20), so the verification
+      window is k-bounded, never a global single-partition window);
+    - deterministic_global_sample (r05): exactly 25 rows by salted md5
+      rank, planned as TakeOrderedAndProject."""
     from oni_ml_spark.datapipe.sampling import (
+        deterministic_global_sample,
         deterministic_k_sample,
+        deterministic_shuffle,
         hash_split,
         stratified_sample,
     )
@@ -1227,7 +1237,27 @@ def deterministic_sampling(spark, sf):
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
         .select(F.lit("ksample").alias("part"), F.col("source").alias("key"), "cnt", "id_sum")
     )
-    return split.unionByName(strat).unionByName(ksamp)
+    # rank the 20-row shuffle prefix: the window runs over the already
+    # TakeOrdered'd 20 rows, so it is k-bounded regardless of corpus size
+    shuffle_h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#shuffle0")))
+    gshuf = (
+        deterministic_shuffle(d, "doc_id", seed=0)
+        .limit(20)
+        .select(
+            F.lit("gshuffle").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.row_number().over(Window.orderBy(shuffle_h, F.col("doc_id")))
+            .cast("long").alias("cnt"),
+            F.col("doc_id").alias("id_sum"),
+        )
+    )
+    gsamp = deterministic_global_sample(d, "doc_id", 25).select(
+        F.lit("gsample").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("doc_id").alias("id_sum"),
+    )
+    return split.unionByName(strat).unionByName(ksamp).unionByName(gshuf).unionByName(gsamp)
 
 
 @_q(
@@ -1693,16 +1723,33 @@ def minhash_ml_builtin(spark, sf):
 
 @_q(
     "ann_ivf_kmeans",
-    "SELECT CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT) "
-    "AS n_results, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS sims_ok",
+    # exact brute-force top-5 rows (fully value-hashed), plus one IVF
+    # invariant row (part='ivf_check': a=n_results, b=recall_ok, r=sims_ok)
+    "SELECT 'exact_topk' AS part, query_id AS a, neighbor_id AS b, "
+    "round(sim, 4) AS v, rank AS r FROM ("
+    "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim, "
+    "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank "
+    "  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings c "
+    "  WHERE q.vec_id != c.vec_id) WHERE rank <= 5 "
+    "UNION ALL SELECT 'ivf_check', "
+    "CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT), "
+    "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)",
 )
 def ann_ivf_kmeans(spark, sf):
-    """KMeans-quantized IVF ANN, checked via an invariant row: seeded
-    k-means is deterministic but not engine-portable, so the oracle states
-    the properties — (a) result count equals the exact baseline's (every
-    query finds a full top-5 through its probed cells), (b) recall@5 vs the
-    in-plan brute-force exact top-5 >= 0.75 (measured 0.80 at sf0.01 with
-    n_probe=4 of 8 cells), (c) every reported cosine lies in [-1, 1]."""
+    """Exact + approximate ANN in one entry (r05 merge of ann_cosine_topk
+    into this entry — the exact baseline was already computed in-plan).
+
+    part='exact_topk' rows are the brute-force cosine top-5 for 5 query
+    vectors, fully value-hashed against DuckDB's list_cosine_similarity
+    (a=query_id, b=neighbor_id, v=rounded sim, r=rank). part='ivf_check' is
+    the KMeans-quantized IVF invariant row: seeded k-means is deterministic
+    but not engine-portable, so the oracle states the properties —
+    (a) result count equals the exact baseline's (every query finds a full
+    top-5 through its probed cells), (b) recall@5 vs the in-plan exact top-5
+    >= 0.75 (measured 0.80 at sf0.01 with n_probe=4 of 8 cells),
+    (r) every reported cosine lies in [-1, 1]."""
     from oni_ml_spark.datapipe.similarity import brute_force_topk, ivf_kmeans_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -1721,13 +1768,23 @@ def ann_ivf_kmeans(spark, sf):
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
     a_exact = exact.agg(F.count(F.lit(1)).alias("__n_exact"))
-    return a_ivf.crossJoin(a_hits).crossJoin(a_exact).select(
-        "n_results",
+    check = a_ivf.crossJoin(a_hits).crossJoin(a_exact).select(
+        F.lit("ivf_check").alias("part"),
+        F.col("n_results").alias("a"),
         F.when(F.col("__hits") >= 0.75 * F.col("__n_exact"), F.lit(1))
-        .otherwise(F.lit(0)).cast("long").alias("recall_ok"),
+        .otherwise(F.lit(0)).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("v"),
         F.when(F.coalesce(F.col("__bad_sim"), F.lit(0)) == 0, F.lit(1))
-        .otherwise(F.lit(0)).cast("long").alias("sims_ok"),
+        .otherwise(F.lit(0)).cast("long").alias("r"),
     )
+    exact_rows = exact.select(
+        F.lit("exact_topk").alias("part"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("sim").alias("v"),
+        F.col("rank").cast("long").alias("r"),
+    )
+    return exact_rows.unionByName(check)
 
 
 # ---- round-4 additions: span dedup, dataset mixing, range join ------------
@@ -1920,3 +1977,214 @@ def range_join_bucketed_q(spark, sf):
     )
     out = range_join_bucketed(points, intervals, "value", "lo", "hi", bucket_width=8.0)
     return out.select("event_id", "iv_id")
+
+
+# ---- round-5 additions: quality gate, temporal reshape, JSON props --------
+
+_QG_RULES = [
+    "too_few_tokens", "too_many_tokens", "mean_token_len_low",
+    "mean_token_len_high", "symbol_ratio", "alpha_words", "stopword_hits",
+]
+
+# flags replicate quality_filter's arithmetic exactly: whitespace tokens of
+# the normalized text, mean token length as double division of identical
+# ints (engine-identical), symbol/alpha fractions vs greatest(n, 1)
+_QG_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                x -> x != '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) > 0
+         THEN length(array_to_string(t, ''))::DOUBLE / len(t) ELSE 0.0 END AS mean_len,
+    len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) AS symbolic,
+    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+    len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','with'))) AS stop_hits
+  FROM toks),
+flags AS (
+  SELECT doc_id,
+    n < 50 AS too_few_tokens, n > 80 AS too_many_tokens,
+    mean_len < 4.0 AS mean_token_len_low, mean_len > 5.0 AS mean_token_len_high,
+    symbolic > 0.1 * greatest(n, 1) AS symbol_ratio,
+    alpha < 0.8 * greatest(n, 1) AS alpha_words,
+    stop_hits < 3 AS stopword_hits
+  FROM m)
+SELECT 'too_few_tokens' AS rule, count(*) FILTER (too_few_tokens)::BIGINT AS n_docs,
+       coalesce(sum(doc_id) FILTER (too_few_tokens), 0)::BIGINT AS id_sum FROM flags
+UNION ALL SELECT 'too_many_tokens', count(*) FILTER (too_many_tokens)::BIGINT,
+       coalesce(sum(doc_id) FILTER (too_many_tokens), 0)::BIGINT FROM flags
+UNION ALL SELECT 'mean_token_len_low', count(*) FILTER (mean_token_len_low)::BIGINT,
+       coalesce(sum(doc_id) FILTER (mean_token_len_low), 0)::BIGINT FROM flags
+UNION ALL SELECT 'mean_token_len_high', count(*) FILTER (mean_token_len_high)::BIGINT,
+       coalesce(sum(doc_id) FILTER (mean_token_len_high), 0)::BIGINT FROM flags
+UNION ALL SELECT 'symbol_ratio', count(*) FILTER (symbol_ratio)::BIGINT,
+       coalesce(sum(doc_id) FILTER (symbol_ratio), 0)::BIGINT FROM flags
+UNION ALL SELECT 'alpha_words', count(*) FILTER (alpha_words)::BIGINT,
+       coalesce(sum(doc_id) FILTER (alpha_words), 0)::BIGINT FROM flags
+UNION ALL SELECT 'stopword_hits', count(*) FILTER (stopword_hits)::BIGINT,
+       coalesce(sum(doc_id) FILTER (stopword_hits), 0)::BIGINT FROM flags
+UNION ALL SELECT '__passed',
+       count(*) FILTER (NOT (too_few_tokens OR too_many_tokens OR mean_token_len_low
+         OR mean_token_len_high OR symbol_ratio OR alpha_words OR stopword_hits))::BIGINT,
+       coalesce(sum(doc_id) FILTER (NOT (too_few_tokens OR too_many_tokens
+         OR mean_token_len_low OR mean_token_len_high OR symbol_ratio
+         OR alpha_words OR stopword_hits)), 0)::BIGINT FROM flags
+"""
+
+
+@_q("quality_gate", _QG_ORACLE)
+def quality_gate_q(spark, sf):
+    """Gopher-style document quality gate (datapipe.textstats.quality_filter,
+    Rae et al. 2021 A1.1) with thresholds tuned so five of the seven rules
+    fire on this corpus (min_tokens=50, max_tokens=80, mean token length in
+    [4.0, 5.0], min_stopword_hits=3; symbol/alpha rules are structurally
+    zero here and the oracle checks the zero).
+
+    Output is the per-rule rejection report — for every rule the count and
+    doc_id-sum of the documents that violate it (id_sum pins the exact
+    rejection SET, not just its size), plus the '__passed' row for the
+    surviving corpus. One codegen projection + one explode-free aggregate:
+    rule membership is array_contains over the gate's failed_rules column,
+    summed map-side — no per-rule rescan."""
+    from oni_ml_spark.datapipe.textstats import quality_filter
+
+    d = load_table(spark, sf, "documents")
+    qf = quality_filter(
+        d, "doc_id", "text",
+        min_tokens=50, max_tokens=80,
+        min_mean_token_len=4.0, max_mean_token_len=5.0,
+        min_stopword_hits=3,
+    )
+    aggs = []
+    for rule in _QG_RULES:
+        hit = F.array_contains("failed_rules", rule)
+        aggs.append(F.sum(hit.cast("long")).alias(f"__n_{rule}"))
+        aggs.append(
+            F.sum(F.when(hit, F.col("id")).otherwise(0)).cast("long").alias(f"__s_{rule}")
+        )
+    aggs.append(F.sum(F.col("passes").cast("long")).alias("__n_passed"))
+    aggs.append(
+        F.sum(F.when(F.col("passes"), F.col("id")).otherwise(0)).cast("long").alias("__s_passed")
+    )
+    wide = qf.agg(*aggs)
+    stack_args = ", ".join(
+        [f"'{r}', __n_{r}, __s_{r}" for r in _QG_RULES] + ["'__passed', __n_passed, __s_passed"]
+    )
+    return wide.selectExpr(
+        f"stack({len(_QG_RULES) + 1}, {stack_args}) AS (rule, n_docs, id_sum)"
+    )
+
+
+_TEMPORAL_RESHAPE_ORACLE = """
+SELECT 'rolling' AS part, event_id::VARCHAR AS key,
+  count(*) OVER w AS cnt, sum(vc) OVER w::BIGINT AS vsum
+FROM (SELECT event_id, user_id, floor(value * 100) AS vc,
+        CAST(round(epoch(ts) * 1000000) AS BIGINT) AS mt FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY mt
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'unpivot', metric, count(*), sum(floor(value * 10000))::BIGINT
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+GROUP BY metric
+UNION ALL
+SELECT 'cube', coalesce(l_returnflag, 'ALL') || '|' || coalesce(l_linestatus, 'ALL'),
+  count(*), sum(floor(l_quantity * 100))::BIGINT
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@_q("temporal_reshape", _TEMPORAL_RESHAPE_ORACLE)
+def temporal_reshape_q(spark, sf):
+    """Three reshape operators in one (part, key, cnt, vsum) entry, every
+    value column pre-scaled to integer-valued doubles so sums are exact on
+    both engines regardless of addition order:
+
+    - part='rolling': per-event time-based (RANGE-frame) rolling sum/count
+      of value-cents over the preceding hour per user
+      (datapipe.temporal.rolling_aggregate — exact integer-micros frame,
+      one shuffle on the key), one row per event;
+    - part='unpivot': DataFrame.unpivot of three lineitem measures back to
+      long (metric, value) rows, aggregated per metric vs DuckDB's native
+      UNPIVOT;
+    - part='cube': CUBE(l_returnflag, l_linestatus) hierarchical aggregates
+      incl. the grand-total row, keys null-coalesced to 'ALL'."""
+    from oni_ml_spark.datapipe.temporal import rolling_aggregate
+    from oni_ml_spark.transforms.time import time_as_double
+
+    e = load_table(spark, sf, "events")
+    prepared = e.select(
+        "event_id", "user_id",
+        time_as_double(e, "ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("double").alias("vc"),
+    )
+    rolling = rolling_aggregate(prepared, "user_id", "t", "vc", 3600.0).select(
+        F.lit("rolling").alias("part"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("rolling_cnt").alias("cnt"),
+        F.col("rolling_sum").cast("long").alias("vsum"),
+    )
+    li = load_table(spark, sf, "lineitem")
+    unpiv = (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000)).cast("long").alias("vsum"),
+        )
+        .select(F.lit("unpivot").alias("part"), F.col("metric").alias("key"), "cnt", "vsum")
+    )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("l_quantity") * 100)).cast("long").alias("vsum"),
+        )
+        .select(
+            F.lit("cube").alias("part"),
+            F.concat_ws(
+                "|",
+                F.coalesce("l_returnflag", F.lit("ALL")),
+                F.coalesce("l_linestatus", F.lit("ALL")),
+            ).alias("key"),
+            "cnt",
+            "vsum",
+        )
+    )
+    return rolling.unionByName(unpiv).unionByName(cube)
+
+
+@_q(
+    "json_properties",
+    "SELECT event_id, (props->>'k')::BIGINT AS k, props->>'k' AS k_str FROM events",
+)
+def json_properties_q(spark, sf):
+    """Semi-structured property extraction (transforms.semistructured):
+    schema inferred ONCE from a bounded 1000-doc sample, then ONE codegen
+    from_json parse per row into a typed struct (never per-row Python
+    json.loads, never per-field get_json_object re-parsing), plus the
+    single-field json_get path (string-typed) for comparison. The oracle is
+    DuckDB's native JSON extraction."""
+    from oni_ml_spark.transforms.semistructured import (
+        infer_json_schema,
+        json_get,
+        parse_json,
+    )
+
+    e = load_table(spark, sf, "events")
+    schema = infer_json_schema(spark, e, "props")
+    parsed = parse_json(e, "props", schema, out_col="p")
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        json_get("props", "k").alias("k_str"),
+    )

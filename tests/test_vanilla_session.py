@@ -20,7 +20,8 @@ import sys
 # queries whose semantics touch session config: timestamp handling (tz,
 # parquet timestamp flavor), date literals, and integer-sum hashing
 SENSITIVE = [
-    "sessionize", "time_features", "pivot_counts", "tpch_q1_like", "as_of_join",
+    "sessionize", "time_features", "pivot_counts", "tpch_q1_q3", "as_of_join",
+    "temporal_reshape",
     # seeded-MLlib invariant flags: k-means|| init and MinHashLSH sampling
     # see the session's partitioning, which differs on a vanilla session
     # (shuffle.partitions 200 vs our 32) — the flags must hold regardless
