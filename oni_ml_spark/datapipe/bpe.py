@@ -70,23 +70,50 @@ def train_bpe_merges(
         r["word"]: r["freq"]
         for r in word_frequencies(df, text_col, max_vocab_words).collect()
     }
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(list(w) + [END]): f for w, f in wf.items()
-    }
+    syms: list[tuple[str, ...]] = [tuple(list(w) + [END]) for w in wf]
+    freqs: list[int] = list(wf.values())
+
+    # Incremental pair bookkeeping (r05): each merge touches ONLY the words
+    # that contain the merged pair — O(num_merges · |affected|), not
+    # O(num_merges · |vocab| · word_len) — raising practical num_merges from
+    # hundreds to tens of thousands. pair_counts mirrors what a full recount
+    # over syms would produce at every step (zero-count pairs are deleted so
+    # the argmax never sees them), so merges are identical to the original
+    # from-scratch loop.
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (sym, f) in enumerate(zip(syms, freqs)):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, f in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + f
-        if not pairs:
+        if not pair_counts:
             break
-        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        best, cnt = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
         # a pair must actually repeat to be worth a merge rule
-        if best[1] < 2:
+        if cnt < 2:
             break
-        merges.append(best[0])
-        vocab = {_merge_word(s, best[0]): f for s, f in vocab.items()}
+        merges.append(best)
+        # pop first: the removal pass below drives best's count to exactly 0
+        affected = pair_words.pop(best, set())
+        for wi in affected:
+            sym, f = syms[wi], freqs[wi]
+            for p in zip(sym, sym[1:]):
+                c = pair_counts[p] - f
+                if c:
+                    pair_counts[p] = c
+                else:
+                    pair_counts.pop(p, None)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            new = _merge_word(sym, best)
+            syms[wi] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wi)
     return merges
 
 
@@ -121,7 +148,15 @@ def apply_bpe(
         f"{id_col} {dict(df.dtypes)[id_col]}, "
         "bpe_tokens array<string>, n_bpe_tokens long"
     )
-    base = df.select(id_col, tokens(text_col).alias("__toks"))
+    # NULL text tokenizes to NULL (None in the Arrow batch), which would
+    # TypeError inside the segment loop — coalesce to the empty stream so
+    # null documents tokenize to [] like they train as nothing
+    base = df.select(
+        id_col,
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
 
     def run(batches):
         memo: dict[str, list[str]] = {}

@@ -27,6 +27,66 @@ from pyspark.sql import functions as F
 from oni_ml_spark.datapipe.dedup import tokens
 
 
+class _FirstFitTree:
+    """Leftmost bin with remaining capacity >= need, in O(log bins).
+
+    A max segment tree over bins in creation order (leaves = remaining
+    capacities, inner nodes = subtree max), doubling on growth. Selecting
+    the LEFTMOST fitting bin is what makes this first-fit — bit-identical
+    assignments to the naive linear scan it replaced (a plain bisect over
+    sorted capacities would be best-fit, a different packing) — so packing
+    output is unchanged while per-document cost drops from O(open bins) to
+    O(log bins)."""
+
+    __slots__ = ("size", "tree", "n")
+
+    def __init__(self) -> None:
+        self.size = 1
+        self.tree = [-1, -1]  # 1-indexed heap layout; leaves at [size, 2*size)
+        self.n = 0
+
+    def _grow(self) -> None:
+        old_size, old = self.size, self.tree
+        self.size *= 2
+        tree = [-1] * (2 * self.size)
+        tree[self.size : self.size + old_size] = old[old_size : 2 * old_size]
+        for i in range(self.size - 1, 0, -1):
+            tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] else tree[2 * i + 1]
+        self.tree = tree
+
+    def _pull_up(self, i: int) -> None:
+        while i > 1:
+            i //= 2
+            v = self.tree[2 * i] if self.tree[2 * i] >= self.tree[2 * i + 1] else self.tree[2 * i + 1]
+            if self.tree[i] == v:
+                break
+            self.tree[i] = v
+
+    def append(self, rem: int) -> None:
+        if self.n == self.size:
+            self._grow()
+        i = self.size + self.n
+        self.n += 1
+        self.tree[i] = rem
+        self._pull_up(i)
+
+    def take(self, idx: int, need: int) -> None:
+        i = self.size + idx
+        self.tree[i] -= need
+        self._pull_up(i)
+
+    def first_fit(self, need: int) -> int:
+        """Index of the leftmost bin with remaining >= need, or -1."""
+        if self.tree[1] < need:
+            return -1
+        i = 1
+        while i < self.size:
+            i *= 2
+            if self.tree[i] < need:
+                i += 1
+        return i - self.size
+
+
 def chunk_token_arrays(
     df: DataFrame,
     id_col: str,
@@ -136,19 +196,18 @@ def pack_sequences(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        remaining: list[int] = []  # remaining capacity per open bin
+        ff = _FirstFitTree()  # remaining capacity per open bin, O(log bins)/doc
         for pdf in batches:
             bins = []
             for n in pdf["n_tokens"]:
                 n = int(n)
-                for bi, rem in enumerate(remaining):
-                    if rem >= n:
-                        remaining[bi] = rem - n
-                        bins.append(bi)
-                        break
+                bi = ff.first_fit(n)
+                if bi >= 0:
+                    ff.take(bi, n)
                 else:
-                    remaining.append(max(capacity - n, 0))
-                    bins.append(len(remaining) - 1)
+                    bi = ff.n
+                    ff.append(max(capacity - n, 0))
+                bins.append(bi)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

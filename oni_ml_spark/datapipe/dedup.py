@@ -735,8 +735,16 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Exact-substring dedup at token granularity: rebuild each document
     with every token covered by a NON-FIRST occurrence of a corpus-
-    duplicated ``span``-token window removed (the first occurrence — the
-    globally smallest (id, pos) — keeps its text).
+    duplicated ``span``-token window removed.
+
+    Survivor semantics, precisely: for EACH duplicated window, the first
+    occurrence (globally smallest (id, pos)) is protected from THAT
+    window's removal — but tokens inside it can still be deleted when a
+    non-first occurrence of a *different* duplicated window overlaps them.
+    Output text is the NORMALIZED token stream rejoined with single spaces
+    (lowercased, whitespace-collapsed — the same canonical form every
+    dedup operator here keys on), not the original byte stream; keep the
+    original column alongside when byte-exact survivors matter.
 
     Token-window approximation of Lee et al.'s suffix-array substring dedup
     re-expressed as DataFrame ops: the duplicated-window table is the same

@@ -130,6 +130,7 @@ def weighted_mix(
     weights: dict[str, float],
     total_rows: int,
     copy_col: str = "epoch",
+    validate_sources: bool = True,
 ) -> DataFrame:
     """Deterministic weighted mixture resampling — the dataset-mixing
     operator of a training pipeline: resample a multi-source corpus so each
@@ -150,7 +151,16 @@ def weighted_mix(
     Per-source counts are an in-plan |sources|-row aggregate joined back
     (AQE broadcasts it); the fan-out is explode(sequence), so map output
     is bounded by the target mixture size, not by max(rate)·corpus.
+
+    A source named in ``weights`` but ABSENT from the input would silently
+    lose its entire target mass (the mixture totals less than
+    ``total_rows``), skewing a training mix unnoticed — so by default the
+    function eagerly checks presence (one bounded aggregate over the pruned
+    source column, ≤ |weights| rows collected) and warns. Pass
+    ``validate_sources=False`` to skip the extra scan in tight loops where
+    the source set is known.
     """
+    import warnings
     if total_rows <= 0:
         raise ValueError("total_rows must be positive")
     if copy_col in df.columns:
@@ -164,6 +174,23 @@ def weighted_mix(
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
     targets = {s: float(total_rows) * float(w) / wsum for s, w in weights.items()}
+    if validate_sources:
+        present = {
+            r[0]
+            for r in df.select(source_col)
+            .where(F.col(source_col).isin(*weights))
+            .distinct()
+            .collect()
+        }
+        missing = sorted(set(weights) - present)
+        if missing:
+            warnings.warn(
+                f"weighted_mix: weighted sources absent from input "
+                f"{missing} — their target mass is lost and the mixture "
+                f"will total less than total_rows={total_rows}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     tmap = F.create_map(
         *[lit for s, t in targets.items() for lit in (F.lit(s), F.lit(t))]
     )

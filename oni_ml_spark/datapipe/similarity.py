@@ -210,6 +210,10 @@ def _srp_banded_expr(vec_col: str, planes: list[list[float]], bands: int) -> Col
     the Python HOF API costs one py4j lambda-construction roundtrip per
     plane (~3-4 driver seconds at 8×8); Catalyst parses the string JVM-side
     in one roundtrip and the unrolled dots stay whole-stage-codegen'd."""
+    # escape backticks in the interpolated column name (same trap class as
+    # the time.py NTZ fix; only internal names reach here today, but the
+    # escape makes the helper safe for any caller)
+    vec_col = vec_col.replace("`", "``")
     per_band = len(planes) // bands
     structs = []
     for bi in range(bands):

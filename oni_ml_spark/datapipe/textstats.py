@@ -327,6 +327,8 @@ def quality_filter(
     max_symbol_word_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+    alpha_regex: str = "[a-z]",
 ) -> DataFrame:
     """Gopher-style rule-based document quality gate (Rae et al. 2021,
     appendix A1.1) — the standard pretraining corpus filter, as ONE
@@ -335,9 +337,18 @@ def quality_filter(
     - token count within [min_tokens, max_tokens]
     - mean token length within [min_mean_token_len, max_mean_token_len]
     - symbol-word ratio (words containing '#' or '...') <= max
-    - fraction of words with >= 1 alphabetic character >= min
-    - at least ``min_stopword_hits`` occurrences from the English
-      stop-list (LANG_MARKERS['en'])
+    - fraction of words matching ``alpha_regex`` >= min
+    - at least ``min_stopword_hits`` occurrences from ``stopwords``
+
+    SCOPE — the DEFAULTS are English-only, like the Gopher paper's rules:
+    ``alpha_regex`` matches ASCII [a-z] and ``stopwords`` defaults to the
+    English marker list (LANG_MARKERS['en']), so with defaults every
+    non-Latin-script document (e.g. Chinese) unconditionally fails the
+    alpha and stopword rules. For a multilingual corpus, partition by
+    ``lang_id`` first and gate each slice with its own ``stopwords`` (the
+    other LANG_MARKERS lists are a starting point) and an appropriate
+    ``alpha_regex`` (e.g. r'[\\p{L}]' for any-letter), or disable the two
+    language-bound rules with min_stopword_hits=0, min_alpha_word_frac=0.
 
     failed_rules names every violated rule (empty array = clean), so the
     gate doubles as per-rule rejection accounting — aggregate
@@ -345,14 +356,20 @@ def quality_filter(
     ``passes`` for the corpus itself. Thresholds are keyword args: tighten
     or loosen per corpus without touching the plan shape.
     """
+    stop_list = LANG_MARKERS["en"] if stopwords is None else list(stopwords)
+    if not stop_list:
+        raise ValueError(
+            "stopwords must be non-empty (pass min_stopword_hits=0 to "
+            "disable the rule instead)"
+        )
     toks = tokens(text_col)
     n = F.size(toks)
     mean_len = F.when(n > 0, F.length(F.array_join(toks, "")) / n).otherwise(0.0)
     symbolic = F.size(
         F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
     )
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(alpha_regex)))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
 
     def rule(name: str, failed: Column) -> Column:
         return F.when(failed, F.lit(name)).otherwise(F.lit(None).cast("string"))

@@ -235,9 +235,22 @@ def compact_parquet(
             "(overwrite would delete the input mid-read)"
         )
     df = spark.read.parquet(src)
-    # size via the already-built file index — metadata only, no data scan
-    jpaths = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n_files = max(1, math.ceil(int(jpaths) / (target_file_mb * 1024 * 1024)))
+    # size via a recursive Hadoop-FS listing — metadata only (no data
+    # read), and a PUBLIC API (the former probe went through the private
+    # df._jdf.queryExecution() surface, which is not stable across Spark
+    # versions)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        # skip write markers/checksums; count only data files
+        if not name.startswith(("_", ".")):
+            total_bytes += f.getLen()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     if sort_col is not None:
         out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
     else:

@@ -129,3 +129,60 @@ class TestPretokenizedChunking:
             for r in chunk_token_arrays(pre, "doc_id", "t", 16, 4).collect()
         )
         assert a == b
+
+
+class TestFirstFitTree:
+    def test_identical_to_linear_first_fit_reference(self):
+        """The segment-tree first-fit (r05, O(log bins)/doc) must produce
+        bit-identical bin assignments to the naive linear scan it replaced —
+        the packing semantics (and the curation entry's hash) depend on
+        picking the LEFTMOST bin that fits, not just any fitting bin."""
+        import random
+
+        from oni_ml_spark.datapipe.chunking import _FirstFitTree
+
+        rng = random.Random(42)
+        for trial in range(20):
+            capacity = rng.choice([16, 64, 2048])
+            sizes = [rng.randint(0, capacity + 5) for _ in range(rng.randint(1, 400))]
+            # linear reference (the pre-r05 implementation)
+            remaining: list[int] = []
+            want = []
+            for n in sizes:
+                for bi, rem in enumerate(remaining):
+                    if rem >= n:
+                        remaining[bi] = rem - n
+                        want.append(bi)
+                        break
+                else:
+                    remaining.append(max(capacity - n, 0))
+                    want.append(len(remaining) - 1)
+            ff = _FirstFitTree()
+            got = []
+            for n in sizes:
+                bi = ff.first_fit(n)
+                if bi >= 0:
+                    ff.take(bi, n)
+                else:
+                    bi = ff.n
+                    ff.append(max(capacity - n, 0))
+                got.append(bi)
+            assert got == want, (trial, capacity)
+            # tree leaves mirror the reference's remaining capacities
+            assert [ff.tree[ff.size + i] for i in range(ff.n)] == remaining
+
+    def test_scales_past_many_open_bins(self):
+        """100k docs that each open a bin (worst case for the linear scan:
+        O(bins) per doc, quadratic overall) must finish fast — the tree
+        makes it O(n log n)."""
+        import time
+
+        from oni_ml_spark.datapipe.chunking import _FirstFitTree
+
+        ff = _FirstFitTree()
+        t0 = time.perf_counter()
+        for _ in range(100_000):
+            if ff.first_fit(10) < 0:
+                ff.append(0)  # every bin fills exactly: always a new bin
+        assert ff.n == 100_000
+        assert time.perf_counter() - t0 < 5.0

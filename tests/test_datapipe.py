@@ -942,6 +942,30 @@ class TestWeightedMix:
         )
         assert got == again
 
+    def test_missing_weighted_source_warns(self, spark):
+        """A source in weights but absent from the input silently loses its
+        target mass — the default validation must surface that (and the
+        opt-out must stay silent)."""
+        import warnings
+
+        from oni_ml_spark.datapipe.sampling import weighted_mix
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(10)], "k long, source string"
+        )
+        with pytest.warns(RuntimeWarning, match="ghost"):
+            out = weighted_mix(
+                df, "source", "k", {"a": 1.0, "ghost": 3.0}, total_rows=40
+            )
+        # the mixture indeed under-delivers: only source 'a''s 10-row target
+        assert out.count() == 10
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            weighted_mix(
+                df, "source", "k", {"a": 1.0, "ghost": 3.0}, total_rows=40,
+                validate_sources=False,
+            )
+
     def test_fractional_upsampling(self, spark):
         from oni_ml_spark.datapipe.sampling import weighted_mix
 
@@ -1083,6 +1107,27 @@ class TestQualityFilter:
         assert "symbol_ratio" in out[4][0]
         assert "alpha_words" in out[5][0]
 
+    def test_multilingual_gate_via_configurable_rules(self, spark):
+        """The DEFAULT rules are English-only (ASCII alpha regex, English
+        stop-list) and must reject a Chinese document on exactly those two
+        language-bound rules — and the configurable knobs (any-letter
+        alpha_regex + a zh stop-list) must let the same document through."""
+        from oni_ml_spark.datapipe.textstats import quality_filter
+
+        zh = "的 是 在 有 我 他 这 中 大 来 上 国 个 到 说 们 为 子 和 你 " * 3
+        df = spark.createDataFrame([(0, zh)], "doc_id long, text string")
+        default = quality_filter(df, "doc_id", "text", min_tokens=20).collect()[0]
+        assert {"alpha_words", "stopword_hits"} <= set(default["failed_rules"])
+        tuned = quality_filter(
+            df, "doc_id", "text", min_tokens=20,
+            min_mean_token_len=0.5, max_mean_token_len=10.0,
+            alpha_regex=r"\p{L}", stopwords=["的", "是", "在"],
+        ).collect()[0]
+        assert tuned["passes"], tuned["failed_rules"]
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="stopwords"):
+            quality_filter(df, "doc_id", "text", stopwords=[])
+
     def test_rejection_accounting_on_corpus(self, spark):
         from oni_ml_spark.datapipe.textstats import quality_filter
         from oni_ml_spark.io import load_table
@@ -1159,6 +1204,87 @@ class TestBPE:
         for _, toks in t1[:5]:
             rebuilt = "".join(toks).replace(E, " ").strip()
             assert rebuilt  # non-empty, all pieces concatenate cleanly
+
+    def test_incremental_loop_equals_from_scratch_recount(self, spark):
+        """The r05 incremental pair-count merge loop must learn the IDENTICAL
+        merge sequence as the original from-scratch recount (the reference
+        implementation inlined here), including count-then-lexicographic
+        tie-breaking and the count>=2 stop rule."""
+        from oni_ml_spark.datapipe.bpe import (
+            END,
+            _merge_word,
+            train_bpe_merges,
+            word_frequencies,
+        )
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(150)
+        got = train_bpe_merges(d, "text", num_merges=120)
+
+        wf = {
+            r["word"]: r["freq"]
+            for r in word_frequencies(d, "text", 100_000).collect()
+        }
+        vocab = {tuple(list(w) + [END]): f for w, f in wf.items()}
+        want = []
+        for _ in range(120):
+            pairs: dict[tuple[str, str], int] = {}
+            for sym, f in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + f
+            if not pairs:
+                break
+            best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            want.append(best[0])
+            vocab = {_merge_word(s, best[0]): f for s, f in vocab.items()}
+        assert got == want
+
+    def test_two_thousand_merges_complete_fast(self, spark):
+        """Incremental updates make large merge counts practical: 2000
+        merges over the sf0.001 corpus must finish in seconds (the
+        from-scratch recount was O(merges x vocab x word_len)) and stay
+        deterministic."""
+        import random
+        import time
+
+        from oni_ml_spark.datapipe.bpe import train_bpe_merges
+
+        # the sf0.001 word-soup vocabulary exhausts after ~100 merges, so
+        # synthesize a vocabulary rich enough to sustain thousands: 8000
+        # distinct words with zipf-ish repetition
+        rng = random.Random(5)
+        words = [
+            "".join(rng.choice("abcdefghij") for _ in range(rng.randint(6, 12)))
+            for _ in range(8000)
+        ]
+        docs = [
+            (i, " ".join(words[j] for j in range(i * 80, (i + 1) * 80)))
+            for i in range(100)
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        t0 = time.perf_counter()
+        m1 = train_bpe_merges(d, "text", num_merges=2000)
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 30.0, elapsed
+        m2 = train_bpe_merges(d, "text", num_merges=2000)
+        assert m1 == m2
+        assert len(m1) == 2000  # well past the old practical ceiling
+
+    def test_null_text_tokenizes_to_empty(self, spark):
+        """NULL documents must tokenize to [] (they train as nothing via
+        explode), not TypeError inside the Arrow segment loop."""
+        from oni_ml_spark.datapipe.bpe import apply_bpe, train_bpe_merges
+
+        df = spark.createDataFrame(
+            [(0, "low low lower"), (1, None), (2, "newest")],
+            "doc_id long, text string",
+        )
+        merges = train_bpe_merges(df, "text", num_merges=10)
+        out = {r["doc_id"]: r for r in apply_bpe(df, "doc_id", "text", merges).collect()}
+        assert out[1]["bpe_tokens"] == [] and out[1]["n_bpe_tokens"] == 0
+        assert out[0]["n_bpe_tokens"] > 0 and out[2]["n_bpe_tokens"] > 0
 
 
 class TestSemanticDedupEdges:
