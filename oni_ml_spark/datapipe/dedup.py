@@ -373,11 +373,119 @@ def near_dup_pairs(
     )
 
 
+def _cc_star(
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    max_iter: int,
+    reliable: bool,
+) -> tuple[DataFrame, bool]:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    'Connected Components in MapReduce and Beyond', alternating algorithm):
+    each round rewrites the EDGE SET toward a star forest rooted at each
+    component's minimum id — O(log² n) rounds on ANY graph shape, vs
+    diameter rounds for label propagation. The per-round dataflow is the
+    same join + min-aggregate as propagation; only the edge rewriting
+    differs:
+
+    - large-star(u): every strictly larger neighbor v > u re-attaches to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star(u): every neighbor v <= u, and u itself, re-attaches to
+      m(u).
+
+    State is the canonical (hi, lo) pair set (hi > lo always: every
+    emission (v, m) has m <= v by construction), checkpointed per round so
+    lineage stays flat. Convergence = the pair set's (count,
+    order-insensitive hash-sum) fingerprint is unchanged by a full round —
+    one 1-row aggregate per round, no edge-set diff join. Returns (labels,
+    converged)."""
+    pairs = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    pairs = pairs.checkpoint() if reliable else pairs.localCheckpoint()
+    verts = (
+        pairs.select(F.col("hi").alias("id"))
+        .unionByName(pairs.select(F.col("lo").alias("id")))
+        .distinct()
+    )
+    if nodes is not None:
+        verts = verts.unionByName(nodes.select(F.col("id"))).distinct()
+    verts = verts.cache()
+
+    def _sym(p: DataFrame) -> DataFrame:
+        return p.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            p.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
+            "u", F.least("__mv", F.col("u")).alias("m")
+        )
+
+    prev_pinned = pairs
+    prev_fp = None
+    converged = False
+    for it in range(1, max_iter + 1):
+        sym = _sym(prev_pinned)
+        # large-star: each undirected edge {a < b} is seen once from u=a
+        # (v=b > u) and re-attaches b to m(a)
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star over large's output: each edge is seen from its larger
+        # endpoint (v <= u), plus every node attaches itself to its min
+        sym2 = _sym(large)
+        mins2 = _mins(sym2)
+        small = (
+            sym2.filter(F.col("v") <= F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # TRUNCATE lineage EVERY round (checkpoint_interval does not apply
+        # here, unlike propagation): the round's plan references the prior
+        # pair set ~16x (each symmetrization reads it twice, and each star
+        # has two consumers of the symmetrized view), so uncheckpointed
+        # rounds grow the logical plan ~16x PER ROUND — Catalyst analysis
+        # goes exponential after a handful. A cache() alone keeps the full
+        # lineage for planning; only checkpoint cuts it.
+        new_pairs = small.checkpoint() if reliable else small.localCheckpoint()
+        # hash-sum in decimal(38,0): full-range xxhash64 longs overflow a
+        # BIGINT sum under ANSI mode
+        fp_row = new_pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        fp = (fp_row["n"], fp_row["h"])
+        prev_pinned.unpersist()
+        prev_pinned = new_pairs
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    labels = prev_pinned.select(F.col("hi").alias("id"), F.col("lo").alias("cluster"))
+    roots = verts.join(
+        prev_pinned.select(F.col("hi").alias("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster"))
+    return labels.unionByName(roots), converged
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 20,
     checkpoint_interval: int = 5,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(id, cluster) — undirected connected components by iterative
     min-label propagation; cluster = smallest node id in the component.
@@ -412,17 +520,42 @@ def connected_components(
     over-segmentation: every reported cluster is a subset of a true
     component, but one component may appear as several clusters.
 
-    At 100 TB scale this is the textbook alternating propagation; for
-    adversarial long-chain graphs swap in large-star/small-star — the
-    per-iteration dataflow (join + min-aggregate) is identical, only the
-    edge rewriting differs.
+    ``algorithm`` selects the iteration scheme:
+
+    - ``"propagation"`` (default): min-label propagation — rounds = graph
+      DIAMETER. Right for near-dup graphs (duplicates of one source form
+      near-cliques, diameter ~2-3).
+    - ``"star"``: alternating large-star/small-star edge contraction
+      (Kiveris et al. 2014) — rounds = O(log² n) on ANY graph shape,
+      the escape hatch for adversarial long-chain/high-diameter graphs
+      where propagation would need diameter rounds. Same join +
+      min-aggregate dataflow per round; only the edge rewriting differs.
+
+    Both return the identical (id, cluster) labeling on any input.
     """
     if checkpoint_interval < 1:
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
         )
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
     sc = edges.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
+    if algorithm == "star":
+        labels, converged = _cc_star(edges, nodes, max_iter, reliable)
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"connected_components(star): not converged after {max_iter} "
+                "rounds (needs O(log^2 n)); labels may contain unresolved "
+                "parent chains — raise max_iter.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return labels
 
     # materialize the symmetric edge list ONCE: every iteration (and its
     # convergence count) joins against it, and `edges` is typically the tail

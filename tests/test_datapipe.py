@@ -646,6 +646,53 @@ def test_connected_components_fuzz_vs_union_find(spark, raw_edges, n_nodes):
         for r in connected_components(edf, nodes=nodes, max_iter=40).collect()
     }
     assert got == want
+    # the star-contraction variant must produce the identical labeling
+    got_star = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            edf, nodes=nodes, max_iter=15, algorithm="star"
+        ).collect()
+    }
+    assert got_star == want
+
+
+class TestStarContraction:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 200-node path graph has diameter 200 — propagation needs ~200
+        rounds, but large-star/small-star must finish within O(log² n)
+        rounds (10 here), labeling every node with the chain head. This is
+        exactly the adversarial-diameter case the algorithm knob exists
+        for."""
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        labels = connected_components(edges, max_iter=10, algorithm="star")
+        got = {r["id"]: r["cluster"] for r in labels.collect()}
+        assert got == {i: 0 for i in range(201)}
+
+    def test_isolated_nodes_and_empty_edges(self, spark):
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long").filter(
+            "id_a < 0"
+        )
+        nodes = spark.createDataFrame([(5,), (7,)], "id long")
+        got = {
+            r["id"]: r["cluster"]
+            for r in connected_components(
+                edges, nodes=nodes, algorithm="star"
+            ).collect()
+        }
+        assert got == {5: 5, 7: 7}
+
+    def test_rejects_unknown_algorithm(self, spark):
+        from oni_ml_spark.datapipe.dedup import connected_components
+
+        edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="algorithm"):
+            connected_components(edges, algorithm="bfs")
 
 
 @settings(
