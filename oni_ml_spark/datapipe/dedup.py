@@ -1007,3 +1007,34 @@ def incremental_near_dups(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "index_id", "est_jaccard")
     )
+
+
+def optimal_bands(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) factorization of ``num_hashes`` whose
+    LSH S-curve threshold sits closest to the target Jaccard ``threshold``.
+
+    For b bands of r rows, the probability a pair with similarity s shares
+    at least one band bucket is 1 - (1 - s^r)^b, an S-curve whose steep
+    midpoint is ~(1/b)^(1/r) (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4.3). Tuning by formula instead of folklore matters at
+    scale: a midpoint far below the target floods the verify stage with
+    false candidates (bucket-join blowup), far above it silently loses
+    recall. Pure driver arithmetic over the divisors of num_hashes.
+    """
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if b < 1 or (b == 1 and r == 1):
+            continue
+        midpoint = (1.0 / b) ** (1.0 / r)
+        gap = abs(midpoint - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, b, r)
+    assert best is not None
+    return best[1], best[2]

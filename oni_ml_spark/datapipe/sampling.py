@@ -248,3 +248,101 @@ def deterministic_global_sample(df: DataFrame, key_col: str, k: int) -> DataFram
     salted = F.concat(F.col(key_col).cast("string"), F.lit("#gsample"))
     h = hash_bucket(salted, 1 << 62)
     return df.orderBy(h, F.col(key_col)).limit(k)
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    key_col: str,
+    id_name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add 0..N-1 contiguous row ids in ``key_col`` order — the sharding /
+    sample-index primitive (map a corpus onto training steps, address rows
+    by position) that RDD code did with zipWithIndex.
+
+    Scalable formulation with NO global single-partition window:
+
+    1. range-repartition by key and sort within partitions (equal keys — a
+       rejected input, see below — would co-locate, so the adjacency check
+       in step 3 is complete);
+    2. count rows per partition (one bounded collect: one row PER
+       PARTITION, never per row) and prefix-sum the offsets on the driver;
+    3. an Arrow-batched ``mapInPandas`` adds offset[pid] + local position,
+       raising on adjacent duplicate keys (duplicate keys would make the
+       ordering, and therefore every downstream shard, nondeterministic).
+
+    The result is exactly "rank of key in global key order", independent of
+    where the range partitioner happens to place boundaries — but the
+    counts job and the id job MUST see the SAME boundaries, so the ranged
+    frame is pinned with cache() for the duration of the two jobs (released
+    via unpersist() before returning; the returned frame re-derives from
+    lineage).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    if id_name in df.columns:
+        raise ValueError(f"column '{id_name}' already exists in the input")
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .cache()
+    )
+    try:
+        counts = {
+            r["pid"]: r["n"]
+            for r in ranged.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in range(max(counts) + 1 if counts else 0):
+            offsets[pid] = acc
+            acc += counts.get(pid, 0)
+
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(id_name, T.LongType(), False)]
+        )
+
+        def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            pos = offsets.get(pid, 0)
+            prev_key = None
+            for pdf in batches:
+                keys = pdf[key_col]
+                if len(keys):
+                    k0 = keys.iloc[0]
+                    if prev_key is not None and prev_key == k0:
+                        raise ValueError(
+                            f"assign_contiguous_ids: duplicate key {k0!r} — "
+                            "ids would be nondeterministic"
+                        )
+                    dup = keys[keys.duplicated()]
+                    if len(dup):
+                        raise ValueError(
+                            f"assign_contiguous_ids: duplicate key "
+                            f"{dup.iloc[0]!r} — ids would be nondeterministic"
+                        )
+                    prev_key = keys.iloc[-1]
+                out = pdf.copy()
+                out[id_name] = range(pos, pos + len(pdf))
+                pos += len(pdf)
+                yield out
+
+        result = ranged.mapInPandas(add_ids, out_schema)
+        # materialize while the boundary pin is alive: the ids are
+        # boundary-independent (= global key rank), but the offsets map was
+        # computed against THIS cached partitioning
+        result = result.localCheckpoint()
+        return result
+    finally:
+        ranged.unpersist()

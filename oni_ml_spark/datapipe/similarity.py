@@ -548,3 +548,167 @@ def semantic_dedup(
         .join(dropped.withColumn("__d", F.lit(True)), "id", "left")
         .select("id", "cell", F.col("__d").isNull().alias("keep"))
     )
+
+
+# ---- product quantization (PQ) --------------------------------------------
+
+def build_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    codes_per_subspace: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` subvectors and fit one KMeans codebook of
+    ``codes_per_subspace`` centroids per subspace. Returns the plain-Python
+    m × K × (dim/m) centroid tensor — driver-resident and tiny
+    (m·K·dim/m = K·dim floats), persist it next to the encoded table.
+
+    PQ compresses a float vector to ``m`` small integers (m bytes at
+    K <= 256) — 32x smaller than float32 at the default 8×16 on dim=64 —
+    while asymmetric-distance search (``pq_search``) still compares against
+    ORIGINAL query vectors, so recall degrades far slower than quantizing
+    both sides. The m KMeans fits are distributed (one pass each over the
+    subvector slice); at 100 TB fit on a sample (codebooks need ~K·1000
+    vectors to converge, not the corpus) and encode the full corpus with
+    the fitted books.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    sub = dim // m
+    v = _checked_dim(vec_col, dim)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = df.select(
+            array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(
+            k=codes_per_subspace, seed=seed + j, featuresCol="features"
+        ).fit(sliced)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(id, codes array<tinyint>) — encode each vector to its per-subspace
+    nearest-centroid indexes. One vectorized-numpy ``mapInPandas`` stage
+    (argmin over K centroids per subspace has no native Spark expression;
+    the Arrow batch computes all rows × all subspaces in one einsum-shaped
+    pass), map-only: no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not codebooks:
+        raise ValueError("codebooks must be a non-empty m x K x sub tensor")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    id_type = dict(df.dtypes)[id_col]
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.array(pdf["v"].tolist(), dtype="float64")
+            if vecs.ndim != 2 or vecs.shape[1] != m * sub:
+                raise ValueError(
+                    f"pq_encode: vectors of dim {vecs.shape} do not match "
+                    f"codebooks (m={m}, sub={sub})"
+                )
+            codes = np.empty((len(vecs), m), dtype="int8")
+            for j in range(m):
+                seg = vecs[:, j * sub : (j + 1) * sub]
+                # (N, K) squared distances to subspace-j centroids
+                d = ((seg[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return base.mapInPandas(encode, schema=f"id {id_type}, codes array<tinyint>")
+
+
+def pq_search(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
+    (query_id, neighbor_id, adc_dist, rank), smallest approximate squared
+    L2 distance first.
+
+    Per query the m × K subspace-distance table is precomputed ONCE from
+    the ORIGINAL query vector (driver-side numpy over the bounded query
+    set, broadcast in the UDF closure); scoring a corpus row is then m
+    table lookups — numpy fancy indexing over the whole Arrow batch, never
+    a per-row float loop. Top-k per query is the standard rank window over
+    a bounded candidate set (queries are bounded by contract, like
+    ``brute_force_topk``)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("v")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_search: empty query set")
+    qids = [r["query_id"] for r in qrows]
+    qv = np.array([r["v"] for r in qrows], dtype="float64")
+    if qv.shape[1] != m * sub:
+        raise ValueError(
+            f"pq_search: query dim {qv.shape[1]} does not match codebooks "
+            f"(m={m}, sub={sub})"
+        )
+    # tables[q, j, c] = ||q_j - centroid_{j,c}||^2
+    tables = np.stack(
+        [
+            ((qv[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    nq = len(qids)
+    id_type = dict(encoded.dtypes)["id"]
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype="int64")  # (N, m)
+            n = len(codes)
+            # dist[q, row] = sum_j tables[q, j, codes[row, j]]
+            dist = np.zeros((nq, n), dtype="float64")
+            for j in range(m):
+                dist += tables[:, j, :][:, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["id"].to_numpy(), nq),
+                    "adc_dist": dist.reshape(-1),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        score,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_dist double",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

@@ -437,3 +437,38 @@ def unicode_normalize(
         return s.map(one)
 
     return df.withColumn(out_col or col, _norm(F.col(col)))
+
+
+def remove_contaminated(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    max_contamination: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination REMOVAL: drop every training document whose
+    word n-gram overlap with the evaluation corpus exceeds
+    ``max_contamination`` (default 0.0 — any shared ``n``-gram rejects, the
+    standard strict policy for benchmark decontamination).
+
+    The measurement is ``ngram_contamination`` (distinct eval shingle set →
+    semi-joinable membership probe); the removal is one left join + filter
+    on its per-document fractions, so documents too short to have shingles
+    (no evidence) are KEPT — they cannot contain an n-gram by construction.
+    Returns the input rows minus the contaminated ones, schema unchanged.
+    """
+    frac = ngram_contamination(
+        df, eval_df, id_col, text_col, eval_text_col, n
+    ).select(
+        F.col("id").alias("__cid"), "contamination_frac"
+    )
+    return (
+        df.join(frac, df[id_col] == frac["__cid"], "left")
+        .filter(
+            F.col("contamination_frac").isNull()
+            | (F.col("contamination_frac") <= max_contamination)
+        )
+        .drop("__cid", "contamination_frac")
+    )

@@ -2188,3 +2188,22 @@ def json_properties_q(spark, sf):
         F.col("p.k").alias("k"),
         json_get("props", "k").alias("k_str"),
     )
+
+
+@_q(
+    "contiguous_ids",
+    "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_id "
+    "FROM documents",
+)
+def contiguous_ids_q(spark, sf):
+    """Contiguous 0..N-1 row ids in key order
+    (datapipe.sampling.assign_contiguous_ids — the sharding / sample-index
+    primitive): range-repartition + per-partition counts (one bounded
+    collect, one row PER PARTITION) + offset-shifted local positions, no
+    global single-partition window anywhere. The ids equal the global key
+    rank wherever the range partitioner places its boundaries, which is
+    exactly what the row_number() oracle states."""
+    from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return assign_contiguous_ids(d, "doc_id", num_partitions=8)

@@ -1,0 +1,233 @@
+"""Round-5 widening: contiguous row ids, benchmark decontamination removal,
+LSH band tuning, and product quantization (PQ encode + ADC search)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestAssignContiguousIds:
+    def test_matches_global_key_rank_oracle(self, spark):
+        """ids must equal DuckDB's row_number() - 1 in key order — the
+        boundary-independence property: wherever the range partitioner cuts,
+        offset[pid] + local position IS the global key rank."""
+        from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, SF_DIR, "documents")
+        got = sorted(
+            (r["doc_id"], r["row_id"])
+            for r in assign_contiguous_ids(d, "doc_id", num_partitions=7).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 "
+                f"FROM '{SF_DIR}/documents.parquet'"
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
+
+    def test_string_keys_and_all_columns_preserved(self, spark):
+        from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+
+        df = spark.createDataFrame(
+            [("b", 1), ("a", 2), ("c", 3)], "k string, payload int"
+        )
+        rows = {r["k"]: r for r in assign_contiguous_ids(df, "k", num_partitions=2).collect()}
+        assert {k: r["row_id"] for k, r in rows.items()} == {"a": 0, "b": 1, "c": 2}
+        assert rows["a"]["payload"] == 2  # original columns survive
+
+    def test_duplicate_keys_rejected(self, spark):
+        from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+
+        df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        with pytest.raises(Exception, match="duplicate key"):
+            assign_contiguous_ids(df, "k", num_partitions=2).collect()
+
+    def test_id_name_collision_rejected(self, spark):
+        from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+
+        df = spark.createDataFrame([(1, 0)], "k long, row_id int")
+        with pytest.raises(ValueError, match="already exists"):
+            assign_contiguous_ids(df, "k")
+
+
+class TestRemoveContaminated:
+    def test_planted_contamination_dropped_clean_kept(self, spark):
+        from oni_ml_spark.datapipe.textstats import remove_contaminated
+
+        bench = "the quick brown fox jumps over the lazy dog every single day"
+        rows = [
+            (0, "completely unrelated words about distributed query engines "
+                "and shuffle partitioning strategies for large clusters"),
+            (1, f"prefix text {bench} suffix text"),   # contains the 8-gram
+            (2, "short doc"),                           # < n tokens: kept
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(bench,)], "text string")
+        out = remove_contaminated(df, ev, "doc_id", "text", n=8)
+        assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
+        assert out.columns == df.columns
+
+    def test_threshold_loosens_the_gate(self, spark):
+        from oni_ml_spark.datapipe.textstats import remove_contaminated
+
+        bench = "alpha beta gamma delta epsilon zeta eta theta"
+        # one shared 8-gram out of many: low contamination fraction
+        filler = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(0, f"{bench} {filler}")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(bench,)], "text string")
+        assert remove_contaminated(df, ev, "doc_id", "text", n=8).count() == 0
+        assert (
+            remove_contaminated(
+                df, ev, "doc_id", "text", n=8, max_contamination=0.5
+            ).count()
+            == 1
+        )
+
+
+class TestOptimalBands:
+    def test_goldens_against_s_curve_midpoints(self):
+        from oni_ml_spark.datapipe.dedup import optimal_bands
+
+        # midpoints for 16 hashes: (b=16,r=1)->0.0625, (8,2)->0.354,
+        # (4,4)->0.707, (2,8)->0.917, (1,16)->1.0
+        assert optimal_bands(16, 0.5) == (8, 2)
+        assert optimal_bands(16, 0.7) == (4, 4)
+        assert optimal_bands(16, 0.9) == (2, 8)
+        assert optimal_bands(16, 0.05) == (16, 1)
+
+    def test_validation(self):
+        from oni_ml_spark.datapipe.dedup import optimal_bands
+
+        with pytest.raises(ValueError):
+            optimal_bands(1, 0.5)
+        with pytest.raises(ValueError):
+            optimal_bands(16, 1.0)
+
+    def test_midpoint_is_actually_best_among_factorizations(self):
+        """Exhaustive check: the returned (b, r) minimizes
+        |(1/b)^(1/r) - t| over every factorization, for a grid of targets."""
+        from oni_ml_spark.datapipe.dedup import optimal_bands
+
+        for num_hashes in (12, 16, 24, 64):
+            for t10 in range(1, 10):
+                t = t10 / 10
+                b, r = optimal_bands(num_hashes, t)
+                assert b * r == num_hashes
+                got_gap = abs((1.0 / b) ** (1.0 / r) - t)
+                for rr in range(1, num_hashes + 1):
+                    if num_hashes % rr:
+                        continue
+                    bb = num_hashes // rr
+                    assert got_gap <= abs((1.0 / bb) ** (1.0 / rr) - t) + 1e-12
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from oni_ml_spark.io import load_table
+
+        return load_table(spark, SF_DIR, "embeddings").cache()
+
+    def test_codebooks_shape_and_determinism(self, spark, emb):
+        from oni_ml_spark.datapipe.similarity import build_pq_codebooks
+
+        b1 = build_pq_codebooks(emb, m=4, codes_per_subspace=8, dim=64, seed=7)
+        b2 = build_pq_codebooks(emb, m=4, codes_per_subspace=8, dim=64, seed=7)
+        assert len(b1) == 4 and all(len(b) == 8 for b in b1)
+        assert all(len(c) == 16 for b in b1 for c in b)
+        assert b1 == b2  # seeded fits reproduce
+
+    def test_encode_shape_and_code_range(self, spark, emb):
+        from oni_ml_spark.datapipe.similarity import build_pq_codebooks, pq_encode
+
+        books = build_pq_codebooks(emb, m=4, codes_per_subspace=8, dim=64)
+        enc = pq_encode(emb, "vec_id", "embedding", books)
+        rows = enc.collect()
+        assert len(rows) == emb.count()
+        for r in rows[:50]:
+            assert len(r["codes"]) == 4
+            assert all(0 <= c < 8 for c in r["codes"])
+
+    def test_planted_copy_is_adc_rank_one(self, spark, emb):
+        """A corpus row that IS the query vector shares its codes, so its
+        ADC distance equals the query's own quantization error — the
+        minimum over the corpus; it must rank first."""
+        from oni_ml_spark.datapipe.similarity import (
+            build_pq_codebooks,
+            pq_encode,
+            pq_search,
+        )
+
+        books = build_pq_codebooks(emb, m=8, codes_per_subspace=16, dim=64)
+        base = emb.select("vec_id", "embedding")
+        q = base.filter(F.col("vec_id") < 3)
+        planted = q.select(
+            (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+        )
+        enc = pq_encode(base.unionByName(planted), "vec_id", "embedding", books)
+        top = pq_search(q, enc, books, "vec_id", "embedding", k=3)
+        rank1 = {r["query_id"]: r["neighbor_id"] for r in top.filter("rank = 1").collect()}
+        assert rank1 == {i: i + 500_000 for i in range(3)}
+
+    def test_adc_recall_on_clustered_data(self, spark):
+        """On data WITH neighbor structure (10 well-separated clusters,
+        intra-cluster noise ≪ separation) ADC top-5 must recover the exact
+        L2 top-5 substantially. (The uniform-random embeddings fixture is
+        deliberately NOT used here: in 64-d uniform data pairwise distances
+        concentrate, the exact top-5 is noise ordering, and near-zero PQ
+        recall is the mathematically expected outcome — the planted-copy
+        test covers that fixture.)"""
+        import numpy as np
+
+        from oni_ml_spark.datapipe.similarity import (
+            build_pq_codebooks,
+            pq_encode,
+            pq_search,
+        )
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(0, 10.0, size=(10, 64))
+        pts = np.concatenate(
+            [c + rng.normal(0, 0.3, size=(20, 64)) for c in centers]
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        )
+        books = build_pq_codebooks(df, m=8, codes_per_subspace=16, dim=64)
+        enc = pq_encode(df, "vec_id", "embedding", books)
+        q = df.filter(F.col("vec_id").isin(0, 20, 40, 60, 80))
+        got = pq_search(q, enc, books, "vec_id", "embedding", k=5)
+        approx: dict[int, set[int]] = {}
+        for r in got.collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # cluster-level recall: every retrieved neighbor must come from the
+        # query's own cluster (ids 20q..20q+19). Within-cluster ORDER is not
+        # asserted — intra-cluster distance differences (noise scale 0.3)
+        # sit below the quantization error of a 16-code codebook spanning
+        # the full ±30 range, so exact-rank parity there would test noise.
+        for qid in (0, 20, 40, 60, 80):
+            cluster = set(range(qid, qid + 20)) - {qid}
+            assert approx[qid] <= cluster, (qid, approx[qid])
+            assert len(approx[qid]) == 5
+
+    def test_dim_mismatch_raises(self, spark, emb):
+        from oni_ml_spark.datapipe.similarity import build_pq_codebooks, pq_encode
+
+        books = build_pq_codebooks(emb, m=4, codes_per_subspace=4, dim=64)
+        bad = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="do not match"):
+            pq_encode(bad, "vec_id", "embedding", books).collect()
+        with pytest.raises(ValueError):
+            build_pq_codebooks(emb, m=7, codes_per_subspace=4, dim=64)

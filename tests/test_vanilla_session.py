@@ -22,6 +22,9 @@ import sys
 SENSITIVE = [
     "sessionize", "time_features", "pivot_counts", "tpch_q1_q3", "as_of_join",
     "temporal_reshape",
+    # partition-count-sensitive mechanism (boundary-independent result):
+    # offsets are computed against the session's range partitioning
+    "contiguous_ids",
     # seeded-MLlib invariant flags: k-means|| init and MinHashLSH sampling
     # see the session's partitioning, which differs on a vanilla session
     # (shuffle.partitions 200 vs our 32) — the flags must hold regardless
