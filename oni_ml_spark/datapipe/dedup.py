@@ -414,7 +414,9 @@ def _cc_star(
     )
     if nodes is not None:
         verts = verts.unionByName(nodes.select(F.col("id"))).distinct()
-    verts = verts.cache()
+    # NOT cached: verts has exactly one consumer (the roots anti-join at the
+    # end) and derives from the initial pairs checkpoint — a cache here would
+    # pin the full vertex set per call for the session (review finding r05)
 
     def _sym(p: DataFrame) -> DataFrame:
         return p.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(

@@ -321,7 +321,13 @@ def assign_contiguous_ids(
                 keys = pdf[key_col]
                 if len(keys):
                     k0 = keys.iloc[0]
-                    if prev_key is not None and prev_key == k0:
+                    # NaN == NaN is False, so a NaN dup straddling a batch
+                    # boundary needs the explicit isna pair check
+                    both_na = (
+                        prev_key is not None
+                        and pd.isna(prev_key) and pd.isna(k0)
+                    )
+                    if prev_key is not None and (prev_key == k0 or both_na):
                         raise ValueError(
                             f"assign_contiguous_ids: duplicate key {k0!r} — "
                             "ids would be nondeterministic"

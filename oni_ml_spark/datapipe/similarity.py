@@ -566,8 +566,9 @@ def build_pq_codebooks(
     m × K × (dim/m) centroid tensor — driver-resident and tiny
     (m·K·dim/m = K·dim floats), persist it next to the encoded table.
 
-    PQ compresses a float vector to ``m`` small integers (m bytes at
-    K <= 256) — 32x smaller than float32 at the default 8×16 on dim=64 —
+    PQ compresses a float vector to ``m`` small integers (2·m bytes as
+    stored smallint codes) — 16x smaller than float32 at the default 8×16
+    on dim=64 —
     while asymmetric-distance search (``pq_search``) still compares against
     ORIGINAL query vectors, so recall degrades far slower than quantizing
     both sides. The m KMeans fits are distributed (one pass each over the
@@ -580,6 +581,11 @@ def build_pq_codebooks(
 
     if dim % m:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if not 2 <= codes_per_subspace <= 32767:
+        raise ValueError(
+            f"codes_per_subspace must be in [2, 32767] (smallint code "
+            f"storage), got {codes_per_subspace}"
+        )
     sub = dim // m
     v = _checked_dim(vec_col, dim)
     books: list[list[list[float]]] = []
@@ -627,7 +633,7 @@ def pq_encode(
                     f"pq_encode: vectors of dim {vecs.shape} do not match "
                     f"codebooks (m={m}, sub={sub})"
                 )
-            codes = np.empty((len(vecs), m), dtype="int8")
+            codes = np.empty((len(vecs), m), dtype="int16")
             for j in range(m):
                 seg = vecs[:, j * sub : (j + 1) * sub]
                 # (N, K) squared distances to subspace-j centroids
@@ -635,7 +641,11 @@ def pq_encode(
                 codes[:, j] = d.argmin(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
 
-    return base.mapInPandas(encode, schema=f"id {id_type}, codes array<tinyint>")
+    # smallint, not tinyint: codes are centroid INDEXES in [0, K). tinyint
+    # tops out at 127 and would silently wrap K in (128, 256] to negative
+    # values that numpy fancy-indexing then maps to the WRONG centroid —
+    # 2 bytes per code still gives 16x compression at the 8x16 default
+    return base.mapInPandas(encode, schema=f"id {id_type}, codes array<smallint>")
 
 
 def pq_search(

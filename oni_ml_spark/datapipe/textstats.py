@@ -459,16 +459,19 @@ def remove_contaminated(
     (no evidence) are KEPT — they cannot contain an n-gram by construction.
     Returns the input rows minus the contaminated ones, schema unchanged.
     """
+    # compare on the raw counts, NOT the (rounded) contamination_frac: a
+    # 3M-shingle document with one shared gram rounds to 0.0 at 6 decimals
+    # and would slip through the strict max_contamination=0.0 policy
     frac = ngram_contamination(
         df, eval_df, id_col, text_col, eval_text_col, n
     ).select(
-        F.col("id").alias("__cid"), "contamination_frac"
+        F.col("id").alias("__cid"), "n_shingles", "n_contaminated"
     )
     return (
         df.join(frac, df[id_col] == frac["__cid"], "left")
         .filter(
-            F.col("contamination_frac").isNull()
-            | (F.col("contamination_frac") <= max_contamination)
+            F.col("n_contaminated").isNull()
+            | (F.col("n_contaminated") <= max_contamination * F.col("n_shingles"))
         )
-        .drop("__cid", "contamination_frac")
+        .drop("__cid", "n_shingles", "n_contaminated")
     )

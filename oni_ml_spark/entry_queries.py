@@ -265,7 +265,7 @@ def bin_deciles(spark, sf):
 
 # ---- joins / set ops (J1-J2, U1-U2) --------------------------------------
 # J1 (equi joins, broadcast dims, grouped agg) is exercised + hash-checked
-# by tpch_q3_like; J2 by broadcast_lookup_fallback below.
+# by tpch_q1_q3 (Q3 side); J2 by broadcast_lookup_fallback below.
 
 @_q(
     "broadcast_lookup_fallback",
@@ -969,7 +969,7 @@ _TPCH_Q3_SQL = (
     "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
     "WHERE c.c_mktsegment = 'BUILDING' "
     "GROUP BY o.o_orderkey, o.o_orderdate "
-    "ORDER BY v1 DESC, k1 LIMIT 10"
+    "ORDER BY v1 DESC, o.o_orderkey LIMIT 10"
 )
 
 

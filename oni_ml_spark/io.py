@@ -243,12 +243,22 @@ def compact_parquet(
     hpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = 0
+    root_str = fs.makeQualified(hpath).toString().rstrip("/")
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         f = it.next()
-        name = f.getPath().getName()
-        # skip write markers/checksums; count only data files
-        if not name.startswith(("_", ".")):
+        # skip write markers/checksums AND anything under a hidden directory
+        # (_temporary/ debris from failed writes) — matching what Spark's own
+        # InMemoryFileIndex excludes, so the size estimate equals what the
+        # subsequent read will actually see
+        p = f.getPath()
+        hidden = False
+        while p is not None and p.toString().rstrip("/") != root_str:
+            if p.getName().startswith(("_", ".")):
+                hidden = True
+                break
+            p = p.getParent()
+        if not hidden:
             total_bytes += f.getLen()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     if sort_col is not None:

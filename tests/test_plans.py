@@ -83,9 +83,16 @@ def test_no_single_partition_exchange_in_similarity_battery(spark):
     for name in ("embedding_near_dup_bucketed", "ann_ivf_kmeans"):
         p = _plan(spark, name)
         lines = p.splitlines()
+        # a global window plans as Window <- Sort <- Exchange SinglePartition
+        # (the Sort is mandatory), so the guard must look a few lines PAST
+        # the Window node, not only at its immediate successor
         fed_window = any(
-            "Window" in a and "Exchange SinglePartition" in b
-            for a, b in zip(lines, lines[1:])
+            "Window" in line
+            and any(
+                "Exchange SinglePartition" in nxt
+                for nxt in lines[i + 1 : i + 4]
+            )
+            for i, line in enumerate(lines)
         )
         assert not fed_window, name
     # the bucketed near-dup path additionally allows NO single-partition
