@@ -722,3 +722,37 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def pq_codebooks_to_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Codebooks as a (subspace, code, centv) DataFrame — the persistable
+    half of a PQ index (write to parquet next to the ``pq_encode`` table;
+    m·K rows, trivially small). Completes the same build-once/search-many
+    split as ``build_ivf_index`` and ``lsh_index``."""
+    rows = [
+        (j, c, centv)
+        for j, book in enumerate(codebooks)
+        for c, centv in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "subspace int, code int, centv array<double>")
+
+
+def pq_codebooks_from_df(df: DataFrame) -> list[list[list[float]]]:
+    """Inverse of ``pq_codebooks_to_df``: reload the m × K × sub tensor from
+    its persisted table (bounded collect: m·K rows). Validates the
+    (subspace, code) grid is dense — a partially-written index fails loudly
+    instead of searching against missing centroids."""
+    rows = df.select("subspace", "code", "centv").collect()
+    if not rows:
+        raise ValueError("empty PQ codebook table")
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    books: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = [float(x) for x in r["centv"]]
+    missing = [
+        (j, c) for j in range(m) for c in range(k) if books[j][c] is None
+    ]
+    if missing:
+        raise ValueError(f"PQ codebook table is not a dense grid; missing {missing[:5]}")
+    return books  # type: ignore[return-value]

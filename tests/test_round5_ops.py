@@ -231,3 +231,42 @@ class TestProductQuantization:
             pq_encode(bad, "vec_id", "embedding", books).collect()
         with pytest.raises(ValueError):
             build_pq_codebooks(emb, m=7, codes_per_subspace=4, dim=64)
+
+
+class TestPQPersistence:
+    def test_roundtrip_search_identical(self, spark, tmp_path):
+        """Codebooks written to parquet and reloaded must drive pq_search to
+        the IDENTICAL result set as the in-memory tensor — the
+        build-once/search-many split of a recurring retrieval job."""
+        from oni_ml_spark.datapipe.similarity import (
+            build_pq_codebooks,
+            pq_codebooks_from_df,
+            pq_codebooks_to_df,
+            pq_encode,
+            pq_search,
+        )
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        books = build_pq_codebooks(emb, m=4, codes_per_subspace=8, dim=64)
+        path = str(tmp_path / "pq_books.parquet")
+        pq_codebooks_to_df(spark, books).write.parquet(path)
+        reloaded = pq_codebooks_from_df(spark.read.parquet(path))
+        assert reloaded == books
+        enc = pq_encode(emb, "vec_id", "embedding", books)
+        q = emb.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, pq_search(q, enc, books, k=3).collect()))
+        b = sorted(map(tuple, pq_search(q, enc, reloaded, k=3).collect()))
+        assert a == b and len(a) == 9
+
+    def test_sparse_codebook_table_rejected(self, spark):
+        from oni_ml_spark.datapipe.similarity import pq_codebooks_from_df
+
+        df = spark.createDataFrame(
+            [(0, 0, [1.0]), (0, 2, [2.0])],  # code 1 missing
+            "subspace int, code int, centv array<double>",
+        )
+        with pytest.raises(ValueError, match="dense"):
+            pq_codebooks_from_df(df)
+        with pytest.raises(ValueError, match="empty"):
+            pq_codebooks_from_df(df.filter("subspace < 0"))
