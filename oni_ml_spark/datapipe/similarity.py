@@ -756,3 +756,125 @@ def pq_codebooks_from_df(df: DataFrame) -> list[list[list[float]]]:
     if missing:
         raise ValueError(f"PQ codebook table is not a dense grid; missing {missing[:5]}")
     return books  # type: ignore[return-value]
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    codes_per_subspace: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """(centroids, assigned_codes, codebooks) — the IVF-PQ composition
+    (Jégou et al. 2011's full recipe): coarse k-means cells for candidate
+    pruning + product-quantized codes for compact in-cell scoring. The
+    assigned_codes table carries (neighbor_id, cell, codes) — 2·m bytes of
+    payload per vector instead of the float array, which is what makes a
+    billion-vector serving index fit a cluster's memory. All three parts
+    persist (two parquet tables + ``pq_codebooks_to_df``)."""
+    cent_df, c_assigned = build_ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    books = build_pq_codebooks(corpus, vec_col, m, codes_per_subspace, dim, seed)
+    codes = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    assigned_codes = c_assigned.select("neighbor_id", "cell").join(
+        codes, "neighbor_id"
+    )
+    return cent_df, assigned_codes, books
+
+
+def ivf_pq_search(
+    queries: DataFrame,
+    cent_df: DataFrame,
+    assigned_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ADC top-k through an IVF-PQ index: probe the ``n_probe`` nearest
+    cells per query (centroids broadcast), join ONLY those cells' code rows
+    (the shuffle carries 2·m-byte codes, never vectors), then asymmetric-
+    distance rank from per-query tables computed once from the ORIGINAL
+    query vectors. Returns (query_id, neighbor_id, adc_dist, rank),
+    smallest approximate squared L2 first.
+
+    Queries are bounded by contract (same as ``pq_search`` /
+    ``brute_force_topk``): the per-query distance tables are built
+    driver-side from one bounded collect."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("ivf_pq_search: empty query set")
+    qids = [r["query_id"] for r in qrows]
+    qpos = {qid: i for i, qid in enumerate(qids)}
+    qv = np.array([r["qv"] for r in qrows], dtype="float64")
+    if qv.shape[1] != m * sub:
+        raise ValueError(
+            f"ivf_pq_search: query dim {qv.shape[1]} does not match "
+            f"codebooks (m={m}, sub={sub})"
+        )
+    tables = np.stack(
+        [
+            ((qv[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    qsims = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "csim", dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.col("cell"))
+    probed = (
+        qsims.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    # each corpus vector lives in exactly one cell, so the probe join cannot
+    # duplicate a (query, neighbor) pair — no post-join dedup needed
+    pairs = probed.join(assigned_codes, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "codes")
+
+    id_type = dict(assigned_codes.dtypes)["neighbor_id"]
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype="int64")  # (N, m)
+            qp = pdf["query_id"].map(qpos).to_numpy(dtype="int64")
+            dist = np.zeros(len(codes), dtype="float64")
+            for j in range(m):
+                dist += tables[qp, j, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc_dist": dist,
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_dist double",
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

@@ -270,3 +270,59 @@ class TestPQPersistence:
             pq_codebooks_from_df(df)
         with pytest.raises(ValueError, match="empty"):
             pq_codebooks_from_df(df.filter("subspace < 0"))
+
+
+class TestIvfPq:
+    def test_planted_copies_found_through_composed_index(self, spark, tmp_path):
+        """IVF-PQ end to end: planted exact copies must come back at rank 1
+        through probe→ADC, and the whole index must survive a parquet
+        round-trip (both tables + the codebook table)."""
+        from oni_ml_spark.datapipe.similarity import (
+            build_ivf_pq_index,
+            ivf_pq_search,
+            pq_codebooks_from_df,
+            pq_codebooks_to_df,
+        )
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        q = emb.filter(F.col("vec_id") < 3)
+        planted = q.select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+        corpus = emb.unionByName(planted)
+        cent, codes, books = build_ivf_pq_index(
+            corpus, n_cells=8, m=8, codes_per_subspace=16, dim=64
+        )
+        top = ivf_pq_search(q, cent, codes, books, k=3, n_probe=2)
+        rows = top.collect()
+        rank1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+        assert rank1 == {i: i + 500_000 for i in range(3)}
+        assert all(len([r for r in rows if r["query_id"] == i]) == 3 for i in range(3))
+
+        # persistence round-trip drives identical results
+        for df, name in ((cent, "cent"), (codes, "codes")):
+            df.write.parquet(str(tmp_path / name))
+        pq_codebooks_to_df(spark, books).write.parquet(str(tmp_path / "books"))
+        cent2 = spark.read.parquet(str(tmp_path / "cent"))
+        codes2 = spark.read.parquet(str(tmp_path / "codes"))
+        books2 = pq_codebooks_from_df(spark.read.parquet(str(tmp_path / "books")))
+        again = sorted(map(tuple, ivf_pq_search(q, cent2, codes2, books2, k=3, n_probe=2).collect()))
+        assert again == sorted(map(tuple, rows))
+
+    def test_empty_queries_and_dim_mismatch_rejected(self, spark):
+        from oni_ml_spark.datapipe.similarity import (
+            build_ivf_pq_index,
+            ivf_pq_search,
+        )
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        cent, codes, books = build_ivf_pq_index(
+            emb, n_cells=4, m=4, codes_per_subspace=8, dim=64
+        )
+        with pytest.raises(ValueError, match="empty"):
+            ivf_pq_search(emb.filter("vec_id < 0"), cent, codes, books)
+        bad = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="does not match"):
+            ivf_pq_search(bad, cent, codes, books)
