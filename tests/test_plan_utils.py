@@ -193,3 +193,47 @@ class TestZOrderLayout:
         back = spark.read.parquet(p)
         assert back.count() == 400
         assert set(back.columns) == {"id", "a", "b"}
+
+
+class TestDiagnostics:
+    def test_partition_profile_counts_sum_to_total(self, spark):
+        from oni_ml_spark.plans.diagnostics import partition_profile
+
+        df = spark.range(1000).repartition(8)
+        prof = partition_profile(df).collect()
+        assert sum(r["n_rows"] for r in prof) == 1000
+        assert len(prof) <= 8
+        assert all(r["n_rows"] > 0 for r in prof)
+
+    def test_key_skew_profile_finds_planted_hot_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from oni_ml_spark.plans.diagnostics import key_skew_profile
+
+        df = spark.range(1000).select(
+            F.when(F.col("id") < 600, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+            ).alias("k")
+        )
+        prof = key_skew_profile(df, "k", top_k=3).collect()
+        assert prof[0]["key"] == "hot"
+        assert prof[0]["n_rows"] == 600
+        assert abs(prof[0]["share"] - 0.6) < 1e-9
+        assert len(prof) == 3
+
+    def test_key_skew_profile_is_take_ordered(self, spark):
+        """The top-k must plan as TakeOrderedAndProject, not a global sort —
+        key cardinality is unbounded at scale."""
+        from oni_ml_spark.plans.diagnostics import key_skew_profile
+
+        df = spark.range(100).selectExpr("id % 10 AS k")
+        p = key_skew_profile(df, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p
+
+    def test_key_skew_rejects_bad_top_k(self, spark):
+        import pytest as _pytest
+
+        from oni_ml_spark.plans.diagnostics import key_skew_profile
+
+        with _pytest.raises(ValueError):
+            key_skew_profile(spark.range(1), "id", top_k=0)
