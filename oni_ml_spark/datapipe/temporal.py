@@ -184,16 +184,25 @@ def rolling_aggregate(
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")
-    micros = F.round(F.col(time_col).cast("double") * 1_000_000).cast("long")
+    # materialize the micros axis as a column FIRST: ordering two window
+    # functions by the same raw expression makes Catalyst treat them as two
+    # different window specs (each .over() gets its own expression instance)
+    # and plan two Window+Sort nodes; ordering by the shared attribute
+    # collapses sum and count into ONE Window over ONE sort
+    micros_col = f"__{out_prefix}_micros"
+    with_t = df.withColumn(
+        micros_col, F.round(F.col(time_col).cast("double") * 1_000_000).cast("long")
+    )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(micros)
+        .orderBy(F.col(micros_col))
         .rangeBetween(-int(round(window_seconds * 1_000_000)), 0)
     )
     s = F.sum(F.col(value_col)).over(w)
     c = F.count(F.lit(1)).over(w)
     return (
-        df.withColumn(f"{out_prefix}_sum", s)
+        with_t.withColumn(f"{out_prefix}_sum", s)
         .withColumn(f"{out_prefix}_cnt", c.cast("long"))
         .withColumn(f"{out_prefix}_mean", s / c)
+        .drop(micros_col)
     )
