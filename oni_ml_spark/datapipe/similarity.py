@@ -648,6 +648,44 @@ def pq_encode(
     return base.mapInPandas(encode, schema=f"id {id_type}, codes array<smallint>")
 
 
+def _adc_query_tables(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    caller: str,
+):
+    """(qids, qv, tables) — ONE bounded collect of the query set and the
+    per-query m × K squared-L2 subspace tables, shared by ``pq_search`` and
+    ``ivf_pq_search`` so the table math and validation cannot drift."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("v")
+    ).collect()
+    if not qrows:
+        raise ValueError(f"{caller}: empty query set")
+    qids = [r["query_id"] for r in qrows]
+    qv = np.array([r["v"] for r in qrows], dtype="float64")
+    if qv.shape[1] != m * sub:
+        raise ValueError(
+            f"{caller}: query dim {qv.shape[1]} does not match codebooks "
+            f"(m={m}, sub={sub})"
+        )
+    # tables[q, j, c] = ||q_j - centroid_{j,c}||^2
+    tables = np.stack(
+        [
+            ((qv[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    return qids, qv, tables
+
+
 def pq_search(
     queries: DataFrame,
     encoded: DataFrame,
@@ -671,28 +709,7 @@ def pq_search(
     import pandas as pd
 
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    books = [np.asarray(b, dtype="float64") for b in codebooks]
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("v")
-    ).collect()
-    if not qrows:
-        raise ValueError("pq_search: empty query set")
-    qids = [r["query_id"] for r in qrows]
-    qv = np.array([r["v"] for r in qrows], dtype="float64")
-    if qv.shape[1] != m * sub:
-        raise ValueError(
-            f"pq_search: query dim {qv.shape[1]} does not match codebooks "
-            f"(m={m}, sub={sub})"
-        )
-    # tables[q, j, c] = ||q_j - centroid_{j,c}||^2
-    tables = np.stack(
-        [
-            ((qv[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            for j in range(m)
-        ],
-        axis=1,
-    )
+    qids, _qv, tables = _adc_query_tables(queries, codebooks, id_col, vec_col, "pq_search")
     nq = len(qids)
     id_type = dict(encoded.dtypes)["id"]
 
@@ -745,10 +762,29 @@ def pq_codebooks_from_df(df: DataFrame) -> list[list[list[float]]]:
     rows = df.select("subspace", "code", "centv").collect()
     if not rows:
         raise ValueError("empty PQ codebook table")
+    bad = [
+        (r["subspace"], r["code"])
+        for r in rows
+        if r["subspace"] is None or r["code"] is None
+        or r["subspace"] < 0 or r["code"] < 0
+    ]
+    if bad:
+        raise ValueError(
+            f"PQ codebook table has null/negative coordinates: {bad[:5]} "
+            "(negative values would silently alias tail slots)"
+        )
     m = max(r["subspace"] for r in rows) + 1
     k = max(r["code"] for r in rows) + 1
     books: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    seen: set[tuple[int, int]] = set()
     for r in rows:
+        coord = (r["subspace"], r["code"])
+        if coord in seen:
+            raise ValueError(
+                f"PQ codebook table has duplicate (subspace, code) {coord} "
+                "(last-write-wins would load an arbitrary centroid)"
+            )
+        seen.add(coord)
         books[r["subspace"]][r["code"]] = [float(x) for x in r["centv"]]
     missing = [
         (j, c) for j in range(m) for c in range(k) if books[j][c] is None
@@ -796,54 +832,49 @@ def ivf_pq_search(
     k: int = 5,
     n_probe: int = 2,
 ) -> DataFrame:
-    """ADC top-k through an IVF-PQ index: probe the ``n_probe`` nearest
-    cells per query (centroids broadcast), join ONLY those cells' code rows
-    (the shuffle carries 2·m-byte codes, never vectors), then asymmetric-
+    """ADC top-k through an IVF-PQ index: probe the ``n_probe``
+    L2-NEAREST cells per query, join ONLY those cells' code rows (the
+    shuffle carries 2·m-byte codes, never vectors), then asymmetric-
     distance rank from per-query tables computed once from the ORIGINAL
     query vectors. Returns (query_id, neighbor_id, adc_dist, rank),
     smallest approximate squared L2 first.
 
+    The probe metric is squared L2 — the SAME metric ADC scores with and
+    the metric KMeans cells are Voronoi regions of. (A cosine probe, as in
+    the cosine-reranking ``ivf_search``, can rank a far-away large-norm
+    centroid above the L2-nearest one and exclude the true neighbor's cell
+    entirely on unnormalized embeddings.)
+
     Queries are bounded by contract (same as ``pq_search`` /
-    ``brute_force_topk``): the per-query distance tables are built
-    driver-side from one bounded collect."""
+    ``brute_force_topk``); they are collected ONCE — both the ADC tables
+    and the cell probe (plain numpy against the n_cells-row centroid
+    table) derive from that single collect, so an expensive query-side
+    lineage is never evaluated twice."""
     import numpy as np
     import pandas as pd
 
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    books = [np.asarray(b, dtype="float64") for b in codebooks]
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).collect()
-    if not qrows:
-        raise ValueError("ivf_pq_search: empty query set")
-    qids = [r["query_id"] for r in qrows]
+    qids, qv, tables = _adc_query_tables(
+        queries, codebooks, id_col, vec_col, "ivf_pq_search"
+    )
     qpos = {qid: i for i, qid in enumerate(qids)}
-    qv = np.array([r["qv"] for r in qrows], dtype="float64")
-    if qv.shape[1] != m * sub:
-        raise ValueError(
-            f"ivf_pq_search: query dim {qv.shape[1]} does not match "
-            f"codebooks (m={m}, sub={sub})"
-        )
-    tables = np.stack(
-        [
-            ((qv[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            for j in range(m)
-        ],
-        axis=1,
-    )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    qsims = q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "csim", dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.col("cell"))
-    probed = (
-        qsims.withColumn("__cr", F.row_number().over(w))
-        .filter(F.col("__cr") <= n_probe)
-        .select("query_id", "cell")
+    cent_rows = cent_df.select("cell", "centv").collect()
+    cents = np.array([r["centv"] for r in cent_rows], dtype="float64")
+    cell_ids = np.array([r["cell"] for r in cent_rows])
+    if cents.shape[1] != qv.shape[1]:
+        raise ValueError(
+            f"ivf_pq_search: centroid dim {cents.shape[1]} != query dim {qv.shape[1]}"
+        )
+    # (nq, n_cells) squared L2; ties break on cell id via stable lexsort
+    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    n_probe_eff = min(n_probe, len(cell_ids))
+    probe_rows = []
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cell_ids, d2[i]))[:n_probe_eff]
+        probe_rows.extend((qid, int(cell_ids[j])) for j in order)
+    probed = queries.sparkSession.createDataFrame(
+        probe_rows, f"query_id {dict(assigned_codes.dtypes)['neighbor_id']}, cell int"
     )
     # each corpus vector lives in exactly one cell, so the probe join cannot
     # duplicate a (query, neighbor) pair — no post-join dedup needed

@@ -45,7 +45,9 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # total = sum of the per-key counts (a |keys|-row aggregate), NOT a
+    # second count over df — that would scan the 100 TB input twice
+    total = counts.agg(F.sum("n_rows").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(

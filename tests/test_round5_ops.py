@@ -326,3 +326,79 @@ class TestIvfPq:
         )
         with pytest.raises(ValueError, match="does not match"):
             ivf_pq_search(bad, cent, codes, books)
+
+
+class TestIvfPqProbeMetric:
+    def test_l2_probe_beats_cosine_probe_on_unnormalized_data(self, spark):
+        """The probe metric must be squared L2 (what ADC scores, what KMeans
+        cells are Voronoi regions of). Adversarial unnormalized layout:
+        cluster A sits at 5·e64 (L2-near the query), cluster B at 100·e1
+        (far, but at SMALLER ANGLE to the query) — a cosine probe with
+        n_probe=1 picks B and misses every true neighbor; the L2 probe
+        must find cluster A."""
+        import numpy as np
+
+        from oni_ml_spark.datapipe.similarity import (
+            build_ivf_pq_index,
+            ivf_pq_search,
+        )
+
+        rng = np.random.default_rng(3)
+        ca = np.zeros(64); ca[63] = 5.0
+        cb = np.zeros(64); cb[0] = 100.0
+        a_pts = ca + rng.normal(0, 0.1, size=(20, 64))   # ids 0..19
+        b_pts = cb + rng.normal(0, 0.1, size=(20, 64))   # ids 20..39
+        pts = np.concatenate([a_pts, b_pts])
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        )
+        qvec = np.zeros(64); qvec[0] = 4.0; qvec[63] = 3.0
+        # angle: cos(q, B)=0.8 > cos(q, A)=0.6, but L2: |q-A|^2=20 << |q-B|^2≈9225
+        q = spark.createDataFrame(
+            [(1000, [float(x) for x in qvec])],
+            "vec_id long, embedding array<double>",
+        )
+        cent, codes, books = build_ivf_pq_index(
+            df, n_cells=2, m=8, codes_per_subspace=8, dim=64
+        )
+        top = ivf_pq_search(q, cent, codes, books, k=5, n_probe=1).collect()
+        assert len(top) == 5
+        assert all(r["neighbor_id"] < 20 for r in top), [r["neighbor_id"] for r in top]
+
+    def test_full_probe_equals_flat_pq_search(self, spark):
+        """n_probe = n_cells must reproduce flat pq_search over the same
+        codes exactly — the metric-consistency invariant tying the probe
+        stage to the ADC stage."""
+        from oni_ml_spark.datapipe.similarity import (
+            build_ivf_pq_index,
+            ivf_pq_search,
+            pq_search,
+        )
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        cent, codes, books = build_ivf_pq_index(
+            emb, n_cells=4, m=4, codes_per_subspace=8, dim=64
+        )
+        q = emb.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ivf_pq_search(q, cent, codes, books, k=4, n_probe=4).collect()))
+        flat = codes.select(F.col("neighbor_id").alias("id"), "codes")
+        b = sorted(map(tuple, pq_search(q, flat, books, k=4).collect()))
+        assert a == b and len(a) == 12
+
+    def test_corrupt_codebook_tables_rejected(self, spark):
+        from oni_ml_spark.datapipe.similarity import pq_codebooks_from_df
+
+        neg = spark.createDataFrame(
+            [(0, -1, [1.0]), (0, 0, [2.0])],
+            "subspace int, code int, centv array<double>",
+        )
+        with pytest.raises(ValueError, match="negative"):
+            pq_codebooks_from_df(neg)
+        dup = spark.createDataFrame(
+            [(0, 0, [1.0]), (0, 0, [2.0])],
+            "subspace int, code int, centv array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            pq_codebooks_from_df(dup)
