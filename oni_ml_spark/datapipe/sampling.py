@@ -352,3 +352,49 @@ def assign_contiguous_ids(
         return result
     finally:
         ranged.unpersist()
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    allow_insert: bool = True,
+) -> DataFrame:
+    """Keyed upsert (the MERGE INTO of a table-format-less pipeline):
+    rows of ``base`` whose key appears in ``updates`` are REPLACED by the
+    update row; unmatched update rows are appended (``allow_insert=True``)
+    or dropped. Returns the merged frame — write it back with
+    ``mode("overwrite")`` to a NEW path (parquet has no in-place update;
+    for transactional upserts use a table format).
+
+    Plan shape: one left-anti join of base against the distinct update
+    keys (shuffle on the key only) + a union — no window, no full outer
+    join carrying both payloads. ``updates`` must be key-unique: duplicate
+    update keys would make the surviving row nondeterministic, so they are
+    rejected with one bounded aggregate (count vs distinct count in one
+    pass) before any work runs.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    missing = [c for c in keys if c not in base.columns or c not in updates.columns]
+    if missing:
+        raise ValueError(f"key columns absent from one side: {missing}")
+    if sorted(base.columns) != sorted(updates.columns):
+        raise ValueError(
+            "base and updates must share one schema "
+            f"(base {sorted(base.columns)} vs updates {sorted(updates.columns)})"
+        )
+    dup = updates.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in keys])).alias("d")
+    ).collect()[0]["d"]
+    if dup:
+        raise ValueError(
+            f"updates contain {dup} duplicate key row(s) — the surviving row "
+            "would be nondeterministic; dedupe updates first"
+        )
+    kept = base.join(updates.select(*keys).distinct(), keys, "left_anti")
+    upd = updates if allow_insert else updates.join(
+        base.select(*keys).distinct(), keys, "left_semi"
+    )
+    return kept.unionByName(upd)

@@ -402,3 +402,66 @@ class TestIvfPqProbeMetric:
         )
         with pytest.raises(ValueError, match="duplicate"):
             pq_codebooks_from_df(dup)
+
+
+class TestMergeUpsert:
+    def _base_updates(self, spark):
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, v double",
+        )
+        updates = spark.createDataFrame(
+            [(2, "B!", 99.0), (9, "new", 1.0)], "k long, name string, v double"
+        )
+        return base, updates
+
+    def test_matches_duckdb_merge_semantics(self, spark):
+        import duckdb
+
+        from oni_ml_spark.datapipe.sampling import merge_upsert
+
+        base, updates = self._base_updates(spark)
+        got = sorted(map(tuple, merge_upsert(base, updates, "k").collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE b (k BIGINT, name VARCHAR, v DOUBLE)")
+        con.execute("INSERT INTO b VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+        con.execute("CREATE TABLE u (k BIGINT, name VARCHAR, v DOUBLE)")
+        con.execute("INSERT INTO u VALUES (2,'B!',99.0),(9,'new',1.0)")
+        want = sorted(
+            con.execute(
+                "SELECT * FROM b WHERE k NOT IN (SELECT k FROM u) "
+                "UNION ALL SELECT * FROM u"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_update_only_mode_drops_inserts(self, spark):
+        from oni_ml_spark.datapipe.sampling import merge_upsert
+
+        base, updates = self._base_updates(spark)
+        got = {r["k"]: r["name"] for r in
+               merge_upsert(base, updates, "k", allow_insert=False).collect()}
+        assert got == {1: "a", 2: "B!", 3: "c"}
+
+    def test_duplicate_update_keys_rejected(self, spark):
+        from oni_ml_spark.datapipe.sampling import merge_upsert
+
+        base, _ = self._base_updates(spark)
+        dups = spark.createDataFrame(
+            [(2, "x", 1.0), (2, "y", 2.0)], "k long, name string, v double"
+        )
+        with pytest.raises(ValueError, match="duplicate key"):
+            merge_upsert(base, dups, "k")
+
+    def test_composite_keys_and_schema_validation(self, spark):
+        from oni_ml_spark.datapipe.sampling import merge_upsert
+
+        base = spark.createDataFrame([(1, "x", 1.0)], "a long, b string, v double")
+        upd = spark.createDataFrame([(1, "x", 9.0)], "a long, b string, v double")
+        got = merge_upsert(base, upd, ["a", "b"]).collect()
+        assert len(got) == 1 and got[0]["v"] == 9.0
+        bad = spark.createDataFrame([(1, 1.0)], "a long, v double")
+        with pytest.raises(ValueError, match="one schema"):
+            merge_upsert(base, bad, "a")
+        with pytest.raises(ValueError, match="absent"):
+            merge_upsert(base, upd, "zz")
