@@ -1677,3 +1677,29 @@ class TestGlobalSample:
 
         with _pytest.raises(ValueError):
             deterministic_global_sample(d, "doc_id", 0)
+
+
+class TestSentenceLevelDedup:
+    def test_paragraph_dedup_generalizes_to_sentences(self, spark):
+        """Sentence-level exact dedup is paragraph_dedup with a sentence
+        separator — the unit-dedup core is separator-agnostic. The repeated
+        boilerplate sentence survives only at its first occurrence."""
+        from oni_ml_spark.datapipe.dedup import paragraph_dedup
+
+        boiler = "Subscribe to our newsletter today."
+        rows = [
+            (0, f"Alpha fact one. {boiler} Alpha fact two."),
+            (1, f"{boiler} Beta content here."),
+            (2, "Gamma only, nothing shared."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: r["text"]
+            for r in paragraph_dedup(
+                df, "doc_id", "text", sep=r"(?<=[.!?])\s+", joiner=" "
+            ).collect()
+        }
+        assert "Subscribe" in out[0]                    # first occurrence kept
+        assert "subscribe" not in out[1].lower()        # later occurrence dropped
+        assert "Beta content here." in out[1]
+        assert out[2] == "Gamma only, nothing shared."  # untouched, original text

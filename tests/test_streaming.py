@@ -439,3 +439,55 @@ def test_quality_filter_on_stream_matches_batch(spark, tmp_path):
         for r in quality_filter(batch, "doc_id", "text", min_tokens=10).collect()
     }
     assert got == want and not want[1][1] and want[0][1]
+
+
+def test_stream_ann_enrichment_against_persisted_ivf_index(spark, tmp_path):
+    """Stream-static ANN enrichment: a query stream is scored per micro-batch
+    against a parquet-persisted IVF index via foreachBatch — the serving
+    pattern for 'attach nearest corpus neighbors to arriving embeddings'.
+    Each batch's results must equal the batch ivf_search over the same
+    reloaded index."""
+    from pyspark.sql import functions as F
+
+    from oni_ml_spark.datapipe.similarity import build_ivf_index, ivf_search
+    from oni_ml_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent, assigned = build_ivf_index(emb, n_cells=4)
+    cent.write.parquet(str(tmp_path / "cent"))
+    assigned.write.parquet(str(tmp_path / "assigned"))
+
+    qdir = tmp_path / "queries"
+    emb.filter(F.col("vec_id") < 2).write.parquet(str(qdir))
+    emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4)).write.mode(
+        "append"
+    ).parquet(str(qdir))
+
+    cent2 = spark.read.parquet(str(tmp_path / "cent"))
+    assigned2 = spark.read.parquet(str(tmp_path / "assigned"))
+    got = []
+
+    def enrich(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        got.extend(
+            map(tuple, ivf_search(batch_df, cent2, assigned2, k=3, n_probe=2).collect())
+        )
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", "1").parquet(str(qdir))
+    q = stream.writeStream.foreachBatch(enrich).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = sorted(
+        map(
+            tuple,
+            ivf_search(
+                emb.filter(F.col("vec_id") < 4), cent2, assigned2, k=3, n_probe=2
+            ).collect(),
+        )
+    )
+    assert sorted(got) == want and len(want) == 12
