@@ -313,21 +313,29 @@ def assign_contiguous_ids(
             list(df.schema.fields) + [T.StructField(id_name, T.LongType(), False)]
         )
 
+        # distinct sentinel, NOT None: for object-dtype keys a genuine null
+        # key arrives as Python None, and a None sentinel would make two
+        # null-key rows straddling a batch boundary skip the adjacency
+        # check and get silently nondeterministic ids
+        _unset = object()
+
         def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pid = TaskContext.get().partitionId()
             pos = offsets.get(pid, 0)
-            prev_key = None
+            prev_key = _unset
             for pdf in batches:
                 keys = pdf[key_col]
                 if len(keys):
                     k0 = keys.iloc[0]
-                    # NaN == NaN is False, so a NaN dup straddling a batch
-                    # boundary needs the explicit isna pair check
+                    # NaN == NaN is False, so a NaN/None dup straddling a
+                    # batch boundary needs the explicit isna pair check
                     both_na = (
-                        prev_key is not None
+                        prev_key is not _unset
                         and pd.isna(prev_key) and pd.isna(k0)
                     )
-                    if prev_key is not None and (prev_key == k0 or both_na):
+                    if prev_key is not _unset and (
+                        both_na or (not pd.isna(k0) and prev_key == k0)
+                    ):
                         raise ValueError(
                             f"assign_contiguous_ids: duplicate key {k0!r} — "
                             "ids would be nondeterministic"
@@ -369,10 +377,14 @@ def merge_upsert(
 
     Plan shape: one left-anti join of base against the distinct update
     keys (shuffle on the key only) + a union — no window, no full outer
-    join carrying both payloads. ``updates`` must be key-unique: duplicate
-    update keys would make the surviving row nondeterministic, so they are
-    rejected with one bounded aggregate (count vs distinct count in one
-    pass) before any work runs.
+    join carrying both payloads. ``updates`` must be key-unique AND
+    key-non-null: duplicate update keys would make the surviving row
+    nondeterministic, and a null update key can never equi-match a base
+    row (SQL null != null), so both are rejected with one bounded
+    aggregate (count, null-key count, and distinct count in one pass)
+    before any work runs. Null-key rows in ``base`` are well-defined: they
+    cannot match any (non-null) update key, so they always survive
+    unchanged — MERGE-on-a-null-key semantics in every SQL engine.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not keys:
@@ -385,9 +397,20 @@ def merge_upsert(
             "base and updates must share one schema "
             f"(base {sorted(base.columns)} vs updates {sorted(updates.columns)})"
         )
-    dup = updates.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in keys])).alias("d")
-    ).collect()[0]["d"]
+    null_key = F.greatest(*[F.col(c).isNull().cast("int") for c in keys]) if len(keys) > 1 \
+        else F.col(keys[0]).isNull().cast("int")
+    stats = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(null_key).alias("nulls"),
+        F.count_distinct(*[F.col(c) for c in keys]).alias("nd"),
+    ).collect()[0]
+    if stats["nulls"]:
+        raise ValueError(
+            f"updates contain {stats['nulls']} row(s) with a null key — a "
+            "null key can never match a base row (SQL null != null); drop "
+            "or key those rows before merging"
+        )
+    dup = stats["n"] - stats["nd"]
     if dup:
         raise ValueError(
             f"updates contain {dup} duplicate key row(s) — the surviving row "

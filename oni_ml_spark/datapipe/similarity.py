@@ -606,7 +606,7 @@ def pq_encode(
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """(id, codes array<tinyint>) — encode each vector to its per-subspace
+    """(id, codes array<smallint>) — encode each vector to its per-subspace
     nearest-centroid indexes. One vectorized-numpy ``mapInPandas`` stage
     (argmin over K centroids per subspace has no native Spark expression;
     the Arrow batch computes all rows × all subspaces in one einsum-shaped
@@ -702,9 +702,13 @@ def pq_search(
     the ORIGINAL query vector (driver-side numpy over the bounded query
     set, broadcast in the UDF closure); scoring a corpus row is then m
     table lookups — numpy fancy indexing over the whole Arrow batch, never
-    a per-row float loop. Top-k per query is the standard rank window over
-    a bounded candidate set (queries are bounded by contract, like
-    ``brute_force_topk``)."""
+    a per-row float loop. Each Arrow batch then keeps only its LOCAL
+    top-k per query under the same (adc_dist, neighbor_id) total order the
+    final rank uses — top-k of a union equals top-k over per-part top-ks
+    under a total order, so results are identical while the shuffle into
+    the rank window carries nq·k rows per batch instead of nq·N. The
+    global top-k is the standard rank window over that bounded candidate
+    set (queries are bounded by contract, like ``brute_force_topk``)."""
     import numpy as np
     import pandas as pd
 
@@ -721,18 +725,45 @@ def pq_search(
             dist = np.zeros((nq, n), dtype="float64")
             for j in range(m):
                 dist += tables[:, j, :][:, codes[:, j]]
+            ids = pdf["id"]
+            keep_q: list = []
+            keep_i: list[int] = []
+            keep_d: list[float] = []
+            for qi in range(nq):
+                d = dist[qi]
+                # self-match exclusion must happen BEFORE the local top-k,
+                # or a self row could occupy a slot the global filter then
+                # drops, leaving the query one candidate short
+                not_self = (ids != qids[qi]).to_numpy()
+                cand = np.nonzero(not_self)[0]
+                if not len(cand):
+                    continue
+                kk = min(k, len(cand))
+                # exact tie handling: take every row at or below the kth
+                # distance, then order the (bounded) candidate set by the
+                # SAME (dist, neighbor_id) composite the rank window uses
+                kth = np.partition(d[cand], kk - 1)[kk - 1]
+                tied = cand[d[cand] <= kth]
+                top = (
+                    pd.DataFrame({"i": tied, "d": d[tied], "nid": ids.iloc[tied].to_numpy()})
+                    .sort_values(["d", "nid"], kind="mergesort")
+                    .head(kk)
+                )
+                keep_q.extend([qids[qi]] * len(top))
+                keep_i.extend(top["i"].tolist())
+                keep_d.extend(top["d"].tolist())
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, n),
-                    "neighbor_id": np.tile(pdf["id"].to_numpy(), nq),
-                    "adc_dist": dist.reshape(-1),
+                    "query_id": keep_q,
+                    "neighbor_id": ids.iloc[keep_i].to_numpy(),
+                    "adc_dist": keep_d,
                 }
             )
 
     scored = encoded.mapInPandas(
         score,
         schema=f"query_id {id_type}, neighbor_id {id_type}, adc_dist double",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -49,6 +49,21 @@ class TestAssignContiguousIds:
         with pytest.raises(Exception, match="duplicate key"):
             assign_contiguous_ids(df, "k", num_partitions=2).collect()
 
+    def test_cross_batch_null_duplicates_rejected(self, spark):
+        """Two null string keys straddling an Arrow batch boundary must hit
+        the adjacency check — a None sentinel for 'no previous batch' would
+        let object-dtype null keys slip through (distinct-object sentinel)."""
+        from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        try:
+            df = spark.createDataFrame([(None,), (None,), ("a",)], "k string")
+            with pytest.raises(Exception, match="duplicate key"):
+                assign_contiguous_ids(df, "k", num_partitions=1).collect()
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
     def test_id_name_collision_rejected(self, spark):
         from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
 
@@ -452,6 +467,44 @@ class TestMergeUpsert:
         )
         with pytest.raises(ValueError, match="duplicate key"):
             merge_upsert(base, dups, "k")
+
+    def test_null_update_keys_rejected_with_accurate_message(self, spark):
+        """A single unique null-key update row must be rejected as a NULL
+        KEY, not mislabeled a 'duplicate' (count_distinct skips null
+        tuples, which made the old count-vs-distinct check miscount)."""
+        from oni_ml_spark.datapipe.sampling import merge_upsert
+
+        base, _ = self._base_updates(spark)
+        nulls = spark.createDataFrame(
+            [(None, "x", 1.0), (9, "new", 2.0)], "k long, name string, v double"
+        )
+        with pytest.raises(ValueError, match="null key"):
+            merge_upsert(base, nulls, "k")
+        comp_base = spark.createDataFrame(
+            [(1, "x", 1.0)], "a long, b string, v double"
+        )
+        comp_nulls = spark.createDataFrame(
+            [(1, None, 9.0)], "a long, b string, v double"
+        )
+        with pytest.raises(ValueError, match="null key"):
+            merge_upsert(comp_base, comp_nulls, ["a", "b"])
+
+    def test_null_base_keys_always_survive(self, spark):
+        """Null-key base rows can never equi-match an update key, so they
+        pass through unchanged — the documented MERGE semantics."""
+        from oni_ml_spark.datapipe.sampling import merge_upsert
+
+        base = spark.createDataFrame(
+            [(None, "orphan", 0.0), (2, "b", 20.0)], "k long, name string, v double"
+        )
+        updates = spark.createDataFrame(
+            [(2, "B!", 99.0)], "k long, name string, v double"
+        )
+        got = sorted(
+            ((r["k"], r["name"]) for r in merge_upsert(base, updates, "k").collect()),
+            key=str,
+        )
+        assert got == [(2, "B!"), (None, "orphan")]
 
     def test_composite_keys_and_schema_validation(self, spark):
         from oni_ml_spark.datapipe.sampling import merge_upsert
