@@ -194,16 +194,39 @@ def groupby_count_docword(spark, sf):
 
 
 @_q(
-    "groupcount_minmax",
-    "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
-    "max(value) AS max_value FROM events "
-    "WHERE props IS NOT NULL AND value IS NOT NULL GROUP BY event_type",
+    "dimension_profile",
+    "WITH s AS (SELECT event_type, count(*)::BIGINT AS cnt, min(value) AS mn, "
+    "max(value) AS mx FROM events "
+    "WHERE props IS NOT NULL AND value IS NOT NULL GROUP BY event_type), "
+    "d AS (SELECT event_type, (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS idx "
+    "FROM (SELECT DISTINCT event_type FROM events)), "
+    "k AS (SELECT event_type AS key, count(*)::BIGINT AS n_rows FROM events GROUP BY event_type), "
+    "t AS (SELECT sum(n_rows)::BIGINT AS total FROM k) "
+    "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
+    "CAST(NULL AS DOUBLE) AS share FROM s "
+    "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
+    "UNION ALL SELECT * FROM (SELECT 'skew', key, n_rows, CAST(NULL AS DOUBLE), "
+    "CAST(NULL AS DOUBLE), round(n_rows / t.total, 6) FROM k, t "
+    "ORDER BY n_rows DESC, key LIMIT 5)",
 )
-def groupcount_minmax(spark, sf):
-    """P3 + A2 + A8: null-rejection (dns/DNSPreLDA.scala:92) then count-by-
-    key with exact min/max in one grouped pass."""
+def dimension_profile(spark, sf):
+    """Three dimension-table aggregates over one key, r06 merge of
+    groupcount_minmax + distinct_dictionary plus the key_skew_profile
+    diagnostic (all 5-row event_type aggregates — see COVERAGE.md
+    round-6 renames):
+
+    - part='stats' — P3 + A2 + A8: null-rejection (dns/DNSPreLDA.scala:92)
+      then count-by-key with exact min/max in one grouped pass.
+    - part='dict' — A5: distinct values → stable dictionary ids
+      (OniLDACWrapper.scala:40-60, rebuilt without driver collect).
+    - part='skew' — plans.diagnostics.key_skew_profile: the top-k heaviest
+      keys with their exact share of all rows (share = count / in-plan
+      1-row total; the shuffle-straggler diagnostic)."""
+    from oni_ml_spark.plans.diagnostics import key_skew_profile
+
     e = load_table(spark, sf, "events")
-    return (
+    null_d = F.lit(None).cast("double")
+    stats = (
         e.filter(F.col("props").isNotNull() & F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
@@ -211,24 +234,38 @@ def groupcount_minmax(spark, sf):
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
+        .select(
+            F.lit("stats").alias("part"),
+            F.col("event_type").alias("key"),
+            F.col("cnt").alias("a"),
+            F.col("min_value").alias("lo"),
+            F.col("max_value").alias("hi"),
+            null_d.alias("share"),
+        )
     )
-
-
-@_q(
-    "distinct_dictionary",
-    "SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS idx "
-    "FROM (SELECT DISTINCT event_type FROM events)",
-)
-def distinct_dictionary(spark, sf):
-    """A5: distinct values → stable dictionary ids
-    (OniLDACWrapper.scala:40-60, rebuilt without driver collect)."""
     w = Window.orderBy("event_type")
-    return (
-        load_table(spark, sf, "events")
-        .select("event_type")
+    dic = (
+        e.select("event_type")
         .distinct()
         .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            F.lit("dict").alias("part"),
+            F.col("event_type").alias("key"),
+            F.col("idx").alias("a"),
+            null_d.alias("lo"),
+            null_d.alias("hi"),
+            null_d.alias("share"),
+        )
     )
+    skew = key_skew_profile(e, "event_type", top_k=5).select(
+        F.lit("skew").alias("part"),
+        "key",
+        F.col("n_rows").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        "share",
+    )
+    return stats.unionByName(dic).unionByName(skew)
 
 
 @_q(
@@ -334,6 +371,58 @@ def set_ops(spark, sf):
         F.lit("only_orders").alias("side"), "key", F.lit(1).cast("long").alias("cnt")
     )
     return union_counts.unionByName(both).unionByName(only_o)
+
+
+@_q(
+    "merge_upsert",
+    "WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer), "
+    "u AS (SELECT c_custkey, c_name, -c_acctbal AS c_acctbal FROM c "
+    "WHERE c_custkey % 7 = 0 "
+    "UNION ALL SELECT c_custkey + 1000000, c_name || '#new', c_acctbal + 0.5 "
+    "FROM c WHERE c_custkey % 13 = 0), "
+    "m AS (SELECT * FROM c WHERE c_custkey NOT IN (SELECT c_custkey FROM u) "
+    "UNION ALL SELECT * FROM u), "
+    "mo AS (SELECT * FROM c WHERE c_custkey NOT IN (SELECT c_custkey FROM u) "
+    "UNION ALL SELECT u.* FROM u JOIN (SELECT DISTINCT c_custkey FROM c) b "
+    "USING (c_custkey)) "
+    "SELECT 'upsert' AS part, c_custkey, c_name, round(c_acctbal, 6) AS bal FROM m "
+    "UNION ALL "
+    "SELECT 'update_only', c_custkey, c_name, round(c_acctbal, 6) FROM mo",
+)
+def merge_upsert_q(spark, sf):
+    """Keyed upsert / MERGE INTO semantics (datapipe.sampling.merge_upsert;
+    beyond the reference — the incremental-refresh primitive of a
+    table-format-less pipeline). Updates REPLACE matched base rows
+    (negated balance), unmatched updates insert (shifted key, '#new'
+    suffix, +0.5 balance); part='update_only' re-runs with
+    allow_insert=False so inserts are dropped. The oracle is the literal
+    SQL MERGE expansion (anti-semantics via NOT IN over non-null keys).
+    Both balance mutations are exact double ops (negation, +0.5), so the
+    value hash is engine-portable under round(,6)."""
+    from oni_ml_spark.datapipe.sampling import merge_upsert
+
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", (-F.col("c_acctbal")).alias("c_acctbal")
+    )
+    ins = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat("c_name", F.lit("#new")).alias("c_name"),
+        (F.col("c_acctbal") + 0.5).alias("c_acctbal"),
+    )
+    updates = upd.unionByName(ins)
+
+    def rows(df, part):
+        return df.select(
+            F.lit(part).alias("part"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 6).alias("bal"),
+        )
+
+    return rows(merge_upsert(c, updates, "c_custkey"), "upsert").unionByName(
+        rows(merge_upsert(c, updates, "c_custkey", allow_insert=False), "update_only")
+    )
 
 
 # ---- scalar functions (F1-F16) -------------------------------------------
@@ -1735,6 +1824,12 @@ def minhash_ml_builtin(spark, sf):
     "  WHERE q.vec_id != c.vec_id) WHERE rank <= 5 "
     "UNION ALL SELECT 'ivf_check', "
     "CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT), "
+    "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT) "
+    "UNION ALL SELECT 'pq_check', "
+    "CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT), "
+    "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT) "
+    "UNION ALL SELECT 'ivfpq_check', "
+    "CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT), "
     "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)",
 )
 def ann_ivf_kmeans(spark, sf):
@@ -1749,8 +1844,32 @@ def ann_ivf_kmeans(spark, sf):
     (a) result count equals the exact baseline's (every query finds a full
     top-5 through its probed cells), (b) recall@5 vs the in-plan exact top-5
     >= 0.75 (measured 0.80 at sf0.01 with n_probe=4 of 8 cells),
-    (r) every reported cosine lies in [-1, 1]."""
-    from oni_ml_spark.datapipe.similarity import brute_force_topk, ivf_kmeans_topk
+    (r) every reported cosine lies in [-1, 1].
+
+    r06 adds the product-quantization stack (same invariant-row shape):
+
+    - part='pq_check' — flat ADC `pq_search` over `pq_encode`d codes
+      (m=8, K=16): (a) full result count, (b) recall@5 vs an in-plan EXACT
+      squared-L2 top-5 (the metric ADC approximates) >= 0.12 — measured
+      0.24 at both sf0.01 and sf0.1, ~6x above the 5/499 chance level,
+      (r) every ADC distance non-null and >= 0.
+    - part='ivfpq_check' — `ivf_pq_search` through a composed IVF-PQ index
+      sharing the SAME codebooks/codes: (a) result count at the pruned
+      n_probe=2 of 8 cells, (b) full-probe n_probe=n_cells output is
+      row-identical to flat ADC (count of the 4-column inner join equals
+      both counts — the candidate-set equivalence Jégou's composition
+      promises), (r) pruned recall vs flat >= 0.32 (measured 0.52 at
+      sf0.01)."""
+    from oni_ml_spark.datapipe.similarity import (
+        as_double_array,
+        brute_force_topk,
+        build_ivf_index,
+        build_pq_codebooks,
+        ivf_kmeans_topk,
+        ivf_pq_search,
+        pq_encode,
+        pq_search,
+    )
 
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
@@ -1784,7 +1903,93 @@ def ann_ivf_kmeans(spark, sf):
         F.col("sim").alias("v"),
         F.col("rank").cast("long").alias("r"),
     )
-    return exact_rows.unionByName(check)
+
+    # ---- PQ stack: one codebook fit + one encode shared by flat ADC and
+    # the composed IVF-PQ index (refitting per consumer would double the
+    # KMeans cost for identical books)
+    books = build_pq_codebooks(
+        emb, "embedding", m=8, codes_per_subspace=16, dim=64, seed=7
+    )
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    flat = pq_search(q, enc, books, "vec_id", "embedding", k=5)
+    # exact squared-L2 top-5 — the metric ADC approximates (cosine exact_topk
+    # above ranks differently on unnormalized embeddings)
+    qd = q.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv"))
+    cd = emb.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv"))
+    wl2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact_l2 = (
+        qd.crossJoin(cd)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= 5)
+    )
+    p_n = flat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flat"),
+        F.sum(
+            F.when(F.col("adc_dist").isNull() | (F.col("adc_dist") < 0), 1).otherwise(0)
+        ).alias("__bad_d"),
+    )
+    p_hits = (
+        flat.select("query_id", "neighbor_id")
+        .join(exact_l2.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("__l2_hits"))
+    )
+    p_exact = exact_l2.agg(F.count(F.lit(1)).alias("__n_l2"))
+    pq_check = p_n.crossJoin(p_hits).crossJoin(p_exact).select(
+        F.lit("pq_check").alias("part"),
+        F.col("n_flat").alias("a"),
+        F.when(F.col("__l2_hits") >= 0.12 * F.col("__n_l2"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+        F.when(F.coalesce(F.col("__bad_d"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("r"),
+    )
+
+    cent_df, assigned = build_ivf_index(emb, "vec_id", "embedding", n_cells=8, seed=7)
+    assigned_codes = assigned.select("neighbor_id", "cell").join(
+        enc.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    full = ivf_pq_search(
+        q, cent_df, assigned_codes, books, "vec_id", "embedding", k=5, n_probe=8
+    )
+    pruned = ivf_pq_search(
+        q, cent_df, assigned_codes, books, "vec_id", "embedding", k=5, n_probe=2
+    )
+    i_n = pruned.agg(F.count(F.lit(1)).cast("long").alias("n_pruned"))
+    i_eq = (
+        full.join(flat, ["query_id", "neighbor_id", "adc_dist", "rank"])
+        .agg(F.count(F.lit(1)).alias("__eq"))
+    )
+    i_full = full.agg(F.count(F.lit(1)).alias("__n_full"))
+    i_hits = (
+        pruned.select("query_id", "neighbor_id")
+        .join(flat.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("__p_hits"))
+    )
+    ivfpq_check = (
+        i_n.crossJoin(i_eq).crossJoin(i_full).crossJoin(i_hits)
+        .crossJoin(p_n.select(F.col("n_flat").alias("__n_flat2")))
+        .select(
+            F.lit("ivfpq_check").alias("part"),
+            F.col("n_pruned").alias("a"),
+            F.when(
+                (F.col("__eq") == F.col("__n_full"))
+                & (F.col("__n_full") == F.col("__n_flat2")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("b"),
+            F.lit(None).cast("double").alias("v"),
+            F.when(F.col("__p_hits") >= 0.32 * F.col("__n_flat2"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("r"),
+        )
+    )
+    return exact_rows.unionByName(check).unionByName(pq_check).unionByName(ivfpq_check)
 
 
 # ---- round-4 additions: span dedup, dataset mixing, range join ------------
@@ -1836,6 +2041,9 @@ def ann_ivf_kmeans(spark, sf):
            rep.n_grams, rep.distinct_n_grams, rep.top_gram_frac, rep.dup_gram_frac,
            cont.n_shingles, cont.n_contaminated,
            round(cont.n_contaminated / cont.n_shingles, 6) AS contamination_frac,
+           CASE WHEN t.id % 10 = 0 THEN NULL
+                WHEN coalesce(cont.n_contaminated, 0) = 0 THEN 1 ELSE 0
+           END::BIGINT AS decon_kept,
            coalesce(ptot.n, 0)::BIGINT AS para_units,
            coalesce(prebuilt.kept, 0)::BIGINT AS para_units_kept,
            md5(coalesce(prebuilt.text, '')) AS para_text_md5
@@ -1858,21 +2066,30 @@ def ngram_diagnostics_q(spark, sf):
       8-gram shingles that appear anywhere in the eval split (docs with
       id % 10 == 0 stand in as the eval set; its members carry NULL
       contamination columns — no evidence either way).
+    - remove_contaminated (r06): decon_kept flags which training docs the
+      strict max_contamination=0.0 removal keeps (1), drops (0), or never
+      saw (NULL — eval docs); verifies the removal's left-join + raw-count
+      threshold including the shingle-less-docs-are-kept rule.
     - paragraph_dedup: over an in-plan composite corpus (each doc
       concatenated with its XOR-1 partner, so every original text appears
       as a unit in exactly TWO composites) — unit counts AND the md5 of
       the reassembled deduped text hash-check first-occurrence survival
       and in-order reassembly end to end."""
     from oni_ml_spark.datapipe.dedup import duplicate_span_metrics, paragraph_dedup
-    from oni_ml_spark.datapipe.textstats import ngram_contamination, repetition_metrics
+    from oni_ml_spark.datapipe.textstats import (
+        ngram_contamination,
+        remove_contaminated,
+        repetition_metrics,
+    )
 
     d = load_table(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    evald = d.filter(F.col("doc_id") % 10 == 0)
     spans = duplicate_span_metrics(d, "doc_id", "text", span=8, min_count=2)
     rep = repetition_metrics(d, "doc_id", "text", n=3)
-    cont = ngram_contamination(
-        d.filter(F.col("doc_id") % 10 != 0),
-        d.filter(F.col("doc_id") % 10 == 0),
-        "doc_id", "text", n=8,
+    cont = ngram_contamination(train, evald, "doc_id", "text", n=8)
+    decon = remove_contaminated(train, evald, "doc_id", "text", n=8).select(
+        F.col("doc_id").alias("id"), F.lit(1).cast("long").alias("__dk")
     )
     partner = d.select(
         F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
@@ -1900,12 +2117,16 @@ def ngram_diagnostics_q(spark, sf):
     return (
         spans.join(rep, "id", "left")
         .join(cont, "id", "left")
+        .join(decon, "id", "left")
         .join(para, "id", "left")
         .select(
             "id", "n_tokens", "dup_span_starts", "covered_tokens",
             "dup_token_fraction", "n_grams", "distinct_n_grams",
             "top_gram_frac", "dup_gram_frac", "n_shingles", "n_contaminated",
-            "contamination_frac", "para_units", "para_units_kept",
+            "contamination_frac",
+            F.when(F.col("id") % 10 == 0, F.lit(None).cast("long"))
+            .otherwise(F.coalesce("__dk", F.lit(0))).alias("decon_kept"),
+            "para_units", "para_units_kept",
             "para_text_md5",
         )
     )
