@@ -117,6 +117,44 @@ def train_bpe_merges(
     return merges
 
 
+def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Merge list as a (rank, left, right) DataFrame — the persistable half
+    of a trained tokenizer (write to parquet next to the corpus it was
+    trained on; num_merges rows, trivially small). Completes the same
+    build-once/apply-many split as ``pq_codebooks_to_df`` and
+    ``build_ivf_index``: train on the full corpus once, then every daily
+    ingest reloads the table and runs the map-only ``apply_bpe``."""
+    rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string")
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of ``merges_to_df``: reload the rank-ordered merge list from
+    its persisted table (bounded collect: num_merges rows). Validates the
+    rank sequence is exactly 0..n-1 — a partially-written or duplicated
+    table would silently retokenize with wrong merge priorities."""
+    rows = df.select("rank", "left", "right").collect()
+    if not rows:
+        raise ValueError("empty BPE merges table")
+    by_rank: dict[int, tuple[str, str]] = {}
+    for r in rows:
+        if r["rank"] is None or r["left"] is None or r["right"] is None:
+            raise ValueError(f"BPE merges table has null fields: {tuple(r)}")
+        if r["rank"] in by_rank:
+            raise ValueError(
+                f"BPE merges table has duplicate rank {r['rank']} "
+                "(priority order would be arbitrary)"
+            )
+        by_rank[r["rank"]] = (r["left"], r["right"])
+    missing = [i for i in range(len(by_rank)) if i not in by_rank]
+    if missing:
+        raise ValueError(
+            f"BPE merges table is not a contiguous 0..n-1 rank sequence; "
+            f"missing ranks {missing[:5]}"
+        )
+    return [by_rank[i] for i in range(len(by_rank))]
+
+
 def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges to one word by rank order — the exact inference rule of
     the trained tokenizer (lowest-rank applicable merge first)."""

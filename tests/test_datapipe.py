@@ -1252,6 +1252,55 @@ class TestBPE:
             rebuilt = "".join(toks).replace(E, " ").strip()
             assert rebuilt  # non-empty, all pieces concatenate cleanly
 
+    def test_merges_persistence_roundtrip_apply_identical(self, spark, tmp_path):
+        """merges_to_df → parquet → merges_from_df must reload the exact
+        rank-ordered merge list, and apply_bpe with the reloaded merges must
+        tokenize identically — the build-once/apply-many contract."""
+        from oni_ml_spark.datapipe.bpe import (
+            apply_bpe,
+            merges_from_df,
+            merges_to_df,
+            train_bpe_merges,
+        )
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+        merges = train_bpe_merges(d, "text", num_merges=40)
+        path = str(tmp_path / "bpe_merges.parquet")
+        merges_to_df(spark, merges).write.parquet(path)
+        reloaded = merges_from_df(spark.read.parquet(path))
+        assert reloaded == merges
+        a = sorted(
+            (r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in apply_bpe(d, "doc_id", "text", merges).collect()
+        )
+        b = sorted(
+            (r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in apply_bpe(d, "doc_id", "text", reloaded).collect()
+        )
+        assert a == b and len(a) == 80
+
+    def test_merges_table_validation(self, spark):
+        """Corrupt persisted merge tables fail loudly: empty, duplicate
+        rank, gapped rank sequence, null fields."""
+        import pytest
+
+        from oni_ml_spark.datapipe.bpe import merges_from_df
+
+        schema = "rank int, left string, right string"
+        with pytest.raises(ValueError, match="empty"):
+            merges_from_df(spark.createDataFrame([], schema))
+        with pytest.raises(ValueError, match="duplicate rank"):
+            merges_from_df(
+                spark.createDataFrame([(0, "a", "b"), (0, "c", "d")], schema)
+            )
+        with pytest.raises(ValueError, match="missing ranks"):
+            merges_from_df(
+                spark.createDataFrame([(0, "a", "b"), (2, "c", "d")], schema)
+            )
+        with pytest.raises(ValueError, match="null fields"):
+            merges_from_df(spark.createDataFrame([(0, None, "b")], schema))
+
     def test_incremental_loop_equals_from_scratch_recount(self, spark):
         """The r05 incremental pair-count merge loop must learn the IDENTICAL
         merge sequence as the original from-scratch recount (the reference
