@@ -328,6 +328,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 7,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assigned) — the persistable halves of an IVF index:
     centroids (cell, centv, centn; n_cells rows) and the assigned corpus
@@ -343,7 +344,10 @@ def build_ivf_index(
     ).withColumn("cn", norm(F.col("cv")))
     cf = c.withColumn("fv", array_to_vector(F.col("cv")))
 
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    km = KMeans(
+        k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell",
+        maxIter=max_iter,
+    )
     model = km.fit(cf)
     c_assigned = model.transform(cf).select("neighbor_id", "cv", "cn", "cell")
 
@@ -491,6 +495,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_cells: int = 16,
     seed: int = 7,
+    max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     the embedding space into ``n_cells`` clusters, then inside each cluster
@@ -524,7 +529,10 @@ def semantic_dedup(
         # rejects k=1) — all-pairs within the corpus, caller's choice
         assigned = feat.select("id", "v", "n", F.lit(0).alias("cell"))
     else:
-        km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell",
+            maxIter=max_iter,
+        )
         model = km.fit(feat)
         assigned = model.transform(feat).select("id", "v", "n", "cell")
 
@@ -559,6 +567,7 @@ def build_pq_codebooks(
     codes_per_subspace: int = 16,
     dim: int = 64,
     seed: int = 7,
+    max_iter: int = 20,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. 2011): split each
     vector into ``m`` subvectors and fit one KMeans codebook of
@@ -588,15 +597,26 @@ def build_pq_codebooks(
         )
     sub = dim // m
     v = _checked_dim(vec_col, dim)
-    books: list[list[list[float]]] = []
-    for j in range(m):
+
+    # the m fits are independent (disjoint subvector slices, separate
+    # estimator instances) — submit them concurrently so wall-clock is
+    # ~max(fit) instead of sum(fit). Spark schedules jobs from multiple
+    # driver threads fine, and each fit is seeded, so the result tensor is
+    # identical to the sequential loop regardless of scheduling order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit_one(j: int) -> list[list[float]]:
         sliced = df.select(
             array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
         )
         model = KMeans(
-            k=codes_per_subspace, seed=seed + j, featuresCol="features"
+            k=codes_per_subspace, seed=seed + j, featuresCol="features",
+            maxIter=max_iter,
         ).fit(sliced)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        books = list(pool.map(fit_one, range(m)))
     return books
 
 
@@ -834,6 +854,7 @@ def build_ivf_pq_index(
     codes_per_subspace: int = 16,
     dim: int = 64,
     seed: int = 7,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """(centroids, assigned_codes, codebooks) — the IVF-PQ composition
     (Jégou et al. 2011's full recipe): coarse k-means cells for candidate
@@ -842,8 +863,12 @@ def build_ivf_pq_index(
     payload per vector instead of the float array, which is what makes a
     billion-vector serving index fit a cluster's memory. All three parts
     persist (two parquet tables + ``pq_codebooks_to_df``)."""
-    cent_df, c_assigned = build_ivf_index(corpus, id_col, vec_col, n_cells, seed)
-    books = build_pq_codebooks(corpus, vec_col, m, codes_per_subspace, dim, seed)
+    cent_df, c_assigned = build_ivf_index(
+        corpus, id_col, vec_col, n_cells, seed, max_iter
+    )
+    books = build_pq_codebooks(
+        corpus, vec_col, m, codes_per_subspace, dim, seed, max_iter
+    )
     codes = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
         "id", "neighbor_id"
     )

@@ -447,6 +447,7 @@ def remove_contaminated(
     eval_text_col: str | None = None,
     n: int = 8,
     max_contamination: float = 0.0,
+    fractions: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination REMOVAL: drop every training document whose
     word n-gram overlap with the evaluation corpus exceeds
@@ -458,13 +459,19 @@ def remove_contaminated(
     on its per-document fractions, so documents too short to have shingles
     (no evidence) are KEPT — they cannot contain an n-gram by construction.
     Returns the input rows minus the contaminated ones, schema unchanged.
+
+    ``fractions``: a precomputed ``ngram_contamination(df, eval_df, ...)``
+    result to reuse. The measurement is the expensive half (two shingle
+    passes + a distributed semi join); a pipeline that already computed it
+    for reporting should pass it (ideally cached/checkpointed) instead of
+    paying for it twice.
     """
     # compare on the raw counts, NOT the (rounded) contamination_frac: a
     # 3M-shingle document with one shared gram rounds to 0.0 at 6 decimals
     # and would slip through the strict max_contamination=0.0 policy
-    frac = ngram_contamination(
-        df, eval_df, id_col, text_col, eval_text_col, n
-    ).select(
+    if fractions is None:
+        fractions = ngram_contamination(df, eval_df, id_col, text_col, eval_text_col, n)
+    frac = fractions.select(
         F.col("id").alias("__cid"), "n_shingles", "n_contaminated"
     )
     return (

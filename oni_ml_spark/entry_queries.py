@@ -127,6 +127,18 @@ _FLOW_COLS_SQL = """
 # the battery
 # --------------------------------------------------------------------------
 
+
+def _docs(spark, sf):
+    """documents table widened to the session's parallelism: the testdata
+    file is one parquet row group, so without io.widen_if_narrow every
+    tokenize/shingle/hash projection chained on the scan runs on ONE task
+    (measured ~2x on the heavy dedup entries at sf0.1). No-op whenever the
+    input already has enough splits — see widen_if_narrow's docstring."""
+    from oni_ml_spark.io import widen_if_narrow
+
+    return widen_if_narrow(load_table(spark, sf, "documents"))
+
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -488,7 +500,7 @@ def dns_featurize_q(spark, sf):
     from oni_ml_spark.transforms import top_domain_expr
     from oni_ml_spark.transforms.text import entropy_table
 
-    base = load_table(spark, sf, "documents")
+    base = _docs(spark, sf)
     d = _with_host(base)
     cols = extract_subdomain_cols("host")
     ent = entropy_table(base, "doc_id", "text").select(
@@ -645,7 +657,7 @@ def dedup_exact(spark, sf):
     from oni_ml_spark.datapipe.dedup import exact_dedup_groups
     from oni_ml_spark.datapipe.sampling import anti_join_dedup
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     groups = exact_dedup_groups(d, "doc_id", "text")
     new_docs = anti_join_dedup(
         d.filter(F.col("doc_id") >= 100), d.filter(F.col("doc_id") < 100),
@@ -688,7 +700,7 @@ def minhash_signatures_q(spark, sf):
     from oni_ml_spark.datapipe.dedup import minhash_signatures
 
     sig = minhash_signatures(
-        load_table(spark, sf, "documents"), "doc_id", "text", n=3, num_hashes=8
+        _docs(spark, sf), "doc_id", "text", n=3, num_hashes=8
     )
     return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)])
 
@@ -727,7 +739,7 @@ def simhash64_q(spark, sf):
     value via a decimal string."""
     from oni_ml_spark.datapipe.dedup import simhash64
 
-    out = simhash64(load_table(spark, sf, "documents"), "doc_id", "text")
+    out = simhash64(_docs(spark, sf), "doc_id", "text")
     two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
     unsigned = F.when(
         F.col("simhash") < 0, F.col("simhash").cast("decimal(20,0)") + two64
@@ -833,7 +845,7 @@ def text_profile(spark, sf):
         strip_html,
     )
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
     planted = F.concat(
         F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
@@ -878,7 +890,7 @@ def multimodal_frames(spark, sf):
         sample_frames,
     )
 
-    media = attach_payload(load_table(spark, sf, "documents"), "doc_id", "text")
+    media = attach_payload(_docs(spark, sf), "doc_id", "text")
     meta = extract_media_metadata(media)
     frames = sample_frames(media, every_n_bytes=64)
     return frames.join(meta, "media_id").select(
@@ -947,9 +959,10 @@ def _invariant_oracle(count_from: str, top_k: int = 100) -> str:
 def flagship(spark, sf):
     """End-to-end suspicious-connects on the events table (featurize → LDA →
     score → bottom-K) — the __spark_entry__.entry() smoke query."""
+    from oni_ml_spark.io import widen_if_narrow
     from oni_ml_spark.pipelines import events as ev
 
-    df = load_table(spark, sf, "events")
+    df = widen_if_narrow(load_table(spark, sf, "events"))
     res = ev.run(df, topic_count=10, top_k=100, max_iter=5, exact_quantiles=False)
     return res.suspicious.select(
         "event_id", "user_id", "word", F.round("score", 6).alias("score")
@@ -962,9 +975,10 @@ def flagship_invariants(spark, sf):
     events table has no nulls, so the bottom-K size is least(100, |events|);
     scores are probabilities; topic mixes are simplexes; bottom-K holds the
     K smallest scores."""
+    from oni_ml_spark.io import widen_if_narrow
     from oni_ml_spark.pipelines import events as ev
 
-    df = load_table(spark, sf, "events")
+    df = widen_if_narrow(load_table(spark, sf, "events"))
     res = ev.run(df, topic_count=10, top_k=100, max_iter=5, exact_quantiles=False)
     return _pipeline_invariants(res)
 
@@ -976,9 +990,10 @@ def flow_pipeline_invariants(spark, sf):
     endpoint appears in training, so the inner-join quirk drops nothing —
     n_rows = least(100, |lineitem|)). Exercises featurize → both-endpoint
     corpus → LDA → inner-join scoring → least() → bottom-K."""
+    from oni_ml_spark.io import widen_if_narrow
     from oni_ml_spark.pipelines import flow as flow_pipe
 
-    li = load_table(spark, sf, "lineitem")
+    li = widen_if_narrow(load_table(spark, sf, "lineitem"))
     df = li.select(
         F.lit("2016-05-05 12:00:00").alias("treceived"),
         F.lit(2016).alias("tryear"), F.lit(5).alias("trmonth"), F.lit(5).alias("trday"),
@@ -1128,7 +1143,7 @@ def proxy_word_assembly(spark, sf):
     oracle states each component's expected value per branch."""
     from oni_ml_spark.transforms.words import proxy_word
 
-    d = _with_host(load_table(spark, sf, "documents"))
+    d = _with_host(_docs(spark, sf))
     hours = (F.col("doc_id") % 24).cast("int")
     d = d.withColumns(
         {
@@ -1166,9 +1181,10 @@ def dns_pipeline_invariants(spark, sf):
     drops nothing — n_rows = least(100, |events|)). Query names mix
     benign/ccTLD/arpa/high-entropy shapes so every featurization branch
     runs."""
+    from oni_ml_spark.io import widen_if_narrow
     from oni_ml_spark.pipelines import dns as dns_pipe
 
-    e = load_table(spark, sf, "events")
+    e = widen_if_narrow(load_table(spark, sf, "events"))
     df = e.select(
         F.date_format("ts", "MMM d yyyy HH:mm:ss").alias("frame_time"),
         F.unix_timestamp("ts").alias("unix_tstamp"),
@@ -1199,9 +1215,10 @@ def proxy_pipeline_invariants(spark, sf):
     invariants (p_date/p_time/clientip synthesized non-null, so null_filter
     drops nothing — n_rows = least(100, |events|)). Skewed useragent
     distribution exercises the agent-count feature."""
+    from oni_ml_spark.io import widen_if_narrow
     from oni_ml_spark.pipelines import proxy as proxy_pipe
 
-    e = load_table(spark, sf, "events")
+    e = widen_if_narrow(load_table(spark, sf, "events"))
     df = e.select(
         F.lit("2016-05-05").alias("p_date"),
         F.date_format("ts", "HH:mm:ss").alias("p_time"),
@@ -1305,7 +1322,7 @@ def deterministic_sampling(spark, sf):
         stratified_sample,
     )
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     split = (
         hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
         .groupBy("split")
@@ -1468,7 +1485,7 @@ def near_dup_verified(spark, sf):
     from oni_ml_spark.datapipe.dedup import near_dup_pairs
 
     return near_dup_pairs(
-        load_table(spark, sf, "documents"), "doc_id", "text",
+        _docs(spark, sf), "doc_id", "text",
         n=3, num_hashes=8, bands=4, threshold=0.3,
     )
 
@@ -1536,7 +1553,7 @@ def tf_idf_bm25(spark, sf):
     aggregates each, IDF/stat tables broadcast, no UDFs."""
     from oni_ml_spark.datapipe.retrieval import bm25_scores, tf_idf
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     qset = list(dict.fromkeys(_QUERY_TERMS))
     ti = tf_idf(d, "doc_id", "text")
     qa = (
@@ -1569,7 +1586,7 @@ def unigram_logprob_q(spark, sf):
     curation. One corpus-counts shuffle, model broadcast back."""
     from oni_ml_spark.datapipe.textstats import unigram_logprob
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     out = unigram_logprob(d, "doc_id", "text")
     return out.select(
         "id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
@@ -1619,7 +1636,7 @@ def simhash_near_dups_q(spark, sf):
     exactly to hash-match."""
     from oni_ml_spark.datapipe.dedup import simhash_near_dups
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return simhash_near_dups(d, "doc_id", "text", max_hamming=3, bands=4)
 
 
@@ -1648,7 +1665,7 @@ def near_dup_clusters_q(spark, sf):
     reachable id per node."""
     from oni_ml_spark.datapipe.dedup import near_dup_clusters
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     out = near_dup_clusters(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     )
@@ -1713,7 +1730,7 @@ def curation_pipeline(spark, sf):
     from oni_ml_spark.datapipe.chunking import chunk_documents, pack_sequences
     from oni_ml_spark.datapipe.dedup import near_dup_clusters
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     clusters = near_dup_clusters(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     )
@@ -1787,7 +1804,7 @@ def minhash_ml_builtin(spark, sf):
     production. At sf0.01 (the gate) the cap is not binding."""
     from oni_ml_spark.datapipe.dedup import minhash_ml_candidates, near_dup_pairs
 
-    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    d = _docs(spark, sf).filter(F.col("doc_id") < 2000)
     banded = near_dup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     ).select("id_a", "id_b")
@@ -2082,15 +2099,18 @@ def ngram_diagnostics_q(spark, sf):
         repetition_metrics,
     )
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     train = d.filter(F.col("doc_id") % 10 != 0)
     evald = d.filter(F.col("doc_id") % 10 == 0)
     spans = duplicate_span_metrics(d, "doc_id", "text", span=8, min_count=2)
     rep = repetition_metrics(d, "doc_id", "text", n=3)
-    cont = ngram_contamination(train, evald, "doc_id", "text", n=8)
-    decon = remove_contaminated(train, evald, "doc_id", "text", n=8).select(
-        F.col("doc_id").alias("id"), F.lit(1).cast("long").alias("__dk")
-    )
+    # the contamination fractions feed BOTH the reported columns and the
+    # removal below; localCheckpoint materializes the small per-doc table
+    # once so the two consumers don't each re-run the shingle passes
+    cont = ngram_contamination(train, evald, "doc_id", "text", n=8).localCheckpoint()
+    decon = remove_contaminated(
+        train, evald, "doc_id", "text", n=8, fractions=cont
+    ).select(F.col("doc_id").alias("id"), F.lit(1).cast("long").alias("__dk"))
     partner = d.select(
         F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
         F.col("text").alias("__ptext"),
@@ -2169,7 +2189,7 @@ def weighted_mix_q(spark, sf):
     (source, epoch) count + id-sum verifies the exact row selection."""
     from oni_ml_spark.datapipe.sampling import weighted_mix
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     out = weighted_mix(d, "source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL)
     return out.groupBy("source", "epoch").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum")
@@ -2271,7 +2291,7 @@ def quality_gate_q(spark, sf):
     summed map-side — no per-rule rescan."""
     from oni_ml_spark.datapipe.textstats import quality_filter
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     qf = quality_filter(
         d, "doc_id", "text",
         min_tokens=50, max_tokens=80,
@@ -2426,5 +2446,5 @@ def contiguous_ids_q(spark, sf):
     exactly what the row_number() oracle states."""
     from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
 
-    d = load_table(spark, sf, "documents").select("doc_id")
+    d = _docs(spark, sf).select("doc_id")
     return assign_contiguous_ids(d, "doc_id", num_partitions=8)

@@ -48,6 +48,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the frame has fewer partitions
+    than the session's parallelism — the single-file / single-row-group
+    input fix.
+
+    Parquet splits at row-group granularity: a file written as one row
+    group yields ONE scan task no matter how many byte-range splits Spark
+    makes, so every CPU-heavy projection chained onto the scan (tokenize,
+    shingle, hash, featurize) runs serially on one core. Measured on the
+    sf0.1 documents table (one 5000-row row group, local[32]):
+    near_dup_clusters 8.7→4.6 s, ngram_diagnostics 5.6→4.4 s just from
+    widening the scan.
+
+    At real scale this is a no-op by construction: a 100 TB input has
+    thousands of row groups, the partition-count check (metadata only — no
+    job, no data read) passes, and no shuffle is added. The repartition
+    only fires for inputs small enough that shuffling them is trivially
+    cheap relative to the serial-scan penalty they would otherwise pay.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_day(spark: SparkSession, root: str, year: int, month: int, day: int) -> DataFrame:
     """Partition-pruned day read over the reference's y=/m=/d= Hive layout
     (README.md:22,56). The filter is on partition columns only — Catalyst

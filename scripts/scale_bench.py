@@ -1,0 +1,113 @@
+"""Scale-evidence spot bench: run the heavy dedup/ANN battery entries at
+sf0.1 and at a derived ~5x corpus, and report the runtime ratio vs the 5x
+row-count ratio (near-linear expected — these operators are bucketed, never
+all-pairs).
+
+The 5x corpus is DERIVED from the driver-generated sf0.1 tables (no
+synthetic content): 5 copies with shifted ids, where copies are
+decorrelated so the scale-up doesn't manufacture pathological duplicate
+structure the real corpus doesn't have:
+
+- documents: every word in copy c>0 gets a per-copy suffix, so shingle
+  sets across copies are disjoint (each copy keeps its OWN natural
+  duplicate structure; cross-copy near-dup pairs would otherwise grow
+  quadratically in the copy count and overstate the scaling cost);
+- embeddings: copy c>0 is elementwise sign-flipped by a seeded +/-1
+  pattern — norms and the angular distribution are preserved, directions
+  decorrelate, so SRP bucket occupancy stays realistic instead of every
+  bucket holding 5 identical stacks.
+
+Usage: python scripts/scale_bench.py  (from /root/repo; ~5-10 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = 5
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/scale_5x_sf01"
+ENTRIES = [
+    "near_dup_clusters",
+    "curation_pipeline",
+    "embedding_near_dup_bucketed",
+    "ngram_diagnostics",
+]
+
+
+def build_scaled(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for c in range(COPIES):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * 1_000_000))
+        if c:
+            d = d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1x{c}")
+            ).withColumn("n_chars", F.length("text"))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SCALED}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    parts = []
+    for c in range(COPIES):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 1_000_000))
+        if c:
+            signs = F.array(
+                *[F.lit(float(random.Random(c * 1000 + i).choice((-1, 1)))) for i in range(dim)]
+            )
+            e = e.withColumn(
+                "embedding",
+                F.zip_with("embedding", signs, lambda a, b: (a * b).cast("float")),
+            )
+        parts.append(e)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SCALED}/embeddings.parquet")
+
+
+def main():
+    from oni_ml_spark.entry_queries import QUERIES
+    from oni_ml_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark)
+
+    # two passes; report the second (pass 1 absorbs session warm-up — JIT,
+    # codegen caches, shuffle-service spin-up — which otherwise inflates
+    # whichever (entry, sf) happens to run first)
+    rows = {}
+    for pass_no in (1, 2):
+        for name in ENTRIES:
+            fn = QUERIES[name]
+            timings = {}
+            for label, sfdir in (("sf0.1", BASE), ("5x", SCALED)):
+                t0 = time.time()
+                n = fn(spark, sfdir).count()
+                timings[label] = {"sec": round(time.time() - t0, 2), "rows": n}
+            timings["time_ratio"] = round(
+                timings["5x"]["sec"] / timings["sf0.1"]["sec"], 2
+            )
+            timings["row_ratio"] = round(
+                timings["5x"]["rows"] / max(timings["sf0.1"]["rows"], 1), 2
+            )
+            rows[name] = timings
+            print(json.dumps({"pass": pass_no, name: timings}), flush=True)
+    print("FINAL:" + json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -189,3 +189,22 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
         compact_parquet(spark, src, src + "/child")
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src.rsplit("/", 1)[0])
+
+
+def test_widen_if_narrow(spark):
+    """Narrow frames widen to the session parallelism with identical rows;
+    already-wide frames pass through untouched (same object — no shuffle
+    node added on the scale path)."""
+    from oni_ml_spark.io import load_table, widen_if_narrow
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    w = widen_if_narrow(d)
+    assert w.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["doc_id"] for r in w.collect()) == sorted(
+        r["doc_id"] for r in d.collect()
+    )
+    wide = d.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert widen_if_narrow(wide) is wide
+    # explicit floor below the current width is also a pass-through
+    assert widen_if_narrow(wide, min_partitions=2) is wide
