@@ -8,8 +8,14 @@ often enough that co-bucketing both sides pays for itself.
 from oni_ml_spark.plans.skew import salted_join
 from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
-from oni_ml_spark.plans.diagnostics import partition_profile, key_skew_profile
+from oni_ml_spark.plans.diagnostics import (
+    key_skew_profile,
+    partition_profile,
+    plan_report,
+    profile_table,
+)
 
 __all__ = ["salted_join", "write_bucketed", "read_bucketed",
            "write_zordered", "zorder_key",
-           "partition_profile", "key_skew_profile"]
+           "partition_profile", "key_skew_profile",
+           "profile_table", "plan_report"]

@@ -58,3 +58,93 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.col("key"))
         .limit(top_k)
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass dataset card: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) for every requested column — the first report to
+    pull on an unfamiliar 100 TB table.
+
+    ALL metrics for ALL columns compute inside ONE aggregate (one scan,
+    map-side combined); min/max are cast to string so heterogeneous column
+    types share a schema. n_distinct is approx_count_distinct by default
+    (HLL — mergeable, bounded memory at any cardinality; ``rsd`` sets the
+    target error); ``exact_distinct=True`` switches to count_distinct for
+    small tables or oracle tests, at the usual exact-distinct shuffle cost.
+    """
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in input: {missing}")
+    distinct_of = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{i}"))
+        aggs.append(distinct_of(c).alias(f"__dis_{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
+    one = df.agg(*aggs)
+    # one row -> |cols| rows via an inline table (stack), still one job
+    # field names must match across array elements for array() to resolve
+    parts = []
+    for i, c in enumerate(cols):
+        parts.append(
+            f"struct('{c}' AS c, __n AS n, __nul_{i} AS nu, "
+            f"__dis_{i} AS di, __min_{i} AS mi, __max_{i} AS ma)"
+        )
+    return one.selectExpr(
+        f"inline(array({', '.join(parts)}))"
+    ).toDF("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Physical-plan summary as plain counters: shuffles (exchanges),
+    broadcast/sort-merge joins, scans, whole-stage-codegen spans, and
+    whether any scan carries pushed filters — the numbers to eyeball
+    before launching a plan against 100 TB (one exchange too many is a
+    petabyte of network).
+
+    Reads the plan through the PUBLIC SQL surface (EXPLAIN FORMATTED over
+    a temp view) — no private _jdf access. The counters are substring
+    tallies over Spark's formatted explain output; they are a diagnostic,
+    not a parser.
+    """
+    spark = df.sparkSession
+    name = "__plan_report_input"
+    df.createOrReplaceTempView(name)
+    try:
+        text = spark.sql(
+            f"EXPLAIN FORMATTED SELECT * FROM {name}"
+        ).collect()[0][0]
+    finally:
+        spark.catalog.dropTempView(name)
+    import re
+
+    # EXPLAIN FORMATTED prints every node twice (tree + numbered detail
+    # section); count each node ONCE via its "(n) NodeName" detail header
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", text, flags=re.MULTILINE)
+    def n_of(name: str) -> int:
+        return sum(1 for n in nodes if n == name)
+
+    return {
+        "exchanges": n_of("Exchange") + n_of("BroadcastExchange"),
+        "broadcast_exchanges": n_of("BroadcastExchange"),
+        "broadcast_hash_joins": n_of("BroadcastHashJoin"),
+        "sort_merge_joins": n_of("SortMergeJoin"),
+        "scans": n_of("Scan"),
+        # best-effort: AQE plans print no codegen ids before execution
+        "codegen_spans": text.count("WholeStageCodegen ("),
+        "has_pushed_filters": bool(
+            re.search(r"PushedFilters: \[[^\]]", text)
+        ),
+        "plan": text,
+    }

@@ -1,0 +1,299 @@
+"""Round-6 widening: shuffle-bounded grouped top-k, quality-aware canonical
+selection, corpus snapshot diffing, one-pass table profiling, plan report."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+class TestGroupedTopk:
+    def _oracle(self, sf, k, asc):
+        direction = "ASC" if asc else "DESC"
+        con = duckdb.connect()
+        return sorted(
+            con.execute(
+                f"SELECT event_type, event_id, rank FROM ("
+                f"  SELECT event_type, event_id, row_number() OVER ("
+                f"    PARTITION BY event_type ORDER BY value {direction}, event_id) AS rank"
+                f"  FROM '{sf}/events.parquet') WHERE rank <= {k}"
+            ).fetchall()
+        )
+
+    @pytest.mark.parametrize("asc", [False, True])
+    def test_matches_row_number_oracle(self, spark, asc):
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+        from oni_ml_spark.io import load_table
+
+        e = load_table(spark, SF_DIR, "events")
+        got = sorted(
+            (r["event_type"], r["event_id"], r["rank"])
+            for r in grouped_topk(
+                e, "event_type", "value", k=7, ascending=asc, tie_col="event_id"
+            ).collect()
+        )
+        assert got == self._oracle(SF_DIR, 7, asc) and len(got) > 0
+
+    def test_k1_fast_path_matches_general_path(self, spark):
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+        from oni_ml_spark.io import load_table
+
+        e = load_table(spark, SF_DIR, "events")
+        fast = sorted(
+            (r["event_type"], r["event_id"])
+            for r in grouped_topk(e, "event_type", "value", 1, tie_col="event_id").collect()
+        )
+        assert fast == [(a, b) for a, b, _ in self._oracle(SF_DIR, 1, False)]
+        # and the fast path is pure-codegen: no Python evaluation node
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        rep = plan_report(grouped_topk(e, "event_type", "value", 1, tie_col="event_id"))
+        assert "MapInPandas" not in rep["plan"] and "BatchEvalPython" not in rep["plan"]
+
+    def test_null_order_values_follow_window_null_order(self, spark):
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+
+        df = spark.createDataFrame(
+            [("g", None, 1), ("g", 5.0, 2), ("g", 7.0, 3)],
+            "grp string, v double, id int",
+        )
+        desc = [(r["id"], r["rank"]) for r in
+                grouped_topk(df, "grp", "v", 2, tie_col="id").orderBy("rank").collect()]
+        assert desc == [(3, 1), (2, 2)]  # nulls last under descending
+        asc = [(r["id"], r["rank"]) for r in
+               grouped_topk(df, "grp", "v", 2, ascending=True, tie_col="id")
+               .orderBy("rank").collect()]
+        assert asc == [(1, 1), (2, 2)]  # nulls first under ascending
+        # k=1 fast path agrees on both directions
+        d1 = grouped_topk(df, "grp", "v", 1, tie_col="id").collect()
+        a1 = grouped_topk(df, "grp", "v", 1, ascending=True, tie_col="id").collect()
+        assert d1[0]["id"] == 3 and a1[0]["id"] == 1
+
+    def test_validation(self, spark):
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+
+        df = spark.createDataFrame([("g", 1.0, 1)], "grp string, v double, id int")
+        with pytest.raises(ValueError, match="tie_col"):
+            grouped_topk(df, "grp", "v", 2)
+        with pytest.raises(ValueError, match="positive"):
+            grouped_topk(df, "grp", "v", 0, tie_col="id")
+        with pytest.raises(ValueError, match="not in input"):
+            grouped_topk(df, "grp", "zz", 2, tie_col="id")
+        with pytest.raises(ValueError, match="already exists"):
+            grouped_topk(df.withColumn("rank", F.lit(1)), "grp", "v", 2, tie_col="id")
+
+
+class TestSelectCanonical:
+    def test_matches_arg_max_oracle(self, spark):
+        """Highest score wins, ties break to smallest id — vs DuckDB
+        row_number over (score DESC, id ASC)."""
+        from oni_ml_spark.datapipe.ranking import select_canonical
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, SF_DIR, "documents").select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % 7).alias("cluster"),
+            (F.col("n_chars") % 100).cast("double").alias("score"),
+            "source",
+        )
+        got = sorted(
+            (r["cluster"], r["id"]) for r in
+            select_canonical(d, "score").collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                f"""SELECT cluster, id FROM (
+                    SELECT doc_id % 7 AS cluster, doc_id AS id,
+                           row_number() OVER (PARTITION BY doc_id % 7
+                             ORDER BY (n_chars % 100)::DOUBLE DESC, doc_id) AS rn
+                    FROM '{SF_DIR}/documents.parquet') WHERE rn = 1"""
+            ).fetchall()
+        )
+        assert got == want and len(got) == 7
+
+    def test_null_scores_lose_except_alone(self, spark):
+        from oni_ml_spark.datapipe.ranking import select_canonical
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", 0.5), (3, "b", None)],
+            "id int, cluster string, score double",
+        )
+        got = {r["cluster"]: r["id"] for r in select_canonical(df, "score").collect()}
+        assert got == {"a": 2, "b": 3}
+
+    def test_all_columns_preserved_and_codegen(self, spark):
+        from oni_ml_spark.datapipe.ranking import select_canonical
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0, "x"), (2, "a", 2.0, "y")],
+            "id int, cluster string, score double, payload string",
+        )
+        rows = select_canonical(df, "score").collect()
+        assert rows[0]["payload"] == "y" and set(rows[0].asDict()) == {
+            "id", "cluster", "score", "payload"
+        }
+        rep = plan_report(select_canonical(df, "score"))
+        assert "MapInPandas" not in rep["plan"]
+
+
+class TestSnapshotDiff:
+    def test_matches_full_outer_oracle(self, spark):
+        from oni_ml_spark.datapipe.snapshots import diff_summary, snapshot_diff
+        from oni_ml_spark.io import load_table
+
+        old = load_table(spark, SF_DIR, "documents")
+        # new snapshot: drop ids %11==0, edit text of %7==0, add shifted ids
+        new = (
+            old.filter(F.col("doc_id") % 11 != 0)
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" EDIT")))
+                .otherwise(F.col("text")),
+            )
+            .unionByName(old.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000_000))
+        )
+        diff = snapshot_diff(old, new, "doc_id", ["text", "source"])
+        got = sorted((r["id"], r["status"]) for r in diff.collect())
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                f"""WITH old AS (SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet'),
+                new AS (
+                  SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT' ELSE text END AS text,
+                         source
+                  FROM old WHERE doc_id % 11 != 0
+                  UNION ALL
+                  SELECT doc_id + 10000000, text, source FROM (
+                    SELECT * FROM old ORDER BY doc_id LIMIT 5))
+                SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text = n.text AND o.source = n.source THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"""
+            ).fetchall()
+        )
+        # the Spark 'new' limit(5) is nondeterministic in principle; both
+        # sides add ids far outside the base domain, so compare by status
+        # counts for added and exactly by id for the rest
+        got_counts = {}
+        want_counts = {}
+        for rows, counts in ((got, got_counts), (want, want_counts)):
+            for _, s in rows:
+                counts[s] = counts.get(s, 0) + 1
+        assert got_counts == want_counts
+        assert sorted(i for i, s in got if s != "added") == sorted(
+            i for i, s in want if s != "added"
+        )
+        summ = {r["status"]: r["n"] for r in diff_summary(diff).collect()}
+        assert summ == {**{"added": 0, "removed": 0, "changed": 0, "unchanged": 0},
+                        **got_counts}
+
+    def test_null_handling_and_validation(self, spark):
+        from oni_ml_spark.datapipe.snapshots import snapshot_diff
+
+        a = spark.createDataFrame([(1, "x"), (2, None)], "id int, t string")
+        b = spark.createDataFrame([(1, "x"), (2, "")], "id int, t string")
+        got = {r["id"]: r["status"] for r in snapshot_diff(a, b, "id", "t").collect()}
+        # null != empty string: the null token is reserved
+        assert got == {1: "unchanged", 2: "changed"}
+        dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, t string")
+        with pytest.raises(ValueError, match="duplicate id"):
+            snapshot_diff(dup, b, "id", "t")
+        withnull = spark.createDataFrame([(None, "x")], "id int, t string")
+        with pytest.raises(ValueError, match="null id"):
+            snapshot_diff(withnull, b, "id", "t")
+        with pytest.raises(ValueError, match="lacks columns"):
+            snapshot_diff(a, b, "id", ["zz"])
+
+    def test_field_boundary_no_collision(self, spark):
+        from oni_ml_spark.datapipe.snapshots import snapshot_diff
+
+        a = spark.createDataFrame([(1, "ab", "c")], "id int, x string, y string")
+        b = spark.createDataFrame([(1, "a", "bc")], "id int, x string, y string")
+        got = snapshot_diff(a, b, "id", ["x", "y"]).collect()
+        assert got[0]["status"] == "changed"
+
+
+class TestProfileTable:
+    def test_matches_duckdb_exact(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import profile_table
+
+        e = load_table(spark, SF_DIR, "events")
+        got = {
+            r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+            for r in profile_table(
+                e, ["event_type", "value", "props"], exact_distinct=True
+            ).collect()
+        }
+        con = duckdb.connect()
+        for col in ("event_type", "value", "props"):
+            n, nulls, dis = con.execute(
+                f"SELECT count(*), sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), "
+                f"count(DISTINCT {col}) FROM '{SF_DIR}/events.parquet'"
+            ).fetchone()
+            assert got[col] == (n, nulls, dis), col
+
+    def test_approx_distinct_within_rsd(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import profile_table
+
+        e = load_table(spark, SF01, "events")
+        approx = {
+            r["column"]: r["n_distinct"]
+            for r in profile_table(e, ["event_id"], rsd=0.05).collect()
+        }
+        exact = e.select("event_id").distinct().count()
+        assert abs(approx["event_id"] - exact) <= 0.25 * exact
+
+    def test_single_scan_plan(self, spark):
+        """The whole profile is ONE aggregate over ONE scan."""
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import plan_report, profile_table
+
+        e = load_table(spark, SF_DIR, "events")
+        rep = plan_report(profile_table(e, ["event_type", "value"]))
+        assert rep["scans"] == 1
+
+    def test_validation(self, spark):
+        from oni_ml_spark.plans.diagnostics import profile_table
+
+        df = spark.createDataFrame([(1,)], "a int")
+        with pytest.raises(ValueError, match="not in input"):
+            profile_table(df, ["zz"])
+
+
+class TestPlanReport:
+    def test_counts_joins_and_exchanges(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        p = load_table(spark, SF_DIR, "part").select("p_partkey", "p_size")
+        bc = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        rep = plan_report(bc)
+        assert rep["broadcast_hash_joins"] >= 1 and rep["scans"] == 2
+
+        agg = li.groupBy("l_returnflag").count()
+        rep2 = plan_report(agg)
+        # (codegen_spans is best-effort: AQE plans carry no codegen ids
+        # before execution, so only the structural counters are asserted)
+        assert rep2["exchanges"] >= 1 and rep2["sort_merge_joins"] == 0
+
+    def test_pushed_filters_detected(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") > 30)
+        assert plan_report(li.select("l_orderkey"))["has_pushed_filters"]
+        assert not plan_report(
+            load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+        )["has_pushed_filters"]
