@@ -620,21 +620,47 @@ def dns_word_assembly(spark, sf):
 
 @_q(
     "window_rank_topn",
-    "SELECT o_custkey, o_orderkey, rn FROM ("
-    "SELECT o_custkey, o_orderkey, row_number() OVER ("
-    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
-    ") WHERE rn <= 3",
+    "WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+    "SELECT 'window' AS part, o_custkey, o_orderkey, rn FROM r WHERE rn <= 3 "
+    "UNION ALL SELECT 'gtopk', o_custkey, o_orderkey, rn FROM r WHERE rn <= 3 "
+    "UNION ALL SELECT 'canonical', o_custkey, o_orderkey, 1::BIGINT FROM r WHERE rn = 1",
 )
 def window_rank_topn(spark, sf):
-    """Window functions (absent in the reference, SURVEY.md §2.9 — free in
-    Spark 3): per-customer top-3 orders."""
+    """Per-group ranking three ways, one oracle (r06 extends the original
+    window entry with the two ranking.py operators — same row_number
+    semantics, different physical plans, all hash-matched):
+
+    - part='window': the plain rank window (absent in the reference,
+      SURVEY.md §2.9 — free in Spark 3) — per-customer top-3 orders.
+    - part='gtopk': ranking.grouped_topk — identical rows through the
+      shuffle-bounded path (per-batch local top-k prune, THEN the window).
+    - part='canonical': ranking.select_canonical — the rn=1 row per
+      customer through a pure min(struct) aggregate, no window at all."""
+    from oni_ml_spark.datapipe.ranking import grouped_topk, select_canonical
+
+    o = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-    return (
-        load_table(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+    win = (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
+        .select(F.lit("window").alias("part"), "o_custkey", "o_orderkey", "rn")
     )
+    gt = grouped_topk(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_totalprice", k=3, tie_col="o_orderkey",
+    ).select(
+        F.lit("gtopk").alias("part"), "o_custkey", "o_orderkey",
+        F.col("rank").cast("long").alias("rn"),
+    )
+    canon = select_canonical(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        score_col="o_totalprice", cluster_col="o_custkey", id_col="o_orderkey",
+    ).select(
+        F.lit("canonical").alias("part"), "o_custkey", "o_orderkey",
+        F.lit(1).cast("long").alias("rn"),
+    )
+    return win.unionByName(gt).unionByName(canon)
 
 
 # --------------------------------------------------------------------------
@@ -643,19 +669,41 @@ def window_rank_topn(spark, sf):
 
 @_q(
     "dedup_exact",
-    f"SELECT md5({_NORM_TEXT.format(c='text')}) AS text_key, min(doc_id) AS keep_id, "
-    "count(*) AS dup_count, (min(doc_id) >= 100)::BIGINT AS is_new "
-    "FROM documents GROUP BY 1",
+    f"SELECT 'groups' AS part, md5({_NORM_TEXT.format(c='text')}) AS text_key, "
+    "min(doc_id) AS keep_id, count(*) AS dup_count, "
+    "(min(doc_id) >= 100)::BIGINT AS is_new "
+    "FROM documents GROUP BY 2 "
+    "UNION ALL "
+    "SELECT 'diff', status, NULL, n, NULL FROM ("
+    "  WITH old AS (SELECT doc_id, text FROM documents), "
+    "  new AS (SELECT doc_id, "
+    "          CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT' ELSE text END AS text "
+    "          FROM old WHERE doc_id % 11 != 0), "
+    "  d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "               WHEN n.doc_id IS NULL THEN 'removed' "
+    "               WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status "
+    "        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id), "
+    "  c AS (SELECT status, count(*)::BIGINT AS n FROM d GROUP BY status) "
+    "  SELECT s.status, coalesce(c.n, 0)::BIGINT AS n "
+    "  FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged')) s(status) "
+    "  LEFT JOIN c USING (status))",
 )
 def dedup_exact(spark, sf):
-    """Exact dedup groups (digest-keyed hash aggregate) + incremental
-    cross-corpus dedup in one entry: is_new flags groups whose survivor
-    came through anti_join_dedup of the new docs (id >= 100) against the
-    existing corpus (id < 100) — a group is new iff its smallest id is a
-    new doc whose fingerprint is absent from the base, which the oracle
-    states as min(doc_id) >= 100 over the same digest groups."""
+    """Exact dedup groups + incremental dedup + snapshot diffing, one entry:
+
+    - part='groups': digest-keyed hash-aggregate dedup groups; is_new
+      flags groups whose survivor came through anti_join_dedup of the new
+      docs (id >= 100) against the existing corpus (id < 100) — a group is
+      new iff its smallest id is a new doc whose fingerprint is absent
+      from the base, which the oracle states as min(doc_id) >= 100 over
+      the same digest groups.
+    - part='diff' (r06): snapshots.snapshot_diff + diff_summary of the
+      corpus against an in-plan derived next snapshot (ids %11 dropped,
+      text of %7 edited) — the four status counts land in dup_count with
+      the status name in text_key, structural zeros included."""
     from oni_ml_spark.datapipe.dedup import exact_dedup_groups
     from oni_ml_spark.datapipe.sampling import anti_join_dedup
+    from oni_ml_spark.datapipe.snapshots import diff_summary, snapshot_diff
 
     d = _docs(spark, sf)
     groups = exact_dedup_groups(d, "doc_id", "text")
@@ -663,10 +711,25 @@ def dedup_exact(spark, sf):
         d.filter(F.col("doc_id") >= 100), d.filter(F.col("doc_id") < 100),
         "doc_id", "text",
     ).select(F.col("doc_id").alias("keep_id"), F.lit(1).alias("__new"))
-    return groups.join(new_docs, "keep_id", "left").select(
+    group_rows = groups.join(new_docs, "keep_id", "left").select(
+        F.lit("groups").alias("part"),
         "text_key", "keep_id", "dup_count",
         F.coalesce("__new", F.lit(0)).cast("long").alias("is_new"),
     )
+    old = d.select("doc_id", "text")
+    new = old.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" EDIT")))
+        .otherwise(F.col("text")),
+    )
+    diff_rows = diff_summary(snapshot_diff(old, new, "doc_id", "text")).select(
+        F.lit("diff").alias("part"),
+        F.col("status").alias("text_key"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.col("n").alias("dup_count"),
+        F.lit(None).cast("long").alias("is_new"),
+    )
+    return group_rows.unionByName(diff_rows)
 
 
 _SHINGLES_SQL = f"""
