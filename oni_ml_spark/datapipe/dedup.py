@@ -1011,6 +1011,33 @@ def incremental_near_dups(
     )
 
 
+def update_lsh_index(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Refresh a persisted ``lsh_index`` with an ingest batch: ids already
+    in the index get their signature REPLACED (the document changed since
+    the last crawl — stale signatures would silently miss its new
+    near-dups), unseen ids append. One ``merge_upsert`` on the id — a
+    key-only left-anti join plus union, no signature recompute for the
+    untouched corpus.
+
+    The batch MUST be shingled with the same (n, num_hashes) the index was
+    built with — signatures of different parameters are incomparable, and
+    nothing in the stored (id, sig) rows can detect an ``n`` mismatch.
+    Write the result back to a NEW path and swap (same contract as
+    ``merge_upsert``).
+    """
+    from oni_ml_spark.datapipe.sampling import merge_upsert
+
+    new_sig = lsh_index(new_df, id_col, text_col, n, num_hashes)
+    return merge_upsert(index, new_sig, "id")
+
+
 def optimal_bands(num_hashes: int, threshold: float) -> tuple[int, int]:
     """Pick the (bands, rows_per_band) factorization of ``num_hashes`` whose
     LSH S-curve threshold sits closest to the target Jaccard ``threshold``.

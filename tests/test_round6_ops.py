@@ -297,3 +297,62 @@ class TestPlanReport:
         assert not plan_report(
             load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
         )["has_pushed_filters"]
+
+
+class TestUpdateLshIndex:
+    def test_update_equals_full_rebuild(self, spark, tmp_path):
+        """Index refreshed with an edited+extended batch must be
+        row-identical to an index rebuilt from scratch over the merged
+        corpus — and drive incremental_near_dups to identical results."""
+        from oni_ml_spark.datapipe.dedup import (
+            incremental_near_dups,
+            lsh_index,
+            update_lsh_index,
+        )
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        base = d.filter(F.col("doc_id") < 80)
+        idx_path = str(tmp_path / "lsh_index.parquet")
+        lsh_index(base, "doc_id", "text").write.parquet(idx_path)
+        index = spark.read.parquet(idx_path)
+
+        # batch: re-ingest 10 edited docs (signature must be REPLACED) +
+        # 20 genuinely new ones
+        edited = d.filter(F.col("doc_id") < 10).withColumn(
+            "text", F.concat("text", F.lit(" rewritten entirely"))
+        )
+        fresh = d.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 100))
+        batch = edited.unionByName(fresh)
+
+        updated = update_lsh_index(index, batch, "doc_id", "text")
+        merged_corpus = (
+            base.filter(F.col("doc_id") >= 10).unionByName(batch)
+        )
+        rebuilt = lsh_index(merged_corpus, "doc_id", "text")
+        assert sorted((r["id"], tuple(r["sig"])) for r in updated.collect()) == \
+            sorted((r["id"], tuple(r["sig"])) for r in rebuilt.collect())
+
+        probe = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+        a = sorted(map(tuple, incremental_near_dups(
+            probe, updated, "doc_id", "text", threshold=0.5).collect()))
+        b = sorted(map(tuple, incremental_near_dups(
+            probe, rebuilt, "doc_id", "text", threshold=0.5).collect()))
+        assert a == b
+
+    def test_null_batch_ids_rejected(self, spark):
+        """A null id in the batch reaches merge_upsert's null-key guard (it
+        could never replace its stale index row). Duplicate batch ids are
+        NOT an error here by construction: minhash_signatures groups
+        shingles by id, so they merge upstream into one signature row."""
+        from oni_ml_spark.datapipe.dedup import lsh_index, update_lsh_index
+
+        df = spark.createDataFrame(
+            [(1, "one two three"), (2, "two three four")], "doc_id long, text string"
+        )
+        index = lsh_index(df, "doc_id", "text")
+        null_batch = spark.createDataFrame(
+            [(None, "a b c"), (3, "a b d")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="null key"):
+            update_lsh_index(index, null_batch, "doc_id", "text")
