@@ -1019,12 +1019,14 @@ def update_lsh_index(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Refresh a persisted ``lsh_index`` with an ingest batch: ids already
-    in the index get their signature REPLACED (the document changed since
-    the last crawl — stale signatures would silently miss its new
-    near-dups), unseen ids append. One ``merge_upsert`` on the id — a
-    key-only left-anti join plus union, no signature recompute for the
-    untouched corpus.
+    """Refresh a persisted ``lsh_index`` with an ingest batch: EVERY batch
+    id's old signature is dropped, then the batch's new signatures append —
+    so edited documents are re-signed, unseen ids append, and a batch doc
+    whose new text is too short to shingle (< n words) is REMOVED from the
+    index rather than left with its stale signature (the old content no
+    longer exists; keeping its signature would report near-dups against a
+    ghost). Plan: one left-anti join of the index against the distinct
+    batch ids + a union — no signature recompute for the untouched corpus.
 
     The batch MUST be shingled with the same (n, num_hashes) the index was
     built with — signatures of different parameters are incomparable, and
@@ -1032,10 +1034,18 @@ def update_lsh_index(
     Write the result back to a NEW path and swap (same contract as
     ``merge_upsert``).
     """
-    from oni_ml_spark.datapipe.sampling import merge_upsert
-
+    null_ids = new_df.agg(
+        F.sum(F.col(id_col).isNull().cast("long")).alias("n")
+    ).collect()[0]["n"]
+    if null_ids:
+        raise ValueError(
+            f"batch contains {null_ids} row(s) with a null key — a null id "
+            "can never replace its index row; drop or key those rows first"
+        )
     new_sig = lsh_index(new_df, id_col, text_col, n, num_hashes)
-    return merge_upsert(index, new_sig, "id")
+    batch_ids = new_df.select(F.col(id_col).alias("id")).distinct()
+    kept = index.join(batch_ids, "id", "left_anti")
+    return kept.unionByName(new_sig)
 
 
 def optimal_bands(num_hashes: int, threshold: float) -> tuple[int, int]:

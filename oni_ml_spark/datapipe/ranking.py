@@ -12,12 +12,52 @@ shuffle carries:
   one shuffle of one row per group per map partition.
 - ``select_canonical``: the keep-the-best-duplicate step after clustering,
   as a single min(struct) aggregate (no window at all).
+
+Null/NaN order semantics match Spark's window ordering exactly — ascending
+puts nulls first and NaN last, descending puts NaN first and nulls last —
+via an explicit order-class column (0=null, 1=value, 2=NaN) computed
+JVM-side. The class column also keeps the Arrow prune exact: the value
+column pandas sees is non-null and NaN-free (class != 1 rows carry a typed
+zero), so integer order columns stay int64 end to end (no null-induced
+float64 coercion losing >2^53 precision) and no pandas NA placement rule
+can disagree with Spark's.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_NUMERIC_DTYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _order_class(df: DataFrame, order_col: str) -> tuple[Column, Column, str]:
+    """(class_expr, clean_value_expr, dtype) for a numeric order column:
+    class 0=null, 1=real value, 2=NaN; the clean value is the original
+    value inside class 1 and a typed zero elsewhere (non-null, NaN-free,
+    same numeric type — ordering within class 0/2 falls to the tie-break,
+    exactly as Spark treats all-equal keys)."""
+    dt = dict(df.dtypes).get(order_col)
+    base = dt.split("(")[0] if dt else dt
+    if base not in _NUMERIC_DTYPES and not (dt or "").startswith("decimal"):
+        raise ValueError(
+            f"order column '{order_col}' has type {dt}; only numeric order "
+            "columns are supported (a string column would silently rank "
+            "lexicographically in one path and numerically in another)"
+        )
+    col = F.col(order_col)
+    if base in ("float", "double"):
+        cls = (
+            F.when(col.isNull(), F.lit(0))
+            .when(F.isnan(col), F.lit(2))
+            .otherwise(F.lit(1))
+        )
+    else:
+        cls = F.when(col.isNull(), F.lit(0)).otherwise(F.lit(1))
+    clean = F.when(cls == 1, col).otherwise(F.lit(0).cast(dt))
+    return cls, clean, dt
 
 
 def grouped_topk(
@@ -37,25 +77,23 @@ def grouped_topk(
     contract row_number demands; without it the k-th row is
     partition-order-dependent. ``tie_col`` must be non-null (uniqueness
     leaves room for at most one null per group anyway, and pandas/Spark
-    order nulls differently). ``order_col`` nulls follow Spark's window
-    order: FIRST under ascending, LAST under descending — the local
-    pruning matches via na_position. The k=1 fast path negates
-    ``order_col``, so it requires a numeric order column; the general path
-    orders any comparable type. (The descending k=1 negation can overflow
-    on LONG_MIN order values under ANSI mode — integer order columns that
-    can contain the extreme sentinel should cast to double first.)
+    order nulls differently). ``order_col`` must be numeric; nulls and
+    NaNs follow Spark's window order (see module docstring).
 
     Plan shape: one Arrow-batched ``mapInPandas`` keeps each batch's local
-    top-k per group under the SAME (order, tie) total order the final rank
-    uses (top-k over a union equals top-k over per-part top-ks under a
-    total order — the ``pq_search`` argument), then the standard rank
-    window runs over the pruned candidates. The window's shuffle carries
-    at most k rows per (group, batch) — for a hot group in a 10⁹-row
-    partition that is k rows instead of 10⁹.
+    top-k per group under the SAME (class, value, tie) total order the
+    final rank uses (top-k over a union equals top-k over per-part top-ks
+    under a total order — the ``pq_search`` argument), then the standard
+    rank window runs over the pruned candidates. The window's shuffle
+    carries at most k rows per (group, batch) — for a hot group in a
+    10⁹-row partition that is k rows instead of 10⁹.
 
     k=1 skips both stages for a pure-codegen ``min(struct(...))``
     aggregate: partial aggregation reduces map-side to one candidate per
-    group per partition, and no Python runs at all.
+    group per partition, and no Python runs at all. The descending k=1
+    path negates the clean value in its NATIVE type (exact for every long;
+    the one undefined input is the LONG_MIN sentinel, which overflows
+    under ANSI mode — cast to double first if your data can contain it).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if not groups:
@@ -73,33 +111,35 @@ def grouped_topk(
     if rank_name in df.columns:
         raise ValueError(f"column '{rank_name}' already exists in the input")
 
+    cls, clean, _dt = _order_class(df, order_col)
+
     if k == 1:
-        # min(struct(sort_key, tie, payload)) — struct comparison is
-        # lexicographic, so this IS argmin under (order, tie). Null order
-        # values map to ∓infinity sentinels to reproduce the window's null
-        # order (asc → nulls first, desc → nulls last); a null FIELD would
-        # otherwise sort first in struct comparison on BOTH directions.
-        if ascending:
-            key = F.coalesce(F.col(order_col), F.lit(float("-inf")))
-        else:
-            key = F.when(
-                F.col(order_col).isNull(), F.lit(float("inf"))
-            ).otherwise(-F.col(order_col))
-        payload = [c for c in df.columns]
+        # min(struct(class', value', tie, payload)) — struct comparison is
+        # lexicographic, so this IS argmin under the ranking order.
+        # asc wants (null, value asc, NaN) → class 0/1/2 as-is;
+        # desc wants (NaN, value desc, null) → flip the class and negate
+        # the clean value (native type, no double coercion).
+        payload = list(df.columns)
+        c_key = cls if ascending else (F.lit(2) - cls)
+        v_key = clean if ascending else (-clean)
         best = df.groupBy(*groups).agg(
-            F.min(F.struct(key.alias("__k"), F.col(tie_col).alias("__t"),
-                           *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(payload)])
-                  ).alias("__b")
+            F.min(
+                F.struct(
+                    c_key.alias("__c"), v_key.alias("__v"),
+                    F.col(tie_col).alias("__t"),
+                    *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(payload)],
+                )
+            ).alias("__b")
         )
         return best.select(
             *[F.col(f"__b.__p_{i}").alias(c) for i, c in enumerate(payload)],
             F.lit(1).alias(rank_name),
         )
 
-    import pandas as pd  # noqa: F401 (imported for the UDF closure)
-
+    in_cols = list(df.columns)
+    with_keys = df.withColumn("__gtk_c", cls).withColumn("__gtk_v", clean)
     asc = ascending
-    o, t, g = order_col, tie_col, groups
+    t, g = tie_col, groups
 
     def local_topk(batches):
         for pdf in batches:
@@ -108,27 +148,25 @@ def grouped_topk(
                 continue
             yield (
                 pdf.sort_values(
-                    [o, t],
-                    ascending=[asc, True],
+                    ["__gtk_c", "__gtk_v", t],
+                    # class/value columns are non-null and NaN-free by
+                    # construction, so no pandas NA placement rule applies
+                    ascending=[asc, asc, True],
                     kind="mergesort",
-                    # match Spark's window null order for the order col:
-                    # asc → NULLS FIRST, desc → NULLS LAST (tie col is
-                    # non-null by contract, so the global flag is safe)
-                    na_position="first" if asc else "last",
                 )
                 .groupby(g, sort=False, dropna=False)
                 .head(k)
             )
 
-    pruned = df.mapInPandas(local_topk, schema=df.schema)
-    order_exprs = [
-        F.col(o).asc() if asc else F.col(o).desc(),
-        F.col(t).asc(),
-    ]
-    w = Window.partitionBy(*g).orderBy(*order_exprs)
+    pruned = with_keys.mapInPandas(local_topk, schema=with_keys.schema)
+    direction = (lambda c: c.asc()) if asc else (lambda c: c.desc())
+    w = Window.partitionBy(*g).orderBy(
+        direction(F.col("__gtk_c")), direction(F.col("__gtk_v")), F.col(t).asc()
+    )
     return (
         pruned.withColumn(rank_name, F.row_number().over(w))
         .filter(F.col(rank_name) <= k)
+        .select(*in_cols, rank_name)
     )
 
 
@@ -145,26 +183,25 @@ def select_canonical(
     joining quality_metrics scores in and selecting with this keeps the
     cleanest copy of each duplicated document instead).
 
-    Pure-codegen plan: ONE ``min(struct(-score, id, payload))`` aggregate —
-    partial aggregation reduces each map partition to one candidate per
-    cluster before the shuffle, and there is no rank window. Null scores
-    rank below every non-null score (they only win single-member
-    clusters): the flip column orders null-last via a +infinity sentinel.
+    Pure-codegen plan: ONE ``min(struct(class, -score, id, payload))``
+    aggregate — partial aggregation reduces each map partition to one
+    candidate per cluster before the shuffle, and there is no rank window.
+    Score order follows Spark's descending window order: NaN ranks above
+    every value (class 0), real values by score, null scores last (class
+    2, they only win single-member clusters). The class column makes this
+    exact for ±infinity scores too — no sentinel value can collide with a
+    real score.
     """
     for c in (score_col, cluster_col, id_col):
         if c not in clusters.columns:
             raise ValueError(f"column '{c}' not in input")
     payload = list(clusters.columns)
-    # nulls: F.min skips null STRUCTS only; a null FIELD inside the struct
-    # sorts FIRST in Spark struct comparison, which would wrongly crown a
-    # null-score member — map null score to +inf so it sorts last instead
-    flip = F.when(
-        F.col(score_col).isNull(), F.lit(float("inf"))
-    ).otherwise(-F.col(score_col))
+    cls, clean, _dt = _order_class(clusters, score_col)
     best = clusters.groupBy(cluster_col).agg(
         F.min(
             F.struct(
-                flip.alias("__k"),
+                (F.lit(2) - cls).alias("__c"),
+                (-clean).alias("__v"),
                 F.col(id_col).alias("__t"),
                 *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(payload)],
             )

@@ -25,9 +25,11 @@ def snapshot_diff(
     ``removed`` (old only), ``changed`` (both, digest differs),
     ``unchanged`` (both, digest equal).
 
-    ``compare_cols`` are digested in the given order with a unit separator
-    between fields (so ("ab","c") never collides with ("a","bc")); nulls
-    digest as a reserved token, distinct from the empty string. Each side
+    ``compare_cols`` are digested FIELD-WISE first (md5 per field, nulls as
+    a reserved fixed token distinct from any hex digest), then the
+    fixed-width per-field digests are digested together — field boundaries
+    are unambiguous for ANY content, including values containing whatever
+    separator a concat scheme would have used. Each side
     must be id-unique — duplicate ids would make the join fan out and
     report one id several times — and that is REJECTED up front with one
     bounded count aggregate per side, not silently tolerated.
@@ -55,12 +57,15 @@ def snapshot_diff(
             )
 
     def digested(df: DataFrame, name: str) -> DataFrame:
-        parts: list = []
-        for c in cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-            parts.append(F.lit("\x1f"))
+        # per-field md5 (32 hex chars) or the "null" token — a prefix code:
+        # 'n' is not a hex character, so a block is either exactly "null"
+        # or exactly 32 hex chars, and no cross-field collision exists
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+            for c in cols
+        ]
         return df.select(
-            F.col(id_col).alias("id"), F.md5(F.concat(*parts[:-1])).alias(name)
+            F.col(id_col).alias("id"), F.md5(F.concat(*parts)).alias(name)
         )
 
     o = digested(old, "__od")

@@ -1953,8 +1953,12 @@ def ann_ivf_kmeans(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    ivf = ivf_kmeans_topk(q, emb, k=5, n_cells=8, n_probe=4)
-    exact = brute_force_topk(q, emb, k=5)
+    # every small result frame below feeds 2-4 downstream consumers inside
+    # ONE unioned job — localCheckpoint pins each (bounded: <= 5*k rows)
+    # so the expensive subtree (crossJoin top-k, mapInPandas ADC scoring)
+    # evaluates once, not once per consumer
+    ivf = ivf_kmeans_topk(q, emb, k=5, n_cells=8, n_probe=4).localCheckpoint()
+    exact = brute_force_topk(q, emb, k=5).localCheckpoint()
     a_ivf = ivf.agg(
         F.count(F.lit(1)).cast("long").alias("n_results"),
         F.sum(
@@ -1990,8 +1994,10 @@ def ann_ivf_kmeans(spark, sf):
     books = build_pq_codebooks(
         emb, "embedding", m=8, codes_per_subspace=16, dim=64, seed=7
     )
-    enc = pq_encode(emb, "vec_id", "embedding", books)
-    flat = pq_search(q, enc, books, "vec_id", "embedding", k=5)
+    # enc feeds flat ADC, the IVF-PQ code join, and both probed searches —
+    # pin the corpus-sized-but-2-bytes-per-code table once
+    enc = pq_encode(emb, "vec_id", "embedding", books).localCheckpoint()
+    flat = pq_search(q, enc, books, "vec_id", "embedding", k=5).localCheckpoint()
     # exact squared-L2 top-5 — the metric ADC approximates (cosine exact_topk
     # above ranks differently on unnormalized embeddings)
     qd = q.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv"))
@@ -2009,7 +2015,7 @@ def ann_ivf_kmeans(spark, sf):
         )
         .withColumn("rank", F.row_number().over(wl2))
         .filter(F.col("rank") <= 5)
-    )
+    ).localCheckpoint()
     p_n = flat.agg(
         F.count(F.lit(1)).cast("long").alias("n_flat"),
         F.sum(
@@ -2041,7 +2047,7 @@ def ann_ivf_kmeans(spark, sf):
     )
     pruned = ivf_pq_search(
         q, cent_df, assigned_codes, books, "vec_id", "embedding", k=5, n_probe=2
-    )
+    ).localCheckpoint()
     i_n = pruned.agg(F.count(F.lit(1)).cast("long").alias("n_pruned"))
     i_eq = (
         full.join(flat, ["query_id", "neighbor_id", "adc_dist", "rank"])

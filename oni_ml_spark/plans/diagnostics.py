@@ -81,17 +81,42 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in input: {missing}")
+    # (map-typed columns report n_rows/n_nulls only — see below)
     distinct_of = (
         (lambda c: F.count_distinct(F.col(c)))
         if exact_distinct
         else (lambda c: F.approx_count_distinct(c, rsd))
     )
+
+    # map-typed columns (incl. nested maps) are unorderable and unhashable
+    # in Spark SQL — min/max/distinct on them would fail ANALYSIS for the
+    # WHOLE profile. Emit nulls for those metrics instead of dying: a
+    # profiler that crashes on the table it profiles is useless.
+    from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+    def has_map(t: DataType) -> bool:
+        if isinstance(t, MapType):
+            return True
+        if isinstance(t, ArrayType):
+            return has_map(t.elementType)
+        if isinstance(t, StructType):
+            return any(has_map(f.dataType) for f in t.fields)
+        return False
+
+    types = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
     for i, c in enumerate(cols):
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{i}"))
-        aggs.append(distinct_of(c).alias(f"__dis_{i}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
+        if has_map(types[c]):
+            aggs.append(F.max(null_l).alias(f"__dis_{i}"))
+            aggs.append(F.max(null_s).alias(f"__min_{i}"))
+            aggs.append(F.max(null_s).alias(f"__max_{i}"))
+        else:
+            aggs.append(distinct_of(c).alias(f"__dis_{i}"))
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
     one = df.agg(*aggs)
     # one row -> |cols| rows via an inline table (stack), still one job
     # field names must match across array elements for array() to resolve
@@ -118,8 +143,13 @@ def plan_report(df: DataFrame) -> dict:
     tallies over Spark's formatted explain output; they are a diagnostic,
     not a parser.
     """
+    import uuid
+
     spark = df.sparkSession
-    name = "__plan_report_input"
+    # unique per call: a fixed name would let concurrent calls (or a user
+    # view of the same name) clobber each other's view between create and
+    # EXPLAIN
+    name = f"__plan_report_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(name)
     try:
         text = spark.sql(

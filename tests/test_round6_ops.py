@@ -73,6 +73,48 @@ class TestGroupedTopk:
         a1 = grouped_topk(df, "grp", "v", 1, ascending=True, tie_col="id").collect()
         assert d1[0]["id"] == 3 and a1[0]["id"] == 1
 
+    def test_nan_follows_window_order_both_paths(self, spark):
+        """Spark ranks NaN above every value: FIRST under descending, LAST
+        under ascending — both the prune and the k=1 fast path must agree
+        with what the plain rank window would emit."""
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+
+        df = spark.createDataFrame(
+            [("g", float("nan"), 1), ("g", 5.0, 2), ("g", 7.0, 3), ("g", 6.0, 4)],
+            "grp string, v double, id int",
+        )
+        desc = [(r["id"], r["rank"]) for r in
+                grouped_topk(df, "grp", "v", 2, tie_col="id").orderBy("rank").collect()]
+        assert desc == [(1, 1), (3, 2)]  # NaN first under descending
+        asc = [(r["id"], r["rank"]) for r in
+               grouped_topk(df, "grp", "v", 3, ascending=True, tie_col="id")
+               .orderBy("rank").collect()]
+        assert asc == [(2, 1), (4, 2), (3, 3)]  # NaN last under ascending
+        assert grouped_topk(df, "grp", "v", 1, tie_col="id").collect()[0]["id"] == 1
+        # NaN also outranks +infinity (no sentinel collision)
+        inf = spark.createDataFrame(
+            [("g", float("inf"), 1), ("g", float("nan"), 2)],
+            "grp string, v double, id int",
+        )
+        assert grouped_topk(inf, "grp", "v", 1, tie_col="id").collect()[0]["id"] == 2
+
+    def test_big_longs_exact_on_fast_path(self, spark):
+        """Longs beyond 2^53 must not collapse through a double coercion —
+        the k=1 fast path negates in the native type and the prune's value
+        column is non-null, so pandas keeps int64."""
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+
+        a, b = 9007199254740992, 9007199254740993  # equal as doubles
+        df = spark.createDataFrame(
+            [("g", a, 1), ("g", b, 2)], "grp string, v long, id int"
+        )
+        assert grouped_topk(df, "grp", "v", 1, ascending=True, tie_col="id") \
+            .collect()[0]["v"] == a
+        assert grouped_topk(df, "grp", "v", 1, tie_col="id").collect()[0]["v"] == b
+        got = [r["v"] for r in grouped_topk(df, "grp", "v", 2, tie_col="id")
+               .orderBy("rank").collect()]
+        assert got == [b, a]
+
     def test_validation(self, spark):
         from oni_ml_spark.datapipe.ranking import grouped_topk
 
@@ -85,6 +127,9 @@ class TestGroupedTopk:
             grouped_topk(df, "grp", "zz", 2, tie_col="id")
         with pytest.raises(ValueError, match="already exists"):
             grouped_topk(df.withColumn("rank", F.lit(1)), "grp", "v", 2, tie_col="id")
+        # string order columns are rejected, not silently misordered
+        with pytest.raises(ValueError, match="numeric"):
+            grouped_topk(df, "grp", "grp", 2, tie_col="id")
 
 
 class TestSelectCanonical:
@@ -125,6 +170,17 @@ class TestSelectCanonical:
         )
         got = {r["cluster"]: r["id"] for r in select_canonical(df, "score").collect()}
         assert got == {"a": 2, "b": 3}
+
+    def test_null_never_beats_minus_infinity(self, spark):
+        """The order-class scheme means no sentinel can collide with a real
+        score: a genuine -inf score still beats a null score."""
+        from oni_ml_spark.datapipe.ranking import select_canonical
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", float("-inf"))],
+            "id int, cluster string, score double",
+        )
+        assert select_canonical(df, "score").collect()[0]["id"] == 2
 
     def test_all_columns_preserved_and_codegen(self, spark):
         from oni_ml_spark.datapipe.ranking import select_canonical
@@ -220,6 +276,11 @@ class TestSnapshotDiff:
         b = spark.createDataFrame([(1, "a", "bc")], "id int, x string, y string")
         got = snapshot_diff(a, b, "id", ["x", "y"]).collect()
         assert got[0]["status"] == "changed"
+        # content containing a would-be separator byte cannot alias across
+        # field boundaries either (field-wise fixed digests, not concat)
+        c = spark.createDataFrame([(1, "a\x1fb", "c")], "id int, x string, y string")
+        d = spark.createDataFrame([(1, "a", "b\x1fc")], "id int, x string, y string")
+        assert snapshot_diff(c, d, "id", ["x", "y"]).collect()[0]["status"] == "changed"
 
 
 class TestProfileTable:
@@ -269,6 +330,19 @@ class TestProfileTable:
         df = spark.createDataFrame([(1,)], "a int")
         with pytest.raises(ValueError, match="not in input"):
             profile_table(df, ["zz"])
+
+    def test_map_columns_profiled_not_fatal(self, spark):
+        """Unorderable (map) columns report rows/nulls with null
+        distinct/min/max — the whole profile must not die on them."""
+        from oni_ml_spark.plans.diagnostics import profile_table
+
+        df = spark.createDataFrame(
+            [(1, {"k": 1}), (2, None)], "a int, mp map<string,int>"
+        )
+        got = {r["column"]: r for r in profile_table(df).collect()}
+        assert got["mp"]["n_rows"] == 2 and got["mp"]["n_nulls"] == 1
+        assert got["mp"]["n_distinct"] is None and got["mp"]["min_value"] is None
+        assert got["a"]["n_distinct"] == 2
 
 
 class TestPlanReport:
@@ -339,6 +413,22 @@ class TestUpdateLshIndex:
         b = sorted(map(tuple, incremental_near_dups(
             probe, rebuilt, "doc_id", "text", threshold=0.5).collect()))
         assert a == b
+
+    def test_shingleless_batch_doc_removed_not_stale(self, spark):
+        """A batch doc edited down to < n words has no shingles → no new
+        signature. Its OLD signature must be dropped, not silently kept
+        (the content it signed no longer exists) — matching a full rebuild,
+        where lsh_index over the merged corpus also emits no row for it."""
+        from oni_ml_spark.datapipe.dedup import lsh_index, update_lsh_index
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "two three four five")],
+            "doc_id long, text string",
+        )
+        index = lsh_index(df, "doc_id", "text")
+        batch = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+        updated = update_lsh_index(index, batch, "doc_id", "text")
+        assert [r["id"] for r in updated.collect()] == [2]
 
     def test_null_batch_ids_rejected(self, spark):
         """A null id in the batch reaches merge_upsert's null-key guard (it
