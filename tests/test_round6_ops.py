@@ -446,3 +446,70 @@ class TestUpdateLshIndex:
         )
         with pytest.raises(ValueError, match="null key"):
             update_lsh_index(index, null_batch, "doc_id", "text")
+
+
+class TestUpsertSink:
+    def test_stream_upsert_matches_batch_argmax(self, spark, tmp_path):
+        """File-source stream through the upsert sink: the final table must
+        hold, per key, the row with the globally largest order value —
+        independent of micro-batch boundaries — and a SECOND availableNow
+        run over new files must upsert incrementally on the same
+        checkpoint, never regress newer rows, and honor retention."""
+        import os
+
+        from oni_ml_spark.streaming.upsert_sink import (
+            read_upsert_table,
+            upsert_writer,
+        )
+
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        os.makedirs(root)
+
+        def emit(rows, name):
+            spark.createDataFrame(
+                rows, "k int, seq long, payload string"
+            ).coalesce(1).write.parquet(f"{src}/{name}")
+
+        emit([(1, 10, "a"), (2, 11, "b"), (1, 12, "c")], "f1")
+        emit([(2, 9, "stale"), (3, 20, "d")], "f2")
+
+        def run():
+            q = (
+                spark.readStream.schema("k int, seq long, payload string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+                .writeStream.foreachBatch(
+                    upsert_writer(root, "k", "seq", keep_versions=2)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got = {r["k"]: (r["seq"], r["payload"]) for r in
+               read_upsert_table(spark, root).collect()}
+        # k=1: seq 12 wins over 10; k=2: 11 beats the stale 9; k=3: 20
+        assert got == {1: (12, "c"), 2: (11, "b"), 3: (20, "d")}
+
+        emit([(1, 5, "older-than-stored"), (4, 1, "e")], "f3")
+        run()
+        got2 = {r["k"]: (r["seq"], r["payload"]) for r in
+                read_upsert_table(spark, root).collect()}
+        # k=1 keeps seq 12 (an older update must not regress the row)
+        assert got2 == {1: (12, "c"), 2: (11, "b"), 3: (20, "d"), 4: (1, "e")}
+        versions = [e for e in os.listdir(root) if e.startswith("v")]
+        assert len(versions) <= 2  # retention kept only the latest snapshots
+
+    def test_reader_before_first_commit(self, spark, tmp_path):
+        from oni_ml_spark.streaming.upsert_sink import read_upsert_table
+
+        root = str(tmp_path / "empty")
+        import os
+
+        os.makedirs(root)
+        assert read_upsert_table(spark, root) is None
