@@ -9,7 +9,9 @@ from oni_ml_spark.plans.skew import salted_join
 from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
 from oni_ml_spark.plans.diagnostics import (
+    column_histogram,
     key_skew_profile,
+    numeric_correlations,
     partition_profile,
     plan_report,
     profile_table,
@@ -18,4 +20,5 @@ from oni_ml_spark.plans.diagnostics import (
 __all__ = ["salted_join", "write_bucketed", "read_bucketed",
            "write_zordered", "zorder_key",
            "partition_profile", "key_skew_profile",
-           "profile_table", "plan_report"]
+           "profile_table", "plan_report",
+           "column_histogram", "numeric_correlations"]

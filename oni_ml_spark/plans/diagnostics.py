@@ -178,3 +178,85 @@ def plan_report(df: DataFrame) -> dict:
         ),
         "plan": text,
     }
+
+
+def column_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(bin, lo, hi, n) equi-width histogram of a numeric column — the
+    distribution view profile_table's min/max can't give.
+
+    Bounds default to the column's exact min/max (one bounded 1-row
+    aggregate when not supplied — pass them to skip that job at 100 TB, or
+    reuse profile_table's output). Binning is one codegen projection +
+    one map-side-combined count aggregate; output is ``bins`` rows with
+    structural zeros for empty bins (a plotting consumer can rely on the
+    full grid). Values exactly at ``hi`` land in the LAST bin (closed top
+    bin, the standard histogram convention); nulls and NaNs are excluded.
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    if value_col not in df.columns:
+        raise ValueError(f"column '{value_col}' not in input")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None or hi is None:
+        raise ValueError("column has no non-null values and no bounds given")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (float(hi) - float(lo)) / bins
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")),
+    )
+    counts = (
+        df.filter(v.isNotNull() & ~F.isnan(v) & (v >= lo) & (v <= hi))
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(float(lo)) + F.col("bin") * F.lit(width), 9).alias("lo"),
+            F.round(F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width), 9).alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin")
+    )
+
+
+def numeric_correlations(df: DataFrame, columns: list[str]) -> DataFrame:
+    """(col_a, col_b, corr) Pearson correlation for every pair of the
+    given numeric columns — computed in ONE aggregate over ONE scan
+    (F.corr is map-side combinable), not one job per pair. n columns →
+    n·(n-1)/2 rows (upper triangle, a < b by position)."""
+    if len(columns) < 2:
+        raise ValueError("need at least two columns")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in input: {missing}")
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1:]
+    ]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"__c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    one = df.agg(*aggs)
+    parts = [
+        f"struct('{a}' AS a, '{b}' AS b, __c_{i} AS c)"
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return one.selectExpr(f"inline(array({', '.join(parts)}))").toDF(
+        "col_a", "col_b", "corr"
+    )

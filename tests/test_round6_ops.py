@@ -513,3 +513,76 @@ class TestUpsertSink:
 
         os.makedirs(root)
         assert read_upsert_table(spark, root) is None
+
+
+class TestColumnHistogram:
+    def test_matches_duckdb_width_bucket(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import column_histogram
+
+        e = load_table(spark, SF01, "events")
+        got = [(r["bin"], r["n"]) for r in
+               column_histogram(e, "value", bins=8).collect()]
+        con = duckdb.connect()
+        lo, hi = con.execute(
+            f"SELECT min(value), max(value) FROM '{SF01}/events.parquet'"
+        ).fetchone()
+        want = con.execute(
+            f"""WITH b AS (SELECT least(7, greatest(0,
+                  floor((value - {lo}) / (({hi} - {lo}) / 8.0))::INT)) AS bin
+                FROM '{SF01}/events.parquet' WHERE value IS NOT NULL),
+            c AS (SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY bin)
+            SELECT g.bin, coalesce(c.n, 0) FROM range(8) g(bin)
+            LEFT JOIN c ON c.bin = g.bin ORDER BY g.bin"""
+        ).fetchall()
+        assert got == [(int(b), n) for b, n in want]
+        assert sum(n for _, n in got) == e.filter(F.col("value").isNotNull()).count()
+
+    def test_bounds_and_validation(self, spark):
+        from oni_ml_spark.plans.diagnostics import column_histogram
+
+        df = spark.createDataFrame([(0.0,), (5.0,), (10.0,), (None,)], "v double")
+        rows = column_histogram(df, "v", bins=2, lo=0.0, hi=10.0).collect()
+        # half-open bins [0,5) [5,10] — 5.0 is bin 1, and 10.0 lands in the
+        # LAST (closed-top) bin; null excluded
+        assert [(r["bin"], r["n"]) for r in rows] == [(0, 1), (1, 2)]
+        with pytest.raises(ValueError, match="positive"):
+            column_histogram(df, "v", bins=0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            column_histogram(df, "v", lo=5.0, hi=5.0)
+        empty = spark.createDataFrame([(None,)], "v double")
+        with pytest.raises(ValueError, match="no non-null"):
+            column_histogram(empty, "v")
+
+
+class TestNumericCorrelations:
+    def test_matches_duckdb_corr(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import numeric_correlations
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+               numeric_correlations(
+                   li, ["l_quantity", "l_extendedprice", "l_discount"]).collect()}
+        con = duckdb.connect()
+        for a, b in got:
+            want = con.execute(
+                f"SELECT corr({a}, {b}) FROM '{SF_DIR}/lineitem.parquet'"
+            ).fetchone()[0]
+            assert abs(got[(a, b)] - want) < 1e-9, (a, b)
+        assert len(got) == 3  # upper triangle of 3 columns
+
+    def test_single_scan_and_validation(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import (
+            numeric_correlations,
+            plan_report,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        rep = plan_report(numeric_correlations(li, ["l_quantity", "l_tax"]))
+        assert rep["scans"] == 1
+        with pytest.raises(ValueError, match="at least two"):
+            numeric_correlations(li, ["l_quantity"])
+        with pytest.raises(ValueError, match="not in input"):
+            numeric_correlations(li, ["l_quantity", "zz"])
