@@ -421,3 +421,39 @@ def merge_upsert(
         base.select(*keys).distinct(), keys, "left_semi"
     )
     return kept.unionByName(upd)
+
+
+def write_training_shards(
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    shard_size: int,
+    id_name: str = "sample_idx",
+) -> int:
+    """Export a corpus as deterministic, position-addressable training
+    shards: contiguous 0..N-1 sample indexes in ``key_col`` order
+    (``assign_contiguous_ids``), sharded as ``shard=K`` partition
+    directories of exactly ``shard_size`` samples each (the last shard
+    holds the remainder). Returns the shard count.
+
+    A training job can then map global step*batch ranges onto shard files
+    arithmetically — shard K holds samples [K*shard_size, (K+1)*shard_size)
+    — and the layout is identical on every run and cluster because both
+    the index assignment and the shard split are pure functions of the key
+    order. Each shard directory is written by the tasks holding its rows
+    (partitionBy on the derived shard column); Hive-partition discovery
+    prunes to the shards a reader asks for.
+
+    Deterministic-shuffle recipe: pass a ``deterministic_shuffle``-style
+    hash column as ``key_col`` to get stable pseudo-random sample order
+    instead of key order.
+    """
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    with_ids = assign_contiguous_ids(df, key_col, id_name=id_name)
+    sharded = with_ids.withColumn(
+        "shard", (F.col(id_name) / shard_size).cast("long")
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    n = sharded.agg(F.max("shard")).collect()[0][0]
+    return int(n) + 1 if n is not None else 0

@@ -586,3 +586,38 @@ class TestNumericCorrelations:
             numeric_correlations(li, ["l_quantity"])
         with pytest.raises(ValueError, match="not in input"):
             numeric_correlations(li, ["l_quantity", "zz"])
+
+
+class TestWriteTrainingShards:
+    def test_shards_are_position_addressable_and_deterministic(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.sampling import write_training_shards
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        out = str(tmp_path / "shards")
+        n_shards = write_training_shards(d, "doc_id", out, shard_size=64)
+        total = d.count()
+        assert n_shards == (total + 63) // 64
+        back = spark.read.parquet(out)
+        assert back.count() == total
+        # shard K holds exactly samples [K*64, (K+1)*64) in doc_id order
+        import duckdb
+
+        con = duckdb.connect()
+        want = dict(con.execute(
+            f"SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 "
+            f"FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall())
+        for r in back.collect():
+            assert r["sample_idx"] == want[r["doc_id"]]
+            assert r["shard"] == r["sample_idx"] // 64
+        # partition pruning: reading one shard touches one directory
+        one = spark.read.parquet(out).filter(F.col("shard") == 1)
+        assert one.count() == min(64, max(0, total - 64))
+
+    def test_validation(self, spark):
+        from oni_ml_spark.datapipe.sampling import write_training_shards
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="positive"):
+            write_training_shards(df, "k", "/tmp/x", 0)
