@@ -450,6 +450,11 @@ def write_training_shards(
     """
     if shard_size <= 0:
         raise ValueError("shard_size must be positive")
+    if "shard" in df.columns:
+        raise ValueError(
+            "column 'shard' already exists in the input — the export would "
+            "silently overwrite it and move it into the directory layout"
+        )
     with_ids = assign_contiguous_ids(df, key_col, id_name=id_name)
     sharded = with_ids.withColumn(
         "shard", (F.col(id_name) / shard_size).cast("long")

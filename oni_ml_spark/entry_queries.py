@@ -1922,11 +1922,13 @@ def ann_ivf_kmeans(spark, sf):
     the KMeans-quantized IVF invariant row: seeded k-means is deterministic
     but not engine-portable, so the oracle states the properties —
     (a) result count equals the exact baseline's (every query finds a full
-    top-5 through its probed cells), (b) recall@5 vs the in-plan exact top-5
-    >= 0.55 — above the 0.5 a random 4-of-8-cell probe would average, and
-    holding at BOTH shipped scale factors (measured 0.80 at sf0.01, 0.64
-    at sf0.1 with n_probe=4 of 8 cells; the r5 bound of 0.75 only held at
-    the gate SF), (r) every reported cosine lies in [-1, 1].
+    top-5 through its probed cells), (b) recall@5 vs the in-plan exact
+    top-5 above a corpus-size-dependent bound: 0.75 at gate scale
+    (corpus <= 600; measured 0.80 at sf0.01 — the strong bound is KEPT
+    where its headroom exists) and 0.55 beyond (measured 0.64 at sf0.1;
+    still above the 0.5 a random 4-of-8-cell probe would average — fixed
+    probes cover a shrinking candidate share as cells fill),
+    (r) every reported cosine lies in [-1, 1].
 
     r06 adds the product-quantization stack (same invariant-row shape):
 
@@ -1973,10 +1975,14 @@ def ann_ivf_kmeans(spark, sf):
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
     a_exact = exact.agg(F.count(F.lit(1)).alias("__n_exact"))
-    check = a_ivf.crossJoin(a_hits).crossJoin(a_exact).select(
+    a_corpus = emb.agg(F.count(F.lit(1)).alias("__n_corpus"))
+    recall_bound = F.when(F.col("__n_corpus") <= 600, F.lit(0.75)).otherwise(
+        F.lit(0.55)
+    )
+    check = a_ivf.crossJoin(a_hits).crossJoin(a_exact).crossJoin(a_corpus).select(
         F.lit("ivf_check").alias("part"),
         F.col("n_results").alias("a"),
-        F.when(F.col("__hits") >= 0.55 * F.col("__n_exact"), F.lit(1))
+        F.when(F.col("__hits") >= recall_bound * F.col("__n_exact"), F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("b"),
         F.lit(None).cast("double").alias("v"),
         F.when(F.coalesce(F.col("__bad_sim"), F.lit(0)) == 0, F.lit(1))

@@ -204,7 +204,11 @@ def column_histogram(
         raise ValueError(f"column '{value_col}' not in input")
     v = F.col(value_col).cast("double")
     if lo is None or hi is None:
-        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        # exclude NaN here too: Spark orders NaN above every double, so an
+        # unguarded max() returns NaN whenever one row is NaN and the
+        # whole histogram would die on the hi > lo check
+        vv = F.when(~F.isnan(v), v)
+        row = df.agg(F.min(vv).alias("lo"), F.max(vv).alias("hi")).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
     if lo is None or hi is None:

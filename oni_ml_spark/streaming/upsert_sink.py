@@ -8,9 +8,10 @@ layout under one root:
     root/v00000002/...
     root/_LATEST                  (atomic pointer: the current version)
 
-Each micro-batch reads the current snapshot, runs ``merge_upsert`` against
-the (deduplicated) batch, writes the merged result as the NEXT version
-directory, then swaps the pointer with an atomic rename. Readers always go
+Each micro-batch reads the current snapshot, merges the batch in with one
+per-key largest-order-wins window over (stored ∪ batch) — MERGE semantics
+that stay correct under micro-batch replay — writes the merged result as
+the NEXT version directory, then swaps the pointer with an atomic rename. Readers always go
 through the pointer, so they see a complete old snapshot or a complete new
 one — never a half-written directory. A crash between write and swap
 leaves an orphan version directory the next successful batch overwrites;
@@ -35,11 +36,33 @@ from pyspark.sql import functions as F
 _POINTER = "_LATEST"
 
 
+def _version_dirs(root: str) -> list[str]:
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    return [e for e in entries if e.startswith("v") and e[1:].isdigit()]
+
+
 def _read_pointer(root: str) -> int:
+    """0 only for a GENUINELY empty table. A missing/corrupt pointer file
+    next to existing version directories is raised, not treated as empty —
+    silently re-initializing would make the next batch overwrite the whole
+    table with just itself (the driver-restart-on-another-node trap: the
+    pointer lives on the driver-local filesystem, so `root` must be a path
+    every driver sees — shared mount or single-node; document'd limitation
+    of a table-format-less sink)."""
     try:
         with open(os.path.join(root, _POINTER)) as fh:
             return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
+    except (FileNotFoundError, ValueError) as e:
+        if _version_dirs(root):
+            raise RuntimeError(
+                f"upsert table at {root} has version directories but no "
+                "readable _LATEST pointer — refusing to treat it as empty "
+                "(recover by writing the highest committed version number "
+                "into _LATEST)"
+            ) from e
         return 0
 
 
@@ -80,48 +103,41 @@ def upsert_writer(
     older version directories are deleted after the pointer swap.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        # survivor per key: largest order_col (row_number, not dropDuplicates
-        # — dropDuplicates keeps an arbitrary row)
+        current = read_upsert_table(spark, root)
+        if current is not None and sorted(current.columns) != sorted(batch_df.columns):
+            raise ValueError(
+                "stream schema does not match the stored table "
+                f"({sorted(batch_df.columns)} vs {sorted(current.columns)})"
+            )
+        # replay-safe MERGE in ONE window: per key, the largest-order row
+        # of (stored ∪ batch) wins — dedups multi-update batches AND keeps
+        # a replayed OLD batch from regressing a newer stored row (the
+        # anti-join MERGE form could), idempotent under any replay order.
+        both = batch_df if current is None else current.unionByName(batch_df)
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        updates = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
+        merged = (
+            both.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        current = read_upsert_table(spark, root)
-        if current is None:
-            merged = updates
-        else:
-            if sorted(current.columns) != sorted(updates.columns):
-                raise ValueError(
-                    "stream schema does not match the stored table "
-                    f"({sorted(updates.columns)} vs {sorted(current.columns)})"
-                )
-            # replay-safe MERGE: datapipe.sampling.merge_upsert's anti-join
-            # form would let a REPLAYED old batch regress a newer stored
-            # row; union + per-key argmax over order_col keeps whichever
-            # side is newer, which is idempotent under any replay order
-            both = current.unionByName(updates)
-            w2 = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-            merged = (
-                both.withColumn("__rn", F.row_number().over(w2))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
         v = _read_pointer(root) + 1
         merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v:08d}"))
         _swap_pointer(root, v)
         # retention: drop directories older than keep_versions
         import shutil
 
-        for entry in sorted(os.listdir(root)):
-            if entry.startswith("v") and entry[1:].isdigit():
-                if int(entry[1:]) <= v - keep_versions:
-                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        for entry in sorted(_version_dirs(root)):
+            if int(entry[1:]) <= v - keep_versions:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     return write_batch
