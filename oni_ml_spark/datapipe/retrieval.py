@@ -18,7 +18,7 @@ term list followed by one per-doc aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oni_ml_spark.datapipe.dedup import tokens
@@ -149,3 +149,56 @@ def bm25_topk(
     TakeOrderedAndProject (no global sort materialization)."""
     scored = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b)
     return scored.orderBy(F.desc("score"), F.col("id")).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    result lists — the standard way to combine lexical (``bm25_topk``) and
+    vector (``brute_force_topk`` / ``ivf_pq_search``) retrieval without
+    score calibration: rrf = Σ_lists 1/(k + rank), higher is better.
+    Returns (id, rrf_score, n_lists, rank) ordered best-first; ``k=60`` is
+    the paper's constant (damps the head so one list cannot dominate).
+
+    Rank-only fusion is what makes this robust at scale: BM25 scores and
+    cosine similarities live on incomparable scales, but ranks always
+    fuse. Each input needs (id_col, rank_col) with rank >= 1; candidates
+    appearing in only some lists simply collect fewer terms (no imputed
+    rank for absent lists — the conservative variant). Plan: union of the
+    (already small, top-k-sized) lists → one grouped sum → one rank
+    window over candidate-count rows, not corpus rows.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    parts = []
+    for i, r in enumerate(rankings):
+        for c in (id_col, rank_col):
+            if c not in r.columns:
+                raise ValueError(f"ranking {i} lacks column '{c}'")
+        parts.append(
+            r.select(
+                F.col(id_col).alias("id"),
+                (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("__term"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("id").agg(
+        F.sum("__term").alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    # global (unpartitioned) window is safe HERE only because the input is
+    # a union of top-k lists — candidate-count rows, never corpus-sized
+    w = Window.orderBy(F.desc("rrf_score"), F.col("id"))
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.select("id", F.round("rrf_score", 9).alias("rrf_score"), "n_lists", "rank")

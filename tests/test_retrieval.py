@@ -208,3 +208,55 @@ def test_ngram_contamination_planted_overlap(spark):
     }
     assert got[0] == (5, 3, 0.6)
     assert got[1] == (4, 0, 0.0)
+
+
+class TestRrfFuse:
+    def test_fuses_bm25_and_vector_rankings(self, spark):
+        """Hybrid search: RRF of a BM25 top-k and a cosine top-k must score
+        1/(60+r) summed per list, rank docs found by BOTH lists above
+        single-list docs of similar rank, and match a hand-computed
+        oracle."""
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        from oni_ml_spark.datapipe.retrieval import bm25_topk, rrf_fuse
+        from oni_ml_spark.datapipe.similarity import brute_force_topk
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        lex = bm25_topk(d, "doc_id", "text", ["data", "model"], k=10)
+        lex_r = lex.select(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("score"), "id")).alias("rank"),
+        )
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        vec = brute_force_topk(
+            emb.filter(F.col("vec_id") == 0), emb, k=10
+        ).select(F.col("neighbor_id").alias("id"), "rank")
+        fused = rrf_fuse([lex_r, vec], top_k=15).collect()
+        lr = {r["id"]: r["rank"] for r in lex_r.collect()}
+        vr = {r["id"]: r["rank"] for r in vec.collect()}
+        want = {}
+        for i in set(lr) | set(vr):
+            want[i] = sum(1.0 / (60 + r[i]) for r in (lr, vr) if i in r)
+        got = {r["id"]: (r["rrf_score"], r["n_lists"]) for r in fused}
+        for i, (score, n) in got.items():
+            assert abs(score - want[i]) < 1e-9
+            assert n == (i in lr) + (i in vr)
+        # ranks are dense best-first over the fused order
+        ranks = sorted((r["rank"], r["id"]) for r in fused)
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        order = sorted(got, key=lambda i: (-want[i], i))[:len(ranks)]
+        assert [i for _, i in ranks] == order
+
+    def test_validation(self, spark):
+        from oni_ml_spark.datapipe.retrieval import rrf_fuse
+        import pytest
+
+        df = spark.createDataFrame([(1, 1)], "id long, rank int")
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        with pytest.raises(ValueError, match="positive"):
+            rrf_fuse([df], k=0)
+        with pytest.raises(ValueError, match="lacks column"):
+            rrf_fuse([df.select("id")])
