@@ -60,6 +60,23 @@ def _order_class(df: DataFrame, order_col: str) -> tuple[Column, Column, str]:
     return cls, clean, dt
 
 
+def _neg_exact(clean: Column, dt: str) -> Column:
+    """Order-reversing negation of the clean value that is EXACT for every
+    input of its type. Native integer negation is undefined at the type's
+    MIN value (-LONG_MIN overflows, raising under ANSI mode and silently
+    wrapping — i.e. mis-ranking — otherwise), so integer types negate in
+    the next-wider exact type: tinyint/smallint/int in bigint,
+    bigint in decimal(20,0) (19 digits hold ±2^63 exactly). Float, double
+    and decimal negate natively (their ranges are sign-symmetric). Still
+    pure codegen — no Python, no double rounding."""
+    base = dt.split("(")[0]
+    if base in ("tinyint", "smallint", "int"):
+        return -clean.cast("long")
+    if base == "bigint":
+        return -clean.cast("decimal(20,0)")
+    return -clean
+
+
 def grouped_topk(
     df: DataFrame,
     group_cols: list[str] | str,
@@ -91,9 +108,9 @@ def grouped_topk(
     k=1 skips both stages for a pure-codegen ``min(struct(...))``
     aggregate: partial aggregation reduces map-side to one candidate per
     group per partition, and no Python runs at all. The descending k=1
-    path negates the clean value in its NATIVE type (exact for every long;
-    the one undefined input is the LONG_MIN sentinel, which overflows
-    under ANSI mode — cast to double first if your data can contain it).
+    path negates the clean value exactly for EVERY input — integer types
+    widen before negating (bigint in decimal(20,0)), so LONG_MIN ranks
+    correctly under ANSI mode instead of overflowing (see ``_neg_exact``).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if not groups:
@@ -111,17 +128,17 @@ def grouped_topk(
     if rank_name in df.columns:
         raise ValueError(f"column '{rank_name}' already exists in the input")
 
-    cls, clean, _dt = _order_class(df, order_col)
+    cls, clean, dt = _order_class(df, order_col)
 
     if k == 1:
         # min(struct(class', value', tie, payload)) — struct comparison is
         # lexicographic, so this IS argmin under the ranking order.
         # asc wants (null, value asc, NaN) → class 0/1/2 as-is;
         # desc wants (NaN, value desc, null) → flip the class and negate
-        # the clean value (native type, no double coercion).
+        # the clean value (overflow-exact, no double coercion).
         payload = list(df.columns)
         c_key = cls if ascending else (F.lit(2) - cls)
-        v_key = clean if ascending else (-clean)
+        v_key = clean if ascending else _neg_exact(clean, dt)
         best = df.groupBy(*groups).agg(
             F.min(
                 F.struct(
@@ -196,12 +213,12 @@ def select_canonical(
         if c not in clusters.columns:
             raise ValueError(f"column '{c}' not in input")
     payload = list(clusters.columns)
-    cls, clean, _dt = _order_class(clusters, score_col)
+    cls, clean, dt = _order_class(clusters, score_col)
     best = clusters.groupBy(cluster_col).agg(
         F.min(
             F.struct(
                 (F.lit(2) - cls).alias("__c"),
-                (-clean).alias("__v"),
+                _neg_exact(clean, dt).alias("__v"),
                 F.col(id_col).alias("__t"),
                 *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(payload)],
             )

@@ -9,7 +9,7 @@ digest) per side, so diffing two 100 TB snapshots moves key+digest only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _STATUSES = ("added", "removed", "changed", "unchanged")
@@ -20,6 +20,7 @@ def snapshot_diff(
     new: DataFrame,
     id_col: str,
     compare_cols: list[str] | str,
+    validate: bool = True,
 ) -> DataFrame:
     """(id, status) for every id in either snapshot: ``added`` (new only),
     ``removed`` (old only), ``changed`` (both, digest differs),
@@ -29,10 +30,20 @@ def snapshot_diff(
     a reserved fixed token distinct from any hex digest), then the
     fixed-width per-field digests are digested together — field boundaries
     are unambiguous for ANY content, including values containing whatever
-    separator a concat scheme would have used. Each side
-    must be id-unique — duplicate ids would make the join fan out and
-    report one id several times — and that is REJECTED up front with one
-    bounded count aggregate per side, not silently tolerated.
+    separator a concat scheme would have used. Each side must be id-unique —
+    duplicate ids would make the join fan out and report one id several
+    times — and null/duplicate ids are REJECTED, not silently tolerated.
+
+    The rejection is IN-PLAN (``validate=True``, the default): a
+    ``count() over (partition by id)`` guard on each side's (id, digest)
+    projection raises through ``raise_error`` during the diff job itself.
+    No extra scan runs — the guard's per-id window needs exactly the
+    hash-partition-by-id + sort-by-id the full-outer sort-merge join
+    performs anyway, so validation rides the shuffle the diff already pays
+    for (vs. the eager pre-count formulation, which read each 100 TB side
+    twice). The error therefore surfaces when the result executes, wrapped
+    in Spark's runtime-error type. ``validate=False`` skips the guard for
+    inputs already known id-unique (e.g. the output of ``dedup_exact``).
     """
     cols = [compare_cols] if isinstance(compare_cols, str) else list(compare_cols)
     if not cols:
@@ -41,22 +52,8 @@ def snapshot_diff(
         missing = [c for c in [id_col, *cols] if c not in df.columns]
         if missing:
             raise ValueError(f"{side} snapshot lacks columns {missing}")
-        st = df.agg(
-            (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("dup"),
-            F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
-        ).collect()[0]
-        if st["nulls"]:
-            raise ValueError(
-                f"{side} snapshot has {st['nulls']} null id(s) — null ids "
-                "cannot be matched across snapshots"
-            )
-        if st["dup"]:
-            raise ValueError(
-                f"{side} snapshot has {st['dup']} duplicate id(s) — the diff "
-                "would fan out; dedupe first"
-            )
 
-    def digested(df: DataFrame, name: str) -> DataFrame:
+    def digested(df: DataFrame, name: str, side: str) -> DataFrame:
         # per-field md5 (32 hex chars) or the "null" token — a prefix code:
         # 'n' is not a hex character, so a block is either exactly "null"
         # or exactly 32 hex chars, and no cross-field collision exists
@@ -64,12 +61,38 @@ def snapshot_diff(
             F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
             for c in cols
         ]
-        return df.select(
+        out = df.select(
             F.col(id_col).alias("id"), F.md5(F.concat(*parts)).alias(name)
         )
+        if not validate:
+            return out
+        per_id = F.count(F.lit(1)).over(Window.partitionBy("id"))
+        guard = (
+            F.when(
+                F.col("id").isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"snapshot_diff: {side} snapshot has a null id — "
+                        "null ids cannot be matched across snapshots"
+                    )
+                ),
+            )
+            .when(
+                per_id > F.lit(1),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"snapshot_diff: {side} snapshot has a duplicate id ("),
+                        F.col("id").cast("string"),
+                        F.lit(") — the diff would fan out; dedupe first"),
+                    )
+                ),
+            )
+            .otherwise(F.col("id"))
+        )
+        return out.select(guard.alias("id"), name)
 
-    o = digested(old, "__od")
-    n = digested(new, "__nd")
+    o = digested(old, "__od", "old")
+    n = digested(new, "__nd", "new")
     joined = o.join(n, "id", "full_outer")
     return joined.select(
         "id",

@@ -115,6 +115,47 @@ class TestGroupedTopk:
                .orderBy("rank").collect()]
         assert got == [b, a]
 
+    def test_long_min_exact_under_ansi(self, spark):
+        """LONG_MIN in the data must rank correctly on the descending k=1
+        path under ANSI mode — the widened negation (_neg_exact: bigint →
+        decimal(20,0)) replaces the old documented-overflow caveat. INT_MIN
+        likewise on an int order column (widened to bigint)."""
+        from oni_ml_spark.datapipe.ranking import grouped_topk, select_canonical
+
+        long_min = -(2**63)
+        df = spark.createDataFrame(
+            [("g", long_min, 1), ("g", -5, 2), ("g", 2**63 - 1, 3)],
+            "grp string, v long, id int",
+        )
+        old_ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            assert grouped_topk(df, "grp", "v", 1, tie_col="id") \
+                .collect()[0]["v"] == 2**63 - 1
+            # LONG_MIN itself wins the ascending direction untouched
+            assert grouped_topk(df, "grp", "v", 1, ascending=True, tie_col="id") \
+                .collect()[0]["v"] == long_min
+            # select_canonical shares the negation path
+            can = select_canonical(
+                df.withColumnRenamed("grp", "cluster"), "v", id_col="id"
+            ).collect()
+            assert can[0]["v"] == 2**63 - 1
+            int_min = -(2**31)
+            di = spark.createDataFrame(
+                [("g", int_min, 1), ("g", 7, 2)], "grp string, v int, id int"
+            )
+            assert grouped_topk(di, "grp", "v", 1, tie_col="id") \
+                .collect()[0]["v"] == 7
+            # and LONG_MIN as the group's ONLY value still returns (its
+            # negation is what used to overflow)
+            solo = spark.createDataFrame(
+                [("g", long_min, 1)], "grp string, v long, id int"
+            )
+            assert grouped_topk(solo, "grp", "v", 1, tie_col="id") \
+                .collect()[0]["v"] == long_min
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+
     def test_validation(self, spark):
         from oni_ml_spark.datapipe.ranking import grouped_topk
 
@@ -260,14 +301,40 @@ class TestSnapshotDiff:
         got = {r["id"]: r["status"] for r in snapshot_diff(a, b, "id", "t").collect()}
         # null != empty string: the null token is reserved
         assert got == {1: "unchanged", 2: "changed"}
+        # null/dup rejection is IN-PLAN (raise_error riding the join's own
+        # shuffle — no extra validation scan), so it surfaces as Spark's
+        # runtime error at action time, not ValueError at call time
         dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, t string")
-        with pytest.raises(ValueError, match="duplicate id"):
-            snapshot_diff(dup, b, "id", "t")
+        with pytest.raises(Exception, match="duplicate id"):
+            snapshot_diff(dup, b, "id", "t").collect()
         withnull = spark.createDataFrame([(None, "x")], "id int, t string")
-        with pytest.raises(ValueError, match="null id"):
-            snapshot_diff(withnull, b, "id", "t")
+        with pytest.raises(Exception, match="null id"):
+            snapshot_diff(withnull, b, "id", "t").collect()
         with pytest.raises(ValueError, match="lacks columns"):
             snapshot_diff(a, b, "id", ["zz"])
+
+    def test_validate_flag_and_no_extra_jobs(self, spark):
+        from oni_ml_spark.datapipe.snapshots import snapshot_diff
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, t string")
+        b = spark.createDataFrame([(2, "y"), (3, "z")], "id int, t string")
+        # calling snapshot_diff runs NO jobs either way: validation is part
+        # of the diff plan (validate=True) or absent (validate=False) —
+        # never an eager pre-scan. Assert laziness via the tracker.
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        lazy = snapshot_diff(a, b, "id", "t")
+        lazy_off = snapshot_diff(a, b, "id", "t", validate=False)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, "snapshot_diff ran an eager validation job"
+        want = {1: "removed", 2: "unchanged", 3: "added"}
+        assert {r["id"]: r["status"] for r in lazy.collect()} == want
+        assert {r["id"]: r["status"] for r in lazy_off.collect()} == want
+        # validate=False really skips the guard: a dup id fans out instead
+        # of raising (the documented caller-asserts-uniqueness contract)
+        dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, t string")
+        rows = snapshot_diff(dup, b, "id", "t", validate=False).collect()
+        assert sum(1 for r in rows if r["id"] == 1) == 2
 
     def test_field_boundary_no_collision(self, spark):
         from oni_ml_spark.datapipe.snapshots import snapshot_diff
