@@ -423,6 +423,39 @@ def merge_upsert(
     return kept.unionByName(upd)
 
 
+def shard_positions(
+    df: DataFrame,
+    id_name: str,
+    shard_size: int,
+    shard_name: str = "shard",
+    pos_name: str | None = "shard_pos",
+) -> DataFrame:
+    """Derive the training-shard layout from contiguous ids — the exact
+    arithmetic ``write_training_shards`` uses for its directory split,
+    exposed as a lazy projection: ``shard = id div shard_size`` and
+    (optionally) ``pos = id mod shard_size``, the sample's position within
+    its shard. Pure codegen over non-negative contiguous ids; shard K holds
+    samples [K*shard_size, (K+1)*shard_size) with positions 0..shard_size-1.
+    """
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    if id_name not in df.columns:
+        raise ValueError(f"column '{id_name}' not in input")
+    for c in (shard_name, pos_name):
+        if c is not None and c in df.columns:
+            raise ValueError(f"column '{c}' already exists in the input")
+    # SQL `div` keeps the quotient in integer arithmetic end to end — `/`
+    # would round-trip through double and mis-shard ids beyond 2^53 (same
+    # >2^53 exactness contract as ranking's order columns)
+    out = df.withColumn(
+        shard_name,
+        F.expr(f"`{id_name}` div {int(shard_size)}").cast("long"),
+    )
+    if pos_name is not None:
+        out = out.withColumn(pos_name, (F.col(id_name) % shard_size).cast("long"))
+    return out
+
+
 def write_training_shards(
     df: DataFrame,
     key_col: str,
@@ -456,8 +489,8 @@ def write_training_shards(
             "silently overwrite it and move it into the directory layout"
         )
     with_ids = assign_contiguous_ids(df, key_col, id_name=id_name)
-    sharded = with_ids.withColumn(
-        "shard", (F.col(id_name) / shard_size).cast("long")
+    sharded = shard_positions(
+        with_ids, id_name, shard_size, shard_name="shard", pos_name=None
     )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     n = sharded.agg(F.max("shard")).collect()[0][0]

@@ -213,13 +213,24 @@ def groupby_count_docword(spark, sf):
     "d AS (SELECT event_type, (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS idx "
     "FROM (SELECT DISTINCT event_type FROM events)), "
     "k AS (SELECT event_type AS key, count(*)::BIGINT AS n_rows FROM events GROUP BY event_type), "
-    "t AS (SELECT sum(n_rows)::BIGINT AS total FROM k) "
+    "t AS (SELECT sum(n_rows)::BIGINT AS total FROM k), "
+    "h0 AS (SELECT min(value) AS mn, max(value) AS mx FROM events WHERE value IS NOT NULL), "
+    "hb AS (SELECT least(7, greatest(0, floor((value - mn) / ((mx - mn) / 8.0))::INT)) AS bin "
+    "FROM events, h0 WHERE value IS NOT NULL), "
+    "hc AS (SELECT bin, count(*)::BIGINT AS n FROM hb GROUP BY bin), "
+    "hg AS (SELECT range::INT AS bin FROM range(8)), "
+    "corrs AS (SELECT 'event_id|user_id' AS pair, round(corr(event_id, user_id), 6) AS c FROM events "
+    "UNION ALL SELECT 'event_id|value', round(corr(event_id, value), 6) FROM events "
+    "UNION ALL SELECT 'user_id|value', round(corr(user_id, value), 6) FROM events) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
     "UNION ALL SELECT * FROM (SELECT 'skew', key, n_rows, CAST(NULL AS DOUBLE), "
     "CAST(NULL AS DOUBLE), round(n_rows / t.total, 6) FROM k, t "
-    "ORDER BY n_rows DESC, key LIMIT 5)",
+    "ORDER BY n_rows DESC, key LIMIT 5) "
+    "UNION ALL SELECT 'hist', bin::VARCHAR, coalesce(n, 0)::BIGINT, NULL, NULL, NULL "
+    "FROM hg LEFT JOIN hc USING (bin) "
+    "UNION ALL SELECT 'corr', pair, NULL, NULL, NULL, c FROM corrs",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -233,8 +244,25 @@ def dimension_profile(spark, sf):
       (OniLDACWrapper.scala:40-60, rebuilt without driver collect).
     - part='skew' — plans.diagnostics.key_skew_profile: the top-k heaviest
       keys with their exact share of all rows (share = count / in-plan
-      1-row total; the shuffle-straggler diagnostic)."""
-    from oni_ml_spark.plans.diagnostics import key_skew_profile
+      1-row total; the shuffle-straggler diagnostic).
+
+    r07 merges the two remaining post-freeze diagnostics (VERDICT r6 item
+    1) into the same one-table profile family:
+
+    - part='hist' — plans.diagnostics.column_histogram over `value`
+      (8 equi-width bins, bounds derived in-plan): key=bin, a=count.
+      Structural zeros for empty bins; bin arithmetic is the identical
+      double expression on both engines, counts are exact longs.
+    - part='corr' — plans.diagnostics.numeric_correlations over the three
+      numeric columns in ONE aggregate/scan: key='col_a|col_b',
+      share=round(pearson, 6) (engines agree to ~1e-9 on the co-moment
+      formula; all three gate-SF values sit >=1.6e-7 from the rounding
+      boundary — checked before freezing)."""
+    from oni_ml_spark.plans.diagnostics import (
+        column_histogram,
+        key_skew_profile,
+        numeric_correlations,
+    )
 
     e = load_table(spark, sf, "events")
     null_d = F.lit(None).cast("double")
@@ -277,7 +305,26 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         "share",
     )
-    return stats.unionByName(dic).unionByName(skew)
+    hist = column_histogram(e, "value", bins=8).select(
+        F.lit("hist").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        null_d.alias("share"),
+    )
+    corr = numeric_correlations(e, ["event_id", "user_id", "value"]).select(
+        F.lit("corr").alias("part"),
+        F.concat_ws("|", "col_a", "col_b").alias("key"),
+        F.lit(None).cast("long").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("corr", 6).alias("share"),
+    )
+    return (
+        stats.unionByName(dic).unionByName(skew)
+        .unionByName(hist).unionByName(corr)
+    )
 
 
 @_q(
@@ -1605,16 +1652,45 @@ _TFC_CTES = (
     "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score "
     "  FROM m JOIN idf USING (term) JOIN doclen ON m.id = doclen.id, stats GROUP BY m.id), "
     "qagg AS (SELECT id, round(sum(tfidf), 6) AS sum_tfidf, sum(tf)::BIGINT AS q_tf "
-    "  FROM tfidf WHERE term IN ('scan', 'column', 'order') GROUP BY id) "
-    "SELECT bm.id, round(score, 6) AS bm25, sum_tfidf, q_tf FROM bm JOIN qagg USING (id)",
+    "  FROM tfidf WHERE term IN ('scan', 'column', 'order') GROUP BY id), "
+    "bmtop AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk "
+    "  FROM (SELECT * FROM (SELECT id, score FROM bm ORDER BY score DESC, id LIMIT 10))), "
+    "vq AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+    "vsim AS (SELECT c.vec_id AS id, "
+    "  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim "
+    "  FROM embeddings c, vq q WHERE c.vec_id <> 0), "
+    "vtop AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rnk "
+    "  FROM (SELECT * FROM (SELECT id, sim FROM vsim ORDER BY sim DESC, id LIMIT 10))), "
+    "rterms AS (SELECT id, 1.0 / (60 + rnk) AS t FROM bmtop "
+    "  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM vtop), "
+    "fused AS (SELECT id, sum(t) AS s, count(*)::BIGINT AS nl FROM rterms GROUP BY id), "
+    "rrfr AS (SELECT id, round(s, 9) AS v1, nl, "
+    "  row_number() OVER (ORDER BY s DESC, id)::BIGINT AS r FROM fused) "
+    "SELECT 'scores' AS part, bm.id, round(score, 6) AS v1, sum_tfidf AS v2, "
+    "q_tf AS n, CAST(NULL AS BIGINT) AS r FROM bm JOIN qagg USING (id) "
+    "UNION ALL SELECT 'rrf', id, v1, CAST(NULL AS DOUBLE), nl, r FROM rrfr",
 )
 def tf_idf_bm25(spark, sf):
-    """TF-IDF + BM25 in one driver entry: per-document Okapi BM25 for a
-    literal query (with a REPEATED term, so query-term-frequency weighting
-    is exercised) joined with the summed sklearn-convention tf-idf weight
-    of the matched terms. Both operators' full plans execute — two hash
-    aggregates each, IDF/stat tables broadcast, no UDFs."""
-    from oni_ml_spark.datapipe.retrieval import bm25_scores, tf_idf
+    """TF-IDF + BM25 + RRF hybrid fusion in one driver entry.
+
+    part='scores' (the r04 entry, columns renamed v1/v2/n — see COVERAGE
+    round-7 renames): per-document Okapi BM25 for a literal query (with a
+    REPEATED term, so query-term-frequency weighting is exercised) joined
+    with the summed sklearn-convention tf-idf weight of the matched terms.
+    Both operators' full plans execute — two hash aggregates each,
+    IDF/stat tables broadcast, no UDFs.
+
+    part='rrf' (r07, VERDICT r6 item 1: datapipe.retrieval.rrf_fuse): the
+    production hybrid-retrieval composition — the BM25 lexical top-10
+    (TakeOrderedAndProject, then a rank window over ten rows) fused with
+    the exact cosine vector top-10 for embeddings query vec_id=0
+    (similarity.brute_force_topk) by reciprocal-rank fusion, k=60. The
+    oracle restates the fusion as pure rank arithmetic: 1/(60+rank) terms
+    are identical single divisions on both engines, and the <=2-term sum
+    is commutative-exact; every candidate value sits >=3.7e-3 (in 1e-9
+    units) from the round-9 boundary."""
+    from oni_ml_spark.datapipe.retrieval import bm25_scores, rrf_fuse, tf_idf
+    from oni_ml_spark.datapipe.similarity import brute_force_topk
 
     d = _docs(spark, sf)
     qset = list(dict.fromkeys(_QUERY_TERMS))
@@ -1628,9 +1704,35 @@ def tf_idf_bm25(spark, sf):
         )
     )
     bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS)
-    return bm.join(qa, "id").select(
-        "id", F.round("score", 6).alias("bm25"), "sum_tfidf", "q_tf"
+    null_l = F.lit(None).cast("long")
+    scores = bm.join(qa, "id").select(
+        F.lit("scores").alias("part"),
+        "id",
+        F.round("score", 6).alias("v1"),
+        F.col("sum_tfidf").alias("v2"),
+        F.col("q_tf").alias("n"),
+        null_l.alias("r"),
     )
+    # lexical list: top-10 by score plans as TakeOrderedAndProject; the
+    # rank window then runs over exactly ten rows
+    lex10 = bm.orderBy(F.desc("score"), "id").limit(10)
+    lex = lex10.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), "id"))
+    ).select("id", "rank")
+    emb = load_table(spark, sf, "embeddings")
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=10
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    fused = rrf_fuse([lex, vec], k=60)
+    rrf = fused.select(
+        F.lit("rrf").alias("part"),
+        "id",
+        F.col("rrf_score").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.col("n_lists").alias("n"),
+        F.col("rank").cast("long").alias("r"),
+    )
+    return scores.unionByName(rrf)
 
 
 @_q(
@@ -1850,7 +1952,8 @@ def curation_pipeline(spark, sf):
     "minhash_ml_builtin",
     "WITH " + _NEAR_DUP_CTES + " "
     "SELECT (SELECT count(*) FROM ndpairs)::BIGINT AS n_banded, "
-    "CAST(1 AS BIGINT) AS coverage_ok, CAST(1 AS BIGINT) AS jaccards_ok",
+    "CAST(1 AS BIGINT) AS coverage_ok, CAST(1 AS BIGINT) AS jaccards_ok, "
+    "CAST(1 AS BIGINT) AS refresh_ok",
 )
 def minhash_ml_builtin(spark, sf):
     """ml.feature.MinHashLSH candidates, checked via an invariant row: the
@@ -1864,8 +1967,21 @@ def minhash_ml_builtin(spark, sf):
     Corpus capped at doc_id < 2000 — a measured-cost decision documented in
     r3: the MLlib explode-join costs 3x the banded path at sf0.1; this
     entry demonstrates the estimator surface, the banded path is
-    production. At sf0.01 (the gate) the cap is not binding."""
-    from oni_ml_spark.datapipe.dedup import minhash_ml_candidates, near_dup_pairs
+    production. At sf0.01 (the gate) the cap is not binding.
+
+    r07 adds (d) refresh_ok — the update_lsh_index equals-full-rebuild
+    invariant (VERDICT r6 item 4): an index built over the ORIGINAL corpus,
+    refreshed with an ingest batch (every 5th doc) that carries edited
+    texts (every 10th) and one too-short-to-shingle text (every 25th),
+    must equal signature-for-signature an index rebuilt from scratch over
+    the post-edit corpus — exercising the replace, append-keep, and
+    ghost-removal paths in one structural zero."""
+    from oni_ml_spark.datapipe.dedup import (
+        lsh_index,
+        minhash_ml_candidates,
+        near_dup_pairs,
+        update_lsh_index,
+    )
 
     d = _docs(spark, sf).filter(F.col("doc_id") < 2000)
     banded = near_dup_pairs(
@@ -1881,12 +1997,39 @@ def minhash_ml_builtin(spark, sf):
             F.when((F.col("jaccard") < 0.2) | (F.col("jaccard") > 1.0), 1).otherwise(0)
         ).alias("__bad_j")
     )
-    return nb.crossJoin(cov).crossJoin(jac).select(
+    # refresh_ok: update_lsh_index(index(original), batch(edited)) must be
+    # row-identical to lsh_index(edited corpus). Batch multiples: %25 ⊂
+    # %10 ⊂ %5, so the batch holds re-signed-identical, edited, and
+    # removed-as-unshingleable docs at once.
+    edited = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 25 == 0, F.lit("ab"))
+        .when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" r7edit")))
+        .otherwise(F.col("text")),
+    )
+    batch = edited.filter(F.col("doc_id") % 5 == 0)
+    index0 = lsh_index(d, "doc_id", "text", n=3, num_hashes=8)
+    updated = update_lsh_index(index0, batch, "doc_id", "text", n=3, num_hashes=8)
+    rebuilt = lsh_index(edited, "doc_id", "text", n=3, num_hashes=8)
+    u = updated.select("id", F.col("sig").alias("__us"))
+    r = rebuilt.select("id", F.col("sig").alias("__rs"))
+    refresh = u.join(r, "id", "full_outer").agg(
+        F.sum(
+            (
+                F.col("__us").isNull()
+                | F.col("__rs").isNull()
+                | (F.col("__us") != F.col("__rs"))
+            ).cast("long")
+        ).alias("__mismatch")
+    )
+    return nb.crossJoin(cov).crossJoin(jac).crossJoin(refresh).select(
         "n_banded",
         F.when(F.col("__hits") >= 0.9 * F.col("n_banded"), F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("coverage_ok"),
         F.when(F.coalesce(F.col("__bad_j"), F.lit(0)) == 0, F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("jaccards_ok"),
+        F.when(F.coalesce(F.col("__mismatch"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("refresh_ok"),
     )
 
 
@@ -2510,8 +2653,10 @@ def json_properties_q(spark, sf):
 
 @_q(
     "contiguous_ids",
-    "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_id "
-    "FROM documents",
+    "WITH ids AS (SELECT doc_id, "
+    "(row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS row_id FROM documents) "
+    "SELECT doc_id, row_id, (row_id // 16)::BIGINT AS shard, "
+    "(row_id % 16)::BIGINT AS shard_pos FROM ids",
 )
 def contiguous_ids_q(spark, sf):
     """Contiguous 0..N-1 row ids in key order
@@ -2520,8 +2665,18 @@ def contiguous_ids_q(spark, sf):
     collect, one row PER PARTITION) + offset-shifted local positions, no
     global single-partition window anywhere. The ids equal the global key
     rank wherever the range partitioner places its boundaries, which is
-    exactly what the row_number() oracle states."""
-    from oni_ml_spark.datapipe.sampling import assign_contiguous_ids
+    exactly what the row_number() oracle states.
+
+    r07 folds in the training-shard layout (VERDICT r6 item 1:
+    datapipe.sampling.shard_positions — the arithmetic
+    write_training_shards splits its `shard=K` directories by, minus the
+    file write): shard = id div 16, shard_pos = id mod 16, both in integer
+    arithmetic end to end."""
+    from oni_ml_spark.datapipe.sampling import (
+        assign_contiguous_ids,
+        shard_positions,
+    )
 
     d = _docs(spark, sf).select("doc_id")
-    return assign_contiguous_ids(d, "doc_id", num_partitions=8)
+    with_ids = assign_contiguous_ids(d, "doc_id", num_partitions=8)
+    return shard_positions(with_ids, "row_id", 16)
