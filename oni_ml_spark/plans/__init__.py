@@ -5,6 +5,7 @@ the cases you plan for explicitly — a known-hot key set, or a join repeated
 often enough that co-bucketing both sides pays for itself.
 """
 
+from oni_ml_spark.plans.audit import PipelineAudit
 from oni_ml_spark.plans.skew import salted_join
 from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
@@ -17,7 +18,8 @@ from oni_ml_spark.plans.diagnostics import (
     profile_table,
 )
 
-__all__ = ["salted_join", "write_bucketed", "read_bucketed",
+__all__ = ["PipelineAudit",
+           "salted_join", "write_bucketed", "read_bucketed",
            "write_zordered", "zorder_key",
            "partition_profile", "key_skew_profile",
            "profile_table", "plan_report",

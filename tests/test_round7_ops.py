@@ -46,3 +46,52 @@ class TestShardPositions:
             shard_positions(df, "zz", 2)
         with pytest.raises(ValueError, match="already exists"):
             shard_positions(df.withColumn("shard", F.lit(1)), "row_id", 2)
+
+
+class TestPipelineAudit:
+    def test_metrics_ride_one_action(self, spark):
+        """All audit points report from ONE action — no count() re-scans:
+        job count after the single write is exactly one higher, and the
+        report matches recomputed stage counts."""
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.audit import PipelineAudit
+
+        e = load_table(spark, SF_DIR, "events")
+        audit = PipelineAudit()
+        df = audit.observe(e, "ingested", null_cols=["props"])
+        df = audit.observe(
+            df.filter(F.col("value") > 50),
+            "after_filter",
+            metrics={"value_sum": F.sum("value")},
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        df.write.format("noop").mode("overwrite").save()
+        report = audit.report()
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before + 1, "audit.report() triggered extra jobs"
+        assert report["ingested"]["n_rows"] == e.count()
+        assert report["ingested"]["n_null_props"] == \
+            e.filter(F.col("props").isNull()).count()
+        kept = e.filter(F.col("value") > 50)
+        assert report["after_filter"]["n_rows"] == kept.count()
+        assert abs(
+            report["after_filter"]["value_sum"]
+            - kept.agg(F.sum("value")).collect()[0][0]
+        ) < 1e-6
+        assert audit.dropped("ingested", "after_filter") == \
+            e.count() - kept.count()
+
+    def test_validation(self, spark):
+        from oni_ml_spark.plans.audit import PipelineAudit
+
+        df = spark.range(5)
+        audit = PipelineAudit()
+        audit.observe(df, "a")
+        with pytest.raises(ValueError, match="already registered"):
+            audit.observe(df, "a")
+        with pytest.raises(ValueError, match="not in input"):
+            audit.observe(df, "b", null_cols=["zz"])
+        with pytest.raises(ValueError, match="unknown audit point"):
+            audit.report(["nope"])
+        assert audit.collected_points() == ["a"]
