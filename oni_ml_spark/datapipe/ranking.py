@@ -1,26 +1,28 @@
 """Per-group ranking operators sized for skewed 100 TB inputs.
 
-The textbook per-group top-k — a rank window over the group key — shuffles
-EVERY row to its group's reducer before any row is discarded; a hot group
-(one domain, one language, one template id) becomes a straggler task
-holding millions of rows to emit k. The operators here bound what the
-shuffle carries:
+- ``grouped_topk``: top-k rows per group. k=1 dispatches to a pure-codegen
+  min(struct) aggregate — map-side partial aggregation reduces each
+  partition to one candidate per group BEFORE the shuffle, measured 2×
+  faster than the rank window at 64M rows with a 50%-hot group
+  (SCALE.md §ranking). k>1 runs the plain rank window by default —
+  measured fastest at every locally testable scale, including 15 GB of
+  one group in a single reducer (Spark's external sort spills gracefully)
+  — with ``algorithm='salted'`` as the cluster-scale escape: two balanced
+  window passes (rank within (group, salt) first, then rank the ≤k·salts
+  survivors) whose wall-clock is bounded by balanced work instead of by
+  ONE reducer streaming a hot group while the rest of the cluster idles.
+- ``select_canonical``: the keep-the-best-duplicate step after
+  clustering, as a single min(struct) aggregate (no window at all) — the
+  k=1 plan with quality-score ordering.
 
-- ``grouped_topk``: an Arrow-batched local top-k per input batch first, so
-  the rank window sees at most k rows per (group, batch) instead of the
-  whole input. k=1 dispatches to a pure-codegen min(struct) aggregate —
-  one shuffle of one row per group per map partition.
-- ``select_canonical``: the keep-the-best-duplicate step after clustering,
-  as a single min(struct) aggregate (no window at all).
-
-Null/NaN order semantics match Spark's window ordering exactly — ascending
-puts nulls first and NaN last, descending puts NaN first and nulls last —
-via an explicit order-class column (0=null, 1=value, 2=NaN) computed
-JVM-side. The class column also keeps the Arrow prune exact: the value
-column pandas sees is non-null and NaN-free (class != 1 rows carry a typed
-zero), so integer order columns stay int64 end to end (no null-induced
-float64 coercion losing >2^53 precision) and no pandas NA placement rule
-can disagree with Spark's.
+A previous revision pruned k>1 through an Arrow-batched local top-k; round-7
+measurement (scripts/skew_bench.py) showed the Python boundary costs 4× the
+straggler it saves at up to 96M rows, so it was removed — the k>1 paths are
+now entirely JVM-side, ordering on the RAW column with Spark's native
+null/NaN window order. The order-class trick (0=null, 1=value, 2=NaN, with
+typed-zero clean values) survives where it is still load-bearing: the k=1
+struct aggregate, whose lexicographic min must reproduce that order without
+a window.
 """
 
 from __future__ import annotations
@@ -85,6 +87,7 @@ def grouped_topk(
     ascending: bool = False,
     tie_col: str | None = None,
     rank_name: str = "rank",
+    algorithm: str = "window",
 ) -> DataFrame:
     """Top-``k`` rows per group by ``order_col`` with a dense 1..k ``rank``
     column — all input columns preserved.
@@ -93,30 +96,44 @@ def grouped_topk(
     (order_col, tie_col) unique within a group — the same determinism
     contract row_number demands; without it the k-th row is
     partition-order-dependent. ``tie_col`` must be non-null (uniqueness
-    leaves room for at most one null per group anyway, and pandas/Spark
-    order nulls differently). ``order_col`` must be numeric; nulls and
-    NaNs follow Spark's window order (see module docstring).
+    leaves room for at most one null per group anyway). ``order_col`` must
+    be numeric; nulls and NaNs follow Spark's window order.
 
-    Plan shape: one Arrow-batched ``mapInPandas`` keeps each batch's local
-    top-k per group under the SAME (class, value, tie) total order the
-    final rank uses (top-k over a union equals top-k over per-part top-ks
-    under a total order — the ``pq_search`` argument), then the standard
-    rank window runs over the pruned candidates. The window's shuffle
-    carries at most k rows per (group, batch) — for a hot group in a
-    10⁹-row partition that is k rows instead of 10⁹.
+    k=1 always takes the pure-codegen ``min(struct(...))`` aggregate:
+    partial aggregation reduces map-side to one candidate per group per
+    partition, so the shuffle carries |groups|·|partitions| rows and no
+    reducer ever holds a hot group — measured 2× the plain window at 64M
+    rows / 50%-hot (SCALE.md §ranking). The descending path negates the
+    clean value exactly for EVERY input — integer types widen before
+    negating (bigint in decimal(20,0)), so LONG_MIN ranks correctly under
+    ANSI mode instead of overflowing (see ``_neg_exact``).
 
-    k=1 skips both stages for a pure-codegen ``min(struct(...))``
-    aggregate: partial aggregation reduces map-side to one candidate per
-    group per partition, and no Python runs at all. The descending k=1
-    path negates the clean value exactly for EVERY input — integer types
-    widen before negating (bigint in decimal(20,0)), so LONG_MIN ranks
-    correctly under ANSI mode instead of overflowing (see ``_neg_exact``).
+    k>1 ``algorithm``:
+
+    - ``'window'`` (default): the plain rank window. Measured fastest at
+      every single-node-testable scale — including one group holding 15 GB
+      in a single reducer (Spark's UnsafeExternalSorter spills; the
+      straggler streams at disk speed while the shuffle itself is the
+      dominant cost either way). Benchmarks in scripts/skew_bench.py.
+    - ``'salted'``: two balanced window passes — rank within
+      (group, input-partition-id salt), keep ≤k per slice (all-JVM, no
+      Python), then rank the ≤k·partitions survivors per group. Both
+      passes shuffle balanced slices, so wall-clock is bounded by total
+      work / cluster cores instead of by ONE reducer ingesting a hot
+      group's every row. Use when a single group's bytes exceed what one
+      task can sort-and-spill in acceptable time (the 10⁹-row-group
+      regime a single node cannot even hold — unreachable in local
+      benchmarks, which is WHY the default is the measured winner, not
+      this one). Results are bitwise identical: the salt prune keeps a
+      superset of the global top-k under the same total order.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if not groups:
         raise ValueError("group_cols must be non-empty")
     if k <= 0:
         raise ValueError("k must be positive")
+    if algorithm not in ("window", "salted"):
+        raise ValueError(f"unknown algorithm '{algorithm}' (window | salted)")
     if tie_col is None:
         raise ValueError(
             "tie_col is required: without a deterministic tie-break the "
@@ -128,14 +145,13 @@ def grouped_topk(
     if rank_name in df.columns:
         raise ValueError(f"column '{rank_name}' already exists in the input")
 
-    cls, clean, dt = _order_class(df, order_col)
-
     if k == 1:
         # min(struct(class', value', tie, payload)) — struct comparison is
         # lexicographic, so this IS argmin under the ranking order.
         # asc wants (null, value asc, NaN) → class 0/1/2 as-is;
         # desc wants (NaN, value desc, null) → flip the class and negate
         # the clean value (overflow-exact, no double coercion).
+        cls, clean, dt = _order_class(df, order_col)
         payload = list(df.columns)
         c_key = cls if ascending else (F.lit(2) - cls)
         v_key = clean if ascending else _neg_exact(clean, dt)
@@ -153,35 +169,25 @@ def grouped_topk(
             F.lit(1).alias(rank_name),
         )
 
+    # validate the order column's type even though the window paths could
+    # rank any orderable type — a string column here is overwhelmingly a
+    # caller bug (lexicographic "9" > "10"), same contract as k=1
+    _order_class(df, order_col)
     in_cols = list(df.columns)
-    with_keys = df.withColumn("__gtk_c", cls).withColumn("__gtk_v", clean)
-    asc = ascending
-    t, g = tie_col, groups
-
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            yield (
-                pdf.sort_values(
-                    ["__gtk_c", "__gtk_v", t],
-                    # class/value columns are non-null and NaN-free by
-                    # construction, so no pandas NA placement rule applies
-                    ascending=[asc, asc, True],
-                    kind="mergesort",
-                )
-                .groupby(g, sort=False, dropna=False)
-                .head(k)
-            )
-
-    pruned = with_keys.mapInPandas(local_topk, schema=with_keys.schema)
-    direction = (lambda c: c.asc()) if asc else (lambda c: c.desc())
-    w = Window.partitionBy(*g).orderBy(
-        direction(F.col("__gtk_c")), direction(F.col("__gtk_v")), F.col(t).asc()
-    )
+    direction = (lambda c: c.asc()) if ascending else (lambda c: c.desc())
+    order = [direction(F.col(order_col)), F.col(tie_col).asc()]
+    src = df
+    if algorithm == "salted":
+        w1 = Window.partitionBy(*groups, "__gtk_salt").orderBy(*order)
+        src = (
+            df.withColumn("__gtk_salt", F.spark_partition_id())
+            .withColumn("__gtk_r1", F.row_number().over(w1))
+            .filter(F.col("__gtk_r1") <= k)
+            .drop("__gtk_salt", "__gtk_r1")
+        )
+    w = Window.partitionBy(*groups).orderBy(*order)
     return (
-        pruned.withColumn(rank_name, F.row_number().over(w))
+        src.withColumn(rank_name, F.row_number().over(w))
         .filter(F.col(rank_name) <= k)
         .select(*in_cols, rank_name)
     )

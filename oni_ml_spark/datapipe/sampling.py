@@ -217,6 +217,83 @@ def weighted_mix(
     return copies.filter(keep).drop("__n_s", "__rate")
 
 
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Per-source sampling weights by exponential smoothing — the standard
+    multilingual/multi-source rebalancing rule (sample source s with
+    probability ∝ n_s^alpha; alpha=1 keeps natural proportions, alpha=0 is
+    uniform, alpha≈0.3 is the published multilingual-LM compromise that
+    upweights low-resource sources without drowning high-resource ones —
+    Lample & Conneau 2019 §3.1, the mBERT sampling note).
+
+    Returns (source, n_rows, weight, fraction[, target_rows]) — one row per
+    source, fully lazy: counts are ONE aggregate, the normalizing sum is an
+    in-plan 1-row broadcast (key_skew_profile's pattern), weight = n^alpha.
+    ``total_rows`` adds target_rows = round(fraction * total_rows), the
+    per-source budget a ``weighted_mix`` call would aim at.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be non-negative")
+    if source_col not in df.columns:
+        raise ValueError(f"column '{source_col}' not in input")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    weighted = counts.withColumn(
+        "weight", F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    )
+    total = weighted.agg(F.sum("weight").alias("__wsum"))
+    out = weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_rows",
+        "weight",
+        (F.col("weight") / F.col("__wsum")).alias("fraction"),
+    )
+    if total_rows is not None:
+        if total_rows <= 0:
+            raise ValueError("total_rows must be positive")
+        out = out.withColumn(
+            "target_rows",
+            F.round(F.col("fraction") * total_rows, 0).cast("long"),
+        )
+    return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    total_rows: int,
+    alpha: float = 0.3,
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """``temperature_weights`` composed with ``weighted_mix``: resample the
+    corpus so source s contributes ~total_rows · n_s^alpha / Σ n^alpha rows
+    (deterministic md5 thinning/repetition, epoch column for upsampled
+    copies). The weights frame is |sources| rows — the one bounded collect
+    here ships that row-per-source table to the driver to parameterize the
+    mix, the same bounded-collect contract as weighted_mix's own
+    validation."""
+    # a null source can't key weighted_mix's literal map; those rows are
+    # dropped from the mix (temperature_weights still REPORTS the null
+    # group so the loss is visible upstream)
+    w = {
+        r["source"]: r["weight"]
+        for r in temperature_weights(df, source_col, alpha).collect()
+        if r["source"] is not None
+    }
+    # sources were just read from the input — skip weighted_mix's eager
+    # presence re-check
+    return weighted_mix(
+        df, source_col, key_col, w, total_rows,
+        copy_col=copy_col, validate_sources=False,
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, seed: str | int = 0
 ) -> DataFrame:
@@ -462,6 +539,7 @@ def write_training_shards(
     out_dir: str,
     shard_size: int,
     id_name: str = "sample_idx",
+    manifest: bool = True,
 ) -> int:
     """Export a corpus as deterministic, position-addressable training
     shards: contiguous 0..N-1 sample indexes in ``key_col`` order
@@ -480,6 +558,15 @@ def write_training_shards(
     Deterministic-shuffle recipe: pass a ``deterministic_shuffle``-style
     hash column as ``key_col`` to get stable pseudo-random sample order
     instead of key order.
+
+    ``manifest=True`` (default) also writes ``<out_dir>/_shard_manifest``
+    — one row per shard: (shard, n_rows, idx_lo, idx_hi, ids_digest), the
+    digest an order-independent bit_xor of xxhash64(sample_idx). A
+    consumer can then ``verify_training_shards`` an export — count, index
+    range, and membership per shard — by reading only the index column,
+    never the payloads; at 100 TB that is the difference between an
+    integrity check and a second export. One extra bounded aggregate
+    (|shards| rows) over the already-computed sharded frame.
     """
     if shard_size <= 0:
         raise ValueError("shard_size must be positive")
@@ -493,5 +580,50 @@ def write_training_shards(
         with_ids, id_name, shard_size, shard_name="shard", pos_name=None
     )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    if manifest:
+        _shard_summary(sharded, id_name).write.mode("overwrite").parquet(
+            f"{out_dir}/_shard_manifest"
+        )
     n = sharded.agg(F.max("shard")).collect()[0][0]
     return int(n) + 1 if n is not None else 0
+
+
+def _shard_summary(sharded: DataFrame, id_name: str) -> DataFrame:
+    """(shard, n_rows, idx_lo, idx_hi, ids_digest) per shard — the digest
+    is bit_xor(xxhash64(idx)): commutative (task order free), no overflow
+    semantics to trip ANSI mode, and any single missing/extra/duplicated
+    index flips it."""
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(id_name).alias("idx_lo"),
+        F.max(id_name).alias("idx_hi"),
+        F.bit_xor(F.xxhash64(F.col(id_name))).alias("ids_digest"),
+    )
+
+
+def verify_training_shards(spark, out_dir: str, id_name: str = "sample_idx") -> DataFrame:
+    """Integrity-check a ``write_training_shards`` export against its
+    manifest WITHOUT reading payload columns: re-derives each shard's
+    (n_rows, idx_lo, idx_hi, ids_digest) from the index column only
+    (column-pruned parquet scan) and full-outer joins the manifest.
+    Returns the discrepancy frame — empty means the export is intact;
+    rows carry (shard, ok, n_rows/idx_lo/idx_hi/ids_digest observed vs
+    manifest) for every shard that is missing, extra, or corrupted.
+    """
+    data = spark.read.parquet(out_dir).select("shard", id_name)
+    man = spark.read.parquet(f"{out_dir}/_shard_manifest")
+    got = _shard_summary(data, id_name)
+    m = man.select(
+        "shard",
+        *[F.col(c).alias(f"m_{c}") for c in ("n_rows", "idx_lo", "idx_hi", "ids_digest")],
+    )
+    joined = got.join(m, "shard", "full_outer")
+    mismatch = (
+        F.col("n_rows").isNull()
+        | F.col("m_n_rows").isNull()
+        | (F.col("n_rows") != F.col("m_n_rows"))
+        | (F.col("idx_lo") != F.col("m_idx_lo"))
+        | (F.col("idx_hi") != F.col("m_idx_hi"))
+        | (F.col("ids_digest") != F.col("m_ids_digest"))
+    )
+    return joined.filter(mismatch)

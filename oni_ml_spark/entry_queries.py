@@ -680,8 +680,11 @@ def window_rank_topn(spark, sf):
 
     - part='window': the plain rank window (absent in the reference,
       SURVEY.md §2.9 — free in Spark 3) — per-customer top-3 orders.
-    - part='gtopk': ranking.grouped_topk — identical rows through the
-      shuffle-bounded path (per-batch local top-k prune, THEN the window).
+      grouped_topk's default k>1 algorithm IS this plan (r07: the Arrow
+      prune was measured 4× slower and removed — SCALE.md §ranking).
+    - part='gtopk': ranking.grouped_topk(algorithm='salted') — identical
+      rows through the hot-group-safe two-pass plan (rank within
+      (group, partition salt), then rank the ≤k·salts survivors).
     - part='canonical': ranking.select_canonical — the rn=1 row per
       customer through a pure min(struct) aggregate, no window at all."""
     from oni_ml_spark.datapipe.ranking import grouped_topk, select_canonical
@@ -696,6 +699,7 @@ def window_rank_topn(spark, sf):
     gt = grouped_topk(
         o.select("o_custkey", "o_orderkey", "o_totalprice"),
         "o_custkey", "o_totalprice", k=3, tie_col="o_orderkey",
+        algorithm="salted",
     ).select(
         F.lit("gtopk").alias("part"), "o_custkey", "o_orderkey",
         F.col("rank").cast("long").alias("rn"),

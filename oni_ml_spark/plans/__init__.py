@@ -11,6 +11,7 @@ from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
 from oni_ml_spark.plans.diagnostics import (
     column_histogram,
+    join_cardinality_estimate,
     key_skew_profile,
     numeric_correlations,
     partition_profile,
@@ -23,4 +24,5 @@ __all__ = ["PipelineAudit",
            "write_zordered", "zorder_key",
            "partition_profile", "key_skew_profile",
            "profile_table", "plan_report",
-           "column_histogram", "numeric_correlations"]
+           "column_histogram", "numeric_correlations",
+           "join_cardinality_estimate"]

@@ -239,6 +239,87 @@ def column_histogram(
     )
 
 
+def join_cardinality_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    top_k: int = 64,
+    rsd: float = 0.05,
+) -> dict:
+    """Pre-flight output-size estimate for ``a JOIN b ON key_col`` — the
+    number to look at BEFORE launching a join that could explode: an equi
+    join's output is Σ_k n_a(k)·n_b(k), and one hot key on both sides
+    turns two modest tables into a petabyte of shuffle output.
+
+    Estimator (System-R uniform tail + exact heavy hitters): the ``top_k``
+    heaviest keys of EACH side get their cross-side counts measured
+    exactly — a second bounded aggregate filtered to ≤2·top_k keys, which
+    parquet scans prune hard — so the skew part of the sum, the part the
+    uniform assumption gets catastrophically wrong, is exact. The tail is
+    (rows_a − heavy_a)·(rows_b − heavy_b)/max(d_a, d_b) with HLL distinct
+    counts (``rsd``), the classic containment-assumption estimate.
+
+    Cost: two aggregates per side (count+distinct; heavy keys) plus one
+    pruned re-aggregation per side — all bounded outputs, no join runs.
+    Returns a breakdown dict: estimated_rows, heavy_exact_rows,
+    tail_estimate_rows, per-side stats, and the measured heavy keys with
+    both sides' counts (the salting candidates for ``plans.skew``).
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    for side, df in (("a", a), ("b", b)):
+        if key_col not in df.columns:
+            raise ValueError(f"side {side} lacks key column '{key_col}'")
+
+    def side_stats(df: DataFrame) -> tuple[int, int, dict]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(key_col, rsd).alias("d"),
+        ).collect()[0]
+        heavy = {
+            r["key"]: r["n_rows"]
+            for r in key_skew_profile(df, key_col, top_k).collect()
+        }
+        return int(row["n"]), int(row["d"]), heavy
+
+    n_a, d_a, heavy_a = side_stats(a)
+    n_b, d_b, heavy_b = side_stats(b)
+    keys = sorted(set(heavy_a) | set(heavy_b), key=str)
+
+    def counts_for(df: DataFrame, known: dict) -> dict:
+        missing = [k for k in keys if k not in known]
+        if not missing:
+            return known
+        extra = {
+            r["k"]: r["c"]
+            for r in df.filter(F.col(key_col).isin(missing))
+            .groupBy(F.col(key_col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        return {**known, **{k: extra.get(k, 0) for k in missing}}
+
+    ca = counts_for(a, heavy_a)
+    cb = counts_for(b, heavy_b)
+    heavy_exact = sum(ca[k] * cb[k] for k in keys)
+    rest_a = n_a - sum(ca[k] for k in keys)
+    rest_b = n_b - sum(cb[k] for k in keys)
+    # tail distinct counts: heavy keys are out of the tail by construction
+    tail_d = max(max(d_a - len(keys), 1), max(d_b - len(keys), 1))
+    tail = (rest_a * rest_b) / tail_d if rest_a > 0 and rest_b > 0 else 0.0
+    return {
+        "estimated_rows": int(heavy_exact + tail),
+        "heavy_exact_rows": int(heavy_exact),
+        "tail_estimate_rows": int(tail),
+        "a": {"n_rows": n_a, "approx_distinct": d_a},
+        "b": {"n_rows": n_b, "approx_distinct": d_b},
+        "heavy_keys": [
+            {"key": k, "n_a": ca[k], "n_b": cb[k], "out": ca[k] * cb[k]}
+            for k in sorted(keys, key=lambda k: -(ca[k] * cb[k]))
+        ],
+    }
+
+
 def numeric_correlations(df: DataFrame, columns: list[str]) -> DataFrame:
     """(col_a, col_b, corr) Pearson correlation for every pair of the
     given numeric columns — computed in ONE aggregate over ONE scan

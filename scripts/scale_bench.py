@@ -17,11 +17,13 @@ structure the real corpus doesn't have:
   decorrelate, so SRP bucket occupancy stays realistic instead of every
   bucket holding 5 identical stacks.
 
-Usage: python scripts/scale_bench.py  (from /root/repo; ~5-10 min)
+Usage: python scripts/scale_bench.py [--copies N] [--entries a,b,...]
+(from /root/repo; ~5-10 min at the default 5 copies)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import random
@@ -30,15 +32,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COPIES = 5
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--copies", type=int, default=5)
+_ap.add_argument("--entries", default=(
+    "near_dup_clusters,curation_pipeline,"
+    "embedding_near_dup_bucketed,ngram_diagnostics"))
+_args = _ap.parse_args()
+
+COPIES = _args.copies
 BASE = "/root/testdata/sf0.1"
-SCALED = "/tmp/scale_5x_sf01"
-ENTRIES = [
-    "near_dup_clusters",
-    "curation_pipeline",
-    "embedding_near_dup_bucketed",
-    "ngram_diagnostics",
-]
+SCALED = f"/tmp/scale_{COPIES}x_sf01"
+ENTRIES = [e for e in _args.entries.split(",") if e]
 
 
 def build_scaled(spark):
@@ -94,15 +98,20 @@ def main():
         for name in ENTRIES:
             fn = QUERIES[name]
             timings = {}
-            for label, sfdir in (("sf0.1", BASE), ("5x", SCALED)):
+            for label, sfdir in (("sf0.1", BASE), (f"{COPIES}x", SCALED)):
                 t0 = time.time()
                 n = fn(spark, sfdir).count()
                 timings[label] = {"sec": round(time.time() - t0, 2), "rows": n}
+                # isolate runs exactly as bench.py does: pipelines cache
+                # intermediates and pin broadcasts; without this, state from
+                # the big run bleeds into the next small run's reading
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
             timings["time_ratio"] = round(
-                timings["5x"]["sec"] / timings["sf0.1"]["sec"], 2
+                timings[f"{COPIES}x"]["sec"] / timings["sf0.1"]["sec"], 2
             )
             timings["row_ratio"] = round(
-                timings["5x"]["rows"] / max(timings["sf0.1"]["rows"], 1), 2
+                timings[f"{COPIES}x"]["rows"] / max(timings["sf0.1"]["rows"], 1), 2
             )
             rows[name] = timings
             print(json.dumps({"pass": pass_no, name: timings}), flush=True)

@@ -95,3 +95,215 @@ class TestPipelineAudit:
         with pytest.raises(ValueError, match="unknown audit point"):
             audit.report(["nope"])
         assert audit.collected_points() == ["a"]
+
+
+class TestTemperatureMix:
+    def test_weights_match_duckdb_pow(self, spark):
+        import duckdb
+
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.datapipe.sampling import temperature_weights
+
+        d = load_table(spark, SF_DIR, "documents")
+        got = {r["source"]: (r["n_rows"], r["weight"], r["fraction"], r["target_rows"])
+               for r in temperature_weights(d, "source", alpha=0.3,
+                                            total_rows=10_000).collect()}
+        con = duckdb.connect()
+        want = con.execute(
+            f"""WITH c AS (SELECT source, count(*)::BIGINT AS n,
+                  pow(count(*), 0.3) AS w
+                FROM '{SF_DIR}/documents.parquet' GROUP BY source),
+            t AS (SELECT sum(w) AS ws FROM c)
+            SELECT source, n, w, w / ws,
+                   round(w / ws * 10000, 0)::BIGINT FROM c, t"""
+        ).fetchall()
+        assert len(got) == len(want) > 1
+        for src, n, w, frac, tgt in want:
+            gn, gw, gf, gt = got[src]
+            assert gn == n
+            assert abs(gw - w) < 1e-9 and abs(gf - frac) < 1e-12
+            assert gt == tgt
+        # alpha=0 is uniform, alpha=1 is natural proportions
+        from oni_ml_spark.datapipe.sampling import temperature_weights as tw
+        uni = {r["source"]: r["fraction"] for r in tw(d, "source", 0.0).collect()}
+        assert all(abs(f - 1 / len(uni)) < 1e-12 for f in uni.values())
+        nat = {r["source"]: (r["fraction"], r["n_rows"]) for r in
+               tw(d, "source", 1.0).collect()}
+        total = sum(n for _, n in nat.values())
+        assert all(abs(f - n / total) < 1e-12 for f, n in nat.values())
+
+    def test_mix_hits_temperature_targets(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.datapipe.sampling import (
+            temperature_mix,
+            temperature_weights,
+        )
+
+        d = load_table(spark, SF_DIR, "documents")
+        total = 2_000
+        out = temperature_mix(d, "source", "doc_id", total, alpha=0.3)
+        got = {r["source"]: r["cnt"] for r in
+               out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        targets = {r["source"]: r["target_rows"] for r in
+                   temperature_weights(d, "source", 0.3, total).collect()}
+        assert set(got) == set(targets)
+        for src, tgt in targets.items():
+            # md5 thinning is binomial around the target; 5 sigma
+            sigma = max(tgt, 1) ** 0.5
+            assert abs(got[src] - tgt) <= 5 * sigma + 1, (src, got[src], tgt)
+        # determinism: same rows + epochs on a rerun
+        a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+        b = sorted((r["doc_id"], r["epoch"]) for r in
+                   temperature_mix(d, "source", "doc_id", total, 0.3).collect())
+        assert a == b
+
+    def test_validation_and_null_source(self, spark):
+        from oni_ml_spark.datapipe.sampling import (
+            temperature_mix,
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), (None, 3)], "source string, doc_id int"
+        )
+        with pytest.raises(ValueError, match="non-negative"):
+            temperature_weights(df, "source", alpha=-0.1)
+        with pytest.raises(ValueError, match="not in input"):
+            temperature_weights(df, "zz")
+        with pytest.raises(ValueError, match="positive"):
+            temperature_weights(df, "source", total_rows=0)
+        # the null group is REPORTED by the weights frame...
+        rep = {r["source"] for r in temperature_weights(df, "source").collect()}
+        assert rep == {"a", None}
+        # ...but dropped from the mix (can't key the literal weight map)
+        out = temperature_mix(df, "source", "doc_id", 10)
+        assert out.filter(F.col("source").isNull()).count() == 0
+
+
+class TestShardManifest:
+    def test_manifest_verifies_and_detects_corruption(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.sampling import (
+            verify_training_shards,
+            write_training_shards,
+        )
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        out = str(tmp_path / "shards")
+        n_shards = write_training_shards(d, "doc_id", out, shard_size=64)
+        man = spark.read.parquet(f"{out}/_shard_manifest")
+        assert man.count() == n_shards
+        assert man.agg(F.sum("n_rows")).collect()[0][0] == d.count()
+        # intact export -> empty discrepancy frame; manifest dir is hidden
+        # from the data read (underscore prefix)
+        assert verify_training_shards(spark, out).count() == 0
+        assert "sample_idx" in spark.read.parquet(out).columns
+        # corrupt one shard (drop a row file) -> that shard flagged
+        import glob
+        import os
+
+        victim = sorted(glob.glob(f"{out}/shard=1/*.parquet"))[0]
+        os.remove(victim)
+        bad = verify_training_shards(spark, out).collect()
+        assert [r["shard"] for r in bad] == [1]
+        # count mismatch AND digest mismatch both visible
+        assert bad[0]["n_rows"] != bad[0]["m_n_rows"] or bad[0]["n_rows"] is None
+
+    def test_manifest_off(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.sampling import write_training_shards
+
+        df = spark.range(10).withColumnRenamed("id", "k")
+        out = str(tmp_path / "s2")
+        write_training_shards(df, "k", out, 4, manifest=False)
+        import os
+
+        assert not os.path.exists(f"{out}/_shard_manifest")
+
+
+class TestJoinCardinalityEstimate:
+    def test_exact_when_heavy_covers_all_keys(self, spark):
+        """With top_k >= |keys| every key is measured exactly — the
+        estimate must EQUAL the true join output size."""
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import join_cardinality_estimate
+
+        e = load_table(spark, SF_DIR, "events")
+        est = join_cardinality_estimate(e, e, "event_type", top_k=64)
+        true = e.alias("x").join(e.alias("y"), "event_type").count()
+        assert est["estimated_rows"] == true
+        assert est["tail_estimate_rows"] == 0
+        assert est["heavy_exact_rows"] == true
+        # heavy keys sorted by output contribution, counts consistent
+        hk = est["heavy_keys"]
+        assert all(hk[i]["out"] >= hk[i + 1]["out"] for i in range(len(hk) - 1))
+        assert sum(k["n_a"] for k in hk) == est["a"]["n_rows"]
+
+    def test_hot_key_dominates_and_is_exact(self, spark):
+        """A planted hot key's quadratic contribution is measured exactly
+        even when the tail is approximated (top_k < |keys|)."""
+        from oni_ml_spark.plans.diagnostics import join_cardinality_estimate
+
+        a = spark.range(10_000).select(
+            F.when(F.col("id") < 5_000, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 500).cast("string")))
+            .alias("k")
+        )
+        est = join_cardinality_estimate(a, a, "k", top_k=8)
+        true = a.alias("x").join(a.alias("y"), "k").count()
+        assert est["heavy_keys"][0]["key"] == "HOT"
+        assert est["heavy_keys"][0]["out"] == 5_000 * 5_000
+        # hot key exact => total within the tail's uniform-assumption band
+        assert abs(est["estimated_rows"] - true) / true < 0.5
+        assert est["estimated_rows"] >= 5_000 * 5_000
+
+    def test_validation(self, spark):
+        from oni_ml_spark.plans.diagnostics import join_cardinality_estimate
+
+        df = spark.range(3).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError, match="positive"):
+            join_cardinality_estimate(df, df, "k", top_k=0)
+        with pytest.raises(ValueError, match="lacks key column"):
+            join_cardinality_estimate(df, df.withColumnRenamed("k", "z"), "k")
+
+
+class TestGroupedTopkSalted:
+    def test_salted_identical_to_window(self, spark):
+        """algorithm='salted' must return bitwise the same rows+ranks as
+        the default window plan (the salt prune keeps a superset of the
+        per-group top-k under the same total order)."""
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+        from oni_ml_spark.io import load_table
+
+        e = load_table(spark, SF_DIR, "events")
+        base = sorted(
+            tuple(r) for r in grouped_topk(
+                e, "event_type", "value", 7, tie_col="event_id").collect()
+        )
+        for asc in (False, True):
+            got = sorted(
+                tuple(r) for r in grouped_topk(
+                    e, "event_type", "value", 7, ascending=asc,
+                    tie_col="event_id", algorithm="salted").collect()
+            )
+            want = sorted(
+                tuple(r) for r in grouped_topk(
+                    e, "event_type", "value", 7, ascending=asc,
+                    tie_col="event_id").collect()
+            )
+            assert got == want
+        assert len(base) > 0
+        # nulls/NaN ride Spark's native window order in BOTH algorithms
+        df = spark.createDataFrame(
+            [("g", None, 1), ("g", float("nan"), 2), ("g", 5.0, 3), ("g", 7.0, 4)],
+            "grp string, v double, id int",
+        )
+        for asc in (False, True):
+            # stringify: tuple equality would fail on NaN != NaN
+            a = sorted(tuple(map(str, r)) for r in grouped_topk(
+                df, "grp", "v", 3, ascending=asc, tie_col="id").collect())
+            s = sorted(tuple(map(str, r)) for r in grouped_topk(
+                df, "grp", "v", 3, ascending=asc, tie_col="id",
+                algorithm="salted").collect())
+            assert a == s
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            grouped_topk(df, "grp", "v", 2, tie_col="id", algorithm="arrow")
