@@ -68,6 +68,52 @@ def tf_idf(
     )
 
 
+def top_terms_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """(group, term, sum_tfidf, n_docs, rank) — the k most characteristic
+    terms of each group by summed TF-IDF: the "what is actually IN this
+    source / language / domain slice" report a corpus card leads with
+    (corpus-wide IDF discounts boilerplate that appears everywhere, so the
+    per-group winners are the group's distinguishing vocabulary, not
+    'the').
+
+    ``min_df`` drops terms rarer than the threshold corpus-wide —
+    hapaxes/typos otherwise dominate small groups with tf=1·max-IDF terms.
+
+    Plan: the tf_idf postings (two hash aggregates, IDF broadcast) joined
+    to the (id → group) projection, one (group, term) sum with map-side
+    combine, then ``grouped_topk`` — the |groups·terms|-row aggregate is
+    what ranks, never the corpus."""
+    for c in (group_col, id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column '{c}' not in input")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    from oni_ml_spark.datapipe.ranking import grouped_topk
+
+    ti = tf_idf(df, id_col, text_col).filter(F.col("df") >= min_df)
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("group")
+    )
+    per_term = (
+        ti.join(labels, "id")
+        .groupBy("group", F.col("term"))
+        .agg(
+            F.sum("tfidf").alias("sum_tfidf"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return grouped_topk(
+        per_term, "group", "sum_tfidf", k, tie_col="term"
+    ).select("group", "term", "sum_tfidf", "n_docs", "rank")
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,

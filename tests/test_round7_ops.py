@@ -307,3 +307,48 @@ class TestGroupedTopkSalted:
             assert a == s
         with pytest.raises(ValueError, match="unknown algorithm"):
             grouped_topk(df, "grp", "v", 2, tie_col="id", algorithm="arrow")
+
+
+class TestTopTermsPerGroup:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from oni_ml_spark.datapipe.retrieval import top_terms_per_group
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, SF_DIR, "documents")
+        got = sorted(
+            (r["group"], r["term"], round(r["sum_tfidf"], 6), r["n_docs"], r["rank"])
+            for r in top_terms_per_group(d, "source", "doc_id", "text",
+                                         k=5, min_df=2).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(con.execute(
+            f"""WITH tok AS (
+                  SELECT doc_id, source, unnest(string_split(regexp_replace(
+                    lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+                  FROM '{SF_DIR}/documents.parquet'),
+            tf AS (SELECT doc_id, source, term, count(*)::BIGINT AS tf
+                   FROM tok WHERE term <> '' GROUP BY ALL),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+            w AS (SELECT t.source, t.term,
+                    sum(tf * (ln((n + 1) / (df + 1)) + 1)) AS s,
+                    count(*)::BIGINT AS n_docs
+                  FROM tf t JOIN dfreq USING (term), nd
+                  WHERE df >= 2 GROUP BY t.source, t.term),
+            r AS (SELECT source, term, s, n_docs, row_number() OVER (
+                    PARTITION BY source ORDER BY s DESC, term) AS rank FROM w)
+            SELECT source, term, round(s, 6), n_docs, rank FROM r WHERE rank <= 5
+            """).fetchall())
+        assert len(got) > 0
+        assert got == [(s, t, v, n, r) for s, t, v, n, r in want]
+
+    def test_validation(self, spark):
+        from oni_ml_spark.datapipe.retrieval import top_terms_per_group
+
+        df = spark.createDataFrame([("a", 1, "x")], "g string, id int, t string")
+        with pytest.raises(ValueError, match="not in input"):
+            top_terms_per_group(df, "zz", "id", "t")
+        with pytest.raises(ValueError, match="min_df"):
+            top_terms_per_group(df, "g", "id", "t", min_df=0)
