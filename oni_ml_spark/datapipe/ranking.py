@@ -178,6 +178,14 @@ def grouped_topk(
     order = [direction(F.col(order_col)), F.col(tie_col).asc()]
     src = df
     if algorithm == "salted":
+        # same collision contract as rank_name: scratch names must not
+        # shadow (and then silently swallow) caller columns
+        taken = [c for c in ("__gtk_salt", "__gtk_r1") if c in df.columns]
+        if taken:
+            raise ValueError(
+                f"column(s) {taken} already exist in the input — the salted "
+                "path uses them as scratch names"
+            )
         w1 = Window.partitionBy(*groups, "__gtk_salt").orderBy(*order)
         src = (
             df.withColumn("__gtk_salt", F.spark_partition_id())

@@ -86,6 +86,14 @@ def top_terms_per_group(
     ``min_df`` drops terms rarer than the threshold corpus-wide —
     hapaxes/typos otherwise dominate small groups with tf=1·max-IDF terms.
 
+    Per-document contributions are quantized to 1e-6 BEFORE summing
+    (floor(tfidf·1e6), summed as integer-valued doubles): raw double sums
+    are addition-order-dependent, so two terms with near-identical totals
+    would swap ranks run-to-run with Spark's partition merge order — a
+    nondeterministic report. Integer-valued doubles add exactly in any
+    order (the temporal_reshape precedent), making both the ranking and
+    the value engine- and run-deterministic at a ≤1e-6-per-document cost.
+
     Plan: the tf_idf postings (two hash aggregates, IDF broadcast) joined
     to the (id → group) projection, one (group, term) sum with map-side
     combine, then ``grouped_topk`` — the |groups·terms|-row aggregate is
@@ -105,7 +113,7 @@ def top_terms_per_group(
         ti.join(labels, "id")
         .groupBy("group", F.col("term"))
         .agg(
-            F.sum("tfidf").alias("sum_tfidf"),
+            (F.sum(F.floor(F.col("tfidf") * 1e6)) / 1e6).alias("sum_tfidf"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )

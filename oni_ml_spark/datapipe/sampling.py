@@ -277,19 +277,26 @@ def temperature_mix(
     copies). The weights frame is |sources| rows — the one bounded collect
     here ships that row-per-source table to the driver to parameterize the
     mix, the same bounded-collect contract as weighted_mix's own
-    validation."""
-    # a null source can't key weighted_mix's literal map; those rows are
-    # dropped from the mix (temperature_weights still REPORTS the null
-    # group so the loss is visible upstream)
+    validation.
+
+    Null-source rows cannot key ``weighted_mix``'s literal weight map and
+    are EXCLUDED from the mixture AND from the normalizing sum — the
+    Σ n^alpha above ranges over non-null sources only, so the realized
+    per-source counts match ``temperature_weights(df.filter(source IS NOT
+    NULL), ...)``'s target_rows exactly and the mixture still totals
+    ``total_rows``. (Normalizing over a group the mix then drops would
+    silently redistribute the null mass and make every reported target a
+    lie.) Run ``temperature_weights`` on the unfiltered frame first if you
+    need the null group's size reported."""
+    nn = df.filter(F.col(source_col).isNotNull())
     w = {
         r["source"]: r["weight"]
-        for r in temperature_weights(df, source_col, alpha).collect()
-        if r["source"] is not None
+        for r in temperature_weights(nn, source_col, alpha).collect()
     }
     # sources were just read from the input — skip weighted_mix's eager
     # presence re-check
     return weighted_mix(
-        df, source_col, key_col, w, total_rows,
+        nn, source_col, key_col, w, total_rows,
         copy_col=copy_col, validate_sources=False,
     )
 
@@ -565,8 +572,13 @@ def write_training_shards(
     consumer can then ``verify_training_shards`` an export — count, index
     range, and membership per shard — by reading only the index column,
     never the payloads; at 100 TB that is the difference between an
-    integrity check and a second export. One extra bounded aggregate
-    (|shards| rows) over the already-computed sharded frame.
+    integrity check and a second export. The summary is computed from a
+    READ-BACK of the written files' (shard, index) columns — a
+    column-pruned scan, NOT a re-execution of the id-assignment pipeline
+    (the sharded frame is bare lineage after the write; aggregating it
+    would repeat the range shuffle + sort over the whole corpus) — which
+    also means the manifest digests what is actually on disk, not what
+    the writer intended. The shard count returns from the same read.
     """
     if shard_size <= 0:
         raise ValueError("shard_size must be positive")
@@ -580,11 +592,18 @@ def write_training_shards(
         with_ids, id_name, shard_size, shard_name="shard", pos_name=None
     )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    spark = df.sparkSession
+    try:
+        back = spark.read.parquet(out_dir).select("shard", id_name)
+    except Exception:
+        # empty input: partitionBy wrote no files, the directory has no
+        # readable schema — zero shards, nothing to digest
+        return 0
     if manifest:
-        _shard_summary(sharded, id_name).write.mode("overwrite").parquet(
+        _shard_summary(back, id_name).write.mode("overwrite").parquet(
             f"{out_dir}/_shard_manifest"
         )
-    n = sharded.agg(F.max("shard")).collect()[0][0]
+    n = back.agg(F.max("shard")).collect()[0][0]
     return int(n) + 1 if n is not None else 0
 
 

@@ -250,7 +250,9 @@ def dimension_profile(spark, sf):
     1) into the same one-table profile family:
 
     - part='hist' — plans.diagnostics.column_histogram over `value`
-      (8 equi-width bins, bounds derived in-plan): key=bin, a=count.
+      (8 equi-width bins; bounds from the histogram's documented 1-row
+      min/max driver aggregate — the bounds job you skip at scale by
+      passing lo/hi, stated by the oracle as a CTE): key=bin, a=count.
       Structural zeros for empty bins; bin arithmetic is the identical
       double expression on both engines, counts are exact longs.
     - part='corr' — plans.diagnostics.numeric_correlations over the three

@@ -43,9 +43,13 @@ class PipelineAudit:
       frame does not update them. Build a fresh audit per run.
     - An audit point only reports if its node actually executes: if the
       optimizer prunes the observed branch away (e.g. the caller discards
-      that side of a union), ``report`` on that point would wait forever —
-      so ``report()`` takes only points it has seen AND tolerates none
-      being asked for early via ``collected_points()``.
+      that side of a union), its metrics never arrive. Spark's public
+      ``Observation.get`` would block FOREVER on such a point, so
+      ``report()`` probes readiness first (through the observation's
+      underlying JVM ``getRowOrEmpty`` Option — non-blocking; the one
+      place this module touches a private handle, because no public
+      non-blocking probe exists) and raises naming the unready points
+      instead of hanging the driver.
     - Metrics must be aggregate expressions without distinct (a Spark
       observe() restriction); counts and sums — the audit staples — are
       exactly what accumulates cheaply map-side.
@@ -85,14 +89,55 @@ class PipelineAudit:
         """Registered audit-point names, in registration order."""
         return list(self._points)
 
-    def report(self, points: list[str] | None = None) -> dict[str, dict]:
+    @staticmethod
+    def _is_ready(obs: Observation) -> bool:
+        jo = getattr(obs, "_jo", None)
+        if jo is None:
+            return False  # df.observe() never attached this point
+        try:
+            # Option[Row]: empty until the listener delivers the metrics.
+            # (The sibling getOrEmpty NPEs on the not-ready path in Spark
+            # 4.1 — rowToJava on a schemaless row — so probe the Option.)
+            return not jo.getRowOrEmpty().isEmpty()
+        except Exception:  # noqa: BLE001 — internals shifted: treat as NOT
+            # ready (the safe direction; a false "ready" would fall through
+            # to the blocking .get and hang the driver forever)
+            return False
+
+    def ready_points(self) -> list[str]:
+        """Points whose metrics have arrived (their observed node executed
+        in a completed action), in registration order."""
+        return [p for p, o in self._points.items() if self._is_ready(o)]
+
+    def report(
+        self, points: list[str] | None = None, wait_secs: float = 10.0
+    ) -> dict[str, dict]:
         """Metrics for the requested ``points`` (default: all registered).
-        Blocks until the observed action has completed — see class
-        docstring."""
+
+        Raises — rather than blocking forever on Spark's ``get`` — if any
+        requested point has not executed (action not run, or the observed
+        branch was pruned from the executed plan). Metrics are delivered by
+        a listener a beat AFTER the action returns, so unready points are
+        polled for up to ``wait_secs`` first: an executed point resolves in
+        milliseconds; only a genuinely pruned/never-run point pays the full
+        wait before the error."""
+        import time
+
         names = points if points is not None else list(self._points)
         missing = [p for p in names if p not in self._points]
         if missing:
             raise ValueError(f"unknown audit point(s): {missing}")
+        deadline = time.monotonic() + wait_secs
+        not_ready = [p for p in names if not self._is_ready(self._points[p])]
+        while not_ready and time.monotonic() < deadline:
+            time.sleep(0.05)
+            not_ready = [p for p in not_ready if not self._is_ready(self._points[p])]
+        if not_ready:
+            raise RuntimeError(
+                f"audit point(s) not ready: {not_ready} — run the terminal "
+                "action first; a point that stays unready after the action "
+                "was pruned from the executed plan (its branch never ran)"
+            )
         return {p: dict(self._points[p].get) for p in names}
 
     def dropped(self, before: str, after: str) -> int:

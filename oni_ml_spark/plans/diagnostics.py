@@ -264,6 +264,11 @@ def join_cardinality_estimate(
     Returns a breakdown dict: estimated_rows, heavy_exact_rows,
     tail_estimate_rows, per-side stats, and the measured heavy keys with
     both sides' counts (the salting candidates for ``plans.skew``).
+
+    Null keys are EXCLUDED throughout — an equi join never matches null =
+    null, so null-keyed rows contribute zero output (counting them, when
+    null is the hottest "key" on both sides as it often is in real data,
+    would inflate the estimate by a phantom n_null_a·n_null_b).
     """
     if top_k <= 0:
         raise ValueError("top_k must be positive")
@@ -272,13 +277,14 @@ def join_cardinality_estimate(
             raise ValueError(f"side {side} lacks key column '{key_col}'")
 
     def side_stats(df: DataFrame) -> tuple[int, int, dict]:
-        row = df.agg(
+        dfk = df.filter(F.col(key_col).isNotNull())
+        row = dfk.agg(
             F.count(F.lit(1)).alias("n"),
             F.approx_count_distinct(key_col, rsd).alias("d"),
         ).collect()[0]
         heavy = {
             r["key"]: r["n_rows"]
-            for r in key_skew_profile(df, key_col, top_k).collect()
+            for r in key_skew_profile(dfk, key_col, top_k).collect()
         }
         return int(row["n"]), int(row["d"]), heavy
 

@@ -9,12 +9,18 @@ a deterministic integer-hash-derived double, tie key is the row id. Then,
 two passes (second reported, first absorbs JIT/codegen warm-up), each of:
 
 - window:  row_number() OVER (PARTITION BY grp ORDER BY value DESC, id)
-           filtered to rank <= k — the textbook plan; the hot group's
-           reducer receives n/2 rows to emit k.
-- gtopk:   ranking.grouped_topk — Arrow-batched local top-k first, so the
-           window shuffle carries <= k rows per (group, input batch).
+           filtered to rank <= k — the textbook plan (and grouped_topk's
+           k>1 default); the hot group's reducer receives n/2 rows.
+- salted:  grouped_topk(algorithm='salted') — two balanced all-JVM window
+           passes; no reducer holds the hot group.
 - k=1 fast path: grouped_topk k=1 (pure-codegen min(struct), the
            select_canonical plan) vs the k=1 window.
+
+The r6 Arrow-batch local prune this bench originally measured (4× slower
+than the plain window at 4M-64M rows — the numbers in SCALE.md §round-7)
+was removed from grouped_topk on the strength of those readings; to
+reproduce them, check out the pre-removal revision of ranking.py (git log
+-- oni_ml_spark/datapipe/ranking.py).
 
 Usage: python scripts/skew_bench.py [--rows 4000000] [--k 10]
 """

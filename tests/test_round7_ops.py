@@ -333,7 +333,7 @@ class TestTopTermsPerGroup:
             dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
             nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
             w AS (SELECT t.source, t.term,
-                    sum(tf * (ln((n + 1) / (df + 1)) + 1)) AS s,
+                    sum(floor(tf * (ln((n + 1) / (df + 1)) + 1) * 1e6)) / 1e6 AS s,
                     count(*)::BIGINT AS n_docs
                   FROM tf t JOIN dfreq USING (term), nd
                   WHERE df >= 2 GROUP BY t.source, t.term),
@@ -352,3 +352,82 @@ class TestTopTermsPerGroup:
             top_terms_per_group(df, "zz", "id", "t")
         with pytest.raises(ValueError, match="min_df"):
             top_terms_per_group(df, "g", "id", "t", min_df=0)
+
+
+class TestReviewFixesR7:
+    def test_audit_report_raises_instead_of_blocking(self, spark):
+        """report() before the action (or on a pruned branch) must raise,
+        not block forever on Observation.get."""
+        from oni_ml_spark.plans.audit import PipelineAudit
+
+        audit = PipelineAudit()
+        observed = audit.observe(spark.range(10), "pre")
+        with pytest.raises(RuntimeError, match="not ready"):
+            audit.report(wait_secs=0.3)
+        assert audit.ready_points() == []
+        observed.write.format("noop").mode("overwrite").save()
+        assert audit.report()["pre"]["n_rows"] == 10
+        assert audit.ready_points() == ["pre"]
+        # a branch the terminal action never executes stays unready
+        audit2 = PipelineAudit()
+        audit2.observe(spark.range(5), "never_run")
+        kept = audit2.observe(spark.range(3), "ran")
+        kept.write.format("noop").mode("overwrite").save()
+        with pytest.raises(RuntimeError, match="never_run"):
+            audit2.report(wait_secs=0.3)
+        assert audit2.report(["ran"])["ran"]["n_rows"] == 3
+
+    def test_join_estimate_ignores_null_keys(self, spark):
+        """Null keys never match in an equi join — a null-heavy pair of
+        sides must not inflate the estimate."""
+        from oni_ml_spark.plans.diagnostics import join_cardinality_estimate
+
+        a = spark.createDataFrame(
+            [(None,)] * 50 + [("k1",)] * 5 + [("k2",)] * 3, "k string"
+        )
+        est = join_cardinality_estimate(a, a, "k", top_k=8)
+        true = a.alias("x").join(a.alias("y"), "k").count()  # 25 + 9
+        assert est["estimated_rows"] == true == 34
+        assert all(h["key"] is not None for h in est["heavy_keys"])
+        assert est["a"]["n_rows"] == 8  # non-null rows only
+
+    def test_temperature_mix_null_targets_consistent(self, spark):
+        """With null sources present, realized counts must match the
+        targets computed over NON-NULL sources (no silent redistribution
+        mismatch between report and mix)."""
+        from oni_ml_spark.datapipe.sampling import (
+            temperature_mix,
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(8)] + [(None, 100 + i) for i in range(8)],
+            "source string, doc_id int",
+        )
+        out = temperature_mix(df, "source", "doc_id", 10, alpha=1.0)
+        # single non-null source: exact target 10 (rate 10/8, deterministic
+        # floor+thinned-ceil copies sum to the target in expectation; with
+        # one source the md5 thinning is the only variance — bound it)
+        targets = {r["source"]: r["target_rows"] for r in temperature_weights(
+            df.filter(F.col("source").isNotNull()), "source", 1.0, 10).collect()}
+        assert targets == {"a": 10}
+        n = out.count()
+        assert abs(n - 10) <= 5 * 10**0.5
+        assert out.filter(F.col("source").isNull()).count() == 0
+
+    def test_salted_scratch_column_collision_rejected(self, spark):
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1)], "grp string, v double, id int"
+        ).withColumn("__gtk_salt", F.lit(9))
+        with pytest.raises(ValueError, match="__gtk_salt"):
+            grouped_topk(df, "grp", "v", 2, tie_col="id", algorithm="salted")
+
+    def test_manifest_reads_back_from_disk(self, spark, tmp_path):
+        """The manifest digests what is ON DISK (read-back), and empty
+        inputs export zero shards without erroring."""
+        from oni_ml_spark.datapipe.sampling import write_training_shards
+
+        empty = spark.range(0).withColumnRenamed("id", "k")
+        assert write_training_shards(empty, "k", str(tmp_path / "e"), 4) == 0
