@@ -10,6 +10,7 @@ from oni_ml_spark.plans.skew import salted_join
 from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
 from oni_ml_spark.plans.diagnostics import (
+    assert_plan,
     column_histogram,
     join_cardinality_estimate,
     key_skew_profile,
@@ -25,4 +26,4 @@ __all__ = ["PipelineAudit",
            "partition_profile", "key_skew_profile",
            "profile_table", "plan_report",
            "column_histogram", "numeric_correlations",
-           "join_cardinality_estimate"]
+           "join_cardinality_estimate", "assert_plan"]

@@ -180,6 +180,51 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
+def assert_plan(
+    df: DataFrame,
+    max_exchanges: int | None = None,
+    require_pushed_filters: bool = False,
+    require_broadcast_join: bool = False,
+    forbid: list[str] | None = None,
+) -> dict:
+    """Plan-shape regression guard: raise if the frame's physical plan
+    violates the stated contract, else return the ``plan_report`` dict.
+
+    The perf properties this engine relies on — a broadcast that must not
+    degrade to sort-merge, a filter that must reach the parquet scan, a
+    pipeline that must not grow a fourth shuffle — are invisible to
+    row-level tests: the results stay correct while the plan silently
+    becomes a 100 TB disaster. Wiring this into a test (or a pre-launch
+    check) turns each property into an assertion with the full formatted
+    plan in the failure message.
+
+    ``forbid`` matches node NAMES from EXPLAIN FORMATTED's detail headers
+    (e.g. ``['CartesianProduct', 'SortMergeJoin']``), not free text.
+    """
+    rep = plan_report(df)
+    problems: list[str] = []
+    if max_exchanges is not None and rep["exchanges"] > max_exchanges:
+        problems.append(
+            f"{rep['exchanges']} exchanges (max {max_exchanges})"
+        )
+    if require_pushed_filters and not rep["has_pushed_filters"]:
+        problems.append("no filters pushed to any scan")
+    if require_broadcast_join and rep["broadcast_hash_joins"] == 0:
+        problems.append("no BroadcastHashJoin in the plan")
+    if forbid:
+        import re
+
+        nodes = set(re.findall(r"^\(\d+\) ([A-Za-z]+)", rep["plan"], flags=re.MULTILINE))
+        hit = [n for n in forbid if n in nodes]
+        if hit:
+            problems.append(f"forbidden node(s) present: {hit}")
+    if problems:
+        raise AssertionError(
+            "plan contract violated: " + "; ".join(problems) + "\n" + rep["plan"]
+        )
+    return rep
+
+
 def column_histogram(
     df: DataFrame,
     value_col: str,

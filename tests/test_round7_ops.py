@@ -431,3 +431,27 @@ class TestReviewFixesR7:
 
         empty = spark.range(0).withColumnRenamed("id", "k")
         assert write_training_shards(empty, "k", str(tmp_path / "e"), 4) == 0
+
+
+class TestAssertPlan:
+    def test_contracts_pass_and_fail_with_plan_text(self, spark):
+        from oni_ml_spark.io import load_table
+        from oni_ml_spark.plans.diagnostics import assert_plan
+
+        e = load_table(spark, SF_DIR, "events")
+        filtered = e.filter(F.col("value") > 50).select("event_id")
+        rep = assert_plan(filtered, max_exchanges=0, require_pushed_filters=True)
+        assert rep["exchanges"] == 0
+        # broadcast requirement: a hinted join plans as BroadcastHashJoin
+        dims = spark.range(10).withColumnRenamed("id", "user_id")
+        joined = e.join(F.broadcast(dims), "user_id")
+        assert_plan(joined, require_broadcast_join=True)
+        # violations raise with the plan text attached
+        agg = e.groupBy("event_type").count()
+        with pytest.raises(AssertionError, match="exchanges"):
+            assert_plan(agg, max_exchanges=0)
+        with pytest.raises(AssertionError, match="no filters pushed"):
+            assert_plan(e.select("event_id"), require_pushed_filters=True)
+        cross = e.crossJoin(dims)
+        with pytest.raises(AssertionError, match="forbidden node"):
+            assert_plan(cross, forbid=["CartesianProduct", "BroadcastNestedLoopJoin"])
