@@ -620,6 +620,85 @@ def _shard_summary(sharded: DataFrame, id_name: str) -> DataFrame:
     )
 
 
+def append_training_shards(
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    shard_size: int,
+    id_name: str = "sample_idx",
+) -> int:
+    """Append an ingest batch to an existing ``write_training_shards``
+    export WITHOUT re-exporting the corpus: the batch's samples get
+    indexes continuing from the manifest's max (batch-internal key order),
+    the last partial shard fills up in place (parquet append into its
+    ``shard=K`` directory), new shards extend the range, and the manifest
+    is refreshed by re-summarizing ONLY the affected shards — partition
+    pruning keeps the re-read to shards >= the first touched one, so a
+    daily append to a 100 TB export reads one partial shard plus what it
+    wrote, not the archive. Returns the new shard count.
+
+    Contracts: ``shard_size`` must equal the export's (checked against the
+    manifest's idx_lo = shard·shard_size invariant); the batch schema must
+    match the export's (checked by column sets — parquet append with a
+    different schema silently corrupts); global sample order is "export
+    order, then batch key order" — deterministic for a fixed SEQUENCE of
+    batches, which is the replay contract an incremental pipeline needs.
+    Cross-batch duplicate keys are NOT detected (that would require
+    reading every archived key); dedupe upstream (``anti_join_dedup``
+    against the export's key column, or an exact-digest ledger).
+    """
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    spark = df.sparkSession
+    try:
+        man = spark.read.parquet(f"{out_dir}/_shard_manifest")
+    except Exception as exc:
+        raise ValueError(
+            f"no readable manifest at {out_dir}/_shard_manifest — "
+            "append_training_shards needs a write_training_shards(manifest="
+            "True) export to extend"
+        ) from exc
+    bad = man.filter(
+        F.col("idx_lo") != F.col("shard").cast("long") * shard_size
+    ).count()
+    if bad:
+        raise ValueError(
+            f"shard_size={shard_size} does not match the existing export's "
+            f"layout ({bad} shard(s) violate idx_lo = shard*shard_size)"
+        )
+    start_row = man.agg(F.max("idx_hi").alias("hi")).collect()[0]
+    start = int(start_row["hi"]) + 1 if start_row["hi"] is not None else 0
+
+    with_ids = assign_contiguous_ids(df, key_col, id_name=id_name)
+    with_ids = with_ids.withColumn(id_name, F.col(id_name) + F.lit(start))
+    sharded = shard_positions(
+        with_ids, id_name, shard_size, shard_name="shard", pos_name=None
+    )
+    existing_cols = set(spark.read.parquet(out_dir).columns)
+    if set(sharded.columns) != existing_cols:
+        raise ValueError(
+            f"batch columns {sorted(set(sharded.columns))} != export "
+            f"columns {sorted(existing_cols)} — appending a different "
+            "schema would corrupt the export"
+        )
+    sharded.write.mode("append").partitionBy("shard").parquet(out_dir)
+
+    first_touched = start // shard_size
+    back = (
+        spark.read.parquet(out_dir)
+        .select("shard", id_name)
+        .filter(F.col("shard") >= first_touched)
+    )
+    refreshed = _shard_summary(back, id_name)
+    # the manifest is bounded (one row per shard) — pin the surviving old
+    # rows BEFORE overwriting the files they are lazily read from
+    kept = man.filter(F.col("shard") < first_touched).localCheckpoint()
+    new_man = kept.unionByName(refreshed).localCheckpoint()
+    new_man.write.mode("overwrite").parquet(f"{out_dir}/_shard_manifest")
+    n = new_man.agg(F.max("shard")).collect()[0][0]
+    return int(n) + 1 if n is not None else 0
+
+
 def verify_training_shards(spark, out_dir: str, id_name: str = "sample_idx") -> DataFrame:
     """Integrity-check a ``write_training_shards`` export against its
     manifest WITHOUT reading payload columns: re-derives each shard's

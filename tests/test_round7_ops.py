@@ -455,3 +455,50 @@ class TestAssertPlan:
         cross = e.crossJoin(dims)
         with pytest.raises(AssertionError, match="forbidden node"):
             assert_plan(cross, forbid=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+class TestAppendTrainingShards:
+    def test_append_fills_partial_shard_and_verifies(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.sampling import (
+            append_training_shards,
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        out = str(tmp_path / "shards")
+        base = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        assert write_training_shards(base, "k", out, 4) == 3  # 4+4+2
+        batch = spark.createDataFrame([(100 + i,) for i in range(7)], "k long")
+        n = append_training_shards(batch, "k", out, 4)
+        assert n == 5  # 17 rows -> shards of 4,4,4,4,1
+        back = spark.read.parquet(out)
+        assert back.count() == 17
+        # indexes continue in batch key order; partial shard 2 filled
+        got = {r["k"]: (r["sample_idx"], r["shard"]) for r in back.collect()}
+        for i in range(10):
+            assert got[i] == (i, i // 4)
+        for j in range(7):
+            assert got[100 + j] == (10 + j, (10 + j) // 4)
+        # manifest refresh covers old+new: full verify is clean
+        assert verify_training_shards(spark, out).count() == 0
+        # second append keeps extending deterministically
+        assert append_training_shards(
+            spark.createDataFrame([(200,)], "k long"), "k", out, 4) == 5
+        assert verify_training_shards(spark, out).count() == 0
+
+    def test_contracts(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.sampling import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        out = str(tmp_path / "s")
+        write_training_shards(spark.range(8).withColumnRenamed("id", "k"),
+                              "k", out, 4)
+        b = spark.range(100, 103).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError, match="does not match"):
+            append_training_shards(b, "k", out, 5)
+        with pytest.raises(ValueError, match="corrupt"):
+            append_training_shards(b.withColumn("extra", F.lit(1)), "k", out, 4)
+        with pytest.raises(ValueError, match="no readable manifest"):
+            append_training_shards(b, "k", str(tmp_path / "missing"), 4)
