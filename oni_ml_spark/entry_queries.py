@@ -1709,7 +1709,11 @@ def tf_idf_bm25(spark, sf):
             F.sum("tf").alias("q_tf"),
         )
     )
-    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS)
+    # bm feeds BOTH the scores join and the lexical top-10 — uncached, the
+    # tokenize+tf+idf subtree evaluates once per consumer (plan_report
+    # showed 55 exchanges before the pin). Bounded: one row per doc
+    # matching a query term.
+    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS).localCheckpoint()
     null_l = F.lit(None).cast("long")
     scores = bm.join(qa, "id").select(
         F.lit("scores").alias("part"),
