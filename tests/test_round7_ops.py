@@ -502,3 +502,48 @@ class TestAppendTrainingShards:
             append_training_shards(b.withColumn("extra", F.lit(1)), "k", out, 4)
         with pytest.raises(ValueError, match="no readable manifest"):
             append_training_shards(b, "k", str(tmp_path / "missing"), 4)
+
+
+class TestShardProperties:
+    def test_partition_pruned_manifest_refresh_read(self, spark, tmp_path):
+        """The append path's manifest refresh reads only shards >= the
+        first touched one — locked by the scan's PartitionFilters."""
+        from oni_ml_spark.datapipe.sampling import write_training_shards
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        out = str(tmp_path / "p")
+        write_training_shards(spark.range(40).withColumnRenamed("id", "k"),
+                              "k", out, 8)
+        back = (
+            spark.read.parquet(out)
+            .select("shard", "sample_idx")
+            .filter(F.col("shard") >= 3)
+        )
+        plan = plan_report(back)["plan"]
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "3" in m.group(1), plan
+        assert back.count() == 40 - 3 * 8
+
+    def test_shard_arithmetic_property(self, spark):
+        """div/mod reconstruct every id for arbitrary sizes (hypothesis
+        over the driver-side arithmetic, one Spark check per example set)."""
+        from hypothesis import given, settings, strategies as st
+
+        from oni_ml_spark.datapipe.sampling import shard_positions
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            ids=st.lists(st.integers(min_value=0, max_value=2**62),
+                         min_size=1, max_size=8, unique=True),
+            size=st.integers(min_value=1, max_value=2**40),
+        )
+        def prop(ids, size):
+            df = spark.createDataFrame([(i,) for i in ids], "row_id long")
+            for r in shard_positions(df, "row_id", size).collect():
+                i = r["row_id"]
+                assert r["shard"] * size + r["shard_pos"] == i
+                assert 0 <= r["shard_pos"] < size
+
+        prop()
