@@ -141,3 +141,81 @@ def upsert_writer(
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     return write_batch
+
+
+def topk_writer(
+    root: str,
+    group_cols: list[str] | str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+    ascending: bool = False,
+    keep_versions: int = 2,
+):
+    """foreachBatch function maintaining a per-group top-k LEADERBOARD
+    table over the same versioned-snapshot layout as ``upsert_writer``:
+    ``stream.writeStream.foreachBatch(topk_writer(...))``, read back with
+    ``read_upsert_table``.
+
+    Semantics: ``tie_col`` identifies the entity (a document, a user); per
+    (group, entity) the best-``order_col`` row seen so far survives
+    (an entity improving its score REPLACES its old row, it does not
+    occupy two slots), then ``grouped_topk`` keeps the k best entities
+    per group with a dense ``rank``. State is bounded at k rows per group
+    regardless of stream length.
+
+    Replay-safe by monotonicity, no dedup bookkeeping needed: the stored
+    k-th best only ever improves, so a replayed old row is either an
+    entity's non-best duplicate (loses its per-entity window) or ranks at
+    or below the k-th best that once beat it (pruned again) — replaying
+    any prefix of batches reproduces the same snapshot. The final state
+    equals batch ``grouped_topk`` over everything the stream delivered —
+    independent of micro-batch chopping (asserted in
+    tests/test_streaming.py).
+    """
+    from oni_ml_spark.datapipe.ranking import grouped_topk
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        current = read_upsert_table(spark, root)
+        if current is not None:
+            current = current.drop("rank")
+            if sorted(current.columns) != sorted(batch_df.columns):
+                raise ValueError(
+                    "stream schema does not match the stored table "
+                    f"({sorted(batch_df.columns)} vs {sorted(current.columns)})"
+                )
+        both = batch_df if current is None else current.unionByName(batch_df)
+        # per-entity best first (direction follows the leaderboard order),
+        # then the bounded per-group top-k
+        direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        we = Window.partitionBy(*groups, tie_col).orderBy(direction)
+        best = (
+            both.withColumn("__rn", F.row_number().over(we))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merged = grouped_topk(
+            best, groups, order_col, k, ascending=ascending, tie_col=tie_col
+        )
+        v = _read_pointer(root) + 1
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v:08d}"))
+        _swap_pointer(root, v)
+        import shutil
+
+        for entry in sorted(_version_dirs(root)):
+            if int(entry[1:]) <= v - keep_versions:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+    return write_batch

@@ -491,3 +491,52 @@ def test_stream_ann_enrichment_against_persisted_ivf_index(spark, tmp_path):
         )
     )
     assert sorted(got) == want and len(want) == 12
+
+
+def test_streaming_topk_leaderboard_matches_batch(spark, tmp_path):
+    """topk_writer's snapshot after draining the stream equals batch
+    grouped_topk over everything delivered — entity-best semantics (an
+    improving entity replaces its row), bounded state, replay-safe."""
+    from oni_ml_spark.datapipe.ranking import grouped_topk
+    from oni_ml_spark.streaming.upsert_sink import read_upsert_table, topk_writer
+
+    indir = str(tmp_path / "in")
+    state = str(tmp_path / "board")
+    rows1 = [("g1", i, float(i % 7)) for i in range(20)] + [("g2", 100, 9.0)]
+    rows2 = [("g1", 3, 50.0), ("g2", 101, 1.0), ("g2", 100, 9.0)]  # 3 improves; 100 replays
+    spark.createDataFrame(rows1, "grp string, ent int, score double") \
+        .write.mode("overwrite").parquet(indir)
+
+    def drain():
+        stream = spark.readStream.schema("grp string, ent int, score double") \
+            .parquet(indir)
+        q = stream.writeStream.foreachBatch(
+            topk_writer(state, "grp", "score", "ent", k=3)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, "grp string, ent int, score double") \
+        .write.mode("append").parquet(indir)
+    drain()
+
+    got = sorted(
+        (r["grp"], r["ent"], r["score"], r["rank"])
+        for r in read_upsert_table(spark, state).collect()
+    )
+    # batch twin: per-entity best over ALL delivered rows, then top-3
+    all_rows = spark.createDataFrame(rows1 + rows2, "grp string, ent int, score double")
+    best = all_rows.groupBy("grp", "ent").agg(F.max("score").alias("score"))
+    want = sorted(
+        (r["grp"], r["ent"], r["score"], r["rank"])
+        for r in grouped_topk(best, "grp", "score", 3, tie_col="ent").collect()
+    )
+    assert got == want
+    # entity 3's improved score leads g1; no duplicate entity rows
+    g1 = [t for t in got if t[0] == "g1"]
+    assert g1[0][1] == 3 and g1[0][2] == 50.0 or any(
+        t[1] == 3 and t[2] == 50.0 and t[3] == 1 for t in g1)
+    ents = [(t[0], t[1]) for t in got]
+    assert len(ents) == len(set(ents))
+    # state bounded at k per group
+    assert all(sum(1 for t in got if t[0] == g) <= 3 for g in {"g1", "g2"})
