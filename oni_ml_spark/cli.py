@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-count-per-word", type=_non_negative, default=10_000,
                    help="cap per-(doc,word) corpus counts before LDA; "
                         "0 = uncapped (adversarial hot-doc guard)")
+    p.add_argument("--audit", action="store_true",
+                   help="print per-stage row counts (input / suspicious) to "
+                        "stderr as one JSON line — measured via df.observe "
+                        "during the run's own jobs, no extra scans")
     p.add_argument("--single-file", action="store_true",
                    help="coalesce the TSV to one part file")
     p.add_argument("--approx-quantiles", action="store_true",
@@ -81,6 +85,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(f"suspicious_connects_{args.analysis}")
     df = spark.read.parquet(*args.input.split(","))
+
+    audit = None
+    if args.audit:
+        from oni_ml_spark.plans.audit import PipelineAudit
+
+        audit = PipelineAudit()
+        df = audit.observe(df, "input")
 
     top_domains = (
         load_top_domains(spark, args.topdomains) if args.topdomains else []
@@ -122,10 +133,18 @@ def main(argv: list[str] | None = None) -> int:
             feedback = load_feedback_tsv(spark, args.feedback, schemas.PROXY_FEEDBACK_COLUMNS)
         result = pipe.run(df, feedback, top_domains=top_domains, **kwargs)
 
+    suspicious = result.suspicious
+    if audit is not None:
+        suspicious = audit.observe(suspicious, "suspicious")
     write_tsv(
-        result.suspicious, args.output,
+        suspicious, args.output,
         single_file=args.single_file, delimiter=args.delimiter,
     )
+    if audit is not None:
+        import json as _json
+        import sys as _sys
+
+        print("AUDIT " + _json.dumps(audit.report()), file=_sys.stderr)
     return 0
 
 

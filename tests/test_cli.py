@@ -72,3 +72,28 @@ def test_flow_cli_with_feedback(spark, tmp_path):
     parts = glob.glob(f"{out}/part-*.csv")
     lines = open(parts[0]).read().strip().splitlines()
     assert 0 < len(lines) <= 10
+
+
+def test_flow_cli_audit_flag(spark, tmp_path, capsys):
+    """--audit prints one AUDIT JSON line to stderr with input/suspicious
+    row counts measured via df.observe — no extra scans of the input."""
+    import json
+
+    inp = str(tmp_path / "flow.parquet")
+    out = str(tmp_path / "out")
+    _flow_fixture(spark, n_common=300, n_rare=2).write.parquet(inp)
+
+    rc = main(
+        [
+            "--analysis", "flow", "--input", inp, "--output", out,
+            "--ldatopiccount", "3", "--lda-maxiter", "3",
+            "--maxresults", "10", "--single-file", "--approx-quantiles",
+            "--audit",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    line = next(ln for ln in err.splitlines() if ln.startswith("AUDIT "))
+    rep = json.loads(line[len("AUDIT "):])
+    assert rep["input"]["n_rows"] == 302
+    assert 0 < rep["suspicious"]["n_rows"] <= 10
