@@ -965,3 +965,38 @@ def ivf_pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def embedding_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """One-row data-quality card for an embedding column — the pre-flight
+    before any ANN/dedup run, because every operator in this module
+    silently assumes what this report checks: (n_rows, n_null, n_dims
+    distinct widths, dim_min, dim_max, n_zero zero-norm vectors, n_nan
+    vectors containing NaN, norm_min/avg/max over clean vectors).
+
+    ONE aggregate over ONE scan (all expressions native, map-side
+    combined). Mixed widths break every zip_with pairing; zero-norm
+    vectors turn cosine into a division by zero; NaN components poison
+    k-means fits — each is a count here instead of a job failure three
+    hours into a 100 TB sweep. Norm stats exclude null/NaN/zero vectors
+    (they are counted, not averaged).
+    """
+    if vec_col not in df.columns:
+        raise ValueError(f"column '{vec_col}' not in input")
+    v = as_double_array(vec_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    nrm = norm(v)
+    clean = F.col(vec_col).isNotNull() & ~has_nan & (nrm > 0)
+    clean_norm = F.when(clean, nrm)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
+        F.count_distinct(F.size(v)).alias("n_dims"),
+        F.min(F.size(v)).alias("dim_min"),
+        F.max(F.size(v)).alias("dim_max"),
+        F.sum((F.col(vec_col).isNotNull() & ~has_nan & (nrm == 0)).cast("long")).alias("n_zero"),
+        F.sum(F.coalesce(has_nan.cast("long"), F.lit(0))).alias("n_nan"),
+        F.round(F.min(clean_norm), 6).alias("norm_min"),
+        F.round(F.avg(clean_norm), 6).alias("norm_avg"),
+        F.round(F.max(clean_norm), 6).alias("norm_max"),
+    )

@@ -547,3 +547,37 @@ class TestShardProperties:
                 assert 0 <= r["shard_pos"] < size
 
         prop()
+
+
+class TestEmbeddingStats:
+    def test_matches_duckdb_and_counts_pathologies(self, spark):
+        import duckdb
+
+        from oni_ml_spark.datapipe.similarity import embedding_stats
+        from oni_ml_spark.io import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        got = embedding_stats(emb, "embedding").collect()[0]
+        con = duckdb.connect()
+        n, dmin, dmax, nmin, nmax = con.execute(
+            f"""SELECT count(*), min(len(embedding)), max(len(embedding)),
+                round(min(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6),
+                round(max(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6)
+                FROM '{SF_DIR}/embeddings.parquet'"""
+        ).fetchone()
+        assert got["n_rows"] == n and got["n_null"] == 0
+        assert got["n_dims"] == 1 and (got["dim_min"], got["dim_max"]) == (dmin, dmax)
+        assert got["n_zero"] == 0 and got["n_nan"] == 0
+        assert got["norm_min"] == nmin and got["norm_max"] == nmax
+        assert got["norm_min"] <= got["norm_avg"] <= got["norm_max"]
+        # pathologies are counted, not crashed on
+        bad = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, None), (2, [0.0, 0.0]),
+             (3, [float("nan"), 1.0]), (4, [1.0, 2.0, 3.0])],
+            "id int, embedding array<double>",
+        )
+        b = embedding_stats(bad, "embedding").collect()[0]
+        assert (b["n_rows"], b["n_null"], b["n_zero"], b["n_nan"]) == (5, 1, 1, 1)
+        assert b["n_dims"] == 2 and (b["dim_min"], b["dim_max"]) == (2, 3)
+        with pytest.raises(ValueError, match="not in input"):
+            embedding_stats(bad, "zz")
