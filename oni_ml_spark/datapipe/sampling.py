@@ -600,9 +600,13 @@ def write_training_shards(
         # readable schema — zero shards, nothing to digest
         return 0
     if manifest:
-        _shard_summary(back, id_name).write.mode("overwrite").parquet(
-            f"{out_dir}/_shard_manifest"
-        )
+        # shard_size is recorded in the manifest (constant column): it is
+        # NOT derivable from a single partial shard, and append's layout
+        # check would be vacuous without it (a one-shard export satisfies
+        # idx_lo = shard*size for EVERY size)
+        _shard_summary(back, id_name).withColumn(
+            "shard_size", F.lit(int(shard_size)).cast("long")
+        ).write.mode("overwrite").parquet(f"{out_dir}/_shard_manifest")
     n = back.agg(F.max("shard")).collect()[0][0]
     return int(n) + 1 if n is not None else 0
 
@@ -637,15 +641,23 @@ def append_training_shards(
     daily append to a 100 TB export reads one partial shard plus what it
     wrote, not the archive. Returns the new shard count.
 
-    Contracts: ``shard_size`` must equal the export's (checked against the
-    manifest's idx_lo = shard·shard_size invariant); the batch schema must
-    match the export's (checked by column sets — parquet append with a
-    different schema silently corrupts); global sample order is "export
-    order, then batch key order" — deterministic for a fixed SEQUENCE of
-    batches, which is the replay contract an incremental pipeline needs.
-    Cross-batch duplicate keys are NOT detected (that would require
-    reading every archived key); dedupe upstream (``anti_join_dedup``
-    against the export's key column, or an exact-digest ledger).
+    Contracts, each checked up front: ``shard_size`` must equal the
+    export's (read from the manifest's recorded shard_size — the idx
+    invariant alone is vacuous for a single-shard export; legacy
+    manifests without the column fall back to it); the batch schema must
+    match the export's by column NAMES AND TYPES (a same-named int column
+    appended into a bigint export corrupts parquet reads); the tail
+    shards on disk must MATCH the manifest before anything is written —
+    a mismatch means a previous append crashed between its data write and
+    its manifest refresh, and blindly retrying would assign the orphaned
+    index range AGAIN (duplicate sample indexes the refreshed-from-disk
+    manifest would then certify as clean). Global sample order is
+    "export order, then batch key order" — deterministic for a fixed
+    SEQUENCE of batches, the replay contract an incremental pipeline
+    needs. Cross-batch duplicate keys are NOT detected (that would
+    require reading every archived key); dedupe upstream
+    (``anti_join_dedup`` against the export's key column, or an
+    exact-digest ledger).
     """
     if shard_size <= 0:
         raise ValueError("shard_size must be positive")
@@ -658,32 +670,75 @@ def append_training_shards(
             "append_training_shards needs a write_training_shards(manifest="
             "True) export to extend"
         ) from exc
-    bad = man.filter(
-        F.col("idx_lo") != F.col("shard").cast("long") * shard_size
-    ).count()
-    if bad:
-        raise ValueError(
-            f"shard_size={shard_size} does not match the existing export's "
-            f"layout ({bad} shard(s) violate idx_lo = shard*shard_size)"
-        )
+    if "shard_size" in man.columns:
+        sizes = [r[0] for r in man.select("shard_size").distinct().collect()]
+        if sizes and sizes != [shard_size]:
+            raise ValueError(
+                f"shard_size={shard_size} does not match the existing "
+                f"export's recorded shard_size={sizes}"
+            )
+    else:
+        # legacy manifest without the recorded size: the idx invariant is
+        # the best available check (vacuous only for single-shard exports)
+        bad = man.filter(
+            F.col("idx_lo") != F.col("shard").cast("long") * shard_size
+        ).count()
+        if bad:
+            raise ValueError(
+                f"shard_size={shard_size} does not match the existing "
+                f"export's layout ({bad} shard(s) violate idx_lo = "
+                "shard*shard_size)"
+            )
     start_row = man.agg(F.max("idx_hi").alias("hi")).collect()[0]
     start = int(start_row["hi"]) + 1 if start_row["hi"] is not None else 0
+    first_touched = start // shard_size
+
+    # crash-orphan check BEFORE writing: the on-disk tail must equal the
+    # manifest's view of it (bounded: the partition-pruned read covers the
+    # one partial shard plus any orphan dirs beyond it)
+    man_cols = ("n_rows", "idx_lo", "idx_hi", "ids_digest")
+    disk_tail = {
+        r["shard"]: tuple(r[c] for c in man_cols)
+        for r in _shard_summary(
+            spark.read.parquet(out_dir)
+            .select("shard", id_name)
+            .filter(F.col("shard") >= first_touched),
+            id_name,
+        ).collect()
+    }
+    man_tail = {
+        r["shard"]: tuple(r[c] for c in man_cols)
+        for r in man.filter(F.col("shard") >= first_touched).collect()
+    }
+    if disk_tail != man_tail:
+        raise ValueError(
+            f"export tail on disk does not match the manifest (disk shards "
+            f"{sorted(disk_tail)} vs manifest {sorted(man_tail)}) — a "
+            "previous append likely crashed between its data write and its "
+            "manifest refresh; retrying would duplicate the orphaned index "
+            "range. Repair first (remove the orphan rows, or rebuild the "
+            "manifest deliberately after verifying indexes are unique)."
+        )
 
     with_ids = assign_contiguous_ids(df, key_col, id_name=id_name)
     with_ids = with_ids.withColumn(id_name, F.col(id_name) + F.lit(start))
     sharded = shard_positions(
         with_ids, id_name, shard_size, shard_name="shard", pos_name=None
     )
-    existing_cols = set(spark.read.parquet(out_dir).columns)
-    if set(sharded.columns) != existing_cols:
+    # names AND types; the partition column is excluded (directory-derived
+    # on read, so its inferred type differs from the written long by design)
+    batch_types = {c: t for c, t in sharded.dtypes if c != "shard"}
+    export_types = {
+        c: t for c, t in spark.read.parquet(out_dir).dtypes if c != "shard"
+    }
+    if batch_types != export_types:
         raise ValueError(
-            f"batch columns {sorted(set(sharded.columns))} != export "
-            f"columns {sorted(existing_cols)} — appending a different "
+            f"batch schema {sorted(batch_types.items())} != export schema "
+            f"{sorted(export_types.items())} — appending a different "
             "schema would corrupt the export"
         )
     sharded.write.mode("append").partitionBy("shard").parquet(out_dir)
 
-    first_touched = start // shard_size
     back = (
         spark.read.parquet(out_dir)
         .select("shard", id_name)
@@ -692,8 +747,14 @@ def append_training_shards(
     refreshed = _shard_summary(back, id_name)
     # the manifest is bounded (one row per shard) — pin the surviving old
     # rows BEFORE overwriting the files they are lazily read from
-    kept = man.filter(F.col("shard") < first_touched).localCheckpoint()
-    new_man = kept.unionByName(refreshed).localCheckpoint()
+    kept = man.select("shard", *man_cols).filter(
+        F.col("shard") < first_touched
+    ).localCheckpoint()
+    new_man = (
+        kept.unionByName(refreshed)
+        .withColumn("shard_size", F.lit(int(shard_size)).cast("long"))
+        .localCheckpoint()
+    )
     new_man.write.mode("overwrite").parquet(f"{out_dir}/_shard_manifest")
     n = new_man.agg(F.max("shard")).collect()[0][0]
     return int(n) + 1 if n is not None else 0

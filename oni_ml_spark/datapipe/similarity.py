@@ -976,26 +976,43 @@ def embedding_stats(df: DataFrame, vec_col: str) -> DataFrame:
 
     ONE aggregate over ONE scan (all expressions native, map-side
     combined). Mixed widths break every zip_with pairing; zero-norm
-    vectors turn cosine into a division by zero; NaN components poison
-    k-means fits — each is a count here instead of a job failure three
-    hours into a 100 TB sweep. Norm stats exclude null/NaN/zero vectors
-    (they are counted, not averaged).
+    vectors turn cosine into a division by zero; NaN, null, or ±Inf
+    COMPONENTS poison k-means fits and similarity scores — each is a
+    count here (n_nan / n_null_elem / n_inf) instead of a job failure
+    three hours into a 100 TB sweep. Norm stats cover clean vectors only
+    (non-null, finite, no null components, norm > 0); pathological rows
+    are counted, never averaged. Dim stats guard the null vector
+    explicitly — ``size(NULL)`` is -1 under non-ANSI configs, which would
+    invent a phantom width.
     """
     if vec_col not in df.columns:
         raise ValueError(f"column '{vec_col}' not in input")
     v = as_double_array(vec_col)
-    has_nan = F.exists(v, lambda x: F.isnan(x))
+    present = F.col(vec_col).isNotNull()
+    has_nan = F.coalesce(F.exists(v, lambda x: F.isnan(x)), F.lit(False))
+    has_null_elem = F.coalesce(
+        F.exists(v, lambda x: x.isNull()), F.lit(False)
+    )
+    inf = F.lit(float("inf"))
+    has_inf = F.coalesce(
+        F.exists(v, lambda x: (x == inf) | (x == -inf)), F.lit(False)
+    )
+    dims = F.when(present, F.size(v))
     nrm = norm(v)
-    clean = F.col(vec_col).isNotNull() & ~has_nan & (nrm > 0)
+    clean = present & ~has_nan & ~has_null_elem & ~has_inf & (nrm > 0)
     clean_norm = F.when(clean, nrm)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
-        F.count_distinct(F.size(v)).alias("n_dims"),
-        F.min(F.size(v)).alias("dim_min"),
-        F.max(F.size(v)).alias("dim_max"),
-        F.sum((F.col(vec_col).isNotNull() & ~has_nan & (nrm == 0)).cast("long")).alias("n_zero"),
-        F.sum(F.coalesce(has_nan.cast("long"), F.lit(0))).alias("n_nan"),
+        F.sum((~present).cast("long")).alias("n_null"),
+        F.count_distinct(dims).alias("n_dims"),
+        F.min(dims).alias("dim_min"),
+        F.max(dims).alias("dim_max"),
+        F.sum(
+            (present & ~has_nan & ~has_null_elem & ~has_inf & (nrm == 0)).cast("long")
+        ).alias("n_zero"),
+        F.sum(has_nan.cast("long")).alias("n_nan"),
+        F.sum(has_null_elem.cast("long")).alias("n_null_elem"),
+        F.sum(has_inf.cast("long")).alias("n_inf"),
         F.round(F.min(clean_norm), 6).alias("norm_min"),
         F.round(F.avg(clean_norm), 6).alias("norm_avg"),
         F.round(F.max(clean_norm), 6).alias("norm_max"),

@@ -161,12 +161,16 @@ def plan_report(df: DataFrame) -> dict:
 
     # EXPLAIN FORMATTED prints every node twice (tree + numbered detail
     # section); count each node ONCE via its "(n) NodeName" detail header
-    nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", text, flags=re.MULTILINE)
+    names = re.findall(r"^\(\d+\) ([A-Za-z]+)", text, flags=re.MULTILINE)
+    nodes: dict[str, int] = {}
+    for n in names:
+        nodes[n] = nodes.get(n, 0) + 1
     def n_of(name: str) -> int:
-        return sum(1 for n in nodes if n == name)
+        return nodes.get(name, 0)
 
     return {
         "exchanges": n_of("Exchange") + n_of("BroadcastExchange"),
+        "shuffle_exchanges": n_of("Exchange"),
         "broadcast_exchanges": n_of("BroadcastExchange"),
         "broadcast_hash_joins": n_of("BroadcastHashJoin"),
         "sort_merge_joins": n_of("SortMergeJoin"),
@@ -176,6 +180,9 @@ def plan_report(df: DataFrame) -> dict:
         "has_pushed_filters": bool(
             re.search(r"PushedFilters: \[[^\]]", text)
         ),
+        # the parsed per-node tally — consumers (assert_plan's forbid list)
+        # use THIS instead of re-parsing the text with their own regex
+        "nodes": nodes,
         "plan": text,
     }
 
@@ -198,24 +205,25 @@ def assert_plan(
     check) turns each property into an assertion with the full formatted
     plan in the failure message.
 
+    ``max_exchanges`` bounds SHUFFLE exchanges only — broadcast exchanges
+    are excluded, so a broadcast-join contract composes with a zero-shuffle
+    budget (``max_exchanges=0, require_broadcast_join=True`` is
+    satisfiable; an intended broadcast never trips the shuffle bound).
     ``forbid`` matches node NAMES from EXPLAIN FORMATTED's detail headers
     (e.g. ``['CartesianProduct', 'SortMergeJoin']``), not free text.
     """
     rep = plan_report(df)
     problems: list[str] = []
-    if max_exchanges is not None and rep["exchanges"] > max_exchanges:
+    if max_exchanges is not None and rep["shuffle_exchanges"] > max_exchanges:
         problems.append(
-            f"{rep['exchanges']} exchanges (max {max_exchanges})"
+            f"{rep['shuffle_exchanges']} shuffle exchanges (max {max_exchanges})"
         )
     if require_pushed_filters and not rep["has_pushed_filters"]:
         problems.append("no filters pushed to any scan")
     if require_broadcast_join and rep["broadcast_hash_joins"] == 0:
         problems.append("no BroadcastHashJoin in the plan")
     if forbid:
-        import re
-
-        nodes = set(re.findall(r"^\(\d+\) ([A-Za-z]+)", rep["plan"], flags=re.MULTILINE))
-        hit = [n for n in forbid if n in nodes]
+        hit = [n for n in forbid if rep["nodes"].get(n)]
         if hit:
             problems.append(f"forbidden node(s) present: {hit}")
     if problems:

@@ -19,6 +19,10 @@ from oni_ml_spark.streaming.score_stream import (
     windowed_corpus_counts,
 )
 from oni_ml_spark.streaming.stateful import sessionize_stream
-from oni_ml_spark.streaming.upsert_sink import read_upsert_table, upsert_writer
+from oni_ml_spark.streaming.upsert_sink import (
+    read_upsert_table,
+    topk_writer,
+    upsert_writer,
+)
 
-__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_approx_distinct", "windowed_corpus_counts", "dedup_stream", "sessionize_stream", "upsert_writer", "read_upsert_table"]
+__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_approx_distinct", "windowed_corpus_counts", "dedup_stream", "sessionize_stream", "upsert_writer", "read_upsert_table", "topk_writer"]

@@ -82,6 +82,29 @@ def read_upsert_table(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(root, f"v{v:08d}"))
 
 
+def _check_schema(current: DataFrame | None, batch_df: DataFrame) -> None:
+    if current is not None and sorted(current.columns) != sorted(batch_df.columns):
+        raise ValueError(
+            "stream schema does not match the stored table "
+            f"({sorted(batch_df.columns)} vs {sorted(current.columns)})"
+        )
+
+
+def _commit_snapshot(root: str, merged: DataFrame, keep_versions: int) -> None:
+    """The shared commit protocol of every sink in this module: write the
+    merged frame as the next version directory, swap the atomic pointer,
+    drop directories older than ``keep_versions``. Fixes to crash/retention
+    semantics belong HERE, once."""
+    v = _read_pointer(root) + 1
+    merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v:08d}"))
+    _swap_pointer(root, v)
+    import shutil
+
+    for entry in sorted(_version_dirs(root)):
+        if int(entry[1:]) <= v - keep_versions:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
 def upsert_writer(
     root: str,
     key_cols: list[str] | str,
@@ -114,11 +137,7 @@ def upsert_writer(
             return
         spark = batch_df.sparkSession
         current = read_upsert_table(spark, root)
-        if current is not None and sorted(current.columns) != sorted(batch_df.columns):
-            raise ValueError(
-                "stream schema does not match the stored table "
-                f"({sorted(batch_df.columns)} vs {sorted(current.columns)})"
-            )
+        _check_schema(current, batch_df)
         # replay-safe MERGE in ONE window: per key, the largest-order row
         # of (stored ∪ batch) wins — dedups multi-update batches AND keeps
         # a replayed OLD batch from regressing a newer stored row (the
@@ -130,15 +149,7 @@ def upsert_writer(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        v = _read_pointer(root) + 1
-        merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v:08d}"))
-        _swap_pointer(root, v)
-        # retention: drop directories older than keep_versions
-        import shutil
-
-        for entry in sorted(_version_dirs(root)):
-            if int(entry[1:]) <= v - keep_versions:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        _commit_snapshot(root, merged, keep_versions)
 
     return write_batch
 
@@ -172,6 +183,14 @@ def topk_writer(
     equals batch ``grouped_topk`` over everything the stream delivered —
     independent of micro-batch chopping (asserted in
     tests/test_streaming.py).
+
+    Determinism contract (same as ``upsert_writer``'s (key, order)
+    uniqueness): (group, entity, order) must determine the ROW — two rows
+    for one entity sharing the same order value but differing in payload
+    would leave the per-entity window an arbitrary pick, and the snapshot
+    (and replays of it) could then flip payloads with partition order.
+    Use an order column that never ties per entity (event timestamp,
+    sequence number) when payload columns ride along.
     """
     from oni_ml_spark.datapipe.ranking import grouped_topk
 
@@ -191,11 +210,7 @@ def topk_writer(
         current = read_upsert_table(spark, root)
         if current is not None:
             current = current.drop("rank")
-            if sorted(current.columns) != sorted(batch_df.columns):
-                raise ValueError(
-                    "stream schema does not match the stored table "
-                    f"({sorted(batch_df.columns)} vs {sorted(current.columns)})"
-                )
+        _check_schema(current, batch_df)
         both = batch_df if current is None else current.unionByName(batch_df)
         # per-entity best first (direction follows the leaderboard order),
         # then the bounded per-group top-k
@@ -209,13 +224,6 @@ def topk_writer(
         merged = grouped_topk(
             best, groups, order_col, k, ascending=ascending, tie_col=tie_col
         )
-        v = _read_pointer(root) + 1
-        merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v:08d}"))
-        _swap_pointer(root, v)
-        import shutil
-
-        for entry in sorted(_version_dirs(root)):
-            if int(entry[1:]) <= v - keep_versions:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        _commit_snapshot(root, merged, keep_versions)
 
     return write_batch

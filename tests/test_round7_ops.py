@@ -568,16 +568,78 @@ class TestEmbeddingStats:
         assert got["n_rows"] == n and got["n_null"] == 0
         assert got["n_dims"] == 1 and (got["dim_min"], got["dim_max"]) == (dmin, dmax)
         assert got["n_zero"] == 0 and got["n_nan"] == 0
+        assert got["n_null_elem"] == 0 and got["n_inf"] == 0
         assert got["norm_min"] == nmin and got["norm_max"] == nmax
         assert got["norm_min"] <= got["norm_avg"] <= got["norm_max"]
-        # pathologies are counted, not crashed on
+        # pathologies are counted, not crashed on — incl. null COMPONENTS
+        # and ±Inf, which would otherwise slip through as "clean"
         bad = spark.createDataFrame(
             [(0, [1.0, 2.0]), (1, None), (2, [0.0, 0.0]),
-             (3, [float("nan"), 1.0]), (4, [1.0, 2.0, 3.0])],
+             (3, [float("nan"), 1.0]), (4, [1.0, 2.0, 3.0]),
+             (5, [None, 1.0]), (6, [float("inf"), 1.0]),
+             (7, [1.0, float("-inf")])],
             "id int, embedding array<double>",
         )
         b = embedding_stats(bad, "embedding").collect()[0]
-        assert (b["n_rows"], b["n_null"], b["n_zero"], b["n_nan"]) == (5, 1, 1, 1)
+        assert (b["n_rows"], b["n_null"], b["n_zero"], b["n_nan"]) == (8, 1, 1, 1)
+        assert (b["n_null_elem"], b["n_inf"]) == (1, 2)
         assert b["n_dims"] == 2 and (b["dim_min"], b["dim_max"]) == (2, 3)
+        # norm stats ignore every pathological row: finite bounds only
+        assert b["norm_max"] < float("inf") and b["norm_min"] > 0
         with pytest.raises(ValueError, match="not in input"):
             embedding_stats(bad, "zz")
+
+
+class TestAppendShardsHardening:
+    def test_single_shard_wrong_size_rejected(self, spark, tmp_path):
+        """A one-shard export satisfies idx_lo = shard*size for EVERY
+        size; the recorded shard_size closes that hole."""
+        from oni_ml_spark.datapipe.sampling import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        out = str(tmp_path / "one")
+        write_training_shards(spark.range(3).withColumnRenamed("id", "k"),
+                              "k", out, 4)
+        b = spark.range(100, 103).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError, match="recorded shard_size"):
+            append_training_shards(b, "k", out, 10)
+        # the correct size still appends fine
+        assert append_training_shards(b, "k", out, 4) == 2
+
+    def test_orphan_rows_block_retry(self, spark, tmp_path):
+        """Rows on disk that the manifest does not know about (a crashed
+        append's data write) must fail the next append loudly instead of
+        double-assigning their index range."""
+        from oni_ml_spark.datapipe.sampling import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        out = str(tmp_path / "cr")
+        write_training_shards(spark.range(6).withColumnRenamed("id", "k"),
+                              "k", out, 4)
+        # simulate the crash: data appended, manifest NOT refreshed
+        orphan = spark.createDataFrame([(999, 6)], "k long, sample_idx long") \
+            .withColumn("shard", F.lit(1))
+        orphan.write.mode("append").partitionBy("shard").parquet(out)
+        b = spark.range(50, 53).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError, match="crashed between"):
+            append_training_shards(b, "k", out, 4)
+
+    def test_type_mismatch_rejected(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.sampling import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        out = str(tmp_path / "ty")
+        write_training_shards(spark.range(4).withColumnRenamed("id", "k"),
+                              "k", out, 4)
+        b = spark.createDataFrame([(9,)], "k int")  # int vs export's bigint
+        with pytest.raises(ValueError, match="schema"):
+            append_training_shards(b, "k", out, 4)
+
+    def test_topk_writer_importable_from_package(self):
+        from oni_ml_spark.streaming import topk_writer  # noqa: F401
