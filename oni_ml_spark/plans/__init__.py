@@ -6,6 +6,11 @@ often enough that co-bucketing both sides pays for itself.
 """
 
 from oni_ml_spark.plans.audit import PipelineAudit
+from oni_ml_spark.plans.bloom import (
+    bloom_anti_join,
+    bloom_semi_join,
+    build_bloom_filter,
+)
 from oni_ml_spark.plans.skew import salted_join
 from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
@@ -21,6 +26,7 @@ from oni_ml_spark.plans.diagnostics import (
 )
 
 __all__ = ["PipelineAudit",
+           "bloom_anti_join", "bloom_semi_join", "build_bloom_filter",
            "salted_join", "write_bucketed", "read_bucketed",
            "write_zordered", "zorder_key",
            "partition_profile", "key_skew_profile",

@@ -1,0 +1,235 @@
+"""Bloom-filter pre-filtered equi joins (semi / anti) for very large fact sides.
+
+At the 100 TB target, ``fact LEFT ANTI JOIN seen`` (incremental-ingest dedup,
+"remove everything already in the corpus") shuffles the ENTIRE fact table on
+the join key even when almost nothing matches.  A Bloom filter built over the
+small side is a few-MB broadcast bitmap that classifies every fact row
+JVM-side, pre-shuffle:
+
+- "definitely absent"  -> the row's final join outcome is already known
+  (kept for anti, dropped for semi) WITHOUT shuffling it;
+- "maybe present"      -> only these rows (true matches + the false-positive
+  fraction of non-members) flow into the exact shuffle join, which settles
+  them precisely.
+
+The result is bitwise-identical to the plain semi/anti join — the bitmap has
+no false negatives, and every "maybe" is re-checked exactly — but the shuffle
+carries ``matches + fpp * non_members`` rows instead of all of them.  With the
+default 2^23-bit / 5-hash filter, 100k build keys give fpp ~= 1e-4.
+
+Spark's own runtime row-level bloom pushdown (SPARK-32268) covers inner joins
+chosen by the optimizer; this module makes the pattern explicit, persistable
+(the filter is a 1-row DataFrame you can write to parquet and reuse across
+daily ingests), and available for semi/anti shapes.
+
+Beyond-reference operator (SURVEY.md §7.5 ingest-dedup family); the classic
+construction follows Bloom (CACM 1970).
+
+Implementation notes (all JVM-side, no Python boundary):
+- build: explode ``num_hashes`` seed literals, ``xxhash64(key, seed) % m``,
+  bit_or partial-aggregated per 64-bit word — the shuffle after map-side
+  combine is at most ``m/64`` rows per partition;
+- the dense word array is assembled in-plan (map_from_entries over the sparse
+  words + transform(sequence)); the single-row collect_list is bounded by
+  ``num_bits/64`` entries (1 MiB at the default, 16 MiB at the cap);
+- probe: crossJoin(broadcast(1-row filter)) + k getbit checks inside
+  whole-stage codegen.  Null probe keys hash to some bit pattern; whichever
+  branch they land in, the outcome matches SQL equi-join semantics (null
+  never matches: semi drops, anti keeps) because the "maybe" branch ends in
+  the exact join.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_BITS = 1 << 27  # 16 MiB of words — broadcast-sized ceiling
+
+
+def _keys(key: str | Sequence[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def expected_fpp(n_keys: int, num_bits: int, num_hashes: int) -> float:
+    """Textbook Bloom false-positive probability (1 - e^{-kn/m})^k."""
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-num_hashes * n_keys / num_bits)) ** num_hashes
+
+
+def optimal_num_hashes(num_bits: int, n_keys: int) -> int:
+    """fpp-minimizing hash count round((m/n) ln 2), clamped to [1, 16]."""
+    if n_keys <= 0:
+        return 1
+    return max(1, min(16, round(num_bits / n_keys * math.log(2.0))))
+
+
+def _validate_params(num_bits: int, num_hashes: int) -> None:
+    if num_bits < 64 or num_bits % 64 != 0 or num_bits > _MAX_BITS:
+        raise ValueError(
+            f"num_bits must be a multiple of 64 in [64, {_MAX_BITS}], got {num_bits}"
+        )
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+
+
+def build_bloom_filter(
+    df: DataFrame,
+    key: str | Sequence[str],
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``df``'s key column(s) as a 1-row DataFrame.
+
+    Schema ``(words array<bigint>, num_bits bigint, num_hashes int)`` —
+    plain data, so ``io.write_parquet`` persists it and a reloaded filter
+    probes identically (hashes are xxhash64: engine-stable across sessions).
+
+    Rows with any null key component are excluded: they can never satisfy an
+    equi join, and both join wrappers route them to their exact SQL outcome.
+    """
+    _validate_params(num_bits, num_hashes)
+    keys = _keys(key)
+    n_words = num_bits // 64
+    non_null = reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in keys])
+    seeds = F.array(*[F.lit(i).cast("int") for i in range(num_hashes)])
+    pos = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.col("__seed")), F.lit(num_bits))
+    sparse = (
+        df.select(*keys)
+        .where(non_null)
+        .select(F.explode(seeds).alias("__seed"), *keys)
+        .select(pos.alias("__pos"))
+        .select(
+            F.shiftright(F.col("__pos"), 6).cast("int").alias("word_idx"),
+            # SQL form: the DSL shiftleft only takes a literal shift amount
+            F.expr("shiftleft(cast(1 as bigint), cast(__pos & 63 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    # Dense word array assembled in-plan; the one-row collect_list is bounded
+    # by n_words entries.  An empty build side yields an all-zero filter
+    # (groupBy() over empty input still emits one row).
+    return sparse.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("__wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("__wm", i), F.lit(0).cast("bigint")),
+        ).alias("words"),
+        F.lit(num_bits).cast("bigint").alias("num_bits"),
+        F.lit(num_hashes).cast("int").alias("num_hashes"),
+    )
+
+
+def might_contain_col(
+    key: str | Sequence[str], num_bits: int, num_hashes: int, words_col: str = "words"
+) -> "F.Column":
+    """Boolean probe expression against a joined-in ``words`` array column.
+
+    All ``num_hashes`` getbit checks run inside whole-stage codegen.  The
+    seed literals and modulus MUST match the build call (the join wrappers
+    guarantee this).
+    """
+    _validate_params(num_bits, num_hashes)
+    keys = _keys(key)
+    checks = []
+    for i in range(num_hashes):
+        pos = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.lit(i).cast("int")), F.lit(num_bits)
+        )
+        word = F.element_at(F.col(words_col), F.shiftright(pos, 6).cast("int") + F.lit(1))
+        checks.append(F.getbit(word, pos.bitwiseAND(F.lit(63)).cast("int")) == F.lit(1))
+    return F.coalesce(reduce(lambda a, b: a & b, checks), F.lit(False))
+
+
+def _check_key_types(big: DataFrame, small: DataFrame, keys: list[str]) -> None:
+    # xxhash64 hashes (value, type) — an int build key probed as bigint would
+    # hash differently and manufacture false NEGATIVES, i.e. wrong results.
+    big_t = dict(big.dtypes)
+    small_t = dict(small.dtypes)
+    for k in keys:
+        if k not in big_t or k not in small_t:
+            raise ValueError(f"join key {k!r} missing from one side")
+        if big_t[k] != small_t[k]:
+            raise ValueError(
+                f"join key {k!r} type mismatch: big={big_t[k]} small={small_t[k]} — "
+                "cast both sides to the same type before the bloom join"
+            )
+
+
+def _prefiltered(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    num_bits: int,
+    num_hashes: int,
+    bloom: DataFrame | None,
+    materialize: bool,
+) -> DataFrame:
+    _check_key_types(big, small, keys)
+    if bloom is None:
+        bloom = build_bloom_filter(small, keys, num_bits, num_hashes)
+    if materialize:
+        # The 1-row filter feeds both the keep and the maybe branch; pin it so
+        # the build aggregation runs once (bounded: <= num_bits/64 longs).
+        bloom = bloom.localCheckpoint(eager=True)
+    return big.crossJoin(F.broadcast(bloom)).withColumn(
+        "__might", might_contain_col(keys, num_bits, num_hashes)
+    ).drop("words", "num_bits", "num_hashes")
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str | Sequence[str],
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    bloom: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """``big LEFT SEMI JOIN small`` with a Bloom pre-filter on the big side.
+
+    Result-identical to ``big.join(small, key, "leftsemi")``: definite-miss
+    rows are dropped pre-shuffle (no false negatives), and the surviving
+    "maybe" rows — true matches plus the fpp sliver — are settled by the
+    exact semi join.  Pass a persisted ``bloom`` (with the SAME num_bits /
+    num_hashes it was built with) to skip the build scan.
+    """
+    keys = _keys(key)
+    pre = _prefiltered(big, small, keys, num_bits, num_hashes, bloom, materialize)
+    maybes = pre.where(F.col("__might")).drop("__might")
+    return maybes.join(small.select(*keys).distinct(), keys, "leftsemi")
+
+
+def bloom_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str | Sequence[str],
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    bloom: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """``big LEFT ANTI JOIN small`` with a Bloom pre-filter on the big side.
+
+    Definite-miss rows (the overwhelming majority in incremental-ingest
+    dedup) are KEPT pre-shuffle; only "maybe" rows enter the exact anti
+    join.  Costs a second pass over ``big``'s key+payload columns in
+    exchange for shuffling ``matches + fpp * non_members`` rows instead of
+    all of them — the winning trade whenever the scan is columnar and the
+    match fraction is small.  Result-identical to the plain anti join
+    (null-key rows: fail the filter -> kept directly; pass it -> kept by
+    the exact join — SQL anti semantics either way).
+    """
+    keys = _keys(key)
+    pre = _prefiltered(big, small, keys, num_bits, num_hashes, bloom, materialize)
+    kept = pre.where(~F.col("__might")).drop("__might")
+    maybes = pre.where(F.col("__might")).drop("__might")
+    settled = maybes.join(small.select(*keys).distinct(), keys, "leftanti")
+    return kept.unionByName(settled)

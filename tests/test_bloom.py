@@ -1,0 +1,152 @@
+"""Bloom-prefiltered joins: result identity with plain semi/anti joins
+(including forced-false-positive and null-key regimes), bounded routing into
+the exact join, persistence, and the no-shuffle keep branch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.plans.bloom import (
+    bloom_anti_join,
+    bloom_semi_join,
+    build_bloom_filter,
+    expected_fpp,
+    might_contain_col,
+    optimal_num_hashes,
+)
+
+
+def _rows(df):
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+@pytest.fixture(scope="module")
+def big_small(spark):
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    # matches 0..49 (some keys twice), plus keys absent from big and a null
+    small_rows = [(i,) for i in range(50)] + [(7,), (13,), (5000,), (None,)]
+    small = spark.createDataFrame(small_rows, "k bigint")
+    return big, small
+
+
+def test_semi_join_matches_plain(spark, big_small):
+    big, small = big_small
+    plain = big.join(small, "k", "leftsemi")
+    got = bloom_semi_join(big, small, "k")
+    assert _rows(got) == _rows(plain)
+
+
+def test_anti_join_matches_plain_incl_null_keys(spark, big_small):
+    big, small = big_small
+    plain = big.join(small, "k", "leftanti")
+    got = bloom_anti_join(big, small, "k")
+    assert _rows(got) == _rows(plain)
+    # null-key big rows never match: all of them survive the anti join
+    n_null = big.where(F.col("k").isNull()).count()
+    assert got.where(F.col("k").isNull()).count() == n_null
+
+
+def test_tiny_filter_forces_fps_still_exact(spark, big_small):
+    """num_bits=64 saturates the bitmap — near-every row routes into the
+    exact join — and the results must still be identical."""
+    big, small = big_small
+    assert _rows(bloom_anti_join(big, small, "k", num_bits=64, num_hashes=2)) == _rows(
+        big.join(small, "k", "leftanti")
+    )
+    assert _rows(bloom_semi_join(big, small, "k", num_bits=64, num_hashes=2)) == _rows(
+        big.join(small, "k", "leftsemi")
+    )
+
+
+def test_empty_small_side(spark, big_small):
+    big, _ = big_small
+    empty = spark.createDataFrame([], "k bigint")
+    assert bloom_semi_join(big, empty, "k").count() == 0
+    assert _rows(bloom_anti_join(big, empty, "k")) == _rows(big)
+
+
+def test_maybe_routing_is_bounded(spark, big_small):
+    """The shuffle-reduction claim, measured: rows passing the filter ==
+    true matches + a small false-positive sliver (no false negatives)."""
+    big, small = big_small
+    bloom = build_bloom_filter(small, "k").localCheckpoint(eager=True)
+    maybes = (
+        big.crossJoin(F.broadcast(bloom))
+        .where(might_contain_col("k", 1 << 23, 5))
+        .count()
+    )
+    matches = big.join(small, "k", "leftsemi").count()
+    non_members = big.count() - matches
+    assert maybes >= matches  # no false negatives
+    # 53 build keys in 2^23 bits: fpp ~ 1e-16; allow a generous slack of 1%
+    assert maybes <= matches + max(2, int(0.01 * non_members))
+
+
+def test_persisted_filter_probes_identically(spark, big_small, tmp_path):
+    big, small = big_small
+    path = str(tmp_path / "bloom")
+    build_bloom_filter(small, "k", num_bits=1 << 16, num_hashes=4).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    got = bloom_anti_join(big, small, "k", num_bits=1 << 16, num_hashes=4, bloom=reloaded)
+    assert _rows(got) == _rows(big.join(small, "k", "leftanti"))
+
+
+def test_multi_key_join(spark):
+    big = spark.range(500).select(
+        (F.col("id") % 20).alias("a"), (F.col("id") % 7).alias("b"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(i, i % 7) for i in range(10)], "a bigint, b bigint")
+    assert _rows(bloom_semi_join(big, small, ["a", "b"])) == _rows(
+        big.join(small, ["a", "b"], "leftsemi")
+    )
+    assert _rows(bloom_anti_join(big, small, ["a", "b"])) == _rows(
+        big.join(small, ["a", "b"], "leftanti")
+    )
+
+
+def test_key_type_mismatch_raises(spark):
+    big = spark.createDataFrame([(1,)], "k int")
+    small = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_semi_join(big, small, "k")
+
+
+def test_param_validation(spark, big_small):
+    big, small = big_small
+    with pytest.raises(ValueError, match="num_bits"):
+        build_bloom_filter(small, "k", num_bits=100)
+    with pytest.raises(ValueError, match="num_hashes"):
+        build_bloom_filter(small, "k", num_hashes=0)
+    with pytest.raises(ValueError, match="missing"):
+        bloom_semi_join(big, small, "nope")
+
+
+def test_keep_branch_plans_without_shuffle(spark, big_small):
+    """The definite-miss branch — the 100 TB majority — must reach its
+    verdict from the scan + broadcast alone: no shuffle Exchange."""
+    from oni_ml_spark.plans.diagnostics import plan_report
+
+    big, small = big_small
+    bloom = build_bloom_filter(small, "k").localCheckpoint(eager=True)
+    kept = (
+        big.crossJoin(F.broadcast(bloom))
+        .where(~might_contain_col("k", 1 << 23, 5))
+        .drop("words", "num_bits", "num_hashes")
+    )
+    rep = plan_report(kept)
+    assert rep["shuffle_exchanges"] == 0
+    assert rep["broadcast_exchanges"] >= 1
+
+
+def test_fpp_helpers():
+    assert expected_fpp(0, 1 << 20, 5) == 0.0
+    # more bits -> lower fpp; helper matches the textbook curve shape
+    assert expected_fpp(1000, 1 << 23, 5) < expected_fpp(1000, 1 << 16, 5) < 1.0
+    assert optimal_num_hashes(1 << 20, 0) == 1
+    assert optimal_num_hashes(1 << 20, 100_000) == max(
+        1, min(16, round((1 << 20) / 100_000 * 0.6931471805599453))
+    )
