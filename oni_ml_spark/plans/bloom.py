@@ -175,13 +175,32 @@ def _prefiltered(
     _check_key_types(big, small, keys)
     if bloom is None:
         bloom = build_bloom_filter(small, keys, num_bits, num_hashes)
+    else:
+        # A reloaded filter probed with different parameters than it was
+        # built with would hash to the wrong bit positions and manufacture
+        # false NEGATIVES (wrong results, silently).  The frame stores its
+        # own build parameters — make them authoritative.  Bounded: a 1-row
+        # first() on a 1-row frame.
+        stored = bloom.select("num_bits", "num_hashes").first()
+        num_bits, num_hashes = int(stored[0]), int(stored[1])
+        _validate_params(num_bits, num_hashes)
     if materialize:
         # The 1-row filter feeds both the keep and the maybe branch; pin it so
         # the build aggregation runs once (bounded: <= num_bits/64 longs).
         bloom = bloom.localCheckpoint(eager=True)
+    # Rename the filter's columns to reserved names before the crossJoin so a
+    # big side that ALREADY has a "words"/"num_bits"/"num_hashes" column (a
+    # text corpus very plausibly does) never collides: with duplicates, the
+    # probe's F.col("words") would be ambiguous and drop("words") would take
+    # the user's column with it.
+    bloom = bloom.select(
+        F.col("words").alias("__bloom_words"),
+        F.col("num_bits").alias("__bloom_num_bits"),
+        F.col("num_hashes").alias("__bloom_num_hashes"),
+    )
     return big.crossJoin(F.broadcast(bloom)).withColumn(
-        "__might", might_contain_col(keys, num_bits, num_hashes)
-    ).drop("words", "num_bits", "num_hashes")
+        "__might", might_contain_col(keys, num_bits, num_hashes, "__bloom_words")
+    ).drop("__bloom_words", "__bloom_num_bits", "__bloom_num_hashes")
 
 
 def bloom_semi_join(
@@ -198,8 +217,9 @@ def bloom_semi_join(
     Result-identical to ``big.join(small, key, "leftsemi")``: definite-miss
     rows are dropped pre-shuffle (no false negatives), and the surviving
     "maybe" rows — true matches plus the fpp sliver — are settled by the
-    exact semi join.  Pass a persisted ``bloom`` (with the SAME num_bits /
-    num_hashes it was built with) to skip the build scan.
+    exact semi join.  Pass a persisted ``bloom`` to skip the build scan; its
+    stored num_bits / num_hashes override the arguments (probing with
+    mismatched parameters would silently produce false negatives).
     """
     keys = _keys(key)
     pre = _prefiltered(big, small, keys, num_bits, num_hashes, bloom, materialize)

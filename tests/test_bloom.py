@@ -95,6 +95,36 @@ def test_persisted_filter_probes_identically(spark, big_small, tmp_path):
     assert _rows(got) == _rows(big.join(small, "k", "leftanti"))
 
 
+def test_persisted_filter_params_are_authoritative(spark, big_small, tmp_path):
+    """Probing a reloaded filter with mismatched num_bits/num_hashes args
+    must NOT produce false negatives: the frame's stored build parameters
+    win over whatever the caller passes."""
+    big, small = big_small
+    path = str(tmp_path / "bloom2")
+    build_bloom_filter(small, "k", num_bits=1 << 16, num_hashes=4).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    # deliberately wrong args (defaults 2^23 / 5) — results must still match
+    got = bloom_anti_join(big, small, "k", bloom=reloaded)
+    assert _rows(got) == _rows(big.join(small, "k", "leftanti"))
+
+
+def test_big_side_owning_a_words_column_survives(spark):
+    """A big side that already has words/num_bits/num_hashes columns (a text
+    corpus does) must not collide with the broadcast filter's columns."""
+    big = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.array(F.lit("w")).alias("words"),
+        F.lit(11).alias("num_bits"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    small = spark.createDataFrame([(i,) for i in range(40)], "k bigint")
+    plain_anti = big.join(small, "k", "leftanti")
+    got = bloom_anti_join(big, small, "k")
+    assert got.columns == big.columns
+    assert _rows(got) == _rows(plain_anti)
+    assert _rows(bloom_semi_join(big, small, "k")) == _rows(big.join(small, "k", "leftsemi"))
+
+
 def test_multi_key_join(spark):
     big = spark.range(500).select(
         (F.col("id") % 20).alias("a"), (F.col("id") % 7).alias("b"), F.col("id").alias("v")
