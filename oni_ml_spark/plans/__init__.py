@@ -11,6 +11,13 @@ from oni_ml_spark.plans.bloom import (
     bloom_semi_join,
     build_bloom_filter,
 )
+from oni_ml_spark.plans.skipping import (
+    build_file_stats,
+    manifest_selectivity,
+    pruned_paths,
+    read_pruned,
+    verify_file_stats,
+)
 from oni_ml_spark.plans.skew import salted_join
 from oni_ml_spark.plans.bucketing import write_bucketed, read_bucketed
 from oni_ml_spark.plans.layout import write_zordered, zorder_key
@@ -27,6 +34,8 @@ from oni_ml_spark.plans.diagnostics import (
 
 __all__ = ["PipelineAudit",
            "bloom_anti_join", "bloom_semi_join", "build_bloom_filter",
+           "build_file_stats", "manifest_selectivity", "pruned_paths",
+           "read_pruned", "verify_file_stats",
            "salted_join", "write_bucketed", "read_bucketed",
            "write_zordered", "zorder_key",
            "partition_profile", "key_skew_profile",
