@@ -115,3 +115,100 @@ def diff_summary(diff: DataFrame) -> DataFrame:
         statuses.join(counts, "status", "left")
         .select("status", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    upsert_token: str = "upsert",
+    delete_token: str = "delete",
+) -> DataFrame:
+    """Apply a CDC changelog (upserts + deletes, possibly out of order) to
+    a snapshot — the table-format-less MERGE that ``sampling.merge_upsert``
+    can't express because it has no delete verb.
+
+    ``changes`` carries the snapshot's full schema plus ``op_col``
+    (``upsert_token`` / ``delete_token``) and ``seq_col`` (a monotonic
+    version: LSN, commit ts).  Per key only the HIGHEST-seq change counts;
+    earlier changes for the same key are superseded whatever their arrival
+    order — replaying a day's changelog gives the same answer as applying
+    it live.  A key whose winning change is an upsert is replaced-or-
+    inserted with that row's payload; a winning delete removes the key
+    (deleting an absent key is a no-op, matching MERGE ... WHEN MATCHED
+    THEN DELETE).
+
+    Plan shape, sized for a 100 TB snapshot + a per-day changelog: the
+    winner per key is ONE aggregate over the changelog
+    (``max_by``-over-seq via max(struct), map-side combinable); the
+    snapshot is touched by exactly one left-anti join against the distinct
+    changed keys — shuffles carry changelog rows and snapshot keys, never
+    the snapshot's payload.  No window over the snapshot, no full outer
+    join.
+
+    Rejected with one bounded aggregate before any work runs (same
+    contract as merge_upsert): null keys, null seq, unknown op tokens, and
+    duplicate (key, seq) pairs — a seq tie would make the winner
+    nondeterministic.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    payload = [c for c in snapshot.columns if c not in keys]
+    missing = [c for c in keys if c not in snapshot.columns]
+    if missing:
+        raise ValueError(f"key columns absent from snapshot: {missing}")
+    want = sorted(snapshot.columns) + sorted([op_col, seq_col])
+    if sorted(changes.columns) != sorted(want):
+        raise ValueError(
+            f"changes must carry the snapshot schema plus ({op_col}, {seq_col}): "
+            f"expected {sorted(want)}, got {sorted(changes.columns)}"
+        )
+
+    null_key = (
+        F.greatest(*[F.col(c).isNull().cast("int") for c in keys])
+        if len(keys) > 1
+        else F.col(keys[0]).isNull().cast("int")
+    )
+    bad_op = (~F.col(op_col).isin(upsert_token, delete_token)).cast("int")
+    stats = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(null_key).alias("null_keys"),
+        F.sum(F.col(seq_col).isNull().cast("int")).alias("null_seq"),
+        F.sum(F.coalesce(bad_op, F.lit(1))).alias("bad_ops"),
+        F.count_distinct(*[F.col(c) for c in keys], F.col(seq_col)).alias("nd"),
+    ).collect()[0]
+    if stats["null_keys"]:
+        raise ValueError(f"changes contain {stats['null_keys']} null-key row(s)")
+    if stats["null_seq"]:
+        raise ValueError(f"changes contain {stats['null_seq']} null-{seq_col} row(s)")
+    if stats["bad_ops"]:
+        raise ValueError(
+            f"changes contain {stats['bad_ops']} row(s) with an op outside "
+            f"({upsert_token!r}, {delete_token!r})"
+        )
+    dup = stats["n"] - stats["nd"]
+    if dup:
+        raise ValueError(
+            f"changes contain {dup} duplicate ({'+'.join(keys)}, {seq_col}) "
+            "row(s) — a seq tie makes the winning change nondeterministic"
+        )
+
+    # Winner per key: max_by over seq — unique per key (validated above),
+    # so the winner is deterministic; the payload rides inside the value
+    # struct without needing to be an orderable type (maps qualify).
+    winner = changes.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col(op_col), *payload), F.col(seq_col)
+        ).alias("__w")
+    )
+    latest = winner.select(
+        *keys,
+        F.col(f"__w.{op_col}").alias("__op"),
+        *[F.col(f"__w.{c}").alias(c) for c in payload],
+    )
+    kept = snapshot.join(latest.select(*keys), keys, "left_anti")
+    inserts = latest.where(F.col("__op") == upsert_token).select(*snapshot.columns)
+    return kept.unionByName(inserts)
