@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _POINTER = "_LATEST"
+_APPLIED = "_applied_batch"
 
 
 def _version_dirs(root: str) -> list[str]:
@@ -90,13 +91,25 @@ def _check_schema(current: DataFrame | None, batch_df: DataFrame) -> None:
         )
 
 
-def _commit_snapshot(root: str, merged: DataFrame, keep_versions: int) -> None:
+def _commit_snapshot(
+    root: str, merged: DataFrame, keep_versions: int, batch_marker: int | None = None
+) -> None:
     """The shared commit protocol of every sink in this module: write the
     merged frame as the next version directory, swap the atomic pointer,
     drop directories older than ``keep_versions``. Fixes to crash/retention
-    semantics belong HERE, once."""
+    semantics belong HERE, once.
+
+    ``batch_marker`` (used by sinks whose merge is NOT idempotent, e.g.
+    ``stats_writer``) records the applied micro-batch id INSIDE the version
+    directory before the pointer swap, so marker and data commit or vanish
+    together — a crash between them leaves the pointer on the previous
+    consistent (snapshot, marker) pair."""
     v = _read_pointer(root) + 1
-    merged.write.mode("overwrite").parquet(os.path.join(root, f"v{v:08d}"))
+    vdir = os.path.join(root, f"v{v:08d}")
+    merged.write.mode("overwrite").parquet(vdir)
+    if batch_marker is not None:
+        with open(os.path.join(vdir, _APPLIED), "w") as fh:
+            fh.write(str(batch_marker))
     _swap_pointer(root, v)
     import shutil
 
@@ -225,5 +238,81 @@ def topk_writer(
             best, groups, order_col, k, ascending=ascending, tie_col=tie_col
         )
         _commit_snapshot(root, merged, keep_versions)
+
+    return write_batch
+
+
+def _read_applied(root: str) -> int:
+    """Micro-batch id recorded in the CURRENT version directory (-1 before
+    the first commit). Reads through the pointer, so it always pairs with
+    the snapshot ``read_upsert_table`` returns."""
+    v = _read_pointer(root)
+    if v == 0:
+        return -1
+    try:
+        with open(os.path.join(root, f"v{v:08d}", _APPLIED)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError) as e:
+        raise RuntimeError(
+            f"stats table at {root} v{v:08d} has no readable {_APPLIED} "
+            "marker — was this root written by a different sink? Refusing "
+            "to guess replay state (a wrong guess double-counts sums)"
+        ) from e
+
+
+def stats_writer(
+    root: str,
+    key_cols: list[str] | str,
+    value_cols: list[str] | str,
+    keep_versions: int = 2,
+):
+    """foreachBatch function maintaining an INCREMENTAL AGGREGATE STATE
+    table (datapipe.incremental) over the versioned-snapshot layout:
+    ``stream.writeStream.foreachBatch(stats_writer(...))``.
+
+    Each micro-batch is partial-aggregated (count/sum/sumsq/min/max per
+    key) and merged into the stored state — per-key statistics over the
+    WHOLE stream history, maintained at state-table cost per batch, never
+    rescanning history. Read the state back with ``read_upsert_table`` and
+    finish it with ``incremental.finalize_aggregates``.
+
+    Unlike the upsert/topk sinks, the merge here is NOT idempotent (a
+    summed batch replayed would double-count), so this sink records the
+    applied micro-batch id inside each committed version and SKIPS any
+    batch with id <= the recorded one — foreachBatch replays reuse the
+    original batch id, making the state exactly-once under restart/replay.
+    Duplicate ROWS delivered in genuinely distinct batches are the
+    source's contract (Spark's file/kafka sources are exactly-once per
+    record into foreachBatch); the sink cannot distinguish them from real
+    repeats.
+
+    State size = one row per distinct key — a dimension-table-sized frame
+    rewritten per batch, the layout's documented scope. The 100 TB fact
+    stream is what flows THROUGH; it is never stored.
+    """
+    from oni_ml_spark.datapipe.incremental import (
+        merge_aggregate_state,
+        partial_aggregates,
+    )
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_applied(root):
+            return  # replayed micro-batch: already folded into the state
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        part = partial_aggregates(batch_df, keys, vals)
+        current = read_upsert_table(spark, root)
+        _check_schema(current, part)
+        merged = part if current is None else merge_aggregate_state(current, part)
+        _commit_snapshot(root, merged, keep_versions, batch_marker=batch_id)
 
     return write_batch

@@ -540,3 +540,66 @@ def test_streaming_topk_leaderboard_matches_batch(spark, tmp_path):
     assert len(ents) == len(set(ents))
     # state bounded at k per group
     assert all(sum(1 for t in got if t[0] == g) <= 3 for g in {"g1", "g2"})
+
+
+def test_streaming_stats_state_matches_batch_and_skips_replays(spark, tmp_path):
+    """stats_writer's state after draining the stream equals one-shot
+    partial_aggregates over everything delivered; a replayed micro-batch
+    id is skipped (sums are not idempotent — the marker makes the state
+    exactly-once under foreachBatch's at-least-once replay)."""
+    from oni_ml_spark.datapipe.incremental import (
+        finalize_aggregates,
+        partial_aggregates,
+    )
+    from oni_ml_spark.streaming.upsert_sink import (
+        read_upsert_table,
+        stats_writer,
+    )
+
+    indir = str(tmp_path / "in")
+    state = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(i % 5, float(i)) for i in range(40)]
+    rows2 = [(i % 3, float(100 + i)) for i in range(15)]
+    spark.createDataFrame(rows1, "k int, v double").write.mode("overwrite").parquet(indir)
+
+    writer = stats_writer(state, "k", "v")
+
+    def drain():
+        stream = spark.readStream.schema("k int, v double").parquet(indir)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, "k int, v double").write.mode("append").parquet(indir)
+    drain()
+
+    got = read_upsert_table(spark, state)
+    all_rows = spark.createDataFrame(rows1 + rows2, "k int, v double")
+    want = partial_aggregates(all_rows, ["k"], ["v"])
+
+    def rows(df):
+        return sorted(
+            str(tuple(round(v, 9) if isinstance(v, float) else v for v in r))
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(want)
+    # finalized stats flow straight out of the stored state
+    fin = {r["k"]: r for r in finalize_aggregates(got).collect()}
+    assert fin[0]["v_count"] > 0 and fin[0]["v_min"] is not None
+
+    # replay: re-invoking with an ALREADY-APPLIED batch id must not change
+    # the state (same contract foreachBatch restart gives us — same id)
+    before = rows(read_upsert_table(spark, state))
+    writer(spark.createDataFrame(rows1, "k int, v double"), 0)
+    assert rows(read_upsert_table(spark, state)) == before
+    # a genuinely NEW batch id is applied
+    writer(spark.createDataFrame([(9, 1.0)], "k int, v double"), 99)
+    after = read_upsert_table(spark, state)
+    assert after.where(F.col("k") == 9).count() == 1
