@@ -15,6 +15,51 @@ from pyspark.sql import functions as F
 _STATUSES = ("added", "removed", "changed", "unchanged")
 
 
+def _validate_changelog(
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str,
+    seq_col: str,
+    upsert_token: str,
+    delete_token: str,
+    caller: str,
+) -> None:
+    """Reject null keys, null seq, unknown op tokens, and duplicate
+    (key, seq) pairs in ONE bounded aggregate (shared by ``apply_changelog``
+    and ``scd2_history`` — a seq tie makes the winner / interval order
+    nondeterministic in both)."""
+    null_key = (
+        F.greatest(*[F.col(c).isNull().cast("int") for c in keys])
+        if len(keys) > 1
+        else F.col(keys[0]).isNull().cast("int")
+    )
+    bad_op = (~F.col(op_col).isin(upsert_token, delete_token)).cast("int")
+    stats = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(null_key).alias("null_keys"),
+        F.sum(F.col(seq_col).isNull().cast("int")).alias("null_seq"),
+        F.sum(F.coalesce(bad_op, F.lit(1))).alias("bad_ops"),
+        F.count_distinct(*[F.col(c) for c in keys], F.col(seq_col)).alias("nd"),
+    ).collect()[0]
+    if stats["null_keys"]:
+        raise ValueError(f"{caller}: changes contain {stats['null_keys']} null-key row(s)")
+    if stats["null_seq"]:
+        raise ValueError(
+            f"{caller}: changes contain {stats['null_seq']} null-{seq_col} row(s)"
+        )
+    if stats["bad_ops"]:
+        raise ValueError(
+            f"{caller}: changes contain {stats['bad_ops']} row(s) with an op outside "
+            f"({upsert_token!r}, {delete_token!r})"
+        )
+    dup = stats["n"] - stats["nd"]
+    if dup:
+        raise ValueError(
+            f"{caller}: changes contain {dup} duplicate ({'+'.join(keys)}, {seq_col}) "
+            "row(s) — a seq tie makes the winning change nondeterministic"
+        )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -167,34 +212,9 @@ def apply_changelog(
             f"expected {sorted(want)}, got {sorted(changes.columns)}"
         )
 
-    null_key = (
-        F.greatest(*[F.col(c).isNull().cast("int") for c in keys])
-        if len(keys) > 1
-        else F.col(keys[0]).isNull().cast("int")
+    _validate_changelog(
+        changes, keys, op_col, seq_col, upsert_token, delete_token, "apply_changelog"
     )
-    bad_op = (~F.col(op_col).isin(upsert_token, delete_token)).cast("int")
-    stats = changes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(null_key).alias("null_keys"),
-        F.sum(F.col(seq_col).isNull().cast("int")).alias("null_seq"),
-        F.sum(F.coalesce(bad_op, F.lit(1))).alias("bad_ops"),
-        F.count_distinct(*[F.col(c) for c in keys], F.col(seq_col)).alias("nd"),
-    ).collect()[0]
-    if stats["null_keys"]:
-        raise ValueError(f"changes contain {stats['null_keys']} null-key row(s)")
-    if stats["null_seq"]:
-        raise ValueError(f"changes contain {stats['null_seq']} null-{seq_col} row(s)")
-    if stats["bad_ops"]:
-        raise ValueError(
-            f"changes contain {stats['bad_ops']} row(s) with an op outside "
-            f"({upsert_token!r}, {delete_token!r})"
-        )
-    dup = stats["n"] - stats["nd"]
-    if dup:
-        raise ValueError(
-            f"changes contain {dup} duplicate ({'+'.join(keys)}, {seq_col}) "
-            "row(s) — a seq tie makes the winning change nondeterministic"
-        )
 
     # Winner per key: max_by over seq — unique per key (validated above),
     # so the winner is deterministic; the payload rides inside the value
@@ -212,3 +232,94 @@ def apply_changelog(
     kept = snapshot.join(latest.select(*keys), keys, "left_anti")
     inserts = latest.where(F.col("__op") == upsert_token).select(*snapshot.columns)
     return kept.unionByName(inserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    upsert_token: str = "upsert",
+    delete_token: str = "delete",
+    initial: DataFrame | None = None,
+    initial_seq=0,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from a CDC changelog: one
+    row per VERSION of each key, with half-open validity ``[valid_from,
+    valid_to)`` in seq units and an ``is_current`` flag — the audit-trail
+    companion to ``apply_changelog`` (which keeps only each key's winner).
+
+    Every upsert opens a version valid from its own seq; the version closes
+    at the key's next change (upsert OR delete) and stays open
+    (``valid_to`` null, ``is_current`` true) if nothing follows.  Deletes
+    emit no row — they exist to terminate the preceding version.  Identical
+    consecutive payloads are NOT collapsed: each upsert is a version, which
+    preserves "row was re-confirmed at seq" information; collapse upstream
+    if that is noise.  ``initial`` (optional) seeds the history with a base
+    snapshot as upserts at ``initial_seq``; a change sharing a key's
+    ``initial_seq`` is caught by the duplicate-(key, seq) validation.
+
+    Plan shape at the 100 TB target: ONE window (``lead(seq)`` per key)
+    over changelog±snapshot rows, partitioned by key — per-key version
+    counts are small, so no reducer sees more than a key's own history;
+    payloads ride the single hash-partition-by-key exchange once.  Input
+    contract (null key/seq, unknown ops, (key, seq) ties) is rejected by
+    the same one bounded aggregate as ``apply_changelog``.
+
+    Validity reads as: the state ``as of`` seq t includes the version with
+    ``valid_from <= t < valid_to`` (see ``as_of_snapshot``), so
+    ``as_of_snapshot(scd2_history(log, k, initial=base), t)`` equals
+    ``apply_changelog(base, log_up_to_t, k)`` for every t — the invariant
+    the tests assert.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    want_payload = [c for c in changes.columns if c not in (*keys, op_col, seq_col)]
+    missing = [c for c in (*keys, op_col, seq_col) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes lack columns {missing}")
+    if initial is not None:
+        if sorted(initial.columns) != sorted([*keys, *want_payload]):
+            raise ValueError(
+                "initial snapshot schema must be the changes schema minus "
+                f"({op_col}, {seq_col}): expected {sorted([*keys, *want_payload])}, "
+                f"got {sorted(initial.columns)}"
+            )
+        seed = initial.select(
+            *keys,
+            *want_payload,
+            F.lit(upsert_token).alias(op_col),
+            F.lit(initial_seq).cast(dict(changes.dtypes)[seq_col]).alias(seq_col),
+        )
+        changes = changes.select(*keys, *want_payload, op_col, seq_col).unionByName(seed)
+    _validate_changelog(
+        changes, keys, op_col, seq_col, upsert_token, delete_token, "scd2_history"
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col))
+    return (
+        changes.withColumn("__next", F.lead(seq_col).over(w))
+        .where(F.col(op_col) == upsert_token)
+        .select(
+            *keys,
+            *want_payload,
+            F.col(seq_col).alias("valid_from"),
+            F.col("__next").alias("valid_to"),
+            F.col("__next").isNull().alias("is_current"),
+        )
+    )
+
+
+def as_of_snapshot(history: DataFrame, seq) -> DataFrame:
+    """Time-travel read of a ``scd2_history`` table: the rows whose
+    validity interval covers ``seq`` (``valid_from <= seq < valid_to``;
+    open-ended versions cover everything from their start).  A pure filter
+    — predicate-pushdown-friendly when the history is persisted, and the
+    half-open intervals mean each key matches at most one version."""
+    for c in ("valid_from", "valid_to", "is_current"):
+        if c not in history.columns:
+            raise ValueError(f"not a scd2_history frame: missing column {c!r}")
+    covered = (F.col("valid_from") <= F.lit(seq)) & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(seq))
+    )
+    return history.where(covered).drop("valid_from", "valid_to", "is_current")
