@@ -58,6 +58,18 @@ def partial_aggregates(
     overlap = set(keys) & set(value_cols)
     if overlap:
         raise ValueError(f"columns cannot be both key and value: {sorted(overlap)}")
+    # merge/finalize re-derive the key list from the state schema by suffix,
+    # so a key named like a state column would be misclassified DOWNSTREAM
+    # (merge would reject the very state this function produced) — fail here
+    bad_keys = sorted(
+        k for k in keys if k == "n_rows" or k.endswith(_STATE_SUFFIXES)
+    )
+    if bad_keys:
+        raise ValueError(
+            f"key column name(s) {bad_keys} collide with the state schema "
+            f"('n_rows' or a *{'/*'.join(_STATE_SUFFIXES)} suffix) — rename "
+            "them (e.g. alias before aggregating)"
+        )
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
     for c in value_cols:
         d = F.col(c).cast("double")

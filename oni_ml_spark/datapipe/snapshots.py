@@ -229,6 +229,11 @@ def apply_changelog(
         F.col(f"__w.{op_col}").alias("__op"),
         *[F.col(f"__w.{c}").alias(c) for c in payload],
     )
+    # Two consumers (anti-join keys + inserts) would each re-scan and
+    # re-aggregate the changelog — no automatic subplan reuse in batch.
+    # Pin the winner table: bounded by the changelog's distinct keys (the
+    # state-table size), and validation already ran a job on this frame.
+    latest = latest.localCheckpoint(eager=True)
     kept = snapshot.join(latest.select(*keys), keys, "left_anti")
     inserts = latest.where(F.col("__op") == upsert_token).select(*snapshot.columns)
     return kept.unionByName(inserts)
@@ -285,6 +290,18 @@ def scd2_history(
                 "initial snapshot schema must be the changes schema minus "
                 f"({op_col}, {seq_col}): expected {sorted([*keys, *want_payload])}, "
                 f"got {sorted(initial.columns)}"
+            )
+        # The seed must strictly precede the changelog: a straggler change
+        # at seq <= initial_seq would be SUPERSEDED by the seed version in
+        # the history while apply_changelog would let it override the base
+        # snapshot — silently breaking the as_of == apply_changelog
+        # invariant. One bounded aggregate; runs with the validation below.
+        lo = changes.agg(F.min(F.col(seq_col)).alias("lo")).collect()[0]["lo"]
+        if lo is not None and lo <= initial_seq:
+            raise ValueError(
+                f"scd2_history: changes contain seq {lo} <= initial_seq "
+                f"{initial_seq} — the seeded base snapshot must strictly "
+                "precede every change (lower initial_seq or fix the changelog)"
             )
         seed = initial.select(
             *keys,

@@ -50,6 +50,13 @@ from pyspark.sql import functions as F
 
 _MAX_BITS = 1 << 27  # 16 MiB of words — broadcast-sized ceiling
 
+# Names the probe plumbing introduces on the big side; a user column with
+# one of these names would be silently overwritten/dropped, so the join
+# wrappers reject the collision up front.
+_RESERVED = frozenset(
+    {"__might", "__bloom_words", "__bloom_num_bits", "__bloom_num_hashes"}
+)
+
 
 def _keys(key: str | Sequence[str]) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
@@ -86,15 +93,21 @@ def build_bloom_filter(
 ) -> DataFrame:
     """Build a Bloom filter over ``df``'s key column(s) as a 1-row DataFrame.
 
-    Schema ``(words array<bigint>, num_bits bigint, num_hashes int)`` —
-    plain data, so ``io.write_parquet`` persists it and a reloaded filter
-    probes identically (hashes are xxhash64: engine-stable across sessions).
+    Schema ``(words array<bigint>, num_bits bigint, num_hashes int,
+    key_types array<string>)`` — plain data, so ``io.write_parquet``
+    persists it and a reloaded filter probes identically (hashes are
+    xxhash64: engine-stable across sessions).  ``key_types`` records the
+    build keys' Spark SQL types: xxhash64 hashes (value, type), so probing
+    a filter built over int keys with bigint keys would silently produce
+    false NEGATIVES — the join wrappers validate the stored types against
+    the probe side and refuse the mismatch.
 
     Rows with any null key component are excluded: they can never satisfy an
     equi join, and both join wrappers route them to their exact SQL outcome.
     """
     _validate_params(num_bits, num_hashes)
     keys = _keys(key)
+    dtypes = dict(df.dtypes)
     n_words = num_bits // 64
     non_null = reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in keys])
     seeds = F.array(*[F.lit(i).cast("int") for i in range(num_hashes)])
@@ -112,18 +125,30 @@ def build_bloom_filter(
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
     )
-    # Dense word array assembled in-plan; the one-row collect_list is bounded
-    # by n_words entries.  An empty build side yields an all-zero filter
-    # (groupBy() over empty input still emits one row).
-    return sparse.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("__wm")
-    ).select(
+    # Dense word array assembled in-plan: left-join the sparse words onto a
+    # generated [0, n_words) index (absent words are zero), then ONE
+    # array_sort(collect_list(struct)) orders them positionally — O(n log n).
+    # (The first formulation probed a collected MAP once per index;
+    # Catalyst's element_at on a map is a linear scan, so that was
+    # O(n_words²) — a 2^26-bit filter took effectively forever.)  The
+    # one-row collect_list is bounded by n_words entries (16 MiB at the
+    # cap).  An empty build side yields an all-zero filter (groupBy() over
+    # empty input still emits one row).
+    spark = df.sparkSession
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").cast("int").alias("word_idx"))
+        .join(sparse, "word_idx", "left")
+        .select("word_idx", F.coalesce("word", F.lit(0).cast("bigint")).alias("word"))
+    )
+    return dense.groupBy().agg(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.element_at("__wm", i), F.lit(0).cast("bigint")),
+            F.array_sort(F.collect_list(F.struct("word_idx", "word"))),
+            lambda s: s["word"],
         ).alias("words"),
         F.lit(num_bits).cast("bigint").alias("num_bits"),
         F.lit(num_hashes).cast("int").alias("num_hashes"),
+        F.array(*[F.lit(dtypes[k]) for k in keys]).alias("key_types"),
     )
 
 
@@ -173,6 +198,13 @@ def _prefiltered(
     materialize: bool,
 ) -> DataFrame:
     _check_key_types(big, small, keys)
+    reserved = _RESERVED & set(big.columns)
+    if reserved:
+        raise ValueError(
+            f"big side carries reserved column(s) {sorted(reserved)} — rename "
+            "them before the bloom join (they would be silently overwritten "
+            "and dropped by the probe plumbing)"
+        )
     if bloom is None:
         bloom = build_bloom_filter(small, keys, num_bits, num_hashes)
     else:
@@ -181,9 +213,25 @@ def _prefiltered(
         # false NEGATIVES (wrong results, silently).  The frame stores its
         # own build parameters — make them authoritative.  Bounded: a 1-row
         # first() on a 1-row frame.
-        stored = bloom.select("num_bits", "num_hashes").first()
+        if "key_types" not in bloom.columns:
+            raise ValueError(
+                "bloom filter frame lacks the key_types column — rebuild it "
+                "with build_bloom_filter (a filter of unknown key types "
+                "cannot be safely probed: a type drift since build time "
+                "would silently drop matching rows)"
+            )
+        stored = bloom.select("num_bits", "num_hashes", "key_types").first()
         num_bits, num_hashes = int(stored[0]), int(stored[1])
         _validate_params(num_bits, num_hashes)
+        big_t = dict(big.dtypes)
+        got = [big_t[k] for k in keys]
+        if list(stored[2]) != got:
+            raise ValueError(
+                f"stored bloom filter was built over key types {list(stored[2])} "
+                f"but the probe side carries {got} — xxhash64 hashes (value, "
+                "type), so probing across a type change silently produces "
+                "false negatives; rebuild the filter or cast the keys"
+            )
     if materialize:
         # The 1-row filter feeds both the keep and the maybe branch; pin it so
         # the build aggregation runs once (bounded: <= num_bits/64 longs).

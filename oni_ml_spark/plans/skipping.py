@@ -150,7 +150,16 @@ def read_pruned(
     flt = _interval_filter(predicates)
     if not files:
         return spark.createDataFrame([], base.schema).where(flt)
-    return spark.read.schema(base.schema).parquet(*files).where(flt)
+    # basePath keeps Hive-style partition discovery working when the files
+    # live under key=value directories: without it, reading leaf files
+    # returns the partition columns as all-NULL (silently wrong rows, and
+    # zero rows for a predicate ON a partition column)
+    return (
+        spark.read.option("basePath", path)
+        .schema(base.schema)
+        .parquet(*files)
+        .where(flt)
+    )
 
 
 def verify_file_stats(spark: SparkSession, path: str, manifest: DataFrame) -> None:

@@ -92,7 +92,7 @@ def _check_schema(current: DataFrame | None, batch_df: DataFrame) -> None:
 
 
 def _commit_snapshot(
-    root: str, merged: DataFrame, keep_versions: int, batch_marker: int | None = None
+    root: str, merged: DataFrame, keep_versions: int, batch_marker: str | None = None
 ) -> None:
     """The shared commit protocol of every sink in this module: write the
     merged frame as the next version directory, swap the atomic pointer,
@@ -100,16 +100,17 @@ def _commit_snapshot(
     semantics belong HERE, once.
 
     ``batch_marker`` (used by sinks whose merge is NOT idempotent, e.g.
-    ``stats_writer``) records the applied micro-batch id INSIDE the version
-    directory before the pointer swap, so marker and data commit or vanish
-    together — a crash between them leaves the pointer on the previous
-    consistent (snapshot, marker) pair."""
+    ``stats_writer``; format ``"<query_token>\\n<batch_id>"``) records the
+    applied micro-batch INSIDE the version directory before the pointer
+    swap, so marker and data commit or vanish together — a crash between
+    them leaves the pointer on the previous consistent (snapshot, marker)
+    pair."""
     v = _read_pointer(root) + 1
     vdir = os.path.join(root, f"v{v:08d}")
     merged.write.mode("overwrite").parquet(vdir)
     if batch_marker is not None:
         with open(os.path.join(vdir, _APPLIED), "w") as fh:
-            fh.write(str(batch_marker))
+            fh.write(batch_marker)
     _swap_pointer(root, v)
     import shutil
 
@@ -242,22 +243,38 @@ def topk_writer(
     return write_batch
 
 
-def _read_applied(root: str) -> int:
+def _read_applied(root: str, query_token: str) -> int:
     """Micro-batch id recorded in the CURRENT version directory (-1 before
     the first commit). Reads through the pointer, so it always pairs with
-    the snapshot ``read_upsert_table`` returns."""
+    the snapshot ``read_upsert_table`` returns.
+
+    The marker also carries the writing stream's ``query_token``: batch ids
+    are only monotonic WITHIN one streaming query's checkpoint lineage, so
+    comparing ids across different queries (a rebuilt checkpoint restarts
+    at 0, a backfill job numbers independently) would silently skip real
+    batches. A token mismatch raises instead of guessing."""
     v = _read_pointer(root)
     if v == 0:
         return -1
     try:
         with open(os.path.join(root, f"v{v:08d}", _APPLIED)) as fh:
-            return int(fh.read().strip())
+            stored_token, batch = fh.read().split("\n", 1)
+            applied = int(batch.strip())
     except (FileNotFoundError, ValueError) as e:
         raise RuntimeError(
             f"stats table at {root} v{v:08d} has no readable {_APPLIED} "
             "marker — was this root written by a different sink? Refusing "
             "to guess replay state (a wrong guess double-counts sums)"
         ) from e
+    if stored_token != query_token:
+        raise RuntimeError(
+            f"stats table at {root} was last written by stream "
+            f"{stored_token!r}, not {query_token!r} — batch ids are not "
+            "comparable across streaming queries (a reset checkpoint "
+            "restarts at 0 and would silently skip batches). Start a new "
+            "root, or pass the original query_token to resume its lineage."
+        )
+    return applied
 
 
 def stats_writer(
@@ -265,6 +282,7 @@ def stats_writer(
     key_cols: list[str] | str,
     value_cols: list[str] | str,
     keep_versions: int = 2,
+    query_token: str = "default",
 ):
     """foreachBatch function maintaining an INCREMENTAL AGGREGATE STATE
     table (datapipe.incremental) over the versioned-snapshot layout:
@@ -286,6 +304,14 @@ def stats_writer(
     record into foreachBatch); the sink cannot distinguish them from real
     repeats.
 
+    ``query_token`` names the CHECKPOINT LINEAGE the batch ids belong to
+    (batch ids are only monotonic within one streaming query's checkpoint;
+    use the checkpoint path or a stable job name). A marker written under a
+    different token RAISES instead of comparing ids — the Delta
+    txnAppId/txnVersion discipline: a rebuilt checkpoint restarts ids at 0,
+    and silently honoring the old marker would drop every batch until the
+    id catches up.
+
     State size = one row per distinct key — a dimension-table-sized frame
     rewritten per batch, the layout's documented scope. The 100 TB fact
     stream is what flows THROUGH; it is never stored.
@@ -302,9 +328,11 @@ def stats_writer(
             "keep_versions must be >= 1 — retention would delete the "
             "snapshot the pointer was just swapped to"
         )
+    if not query_token or "\n" in query_token:
+        raise ValueError("query_token must be non-empty and newline-free")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_applied(root):
+        if batch_id <= _read_applied(root, query_token):
             return  # replayed micro-batch: already folded into the state
         if not batch_df.take(1):
             return
@@ -313,6 +341,8 @@ def stats_writer(
         current = read_upsert_table(spark, root)
         _check_schema(current, part)
         merged = part if current is None else merge_aggregate_state(current, part)
-        _commit_snapshot(root, merged, keep_versions, batch_marker=batch_id)
+        _commit_snapshot(
+            root, merged, keep_versions, batch_marker=f"{query_token}\n{batch_id}"
+        )
 
     return write_batch

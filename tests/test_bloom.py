@@ -180,3 +180,43 @@ def test_fpp_helpers():
     assert optimal_num_hashes(1 << 20, 100_000) == max(
         1, min(16, round((1 << 20) / 100_000 * 0.6931471805599453))
     )
+
+
+def test_reserved_probe_columns_rejected(spark, big_small):
+    """A big side already carrying '__might' (or a '__bloom_*' name) would
+    be silently overwritten and dropped by the probe plumbing — rejected
+    up front instead (review-confirmed bug, now guarded)."""
+    _, small = big_small
+    big = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("payload").alias("__might")
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        bloom_anti_join(big, small, "k")
+    big2 = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("x").alias("__bloom_words")
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        bloom_semi_join(big2, small, "k")
+
+
+def test_stored_filter_key_type_drift_rejected(spark, tmp_path):
+    """xxhash64 hashes (value, type): a persisted filter built over int
+    keys probed after the table migrated to bigint would silently produce
+    false negatives. The filter stores its build key types and the join
+    wrappers refuse the drift (review finding)."""
+    small_int = spark.createDataFrame([(i,) for i in range(40)], "k int")
+    path = str(tmp_path / "bloom_typed")
+    build_bloom_filter(small_int, "k", num_bits=1 << 16, num_hashes=4).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    # day-30 migration: both sides now bigint — big==small passes, stored must raise
+    big = spark.range(300).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(i,) for i in range(40)], "k bigint")
+    with pytest.raises(ValueError, match="built over key types"):
+        bloom_semi_join(big, small, "k", bloom=reloaded)
+    # a filter frame without key_types (unknown provenance) is refused too
+    with pytest.raises(ValueError, match="key_types"):
+        bloom_anti_join(big, small, "k", bloom=reloaded.drop("key_types"))
+    # matching types still probe fine
+    big_i = spark.range(300).select(F.col("id").cast("int").alias("k"))
+    got = bloom_semi_join(big_i, small_int, "k", bloom=reloaded)
+    assert _rows(got) == _rows(big_i.join(small_int, "k", "leftsemi"))

@@ -145,3 +145,16 @@ def test_merge_shuffles_state_rows_not_data(spark, batches):
     # two partial aggregations + one merge aggregation, all hash-based;
     # no join, no window
     assert rep["shuffle_exchanges"] <= 2
+
+
+def test_state_suffix_key_names_rejected_up_front(spark, batches):
+    """A key named like a state column ('n_rows', *_min, *_cnt, ...) would
+    be misclassified by the suffix-based key inference in merge/finalize —
+    partial_aggregates refuses it immediately instead (review finding)."""
+    _, (b1, _, _) = batches
+    renamed = b1.withColumnRenamed("k", "score_max")
+    with pytest.raises(ValueError, match="collide with the state schema"):
+        partial_aggregates(renamed, ["score_max"], ["x"])
+    renamed2 = b1.withColumnRenamed("k", "n_rows")
+    with pytest.raises(ValueError, match="collide with the state schema"):
+        partial_aggregates(renamed2, ["n_rows"], ["x"])

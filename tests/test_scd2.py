@@ -140,9 +140,14 @@ def test_validation_and_schema_errors(spark, snap_changes):
         scd2_history(dup, "k").collect()
     with pytest.raises(ValueError, match="initial snapshot schema"):
         scd2_history(changes, "k", initial=snapshot.drop("score"))
-    # a change at a key's initial_seq collides -> caught as a (key, seq) tie
-    with pytest.raises(ValueError, match="duplicate"):
-        scd2_history(changes, "k", initial=snapshot, initial_seq=2).collect()
+    # a change at/below initial_seq is rejected up front: a straggler below
+    # the seed would be superseded by the seed in the history while
+    # apply_changelog would let it override the base — the as_of invariant
+    # would silently break (review-confirmed bug, now guarded)
+    with pytest.raises(ValueError, match="initial_seq"):
+        scd2_history(changes, "k", initial=snapshot, initial_seq=2)
+    with pytest.raises(ValueError, match="initial_seq"):
+        scd2_history(changes, "k", initial=snapshot, initial_seq=1)
     with pytest.raises(ValueError, match="missing column"):
         as_of_snapshot(snapshot, 1)
     with pytest.raises(ValueError, match="key_cols"):

@@ -134,3 +134,29 @@ def test_stale_manifest_detected(spark, zordered, tmp_path):
         shutil.copy(f, os.path.join(path, os.path.basename(f)))
     with pytest.raises(ValueError, match="stale"):
         verify_file_stats(spark, path, manifest)
+
+
+def test_partitioned_directory_result_identity(spark, tmp_path):
+    """Hive-partitioned layout (key=value directories): pruned reads must
+    reconstruct the partition columns (basePath) — without it they come
+    back all-NULL and a predicate on a partition column returns zero rows
+    (review-confirmed bug, now guarded)."""
+    path = str(tmp_path / "ptbl")
+    df = spark.range(2_000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    df.write.partitionBy("part").parquet(path)
+    full = spark.read.parquet(path)
+    manifest = build_file_stats(full, ["v", "part"]).localCheckpoint(eager=True)
+    # predicate on a data column: rows AND partition values must match
+    got = read_pruned(spark, path, manifest, {"v": (10.0, 20.0)})
+    want = full.where(F.col("v").between(10.0, 20.0))
+    assert _rows(got.select("id", "part", "v")) == _rows(want.select("id", "part", "v"))
+    assert got.where(F.col("part").isNull()).count() == 0
+    # predicate ON the partition column itself
+    got_p = read_pruned(spark, path, manifest, {"part": (1, 1)})
+    want_p = full.where(F.col("part") == 1)
+    assert _rows(got_p.select("id", "part", "v")) == _rows(want_p.select("id", "part", "v"))
+    assert got_p.count() == 500

@@ -603,3 +603,30 @@ def test_streaming_stats_state_matches_batch_and_skips_replays(spark, tmp_path):
     writer(spark.createDataFrame([(9, 1.0)], "k int, v double"), 99)
     after = read_upsert_table(spark, state)
     assert after.where(F.col("k") == 9).count() == 1
+
+
+def test_streaming_stats_query_token_guards_checkpoint_reset(spark, tmp_path):
+    """Batch ids are only monotonic within one checkpoint lineage: a sink
+    written under one query_token refuses batches from another (a rebuilt
+    checkpoint restarts ids at 0 and would otherwise be silently skipped
+    until the id caught up — review finding)."""
+    import pytest
+
+    from oni_ml_spark.streaming.upsert_sink import read_upsert_table, stats_writer
+
+    state = str(tmp_path / "stats_tok")
+    batch = spark.createDataFrame([(1, 2.0), (1, 4.0)], "k int, v double")
+    stats_writer(state, "k", "v", query_token="ckpt-A")(batch, 7)
+    assert read_upsert_table(spark, state).count() == 1
+    # same token, replayed id: no-op; fresh id: applied
+    writer_a = stats_writer(state, "k", "v", query_token="ckpt-A")
+    writer_a(batch, 7)
+    assert read_upsert_table(spark, state).collect()[0]["n_rows"] == 2
+    writer_a(spark.createDataFrame([(2, 1.0)], "k int, v double"), 8)
+    assert read_upsert_table(spark, state).count() == 2
+    # different token (reset/backfill lineage): raises instead of guessing
+    writer_b = stats_writer(state, "k", "v", query_token="ckpt-B")
+    with pytest.raises(RuntimeError, match="ckpt-A"):
+        writer_b(batch, 0)
+    with pytest.raises(ValueError, match="query_token"):
+        stats_writer(state, "k", "v", query_token="bad\ntoken")
