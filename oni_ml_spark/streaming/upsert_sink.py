@@ -243,7 +243,7 @@ def topk_writer(
     return write_batch
 
 
-def _read_applied(root: str, query_token: str) -> int:
+def _read_applied(root: str, query_token: str | None) -> int:
     """Micro-batch id recorded in the CURRENT version directory (-1 before
     the first commit). Reads through the pointer, so it always pairs with
     the snapshot ``read_upsert_table`` returns.
@@ -252,7 +252,8 @@ def _read_applied(root: str, query_token: str) -> int:
     are only monotonic WITHIN one streaming query's checkpoint lineage, so
     comparing ids across different queries (a rebuilt checkpoint restarts
     at 0, a backfill job numbers independently) would silently skip real
-    batches. A token mismatch raises instead of guessing."""
+    batches. A token mismatch raises instead of guessing; ``None`` skips
+    the check (read-only callers that never compare ids)."""
     v = _read_pointer(root)
     if v == 0:
         return -1
@@ -266,7 +267,7 @@ def _read_applied(root: str, query_token: str) -> int:
             "marker — was this root written by a different sink? Refusing "
             "to guess replay state (a wrong guess double-counts sums)"
         ) from e
-    if stored_token != query_token:
+    if query_token is not None and stored_token != query_token:
         raise RuntimeError(
             f"stats table at {root} was last written by stream "
             f"{stored_token!r}, not {query_token!r} — batch ids are not "
@@ -343,6 +344,138 @@ def stats_writer(
         merged = part if current is None else merge_aggregate_state(current, part)
         _commit_snapshot(
             root, merged, keep_versions, batch_marker=f"{query_token}\n{batch_id}"
+        )
+
+    return write_batch
+
+
+def read_appended(spark: SparkSession, root: str) -> DataFrame | None:
+    """All data appended by a ``dedup_append_writer`` sink (None before the
+    first commit), with an ``ingest_batch`` column recovered from the
+    directory layout."""
+    data_dir = os.path.join(root, "data")
+    committed = _read_applied(_dedup_ledger(root), None)
+    if committed < 0:
+        return None
+    df = spark.read.option("basePath", data_dir).parquet(data_dir)
+    # a crash can leave a data dir for a batch whose ledger commit never
+    # happened — those rows are not yet ingested (the replay will rewrite
+    # them), so reads expose only batches the ledger marker covers
+    return df.where(F.col("ingest_batch") <= committed)
+
+
+def _dedup_ledger(root: str) -> str:
+    return os.path.join(root, "ledger")
+
+
+def dedup_append_writer(
+    root: str,
+    key_cols: list[str] | str,
+    query_token: str = "default",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    use_bloom: bool = True,
+    keep_versions: int = 2,
+):
+    """foreachBatch function for APPEND-ONLY exactly-once ingest dedup —
+    the fact-stream shape the upsert/topk/stats sinks are explicitly not:
+    data is never rewritten, only the keys-sized ledger is.
+
+    Layout under ``root``: ``data/ingest_batch=<id>/`` holds each applied
+    micro-batch's NEW rows (rows whose key was never seen before — first
+    batch wins); ``ledger/`` is a versioned snapshot (the
+    ``upsert_writer`` layout) of every ingested key plus the applied
+    batch-id marker. Per batch: keys not in the ledger are appended to
+    ``data``, then the ledger commits with the marker — data write happens
+    FIRST, so a crash between them replays the batch, recomputes the same
+    new-rows set against the unchanged ledger, and overwrites the same
+    directory: exactly-once end to end. Read the ingested corpus back with
+    ``read_appended`` (which hides data directories whose ledger commit
+    never landed).
+
+    The 100 TB scale shape: the fact table only ever APPENDS (one
+    directory per batch — compact with io.compact_parquet if batches are
+    small); the per-batch work is one anti join of the batch against the
+    ledger, pre-filtered by a Bloom filter built over the ledger keys
+    (``use_bloom``) so the join shuffle carries the batch's true dups +
+    the fpp sliver rather than every ledger key. The ledger rewrite per
+    batch is keys-only — the documented dimension-table scope.
+
+    Input contract: rows must be key-unique WITHIN a batch (validated —
+    an arbitrary within-batch survivor would be nondeterministic under
+    replay); keys must be non-null. ``query_token`` follows the
+    ``stats_writer`` checkpoint-lineage discipline.
+    """
+    from oni_ml_spark.plans.bloom import bloom_anti_join, build_bloom_filter
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
+    if not query_token or "\n" in query_token:
+        raise ValueError("query_token must be non-empty and newline-free")
+    ledger_root = _dedup_ledger(root)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_applied(ledger_root, query_token):
+            return  # replayed micro-batch: already appended + in the ledger
+        if not batch_df.take(1):
+            return
+        if "ingest_batch" in batch_df.columns:
+            raise ValueError(
+                "batch carries a reserved 'ingest_batch' column — rename it"
+            )
+        spark = batch_df.sparkSession
+        missing = [k for k in keys if k not in batch_df.columns]
+        if missing:
+            raise ValueError(f"batch lacks key column(s) {missing}")
+        null_key = (
+            F.greatest(*[F.col(k).isNull().cast("int") for k in keys])
+            if len(keys) > 1
+            else F.col(keys[0]).isNull().cast("int")
+        )
+        # pin: the batch feeds validation + anti join + write
+        batch_df = batch_df.localCheckpoint(eager=True)
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(null_key).alias("nulls"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        ).collect()[0]
+        if stats["nulls"]:
+            raise ValueError(
+                f"batch contains {stats['nulls']} null-key row(s) — null "
+                "keys cannot be deduplicated"
+            )
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"batch contains {stats['n'] - stats['nd']} duplicate-key "
+                "row(s) — in-batch survivor choice would be nondeterministic "
+                "under replay; dedupe the batch upstream (e.g. upsert_writer "
+                "semantics) before the append sink"
+            )
+        ledger = read_upsert_table(spark, ledger_root)
+        if ledger is None:
+            new_rows = batch_df
+        elif use_bloom:
+            bloom = build_bloom_filter(ledger, keys, num_bits, num_hashes)
+            new_rows = bloom_anti_join(batch_df, ledger, keys, bloom=bloom)
+        else:
+            new_rows = batch_df.join(ledger, keys, "left_anti")
+        # data first, ledger second: a crash between them replays into the
+        # same (unchanged-ledger) state and overwrites this directory
+        new_rows = new_rows.localCheckpoint(eager=True)  # feeds write + ledger
+        new_rows.write.mode("overwrite").parquet(
+            os.path.join(root, "data", f"ingest_batch={batch_id}")
+        )
+        keys_new = new_rows.select(*keys)
+        merged = keys_new if ledger is None else ledger.unionByName(keys_new)
+        _commit_snapshot(
+            ledger_root,
+            merged,
+            keep_versions,
+            batch_marker=f"{query_token}\n{batch_id}",
         )
 
     return write_batch

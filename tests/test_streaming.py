@@ -630,3 +630,130 @@ def test_streaming_stats_query_token_guards_checkpoint_reset(spark, tmp_path):
         writer_b(batch, 0)
     with pytest.raises(ValueError, match="query_token"):
         stats_writer(state, "k", "v", query_token="bad\ntoken")
+
+
+def test_streaming_dedup_append_exactly_once_first_wins(spark, tmp_path):
+    """dedup_append_writer: append-only ingest where the first batch owning
+    a key wins, replays are no-ops, data dirs without a ledger commit stay
+    invisible, and the final corpus equals batch-side first-occurrence
+    dedup over everything delivered."""
+    import pytest
+
+    from oni_ml_spark.streaming.upsert_sink import (
+        dedup_append_writer,
+        read_appended,
+        read_upsert_table,
+    )
+
+    root = str(tmp_path / "ingest")
+    writer = dedup_append_writer(root, "k", query_token="ck", num_bits=1 << 16)
+    b0 = spark.createDataFrame(
+        [(i, f"b0-{i}") for i in range(50)], "k bigint, payload string"
+    )
+    b1 = spark.createDataFrame(  # 25 dup keys, 25 new
+        [(i, f"b1-{i}") for i in range(25, 75)], "k bigint, payload string"
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    got = read_appended(spark, root)
+    rows = {r["k"]: r for r in got.collect()}
+    assert set(rows) == set(range(75)) and got.count() == 75
+    assert rows[30]["payload"] == "b0-30"  # first batch wins the overlap
+    assert rows[60]["payload"] == "b1-60"
+    assert rows[30]["ingest_batch"] == 0 and rows[60]["ingest_batch"] == 1
+    # ledger holds each key once
+    assert read_upsert_table(spark, f"{root}/ledger").count() == 75
+
+    # replayed batch id: no-op even with different rows offered
+    writer(spark.createDataFrame([(30, "evil")], "k bigint, payload string"), 1)
+    assert read_appended(spark, root).where("k = 30").collect()[0]["payload"] == "b0-30"
+
+    # crash window: a data dir whose ledger commit never landed is invisible
+    spark.createDataFrame([(999, "orphan")], "k bigint, payload string").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/data/ingest_batch=9")
+    assert read_appended(spark, root).where("k = 999").count() == 0
+    # the replay of that batch re-appends + commits, making it visible
+    writer(spark.createDataFrame([(999, "orphan")], "k bigint, payload string"), 9)
+    assert read_appended(spark, root).where("k = 999").count() == 1
+
+    # equals batch first-occurrence dedup over everything delivered
+    from pyspark.sql import Window
+
+    delivered = (
+        b0.withColumn("b", F.lit(0))
+        .unionByName(b1.withColumn("b", F.lit(1)))
+        .unionByName(
+            spark.createDataFrame(
+                [(999, "orphan")], "k bigint, payload string"
+            ).withColumn("b", F.lit(9))
+        )
+    )
+    w = Window.partitionBy("k").orderBy("b")
+    want = (
+        delivered.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("k", "payload")
+    )
+    got2 = read_appended(spark, root).select("k", "payload")
+    assert sorted(map(str, (tuple(r) for r in got2.collect()))) == sorted(
+        map(str, (tuple(r) for r in want.collect()))
+    )
+
+    # validation: in-batch dup keys, null keys, reserved column, token drift
+    with pytest.raises(ValueError, match="duplicate-key"):
+        writer(
+            spark.createDataFrame(
+                [(1, "a"), (1, "b")], "k bigint, payload string"
+            ),
+            50,
+        )
+    with pytest.raises(ValueError, match="null-key"):
+        writer(
+            spark.createDataFrame([(None, "a")], "k bigint, payload string"), 51
+        )
+    with pytest.raises(ValueError, match="ingest_batch"):
+        writer(
+            spark.createDataFrame(
+                [(1, 2)], "k bigint, ingest_batch bigint"
+            ),
+            52,
+        )
+    with pytest.raises(RuntimeError, match="'ck'"):
+        dedup_append_writer(root, "k", query_token="other")(b0, 0)
+
+
+def test_streaming_dedup_append_plain_anti_and_stream_drain(spark, tmp_path):
+    """use_bloom=False parity, and an end-to-end availableNow drain."""
+    from oni_ml_spark.streaming.upsert_sink import (
+        dedup_append_writer,
+        read_appended,
+    )
+
+    indir = str(tmp_path / "in")
+    root = str(tmp_path / "ingest2")
+    ckpt = str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(30)], "k bigint, payload string"
+    ).write.mode("overwrite").parquet(indir)
+    writer = dedup_append_writer(root, "k", query_token="q1", use_bloom=False)
+
+    def drain():
+        stream = spark.readStream.schema("k bigint, payload string").parquet(indir)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(
+        [(i, f"b{i}") for i in range(20, 50)], "k bigint, payload string"
+    ).write.mode("append").parquet(indir)
+    drain()
+    got = read_appended(spark, root)
+    assert got.count() == 50
+    by_k = {r["k"]: r["payload"] for r in got.collect()}
+    assert by_k[25] == "a25" and by_k[45] == "b45"
