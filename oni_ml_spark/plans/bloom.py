@@ -152,6 +152,60 @@ def build_bloom_filter(
     )
 
 
+def merge_bloom_filters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom filters: the filter of ``keys(a) ∪ keys(b)`` is the
+    element-wise OR of the word arrays — exact, not approximate (Bloom
+    filters with identical (num_bits, num_hashes, key_types) are closed
+    under union).  Build parameters are validated against each other at
+    plan-construction time via two bounded 1-row reads; a mismatch raises
+    (OR-ing differently-parameterized bitmaps would produce false
+    NEGATIVES).  One ``zip_with`` over the two 1-row frames — no shuffle
+    beyond the broadcast of a 1-row side."""
+    pa = a.select("num_bits", "num_hashes", "key_types").first()
+    pb = b.select("num_bits", "num_hashes", "key_types").first()
+    if (int(pa[0]), int(pa[1]), list(pa[2])) != (int(pb[0]), int(pb[1]), list(pb[2])):
+        raise ValueError(
+            f"cannot merge bloom filters with different build parameters: "
+            f"(num_bits, num_hashes, key_types) = "
+            f"({int(pa[0])}, {int(pa[1])}, {list(pa[2])}) vs "
+            f"({int(pb[0])}, {int(pb[1])}, {list(pb[2])})"
+        )
+    other = b.select(F.col("words").alias("__other_words"))
+    return a.crossJoin(F.broadcast(other)).select(
+        F.zip_with("words", "__other_words", lambda x, y: x.bitwiseOR(y)).alias(
+            "words"
+        ),
+        "num_bits",
+        "num_hashes",
+        "key_types",
+    )
+
+
+def update_bloom_filter(
+    bloom: DataFrame, df: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
+    """Fold ``df``'s keys into an existing filter WITHOUT rescanning the
+    original build side: build a filter over just the new keys with the
+    stored parameters, then OR the bitmaps.  The daily-ingest shape — the
+    per-refresh cost is ∝ the new batch, never the accumulated ledger.
+    Deletions are impossible (bits are shared); rebuild when the fpp
+    budget erodes (``expected_fpp`` with the new total key count)."""
+    keys = _keys(key)
+    stored = bloom.select("num_bits", "num_hashes", "key_types").first()
+    got = [dict(df.dtypes).get(k) for k in keys]
+    if list(stored[2]) != got:
+        raise ValueError(
+            f"stored bloom filter was built over key types {list(stored[2])} "
+            f"but the update batch carries {got} — rebuild or cast the keys"
+        )
+    # pin: merge_bloom_filters validates via first() and the merged plan
+    # reads the frame again — without the pin the delta build runs twice
+    delta = build_bloom_filter(df, keys, int(stored[0]), int(stored[1])).localCheckpoint(
+        eager=True
+    )
+    return merge_bloom_filters(bloom, delta)
+
+
 def might_contain_col(
     key: str | Sequence[str], num_bits: int, num_hashes: int, words_col: str = "words"
 ) -> "F.Column":

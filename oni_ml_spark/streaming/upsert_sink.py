@@ -92,7 +92,11 @@ def _check_schema(current: DataFrame | None, batch_df: DataFrame) -> None:
 
 
 def _commit_snapshot(
-    root: str, merged: DataFrame, keep_versions: int, batch_marker: str | None = None
+    root: str,
+    merged: DataFrame,
+    keep_versions: int,
+    batch_marker: str | None = None,
+    extra_frames: dict[str, DataFrame] | None = None,
 ) -> None:
     """The shared commit protocol of every sink in this module: write the
     merged frame as the next version directory, swap the atomic pointer,
@@ -104,10 +108,22 @@ def _commit_snapshot(
     applied micro-batch INSIDE the version directory before the pointer
     swap, so marker and data commit or vanish together — a crash between
     them leaves the pointer on the previous consistent (snapshot, marker)
-    pair."""
+    pair.
+
+    ``extra_frames`` ({name: frame}) are side tables committed WITH the
+    snapshot — written as parquet under ``vdir/<name>`` before the pointer
+    swap. Names must start with ``_`` so parquet partition discovery hides
+    them from ``read_upsert_table`` readers of the snapshot itself."""
     v = _read_pointer(root) + 1
     vdir = os.path.join(root, f"v{v:08d}")
     merged.write.mode("overwrite").parquet(vdir)
+    for name, frame in (extra_frames or {}).items():
+        if not name.startswith("_"):
+            raise ValueError(
+                f"extra frame name {name!r} must start with '_' (anything "
+                "else would be read back as part of the snapshot)"
+            )
+        frame.write.mode("overwrite").parquet(os.path.join(vdir, name))
     if batch_marker is not None:
         with open(os.path.join(vdir, _APPLIED), "w") as fh:
             fh.write(batch_marker)
@@ -396,17 +412,29 @@ def dedup_append_writer(
     The 100 TB scale shape: the fact table only ever APPENDS (one
     directory per batch — compact with io.compact_parquet if batches are
     small); the per-batch work is one anti join of the batch against the
-    ledger, pre-filtered by a Bloom filter built over the ledger keys
+    ledger, pre-filtered by a Bloom filter over the ledger keys
     (``use_bloom``) so the join shuffle carries the batch's true dups +
-    the fpp sliver rather than every ledger key. The ledger rewrite per
-    batch is keys-only — the documented dimension-table scope.
+    the fpp sliver rather than every ledger key. The filter is maintained
+    INCREMENTALLY: each version directory carries the bitmap covering its
+    ledger (``_bloom/``, committed atomically with the snapshot by the
+    same pointer swap), and a batch extends it by OR-ing in just its own
+    new keys (``plans.bloom.update_bloom_filter``) — per-batch filter
+    cost is ∝ the batch, never the accumulated ledger. ``num_bits`` /
+    ``num_hashes`` apply to the FIRST build only; afterwards the stored
+    filter's parameters are authoritative (size them for the ledger's
+    eventual key count — ``expected_fpp``). The ledger rewrite per batch
+    is keys-only — the documented dimension-table scope.
 
     Input contract: rows must be key-unique WITHIN a batch (validated —
     an arbitrary within-batch survivor would be nondeterministic under
     replay); keys must be non-null. ``query_token`` follows the
     ``stats_writer`` checkpoint-lineage discipline.
     """
-    from oni_ml_spark.plans.bloom import bloom_anti_join, build_bloom_filter
+    from oni_ml_spark.plans.bloom import (
+        bloom_anti_join,
+        build_bloom_filter,
+        update_bloom_filter,
+    )
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if keep_versions < 1:
@@ -456,11 +484,21 @@ def dedup_append_writer(
                 "semantics) before the append sink"
             )
         ledger = read_upsert_table(spark, ledger_root)
+        stored_bloom = None
+        if use_bloom and ledger is not None:
+            bloom_dir = os.path.join(
+                ledger_root, f"v{_read_pointer(ledger_root):08d}", "_bloom"
+            )
+            if os.path.isdir(bloom_dir):
+                stored_bloom = spark.read.parquet(bloom_dir)
+            else:  # pre-incremental table (or use_bloom toggled on): one rebuild
+                stored_bloom = build_bloom_filter(
+                    ledger, keys, num_bits, num_hashes
+                ).localCheckpoint(eager=True)
         if ledger is None:
             new_rows = batch_df
         elif use_bloom:
-            bloom = build_bloom_filter(ledger, keys, num_bits, num_hashes)
-            new_rows = bloom_anti_join(batch_df, ledger, keys, bloom=bloom)
+            new_rows = bloom_anti_join(batch_df, ledger, keys, bloom=stored_bloom)
         else:
             new_rows = batch_df.join(ledger, keys, "left_anti")
         # data first, ledger second: a crash between them replays into the
@@ -471,11 +509,22 @@ def dedup_append_writer(
         )
         keys_new = new_rows.select(*keys)
         merged = keys_new if ledger is None else ledger.unionByName(keys_new)
+        extra = None
+        if use_bloom:
+            # extend the committed filter by this batch's new keys only —
+            # never rescan the ledger (first batch: plain build over itself)
+            next_bloom = (
+                build_bloom_filter(keys_new, keys, num_bits, num_hashes)
+                if stored_bloom is None
+                else update_bloom_filter(stored_bloom, keys_new, keys)
+            )
+            extra = {"_bloom": next_bloom}
         _commit_snapshot(
             ledger_root,
             merged,
             keep_versions,
             batch_marker=f"{query_token}\n{batch_id}",
+            extra_frames=extra,
         )
 
     return write_batch

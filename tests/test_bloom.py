@@ -12,8 +12,10 @@ from oni_ml_spark.plans.bloom import (
     bloom_semi_join,
     build_bloom_filter,
     expected_fpp,
+    merge_bloom_filters,
     might_contain_col,
     optimal_num_hashes,
+    update_bloom_filter,
 )
 
 
@@ -220,3 +222,25 @@ def test_stored_filter_key_type_drift_rejected(spark, tmp_path):
     big_i = spark.range(300).select(F.col("id").cast("int").alias("k"))
     got = bloom_semi_join(big_i, small_int, "k", bloom=reloaded)
     assert _rows(got) == _rows(big_i.join(small_int, "k", "leftsemi"))
+
+
+def test_merge_and_update_equal_full_rebuild(spark):
+    """update_bloom_filter(build(A), B) must equal build(A ∪ B) bit for bit
+    (Bloom filters are closed under union), and mismatched parameters must
+    refuse to merge."""
+    a = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "k bigint")
+    b = spark.createDataFrame([(i,) for i in range(100, 500, 3)], "k bigint")
+    both = a.unionByName(b)
+    fa = build_bloom_filter(a, "k", num_bits=1 << 12, num_hashes=3)
+    upd = update_bloom_filter(fa, b, "k").first()
+    full = build_bloom_filter(both, "k", num_bits=1 << 12, num_hashes=3).first()
+    assert list(upd["words"]) == list(full["words"])
+    assert upd["num_bits"] == full["num_bits"] and upd["num_hashes"] == full["num_hashes"]
+    # parameter mismatch refuses
+    fb = build_bloom_filter(b, "k", num_bits=1 << 13, num_hashes=3)
+    with pytest.raises(ValueError, match="different build parameters"):
+        merge_bloom_filters(fa, fb)
+    # key-type drift refuses
+    b_int = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="key types"):
+        update_bloom_filter(fa, b_int, "k")

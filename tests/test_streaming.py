@@ -663,6 +663,20 @@ def test_streaming_dedup_append_exactly_once_first_wins(spark, tmp_path):
     assert rows[30]["ingest_batch"] == 0 and rows[60]["ingest_batch"] == 1
     # ledger holds each key once
     assert read_upsert_table(spark, f"{root}/ledger").count() == 75
+    # the incrementally-maintained filter in the CURRENT version dir equals
+    # a from-scratch build over the full ledger, bit for bit
+    import os
+
+    from oni_ml_spark.plans.bloom import build_bloom_filter
+    from oni_ml_spark.streaming.upsert_sink import _read_pointer
+
+    v = _read_pointer(f"{root}/ledger")
+    stored = spark.read.parquet(f"{root}/ledger/v{v:08d}/_bloom").first()
+    rebuilt = build_bloom_filter(
+        read_upsert_table(spark, f"{root}/ledger"), "k", 1 << 16, 5
+    ).first()
+    assert list(stored["words"]) == list(rebuilt["words"])
+    assert os.path.isdir(f"{root}/ledger/v{v:08d}/_bloom")
 
     # replayed batch id: no-op even with different rows offered
     writer(spark.createDataFrame([(30, "evil")], "k bigint, payload string"), 1)
