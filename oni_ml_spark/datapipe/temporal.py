@@ -157,6 +157,85 @@ def range_join_bucketed(
     )
 
 
+def resample_forward_fill(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    step_seconds: int,
+    value_cols: list[str] | None = None,
+    tick_col: str = "tick",
+    lookback: float | None = None,
+    max_ticks: int = 50_000_000,
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular grid with
+    forward fill: one row per (key, tick) for ticks at multiples of
+    ``step_seconds`` inside each key's own [min, max] time span, carrying
+    the latest observation at-or-before the tick — the
+    feature-snapshotting / sensor-alignment operator.
+
+    Pure composition: per-key bounds are ONE aggregate; the grid is an
+    in-plan ``sequence`` explode off that bounds table (never a cross
+    join — a key's ticks are generated next to its bounds row); the fill
+    itself is ``as_of_join(grid, df)``, inheriting its one-shuffle
+    union+window plan, its deterministic duplicate-(key, time) resolution,
+    and its ``lookback`` (tolerance) semantics — a tick more than
+    ``lookback`` seconds past the last observation fills with nulls
+    (staleness cutoff) instead of carrying forever.
+
+    Grid discipline for 100 TB: total tick count is VALIDATED up front
+    with one bounded aggregate and refused above ``max_ticks`` — a key
+    spanning years resampled at 1 s is a configuration accident that
+    would otherwise explode quietly. Ticks start at the first step
+    multiple >= the key's min (every tick therefore has an observation
+    at-or-before it; a key whose span contains no step multiple emits no
+    rows). ``tick_col`` is epoch seconds as bigint.
+    """
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    if int(step_seconds) != step_seconds:
+        raise ValueError("step_seconds must be an integer number of seconds")
+    if tick_col in df.columns:
+        raise ValueError(f"tick_col {tick_col!r} collides with an input column")
+    from oni_ml_spark.transforms.time import time_as_double
+
+    step = int(step_seconds)
+    t = time_as_double(df, time_col)
+    bounds = (
+        df.select(F.col(key), t.alias("__t"))
+        .where(F.col("__t").isNotNull())
+        .groupBy(key)
+        .agg(
+            (F.ceil(F.min("__t") / step) * step).cast("long").alias("__lo"),
+            (F.floor(F.max("__t") / step) * step).cast("long").alias("__hi"),
+        )
+        .where(F.col("__hi") >= F.col("__lo"))
+    )
+    total = bounds.agg(
+        F.sum((F.col("__hi") - F.col("__lo")) / step + 1).alias("n")
+    ).collect()[0]["n"]
+    if total is not None and total > max_ticks:
+        raise ValueError(
+            f"grid would hold {int(total)} ticks (> max_ticks={max_ticks}) — "
+            "coarsen step_seconds or raise max_ticks explicitly"
+        )
+    grid = bounds.select(
+        key,
+        F.explode(F.sequence("__lo", "__hi", F.lit(step).cast("long"))).alias(
+            tick_col
+        ),
+    )
+    return as_of_join(
+        grid,
+        df,
+        key,
+        tick_col,
+        time_col,
+        right_cols=value_cols,
+        direction="backward",
+        tolerance=lookback,
+    )
+
+
 def rolling_aggregate(
     df: DataFrame,
     key_col: str,

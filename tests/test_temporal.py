@@ -301,3 +301,86 @@ class TestRollingAggregate:
         df = spark.createDataFrame([(1, 0.0, 1.0)], "k long, t double, value double")
         with _pytest.raises(ValueError):
             rolling_aggregate(df, "k", "t", "value", 0)
+
+
+class TestResampleForwardFill:
+    def test_matches_duckdb_grid_asof(self, spark):
+        from oni_ml_spark.datapipe.temporal import resample_forward_fill
+
+        obs = spark.createDataFrame(
+            [
+                ("a", 3.0, 1.0),
+                ("a", 17.5, 2.0),
+                ("a", 31.0, 3.0),
+                ("b", 100.0, 10.0),
+                ("b", 100.0, 11.0),  # duplicate time: greatest payload wins
+                ("b", 142.0, 12.0),
+                ("c", 7.0, 99.0),  # span [7, 7] contains no 10-multiple: no rows
+            ],
+            "k string, t double, v double",
+        )
+        got = resample_forward_fill(
+            obs, "k", "t", step_seconds=10, value_cols=["v"]
+        ).select("k", "tick", "v")
+        pdf = obs.toPandas()
+        want = duckdb.sql(
+            """
+            WITH bounds AS (
+              SELECT k, CAST(ceil(min(t)/10)*10 AS BIGINT) AS lo,
+                        CAST(floor(max(t)/10)*10 AS BIGINT) AS hi
+              FROM pdf GROUP BY k
+            ), grid AS (
+              SELECT k, unnest(generate_series(lo, hi, 10)) AS tick
+              FROM bounds WHERE hi >= lo
+            ), dedup AS (
+              SELECT k, t, max(v) AS v FROM pdf GROUP BY k, t
+            )
+            SELECT g.k, g.tick, o.v
+            FROM grid g ASOF LEFT JOIN dedup o
+              ON g.k = o.k AND o.t <= g.tick
+            """
+        ).fetchall()
+        assert sorted(map(str, (tuple(r) for r in got.collect()))) == sorted(
+            map(str, (tuple(r) for r in want))
+        )
+        rows = {(r["k"], r["tick"]): r["v"] for r in got.collect()}
+        assert rows[("a", 10)] == 1.0 and rows[("a", 20)] == 2.0
+        assert rows[("a", 30)] == 2.0  # 31.0 obs is after the tick
+        assert rows[("b", 100)] == 11.0  # dup time -> greatest payload
+        assert rows[("b", 140)] == 11.0
+        assert not any(k == "c" for k, _ in rows)
+
+    def test_lookback_staleness_cutoff(self, spark):
+        from oni_ml_spark.datapipe.temporal import resample_forward_fill
+
+        obs = spark.createDataFrame(
+            [("a", 0.0, 1.0), ("a", 95.0, 2.0)], "k string, t double, v double"
+        )
+        got = {
+            r["tick"]: r["v"]
+            for r in resample_forward_fill(
+                obs, "k", "t", step_seconds=10, value_cols=["v"], lookback=25.0
+            ).collect()
+        }
+        assert got[0] == 1.0 and got[20] == 1.0
+        # ticks 30..90 precede the 95.0 obs, so backward fill reaches the
+        # 0.0 obs — more than 25 s stale at every one of them -> nulls
+        assert got[30] is None and got[90] is None
+        assert got[10] == 1.0
+
+    def test_grid_budget_and_validation(self, spark):
+        from oni_ml_spark.datapipe.temporal import resample_forward_fill
+
+        obs = spark.createDataFrame(
+            [("a", 0.0, 1.0), ("a", 1e6, 2.0)], "k string, t double, v double"
+        )
+        with pytest.raises(ValueError, match="max_ticks"):
+            resample_forward_fill(
+                obs, "k", "t", step_seconds=1, value_cols=["v"], max_ticks=1000
+            )
+        with pytest.raises(ValueError, match="step_seconds"):
+            resample_forward_fill(obs, "k", "t", step_seconds=0)
+        with pytest.raises(ValueError, match="collides"):
+            resample_forward_fill(
+                obs.withColumnRenamed("v", "tick"), "k", "t", step_seconds=10
+            )
