@@ -10,6 +10,8 @@ from oni_ml_spark.plans.bloom import (
     bloom_anti_join,
     bloom_semi_join,
     build_bloom_filter,
+    merge_bloom_filters,
+    update_bloom_filter,
 )
 from oni_ml_spark.plans.skipping import (
     build_file_stats,

@@ -20,9 +20,12 @@ from oni_ml_spark.streaming.score_stream import (
 )
 from oni_ml_spark.streaming.stateful import sessionize_stream
 from oni_ml_spark.streaming.upsert_sink import (
+    dedup_append_writer,
+    read_appended,
     read_upsert_table,
+    stats_writer,
     topk_writer,
     upsert_writer,
 )
 
-__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_approx_distinct", "windowed_corpus_counts", "dedup_stream", "sessionize_stream", "upsert_writer", "read_upsert_table", "topk_writer"]
+__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_approx_distinct", "windowed_corpus_counts", "dedup_stream", "sessionize_stream", "upsert_writer", "read_upsert_table", "topk_writer", "stats_writer", "dedup_append_writer", "read_appended"]
