@@ -166,6 +166,7 @@ def resample_forward_fill(
     tick_col: str = "tick",
     lookback: float | None = None,
     max_ticks: int = 50_000_000,
+    max_ticks_per_key: int = 5_000_000,
 ) -> DataFrame:
     """Resample an irregular per-key time series onto a regular grid with
     forward fill: one row per (key, tick) for ticks at multiples of
@@ -182,13 +183,18 @@ def resample_forward_fill(
     ``lookback`` seconds past the last observation fills with nulls
     (staleness cutoff) instead of carrying forever.
 
-    Grid discipline for 100 TB: total tick count is VALIDATED up front
-    with one bounded aggregate and refused above ``max_ticks`` — a key
-    spanning years resampled at 1 s is a configuration accident that
-    would otherwise explode quietly. Ticks start at the first step
-    multiple >= the key's min (every tick therefore has an observation
-    at-or-before it; a key whose span contains no step multiple emits no
-    rows). ``tick_col`` is epoch seconds as bigint.
+    Grid discipline for 100 TB: the per-key-sized bounds table is pinned
+    (one scan of ``df`` serves validation AND the grid), then total and
+    PER-KEY tick counts are validated up front and refused above
+    ``max_ticks`` / ``max_ticks_per_key`` — a key spanning years
+    resampled at 1 s is a configuration accident that would otherwise
+    explode quietly, and the per-key bound matters independently because
+    ``sequence`` materializes one key's whole grid as a single in-memory
+    array row before the explode (50M ticks ≈ 400 MB in ONE task). Ticks
+    start at the first step multiple >= the key's min (every tick
+    therefore has an observation at-or-before it; a key whose span
+    contains no step multiple emits no rows). ``tick_col`` is epoch
+    seconds as bigint.
     """
     if step_seconds <= 0:
         raise ValueError("step_seconds must be positive")
@@ -209,14 +215,23 @@ def resample_forward_fill(
             (F.floor(F.max("__t") / step) * step).cast("long").alias("__hi"),
         )
         .where(F.col("__hi") >= F.col("__lo"))
+        .localCheckpoint(eager=True)  # pin: validation + grid share ONE scan
     )
-    total = bounds.agg(
-        F.sum((F.col("__hi") - F.col("__lo")) / step + 1).alias("n")
-    ).collect()[0]["n"]
-    if total is not None and total > max_ticks:
+    per_key = (F.col("__hi") - F.col("__lo")) / step + 1
+    lims = bounds.agg(
+        F.sum(per_key).alias("n"), F.max(per_key).alias("m")
+    ).collect()[0]
+    if lims["n"] is not None and lims["n"] > max_ticks:
         raise ValueError(
-            f"grid would hold {int(total)} ticks (> max_ticks={max_ticks}) — "
+            f"grid would hold {int(lims['n'])} ticks (> max_ticks={max_ticks}) — "
             "coarsen step_seconds or raise max_ticks explicitly"
+        )
+    if lims["m"] is not None and lims["m"] > max_ticks_per_key:
+        raise ValueError(
+            f"one key's grid would hold {int(lims['m'])} ticks "
+            f"(> max_ticks_per_key={max_ticks_per_key}) — sequence() builds a "
+            "key's whole grid as one in-memory array row; coarsen "
+            "step_seconds or raise max_ticks_per_key explicitly"
         )
     grid = bounds.select(
         key,

@@ -36,6 +36,7 @@ from oni_ml_spark.plans.diagnostics import (
 
 __all__ = ["PipelineAudit",
            "bloom_anti_join", "bloom_semi_join", "build_bloom_filter",
+           "merge_bloom_filters", "update_bloom_filter",
            "build_file_stats", "manifest_selectivity", "pruned_paths",
            "read_pruned", "verify_file_stats",
            "salted_join", "write_bucketed", "read_bucketed",

@@ -484,13 +484,35 @@ def dedup_append_writer(
                 "semantics) before the append sink"
             )
         ledger = read_upsert_table(spark, ledger_root)
+        if ledger is not None:
+            # schema-drift guard (the sibling sinks' _check_schema, adapted
+            # to append-only data): a widened/narrowed restart would write
+            # mixed-schema files, and a non-mergeSchema read samples ONE
+            # footer — columns silently vanish or null out. Footer-only read.
+            existing = dict(
+                spark.read.parquet(os.path.join(root, "data"))
+                .drop("ingest_batch")
+                .dtypes
+            )
+            incoming = dict(batch_df.dtypes)
+            if existing != incoming:
+                raise ValueError(
+                    "batch schema does not match the appended table "
+                    f"({sorted(incoming.items())} vs {sorted(existing.items())}) "
+                    "— appending mixed schemas would corrupt read_appended"
+                )
         stored_bloom = None
         if use_bloom and ledger is not None:
             bloom_dir = os.path.join(
                 ledger_root, f"v{_read_pointer(ledger_root):08d}", "_bloom"
             )
             if os.path.isdir(bloom_dir):
-                stored_bloom = spark.read.parquet(bloom_dir)
+                # pin: the 1-row filter feeds the probe's param read, the
+                # probe itself, and the update's param read + merge — unpinned,
+                # each would re-read the (up to 16 MiB) file as its own job
+                stored_bloom = spark.read.parquet(bloom_dir).localCheckpoint(
+                    eager=True
+                )
             else:  # pre-incremental table (or use_bloom toggled on): one rebuild
                 stored_bloom = build_bloom_filter(
                     ledger, keys, num_bits, num_hashes

@@ -771,3 +771,27 @@ def test_streaming_dedup_append_plain_anti_and_stream_drain(spark, tmp_path):
     assert got.count() == 50
     by_k = {r["k"]: r["payload"] for r in got.collect()}
     assert by_k[25] == "a25" and by_k[45] == "b45"
+
+
+def test_streaming_dedup_append_rejects_schema_drift(spark, tmp_path):
+    """A restarted query with a widened/narrowed schema must refuse to
+    append: mixed-schema parquet dirs make a non-mergeSchema read silently
+    drop or null columns (review finding)."""
+    import pytest
+
+    from oni_ml_spark.streaming.upsert_sink import dedup_append_writer
+
+    root = str(tmp_path / "ingest3")
+    writer = dedup_append_writer(root, "k", query_token="q")
+    writer(spark.createDataFrame([(1, "a")], "k bigint, payload string"), 0)
+    with pytest.raises(ValueError, match="schema does not match"):
+        writer(
+            spark.createDataFrame(
+                [(2, "b", 1.0)], "k bigint, payload string, extra double"
+            ),
+            1,
+        )
+    with pytest.raises(ValueError, match="schema does not match"):
+        writer(spark.createDataFrame([(2,)], "k bigint"), 1)
+    # same schema still appends
+    writer(spark.createDataFrame([(2, "b")], "k bigint, payload string"), 1)

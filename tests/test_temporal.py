@@ -384,3 +384,25 @@ class TestResampleForwardFill:
             resample_forward_fill(
                 obs.withColumnRenamed("v", "tick"), "k", "t", step_seconds=10
             )
+
+    def test_per_key_grid_cap(self, spark):
+        """One long-span key must trip the PER-KEY cap even when the total
+        stays under max_ticks: sequence() builds a key's whole grid as one
+        in-memory array row (review finding)."""
+        from oni_ml_spark.datapipe.temporal import resample_forward_fill
+
+        obs = spark.createDataFrame(
+            [("a", 0.0, 1.0), ("a", 5000.0, 2.0), ("b", 0.0, 1.0)],
+            "k string, t double, v double",
+        )
+        with pytest.raises(ValueError, match="max_ticks_per_key"):
+            resample_forward_fill(
+                obs, "k", "t", step_seconds=1, value_cols=["v"],
+                max_ticks=100_000, max_ticks_per_key=100,
+            )
+        # under both caps: runs
+        out = resample_forward_fill(
+            obs, "k", "t", step_seconds=1000, value_cols=["v"],
+            max_ticks=100_000, max_ticks_per_key=100,
+        )
+        assert out.count() == 7  # a: ticks 0..5000 (6), b: tick 0
