@@ -48,6 +48,48 @@ def hash_split(
     return df.withColumn(split_col, out.otherwise(F.lit(names[-1])))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    clusters: DataFrame | None = None,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: rows are hashed into splits by their near-dup CLUSTER id, so a
+    whole duplicate component lands in exactly one split — the guard
+    against a test document whose paraphrase sits in train (the
+    contamination plain row-level ``hash_split`` cannot prevent).
+
+    Composition, no new machinery: ``near_dup_clusters`` (banded LSH →
+    exact-Jaccard verify → connected components; pass ``clusters`` to
+    reuse an already-computed (id, cluster) table and skip the LSH pass)
+    then ``hash_split`` keyed on the cluster id, joined back to the
+    corpus. Rows in no duplicate component are their own cluster
+    (cluster = id), so for them the assignment is IDENTICAL to
+    ``hash_split(df, id_col, splits)`` — adding the guard reshuffles only
+    the rows that were leak risks. Deterministic on any engine, any run.
+
+    At scale: the cluster table is (id, cluster) — two longs per row; the
+    join back to the corpus is the only payload-carrying shuffle and the
+    split expression itself is a pure hash projection.
+    """
+    from oni_ml_spark.datapipe.dedup import near_dup_clusters
+
+    if clusters is None:
+        clusters = near_dup_clusters(df, id_col, text_col, **near_dup_kwargs)
+    else:
+        missing = [c for c in ("id", "cluster") if c not in clusters.columns]
+        if missing:
+            raise ValueError(f"clusters frame lacks columns {missing}")
+    assigned = hash_split(
+        clusters.select("id", "cluster"), "cluster", splits, split_col=split_col
+    ).select(F.col("id").alias(id_col), "cluster", split_col)
+    return df.join(assigned, id_col)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -1752,3 +1752,82 @@ class TestSentenceLevelDedup:
         assert "subscribe" not in out[1].lower()        # later occurrence dropped
         assert "Beta content here." in out[1]
         assert out[2] == "Gamma only, nothing shared."  # untouched, original text
+
+
+class TestLeakageSafeSplit:
+    """Splitting by near-dup cluster: no duplicate component may straddle a
+    split boundary, and non-duplicate rows assign exactly as plain
+    hash_split would."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # 200 unique docs + 30 planted paraphrase groups of 3 (ids far apart
+        # so row-level hashing WOULD scatter them across splits)
+        base = [(i, f"unique document number {i} with its own words {i*7}") for i in range(200)]
+        dups = []
+        for g in range(30):
+            text = f"shared paraphrase group {g} " + " ".join(
+                f"tok{g}_{j}" for j in range(12)
+            )
+            for member in range(3):
+                dups.append((1000 + g + member * 1000, text + ("" if member == 0 else " !")))
+        return spark.createDataFrame(base + dups, "doc_id bigint, text string")
+
+    def test_no_cluster_straddles_splits(self, spark, corpus):
+        from oni_ml_spark.datapipe.sampling import leakage_safe_split
+
+        out = leakage_safe_split(
+            corpus, "doc_id", "text",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            n=3, num_hashes=12, bands=6, threshold=0.5,
+        )
+        rows = out.select("cluster", "split").collect()
+        per_cluster = {}
+        for r in rows:
+            per_cluster.setdefault(r["cluster"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in per_cluster.values())
+        # the planted groups actually clustered (guard against a vacuous pass)
+        from collections import Counter
+
+        sizes = Counter()
+        for r in out.select("cluster").collect():
+            sizes[r["cluster"]] += 1
+        assert sum(1 for c, n in sizes.items() if n >= 3) >= 25
+
+    def test_singletons_match_plain_hash_split(self, spark, corpus):
+        from oni_ml_spark.datapipe.sampling import hash_split, leakage_safe_split
+
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = leakage_safe_split(
+            corpus, "doc_id", "text", splits,
+            n=3, num_hashes=12, bands=6, threshold=0.5,
+        )
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(corpus, "doc_id", splits).collect()
+        }
+        for r in out.where("cluster = doc_id AND doc_id < 1000").collect():
+            # self-cluster rows: guard changes nothing vs plain hash_split
+            assert r["split"] == plain[r["doc_id"]], r["doc_id"]
+
+    def test_precomputed_clusters_and_validation(self, spark, corpus):
+        from oni_ml_spark.datapipe.dedup import near_dup_clusters
+        from oni_ml_spark.datapipe.sampling import leakage_safe_split
+
+        splits = {"train": 0.5, "test": 0.5}
+        clusters = near_dup_clusters(
+            corpus, "doc_id", "text", n=3, num_hashes=12, bands=6, threshold=0.5
+        ).localCheckpoint(eager=True)
+        a = leakage_safe_split(corpus, "doc_id", "text", splits, clusters=clusters)
+        b = leakage_safe_split(
+            corpus, "doc_id", "text", splits,
+            n=3, num_hashes=12, bands=6, threshold=0.5,
+        )
+        assert sorted(map(str, (tuple(r) for r in a.collect()))) == sorted(
+            map(str, (tuple(r) for r in b.collect()))
+        )
+        with pytest.raises(ValueError, match="clusters frame lacks"):
+            leakage_safe_split(
+                corpus, "doc_id", "text", splits,
+                clusters=clusters.select(F.col("id").alias("x")),
+            )
