@@ -301,6 +301,99 @@ def embedding_near_duplicates_bucketed(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes_per_band: int = 8,
+    bands: int = 8,
+    seed: int = 7,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Corpus documents whose embedding is within cosine ``threshold`` of
+    ANY eval-set embedding — the semantic sibling of
+    ``textstats.ngram_contamination`` (which catches verbatim overlap; a
+    paraphrased benchmark answer shares no 8-gram but sits next to the
+    eval item in embedding space).
+
+    Bipartite variant of ``embedding_near_duplicates_bucketed``: both
+    sides hash to banded SRP buckets, candidates are the corpus×eval
+    (band, bucket) EQUI join, and only candidates get the exact cosine.
+    With ``broadcast_eval`` (the realistic shape — an eval set is
+    thousands of rows against a 100 TB corpus) the bucket join AND the
+    verify join broadcast the eval side, so the corpus never shuffles at
+    all. Returns one row per contaminated corpus id:
+    ``(id, eval_id, sim)`` with the single most-similar eval item
+    (ties by greatest eval_id, deterministic). Recall follows the SRP
+    band math documented on the self-join variant.
+    """
+    eval_id_col = id_col if eval_id_col is None else eval_id_col
+    eval_vec_col = vec_col if eval_vec_col is None else eval_vec_col
+
+    def prep(df: DataFrame, idc: str, vc: str, side: str) -> DataFrame:
+        v = df.select(
+            F.col(idc).alias(f"{side}_id"), as_double_array(vc).alias("v")
+        ).withColumn("n", norm(F.col("v")))
+        return v.withColumn("v", _checked_dim("v", dim)).select(
+            f"{side}_id", F.col("v").alias(f"{side}_v"), F.col("n").alias(f"{side}_n")
+        )
+
+    c = prep(corpus, id_col, vec_col, "c")
+    e = prep(eval_df, eval_id_col, eval_vec_col, "e")
+    hp = _hyperplanes(dim, planes_per_band * bands, seed)
+
+    def buckets(v: DataFrame, side: str) -> DataFrame:
+        return v.select(
+            f"{side}_id", F.explode(_srp_banded_expr(f"{side}_v", hp, bands)).alias("bb")
+        ).select(f"{side}_id", "bb.band", "bb.bucket")
+
+    cb = buckets(c, "c")
+    eb = buckets(e, "e")
+    ev = e
+    if broadcast_eval:
+        eb, ev = F.broadcast(eb), F.broadcast(ev)
+    cand = cb.join(eb, ["band", "bucket"]).select("c_id", "e_id").distinct()
+    verified = (
+        cand.join(c, "c_id")
+        .join(ev, "e_id")
+        .withColumn(
+            "sim", dot(F.col("c_v"), F.col("e_v")) / (F.col("c_n") * F.col("e_n"))
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    # one row per corpus id: most-similar eval item, ties by greatest e_id
+    best = verified.groupBy("c_id").agg(
+        F.max(F.struct(F.col("sim"), F.col("e_id"))).alias("__b")
+    )
+    return best.select(
+        F.col("c_id").alias("id"),
+        F.col("__b.e_id").alias("eval_id"),
+        F.round("__b.sim", 4).alias("sim"),
+    )
+
+
+def remove_semantically_contaminated(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """``corpus`` minus every row ``semantic_contamination`` flags — one
+    left-anti join on the id against the (bounded: ≤ |flagged|) hit
+    table. The companion to ``textstats.remove_contaminated``; run both
+    for verbatim + paraphrase eval hygiene."""
+    hits = semantic_contamination(corpus, eval_df, id_col, vec_col, **kwargs)
+    return corpus.join(
+        hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def ivf_kmeans_topk(
     queries: DataFrame,
     corpus: DataFrame,

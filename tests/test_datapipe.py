@@ -1831,3 +1831,107 @@ class TestLeakageSafeSplit:
                 corpus, "doc_id", "text", splits,
                 clusters=clusters.select(F.col("id").alias("x")),
             )
+
+
+class TestSemanticContamination:
+    """Bipartite SRP-bucketed contamination vs a brute-force cosine oracle:
+    paraphrase-shaped hits (scaled/perturbed eval vectors) are flagged,
+    unrelated vectors survive, removal anti-joins exactly the flagged set."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import math
+        import random
+
+        rnd = random.Random(11)
+        dim = 8
+
+        def unit(seed):
+            r = random.Random(seed)
+            v = [r.gauss(0, 1) for _ in range(dim)]
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        evals = [(100 + i, unit(i)) for i in range(5)]
+        corpus = []
+        # planted: scaled copy of eval 101 and eval 103 (cosine exactly 1)
+        corpus.append((1, [x * 3.0 for x in evals[1][1]]))
+        corpus.append((2, [x * 0.5 for x in evals[3][1]]))
+        # perturbed copy of eval 100 (cosine ~0.995)
+        base = evals[0][1]
+        pert = [x + rnd.gauss(0, 0.03) for x in base]
+        corpus.append((3, pert))
+        # unrelated vectors
+        for i in range(4, 40):
+            corpus.append((i, unit(1000 + i)))
+        ev = spark.createDataFrame(evals, "vec_id bigint, embedding array<double>")
+        co = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+        return co, ev
+
+    def _oracle(self, co, ev, threshold):
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        hits = {}
+        for c in co.collect():
+            best = None
+            for e in ev.collect():
+                s = cos(c["embedding"], e["embedding"])
+                if s >= threshold and (best is None or (s, e["vec_id"]) > best):
+                    best = (s, e["vec_id"])
+            if best is not None:
+                hits[c["vec_id"]] = best
+        return hits
+
+    def test_matches_brute_force_oracle(self, spark, frames):
+        from oni_ml_spark.datapipe.similarity import semantic_contamination
+
+        co, ev = frames
+        got = {
+            r["id"]: (r["sim"], r["eval_id"])
+            for r in semantic_contamination(
+                co, ev, threshold=0.95, dim=8
+            ).collect()
+        }
+        want = self._oracle(co, ev, 0.95)
+        assert set(got) == set(want)
+        assert {1, 2, 3} <= set(got)  # all three planted hits caught
+        for k, (sim, eid) in want.items():
+            assert got[k][1] == eid
+            assert abs(got[k][0] - round(sim, 4)) < 1e-9
+
+    def test_removal_and_broadcast_off_parity(self, spark, frames):
+        from oni_ml_spark.datapipe.similarity import (
+            remove_semantically_contaminated,
+            semantic_contamination,
+        )
+
+        co, ev = frames
+        kept = remove_semantically_contaminated(co, ev, threshold=0.95, dim=8)
+        flagged = {
+            r["id"]
+            for r in semantic_contamination(co, ev, threshold=0.95, dim=8).collect()
+        }
+        assert {r["vec_id"] for r in kept.collect()} == {
+            r["vec_id"] for r in co.collect()
+        } - flagged
+        # broadcast hint off: identical result
+        off = {
+            r["id"]
+            for r in semantic_contamination(
+                co, ev, threshold=0.95, dim=8, broadcast_eval=False
+            ).collect()
+        }
+        assert off == flagged
+
+    def test_dim_mismatch_fails_loudly(self, spark, frames):
+        from oni_ml_spark.datapipe.similarity import semantic_contamination
+
+        co, ev = frames
+        with pytest.raises(Exception, match="embedding length"):
+            semantic_contamination(co, ev, threshold=0.95, dim=16).collect()
