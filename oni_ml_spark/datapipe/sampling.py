@@ -66,28 +66,47 @@ def leakage_safe_split(
     Composition, no new machinery: ``near_dup_clusters`` (banded LSH →
     exact-Jaccard verify → connected components; pass ``clusters`` to
     reuse an already-computed (id, cluster) table and skip the LSH pass)
-    then ``hash_split`` keyed on the cluster id, joined back to the
-    corpus. Rows in no duplicate component are their own cluster
-    (cluster = id), so for them the assignment is IDENTICAL to
+    then ``hash_split`` keyed on the cluster id. The cluster table joins
+    LEFT onto the corpus with a self-cluster fallback
+    (``coalesce(cluster, id)``): no row can silently vanish — a row a
+    stale precomputed table does not cover, or a null-id row, keeps the
+    plain row-level assignment instead of being dropped (the silent-loss
+    edge the review caught). Rows in no duplicate component are their own
+    cluster, so for them the assignment is IDENTICAL to
     ``hash_split(df, id_col, splits)`` — adding the guard reshuffles only
     the rows that were leak risks. Deterministic on any engine, any run.
 
     At scale: the cluster table is (id, cluster) — two longs per row; the
-    join back to the corpus is the only payload-carrying shuffle and the
+    join onto the corpus is the only payload-carrying shuffle and the
     split expression itself is a pure hash projection.
     """
     from oni_ml_spark.datapipe.dedup import near_dup_clusters
 
+    taken = {"cluster", split_col}
+    clash = sorted(taken & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the output cluster/"
+            f"{split_col!r} columns — rename them first"
+        )
+    if split_col in ("id", "cluster", id_col):
+        raise ValueError(f"split_col {split_col!r} collides with the cluster table")
     if clusters is None:
         clusters = near_dup_clusters(df, id_col, text_col, **near_dup_kwargs)
     else:
+        if near_dup_kwargs:
+            raise ValueError(
+                f"near-dup parameters {sorted(near_dup_kwargs)} are ignored "
+                "when a precomputed clusters= table is passed — drop them or "
+                "drop clusters="
+            )
         missing = [c for c in ("id", "cluster") if c not in clusters.columns]
         if missing:
             raise ValueError(f"clusters frame lacks columns {missing}")
-    assigned = hash_split(
-        clusters.select("id", "cluster"), "cluster", splits, split_col=split_col
-    ).select(F.col("id").alias(id_col), "cluster", split_col)
-    return df.join(assigned, id_col)
+    joined = df.join(
+        clusters.select(F.col("id").alias(id_col), "cluster"), id_col, "left"
+    ).withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+    return hash_split(joined, "cluster", splits, split_col=split_col)
 
 
 def stratified_sample(

@@ -268,8 +268,10 @@ def embedding_near_duplicates_bucketed(
     # a dim mismatch would null every plane dot (zip_with pads with nulls)
     # and silently collapse all vectors into one bucket — the equi join
     # would then be quadratic while the no-cartesian plan test still
-    # passes. Fail loudly instead.
-    v = v.withColumn("v", _checked_dim("v", dim))
+    # passes. Fail loudly instead. Zero-norm vectors are excluded: cosine
+    # is undefined for them and the verify division would raise under
+    # ANSI mode (same guard as semantic_contamination).
+    v = v.withColumn("v", _checked_dim("v", dim)).where(F.col("n") > 0)
 
     hp = _hyperplanes(dim, planes_per_band * bands, seed)
     buckets = v.select(
@@ -324,13 +326,21 @@ def semantic_contamination(
     Bipartite variant of ``embedding_near_duplicates_bucketed``: both
     sides hash to banded SRP buckets, candidates are the corpus×eval
     (band, bucket) EQUI join, and only candidates get the exact cosine.
-    With ``broadcast_eval`` (the realistic shape — an eval set is
-    thousands of rows against a 100 TB corpus) the bucket join AND the
-    verify join broadcast the eval side, so the corpus never shuffles at
-    all. Returns one row per contaminated corpus id:
-    ``(id, eval_id, sim)`` with the single most-similar eval item
-    (ties by greatest eval_id, deterministic). Recall follows the SRP
-    band math documented on the self-join variant.
+    The corpus carries its vector THROUGH the bucket explode, so with
+    ``broadcast_eval`` (the realistic shape — an eval set is thousands
+    of rows against a 100 TB corpus) both the candidate join and the
+    verify are broadcast map-side work over the one corpus scan; the
+    only shuffle in the plan is the final per-id max over HIT rows
+    (locked by a plan-assert test). With ``broadcast_eval=False`` (an
+    eval side too big to broadcast) the bucket join hash-shuffles the
+    exploded corpus instead — the self-join-shaped fallback. Returns one
+    row per contaminated corpus id: ``(id, eval_id, sim)`` with the
+    single most-similar eval item (ties by greatest eval_id,
+    deterministic). Zero-norm vectors on either side are EXCLUDED
+    (cosine is undefined for them — and under ANSI mode the division
+    would kill the job; ``embedding_stats`` is the pre-flight that
+    counts them). Recall follows the SRP band math documented on the
+    self-join variant.
     """
     eval_id_col = id_col if eval_id_col is None else eval_id_col
     eval_vec_col = vec_col if eval_vec_col is None else eval_vec_col
@@ -339,27 +349,36 @@ def semantic_contamination(
         v = df.select(
             F.col(idc).alias(f"{side}_id"), as_double_array(vc).alias("v")
         ).withColumn("n", norm(F.col("v")))
-        return v.withColumn("v", _checked_dim("v", dim)).select(
-            f"{side}_id", F.col("v").alias(f"{side}_v"), F.col("n").alias(f"{side}_n")
+        return (
+            v.withColumn("v", _checked_dim("v", dim))
+            .where(F.col("n") > 0)
+            .select(
+                f"{side}_id",
+                F.col("v").alias(f"{side}_v"),
+                F.col("n").alias(f"{side}_n"),
+            )
         )
 
     c = prep(corpus, id_col, vec_col, "c")
     e = prep(eval_df, eval_id_col, eval_vec_col, "e")
     hp = _hyperplanes(dim, planes_per_band * bands, seed)
 
-    def buckets(v: DataFrame, side: str) -> DataFrame:
-        return v.select(
-            f"{side}_id", F.explode(_srp_banded_expr(f"{side}_v", hp, bands)).alias("bb")
-        ).select(f"{side}_id", "bb.band", "bb.bucket")
-
-    cb = buckets(c, "c")
-    eb = buckets(e, "e")
+    # corpus vectors ride the explode: candidates already carry (c_v, c_n),
+    # so no join back to the corpus (which would rescan AND hash-shuffle
+    # the full corpus payload on c_id — the contract violation the review
+    # caught). Band-duplicate candidates are fine: the final per-id max
+    # dedups them, and only rows >= threshold reach that shuffle.
+    cb = c.select(
+        "c_id", "c_v", "c_n", F.explode(_srp_banded_expr("c_v", hp, bands)).alias("bb")
+    ).select("c_id", "c_v", "c_n", "bb.band", "bb.bucket")
+    eb = e.select(
+        "e_id", F.explode(_srp_banded_expr("e_v", hp, bands)).alias("bb")
+    ).select("e_id", "bb.band", "bb.bucket")
     ev = e
     if broadcast_eval:
         eb, ev = F.broadcast(eb), F.broadcast(ev)
-    cand = cb.join(eb, ["band", "bucket"]).select("c_id", "e_id").distinct()
     verified = (
-        cand.join(c, "c_id")
+        cb.join(eb, ["band", "bucket"])
         .join(ev, "e_id")
         .withColumn(
             "sim", dot(F.col("c_v"), F.col("e_v")) / (F.col("c_n") * F.col("e_n"))

@@ -1831,6 +1831,50 @@ class TestLeakageSafeSplit:
                 corpus, "doc_id", "text", splits,
                 clusters=clusters.select(F.col("id").alias("x")),
             )
+        # kwargs alongside a precomputed table are dead parameters: raise
+        with pytest.raises(ValueError, match="ignored"):
+            leakage_safe_split(
+                corpus, "doc_id", "text", splits, clusters=clusters, threshold=0.9
+            )
+        # column collisions raise instead of emitting ambiguous columns
+        with pytest.raises(ValueError, match="collide"):
+            leakage_safe_split(
+                corpus.withColumn("cluster", F.lit(1)), "doc_id", "text", splits
+            )
+        with pytest.raises(ValueError, match="collide"):
+            leakage_safe_split(corpus, "doc_id", "text", splits, split_col="text")
+
+    def test_no_silent_row_loss(self, spark, corpus):
+        """Null-id rows and rows a stale precomputed clusters table misses
+        keep their plain row-level assignment instead of vanishing
+        (review-confirmed silent loss, now guarded)."""
+        from oni_ml_spark.datapipe.dedup import near_dup_clusters
+        from oni_ml_spark.datapipe.sampling import hash_split, leakage_safe_split
+
+        splits = {"train": 0.5, "test": 0.5}
+        with_null = spark.createDataFrame(
+            [(1, "doc one"), (None, "doc with null id"), (3, "doc three")],
+            "doc_id bigint, text string",
+        )
+        out = leakage_safe_split(
+            with_null, "doc_id", "text", splits,
+            n=3, num_hashes=12, bands=6, threshold=0.5,
+        )
+        assert out.count() == 3  # nothing dropped
+        # stale precomputed table covering only part of the corpus
+        stale = near_dup_clusters(
+            corpus.where("doc_id < 50"), "doc_id", "text",
+            n=3, num_hashes=12, bands=6, threshold=0.5,
+        ).localCheckpoint(eager=True)
+        out2 = leakage_safe_split(corpus, "doc_id", "text", splits, clusters=stale)
+        assert out2.count() == corpus.count()  # uncovered rows kept
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(corpus, "doc_id", splits).collect()
+        }
+        # uncovered rows fall back to their own id = plain assignment
+        for r in out2.where("doc_id >= 50").collect():
+            assert r["split"] == plain[r["doc_id"]]
 
 
 class TestSemanticContamination:
@@ -1935,3 +1979,38 @@ class TestSemanticContamination:
         co, ev = frames
         with pytest.raises(Exception, match="embedding length"):
             semantic_contamination(co, ev, threshold=0.95, dim=16).collect()
+
+    def test_zero_norm_vectors_excluded_not_crashing(self, spark, frames):
+        """An all-zero embedding (empty doc / failed embedding call) must
+        not kill the job with an ANSI DIVIDE_BY_ZERO — it buckets to 0 in
+        every band, so it WILL collide; it is excluded instead (cosine is
+        undefined for it). Review-confirmed crash, now guarded."""
+        from oni_ml_spark.datapipe.similarity import semantic_contamination
+
+        co, ev = frames
+        co_z = co.unionByName(
+            spark.createDataFrame(
+                [(999, [0.0] * 8)], "vec_id bigint, embedding array<double>"
+            )
+        )
+        ev_z = ev.unionByName(
+            spark.createDataFrame(
+                [(900, [0.0] * 8)], "vec_id bigint, embedding array<double>"
+            )
+        )
+        got = {
+            r["id"] for r in semantic_contamination(co_z, ev_z, threshold=0.95, dim=8).collect()
+        }
+        assert 999 not in got and {1, 2, 3} <= got
+
+    def test_corpus_never_shuffles_with_broadcast_eval(self, spark, frames):
+        """The broadcast_eval contract, locked as a plan assert: no
+        sort-merge join, and the only shuffle is the final per-id max over
+        hit rows (the review caught the first formulation hash-shuffling
+        the full corpus payload through a join back to itself)."""
+        from oni_ml_spark.datapipe.similarity import semantic_contamination
+        from oni_ml_spark.plans.diagnostics import assert_plan
+
+        co, ev = frames
+        out = semantic_contamination(co, ev, threshold=0.95, dim=8)
+        assert_plan(out, max_exchanges=1, forbid=["SortMergeJoin"])
