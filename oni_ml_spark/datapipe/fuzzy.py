@@ -14,7 +14,7 @@ bound → exact ``levenshtein`` verify. The filter is LOSSLESS (every true
 pair survives to the verify), so results are exactly the cross join's —
 the tests assert parity against a DuckDB all-pairs oracle.
 
-Strings too short for the bound to bite (``len < q*(k+1) + q - 1``, where
+Strings too short for the bound to bite (``len <= q*(k+1) - 1``, where
 the count threshold is ≤ 0) take an exact path: a length-bucketed join
 (edit distance ≤ k implies length difference ≤ k) over only the short
 rows of both sides — a bounded sliver in realistic data, and still never
@@ -36,12 +36,16 @@ from pyspark.sql import functions as F
 
 
 def _prep(df: DataFrame, id_col: str, str_col: str, side: str) -> DataFrame:
+    # null ids are excluded on BOTH paths (a linkage row without an identity
+    # is unusable, and the long path's payload equi-join could never carry
+    # one — dropping them inconsistently was a review finding), as are null
+    # strings; both documented in fuzzy_join
     s = F.col(str_col)
     return df.select(
         F.col(id_col).alias(f"{side}_id"),
         s.alias(f"{side}_s"),
         F.length(s).alias(f"{side}_len"),
-    ).where(s.isNotNull())
+    ).where(s.isNotNull() & F.col(id_col).isNotNull())
 
 
 def _grams(prepped: DataFrame, side: str, q: int) -> DataFrame:
@@ -79,7 +83,8 @@ def fuzzy_join(
     larger q → fewer hot grams but more rows routed to the exact
     short-string path (anything of length ≤ ``q*(max_edits+1) - 1``).
     Ids must be unique per side (the gram-count aggregate keys on them);
-    null strings never match. Case- and whitespace-sensitive by design —
+    rows with a null id or a null string never participate (excluded
+    identically on every path). Case- and whitespace-sensitive by design —
     normalize upstream (``dedup.normalize_text``) when "fuzzy" should
     also mean case-insensitive. When both sides share the id column name
     the outputs are suffixed ``_l`` / ``_r``.
@@ -95,6 +100,11 @@ def fuzzy_join(
         missing = [c for c in (idc, sc) if c not in df.columns]
         if missing:
             raise ValueError(f"{side} side lacks columns {missing}")
+    if "distance" in (left_id, right_id):
+        raise ValueError(
+            "id column named 'distance' collides with the output distance "
+            "column — rename it first"
+        )
 
     l = _prep(left, left_id, left_str, "l")
     r = _prep(right, right_id, right_str, "r")
@@ -159,8 +169,18 @@ def fuzzy_join(
             .where(F.col("distance") <= k)
         )
 
-    short_pairs = exact(l_short, r, explode_left=True).unionByName(
-        exact(l_long, r_short, explode_left=False)
+    # pre-bound the big side of each sliver: a partner of a short string
+    # can be at most short_len + k long (review finding — without this,
+    # a handful of short rows dragged the ENTIRE other table through the
+    # length join, payloads included)
+    short_pairs = exact(
+        l_short, r.where(F.col("r_len") <= short_len + k), explode_left=True
+    ).unionByName(
+        exact(
+            l_long.where(F.col("l_len") <= short_len + k),
+            r_short,
+            explode_left=False,
+        )
     )
 
     out_cols = [

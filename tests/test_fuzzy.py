@@ -155,3 +155,29 @@ def test_q_choice_never_changes_results(spark, names, q):
     got = fuzzy_join(left, right, "id", "name", "rid", "rname", max_edits=1, q=q)
     want = _oracle(left.toPandas(), right.toPandas(), 1)
     assert _rows(got) == sorted(map(str, (tuple(r) for r in want)))
+
+
+def test_null_ids_excluded_on_every_path(spark, names):
+    """Null-id rows previously vanished from the long path but survived the
+    short path (review finding) — now excluded identically everywhere."""
+    _, right = names
+    left = spark.createDataFrame(
+        [(None, "jonathan smith"), (None, "ab"), (50, "jonathan smith")],
+        "id bigint, name string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_join(
+            left, right, "id", "name", "rid", "rname", max_edits=1
+        ).collect()
+    )
+    assert got == [(50, 101, 0)]  # null-id rows on BOTH paths: gone
+
+
+def test_distance_id_collision_rejected(spark, names):
+    left, right = names
+    with pytest.raises(ValueError, match="distance"):
+        fuzzy_join(
+            left, right.withColumnRenamed("rid", "distance"),
+            "id", "name", "distance", "rname",
+        )
