@@ -189,3 +189,34 @@ def fuzzy_join(
         "distance",
     ]
     return long_pairs.select(*out_cols).unionByName(short_pairs.select(*out_cols))
+
+
+def fuzzy_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_edits: int = 1,
+    q: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster, keep) — typo-level duplicate grouping: ``fuzzy_join``
+    self-pairs → connected components → per-cluster survivor (smallest
+    id), mirroring ``dedup.near_dup_clusters`` (token-Jaccard) one level
+    down the granularity ladder. ``df.join(out.filter("keep"), id_col)``
+    is the deduplicated table; transitive chains group (a~b, b~c ⇒ one
+    cluster even when ed(a, c) > max_edits) — the same closure semantics
+    as the Jaccard family."""
+    from oni_ml_spark.datapipe.dedup import connected_components
+
+    pairs = (
+        fuzzy_join(df, df, id_col, str_col, max_edits=max_edits, q=q)
+        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+        .select(
+            F.col(f"{id_col}_l").alias("id_a"), F.col(f"{id_col}_r").alias("id_b")
+        )
+    )
+    nodes = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, nodes=nodes, max_iter=max_iter)
+    return comp.select(
+        "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep")
+    )

@@ -109,6 +109,69 @@ def leakage_safe_split(
     return hash_split(joined, "cluster", splits, split_col=split_col)
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows where
+    each row's inclusion is biased by ``weight_col`` — the quality-weighted
+    corpus subset / importance-sampled eval pick, reproducible on any
+    engine and any partitioning (the randomness is a hash of
+    ``key_col`` + ``salt``, not an RNG).
+
+    Efraimidis–Spirakis A-ES (IPL 2006) via exponential clocks: each row
+    draws u = hash-uniform(0,1) and gets arrival time ``-ln(u) / w``
+    (Exp(w)); the k EARLIEST arrivals are exactly a weighted sample
+    without replacement. Globally that is one
+    ``orderBy(key).limit(k)`` — Spark plans TakeOrderedAndProject, a
+    per-partition partial top-k with no full sort or shuffle of the data
+    (plan-asserted); with ``group_cols`` it is one rank window per group
+    (k per group). Zero-weight rows are never sampled; null or negative
+    weights RAISE (in-plan, riding the same scan — no validation
+    pre-pass). Vary ``salt`` for independent redraws; identical (key,
+    salt) always redraws identically.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    for c in (key_col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} missing from the frame")
+    if "__aes_key" in df.columns:
+        raise ValueError("input carries a reserved __aes_key column — rename it")
+    m = F.lit(1 << 40)
+    u = (
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), m).cast("double") + 1.0
+    ) / (F.lit(float(1 << 40)) + 2.0)
+    w = F.col(weight_col).cast("double")
+    arrival = (
+        F.when(
+            w.isNull() | (w < 0) | F.isnan(w),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"weighted_sample_k: {weight_col} must be >= 0, got "),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("double"),
+        )
+        .when(w == 0, F.lit(None).cast("double"))
+        .otherwise(-F.log(u) / w)
+    )
+    keyed = df.withColumn("__aes_key", arrival).where(F.col("__aes_key").isNotNull())
+    if group_cols is None:
+        return keyed.orderBy("__aes_key").limit(k).drop("__aes_key")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    win = Window.partitionBy(*groups).orderBy(F.col("__aes_key"))
+    return (
+        keyed.withColumn("__aes_rn", F.row_number().over(win))
+        .where(F.col("__aes_rn") <= k)
+        .drop("__aes_key", "__aes_rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2014,3 +2014,80 @@ class TestSemanticContamination:
         co, ev = frames
         out = semantic_contamination(co, ev, threshold=0.95, dim=8)
         assert_plan(out, max_exchanges=1, forbid=["SortMergeJoin"])
+
+class TestWeightedSampleK:
+    """A-ES weighted sampling: determinism, weight bias, per-group k,
+    zero/negative-weight contracts, TakeOrderedAndProject plan."""
+
+    @pytest.fixture(scope="class")
+    def pop(self, spark):
+        return spark.createDataFrame(
+            [(i, 100.0 if i == 0 else 1.0) for i in range(200)],
+            "id bigint, w double",
+        )
+
+    def test_deterministic_and_partition_invariant(self, spark, pop):
+        from oni_ml_spark.datapipe.sampling import weighted_sample_k
+
+        a = {r["id"] for r in weighted_sample_k(pop, "id", "w", 20).collect()}
+        b = {
+            r["id"]
+            for r in weighted_sample_k(pop.repartition(7), "id", "w", 20).collect()
+        }
+        assert a == b and len(a) == 20
+        c = {r["id"] for r in weighted_sample_k(pop, "id", "w", 20, salt="x").collect()}
+        assert c != a  # a different salt is an independent redraw
+
+    def test_weight_bias(self, spark, pop):
+        """Item with weight 100 vs 199 unit-weight items: P(selected into a
+        k=20 sample) is ~1 vs ~0.1 for a unit item. Across 30 salts the
+        heavy item must dominate (binomially, 30/30 with prob ~1; even 25+
+        is overwhelming evidence the weights act)."""
+        from oni_ml_spark.datapipe.sampling import weighted_sample_k
+
+        hits = 0
+        for s in range(30):
+            got = {
+                r["id"]
+                for r in weighted_sample_k(pop, "id", "w", 20, salt=str(s)).collect()
+            }
+            hits += 0 in got
+        assert hits >= 25
+
+    def test_per_group_k_and_zero_weight(self, spark):
+        from oni_ml_spark.datapipe.sampling import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(g, i, 0.0 if i == 0 else float(i)) for g in ("a", "b") for i in range(10)],
+            "g string, id bigint, w double",
+        )
+        got = weighted_sample_k(df, "id", "w", 3, group_cols="g")
+        rows = got.collect()
+        assert len(rows) == 6
+        assert all(r["w"] > 0 for r in rows)  # zero-weight rows never sampled
+        per = {}
+        for r in rows:
+            per.setdefault(r["g"], 0)
+            per[r["g"]] += 1
+        assert per == {"a": 3, "b": 3}
+        # k >= positive-weight population: everything positive comes back
+        allr = weighted_sample_k(df, "id", "w", 100, group_cols="g").collect()
+        assert len(allr) == 18
+
+    def test_negative_weight_raises_and_validation(self, spark):
+        from oni_ml_spark.datapipe.sampling import weighted_sample_k
+
+        df = spark.createDataFrame([(1, -1.0)], "id bigint, w double")
+        with pytest.raises(Exception, match="must be >= 0"):
+            weighted_sample_k(df, "id", "w", 1).collect()
+        with pytest.raises(ValueError, match="k must"):
+            weighted_sample_k(df, "id", "w", 0)
+        with pytest.raises(ValueError, match="missing"):
+            weighted_sample_k(df, "nope", "w", 1)
+
+    def test_global_plan_is_take_ordered(self, spark, pop):
+        from oni_ml_spark.datapipe.sampling import weighted_sample_k
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        rep = plan_report(weighted_sample_k(pop, "id", "w", 5))
+        assert rep["nodes"].get("TakeOrderedAndProject"), rep["nodes"]

@@ -181,3 +181,30 @@ def test_distance_id_collision_rejected(spark, names):
             left, right.withColumnRenamed("rid", "distance"),
             "id", "name", "distance", "rname",
         )
+
+
+def test_fuzzy_dedup_groups_transitive(spark):
+    """Typo chains cluster transitively with the smallest id as survivor;
+    unrelated rows stay singletons."""
+    from oni_ml_spark.datapipe.fuzzy import fuzzy_dedup_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corporation"),
+            (2, "acme corporatio"),    # 1 edit from 1
+            (3, "acme corporatin"),    # 1 edit from 2, 2 from 1 -> same cluster
+            (10, "globex industries"),
+            (11, "globex industrie"),  # 1 edit from 10
+            (20, "initech"),           # singleton
+        ],
+        "id bigint, name string",
+    )
+    got = {r["id"]: (r["cluster"], r["keep"]) for r in
+           fuzzy_dedup_groups(df, "id", "name", max_edits=1).collect()}
+    assert got[1] == (1, True) and got[2] == (1, False)
+    assert got[3] == (1, False)   # transitive closure despite ed(1,3)=2
+    assert got[10] == (10, True) and got[11] == (10, False)
+    assert got[20] == (20, True)
+    survivors = {i for i, (_, k) in got.items() if k}
+    assert survivors == {1, 10, 20}
+
