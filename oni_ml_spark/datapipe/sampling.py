@@ -172,6 +172,120 @@ def weighted_sample_k(
     )
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    quality_col: str,
+    id_col: str,
+    n_buckets: int = 1000,
+    boundary: str = "exact",
+    max_boundary_rows: int = 10_000_000,
+) -> DataFrame:
+    """Greedy corpus selection to a global token budget: take documents in
+    descending ``quality_col`` order (ties broken by ``xxhash64(id)`` —
+    deterministic, engine-portable) while the running token total stays
+    ≤ ``budget`` — the standard "best N tokens of the crawl" construction
+    step.
+
+    A naive implementation is one UNPARTITIONED running-sum window over
+    the whole corpus — the single-reducer scale-killer. This one never
+    globally sorts: quality is cut into ``n_buckets`` equi-width buckets,
+    ONE bounded aggregate gives each bucket's token total, the driver
+    cumsums those ≤n_buckets rows to find the boundary bucket, whole
+    buckets above it are selected with a pure filter, and only the
+    boundary bucket's rows — expected corpus/n_buckets of them, VALIDATED
+    against ``max_boundary_rows`` — pass through the exact running-sum
+    window. ``boundary='drop'`` skips even that (whole-bucket
+    granularity: stays under budget, no window anywhere).
+
+    A document is selected iff the running total INCLUDING it is ≤
+    budget — greedy PREFIX semantics (the first overflowing document and
+    everything after it are excluded), not knapsack back-filling; the
+    DuckDB prefix-cumsum oracle states the contract exactly.
+    Null/negative tokens and null quality raise in-plan
+    on the bucket scan. Heavily tied quality values concentrate in one
+    bucket — if the boundary bucket exceeds ``max_boundary_rows`` the
+    call refuses with sizing advice rather than silently building a
+    giant window.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if boundary not in ("exact", "drop"):
+        raise ValueError(f"boundary must be exact|drop, got {boundary!r}")
+    for c in (tokens_col, quality_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} missing from the frame")
+    qc = F.col(quality_col).cast("double")
+    tc = F.col(tokens_col).cast("double")
+    guard_q = F.when(
+        qc.isNull() | F.isnan(qc),
+        F.raise_error(F.lit(f"select_to_token_budget: null/NaN {quality_col}")),
+    ).otherwise(qc)
+    guard_t = F.when(
+        tc.isNull() | F.isnan(tc) | (tc < 0),
+        F.raise_error(F.lit(f"select_to_token_budget: null/NaN/negative {tokens_col}")),
+    ).otherwise(tc)
+
+    stats = df.agg(
+        F.min(guard_q).alias("lo"), F.max(guard_q).alias("hi")
+    ).collect()[0]
+    if stats["lo"] is None:
+        return df  # empty frame: nothing to select
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((guard_q - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    with_b = df.withColumn("__tb_bucket", bucket).withColumn("__tb_tokens", guard_t)
+    per_bucket = {
+        r["__tb_bucket"]: (float(r["toks"]), int(r["n"]))
+        for r in with_b.groupBy("__tb_bucket")
+        .agg(F.sum("__tb_tokens").alias("toks"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    running = 0.0
+    boundary_bucket = None
+    full_from = n_buckets  # select buckets with index >= this
+    for b in sorted(per_bucket, reverse=True):  # highest quality first
+        toks, _n = per_bucket[b]
+        if running + toks <= budget:
+            running += toks
+            full_from = b
+        else:
+            boundary_bucket = b
+            break
+    selected = with_b.where(F.col("__tb_bucket") >= full_from)
+    if boundary_bucket is not None and boundary == "exact":
+        n_boundary = per_bucket[boundary_bucket][1]
+        if n_boundary > max_boundary_rows:
+            raise ValueError(
+                f"boundary bucket holds {n_boundary} rows "
+                f"(> max_boundary_rows={max_boundary_rows}) — the quality "
+                "distribution is heavily tied there; raise n_buckets, use "
+                "boundary='drop', or raise max_boundary_rows explicitly"
+            )
+        remaining = budget - running
+        w = (
+            Window.orderBy(
+                F.col("__tb_q").desc(), F.col("__tb_h").asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            with_b.where(F.col("__tb_bucket") == boundary_bucket)
+            .withColumn("__tb_q", guard_q)
+            .withColumn("__tb_h", F.xxhash64(F.col(id_col)))
+            .withColumn("__tb_run", F.sum("__tb_tokens").over(w))
+            .where(F.col("__tb_run") <= remaining)
+            .drop("__tb_q", "__tb_h", "__tb_run")
+        )
+        selected = selected.unionByName(edge)
+    return selected.drop("__tb_bucket", "__tb_tokens")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2091,3 +2091,100 @@ class TestWeightedSampleK:
 
         rep = plan_report(weighted_sample_k(pop, "id", "w", 5))
         assert rep["nodes"].get("TakeOrderedAndProject"), rep["nodes"]
+
+
+class TestSelectToTokenBudget:
+    """Greedy token-budget selection vs the DuckDB prefix-cumsum oracle:
+    bucket arithmetic + boundary window must equal the naive global
+    running sum exactly, for budgets landing inside and between buckets."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # 300 docs, quality with heavy ties (only 30 distinct values) so
+        # boundary buckets actually hold several rows; varied token sizes
+        rows = [
+            (i, float(i % 30), 50 + (i * 37) % 200)
+            for i in range(300)
+        ]
+        return spark.createDataFrame(rows, "id bigint, q double, toks bigint")
+
+    def _oracle_ids(self, pdf, budget):
+        import duckdb
+
+        got = duckdb.sql(
+            f"""
+            SELECT id FROM (
+              SELECT id, sum(toks) OVER (
+                ORDER BY q DESC, xhash ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS run
+              FROM pdf
+            ) WHERE run <= {budget}
+            """
+        ).fetchall()
+        return {r[0] for r in got}
+
+    @pytest.mark.parametrize("budget", [500, 4_000, 17_777, 30_000])
+    def test_matches_prefix_cumsum_oracle(self, spark, corpus, budget):
+        from oni_ml_spark.datapipe.sampling import select_to_token_budget
+
+        got = select_to_token_budget(
+            corpus, "toks", budget, quality_col="q", id_col="id", n_buckets=16
+        )
+        # oracle needs Spark's xxhash64 tie-break values
+        pdf = corpus.select(
+            "id", "q", "toks", F.xxhash64(F.col("id")).alias("xhash")
+        ).toPandas()
+        want = self._oracle_ids(pdf, budget)
+        ids = {r["id"] for r in got.collect()}
+        assert ids == want
+        total = sum(r["toks"] for r in got.collect())
+        assert total <= budget
+
+    def test_boundary_drop_stays_under_budget(self, spark, corpus):
+        from oni_ml_spark.datapipe.sampling import select_to_token_budget
+
+        exact = select_to_token_budget(
+            corpus, "toks", 9_000, quality_col="q", id_col="id", n_buckets=16
+        )
+        dropped = select_to_token_budget(
+            corpus, "toks", 9_000, quality_col="q", id_col="id", n_buckets=16,
+            boundary="drop",
+        )
+        e = {r["id"] for r in exact.collect()}
+        d = {r["id"] for r in dropped.collect()}
+        assert d <= e  # drop is a subset: whole-bucket granularity
+        assert sum(r["toks"] for r in dropped.collect()) <= 9_000
+
+    def test_validation_and_edges(self, spark, corpus):
+        from oni_ml_spark.datapipe.sampling import select_to_token_budget
+
+        with pytest.raises(ValueError, match="budget"):
+            select_to_token_budget(corpus, "toks", 0, quality_col="q", id_col="id")
+        with pytest.raises(ValueError, match="missing"):
+            select_to_token_budget(corpus, "nope", 10, quality_col="q", id_col="id")
+        with pytest.raises(ValueError, match="boundary"):
+            select_to_token_budget(
+                corpus, "toks", 10, quality_col="q", id_col="id", boundary="x"
+            )
+        # boundary-row cap refuses instead of building a giant window
+        with pytest.raises(ValueError, match="max_boundary_rows"):
+            select_to_token_budget(
+                corpus, "toks", 500, quality_col="q", id_col="id",
+                n_buckets=16, max_boundary_rows=2,
+            )
+        # all-equal quality: one bucket, still exact vs oracle
+        eq = corpus.withColumn("q", F.lit(1.0))
+        got = select_to_token_budget(
+            eq, "toks", 3_000, quality_col="q", id_col="id", n_buckets=16
+        )
+        pdf = eq.select(
+            "id", "q", "toks", F.xxhash64(F.col("id")).alias("xhash")
+        ).toPandas()
+        assert {r["id"] for r in got.collect()} == self._oracle_ids(pdf, 3_000)
+        # null quality raises in-plan
+        bad = corpus.withColumn(
+            "q", F.when(F.col("id") == 7, F.lit(None)).otherwise(F.col("q"))
+        )
+        with pytest.raises(Exception, match="null/NaN q"):
+            select_to_token_budget(bad, "toks", 100, quality_col="q", id_col="id")
