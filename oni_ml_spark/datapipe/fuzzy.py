@@ -199,13 +199,15 @@ def fuzzy_dedup_groups(
     q: int = 3,
     max_iter: int = 20,
 ) -> DataFrame:
-    """(id, cluster, keep) — typo-level duplicate grouping: ``fuzzy_join``
-    self-pairs → connected components → per-cluster survivor (smallest
-    id), mirroring ``dedup.near_dup_clusters`` (token-Jaccard) one level
-    down the granularity ladder. ``df.join(out.filter("keep"), id_col)``
-    is the deduplicated table; transitive chains group (a~b, b~c ⇒ one
-    cluster even when ed(a, c) > max_edits) — the same closure semantics
-    as the Jaccard family."""
+    """(``id_col``, cluster, keep) — typo-level duplicate grouping:
+    ``fuzzy_join`` self-pairs → connected components → per-cluster
+    survivor (smallest id), mirroring ``dedup.near_dup_clusters``
+    (token-Jaccard) one level down the granularity ladder.
+    ``df.join(out.filter("keep"), id_col)`` is the deduplicated table;
+    transitive chains group (a~b, b~c ⇒ one cluster even when
+    ed(a, c) > max_edits) — the same closure semantics as the Jaccard
+    family. Inherits ``fuzzy_join``'s contract: ids unique, null-id rows
+    excluded from the output (they cannot be joined back anyway)."""
     from oni_ml_spark.datapipe.dedup import connected_components
 
     pairs = (
@@ -215,8 +217,10 @@ def fuzzy_dedup_groups(
             F.col(f"{id_col}_l").alias("id_a"), F.col(f"{id_col}_r").alias("id_b")
         )
     )
-    nodes = df.select(F.col(id_col).alias("id"))
+    nodes = df.select(F.col(id_col).alias("id")).where(F.col("id").isNotNull())
     comp = connected_components(pairs, nodes=nodes, max_iter=max_iter)
     return comp.select(
-        "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep")
+        F.col("id").alias(id_col),
+        "cluster",
+        (F.col("id") == F.col("cluster")).alias("keep"),
     )

@@ -129,19 +129,32 @@ def weighted_sample_k(
     without replacement. Globally that is one
     ``orderBy(key).limit(k)`` — Spark plans TakeOrderedAndProject, a
     per-partition partial top-k with no full sort or shuffle of the data
-    (plan-asserted); with ``group_cols`` it is one rank window per group
-    (k per group). Zero-weight rows are never sampled; null or negative
-    weights RAISE (in-plan, riding the same scan — no validation
-    pre-pass). Vary ``salt`` for independent redraws; identical (key,
-    salt) always redraws identically.
+    (plan-asserted); with ``group_cols`` it delegates to
+    ``ranking.grouped_topk`` over the arrival time (k per group,
+    inheriting its determinism contract and hot-group analysis).
+    Zero-weight rows are never sampled; null or negative weights RAISE
+    (in-plan, riding the same scan — no validation pre-pass); null-key
+    rows are EXCLUDED (they all hash identically, so no deterministic
+    draw exists for them). Vary ``salt`` for independent redraws;
+    identical (key, salt) always redraws identically.
+
+    Determinism precondition: ``key_col`` values must be unique — rows
+    sharing a key share an arrival time, and which physical row fills a
+    tied k-th slot is then partition-order-dependent (their payloads may
+    differ even though the draw treats them as one). The secondary sort
+    on the key itself makes everything else a total order, hash
+    collisions included.
     """
     if k <= 0:
         raise ValueError("k must be positive")
     for c in (key_col, weight_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} missing from the frame")
-    if "__aes_key" in df.columns:
-        raise ValueError("input carries a reserved __aes_key column — rename it")
+    reserved = {"__aes_key", "__aes_rn", "rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input carries reserved column(s) {sorted(reserved)} — rename them"
+        )
     m = F.lit(1 << 40)
     u = (
         F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), m).cast("double") + 1.0
@@ -160,16 +173,21 @@ def weighted_sample_k(
         .when(w == 0, F.lit(None).cast("double"))
         .otherwise(-F.log(u) / w)
     )
-    keyed = df.withColumn("__aes_key", arrival).where(F.col("__aes_key").isNotNull())
-    if group_cols is None:
-        return keyed.orderBy("__aes_key").limit(k).drop("__aes_key")
-    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    win = Window.partitionBy(*groups).orderBy(F.col("__aes_key"))
-    return (
-        keyed.withColumn("__aes_rn", F.row_number().over(win))
-        .where(F.col("__aes_rn") <= k)
-        .drop("__aes_key", "__aes_rn")
+    keyed = (
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("__aes_key", arrival)
+        .where(F.col("__aes_key").isNotNull())
     )
+    if group_cols is None:
+        # secondary sort on the key: total order for distinct keys even
+        # under a hash collision
+        return keyed.orderBy("__aes_key", key_col).limit(k).drop("__aes_key")
+    from oni_ml_spark.datapipe.ranking import grouped_topk
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return grouped_topk(
+        keyed, groups, "__aes_key", k, ascending=True, tie_col=key_col
+    ).drop("__aes_key", "rank")
 
 
 def select_to_token_budget(
@@ -202,8 +220,10 @@ def select_to_token_budget(
     A document is selected iff the running total INCLUDING it is ≤
     budget — greedy PREFIX semantics (the first overflowing document and
     everything after it are excluded), not knapsack back-filling; the
-    DuckDB prefix-cumsum oracle states the contract exactly.
-    Null/negative tokens and null quality raise in-plan
+    DuckDB prefix-cumsum oracle states the contract exactly. ``id_col``
+    must be unique and non-null (it is the deterministic tie-break; null
+    raises in-plan on the boundary slice). Null/negative tokens and
+    null/NaN/infinite quality raise in-plan
     on the bucket scan. Heavily tied quality values concentrate in one
     bucket — if the boundary bucket exceeds ``max_boundary_rows`` the
     call refuses with sizing advice rather than silently building a
@@ -218,11 +238,24 @@ def select_to_token_budget(
     for c in (tokens_col, quality_col, id_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} missing from the frame")
+    reserved = {
+        "__tb_bucket", "__tb_tokens", "__tb_q", "__tb_h", "__tb_run"
+    } & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input carries reserved column(s) {sorted(reserved)} — rename them"
+        )
     qc = F.col(quality_col).cast("double")
     tc = F.col(tokens_col).cast("double")
+    inf = float("inf")
+    # non-finite quality would make the bucket width infinite and collapse
+    # the whole corpus into bucket 0 — i.e. silently reintroduce the global
+    # window this function exists to avoid
     guard_q = F.when(
-        qc.isNull() | F.isnan(qc),
-        F.raise_error(F.lit(f"select_to_token_budget: null/NaN {quality_col}")),
+        qc.isNull() | F.isnan(qc) | (qc == inf) | (qc == -inf),
+        F.raise_error(
+            F.lit(f"select_to_token_budget: null/NaN/infinite {quality_col}")
+        ),
     ).otherwise(qc)
     guard_t = F.when(
         tc.isNull() | F.isnan(tc) | (tc < 0),
@@ -274,10 +307,18 @@ def select_to_token_budget(
                 F.col("__tb_q").desc(), F.col("__tb_h").asc()
             ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # a null id hashes to the constant seed and breaks the total order
+        # the tie-break relies on; ids must also be UNIQUE (documented) —
+        # duplicate ids make the cut inside a (quality, hash) tie group
+        # partition-order-dependent
+        tie_hash = F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit(f"select_to_token_budget: null {id_col}")),
+        ).otherwise(F.xxhash64(F.col(id_col)))
         edge = (
             with_b.where(F.col("__tb_bucket") == boundary_bucket)
             .withColumn("__tb_q", guard_q)
-            .withColumn("__tb_h", F.xxhash64(F.col(id_col)))
+            .withColumn("__tb_h", tie_hash)
             .withColumn("__tb_run", F.sum("__tb_tokens").over(w))
             .where(F.col("__tb_run") <= remaining)
             .drop("__tb_q", "__tb_h", "__tb_run")

@@ -2186,5 +2186,44 @@ class TestSelectToTokenBudget:
         bad = corpus.withColumn(
             "q", F.when(F.col("id") == 7, F.lit(None)).otherwise(F.col("q"))
         )
-        with pytest.raises(Exception, match="null/NaN q"):
+        with pytest.raises(Exception, match="null/NaN/infinite q"):
             select_to_token_budget(bad, "toks", 100, quality_col="q", id_col="id")
+
+
+def test_weighted_sample_null_keys_and_reserved_cols(spark):
+    """Null-key rows are excluded (they all hash identically — no
+    deterministic draw exists); reserved __aes_rn/rank columns are
+    rejected up front (review findings)."""
+    from oni_ml_spark.datapipe.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (1, 1.0), (2, 1.0)], "id bigint, w double"
+    )
+    got = weighted_sample_k(df, "id", "w", 10)
+    assert {r["id"] for r in got.collect()} == {1, 2}
+    with pytest.raises(ValueError, match="reserved"):
+        weighted_sample_k(df.withColumn("__aes_rn", F.lit(1)), "id", "w", 1)
+    # grouped path delegates to grouped_topk; result columns unchanged
+    gdf = spark.createDataFrame(
+        [("a", i, 1.0) for i in range(10)], "g string, id bigint, w double"
+    )
+    out = weighted_sample_k(gdf, "id", "w", 3, group_cols="g")
+    assert out.columns == ["g", "id", "w"] and out.count() == 3
+
+
+def test_token_budget_reserved_and_infinite_quality(spark):
+    from oni_ml_spark.datapipe.sampling import select_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, float(i), 10) for i in range(20)], "id bigint, q double, toks bigint"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        select_to_token_budget(
+            df.withColumn("__tb_q", F.lit(1)), "toks", 50,
+            quality_col="q", id_col="id",
+        )
+    inf_df = df.withColumn(
+        "q", F.when(F.col("id") == 3, F.lit(float("inf"))).otherwise(F.col("q"))
+    )
+    with pytest.raises(Exception, match="infinite"):
+        select_to_token_budget(inf_df, "toks", 50, quality_col="q", id_col="id")

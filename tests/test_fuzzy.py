@@ -208,3 +208,21 @@ def test_fuzzy_dedup_groups_transitive(spark):
     survivors = {i for i, (_, k) in got.items() if k}
     assert survivors == {1, 10, 20}
 
+
+
+def test_fuzzy_dedup_custom_id_col_and_null_ids(spark):
+    """Output id column keeps the caller's name so the documented
+    df.join(out.filter('keep'), id_col) recipe works; null-id rows are
+    excluded instead of surfacing as an unfilterable (null, null) row
+    (review findings)."""
+    from oni_ml_spark.datapipe.fuzzy import fuzzy_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "acme corporatio"), (None, "ghost")],
+        "doc_id bigint, name string",
+    )
+    out = fuzzy_dedup_groups(df, "doc_id", "name", max_edits=1)
+    assert out.columns == ["doc_id", "cluster", "keep"]
+    assert out.where(F.col("doc_id").isNull()).count() == 0
+    kept = df.join(out.filter("keep"), "doc_id")  # the docstring recipe
+    assert {r["doc_id"] for r in kept.collect()} == {1}
