@@ -157,6 +157,67 @@ def validate_schema(df: DataFrame, expected, strict: bool = False) -> DataFrame:
     return df
 
 
+# widening casts that cannot lose information — everything else (narrowing,
+# string→number, float→int ...) must be an explicit upstream decision, not
+# something an ingest helper does silently
+_SAFE_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    ("float", "double"),
+}
+
+
+def conform_schema(df: DataFrame, target, fill_missing: bool = False) -> DataFrame:
+    """Align ``df`` to a target StructType for union/append: reorder
+    columns, apply SAFE widening casts (int→bigint, float→double, ...),
+    and — with ``fill_missing`` — add absent nullable columns as typed
+    nulls. Everything lossy stays LOUD: narrowing or cross-family casts,
+    extra columns, and missing non-nullable columns raise SchemaMismatch
+    listing every offender (the day-30 ingest trap is one upstream
+    producer quietly switching int→string; silently casting it would turn
+    a schema bug into data corruption).
+
+    The companion to ``validate_schema`` (which only checks) and the
+    intended front door for ``streaming.dedup_append_writer`` /
+    ``merge_upsert`` when producers drift within safe-widening limits:
+    ``writer(conform_schema(batch, target, fill_missing=True), id)``.
+    Pure projection — no shuffle, no data pass beyond the plan change.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    out_cols = []
+    for f in target.fields:
+        want = f.dataType.simpleString()
+        if f.name not in actual:
+            if fill_missing and f.nullable:
+                out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                problems.append(
+                    f"missing column '{f.name}' ({want})"
+                    + ("" if f.nullable else " — non-nullable, cannot fill")
+                )
+            continue
+        have = actual[f.name]
+        if have == want:
+            out_cols.append(F.col(f.name))
+        elif (have, want) in _SAFE_WIDENINGS:
+            out_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            problems.append(
+                f"column '{f.name}': cannot safely cast {have} -> {want}"
+            )
+    extra = set(actual) - {f.name for f in target.fields}
+    if extra:
+        problems.append(
+            f"unexpected columns: {sorted(extra)} — drop them explicitly"
+        )
+    if problems:
+        raise SchemaMismatch("; ".join(problems))
+    return df.select(*out_cols)
+
+
 def read_jsonl(
     spark: SparkSession,
     *paths: str,

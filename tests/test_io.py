@@ -208,3 +208,59 @@ def test_widen_if_narrow(spark):
     assert widen_if_narrow(wide) is wide
     # explicit floor below the current width is also a pass-through
     assert widen_if_narrow(wide, min_partitions=2) is wide
+
+
+def test_conform_schema_widens_fills_and_refuses(spark):
+    """conform_schema: reorder + safe widening + typed-null fill, loud on
+    anything lossy — the union/append front door."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from oni_ml_spark.io import SchemaMismatch, conform_schema
+
+    target = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("score", DoubleType(), True),
+            StructField("tag", StringType(), True),
+        ]
+    )
+    # int id (widens), float score (widens), tag missing (fills), shuffled order
+    df = spark.createDataFrame([(1.5, 7)], "score float, id int")
+    out = conform_schema(df, target, fill_missing=True)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("id", "bigint"), ("score", "double"), ("tag", "string")
+    ]
+    row = out.collect()[0]
+    assert row["id"] == 7 and abs(row["score"] - 1.5) < 1e-6 and row["tag"] is None
+    # conformed frame appends cleanly onto a target-schema table
+    base = spark.createDataFrame([(9, 2.0, "x")], target)
+    assert base.unionByName(out).count() == 2
+
+    # lossy/narrowing/cross-family casts refuse, listing offenders
+    with pytest.raises(SchemaMismatch, match="cannot safely cast"):
+        conform_schema(spark.createDataFrame([("5",)], "id string"), target, True)
+    with pytest.raises(SchemaMismatch, match="cannot safely cast"):
+        conform_schema(
+            spark.createDataFrame([(1.0, 1.0, "t")], "id double, score double, tag string"),
+            target,
+        )
+    # missing non-nullable column cannot be filled
+    with pytest.raises(SchemaMismatch, match="non-nullable"):
+        conform_schema(spark.createDataFrame([(1.0,)], "score double"), target, True)
+    # missing nullable without fill_missing refuses too
+    with pytest.raises(SchemaMismatch, match="missing column 'tag'"):
+        conform_schema(spark.createDataFrame([(1, 1.0)], "id bigint, score double"), target)
+    # extra columns never silently dropped
+    with pytest.raises(SchemaMismatch, match="unexpected columns"):
+        conform_schema(
+            spark.createDataFrame([(1, 1.0, "t", 9)], "id bigint, score double, tag string, x int"),
+            target,
+        )
