@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     left_time: str,
     right_time: str,
     right_cols: list[str] | None = None,
@@ -52,13 +52,19 @@ def as_of_join(
     a unit (a NULL inside the matched row's payload stays NULL — it is
     never backfilled from an older right row). Duplicate (key, time) right
     rows are resolved deterministically by the greatest payload tuple.
-    Output = every left row + ``right_cols`` + the matched right time as
-    ``__matched_time``.
+    ``key`` may be one column or a list (composite keys, e.g.
+    (user, symbol)); a right row with ANY null key component never
+    matches — SQL null-never-equals semantics, NOT the null-grouping a
+    naive partitionBy would do. Output = every left row + ``right_cols``
+    + the matched right time as ``__matched_time``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("key must name at least one column")
     if right_cols is None:  # explicit [] means "matched time only"
-        right_cols = [c for c in right.columns if c not in (key, right_time)]
+        right_cols = [c for c in right.columns if c not in (*keys, right_time)]
 
     # one unioned frame: right rows carry their WHOLE payload as one struct
     # (so last(ignorenulls) can't mix columns from different right rows),
@@ -72,16 +78,25 @@ def as_of_join(
 
     lt = time_as_double(left, left_time)
     rt = time_as_double(right, right_time)
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    # right rows with any null key component can never equi-match (SQL
+    # null-never-equals semantics — partitionBy would otherwise group the
+    # nulls together and match them, which ASOF ON l.k = r.k never does)
+    r_non_null = rt.isNotNull()
+    for k in keys:
+        r_non_null = r_non_null & F.col(k).isNotNull()
     r_payload = F.struct(rt.alias("__rt"), *[F.col(c) for c in right_cols])
-    r_tagged = right.filter(rt.isNotNull()).select(
-        F.col(key).alias("__k"), rt.alias("__t"), F.lit(0).alias("__side"),
+    r_tagged = right.filter(r_non_null).select(
+        *[F.col(k).alias(a) for k, a in zip(keys, kcols)],
+        rt.alias("__t"), F.lit(0).alias("__side"),
         F.lit(None).cast(
             left.select(F.struct(*left.columns)).schema[0].dataType
         ).alias("__left"),
         r_payload.alias("__rpay"),
     )
     l_tagged = left.select(
-        F.col(key).alias("__k"), lt.alias("__t"), F.lit(1).alias("__side"),
+        *[F.col(k).alias(a) for k, a in zip(keys, kcols)],
+        lt.alias("__t"), F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__left"),
         F.lit(None).cast(
             right.select(r_payload).schema[0].dataType
@@ -96,7 +111,7 @@ def as_of_join(
         order = [F.asc_nulls_first("__t"), F.asc("__side"), F.asc_nulls_first("__rpay")]
     else:
         order = [F.desc_nulls_last("__t"), F.asc("__side"), F.asc_nulls_first("__rpay")]
-    w = Window.partitionBy("__k").orderBy(*order).rowsBetween(
+    w = Window.partitionBy(*kcols).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
 

@@ -406,3 +406,68 @@ class TestResampleForwardFill:
             max_ticks=100_000, max_ticks_per_key=100,
         )
         assert out.count() == 7  # a: ticks 0..5000 (6), b: tick 0
+
+
+class TestAsOfMultiKey:
+    def test_composite_key_matches_duckdb(self, spark):
+        """Multi-key ASOF (user, symbol): DuckDB oracle parity."""
+        import duckdb as _dd
+
+        left = spark.createDataFrame(
+            [
+                (1, "u1", "AAA", 10.0),
+                (2, "u1", "BBB", 10.0),
+                (3, "u2", "AAA", 20.0),
+                (4, "u1", "AAA", 3.0),
+            ],
+            "id long, u string, sym string, t double",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", "AAA", 5.0, 100.0),
+                ("u1", "AAA", 9.0, 110.0),
+                ("u1", "BBB", 8.0, 200.0),
+                ("u2", "AAA", 25.0, 300.0),
+            ],
+            "u string, sym string, rt double, px double",
+        )
+        got = as_of_join(left, right, ["u", "sym"], "t", "rt").select(
+            "id", "__matched_time", "px"
+        )
+        lp, rp = left.toPandas(), right.toPandas()
+        want = _dd.sql(
+            "SELECT l.id, r.rt, r.px FROM lp l ASOF LEFT JOIN rp r "
+            "ON l.u = r.u AND l.sym = r.sym AND r.rt <= l.t"
+        ).fetchall()
+        assert sorted(map(str, (tuple(x) for x in got.collect()))) == sorted(
+            map(str, (tuple(x) for x in want))
+        )
+        by_id = {r["id"]: (r["__matched_time"], r["px"]) for r in got.collect()}
+        assert by_id[1] == (9.0, 110.0)
+        assert by_id[2] == (8.0, 200.0)
+        assert by_id[3] == (None, None)  # u2 quote at 25 > 20
+        assert by_id[4] == (None, None)  # t=3 precedes all quotes
+
+    def test_null_key_never_matches(self, spark):
+        """SQL equi semantics: a null key matches nothing — a naive
+        partitionBy would group nulls together and match them (latent
+        single-key edge, fixed with the multi-key generalization)."""
+        left = spark.createDataFrame(
+            [(1, None, 10.0), (2, "k", 10.0)], "id long, k string, t double"
+        )
+        right = spark.createDataFrame(
+            [(None, 5.0, "ghost"), ("k", 5.0, "real")],
+            "k string, rt double, tag string",
+        )
+        rows = {r["id"]: r["tag"] for r in
+                as_of_join(left, right, "k", "t", "rt").collect()}
+        assert rows[1] is None  # null left key matches nothing
+        assert rows[2] == "real"
+        # and the null-key RIGHT row can't be matched by anyone
+        left2 = spark.createDataFrame([(9, None, 10.0)], "id long, k string, t double")
+        assert as_of_join(left2, right, "k", "t", "rt").collect()[0]["tag"] is None
+
+    def test_empty_key_list_rejected(self, spark):
+        left = spark.createDataFrame([(1, 1.0)], "id long, t double")
+        with pytest.raises(ValueError, match="at least one"):
+            as_of_join(left, left, [], "t", "t")
