@@ -16,18 +16,21 @@ from oni_ml_spark.transforms.time import time_as_double
 
 def sessionize(
     df: DataFrame,
-    user_col: str,
+    user_col: str | list[str],
     ts_col: str,
     gap_seconds: int = 1800,
     session_col: str = "session_no",
 ) -> DataFrame:
     """Attach a per-user session number (1-based, ordered by event time).
+    ``user_col`` may be one column or a list (composite entities, e.g.
+    (user, device)).
 
     Ties on the timestamp stay in one session (lag sees the previous row in
     (ts) order; a deterministic secondary sort on the row's natural key can
     be added by callers needing total order).
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    ucols = [user_col] if isinstance(user_col, str) else list(user_col)
+    w = Window.partitionBy(*ucols).orderBy(ts_col)
     t = time_as_double(df, ts_col)
     gap = t - F.lag(t).over(w)
     prev_ts = F.lag(F.col(ts_col)).over(w)
@@ -41,12 +44,13 @@ def sessionize(
 
 
 def session_stats(
-    df: DataFrame, user_col: str, ts_col: str, gap_seconds: int = 1800
+    df: DataFrame, user_col: str | list[str], ts_col: str, gap_seconds: int = 1800
 ) -> DataFrame:
     """Per-session aggregate: (user, session_no, n_events, start, end,
     duration_sec)."""
+    ucols = [user_col] if isinstance(user_col, str) else list(user_col)
     s = sessionize(df, user_col, ts_col, gap_seconds)
-    return s.groupBy(user_col, "session_no").agg(
+    return s.groupBy(*ucols, "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

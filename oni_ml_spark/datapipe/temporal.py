@@ -174,7 +174,7 @@ def range_join_bucketed(
 
 def resample_forward_fill(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     time_col: str,
     step_seconds: int,
     value_cols: list[str] | None = None,
@@ -220,11 +220,12 @@ def resample_forward_fill(
     from oni_ml_spark.transforms.time import time_as_double
 
     step = int(step_seconds)
+    keys = [key] if isinstance(key, str) else list(key)
     t = time_as_double(df, time_col)
     bounds = (
-        df.select(F.col(key), t.alias("__t"))
+        df.select(*[F.col(k) for k in keys], t.alias("__t"))
         .where(F.col("__t").isNotNull())
-        .groupBy(key)
+        .groupBy(*keys)
         .agg(
             (F.ceil(F.min("__t") / step) * step).cast("long").alias("__lo"),
             (F.floor(F.max("__t") / step) * step).cast("long").alias("__hi"),
@@ -249,7 +250,7 @@ def resample_forward_fill(
             "step_seconds or raise max_ticks_per_key explicitly"
         )
     grid = bounds.select(
-        key,
+        *keys,
         F.explode(F.sequence("__lo", "__hi", F.lit(step).cast("long"))).alias(
             tick_col
         ),
@@ -257,7 +258,7 @@ def resample_forward_fill(
     return as_of_join(
         grid,
         df,
-        key,
+        keys,
         tick_col,
         time_col,
         right_cols=value_cols,
@@ -268,7 +269,7 @@ def resample_forward_fill(
 
 def rolling_aggregate(
     df: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     time_col: str,
     value_col: str,
     window_seconds: float,
@@ -302,8 +303,9 @@ def rolling_aggregate(
     with_t = df.withColumn(
         micros_col, F.round(F.col(time_col).cast("double") * 1_000_000).cast("long")
     )
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*kcols)
         .orderBy(F.col(micros_col))
         .rangeBetween(-int(round(window_seconds * 1_000_000)), 0)
     )

@@ -471,3 +471,46 @@ class TestAsOfMultiKey:
         left = spark.createDataFrame([(1, 1.0)], "id long, t double")
         with pytest.raises(ValueError, match="at least one"):
             as_of_join(left, left, [], "t", "t")
+
+
+def test_composite_keys_across_temporal_family(spark):
+    """rolling_aggregate / resample_forward_fill / sessionize accept a
+    composite key list and equal the single-key run over a concatenated
+    key (the semantic definition of a composite key)."""
+    from oni_ml_spark.datapipe.sessions import session_stats, sessionize
+    from oni_ml_spark.datapipe.temporal import resample_forward_fill, rolling_aggregate
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "a", float(t), 1.0)
+            for t in (0, 10, 2000)
+        ] + [
+            ("u1", "b", float(t), 2.0) for t in (5, 3000)
+        ] + [
+            ("u2", "a", 7.0, 3.0)
+        ],
+        "u string, d string, t double, v double",
+    )
+    concat = df.withColumn("ud", F.concat_ws("|", "u", "d"))
+
+    ra = rolling_aggregate(df, ["u", "d"], "t", "v", 60.0)
+    ra1 = rolling_aggregate(concat, "ud", "t", "v", 60.0)
+    key = lambda r: (r["u"], r["d"], r["t"])
+    got = {key(r): r["rolling_sum"] for r in ra.collect()}
+    want = {(r["u"], r["d"], r["t"]): r["rolling_sum"] for r in ra1.collect()}
+    assert got == want
+
+    rs = resample_forward_fill(df, ["u", "d"], "t", step_seconds=1000, value_cols=["v"])
+    rs1 = resample_forward_fill(concat, "ud", "t", step_seconds=1000, value_cols=["v"])
+    g = {(r["u"], r["d"], r["tick"]): r["v"] for r in rs.collect()}
+    w = {tuple(r["ud"].split("|")) + (r["tick"],): r["v"] for r in rs1.collect()}
+    assert g == w and len(g) > 0
+
+    ss = sessionize(df, ["u", "d"], "t", gap_seconds=100)
+    ss1 = sessionize(concat, "ud", "t", gap_seconds=100)
+    gs = {key(r): r["session_no"] for r in ss.collect()}
+    ws = {(r["u"], r["d"], r["t"]): r["session_no"] for r in ss1.collect()}
+    assert gs == ws
+    assert gs[("u1", "a", 2000.0)] == 2  # gap 1990 > 100 -> new session
+    st = session_stats(df, ["u", "d"], "t", gap_seconds=100)
+    assert st.columns[:3] == ["u", "d", "session_no"]
