@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from oni_ml_spark.datapipe.temporal import _as_key_list
 from oni_ml_spark.transforms.time import time_as_double
 
 
@@ -29,7 +30,7 @@ def sessionize(
     (ts) order; a deterministic secondary sort on the row's natural key can
     be added by callers needing total order).
     """
-    ucols = [user_col] if isinstance(user_col, str) else list(user_col)
+    ucols = _as_key_list(user_col, "sessionize")
     w = Window.partitionBy(*ucols).orderBy(ts_col)
     t = time_as_double(df, ts_col)
     gap = t - F.lag(t).over(w)
@@ -48,7 +49,7 @@ def session_stats(
 ) -> DataFrame:
     """Per-session aggregate: (user, session_no, n_events, start, end,
     duration_sec)."""
-    ucols = [user_col] if isinstance(user_col, str) else list(user_col)
+    ucols = _as_key_list(user_col, "session_stats")
     s = sessionize(df, user_col, ts_col, gap_seconds)
     return s.groupBy(*ucols, "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -27,6 +27,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _as_key_list(key: str | list[str], caller: str) -> list[str]:
+    """Normalize a key argument to a non-empty list. The emptiness check
+    matters everywhere: ``Window.partitionBy()`` with zero columns
+    silently degenerates to ONE unpartitioned global window — the
+    single-reducer cliff — instead of erroring."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError(f"{caller}: key must name at least one column")
+    return keys
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -60,9 +71,7 @@ def as_of_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    keys = [key] if isinstance(key, str) else list(key)
-    if not keys:
-        raise ValueError("key must name at least one column")
+    keys = _as_key_list(key, "as_of_join")
     if right_cols is None:  # explicit [] means "matched time only"
         right_cols = [c for c in right.columns if c not in (*keys, right_time)]
 
@@ -220,11 +229,18 @@ def resample_forward_fill(
     from oni_ml_spark.transforms.time import time_as_double
 
     step = int(step_seconds)
-    keys = [key] if isinstance(key, str) else list(key)
+    keys = _as_key_list(key, "resample_forward_fill")
     t = time_as_double(df, time_col)
+    # null-key series are EXCLUDED from the grid: as_of_join's
+    # null-never-equals semantics mean their ticks could never fill, so
+    # emitting them would produce all-null rows that violate the
+    # every-tick-has-an-observation invariant below
+    non_null_keys = F.lit(True)
+    for k in keys:
+        non_null_keys = non_null_keys & F.col(k).isNotNull()
     bounds = (
         df.select(*[F.col(k) for k in keys], t.alias("__t"))
-        .where(F.col("__t").isNotNull())
+        .where(F.col("__t").isNotNull() & non_null_keys)
         .groupBy(*keys)
         .agg(
             (F.ceil(F.min("__t") / step) * step).cast("long").alias("__lo"),
@@ -303,7 +319,7 @@ def rolling_aggregate(
     with_t = df.withColumn(
         micros_col, F.round(F.col(time_col).cast("double") * 1_000_000).cast("long")
     )
-    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    kcols = _as_key_list(key_col, "rolling_aggregate")
     w = (
         Window.partitionBy(*kcols)
         .orderBy(F.col(micros_col))

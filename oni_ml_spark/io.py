@@ -200,7 +200,16 @@ def conform_schema(df: DataFrame, target, fill_missing: bool = False) -> DataFra
                 )
             continue
         have = actual[f.name]
-        if have == want:
+        src_nullable = df.schema[f.name].nullable
+        if src_nullable and not f.nullable:
+            # simpleString comparison drops nullability — without this a
+            # nullable source would silently "conform" to a non-nullable
+            # target and corrupt its invariant with NULLs
+            problems.append(
+                f"column '{f.name}': source is nullable but the target is "
+                "non-nullable — assert/filter nulls upstream first"
+            )
+        elif have == want:
             out_cols.append(F.col(f.name))
         elif (have, want) in _SAFE_WIDENINGS:
             out_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))

@@ -56,20 +56,24 @@ def main() -> None:
     total = df.agg(F.sum("toks")).collect()[0][0]
     budget = int(total * 0.25)
 
-    def naive():
+    def naive_frame():
         w = Window.orderBy(F.col("q").desc(), F.xxhash64("id").asc()).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        sel = df.withColumn("run", F.sum("toks").over(w)).where(
+        return df.withColumn("run", F.sum("toks").over(w)).where(
             F.col("run") <= budget
         )
-        return sel.agg(F.count(F.lit(1)), F.sum("toks")).collect()[0]
 
-    def bucketed():
-        sel = select_to_token_budget(
+    def bucketed_frame():
+        return select_to_token_budget(
             df, "toks", budget, quality_col="q", id_col="id", n_buckets=1000
         )
-        return sel.agg(F.count(F.lit(1)), F.sum("toks")).collect()[0]
+
+    def naive():
+        return naive_frame().agg(F.count(F.lit(1)), F.sum("toks")).collect()[0]
+
+    def bucketed():
+        return bucketed_frame().agg(F.count(F.lit(1)), F.sum("toks")).collect()[0]
 
     results: dict[str, float] = {}
     outs: dict[str, tuple] = {}
@@ -84,6 +88,11 @@ def main() -> None:
     assert outs["naive_window"] == outs["bucketed"], (
         f"result mismatch: {outs}"
     )
+    # identical selected SETS, not just identical (count, sum): both anti
+    # joins must be empty (untimed — this is the correctness gate)
+    a, b = naive_frame().select("id"), bucketed_frame().select("id")
+    diff = a.join(b, "id", "leftanti").count() + b.join(a, "id", "leftanti").count()
+    assert diff == 0, f"selected sets differ by {diff} ids"
     print(
         "FINAL:"
         + json.dumps(

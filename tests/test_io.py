@@ -227,10 +227,13 @@ def test_conform_schema_widens_fills_and_refuses(spark):
 
     target = StructType(
         [
-            StructField("id", LongType(), False),
+            StructField("id", LongType(), True),
             StructField("score", DoubleType(), True),
             StructField("tag", StringType(), True),
         ]
+    )
+    strict_id = StructType(
+        [StructField("id", LongType(), False), StructField("score", DoubleType(), True), StructField("tag", StringType(), True)]
     )
     # int id (widens), float score (widens), tag missing (fills), shuffled order
     df = spark.createDataFrame([(1.5, 7)], "score float, id int")
@@ -254,7 +257,13 @@ def test_conform_schema_widens_fills_and_refuses(spark):
         )
     # missing non-nullable column cannot be filled
     with pytest.raises(SchemaMismatch, match="non-nullable"):
-        conform_schema(spark.createDataFrame([(1.0,)], "score double"), target, True)
+        conform_schema(spark.createDataFrame([(1.0,)], "score double"), strict_id, True)
+    # a PRESENT nullable source refuses a non-nullable target field too
+    with pytest.raises(SchemaMismatch, match="source is nullable"):
+        conform_schema(
+            spark.createDataFrame([(1, 1.0, "t")], "id bigint, score double, tag string"),
+            strict_id,
+        )
     # missing nullable without fill_missing refuses too
     with pytest.raises(SchemaMismatch, match="missing column 'tag'"):
         conform_schema(spark.createDataFrame([(1, 1.0)], "id bigint, score double"), target)

@@ -514,3 +514,28 @@ def test_composite_keys_across_temporal_family(spark):
     assert gs[("u1", "a", 2000.0)] == 2  # gap 1990 > 100 -> new session
     st = session_stats(df, ["u", "d"], "t", gap_seconds=100)
     assert st.columns[:3] == ["u", "d", "session_no"]
+
+
+def test_empty_keys_and_null_key_series_guards(spark):
+    """Empty key lists raise everywhere (Window.partitionBy() with zero
+    columns silently degenerates to one global window); null-key series
+    are excluded from the resample grid (their ticks could never fill
+    under null-never-equals) — review findings."""
+    from oni_ml_spark.datapipe.sessions import session_stats, sessionize
+    from oni_ml_spark.datapipe.temporal import resample_forward_fill, rolling_aggregate
+
+    df = spark.createDataFrame(
+        [("k", 1.0, 1.0), (None, 2.0, 2.0), (None, 900.0, 3.0)],
+        "k string, t double, v double",
+    )
+    for fn, args in (
+        (rolling_aggregate, (df, [], "t", "v", 60.0)),
+        (sessionize, (df, [], "t")),
+        (session_stats, (df, [], "t")),
+        (resample_forward_fill, (df, [], "t", 100)),
+    ):
+        with pytest.raises(ValueError, match="at least one column"):
+            fn(*args)
+    # null-key rows produce NO grid ticks (previously: all-null-value rows)
+    out = resample_forward_fill(df, "k", "t", step_seconds=100, value_cols=["v"])
+    assert out.where(F.col("k").isNull()).count() == 0
