@@ -225,6 +225,73 @@ def quantile_cuts(df: DataFrame, value_col: str, probs: list[float]) -> list[flo
     return [by_p.get(float(p), float("inf")) for p in probs]
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+    mode: str = "clip",
+) -> DataFrame:
+    """Percentile-based outlier handling on the engine's EXACT discrete
+    quantiles: values below the ``lo_q`` cutoff / above the ``hi_q``
+    cutoff are clamped to the cutoffs (``mode='clip'``, the classic
+    winsorization) or their rows dropped (``mode='filter'``) — per group
+    when ``group_col`` is set (each group clips against its OWN
+    distribution: per-language length trimming, per-source score
+    cleaning).
+
+    Cutoffs come from ``quantile_cuts`` (global: one bounded 2-value
+    collect, the clamp is a pure projection) or ``grouped_quantile_cuts``
+    (per group: the cutoff table is 2 rows per group, broadcast back onto
+    the data — the corpus itself never re-shuffles). Exact discrete
+    quantiles, not percentile_approx: the cutoffs are engine-stable, so
+    the DuckDB ``quantile_disc`` oracle states the contract bit-for-bit.
+    Null values pass through ``clip`` untouched and are KEPT by
+    ``filter`` (a null is not an outlier — drop nulls explicitly if
+    unwanted); a group absent from the cutoff table (all-null values)
+    passes through unchanged.
+    """
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
+    if mode not in ("clip", "filter"):
+        raise ValueError(f"mode must be clip|filter, got {mode!r}")
+    if value_col not in df.columns or (group_col and group_col not in df.columns):
+        raise ValueError("value_col/group_col missing from the frame")
+    out_col = value_col if out_col is None else out_col
+    v = F.col(value_col).cast("double")
+    if group_col is None:
+        lo, hi = quantile_cuts(df, value_col, [lo_q, hi_q])
+        lo_c, hi_c = F.lit(lo), F.lit(hi)
+        clipped = df
+    else:
+        cuts = grouped_quantile_cuts(df, group_col, value_col, [lo_q, hi_q])
+        bounds = cuts.groupBy("key").agg(
+            F.max(F.when(F.col("p") == lo_q, F.col("cutoff"))).alias("__w_lo"),
+            F.max(F.when(F.col("p") == hi_q, F.col("cutoff"))).alias("__w_hi"),
+        ).withColumnRenamed("key", group_col)
+        reserved = {"__w_lo", "__w_hi"} & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"input carries reserved column(s) {sorted(reserved)} — rename them"
+            )
+        clipped = df.join(F.broadcast(bounds), group_col, "left")
+        lo_c, hi_c = F.col("__w_lo"), F.col("__w_hi")
+    if mode == "filter":
+        keep = v.isNull() | (
+            (v >= F.coalesce(lo_c, F.lit(float("-inf"))))
+            & (v <= F.coalesce(hi_c, F.lit(float("inf"))))
+        )
+        out = clipped.where(keep)
+        return out.drop("__w_lo", "__w_hi") if group_col else out
+    clamped = F.when(
+        v.isNull() | lo_c.isNull() | hi_c.isNull(), v
+    ).otherwise(F.greatest(lo_c, F.least(hi_c, v)))
+    out = clipped.withColumn(out_col, clamped)
+    return out.drop("__w_lo", "__w_hi") if group_col else out
+
+
 def quantile_cuts_multi(
     df: DataFrame,
     probs_by_col: dict[str, list[float]],

@@ -6,7 +6,9 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from oni_ml_spark.transforms import DECILES, QUINTILES, bin_expr, quantile_cuts
 
@@ -288,3 +290,91 @@ def test_grouped_single_key_equals_ungrouped(spark):
         ).collect()
     }
     assert ung == grp
+
+
+class TestWinsorize:
+    """Percentile clipping vs DuckDB quantile_disc + least/greatest."""
+
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        rows = [("a", i, float((i * 7919) % 1000)) for i in range(200)]
+        rows += [("b", 1000 + i, float(i * i)) for i in range(50)]
+        rows += [("a", 5000, None), ("c", 6000, None)]  # null value; all-null group
+        return spark.createDataFrame(rows, "g string, id bigint, v double")
+
+    def test_global_clip_matches_duckdb(self, spark, vals):
+        import duckdb
+
+        from oni_ml_spark.transforms.quantiles import winsorize
+
+        got = {
+            r["id"]: r["v"]
+            for r in winsorize(vals, "v", 0.05, 0.95).collect()
+        }
+        pdf = vals.toPandas()
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                """
+                WITH c AS (
+                  SELECT quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
+                  FROM pdf
+                )
+                SELECT id, CASE WHEN v IS NULL THEN NULL
+                                ELSE greatest(c.lo, least(c.hi, v)) END
+                FROM pdf, c
+                """
+            ).fetchall()
+        }
+        assert got == want
+        assert got[5000] is None  # null passes through
+
+    def test_grouped_clip_and_filter(self, spark, vals):
+        import duckdb
+
+        from oni_ml_spark.transforms.quantiles import winsorize
+
+        got = {
+            r["id"]: r["v"]
+            for r in winsorize(vals, "v", 0.1, 0.9, group_col="g").collect()
+        }
+        pdf = vals.toPandas()
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                """
+                WITH c AS (
+                  SELECT g, quantile_disc(v, 0.1) AS lo, quantile_disc(v, 0.9) AS hi
+                  FROM pdf GROUP BY g
+                )
+                SELECT p.id, CASE WHEN p.v IS NULL THEN NULL
+                                  ELSE greatest(c.lo, least(c.hi, p.v)) END
+                FROM pdf p LEFT JOIN c ON p.g = c.g
+                """
+            ).fetchall()
+        }
+        assert got == want
+        assert got[6000] is None  # all-null group: value passes through
+        # filter mode drops out-of-band rows, keeps nulls
+        filt = winsorize(vals, "v", 0.1, 0.9, group_col="g", mode="filter")
+        kept = {r["id"] for r in filt.collect()}
+        band = {
+            i for i, val in got.items()
+            if val is None or vals.where(F.col("id") == i).collect()[0]["v"] == val
+        }
+        assert kept == band
+        assert 5000 in kept and 6000 in kept
+
+    def test_out_col_and_validation(self, spark, vals):
+        from oni_ml_spark.transforms.quantiles import winsorize
+
+        out = winsorize(vals, "v", 0.1, 0.9, out_col="v_w")
+        assert "v_w" in out.columns and "v" in out.columns
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="lo_q"):
+            winsorize(vals, "v", 0.9, 0.1)
+        with _pt.raises(ValueError, match="mode"):
+            winsorize(vals, "v", mode="zap")
+        with _pt.raises(ValueError, match="missing"):
+            winsorize(vals, "nope")
