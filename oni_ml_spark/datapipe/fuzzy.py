@@ -82,6 +82,11 @@ def fuzzy_join(
     ``q`` trades candidate selectivity against the short-string cutoff:
     larger q → fewer hot grams but more rows routed to the exact
     short-string path (anything of length ≤ ``q*(max_edits+1) - 1``).
+    SIZE q TO THE GRAM SPACE, not to taste: the gram join's intermediate
+    grows with Σ|gram bucket|², so the alphabet^q space must comfortably
+    exceed the corpus size — measured in SCALE.md (a 20-letter alphabet
+    at q=3 went near-quadratic by 200k rows; q=4 stayed flat). Results
+    are q-invariant (the filter is lossless at every q).
     Ids must be unique per side (the gram-count aggregate keys on them);
     rows with a null id or a null string never participate (excluded
     identically on every path). Case- and whitespace-sensitive by design —

@@ -244,14 +244,19 @@ def winsorize(
 
     Cutoffs come from ``quantile_cuts`` (global: one bounded 2-value
     collect, the clamp is a pure projection) or ``grouped_quantile_cuts``
-    (per group: the cutoff table is 2 rows per group, broadcast back onto
-    the data — the corpus itself never re-shuffles). Exact discrete
-    quantiles, not percentile_approx: the cutoffs are engine-stable, so
-    the DuckDB ``quantile_disc`` oracle states the contract bit-for-bit.
-    Null values pass through ``clip`` untouched and are KEPT by
-    ``filter`` (a null is not an outlier — drop nulls explicitly if
-    unwanted); a group absent from the cutoff table (all-null values)
-    passes through unchanged.
+    (per group: the cutoff table is 2 rows per group, joined back onto
+    the data — AQE broadcasts it while it fits, so bounded group
+    cardinalities never re-shuffle the corpus; a group column with
+    millions of distinct keys falls back to a hash join, which is the
+    correct plan there). Exact discrete quantiles, not percentile_approx:
+    the cutoffs are engine-stable, so the DuckDB ``quantile_disc`` oracle
+    states the contract bit-for-bit. The output column keeps the SOURCE
+    type (discrete cutoffs are actual data values, so the cast back is
+    lossless) and the input column order is preserved. Null values pass
+    through ``clip`` untouched and are KEPT by ``filter``; rows with a
+    NULL group key likewise pass through unchanged (null-never-equals —
+    a null group has no distribution of its own here); a group absent
+    from the cutoff table (all-null values) passes through unchanged.
     """
     if not 0.0 <= lo_q < hi_q <= 1.0:
         raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
@@ -267,29 +272,35 @@ def winsorize(
         clipped = df
     else:
         cuts = grouped_quantile_cuts(df, group_col, value_col, [lo_q, hi_q])
-        bounds = cuts.groupBy("key").agg(
-            F.max(F.when(F.col("p") == lo_q, F.col("cutoff"))).alias("__w_lo"),
-            F.max(F.when(F.col("p") == hi_q, F.col("cutoff"))).alias("__w_hi"),
-        ).withColumnRenamed("key", group_col)
+        bounds = (
+            cuts.where(F.col("key").isNotNull())  # null group: pass-through
+            .groupBy("key")
+            .agg(
+                F.max(F.when(F.col("p") == lo_q, F.col("cutoff"))).alias("__w_lo"),
+                F.max(F.when(F.col("p") == hi_q, F.col("cutoff"))).alias("__w_hi"),
+            )
+            .withColumnRenamed("key", group_col)
+        )
         reserved = {"__w_lo", "__w_hi"} & set(df.columns)
         if reserved:
             raise ValueError(
                 f"input carries reserved column(s) {sorted(reserved)} — rename them"
             )
-        clipped = df.join(F.broadcast(bounds), group_col, "left")
+        # no broadcast hint: AQE broadcasts the 2-rows-per-group table while
+        # it fits; a forced hint would OOM at millions of groups
+        clipped = df.join(bounds, group_col, "left")
         lo_c, hi_c = F.col("__w_lo"), F.col("__w_hi")
+    out_cols = list(df.columns) + ([out_col] if out_col not in df.columns else [])
     if mode == "filter":
-        keep = v.isNull() | (
-            (v >= F.coalesce(lo_c, F.lit(float("-inf"))))
-            & (v <= F.coalesce(hi_c, F.lit(float("inf"))))
-        )
-        out = clipped.where(keep)
-        return out.drop("__w_lo", "__w_hi") if group_col else out
-    clamped = F.when(
-        v.isNull() | lo_c.isNull() | hi_c.isNull(), v
-    ).otherwise(F.greatest(lo_c, F.least(hi_c, v)))
-    out = clipped.withColumn(out_col, clamped)
-    return out.drop("__w_lo", "__w_hi") if group_col else out
+        keep = v.isNull() | lo_c.isNull() | hi_c.isNull() | ((v >= lo_c) & (v <= hi_c))
+        return clipped.where(keep).select(*df.columns)
+    src_type = df.schema[value_col].dataType
+    clamped = (
+        F.when(v.isNull() | lo_c.isNull() | hi_c.isNull(), v)
+        .otherwise(F.greatest(lo_c, F.least(hi_c, v)))
+        .cast(src_type)
+    )
+    return clipped.withColumn(out_col, clamped).select(*out_cols)
 
 
 def quantile_cuts_multi(

@@ -358,23 +358,42 @@ class TestWinsorize:
         # filter mode drops out-of-band rows, keeps nulls
         filt = winsorize(vals, "v", 0.1, 0.9, group_col="g", mode="filter")
         kept = {r["id"] for r in filt.collect()}
-        band = {
-            i for i, val in got.items()
-            if val is None or vals.where(F.col("id") == i).collect()[0]["v"] == val
-        }
+        orig = {r["id"]: r["v"] for r in vals.collect()}  # one collect, not 252 jobs
+        band = {i for i, val in got.items() if val is None or orig[i] == val}
         assert kept == band
         assert 5000 in kept and 6000 in kept
+        # grouped mode preserves the input column order
+        assert filt.columns == vals.columns
 
     def test_out_col_and_validation(self, spark, vals):
         from oni_ml_spark.transforms.quantiles import winsorize
 
         out = winsorize(vals, "v", 0.1, 0.9, out_col="v_w")
         assert "v_w" in out.columns and "v" in out.columns
-        import pytest as _pt
-
-        with _pt.raises(ValueError, match="lo_q"):
+        with pytest.raises(ValueError, match="lo_q"):
             winsorize(vals, "v", 0.9, 0.1)
-        with _pt.raises(ValueError, match="mode"):
+        with pytest.raises(ValueError, match="mode"):
             winsorize(vals, "v", mode="zap")
-        with _pt.raises(ValueError, match="missing"):
+        with pytest.raises(ValueError, match="missing"):
             winsorize(vals, "nope")
+
+    def test_source_dtype_and_null_group_key(self, spark):
+        """Clip keeps the SOURCE dtype (discrete cutoffs are data values —
+        a silent bigint→double would break downstream exact-type appends),
+        and null group keys pass through unchanged (review findings)."""
+        from oni_ml_spark.transforms.quantiles import winsorize
+
+        df = spark.createDataFrame(
+            [("a", i, i) for i in range(100)]
+            + [(None, 1000, 0), (None, 1001, 99_999)],
+            "g string, id bigint, cnt bigint",
+        )
+        out = winsorize(df, "cnt", 0.1, 0.9, group_col="g")
+        assert dict(out.dtypes)["cnt"] == "bigint"
+        rows = {r["id"]: r["cnt"] for r in out.collect()}
+        assert rows[99] == 89  # clipped to the 0.9 cutoff, still an int
+        assert rows[1001] == 99_999  # null group key: untouched
+        filt = winsorize(df, "cnt", 0.1, 0.9, group_col="g", mode="filter")
+        assert filt.where(F.col("g").isNull()).count() == 2  # kept, not judged
+        # global path keeps dtype too
+        assert dict(winsorize(df, "cnt", 0.1, 0.9).dtypes)["cnt"] == "bigint"
