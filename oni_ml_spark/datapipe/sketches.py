@@ -124,3 +124,80 @@ def grouped_approx_quantiles(
     return g.select(
         *group_cols, F.explode(pairs).alias("__pc")
     ).select(*group_cols, F.col("__pc.p").alias("p"), F.col("__pc.cutoff").alias("cutoff"))
+
+
+def corpus_minhash(
+    df: DataFrame, key_col: str, num_hashes: int = 128
+) -> DataFrame:
+    """One-row MinHash signature of the SET of ``key_col`` values — the
+    O(1)-memory way to compare two corpora: how much does today's crawl
+    overlap yesterday's, across datacenters, WITHOUT joining 100 TB
+    against 100 TB (each side reduces to ``num_hashes`` longs; the
+    comparison is driver-side arithmetic).
+
+    Signature component i = min over the corpus of ``xxhash64(key, i)`` —
+    ONE aggregate with map-side combine; duplicates collapse for free
+    (min is idempotent), nulls are excluded. Persist with plain parquet.
+    Broder's classic estimator: P(component_i matches) = J(A, B), so the
+    matching fraction estimates Jaccard with std error ~ 1/sqrt(num
+    hashes) (128 → ±0.09). EXACT merge invariant (tested bit-for-bit):
+    the signature of A ∪ B is the element-wise min of the signatures —
+    daily signatures fold into a running corpus signature without ever
+    touching old data.
+
+    Schema: (sig array<bigint>, n_hashes int). Empty corpus → nulls in
+    every component (min over nothing), which ``estimated_jaccard``
+    rejects explicitly.
+    """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if key_col not in df.columns:
+        raise ValueError(f"column {key_col!r} missing from the frame")
+    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
+    aggs = [
+        F.min(F.xxhash64(F.col(key_col), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return keyed.agg(*aggs).select(
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.lit(num_hashes).alias("n_hashes"),
+    )
+
+
+def merge_corpus_minhash(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Signature of the UNION of two corpora: element-wise min — exact,
+    not approximate (min commutes with union). One zip_with over two
+    1-row frames; signature widths must match."""
+    pa = a.select("n_hashes").first()[0]
+    pb = b.select("n_hashes").first()[0]
+    if pa != pb:
+        raise ValueError(f"signature widths differ: {pa} vs {pb}")
+    other = b.select(F.col("sig").alias("__other_sig"))
+    return a.crossJoin(F.broadcast(other)).select(
+        F.zip_with(
+            "sig", "__other_sig",
+            lambda x, y: F.when(x.isNull(), y).when(y.isNull(), x).otherwise(
+                F.least(x, y)
+            ),
+        ).alias("sig"),
+        "n_hashes",
+    )
+
+
+def estimated_jaccard(a: DataFrame, b: DataFrame) -> float:
+    """Broder estimate of J(A, B) from two ``corpus_minhash`` signatures:
+    the fraction of matching components. Driver-side arithmetic over
+    2·num_hashes longs — no data moves. Raises on an empty-corpus
+    signature (a null component estimates nothing)."""
+    ra, rb = a.first(), b.first()
+    if ra["n_hashes"] != rb["n_hashes"]:
+        raise ValueError(
+            f"signature widths differ: {ra['n_hashes']} vs {rb['n_hashes']}"
+        )
+    sa, sb = list(ra["sig"]), list(rb["sig"])
+    if any(x is None for x in sa) or any(x is None for x in sb):
+        raise ValueError(
+            "signature contains null components (empty corpus) — Jaccard "
+            "with an empty set is 0 by definition; handle that case upstream"
+        )
+    return sum(1 for x, y in zip(sa, sb) if x == y) / len(sa)

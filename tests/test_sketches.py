@@ -118,3 +118,71 @@ class TestGroupedApproxQuantiles:
             F.percentile_approx(F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(1000))
         ).collect()[0][0]
         assert got[0.5] == want
+
+
+class TestCorpusMinhash:
+    """Corpus-level MinHash: Broder estimate accuracy, the EXACT union-merge
+    invariant, dedup idempotence, and empty/width guards."""
+
+    def test_estimate_tracks_true_jaccard(self, spark):
+        from oni_ml_spark.datapipe.sketches import corpus_minhash, estimated_jaccard
+
+        # |A|=1000, |B|=1000, |A∩B|=500 -> J = 500/1500 = 1/3
+        a = spark.createDataFrame([(i,) for i in range(1000)], "k bigint")
+        b = spark.createDataFrame([(i,) for i in range(500, 1500)], "k bigint")
+        sa = corpus_minhash(a, "k", num_hashes=256)
+        sb = corpus_minhash(b, "k", num_hashes=256)
+        est = estimated_jaccard(sa, sb)
+        true_j = 500 / 1500
+        # std err = sqrt(J(1-J)/256) ~ 0.029; 5 sigma band
+        assert abs(est - true_j) < 5 * (true_j * (1 - true_j) / 256) ** 0.5
+        # identical corpora estimate exactly 1; disjoint exactly 0 (whp)
+        assert estimated_jaccard(sa, sa) == 1.0
+        c = spark.createDataFrame([(i,) for i in range(10_000, 11_000)], "k bigint")
+        assert estimated_jaccard(sa, corpus_minhash(c, "k", 256)) < 0.05
+
+    def test_union_merge_exact_and_dedup_idempotent(self, spark):
+        from oni_ml_spark.datapipe.sketches import (
+            corpus_minhash,
+            merge_corpus_minhash,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(300)], "k bigint")
+        b = spark.createDataFrame([(i,) for i in range(200, 600)], "k bigint")
+        merged = merge_corpus_minhash(
+            corpus_minhash(a, "k", 64), corpus_minhash(b, "k", 64)
+        ).first()
+        direct = corpus_minhash(a.unionByName(b), "k", 64).first()
+        assert list(merged["sig"]) == list(direct["sig"])  # bit-for-bit
+        # duplicates and nulls never move a signature
+        noisy = a.unionByName(a).unionByName(
+            spark.createDataFrame([(None,)], "k bigint")
+        )
+        assert list(corpus_minhash(noisy, "k", 64).first()["sig"]) == list(
+            corpus_minhash(a, "k", 64).first()["sig"]
+        )
+
+    def test_guards(self, spark):
+        import pytest
+
+        from oni_ml_spark.datapipe.sketches import (
+            corpus_minhash,
+            estimated_jaccard,
+            merge_corpus_minhash,
+        )
+
+        a = spark.createDataFrame([(1,)], "k bigint")
+        empty = spark.createDataFrame([], "k bigint")
+        with pytest.raises(ValueError, match="empty corpus"):
+            estimated_jaccard(corpus_minhash(a, "k", 8), corpus_minhash(empty, "k", 8))
+        with pytest.raises(ValueError, match="widths differ"):
+            estimated_jaccard(corpus_minhash(a, "k", 8), corpus_minhash(a, "k", 16))
+        with pytest.raises(ValueError, match="widths differ"):
+            merge_corpus_minhash(corpus_minhash(a, "k", 8), corpus_minhash(a, "k", 16))
+        with pytest.raises(ValueError, match="num_hashes"):
+            corpus_minhash(a, "k", 0)
+        with pytest.raises(ValueError, match="missing"):
+            corpus_minhash(a, "nope", 8)
+        # empty-corpus signature merges as the identity (null components lose)
+        m = merge_corpus_minhash(corpus_minhash(empty, "k", 8), corpus_minhash(a, "k", 8))
+        assert list(m.first()["sig"]) == list(corpus_minhash(a, "k", 8).first()["sig"])
