@@ -145,8 +145,12 @@ def corpus_minhash(
     daily signatures fold into a running corpus signature without ever
     touching old data.
 
-    Schema: (sig array<bigint>, n_hashes int). Empty corpus → nulls in
-    every component (min over nothing), which ``estimated_jaccard``
+    Schema: (sig array<bigint>, n_hashes int, key_type string) —
+    ``key_type`` records the key column's Spark type because xxhash64
+    hashes (value, type): the same ids stored as int vs bigint hash
+    differently, and comparing such signatures would silently estimate
+    J ≈ 0 (the plans/bloom key_types discipline). Empty corpus → nulls
+    in every component (min over nothing), which ``estimated_jaccard``
     rejects explicitly.
     """
     if num_hashes < 1:
@@ -161,26 +165,56 @@ def corpus_minhash(
     return keyed.agg(*aggs).select(
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
         F.lit(num_hashes).alias("n_hashes"),
+        F.lit(dict(df.dtypes)[key_col]).alias("key_type"),
     )
+
+
+def _one_signature(df: DataFrame, caller: str):
+    """Exactly-one-row fetch with validation: a directory of appended daily
+    signatures passed whole would otherwise be silently truncated to an
+    arbitrary row (merge them pairwise instead)."""
+    rows = df.take(2)
+    if len(rows) != 1:
+        raise ValueError(
+            f"{caller}: expected a single-row signature frame, got "
+            f"{'none' if not rows else 'several'} row(s) — merge multi-"
+            "signature tables with merge_corpus_minhash first"
+        )
+    return rows[0]
+
+
+def _check_compatible(ra, rb, caller: str) -> None:
+    if ra["n_hashes"] != rb["n_hashes"]:
+        raise ValueError(
+            f"{caller}: signature widths differ: {ra['n_hashes']} vs "
+            f"{rb['n_hashes']}"
+        )
+    if ra["key_type"] != rb["key_type"]:
+        raise ValueError(
+            f"{caller}: signatures were built over different key types "
+            f"({ra['key_type']!r} vs {rb['key_type']!r}) — xxhash64 hashes "
+            "(value, type), so the comparison would silently read as "
+            "disjoint; cast the keys and re-sign"
+        )
 
 
 def merge_corpus_minhash(a: DataFrame, b: DataFrame) -> DataFrame:
     """Signature of the UNION of two corpora: element-wise min — exact,
-    not approximate (min commutes with union). One zip_with over two
-    1-row frames; signature widths must match."""
-    pa = a.select("n_hashes").first()[0]
-    pb = b.select("n_hashes").first()[0]
-    if pa != pb:
-        raise ValueError(f"signature widths differ: {pa} vs {pb}")
-    other = b.select(F.col("sig").alias("__other_sig"))
-    return a.crossJoin(F.broadcast(other)).select(
-        F.zip_with(
-            "sig", "__other_sig",
-            lambda x, y: F.when(x.isNull(), y).when(y.isNull(), x).otherwise(
-                F.least(x, y)
-            ),
-        ).alias("sig"),
-        "n_hashes",
+    not approximate (min commutes with union). Each side is fetched with
+    ONE action and the merge happens driver-side over 2·num_hashes longs
+    (a join formulation would re-evaluate each input's lineage once for
+    validation and again for the result)."""
+    ra = _one_signature(a, "merge_corpus_minhash")
+    rb = _one_signature(b, "merge_corpus_minhash")
+    _check_compatible(ra, rb, "merge_corpus_minhash")
+    merged = [
+        y if x is None else x if y is None else min(x, y)
+        for x, y in zip(ra["sig"], rb["sig"])
+    ]
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(merged, ra["n_hashes"], ra["key_type"])],
+        "sig array<bigint>, n_hashes int, key_type string",
     )
 
 
@@ -188,12 +222,11 @@ def estimated_jaccard(a: DataFrame, b: DataFrame) -> float:
     """Broder estimate of J(A, B) from two ``corpus_minhash`` signatures:
     the fraction of matching components. Driver-side arithmetic over
     2·num_hashes longs — no data moves. Raises on an empty-corpus
-    signature (a null component estimates nothing)."""
-    ra, rb = a.first(), b.first()
-    if ra["n_hashes"] != rb["n_hashes"]:
-        raise ValueError(
-            f"signature widths differ: {ra['n_hashes']} vs {rb['n_hashes']}"
-        )
+    signature (a null component estimates nothing), a multi-row frame,
+    or mismatched widths/key types."""
+    ra = _one_signature(a, "estimated_jaccard")
+    rb = _one_signature(b, "estimated_jaccard")
+    _check_compatible(ra, rb, "estimated_jaccard")
     sa, sb = list(ra["sig"]), list(rb["sig"])
     if any(x is None for x in sa) or any(x is None for x in sb):
         raise ValueError(

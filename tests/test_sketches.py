@@ -186,3 +186,30 @@ class TestCorpusMinhash:
         # empty-corpus signature merges as the identity (null components lose)
         m = merge_corpus_minhash(corpus_minhash(empty, "k", 8), corpus_minhash(a, "k", 8))
         assert list(m.first()["sig"]) == list(corpus_minhash(a, "k", 8).first()["sig"])
+
+
+def test_corpus_minhash_key_type_and_multirow_guards(spark):
+    """xxhash64 hashes (value, type): signatures over int vs bigint keys
+    silently read as disjoint — recorded and refused; multi-row signature
+    frames (appended daily sigs) refuse instead of truncating (review
+    findings)."""
+    import pytest
+
+    from oni_ml_spark.datapipe.sketches import (
+        corpus_minhash,
+        estimated_jaccard,
+        merge_corpus_minhash,
+    )
+
+    a_int = spark.createDataFrame([(i,) for i in range(50)], "k int")
+    a_big = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    sa, sb = corpus_minhash(a_int, "k", 16), corpus_minhash(a_big, "k", 16)
+    with pytest.raises(ValueError, match="different key types"):
+        estimated_jaccard(sa, sb)
+    with pytest.raises(ValueError, match="different key types"):
+        merge_corpus_minhash(sa, sb)
+    multi = sa.unionByName(corpus_minhash(a_int, "k", 16))
+    with pytest.raises(ValueError, match="single-row"):
+        estimated_jaccard(multi, sa)
+    with pytest.raises(ValueError, match="single-row"):
+        merge_corpus_minhash(sa, multi)
