@@ -303,6 +303,62 @@ def winsorize(
     return clipped.withColumn(out_col, clamped).select(*out_cols)
 
 
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Attach each row's exact empirical percentile P(X <= x) — SQL
+    ``cume_dist()`` — WITHOUT the global (or per-group) sort window that
+    makes the naive form a single-reducer plan: the distinct-value ECDF
+    table (|distinct values| rows, prefix-summed with per-group window
+    parallelism) joins back onto the data by (group,) value. The corpus
+    shuffles once for the equi join; the window only ever sees distinct
+    values. The rank-transform / quantile-normalization feature step.
+
+    Joining on the double-cast value is exact: both sides cast the SAME
+    raw values identically, so the equality is bit-for-bit. Rows with a
+    null value — or, grouped, a null group key — get a NULL rank
+    (null-never-equals; a null is not ranked against anything). DuckDB's
+    ``cume_dist`` over non-null rows is the test oracle.
+    """
+    if value_col not in df.columns or (group_col and group_col not in df.columns):
+        raise ValueError("value_col/group_col missing from the frame")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} collides with an input column")
+    v = F.col(value_col).cast("double")
+    if group_col is None:
+        table = ecdf(df, value_col).select(
+            F.col("value").alias("__pr_v"), F.col("cdf").alias(out_col)
+        )
+        return df.join(table, v == F.col("__pr_v"), "left").drop("__pr_v")
+    counts = (
+        df.select(F.col(group_col).alias("__pr_g"), v.alias("__pr_v"))
+        .where(F.col("__pr_v").isNotNull() & F.col("__pr_g").isNotNull())
+        .groupBy("__pr_g", "__pr_v")
+        .agg(F.count(F.lit(1)).alias("__pr_n"))
+    )
+    w_cum = (
+        Window.partitionBy("__pr_g")
+        .orderBy("__pr_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("__pr_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    table = counts.select(
+        "__pr_g",
+        "__pr_v",
+        (F.sum("__pr_n").over(w_cum) / F.sum("__pr_n").over(w_tot)).alias(out_col),
+    )
+    return df.join(
+        table,
+        (F.col(group_col) == F.col("__pr_g")) & (v == F.col("__pr_v")),
+        "left",
+    ).drop("__pr_g", "__pr_v")
+
+
 def quantile_cuts_multi(
     df: DataFrame,
     probs_by_col: dict[str, list[float]],

@@ -397,3 +397,72 @@ class TestWinsorize:
         assert filt.where(F.col("g").isNull()).count() == 2  # kept, not judged
         # global path keeps dtype too
         assert dict(winsorize(df, "cnt", 0.1, 0.9).dtypes)["cnt"] == "bigint"
+
+
+class TestPercentileRank:
+    """Join-based exact cume_dist vs DuckDB's window function."""
+
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        rows = [("a", i, float((i * 31) % 40)) for i in range(120)]  # heavy ties
+        rows += [("b", 1000 + i, float(i)) for i in range(30)]
+        rows += [("a", 5000, None), (None, 6000, 7.0)]
+        return spark.createDataFrame(rows, "g string, id bigint, v double")
+
+    def test_global_matches_duckdb_cume_dist(self, spark, vals):
+        import duckdb
+
+        from oni_ml_spark.transforms.quantiles import percentile_rank
+
+        got = {r["id"]: r["pct_rank"] for r in percentile_rank(vals, "v").collect()}
+        pdf = vals.toPandas()
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                """
+                SELECT id, cume_dist() OVER (ORDER BY v) FROM pdf WHERE v IS NOT NULL
+                """
+            ).fetchall()
+        }
+        for i, p in want.items():
+            assert abs(got[i] - p) < 1e-12, i
+        assert got[5000] is None  # null value: unranked
+
+    def test_grouped_matches_duckdb(self, spark, vals):
+        import duckdb
+
+        from oni_ml_spark.transforms.quantiles import percentile_rank
+
+        got = {
+            r["id"]: r["pct_rank"]
+            for r in percentile_rank(vals, "v", group_col="g").collect()
+        }
+        pdf = vals.toPandas()
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                """
+                SELECT id, cume_dist() OVER (PARTITION BY g ORDER BY v)
+                FROM pdf WHERE v IS NOT NULL AND g IS NOT NULL
+                """
+            ).fetchall()
+        }
+        for i, p in want.items():
+            assert abs(got[i] - p) < 1e-12, i
+        assert got[5000] is None and got[6000] is None  # null value / group
+        # row count preserved (left join, nothing dropped)
+        assert percentile_rank(vals, "v", group_col="g").count() == vals.count()
+
+    def test_no_data_sized_window_and_validation(self, spark, vals):
+        from oni_ml_spark.plans.diagnostics import plan_report
+        from oni_ml_spark.transforms.quantiles import percentile_rank
+
+        rep = plan_report(percentile_rank(vals, "v", group_col="g"))
+        # windows exist but over the distinct-value table; the corpus side
+        # reaches the join through scan+aggregate, never through a sort of
+        # the full data by value (no global single-partition exchange)
+        assert "Exchange SinglePartition" not in rep["plan"]
+        with pytest.raises(ValueError, match="collides"):
+            percentile_rank(vals, "v", out_col="v")
+        with pytest.raises(ValueError, match="missing"):
+            percentile_rank(vals, "nope")
