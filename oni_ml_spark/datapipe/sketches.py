@@ -234,3 +234,65 @@ def estimated_jaccard(a: DataFrame, b: DataFrame) -> float:
             "with an empty set is 0 by definition; handle that case upstream"
         )
     return sum(1 for x, y in zip(sa, sb) if x == y) / len(sa)
+
+
+def estimated_overlap(a: DataFrame, b: DataFrame, key_col: str, lg_k: int = 14) -> dict:
+    """Approximate set algebra between two corpora's key sets WITHOUT a
+    join — the count-flavored companion to ``corpus_minhash`` (which
+    estimates the Jaccard ratio): returns ``n_a``, ``n_b``, ``n_union``
+    (HLL estimates), ``n_intersect`` (inclusion–exclusion), plus the
+    derived ``jaccard`` and both containment fractions — "how much of
+    yesterday's crawl survives in today's" with three bounded aggregates
+    and kilobytes of sketch state in flight.
+
+    Each side reduces to one ~2^lg_k-bucket Datasketches HLL sketch in a
+    map-side-combinable aggregate; the union sketch merges the two
+    binary states driver-side through ``hll_union_agg`` over a 2-row
+    frame. Inclusion–exclusion inherits HLL's relative error (~1.6% at
+    the default — but on |A∩B|, the SUBTRACTION amplifies it: a small
+    true intersection between two huge sets can even estimate negative,
+    clamped to 0 here and honest in the returned ``rse`` field; use
+    ``corpus_minhash`` when the RATIO is what matters). Keys must share
+    one type (enforced — HLL hashes typed values, same trap as the
+    MinHash/bloom family).
+    """
+    for side, df in (("a", a), ("b", b)):
+        if key_col not in df.columns:
+            raise ValueError(f"side {side} lacks key column {key_col!r}")
+    ta, tb = dict(a.dtypes)[key_col], dict(b.dtypes)[key_col]
+    if ta != tb:
+        raise ValueError(
+            f"key types differ ({ta} vs {tb}) — HLL hashes typed values; "
+            "cast both sides first"
+        )
+    spark = a.sparkSession
+
+    def sketch(df: DataFrame):
+        return df.where(F.col(key_col).isNotNull()).agg(
+            F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("s")
+        )
+
+    sa = sketch(a).collect()[0]["s"]
+    sb = sketch(b).collect()[0]["s"]
+    two = spark.createDataFrame([(sa,), (sb,)], "s binary")
+    row = two.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n_union")
+    ).collect()[0]
+    est = spark.createDataFrame([(sa, sb)], "sa binary, sb binary").select(
+        F.hll_sketch_estimate("sa").alias("n_a"),
+        F.hll_sketch_estimate("sb").alias("n_b"),
+    ).collect()[0]
+    n_a, n_b = float(est["n_a"]), float(est["n_b"])
+    n_union = float(row["n_union"])
+    n_intersect = max(0.0, n_a + n_b - n_union)
+    rse = 1.04 / (2 ** (lg_k / 2))  # standard HLL relative error
+    return {
+        "n_a": round(n_a),
+        "n_b": round(n_b),
+        "n_union": round(n_union),
+        "n_intersect": round(n_intersect),
+        "jaccard": n_intersect / n_union if n_union > 0 else 0.0,
+        "containment_a_in_b": n_intersect / n_a if n_a > 0 else 0.0,
+        "containment_b_in_a": n_intersect / n_b if n_b > 0 else 0.0,
+        "rse": rse,
+    }

@@ -213,3 +213,32 @@ def test_corpus_minhash_key_type_and_multirow_guards(spark):
         estimated_jaccard(multi, sa)
     with pytest.raises(ValueError, match="single-row"):
         merge_corpus_minhash(sa, multi)
+
+
+def test_estimated_overlap_counts(spark):
+    """HLL inclusion-exclusion overlap vs exact set algebra: every count
+    within 5x the published relative error; containments and jaccard
+    derived consistently; type-mismatch and empty edges guarded."""
+    import pytest
+
+    from oni_ml_spark.datapipe.sketches import estimated_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(10_000)], "k bigint")
+    b = spark.createDataFrame([(i,) for i in range(6_000, 14_000)], "k bigint")
+    got = estimated_overlap(a, b, "k", lg_k=14)
+    tol = 5 * got["rse"]
+    assert abs(got["n_a"] - 10_000) <= tol * 10_000
+    assert abs(got["n_b"] - 8_000) <= tol * 8_000
+    assert abs(got["n_union"] - 14_000) <= tol * 14_000
+    # intersection inherits amplified error: allow the sum of the parts
+    assert abs(got["n_intersect"] - 4_000) <= tol * (10_000 + 8_000 + 14_000)
+    assert abs(got["jaccard"] - 4_000 / 14_000) < 0.1
+    assert 0 <= got["containment_a_in_b"] <= 1
+    # disjoint sets: intersection clamps at >= 0 and stays small
+    c = spark.createDataFrame([(i,) for i in range(50_000, 60_000)], "k bigint")
+    dj = estimated_overlap(a, c, "k", lg_k=14)
+    assert dj["n_intersect"] <= tol * 30_000 and dj["jaccard"] < 0.05
+    with pytest.raises(ValueError, match="key types differ"):
+        estimated_overlap(a, spark.createDataFrame([(1,)], "k int"), "k")
+    with pytest.raises(ValueError, match="lacks key column"):
+        estimated_overlap(a, b, "nope")
