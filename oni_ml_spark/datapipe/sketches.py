@@ -245,16 +245,20 @@ def estimated_overlap(a: DataFrame, b: DataFrame, key_col: str, lg_k: int = 14) 
     yesterday's crawl survives in today's" with three bounded aggregates
     and kilobytes of sketch state in flight.
 
-    Each side reduces to one ~2^lg_k-bucket Datasketches HLL sketch in a
-    map-side-combinable aggregate; the union sketch merges the two
-    binary states driver-side through ``hll_union_agg`` over a 2-row
-    frame. Inclusion–exclusion inherits HLL's relative error (~1.6% at
-    the default — but on |A∩B|, the SUBTRACTION amplifies it: a small
-    true intersection between two huge sets can even estimate negative,
-    clamped to 0 here and honest in the returned ``rse`` field; use
-    ``corpus_minhash`` when the RATIO is what matters). Keys must share
-    one type (enforced — HLL hashes typed values, same trap as the
-    MinHash/bloom family).
+    Each side reduces to one ~2^lg_k-bucket Datasketches HLL sketch (plus
+    its estimate, riding the SAME aggregate) in a map-side-combinable
+    action; the union sketch merges the two binary states driver-side
+    through ``hll_union_agg`` over a 2-row frame — three Spark jobs
+    total. Inclusion–exclusion inherits HLL's relative error (``rse`` ≈
+    1.04/√2^lg_k — 0.81% at the default lg_k=14) — but on |A∩B| the
+    SUBTRACTION amplifies it: the intersect's ABSOLUTE error is bounded
+    by ~rse·(n_a + n_b + n_union), returned as
+    ``intersect_abs_error`` — size confidence intervals on the
+    intersection with THAT, never with rse·n_intersect (a small true
+    overlap between two huge sets can even estimate negative, clamped to
+    0 here; use ``corpus_minhash`` when the RATIO is what matters). Keys
+    must share one type (enforced — HLL hashes typed values, same trap
+    as the MinHash/bloom family).
     """
     for side, df in (("a", a), ("b", b)):
         if key_col not in df.columns:
@@ -268,22 +272,20 @@ def estimated_overlap(a: DataFrame, b: DataFrame, key_col: str, lg_k: int = 14) 
     spark = a.sparkSession
 
     def sketch(df: DataFrame):
-        return df.where(F.col(key_col).isNotNull()).agg(
+        # estimate rides the sketch's own action — no second job per side
+        agg = df.where(F.col(key_col).isNotNull()).agg(
             F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("s")
         )
+        return agg.select("s", F.hll_sketch_estimate("s").alias("n")).collect()[0]
 
-    sa = sketch(a).collect()[0]["s"]
-    sb = sketch(b).collect()[0]["s"]
-    two = spark.createDataFrame([(sa,), (sb,)], "s binary")
-    row = two.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n_union")
-    ).collect()[0]
-    est = spark.createDataFrame([(sa, sb)], "sa binary, sb binary").select(
-        F.hll_sketch_estimate("sa").alias("n_a"),
-        F.hll_sketch_estimate("sb").alias("n_b"),
-    ).collect()[0]
-    n_a, n_b = float(est["n_a"]), float(est["n_b"])
-    n_union = float(row["n_union"])
+    ra, rb = sketch(a), sketch(b)
+    n_a, n_b = float(ra["n"]), float(rb["n"])
+    two = spark.createDataFrame([(ra["s"],), (rb["s"],)], "s binary")
+    n_union = float(
+        two.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n_union")
+        ).collect()[0]["n_union"]
+    )
     n_intersect = max(0.0, n_a + n_b - n_union)
     rse = 1.04 / (2 ** (lg_k / 2))  # standard HLL relative error
     return {
@@ -295,4 +297,5 @@ def estimated_overlap(a: DataFrame, b: DataFrame, key_col: str, lg_k: int = 14) 
         "containment_a_in_b": n_intersect / n_a if n_a > 0 else 0.0,
         "containment_b_in_a": n_intersect / n_b if n_b > 0 else 0.0,
         "rse": rse,
+        "intersect_abs_error": rse * (n_a + n_b + n_union),
     }

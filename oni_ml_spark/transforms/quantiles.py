@@ -317,24 +317,37 @@ def percentile_rank(
     shuffles once for the equi join; the window only ever sees distinct
     values. The rank-transform / quantile-normalization feature step.
 
-    Joining on the double-cast value is exact: both sides cast the SAME
-    raw values identically, so the equality is bit-for-bit. Rows with a
-    null value — or, grouped, a null group key — get a NULL rank
-    (null-never-equals; a null is not ranked against anything). DuckDB's
-    ``cume_dist`` over non-null rows is the test oracle.
+    Path asymmetry, on purpose: the GLOBAL path reuses the battery-proven
+    bucketed ``ecdf`` (its prefix sums ride data-derived value buckets —
+    no single-partition window even over millions of distinct values) and
+    therefore compares in DOUBLE space — distinct integers past 2^53
+    would collapse to one rank there; the GROUPED path keys its CDF table
+    on the value's NATIVE type (exact for every type) with per-group
+    window parallelism. Rows with a null value — or, grouped, a null
+    group key — get a NULL rank (null-never-equals; a null is not ranked
+    against anything). DuckDB's ``cume_dist`` over non-null rows is the
+    test oracle. (The per-group prefix-sum block intentionally mirrors
+    grouped_quantile_cuts' shape; unifying the CDF builders into one
+    helper is deferred — those back frozen battery entries.)
     """
     if value_col not in df.columns or (group_col and group_col not in df.columns):
         raise ValueError("value_col/group_col missing from the frame")
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} collides with an input column")
-    v = F.col(value_col).cast("double")
+    reserved = {"__pr_g", "__pr_v", "__pr_n"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input carries reserved column(s) {sorted(reserved)} — rename them"
+        )
     if group_col is None:
         table = ecdf(df, value_col).select(
             F.col("value").alias("__pr_v"), F.col("cdf").alias(out_col)
         )
-        return df.join(table, v == F.col("__pr_v"), "left").drop("__pr_v")
+        return df.join(
+            table, F.col(value_col).cast("double") == F.col("__pr_v"), "left"
+        ).drop("__pr_v")
     counts = (
-        df.select(F.col(group_col).alias("__pr_g"), v.alias("__pr_v"))
+        df.select(F.col(group_col).alias("__pr_g"), F.col(value_col).alias("__pr_v"))
         .where(F.col("__pr_v").isNotNull() & F.col("__pr_g").isNotNull())
         .groupBy("__pr_g", "__pr_v")
         .agg(F.count(F.lit(1)).alias("__pr_n"))
@@ -354,7 +367,8 @@ def percentile_rank(
     )
     return df.join(
         table,
-        (F.col(group_col) == F.col("__pr_g")) & (v == F.col("__pr_v")),
+        (F.col(group_col) == F.col("__pr_g"))
+        & (F.col(value_col) == F.col("__pr_v")),
         "left",
     ).drop("__pr_g", "__pr_v")
 

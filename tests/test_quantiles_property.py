@@ -466,3 +466,21 @@ class TestPercentileRank:
             percentile_rank(vals, "v", out_col="v")
         with pytest.raises(ValueError, match="missing"):
             percentile_rank(vals, "nope")
+        with pytest.raises(ValueError, match="reserved"):
+            percentile_rank(vals.withColumn("__pr_v", F.lit(1)), "v")
+
+    def test_grouped_native_types_past_2_53(self, spark):
+        """The grouped CDF keys on the native type: adjacent bigints past
+        2^53 (which collapse under a double cast) keep distinct ranks
+        (review finding)."""
+        from oni_ml_spark.transforms.quantiles import percentile_rank
+
+        big = 1 << 53
+        df = spark.createDataFrame(
+            [("g", big), ("g", big + 1), ("g", big + 2)], "g string, v bigint"
+        )
+        got = sorted(
+            r["pct_rank"]
+            for r in percentile_rank(df, "v", group_col="g").collect()
+        )
+        assert got == [pytest.approx(1 / 3), pytest.approx(2 / 3), pytest.approx(1.0)]

@@ -230,14 +230,15 @@ def test_estimated_overlap_counts(spark):
     assert abs(got["n_a"] - 10_000) <= tol * 10_000
     assert abs(got["n_b"] - 8_000) <= tol * 8_000
     assert abs(got["n_union"] - 14_000) <= tol * 14_000
-    # intersection inherits amplified error: allow the sum of the parts
-    assert abs(got["n_intersect"] - 4_000) <= tol * (10_000 + 8_000 + 14_000)
+    # intersection inherits amplified error: the function's own bound
+    assert abs(got["n_intersect"] - 4_000) <= 5 * got["intersect_abs_error"]
+    assert got["intersect_abs_error"] > got["rse"] * got["n_intersect"]
     assert abs(got["jaccard"] - 4_000 / 14_000) < 0.1
     assert 0 <= got["containment_a_in_b"] <= 1
     # disjoint sets: intersection clamps at >= 0 and stays small
     c = spark.createDataFrame([(i,) for i in range(50_000, 60_000)], "k bigint")
     dj = estimated_overlap(a, c, "k", lg_k=14)
-    assert dj["n_intersect"] <= tol * 30_000 and dj["jaccard"] < 0.05
+    assert dj["n_intersect"] <= 5 * dj["intersect_abs_error"] and dj["jaccard"] < 0.05
     with pytest.raises(ValueError, match="key types differ"):
         estimated_overlap(a, spark.createDataFrame([(1,)], "k int"), "k")
     with pytest.raises(ValueError, match="lacks key column"):
