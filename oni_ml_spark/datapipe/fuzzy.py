@@ -73,6 +73,7 @@ def fuzzy_join(
     right_str: str | None = None,
     max_edits: int = 1,
     q: int = 3,
+    max_expansion_per_gram_row: float | None = 64.0,
 ) -> DataFrame:
     """All (left_id, right_id, distance) pairs with
     ``levenshtein(left_str, right_str) <= max_edits`` — result-identical
@@ -87,6 +88,17 @@ def fuzzy_join(
     exceed the corpus size — measured in SCALE.md (a 20-letter alphabet
     at q=3 went near-quadratic by 200k rows; q=4 stayed flat). Results
     are q-invariant (the filter is lossless at every q).
+
+    That sizing rule is ENFORCED, not just documented (r7 verdict): before
+    the gram join runs, ONE bounded pre-flight aggregate computes the
+    join's EXACT output cardinality (Σ over shared grams of
+    |left bucket|·|right bucket|) from the per-gram counts. If it exceeds
+    ``max_expansion_per_gram_row`` × the total gram rows — i.e. the join
+    is in its quadratic regime, not the ~constant-factor one — the call
+    refuses with the measured blowup and the advice to raise ``q``.
+    The pre-flight is linear with a gram-keyed shuffle (a fraction of the
+    join it is sizing) and catches the small-alphabet footgun the bench
+    measured; ``None`` skips it when the corpus is known-sized.
     Ids must be unique per side (the gram-count aggregate keys on them);
     rows with a null id or a null string never participate (excluded
     identically on every path). Case- and whitespace-sensitive by design —
@@ -128,6 +140,38 @@ def fuzzy_join(
     # long × long: positional q-gram count filter, then exact verify
     lg = _grams(l_long, "l", q)
     rg = _grams(r_long, "r", q)
+    if max_expansion_per_gram_row is not None:
+        # exact gram-join cardinality from per-gram bucket counts: one
+        # full-outer join of two |distinct grams|-row aggregates, reduced
+        # to a single row — Σ l_c·r_c is exactly the row count the gram
+        # equi join below would produce (before the position filter)
+        lc = lg.groupBy("gram").agg(F.count(F.lit(1)).alias("l_c"))
+        rc = rg.groupBy("gram").agg(F.count(F.lit(1)).alias("r_c"))
+        pre = (
+            lc.join(rc, "gram", "full_outer")
+            .agg(
+                F.sum("l_c").alias("lg_rows"),
+                F.sum("r_c").alias("rg_rows"),
+                F.sum(
+                    F.coalesce(F.col("l_c"), F.lit(0)).cast("double")
+                    * F.coalesce(F.col("r_c"), F.lit(0)).cast("double")
+                ).alias("pairs"),
+            )
+            .collect()[0]
+        )
+        gram_rows = (pre["lg_rows"] or 0) + (pre["rg_rows"] or 0)
+        pairs = pre["pairs"] or 0.0
+        if gram_rows and pairs > max_expansion_per_gram_row * gram_rows:
+            raise ValueError(
+                f"fuzzy_join: the q={q} gram join would produce "
+                f"{pairs:.3g} candidate rows from {gram_rows} gram rows "
+                f"({pairs / gram_rows:.1f}x expansion > "
+                f"max_expansion_per_gram_row={max_expansion_per_gram_row}) — "
+                "the gram space is too small for this corpus (quadratic "
+                "regime; see SCALE.md). Raise q (alphabet^q must comfortably "
+                "exceed the corpus size), or raise/disable "
+                "max_expansion_per_gram_row explicitly"
+            )
     counted = (
         lg.select("l_id", "gram", F.col("pos").alias("l_pos"))
         .join(rg.select("r_id", "gram", F.col("pos").alias("r_pos")), "gram")
@@ -203,6 +247,7 @@ def fuzzy_dedup_groups(
     max_edits: int = 1,
     q: int = 3,
     max_iter: int = 20,
+    max_expansion_per_gram_row: float | None = 64.0,
 ) -> DataFrame:
     """(``id_col``, cluster, keep) — typo-level duplicate grouping:
     ``fuzzy_join`` self-pairs → connected components → per-cluster
@@ -216,7 +261,10 @@ def fuzzy_dedup_groups(
     from oni_ml_spark.datapipe.dedup import connected_components
 
     pairs = (
-        fuzzy_join(df, df, id_col, str_col, max_edits=max_edits, q=q)
+        fuzzy_join(
+            df, df, id_col, str_col, max_edits=max_edits, q=q,
+            max_expansion_per_gram_row=max_expansion_per_gram_row,
+        )
         .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
         .select(
             F.col(f"{id_col}_l").alias("id_a"), F.col(f"{id_col}_r").alias("id_b")

@@ -870,7 +870,14 @@ def write_training_shards(
     sharded = shard_positions(
         with_ids, id_name, shard_size, shard_name="shard", pos_name=None
     )
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    # partitionOverwriteMode=static per-write: under a session-level
+    # "dynamic" setting, overwrite would only replace the shard=K dirs this
+    # export produces — stale shards from a previous LARGER export would
+    # survive, and the manifest read-back below would certify them as valid
+    # data. Static overwrite truncates the whole out_dir first.
+    sharded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("shard").parquet(out_dir)
     spark = df.sparkSession
     try:
         back = spark.read.parquet(out_dir).select("shard", id_name)

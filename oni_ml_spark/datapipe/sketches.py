@@ -279,6 +279,17 @@ def estimated_overlap(a: DataFrame, b: DataFrame, key_col: str, lg_k: int = 14) 
         return agg.select("s", F.hll_sketch_estimate("s").alias("n")).collect()[0]
 
     ra, rb = sketch(a), sketch(b)
+    # hll_sketch_agg over zero non-null keys yields an empty sketch
+    # (estimate 0; null on some builds) — reject with the side named
+    # (mirrors estimated_jaccard's empty-corpus contract) instead of
+    # crashing on float(None) / silently dividing by a 0 estimate below
+    for side, r in (("a", ra), ("b", rb)):
+        if r["s"] is None or r["n"] is None or float(r["n"]) == 0.0:
+            raise ValueError(
+                f"estimated_overlap: side {side!r} has no non-null "
+                f"{key_col!r} keys — overlap with an empty set is 0 by "
+                "definition; handle that case upstream"
+            )
     n_a, n_b = float(ra["n"]), float(rb["n"])
     two = spark.createDataFrame([(ra["s"],), (rb["s"],)], "s binary")
     n_union = float(

@@ -23,24 +23,39 @@ def _validate_changelog(
     upsert_token: str,
     delete_token: str,
     caller: str,
+    non_seed=None,
+    initial_seq=None,
 ) -> None:
     """Reject null keys, null seq, unknown op tokens, and duplicate
     (key, seq) pairs in ONE bounded aggregate (shared by ``apply_changelog``
     and ``scd2_history`` — a seq tie makes the winner / interval order
-    nondeterministic in both)."""
+    nondeterministic in both). When ``non_seed`` (a boolean Column marking
+    real changelog rows) and ``initial_seq`` are given, the SAME aggregate
+    also rejects any real change at seq <= initial_seq — the seeded base
+    snapshot must strictly precede every change, else the history would
+    supersede a straggler that apply_changelog would honor."""
     null_key = (
         F.greatest(*[F.col(c).isNull().cast("int") for c in keys])
         if len(keys) > 1
         else F.col(keys[0]).isNull().cast("int")
     )
     bad_op = (~F.col(op_col).isin(upsert_token, delete_token)).cast("int")
-    stats = changes.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(null_key).alias("null_keys"),
         F.sum(F.col(seq_col).isNull().cast("int")).alias("null_seq"),
         F.sum(F.coalesce(bad_op, F.lit(1))).alias("bad_ops"),
         F.count_distinct(*[F.col(c) for c in keys], F.col(seq_col)).alias("nd"),
-    ).collect()[0]
+    ]
+    if non_seed is not None:
+        aggs.append(F.min(F.when(non_seed, F.col(seq_col))).alias("lo"))
+    stats = changes.agg(*aggs).collect()[0]
+    if non_seed is not None and stats["lo"] is not None and stats["lo"] <= initial_seq:
+        raise ValueError(
+            f"{caller}: changes contain seq {stats['lo']} <= initial_seq "
+            f"{initial_seq} — the seeded base snapshot must strictly "
+            "precede every change (lower initial_seq or fix the changelog)"
+        )
     if stats["null_keys"]:
         raise ValueError(f"{caller}: changes contain {stats['null_keys']} null-key row(s)")
     if stats["null_seq"]:
@@ -295,24 +310,30 @@ def scd2_history(
         # at seq <= initial_seq would be SUPERSEDED by the seed version in
         # the history while apply_changelog would let it override the base
         # snapshot — silently breaking the as_of == apply_changelog
-        # invariant. One bounded aggregate; runs with the validation below.
-        lo = changes.agg(F.min(F.col(seq_col)).alias("lo")).collect()[0]["lo"]
-        if lo is not None and lo <= initial_seq:
-            raise ValueError(
-                f"scd2_history: changes contain seq {lo} <= initial_seq "
-                f"{initial_seq} — the seeded base snapshot must strictly "
-                "precede every change (lower initial_seq or fix the changelog)"
-            )
+        # invariant. A __seed marker lets _validate_changelog fold that
+        # check into its ONE bounded aggregate over the union (which also
+        # catches duplicate keys inside the seed itself).
         seed = initial.select(
             *keys,
             *want_payload,
             F.lit(upsert_token).alias(op_col),
             F.lit(initial_seq).cast(dict(changes.dtypes)[seq_col]).alias(seq_col),
+            F.lit(True).alias("__seed"),
         )
-        changes = changes.select(*keys, *want_payload, op_col, seq_col).unionByName(seed)
-    _validate_changelog(
-        changes, keys, op_col, seq_col, upsert_token, delete_token, "scd2_history"
-    )
+        marked = (
+            changes.select(*keys, *want_payload, op_col, seq_col)
+            .withColumn("__seed", F.lit(False))
+            .unionByName(seed)
+        )
+        _validate_changelog(
+            marked, keys, op_col, seq_col, upsert_token, delete_token,
+            "scd2_history", non_seed=~F.col("__seed"), initial_seq=initial_seq,
+        )
+        changes = marked.drop("__seed")
+    else:
+        _validate_changelog(
+            changes, keys, op_col, seq_col, upsert_token, delete_token, "scd2_history"
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col))
     return (
         changes.withColumn("__next", F.lead(seq_col).over(w))
