@@ -116,6 +116,7 @@ def weighted_sample_k(
     k: int,
     group_cols: list[str] | str | None = None,
     salt: str = "",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: k rows where
     each row's inclusion is biased by ``weight_col`` — the quality-weighted
@@ -144,9 +145,16 @@ def weighted_sample_k(
     differ even though the draw treats them as one). The secondary sort
     on the key itself makes everything else a total order, hash
     collisions included.
+
+    ``hash_fn``: ``'xxhash64'`` (default — cheapest) or ``'md5'``, the
+    engine-portable 32-bit md5-prefix hash the rest of the deterministic-
+    sampling family uses — pick it when another engine (the DuckDB oracle,
+    a warehouse job) must reproduce the exact draw.
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     for c in (key_col, weight_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} missing from the frame")
@@ -155,10 +163,17 @@ def weighted_sample_k(
         raise ValueError(
             f"input carries reserved column(s) {sorted(reserved)} — rename them"
         )
-    m = F.lit(1 << 40)
-    u = (
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), m).cast("double") + 1.0
-    ) / (F.lit(float(1 << 40)) + 2.0)
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        u = (h.cast("double") + 1.0) / (float(1 << 32) + 2.0)
+    else:
+        m = F.lit(1 << 40)
+        u = (
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), m).cast("double") + 1.0
+        ) / (F.lit(float(1 << 40)) + 2.0)
     w = F.col(weight_col).cast("double")
     arrival = (
         F.when(

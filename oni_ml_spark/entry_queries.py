@@ -445,22 +445,83 @@ def set_ops(spark, sf):
     "UNION ALL SELECT * FROM u), "
     "mo AS (SELECT * FROM c WHERE c_custkey NOT IN (SELECT c_custkey FROM u) "
     "UNION ALL SELECT u.* FROM u JOIN (SELECT DISTINCT c_custkey FROM c) b "
-    "USING (c_custkey)) "
+    "USING (c_custkey)), "
+    # -- CDC ring (r8 merge): changelog with upserts + deletes + inserts at
+    # -- seqs 1..3, applied via the row_number winner per key (the literal
+    # -- MERGE-with-delete expansion apply_changelog implements)
+    "ch AS ("
+    "  SELECT c_custkey AS k, c_name || '@1' AS nm, c_acctbal + 1.0 AS bal, "
+    "    'upsert' AS op, 1 AS seq FROM c WHERE c_custkey % 7 = 0 "
+    "  UNION ALL SELECT c_custkey, c_name, c_acctbal, 'delete', 2 "
+    "    FROM c WHERE c_custkey % 5 = 0 "
+    "  UNION ALL SELECT c_custkey, c_name || '@3', -c_acctbal, 'upsert', 3 "
+    "    FROM c WHERE c_custkey % 3 = 0 "
+    "  UNION ALL SELECT c_custkey + 1000000, c_name || '#cdc', c_acctbal + 0.25, "
+    "    'upsert', 2 FROM c WHERE c_custkey % 11 = 0), "
+    "win AS (SELECT * FROM (SELECT ch.*, row_number() "
+    "  OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1), "
+    "cdc AS ("
+    "  SELECT c_custkey AS k, c_name AS nm, c_acctbal AS bal FROM c "
+    "  WHERE c_custkey NOT IN (SELECT k FROM win) "
+    "  UNION ALL SELECT k, nm, bal FROM win WHERE op = 'upsert'), "
+    # -- SCD2: seed the base snapshot as upserts at seq 0, lead(seq) closes
+    # -- each version; validity is encoded into the name string so the part
+    # -- shares the entry's (key, name, bal) row shape
+    "h0 AS (SELECT k, nm, bal, op, seq FROM ch "
+    "  UNION ALL SELECT c_custkey, c_name, c_acctbal, 'upsert', 0 FROM c), "
+    "hist AS (SELECT k, nm, bal, op, seq AS vf, "
+    "  lead(seq) OVER (PARTITION BY k ORDER BY seq) AS vt FROM h0), "
+    "scd2 AS (SELECT k, nm || '|' || vf::VARCHAR || '|' || "
+    "  coalesce(vt::VARCHAR, 'open') AS nm, bal FROM hist WHERE op = 'upsert'), "
+    # -- as-of t=2 == apply_changelog(base, changes with seq <= 2)
+    "ch2 AS (SELECT * FROM ch WHERE seq <= 2), "
+    "win2 AS (SELECT * FROM (SELECT ch2.*, row_number() "
+    "  OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch2) WHERE rn = 1), "
+    "aof AS ("
+    "  SELECT c_custkey AS k, c_name AS nm, c_acctbal AS bal FROM c "
+    "  WHERE c_custkey NOT IN (SELECT k FROM win2) "
+    "  UNION ALL SELECT k, nm, bal FROM win2 WHERE op = 'upsert') "
     "SELECT 'upsert' AS part, c_custkey, c_name, round(c_acctbal, 6) AS bal FROM m "
     "UNION ALL "
-    "SELECT 'update_only', c_custkey, c_name, round(c_acctbal, 6) FROM mo",
+    "SELECT 'update_only', c_custkey, c_name, round(c_acctbal, 6) FROM mo "
+    "UNION ALL SELECT 'cdc', k, nm, round(bal, 6) FROM cdc "
+    "UNION ALL SELECT 'scd2', k, nm, round(bal, 6) FROM scd2 "
+    "UNION ALL SELECT 'asof', k, nm, round(bal, 6) FROM aof",
 )
 def merge_upsert_q(spark, sf):
-    """Keyed upsert / MERGE INTO semantics (datapipe.sampling.merge_upsert;
-    beyond the reference — the incremental-refresh primitive of a
-    table-format-less pipeline). Updates REPLACE matched base rows
-    (negated balance), unmatched updates insert (shifted key, '#new'
-    suffix, +0.5 balance); part='update_only' re-runs with
-    allow_insert=False so inserts are dropped. The oracle is the literal
-    SQL MERGE expansion (anti-semantics via NOT IN over non-null keys).
-    Both balance mutations are exact double ops (negation, +0.5), so the
-    value hash is engine-portable under round(,6)."""
+    """The keyed-mutation family in one entry (all beyond the reference —
+    the incremental-refresh primitives of a table-format-less pipeline).
+
+    part='upsert'/'update_only' (r06): sampling.merge_upsert — updates
+    REPLACE matched base rows (negated balance), unmatched updates insert
+    (shifted key, '#new' suffix, +0.5 balance); update_only re-runs with
+    allow_insert=False so inserts are dropped. Oracle: the literal SQL
+    MERGE expansion (anti-semantics via NOT IN over non-null keys).
+
+    part='cdc' (r8 merge, r7 verdict item 1): snapshots.apply_changelog —
+    a 3-seq changelog (upserts at 1 and 3, deletes at 2, inserts at 2,
+    keys overlapping so supersession is live) applied to the customer
+    base; the max_by-over-seq winner + one left-anti join, vs the
+    oracle's row_number expansion.
+
+    part='scd2': snapshots.scd2_history seeded with the base snapshot at
+    seq 0 — every version row, its [valid_from, valid_to) interval
+    encoded into the name string so the part shares the entry's row
+    shape, vs the oracle's lead(seq) window.
+
+    part='asof': as_of_snapshot(history, t=2) — the time-travel read,
+    which the oracle restates as apply_changelog(base, changes with
+    seq <= 2): the structural invariant the SCD2 tests assert, here
+    checked by the driver gate against an INDEPENDENT expansion.
+
+    All balance mutations are exact double ops (negation, +1.0, +0.25,
+    +0.5), so the value hash is engine-portable under round(,6)."""
     from oni_ml_spark.datapipe.sampling import merge_upsert
+    from oni_ml_spark.datapipe.snapshots import (
+        apply_changelog,
+        as_of_snapshot,
+        scd2_history,
+    )
 
     c = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
     upd = c.filter(F.col("c_custkey") % 7 == 0).select(
@@ -481,8 +542,48 @@ def merge_upsert_q(spark, sf):
             F.round("c_acctbal", 6).alias("bal"),
         )
 
-    return rows(merge_upsert(c, updates, "c_custkey"), "upsert").unionByName(
-        rows(merge_upsert(c, updates, "c_custkey", allow_insert=False), "update_only")
+    # CDC changelog: full snapshot schema + (op, seq); (key, seq) unique by
+    # construction (distinct seqs per mod-class)
+    def ch_rows(flt, name_suffix, bal_delta, op, seq, key_shift=0):
+        return c.filter(flt).select(
+            (F.col("c_custkey") + key_shift).alias("c_custkey"),
+            F.concat("c_name", F.lit(name_suffix)).alias("c_name"),
+            bal_delta.alias("c_acctbal"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    k = F.col("c_custkey")
+    changes = (
+        ch_rows(k % 7 == 0, "@1", F.col("c_acctbal") + 1.0, "upsert", 1)
+        .unionByName(ch_rows(k % 5 == 0, "", F.col("c_acctbal"), "delete", 2))
+        .unionByName(ch_rows(k % 3 == 0, "@3", -F.col("c_acctbal"), "upsert", 3))
+        .unionByName(
+            ch_rows(k % 11 == 0, "#cdc", F.col("c_acctbal") + 0.25, "upsert", 2,
+                    key_shift=1000000)
+        )
+    )
+    cdc = rows(apply_changelog(c, changes, "c_custkey"), "cdc")
+    hist = scd2_history(changes, "c_custkey", initial=c, initial_seq=0)
+    scd2 = hist.select(
+        F.lit("scd2").alias("part"),
+        "c_custkey",
+        F.concat(
+            "c_name", F.lit("|"), F.col("valid_from").cast("string"), F.lit("|"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("open")),
+        ).alias("c_name"),
+        F.round("c_acctbal", 6).alias("bal"),
+    )
+    asof = rows(as_of_snapshot(hist, 2), "asof")
+    return (
+        rows(merge_upsert(c, updates, "c_custkey"), "upsert")
+        .unionByName(
+            rows(merge_upsert(c, updates, "c_custkey", allow_insert=False),
+                 "update_only")
+        )
+        .unionByName(cdc)
+        .unionByName(scd2)
+        .unionByName(asof)
     )
 
 
@@ -1412,7 +1513,38 @@ def proxy_pipeline_invariants(spark, sf):
     "  SELECT doc_id, row_number() OVER (ORDER BY "
     "    ('0x' || substr(md5(doc_id::VARCHAR || '#gsample'), 1, 8))::BIGINT "
     "      % 4611686018427387904, doc_id) AS rn FROM documents) "
-    "WHERE rn <= 25",
+    "WHERE rn <= 25 "
+    "UNION ALL "
+    # wsample (r8): Efraimidis-Spirakis without replacement — the k earliest
+    # exponential clocks -ln(u)/w with the portable md5-derived uniform;
+    # identical single ops on both engines, ordering decided far from ulps
+    "SELECT 'wsample', doc_id::VARCHAR, 1, doc_id FROM ("
+    "  SELECT doc_id, row_number() OVER (ORDER BY "
+    "    -ln((('0x' || substr(md5(doc_id::VARCHAR || '#wsample'), 1, 8))::BIGINT "
+    "        + 1.0) / 4294967298.0) / (doc_id % 7 + 1), doc_id) AS rn "
+    "  FROM documents) WHERE rn <= 25 "
+    "UNION ALL "
+    # budget (r8): greedy prefix selection to a 60k-token budget in
+    # descending quality order (distinct synthetic quality, so the hash
+    # tie-break never engages and the prefix is fully determined)
+    "SELECT 'budget', doc_id::VARCHAR, 1, doc_id FROM ("
+    "  SELECT doc_id, sum(n_chars) OVER (ORDER BY "
+    "    (doc_id * 37 % 1000) + doc_id / 1000000.0 DESC, doc_id "
+    "    ROWS UNBOUNDED PRECEDING) AS run FROM documents) "
+    "WHERE run <= 60000 "
+    "UNION ALL "
+    # lsplit (r8): leakage-safe split — hash_split keyed on the near-dup
+    # cluster id with self-cluster fallback for uncovered rows
+    "SELECT 'lsplit', split, count(*), sum(doc_id)::BIGINT FROM ("
+    "  SELECT doc_id, CASE "
+    "    WHEN b >= 0 AND b < 6000 THEN 'train' "
+    "    WHEN b >= 6000 AND b < 8000 THEN 'val' "
+    "    ELSE 'test' END AS split "
+    "  FROM (SELECT doc_id, ('0x' || substr(md5(cl::VARCHAR), 1, 8))::BIGINT "
+    "      % 10000 AS b FROM ("
+    "    SELECT doc_id, CASE WHEN doc_id % 5 < 2 THEN doc_id - doc_id % 5 "
+    "      ELSE doc_id END AS cl FROM documents))) "
+    "GROUP BY split",
 )
 def deterministic_sampling(spark, sf):
     """The deterministic-sampling family in one entry, each side's per-group
@@ -1429,13 +1561,28 @@ def deterministic_sampling(spark, sf):
       (the prefix is rank-computed AFTER limit(20), so the verification
       window is k-bounded, never a global single-partition window);
     - deterministic_global_sample (r05): exactly 25 rows by salted md5
-      rank, planned as TakeOrderedAndProject."""
+      rank, planned as TakeOrderedAndProject;
+    - weighted_sample_k (r8 merge, r7 verdict item 1): Efraimidis-Spirakis
+      A-ES weighted sampling without replacement over hash-derived
+      exponential clocks (hash_fn='md5', the engine-portable draw) —
+      TakeOrderedAndProject again, never a global sort;
+    - select_to_token_budget (r8): greedy selection to a 60k-token budget
+      by descending synthetic quality — bucketed aggregate + driver
+      cumsum, the exact window only over the boundary bucket; quality is
+      DISTINCT per doc so the oracle is a pure prefix-cumsum;
+    - leakage_safe_split (r8): hash_split keyed on a (partly synthetic)
+      near-dup cluster table with the coalesce(cluster, id) fallback —
+      docs with doc_id%5<2 share planted clusters, the rest exercise the
+      self-cluster fallback path."""
     from oni_ml_spark.datapipe.sampling import (
         deterministic_global_sample,
         deterministic_k_sample,
         deterministic_shuffle,
         hash_split,
+        leakage_safe_split,
+        select_to_token_budget,
         stratified_sample,
+        weighted_sample_k,
     )
 
     d = _docs(spark, sf)
@@ -1479,7 +1626,46 @@ def deterministic_sampling(spark, sf):
         F.lit(1).cast("long").alias("cnt"),
         F.col("doc_id").alias("id_sum"),
     )
-    return split.unionByName(strat).unionByName(ksamp).unionByName(gshuf).unionByName(gsamp)
+    wsamp = weighted_sample_k(
+        d.withColumn("w", (F.col("doc_id") % 7 + 1).cast("double")),
+        "doc_id", "w", 25, salt="#wsample", hash_fn="md5",
+    ).select(
+        F.lit("wsample").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("doc_id").alias("id_sum"),
+    )
+    # synthetic DISTINCT quality: (37·id mod 1000) + id·1e-6 — identical
+    # integer ops + one division on both engines, no ties anywhere
+    quality = (F.col("doc_id") * 37 % 1000).cast("double") + F.col("doc_id") / F.lit(
+        1000000.0
+    )
+    budget = select_to_token_budget(
+        d.withColumn("q", quality), "n_chars", 60000, "q", "doc_id", n_buckets=50
+    ).select(
+        F.lit("budget").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("doc_id").alias("id_sum"),
+    )
+    clusters = d.where(F.col("doc_id") % 5 < 2).select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("cluster"),
+    )
+    lsplit = (
+        leakage_safe_split(
+            d, "doc_id", "text", {"train": 0.6, "val": 0.2, "test": 0.2},
+            clusters=clusters,
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+        .select(F.lit("lsplit").alias("part"), F.col("split").alias("key"), "cnt", "id_sum")
+    )
+    return (
+        split.unionByName(strat).unionByName(ksamp).unionByName(gshuf)
+        .unionByName(gsamp).unionByName(wsamp).unionByName(budget)
+        .unionByName(lsplit)
+    )
 
 
 @_q(
@@ -1591,19 +1777,90 @@ _NEAR_DUP_CTES = (
 )
 
 
+# fuzzy corpus shared by the Spark and oracle sides: the distinct
+# (p_name, p_type) strings (diverse enough for the gram-space guard; 64
+# p_names alone would be toy-sized) plus a planted first-char typo per
+# string at fid+10M — distance-1 pairs exist by construction
+_FUZZY_CTES = (
+    "fc AS (SELECT min(p_partkey) AS fid, s FROM "
+    "  (SELECT p_name || ' ' || lower(p_type) AS s, p_partkey FROM part) "
+    "  GROUP BY s), "
+    "fz AS (SELECT fid, s FROM fc "
+    "  UNION ALL SELECT fid + 10000000, 'x' || substr(s, 2) FROM fc), "
+    "epairs AS (SELECT a.fid AS id_a, b.fid AS id_b, "
+    "  levenshtein(a.s, b.s) AS d FROM fz a, fz b "
+    "  WHERE levenshtein(a.s, b.s) <= 1), "
+    "eund AS (SELECT id_a AS ea, id_b AS eb FROM epairs WHERE id_a < id_b "
+    "  UNION ALL SELECT id_b, id_a FROM epairs WHERE id_a < id_b), "
+    "enodes AS (SELECT fid AS id FROM fz), "
+    "ereach(id, r) AS (SELECT id, id FROM enodes "
+    "  UNION SELECT eund.eb, ereach.r FROM ereach JOIN eund ON eund.ea = ereach.id), "
+    "ecomp AS (SELECT id, min(r) AS cluster FROM ereach GROUP BY id)"
+)
+
+
 @_q(
     "near_dup_verified",
-    "WITH " + _NEAR_DUP_CTES + " SELECT id_a, id_b, jaccard FROM ndpairs",
+    "WITH RECURSIVE " + _NEAR_DUP_CTES + ", " + _FUZZY_CTES + " "
+    "SELECT 'jaccard' AS part, id_a, id_b, jaccard AS v FROM ndpairs "
+    "UNION ALL SELECT 'edit', id_a, id_b, d::DOUBLE FROM epairs "
+    "UNION ALL SELECT 'ecluster', id, cluster, "
+    "(CASE WHEN id = cluster THEN 1 ELSE 0 END)::DOUBLE FROM ecomp",
 )
 def near_dup_verified(spark, sf):
-    """The production dedup composition: banded-LSH candidates → exact
-    Jaccard verification of candidates only (SCALE.md flow)."""
-    from oni_ml_spark.datapipe.dedup import near_dup_pairs
+    """The pairwise near-duplicate family, one granularity per part.
 
-    return near_dup_pairs(
+    part='jaccard' (the r02 entry): banded-LSH candidates → exact
+    token-Jaccard verification of candidates only (dedup.near_dup_pairs,
+    the SCALE.md flow).
+
+    part='edit' (r8 merge, r7 verdict item 1): datapipe.fuzzy.fuzzy_join —
+    the Gravano positional q-gram filter + exact levenshtein verify, as a
+    self-join over the distinct part-name corpus with planted first-char
+    typos. The oracle is the all-pairs cross-join predicate the filter
+    must reproduce EXACTLY (lossless-bound contract); ordered pairs,
+    self-pairs included, exactly as fuzzy_join emits them.
+
+    part='ecluster': fuzzy_dedup_groups — the same pairs → connected
+    components → min-id survivor flag, vs recursive-CTE reachability."""
+    from oni_ml_spark.datapipe.dedup import near_dup_pairs
+    from oni_ml_spark.datapipe.fuzzy import fuzzy_dedup_groups, fuzzy_join
+
+    jac = near_dup_pairs(
         _docs(spark, sf), "doc_id", "text",
         n=3, num_hashes=8, bands=4, threshold=0.3,
+    ).select(F.lit("jaccard").alias("part"), "id_a", "id_b", F.col("jaccard").alias("v"))
+
+    p = load_table(spark, sf, "part")
+    base = (
+        p.select(
+            F.concat_ws(" ", "p_name", F.lower("p_type")).alias("s"), "p_partkey"
+        )
+        .groupBy("s")
+        .agg(F.min("p_partkey").alias("fid"))
     )
+    corpus = base.select("fid", "s").unionByName(
+        base.select(
+            (F.col("fid") + 10000000).alias("fid"),
+            F.concat(F.lit("x"), F.expr("substring(s, 2)")).alias("s"),
+        )
+    )
+    # bounded: |corpus| = 2·|distinct part strings| (~770 at every SF) —
+    # pin it so the fuzzy self-join + dedup-groups don't re-aggregate part
+    corpus = corpus.localCheckpoint(eager=True)
+    edit = fuzzy_join(corpus, corpus, "fid", "s", max_edits=1, q=3).select(
+        F.lit("edit").alias("part"),
+        F.col("fid_l").alias("id_a"),
+        F.col("fid_r").alias("id_b"),
+        F.col("distance").cast("double").alias("v"),
+    )
+    ecl = fuzzy_dedup_groups(corpus, "fid", "s", max_edits=1).select(
+        F.lit("ecluster").alias("part"),
+        F.col("fid").alias("id_a"),
+        F.col("cluster").alias("id_b"),
+        F.col("keep").cast("double").alias("v"),
+    )
+    return jac.unionByName(edit).unionByName(ecl)
 
 
 @_q(
@@ -1772,21 +2029,103 @@ def unigram_logprob_q(spark, sf):
     "grouped_quantile_cuts",
     "WITH g AS (SELECT l_returnflag AS key, "
     "  quantile_disc(l_quantity, [0.25, 0.5, 0.75, 1.0]) AS cs "
-    "  FROM lineitem GROUP BY l_returnflag) "
-    "SELECT key, ([0.25, 0.5, 0.75, 1.0]::DOUBLE[])[i] AS p, cs[i]::DOUBLE AS cutoff "
-    "FROM g, (SELECT unnest([1, 2, 3, 4]) AS i) idx",
+    "  FROM lineitem GROUP BY l_returnflag), "
+    "cuts AS (SELECT key, ([0.25, 0.5, 0.75, 1.0]::DOUBLE[])[i] AS p, "
+    "  cs[i]::DOUBLE AS v FROM g, (SELECT unnest([1, 2, 3, 4]) AS i) idx), "
+    # -- winsorize (r8): clamp to the per-group exact [0.05, 0.95] discrete
+    # -- cutoffs; l_quantity is integral so the clipped sum is exact
+    "wb AS (SELECT l_returnflag AS key, quantile_disc(l_quantity, 0.05) AS lo, "
+    "  quantile_disc(l_quantity, 0.95) AS hi FROM lineitem GROUP BY l_returnflag), "
+    "wz AS (SELECT li.l_returnflag AS key, "
+    "  greatest(wb.lo, least(wb.hi, li.l_quantity)) AS cv, l_quantity "
+    "  FROM lineitem li JOIN wb ON li.l_returnflag = wb.key), "
+    "winsor AS (SELECT key, count(*)::DOUBLE AS p, sum(cv)::DOUBLE AS v "
+    "  FROM wz GROUP BY key), "
+    "winsorf AS (SELECT wz.key, count(*)::DOUBLE AS p, sum(l_quantity)::DOUBLE AS v "
+    "  FROM wz JOIN wb ON wz.key = wb.key "
+    "  WHERE l_quantity >= wb.lo AND l_quantity <= wb.hi GROUP BY wz.key), "
+    # -- percentile_rank (r8): exact cume_dist without a global sort; the
+    # -- quantized per-row ranks (cum/tot is the identical int division on
+    # -- both engines) sum exactly as integer-valued doubles
+    "pr AS (SELECT l_returnflag AS key, "
+    "  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pct "
+    "  FROM lineitem), "
+    "prank AS (SELECT key, count(*)::DOUBLE AS p, "
+    "  sum(floor(pct * 1000000))::DOUBLE AS v FROM pr GROUP BY key), "
+    "prg AS (SELECT cume_dist() OVER (ORDER BY l_quantity) AS pct FROM lineitem), "
+    "prankg AS (SELECT 'ALL' AS key, count(*)::DOUBLE AS p, "
+    "  sum(floor(pct * 1000000))::DOUBLE AS v FROM prg) "
+    "SELECT 'cuts' AS part, key, p, v FROM cuts "
+    "UNION ALL SELECT 'winsor', key, p, v FROM winsor "
+    "UNION ALL SELECT 'winsorf', key, p, v FROM winsorf "
+    "UNION ALL SELECT 'prank', key, p, v FROM prank "
+    "UNION ALL SELECT 'prankg', key, p, v FROM prankg",
 )
 def grouped_quantile_cuts_q(spark, sf):
-    """Per-group EXACT discrete quantile cutoffs, fully distributed (window
-    partitioned by group — no per-group loop, no single-partition exchange;
-    plan asserted in tests/test_quantiles_property.py). DuckDB twin:
-    quantile_disc(...) GROUP BY."""
-    from oni_ml_spark.transforms.quantiles import grouped_quantile_cuts
+    """The exact-quantile transform family over (l_returnflag, l_quantity).
+
+    part='cuts' (the r04 entry, cutoff column renamed v): per-group EXACT
+    discrete quantile cutoffs, fully distributed (window partitioned by
+    group — no per-group loop, no single-partition exchange; plan asserted
+    in tests/test_quantiles_property.py). DuckDB twin: quantile_disc.
+
+    part='winsor'/'winsorf' (r8 merge, r7 verdict item 1):
+    transforms.quantiles.winsorize in clip and filter modes against the
+    per-group [0.05, 0.95] cutoffs — the cutoff table is 2 rows per group
+    joined back, the corpus never re-shuffles. l_quantity is integral, so
+    the clipped sums are exact doubles on both engines.
+
+    part='prank'/'prankg': percentile_rank grouped (native-typed per-group
+    CDF join) and global (the bucketed double-space ecdf path) — exact
+    cume_dist() with NO global-sort window; per-row ranks quantized to
+    1e-6 (cum/tot is an identical int division on both engines, floor is
+    knife-edge-free there) and summed exactly."""
+    from oni_ml_spark.transforms.quantiles import (
+        grouped_quantile_cuts,
+        percentile_rank,
+        winsorize,
+    )
 
     li = load_table(spark, sf, "lineitem")
-    return grouped_quantile_cuts(
+    cuts = grouped_quantile_cuts(
         li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 1.0]
-    ).select("key", "p", "cutoff")
+    ).select(F.lit("cuts").alias("part"), "key", "p", F.col("cutoff").alias("v"))
+    q = li.select("l_returnflag", "l_quantity")
+
+    def agg_rows(df, part, val_col):
+        return (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("p"),
+                F.sum(val_col).cast("double").alias("v"),
+            )
+            .select(
+                F.lit(part).alias("part"), F.col("l_returnflag").alias("key"), "p", "v"
+            )
+        )
+
+    wins = winsorize(
+        q, "l_quantity", 0.05, 0.95, group_col="l_returnflag", out_col="cv"
+    )
+    winsor = agg_rows(wins, "winsor", "cv")
+    winsf = agg_rows(
+        winsorize(q, "l_quantity", 0.05, 0.95, group_col="l_returnflag",
+                  mode="filter"),
+        "winsorf", "l_quantity",
+    )
+    pr = percentile_rank(q, "l_quantity", group_col="l_returnflag", out_col="pct")
+    prank = agg_rows(
+        pr.withColumn("qr", F.floor(F.col("pct") * 1000000)), "prank", "qr"
+    )
+    prg = percentile_rank(q, "l_quantity", out_col="pct")
+    prankg = (
+        prg.agg(
+            F.count(F.lit(1)).cast("double").alias("p"),
+            F.sum(F.floor(F.col("pct") * 1000000)).cast("double").alias("v"),
+        )
+        .select(F.lit("prankg").alias("part"), F.lit("ALL").alias("key"), "p", "v")
+    )
+    return cuts.unionByName(winsor).unionByName(winsf).unionByName(prank).unionByName(prankg)
 
 
 def _simhash_pairs_oracle() -> str:
@@ -1849,33 +2188,106 @@ def near_dup_clusters_q(spark, sf):
 
 @_q(
     "as_of_join",
-    "WITH l AS (SELECT event_id, user_id, ts FROM events), "
+    "WITH l AS (SELECT event_id, user_id, event_type, ts FROM events), "
     "r AS (SELECT user_id, ts AS rt, max(value) AS rv FROM events "
-    "  WHERE event_id % 10 = 0 GROUP BY user_id, ts) "
-    "SELECT l.event_id, epoch(r.rt) AS __matched_time, r.rv "
-    "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rt <= l.ts",
+    "  WHERE event_id % 10 = 0 GROUP BY user_id, ts), "
+    "a1 AS (SELECT l.event_id, epoch(r.rt) AS mt, r.rv "
+    "  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rt <= l.ts), "
+    # -- composite-key as-of (r8): same shape keyed on (user_id, event_type)
+    "r2 AS (SELECT user_id, event_type, ts AS rt, max(value) AS rv FROM events "
+    "  WHERE event_id % 7 = 0 GROUP BY user_id, event_type, ts), "
+    "a2 AS (SELECT l.event_id, epoch(r2.rt) AS mt, r2.rv FROM l "
+    "  ASOF LEFT JOIN r2 ON l.user_id = r2.user_id "
+    "  AND l.event_type = r2.event_type AND r2.rt <= l.ts), "
+    # -- resample (r8): per-user daily grid inside the user's own span,
+    # -- forward-filled with a 2-day staleness cutoff
+    "ded AS (SELECT user_id, epoch(ts) AS rt, max(value) AS v FROM events "
+    "  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id, epoch(ts)), "
+    "bounds AS (SELECT user_id, "
+    "  (ceil(min(rt) / 86400) * 86400)::BIGINT AS lo, "
+    "  (floor(max(rt) / 86400) * 86400)::BIGINT AS hi "
+    "  FROM ded GROUP BY user_id), "
+    "grid AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS tick "
+    "  FROM bounds WHERE hi >= lo), "
+    "rf AS (SELECT g.user_id, g.tick, d.rt AS mt, d.v AS rv "
+    "  FROM grid g ASOF LEFT JOIN ded d "
+    "  ON g.user_id = d.user_id AND d.rt <= g.tick), "
+    "rs AS (SELECT user_id::VARCHAR || ':' || tick::VARCHAR AS id, "
+    "  CASE WHEN tick - mt <= 172800.0 THEN mt END AS mt, "
+    "  CASE WHEN tick - mt <= 172800.0 THEN rv END AS rv FROM rf) "
+    "SELECT 'asof' AS part, event_id::VARCHAR AS id, mt, rv FROM a1 "
+    "UNION ALL SELECT 'asof2', event_id::VARCHAR, mt, rv FROM a2 "
+    "UNION ALL SELECT 'resample', id, mt, rv FROM rs",
 )
 def as_of_join_q(spark, sf):
-    """Backward as-of join (every event gets the latest at-or-before
-    checkpoint value per user), implemented as union + window carry-forward
-    — one shuffle on the key, NO join node, vs DuckDB's native ASOF LEFT
-    JOIN. Right side deduped to one row per (key, time) so both engines
-    are deterministic."""
-    from oni_ml_spark.datapipe.temporal import as_of_join
+    """The temporal-alignment family, one composition depth per part.
+
+    part='asof' (the r04 entry): backward as-of join (every event gets the
+    latest at-or-before checkpoint value per user), implemented as union +
+    window carry-forward — one shuffle on the key, NO join node, vs
+    DuckDB's native ASOF LEFT JOIN. Right side deduped to one row per
+    (key, time) so both engines are deterministic.
+
+    part='asof2' (r8 merge, r7 verdict item 1): the COMPOSITE-key path —
+    keyed on (user_id, event_type), the list-key plumbing that r7 fixed
+    null-key partitionBy grouping for, vs DuckDB ASOF with two equalities.
+
+    part='resample' (r8): temporal.resample_forward_fill — per-user daily
+    grid inside each user's own [min, max] span (in-plan sequence explode
+    off the bounds aggregate, never a cross join), forward-filled via the
+    same as-of machinery with a 2-day staleness cutoff (ticks drifting
+    further than lookback past the last observation null-fill), vs
+    DuckDB's generate_series + ASOF + staleness CASE."""
+    from oni_ml_spark.datapipe.temporal import as_of_join, resample_forward_fill
 
     e = load_table(spark, sf, "events")
-    left = e.select("event_id", "user_id", "ts")
+    left = e.select("event_id", "user_id", "event_type", "ts")
+
+    def rows(df, part, id_col):
+        return df.select(
+            F.lit(part).alias("part"),
+            id_col.alias("id"),
+            F.col("__matched_time").alias("mt"),
+            "rv",
+        )
+
     right = (
         e.filter(F.col("event_id") % 10 == 0)
         .select("user_id", F.col("ts").alias("rt"), "value")
         .groupBy("user_id", "rt")
         .agg(F.max("value").alias("rv"))
     )
-    out = as_of_join(
-        left, right, key="user_id", left_time="ts", right_time="rt",
-        right_cols=["rv"],
+    a1 = rows(
+        as_of_join(left, right, key="user_id", left_time="ts", right_time="rt",
+                   right_cols=["rv"]),
+        "asof", F.col("event_id").cast("string"),
     )
-    return out.select("event_id", "__matched_time", "rv")
+    right2 = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .select("user_id", "event_type", F.col("ts").alias("rt"), "value")
+        .groupBy("user_id", "event_type", "rt")
+        .agg(F.max("value").alias("rv"))
+    )
+    a2 = rows(
+        as_of_join(left, right2, key=["user_id", "event_type"], left_time="ts",
+                   right_time="rt", right_cols=["rv"]),
+        "asof2", F.col("event_id").cast("string"),
+    )
+    ded = (
+        e.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    rs = resample_forward_fill(
+        ded, "user_id", "ts", 86400, value_cols=["rv"], lookback=172800.0
+    ).select(
+        F.lit("resample").alias("part"),
+        F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                 F.col("tick").cast("string")).alias("id"),
+        F.col("__matched_time").alias("mt"),
+        "rv",
+    )
+    return a1.unionByName(a2).unionByName(rs)
 
 
 @_q(
