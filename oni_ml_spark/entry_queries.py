@@ -398,7 +398,20 @@ def broadcast_lookup_fallback(spark, sf):
     "UNION ALL "
     "SELECT 'only_orders', key, 1 FROM ("
     "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000 "
-    "  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
+    "  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
+    # -- bloom semi/anti (r8): result-identity with the plain IN / NOT IN —
+    # -- the Bloom layer is transparent (no false negatives; FPs settled by
+    # -- the exact join); bag semantics, so counts per key
+    "UNION ALL "
+    "SELECT 'bloom_semi', key, count(*) FROM ("
+    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000) "
+    "WHERE key IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
+    "GROUP BY key "
+    "UNION ALL "
+    "SELECT 'bloom_anti', key, count(*) FROM ("
+    "  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000) "
+    "WHERE key NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
+    "GROUP BY key",
 )
 def set_ops(spark, sf):
     """Every set operation in one entry. U1/U2 + F14: bag-semantics union
@@ -431,7 +444,24 @@ def set_ops(spark, sf):
     only_o = of.subtract(cf).select(
         F.lit("only_orders").alias("side"), "key", F.lit(1).cast("long").alias("cnt")
     )
-    return union_counts.unionByName(both).unionByName(only_o)
+    # bloom semi/anti (r8 merge, r7 verdict item 1: plans/bloom.py): the
+    # broadcast-bitmap pre-filter + exact settle must reproduce the plain
+    # semi/anti joins bit-for-bit (bag semantics — counts per key)
+    from oni_ml_spark.plans.bloom import bloom_anti_join, bloom_semi_join
+
+    def bloom_rows(df, side):
+        return (
+            df.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(side).alias("side"), "key", "cnt")
+        )
+
+    bsemi = bloom_rows(bloom_semi_join(of, cf, "key", num_bits=1 << 20), "bloom_semi")
+    banti = bloom_rows(bloom_anti_join(of, cf, "key", num_bits=1 << 20), "bloom_anti")
+    return (
+        union_counts.unionByName(both).unionByName(only_o)
+        .unionByName(bsemi).unionByName(banti)
+    )
 
 
 @_q(
@@ -486,7 +516,12 @@ def set_ops(spark, sf):
     "SELECT 'update_only', c_custkey, c_name, round(c_acctbal, 6) FROM mo "
     "UNION ALL SELECT 'cdc', k, nm, round(bal, 6) FROM cdc "
     "UNION ALL SELECT 'scd2', k, nm, round(bal, 6) FROM scd2 "
-    "UNION ALL SELECT 'asof', k, nm, round(bal, 6) FROM aof",
+    "UNION ALL SELECT 'asof', k, nm, round(bal, 6) FROM aof "
+    # -- conform_schema (r8): a drifted producer frame (int key, reordered
+    # -- columns, missing balance) aligned to the target — int widens to
+    # -- bigint, the missing nullable column fills with typed nulls
+    "UNION ALL SELECT 'conform', c_custkey, c_name, CAST(NULL AS DOUBLE) "
+    "FROM customer",
 )
 def merge_upsert_q(spark, sf):
     """The keyed-mutation family in one entry (all beyond the reference —
@@ -575,6 +610,22 @@ def merge_upsert_q(spark, sf):
         F.round("c_acctbal", 6).alias("bal"),
     )
     asof = rows(as_of_snapshot(hist, 2), "asof")
+    # conform_schema (io.py): a drifted producer frame — key narrowed to
+    # int, columns reordered, balance column missing — aligned back to the
+    # target struct (safe widening + typed-null fill); pure projection
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from oni_ml_spark.io import conform_schema
+
+    target = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    drifted = c.select("c_name", F.col("c_custkey").cast("int").alias("c_custkey"))
+    conf = rows(conform_schema(drifted, target, fill_missing=True), "conform")
     return (
         rows(merge_upsert(c, updates, "c_custkey"), "upsert")
         .unionByName(
@@ -584,6 +635,7 @@ def merge_upsert_q(spark, sf):
         .unionByName(cdc)
         .unionByName(scd2)
         .unionByName(asof)
+        .unionByName(conf)
     )
 
 
@@ -1706,26 +1758,89 @@ def sessionize_q(spark, sf):
 
 @_q(
     "rollup_agg",
-    "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, "
-    "count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
-    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "WITH r1 AS (SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+    "  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, "
+    "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "  FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)), "
+    # -- incremental aggregates (r8): the 3-batch merged state must finalize
+    # -- to the one-shot statistics; l_quantity is integral so sum/sumsq are
+    # -- exact doubles and the stddev formula below is the literal finalize
+    # -- arithmetic, identical on both engines
+    "inc AS (SELECT l_returnflag AS rf, count(l_quantity)::BIGINT AS cnt, "
+    "  sum(l_quantity) AS s, sum(l_quantity * l_quantity) AS sq, "
+    "  min(l_quantity) AS mn, max(l_quantity) AS mx "
+    "  FROM lineitem GROUP BY l_returnflag), "
+    "incs AS ("
+    "  SELECT rf, 'avg' AS ls, cnt, round(s / cnt, 6) AS v FROM inc "
+    "  UNION ALL SELECT rf, 'stddev', cnt, "
+    "    round(sqrt(greatest(0.0, (sq - s * s / cnt) / (cnt - 1))), 6) FROM inc "
+    "  UNION ALL SELECT rf, 'min', cnt, mn FROM inc "
+    "  UNION ALL SELECT rf, 'max', cnt, mx FROM inc) "
+    "SELECT 'rollup' AS part, rf, ls, cnt, sum_qty FROM r1 "
+    "UNION ALL SELECT 'incr', rf, ls, cnt, v FROM incs",
 )
 def rollup_agg(spark, sf):
-    """Hierarchical aggregates (ROLLUP) — absent in the reference
-    (SURVEY.md §2.4 'no grouping sets/cube/rollup'), native in Spark SQL."""
+    """Hierarchical + incremental aggregation in one entry.
+
+    part='rollup' (the r03 entry): ROLLUP grouping sets — absent in the
+    reference (SURVEY.md §2.4 'no grouping sets/cube/rollup'), native in
+    Spark SQL.
+
+    part='incr' (r8 merge, r7 verdict item 1: datapipe.incremental): the
+    lineitem corpus split into 3 batches (l_linenumber mod 3), each
+    partial-aggregated, states merged pairwise, then finalized — the
+    daily-refresh-without-rescanning-history primitive. The driver row
+    checks merge(partials) == one-shot statistics per l_returnflag
+    (count/avg/stddev/min/max; sums are exact because l_quantity is
+    integral, so the oracle can restate finalize's literal arithmetic)."""
+    from oni_ml_spark.datapipe.incremental import (
+        finalize_aggregates,
+        merge_aggregate_state,
+        partial_aggregates,
+    )
+
     li = load_table(spark, sf, "lineitem")
-    return (
+    roll = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
         .select(
+            F.lit("rollup").alias("part"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "cnt", "sum_qty",
         )
     )
+    batches = [
+        li.filter(F.col("l_linenumber") % 3 == i).select("l_returnflag", "l_quantity")
+        for i in range(3)
+    ]
+    state = partial_aggregates(batches[0], ["l_returnflag"], ["l_quantity"])
+    for b in batches[1:]:
+        state = merge_aggregate_state(
+            state, partial_aggregates(b, ["l_returnflag"], ["l_quantity"])
+        )
+    fin = finalize_aggregates(state)
+
+    def stat_rows(stat, col, rounded):
+        v = F.round(F.col(col), 6) if rounded else F.col(col).cast("double")
+        return fin.select(
+            F.lit("incr").alias("part"),
+            F.col("l_returnflag").alias("rf"),
+            F.lit(stat).alias("ls"),
+            F.col("l_quantity_count").alias("cnt"),
+            v.alias("sum_qty"),
+        )
+
+    incr = (
+        stat_rows("avg", "l_quantity_avg", True)
+        .unionByName(stat_rows("stddev", "l_quantity_stddev", True))
+        .unionByName(stat_rows("min", "l_quantity_min", False))
+        .unionByName(stat_rows("max", "l_quantity_max", False))
+    )
+    return roll.unionByName(incr)
 
 
 @_q(
@@ -1928,10 +2043,24 @@ _TFC_CTES = (
     "  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM vtop), "
     "fused AS (SELECT id, sum(t) AS s, count(*)::BIGINT AS nl FROM rterms GROUP BY id), "
     "rrfr AS (SELECT id, round(s, 9) AS v1, nl, "
-    "  row_number() OVER (ORDER BY s DESC, id)::BIGINT AS r FROM fused) "
-    "SELECT 'scores' AS part, bm.id, round(score, 6) AS v1, sum_tfidf AS v2, "
-    "q_tf AS n, CAST(NULL AS BIGINT) AS r FROM bm JOIN qagg USING (id) "
-    "UNION ALL SELECT 'rrf', id, v1, CAST(NULL AS DOUBLE), nl, r FROM rrfr",
+    "  row_number() OVER (ORDER BY s DESC, id)::BIGINT AS r FROM fused), "
+    # -- top_terms_per_group (r8): per-source top-5 characteristic terms by
+    # -- summed tf-idf, per-row contributions quantized to 1e-6 BEFORE the
+    # -- sum so ranking and value are order- and engine-deterministic
+    "lab AS (SELECT doc_id AS id, source FROM documents), "
+    "tt0 AS (SELECT l.source, t.term, floor(t.tfidf * 1000000) AS qz "
+    "  FROM tfidf t JOIN dfreq d USING (term) JOIN lab l ON t.id = l.id "
+    "  WHERE d.df >= 2), "
+    "tt1 AS (SELECT source, term, sum(qz) / 1000000.0 AS s, "
+    "  count(*)::BIGINT AS ndoc FROM tt0 GROUP BY source, term), "
+    "tt AS (SELECT source, term, s, ndoc, row_number() OVER "
+    "  (PARTITION BY source ORDER BY s DESC, term)::BIGINT AS rnk FROM tt1) "
+    "SELECT 'scores' AS part, bm.id::VARCHAR AS id, round(score, 6) AS v1, "
+    "sum_tfidf AS v2, q_tf AS n, CAST(NULL AS BIGINT) AS r "
+    "FROM bm JOIN qagg USING (id) "
+    "UNION ALL SELECT 'rrf', id::VARCHAR, v1, CAST(NULL AS DOUBLE), nl, r FROM rrfr "
+    "UNION ALL SELECT 'topterms', source || '/' || term, round(s, 6), "
+    "CAST(NULL AS DOUBLE), ndoc, rnk FROM tt WHERE rnk <= 5",
 )
 def tf_idf_bm25(spark, sf):
     """TF-IDF + BM25 + RRF hybrid fusion in one driver entry.
@@ -1951,8 +2080,20 @@ def tf_idf_bm25(spark, sf):
     oracle restates the fusion as pure rank arithmetic: 1/(60+rank) terms
     are identical single divisions on both engines, and the <=2-term sum
     is commutative-exact; every candidate value sits >=3.7e-3 (in 1e-9
-    units) from the round-9 boundary."""
-    from oni_ml_spark.datapipe.retrieval import bm25_scores, rrf_fuse, tf_idf
+    units) from the round-9 boundary.
+
+    part='topterms' (r8 merge, r7 verdict item 1:
+    datapipe.retrieval.top_terms_per_group): the per-source top-5
+    characteristic terms by summed tf-idf (min_df=2), contributions
+    quantized to 1e-6 BEFORE summing so both the ranking and the value
+    are engine- and order-deterministic; id becomes 'source/term' and the
+    whole entry's id column moves to string to host it."""
+    from oni_ml_spark.datapipe.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        tf_idf,
+        top_terms_per_group,
+    )
     from oni_ml_spark.datapipe.similarity import brute_force_topk
 
     d = _docs(spark, sf)
@@ -1974,7 +2115,7 @@ def tf_idf_bm25(spark, sf):
     null_l = F.lit(None).cast("long")
     scores = bm.join(qa, "id").select(
         F.lit("scores").alias("part"),
-        "id",
+        F.col("id").cast("string").alias("id"),
         F.round("score", 6).alias("v1"),
         F.col("sum_tfidf").alias("v2"),
         F.col("q_tf").alias("n"),
@@ -1993,13 +2134,21 @@ def tf_idf_bm25(spark, sf):
     fused = rrf_fuse([lex, vec], k=60)
     rrf = fused.select(
         F.lit("rrf").alias("part"),
-        "id",
+        F.col("id").cast("string").alias("id"),
         F.col("rrf_score").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
         F.col("n_lists").alias("n"),
         F.col("rank").cast("long").alias("r"),
     )
-    return scores.unionByName(rrf)
+    tt = top_terms_per_group(d, "source", "doc_id", "text", k=5, min_df=2).select(
+        F.lit("topterms").alias("part"),
+        F.concat("group", F.lit("/"), "term").alias("id"),
+        F.round("sum_tfidf", 6).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.col("n_docs").alias("n"),
+        F.col("rank").cast("long").alias("r"),
+    )
+    return scores.unionByName(rrf).unionByName(tt)
 
 
 @_q(
@@ -2818,10 +2967,18 @@ _MIX_CASE = " ".join(
     kept AS (SELECT * FROM copies WHERE epoch <= floor(rate)
              OR (epoch = ceil(rate)
                  AND ('0x' || substr(md5(doc_id::VARCHAR || '#mix' || epoch::VARCHAR),
-                      1, 8))::BIGINT % 4294967296 < (rate - floor(rate)) * 4294967296))
-    SELECT source, epoch::BIGINT AS epoch, count(*) AS cnt,
-           sum(doc_id)::BIGINT AS id_sum
-    FROM kept GROUP BY source, epoch""",
+                      1, 8))::BIGINT % 4294967296 < (rate - floor(rate)) * 4294967296)),
+    -- temperature weights (r8): n_s^0.5 smoothing, normalized in-plan
+    tw AS (SELECT source, count(*)::BIGINT AS n_s, pow(count(*), 0.5) AS w
+           FROM documents GROUP BY source),
+    tws AS (SELECT sum(w) AS tot FROM tw)
+    SELECT 'mix' AS part, source, epoch::BIGINT AS epoch, count(*) AS cnt,
+           sum(doc_id)::BIGINT AS id_sum, CAST(NULL AS DOUBLE) AS v
+    FROM kept GROUP BY source, epoch
+    UNION ALL SELECT 'temp', source, -1, n_s,
+           round(w / tot * 1000, 0)::BIGINT, round(w, 6) FROM tw, tws
+    UNION ALL SELECT 'tempf', source, -1, n_s, 0, round(w / tot, 6)
+    FROM tw, tws""",
 )
 def weighted_mix_q(spark, sf):
     """Deterministic weighted mixture resampling (dataset mixing for a
@@ -2831,11 +2988,33 @@ def weighted_mix_q(spark, sf):
     (source, epoch) count + id-sum verifies the exact row selection."""
     from oni_ml_spark.datapipe.sampling import weighted_mix
 
+    from oni_ml_spark.datapipe.sampling import temperature_weights
+
     d = _docs(spark, sf)
     out = weighted_mix(d, "source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL)
-    return out.groupBy("source", "epoch").agg(
+    mix = out.groupBy("source", "epoch").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum")
-    ).select("source", F.col("epoch").cast("long").alias("epoch"), "cnt", "id_sum")
+    ).select(
+        F.lit("mix").alias("part"), "source",
+        F.col("epoch").cast("long").alias("epoch"), "cnt", "id_sum",
+        F.lit(None).cast("double").alias("v"),
+    )
+    # temperature_weights (r8 merge, r7 verdict item 1): n_s^0.5 smoothing
+    # (Lample & Conneau), plus the target_rows budget path at 1000 rows —
+    # the id_sum column carries the per-source budget, v the raw weight
+    tw = temperature_weights(d, "source", alpha=0.5, total_rows=1000)
+    neg1 = F.lit(-1).cast("long")
+    temp = tw.select(
+        F.lit("temp").alias("part"), "source", neg1.alias("epoch"),
+        F.col("n_rows").alias("cnt"), F.col("target_rows").alias("id_sum"),
+        F.round("weight", 6).alias("v"),
+    )
+    tempf = tw.select(
+        F.lit("tempf").alias("part"), "source", neg1.alias("epoch"),
+        F.col("n_rows").alias("cnt"), F.lit(0).cast("long").alias("id_sum"),
+        F.round("fraction", 6).alias("v"),
+    )
+    return mix.unionByName(temp).unionByName(tempf)
 
 
 @_q(
