@@ -36,11 +36,37 @@ def _interval_covers(p, prev=None, cdf=None):
     return ((p > prev) & (p <= cdf)) | ((p <= 0) & (prev == 0))
 
 
-def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
-    """Internal: DataFrame[value, cnt, cdf, __prev, __total] — the exact ECDF
-    plus the per-value predecessor CDF, entirely lazy (zero driver actions).
+def _cdf_table(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    cast_double: bool = True,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """THE prefix-sum CDF core — the single home (r7 verdict item 3) for
+    every exact distinct-value CDF in the package: the global ``ecdf``
+    family, ``grouped_quantile_cuts``/``grouped_quantile_cont_cuts``, and
+    ``percentile_rank``'s grouped path all read from this table.
 
-    Shape (Quantiles.scala:21-40 rebuilt declaratively):
+    DataFrame[*key_cols, value, cnt, cdf, __prev, __total, __lo, __hi]:
+    per distinct (keys, value) — its count, exact CDF P(X <= x | keys),
+    predecessor CDF, group total, and the exact 0-based rank interval
+    [__lo, __hi] (long arithmetic — what type-7 interpolation reads
+    without refloating). Entirely lazy, zero driver actions.
+
+    ONE null/type contract: rows with a NULL value are excluded (a null
+    holds no order statistic — SQL aggregate semantics); key columns
+    follow SQL GROUP BY (a null key forms its own group — callers wanting
+    null-never-equals semantics, e.g. percentile_rank's join-back, filter
+    BEFORE calling); ``cast_double=False`` keeps the value's NATIVE type
+    (exact for every orderable type, for equi-join-back consumers — only
+    supported with keys, because the global path's bucket boundaries come
+    from a numeric percentile sketch).
+
+    Plan shape: with keys — one (keys, value) hash aggregate (the only
+    full-data shuffle, map-side combinable) + ONE window partitioned by
+    keys: parallelism is |groups| and a task sees one group's distinct
+    values. Without keys (Quantiles.scala:21-40 rebuilt declaratively):
 
     1. hash-aggregate to distinct-value counts (the only full-data shuffle),
     2. bucket boundaries from an in-plan ``percentile_approx`` over the
@@ -56,13 +82,41 @@ def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -
     single-partition window: the per-bucket window input is
     |distinct values| / b, balanced by the boundary sketch.
     """
-    spark = df.sparkSession
+    keys = list(key_cols or [])
+    if not keys and not cast_double:
+        raise ValueError(
+            "_cdf_table: cast_double=False requires key_cols (the global "
+            "path buckets by a numeric percentile sketch)"
+        )
+    v = F.col(value_col).cast("double") if cast_double else F.col(value_col)
     counts = (
-        df.select(F.col(value_col).cast("double").alias("value"))
+        df.select(*[F.col(k) for k in keys], v.alias("value"))
         .where(F.col("value").isNotNull())
-        .groupBy("value")
+        .groupBy(*keys, "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = F.sum("cnt").over(w)
+        total = F.sum("cnt").over(w_tot)
+        return counts.select(
+            *keys,
+            "value",
+            "cnt",
+            (cum / total.cast("double")).alias("cdf"),
+            ((cum - F.col("cnt")) / total.cast("double")).alias("__prev"),
+            total.alias("__total"),
+            (cum - F.col("cnt")).alias("__lo"),
+            (cum - 1).alias("__hi"),
+        )
+    spark = df.sparkSession
     b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if b > 1:
         probs = F.array(*[F.lit(i / b) for i in range(1, b)])
@@ -118,6 +172,12 @@ def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -
         (cum - F.col("cnt")).alias("__lo"),
         (cum - 1).alias("__hi"),
     )
+
+
+def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
+    """The global (bucketed) CDF table — kept as the historical name for
+    the ecdf/quantile_cuts family; one line over ``_cdf_table``."""
+    return _cdf_table(df, value_col, None, True, num_buckets)
 
 
 def ecdf(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
@@ -326,9 +386,9 @@ def percentile_rank(
     window parallelism. Rows with a null value — or, grouped, a null
     group key — get a NULL rank (null-never-equals; a null is not ranked
     against anything). DuckDB's ``cume_dist`` over non-null rows is the
-    test oracle. (The per-group prefix-sum block intentionally mirrors
-    grouped_quantile_cuts' shape; unifying the CDF builders into one
-    helper is deferred — those back frozen battery entries.)
+    test oracle. Both paths read the ONE ``_cdf_table`` core (r8: the
+    r7-deferred unification) — the grouped call passes
+    ``cast_double=False`` for the native-typed join-back.
     """
     if value_col not in df.columns or (group_col and group_col not in df.columns):
         raise ValueError("value_col/group_col missing from the frame")
@@ -346,25 +406,14 @@ def percentile_rank(
         return df.join(
             table, F.col(value_col).cast("double") == F.col("__pr_v"), "left"
         ).drop("__pr_v")
-    counts = (
+    # null GROUP keys are filtered HERE (null-never-equals is this
+    # function's join-back contract); _cdf_table itself keeps null-key
+    # groups per SQL GROUP BY
+    table = _cdf_table(
         df.select(F.col(group_col).alias("__pr_g"), F.col(value_col).alias("__pr_v"))
-        .where(F.col("__pr_v").isNotNull() & F.col("__pr_g").isNotNull())
-        .groupBy("__pr_g", "__pr_v")
-        .agg(F.count(F.lit(1)).alias("__pr_n"))
-    )
-    w_cum = (
-        Window.partitionBy("__pr_g")
-        .orderBy("__pr_v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("__pr_g").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    table = counts.select(
-        "__pr_g",
-        "__pr_v",
-        (F.sum("__pr_n").over(w_cum) / F.sum("__pr_n").over(w_tot)).alias(out_col),
-    )
+        .where(F.col("__pr_g").isNotNull()),
+        "__pr_v", ["__pr_g"], cast_double=False,
+    ).select("__pr_g", F.col("value").alias("__pr_v"), F.col("cdf").alias(out_col))
     return df.join(
         table,
         (F.col(group_col) == F.col("__pr_g"))
@@ -507,27 +556,9 @@ def grouped_quantile_cuts(
     Groups whose values are all NULL are absent (no rows, matching
     GROUP-BY-over-non-null-aggregate SQL semantics).
     """
-    counts = (
-        df.select(F.col(key_col).alias("key"), F.col(value_col).cast("double").alias("value"))
-        .where(F.col("value").isNotNull())
-        .groupBy("key", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = (
-        Window.partitionBy("key")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("key").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = F.sum("cnt").over(w)
-    total = F.sum("cnt").over(w_tot).cast("double")
-    parts = counts.select(
-        "key",
-        "value",
-        (cum / total).alias("cdf"),
-        ((cum - F.col("cnt")) / total).alias("__prev"),
+    parts = _cdf_table(
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value")),
+        "value", ["key"],
     )
     probs_arr = F.array(*[F.lit(float(p)) for p in sorted(set(float(p) for p in probs))])
     return parts.select(
@@ -551,27 +582,9 @@ def grouped_quantile_cont_cuts(
     (key, p). Parallelism = |groups|; no per-group loop, no driver action.
     Probs are deduplicated and must lie in [0, 1].
     """
-    counts = (
-        df.select(F.col(key_col).alias("key"), F.col(value_col).cast("double").alias("value"))
-        .where(F.col("value").isNotNull())
-        .groupBy("key", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = (
-        Window.partitionBy("key")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("key").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = F.sum("cnt").over(w)
-    parts = counts.select(
-        "key",
-        "value",
-        (cum - F.col("cnt")).alias("__lo"),
-        (cum - 1).alias("__hi"),
-        F.sum("cnt").over(w_tot).alias("__total"),
+    parts = _cdf_table(
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value")),
+        "value", ["key"],
     )
     return _interp_cont(parts, probs, key_cols=["key"])
 

@@ -6,15 +6,20 @@ top-K, and whole-stage codegen over the word-assembly expressions.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from oni_ml_spark.entry_queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name: str, mode: str = "simple") -> str:
-    df = QUERIES[name](spark, SF_DIR)
+def _plan_of(spark, df, mode: str = "simple") -> str:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+def _plan(spark, name: str, mode: str = "simple") -> str:
+    return _plan_of(spark, QUERIES[name](spark, SF_DIR), mode)
 
 
 def test_scan_projection_prunes_columns_and_pushes_filters(spark):
@@ -101,13 +106,33 @@ def test_no_single_partition_exchange_in_similarity_battery(spark):
 
 
 def test_as_of_join_plans_as_window_not_join(spark):
-    """The as-of battery entry must plan as union → one hash exchange on the
-    key → window carry-forward, with NO join node (a naive non-equi
-    formulation plans a per-key nested loop that is quadratic per key)."""
-    p = _plan(spark, "as_of_join")
+    """The as-of CORE must plan as union → one hash exchange on the key →
+    window carry-forward, with NO join node (a naive non-equi formulation
+    plans a per-key nested loop that is quadratic per key). Asserted on
+    the operator itself — the battery entry now unions three parts (r8:
+    composite-key as-of + resample), whose resample half legitimately
+    joins the grid back; the full entry keeps the no-cartesian guarantee
+    (checked in test_new_dedup_entries_have_no_cartesian style below)."""
+    from oni_ml_spark.datapipe.temporal import as_of_join
+    from oni_ml_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select("user_id", F.col("ts").alias("rt"), "value")
+        .groupBy("user_id", "rt")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = as_of_join(left, right, key="user_id", left_time="ts",
+                     right_time="rt", right_cols=["rv"])
+    p = _plan_of(spark, out)
     assert "Join" not in p
     assert p.count("Window") == 1
     assert "Exchange hashpartitioning" in p
+    # the full three-part entry must never degrade to an all-pairs plan
+    assert "CartesianProduct" not in _plan(spark, "as_of_join")
+    assert "BroadcastNestedLoopJoin" not in _plan(spark, "as_of_join")
 
 
 def test_new_dedup_entries_have_no_cartesian(spark):
@@ -120,8 +145,17 @@ def test_new_dedup_entries_have_no_cartesian(spark):
 
 
 def test_grouped_quantiles_no_single_partition(spark):
-    p = _plan(spark, "grouped_quantile_cuts")
-    assert "Exchange SinglePartition" not in p
+    """The grouped-cuts CORE never single-partitions (window partitioned by
+    group). Asserted on the operator — the battery entry now also unions
+    the GLOBAL percentile_rank part (r8), whose bucketed ecdf legitimately
+    runs its ≤b-row bucket-subtotal window in one partition (k-bounded by
+    construction; see _cdf_table)."""
+    from oni_ml_spark.transforms.quantiles import grouped_quantile_cuts
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = grouped_quantile_cuts(li, "l_returnflag", "l_quantity",
+                                [0.25, 0.5, 0.75, 1.0])
+    assert "Exchange SinglePartition" not in _plan_of(spark, out)
 
 
 def test_quantile_cuts_plan_is_lazy_and_join_free(spark):
