@@ -248,6 +248,7 @@ def fuzzy_dedup_groups(
     q: int = 3,
     max_iter: int = 20,
     max_expansion_per_gram_row: float | None = 64.0,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(``id_col``, cluster, keep) — typo-level duplicate grouping:
     ``fuzzy_join`` self-pairs → connected components → per-cluster
@@ -257,15 +258,25 @@ def fuzzy_dedup_groups(
     transitive chains group (a~b, b~c ⇒ one cluster even when
     ed(a, c) > max_edits) — the same closure semantics as the Jaccard
     family. Inherits ``fuzzy_join``'s contract: ids unique, null-id rows
-    excluded from the output (they cannot be joined back anyway)."""
+    excluded from the output (they cannot be joined back anyway).
+
+    ``pairs``: a precomputed ``fuzzy_join(df, df, ...)`` result (columns
+    ``{id_col}_l``/``{id_col}_r``) to reuse when the caller already
+    materialized the self-join — skips the gram machinery entirely (the
+    max_edits/q/guard parameters are then ignored)."""
     from oni_ml_spark.datapipe.dedup import connected_components
 
-    pairs = (
-        fuzzy_join(
+    if pairs is None:
+        pairs = fuzzy_join(
             df, df, id_col, str_col, max_edits=max_edits, q=q,
             max_expansion_per_gram_row=max_expansion_per_gram_row,
         )
-        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+    else:
+        missing = [c for c in (f"{id_col}_l", f"{id_col}_r") if c not in pairs.columns]
+        if missing:
+            raise ValueError(f"precomputed pairs frame lacks columns {missing}")
+    pairs = (
+        pairs.where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
         .select(
             F.col(f"{id_col}_l").alias("id_a"), F.col(f"{id_col}_r").alias("id_b")
         )

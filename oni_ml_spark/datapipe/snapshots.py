@@ -306,6 +306,11 @@ def scd2_history(
                 f"({op_col}, {seq_col}): expected {sorted([*keys, *want_payload])}, "
                 f"got {sorted(initial.columns)}"
             )
+        if "__seed" in changes.columns:
+            raise ValueError(
+                "scd2_history: column '__seed' collides with the internal "
+                "seed marker — rename it first"
+            )
         # The seed must strictly precede the changelog: a straggler change
         # at seq <= initial_seq would be SUPERSEDED by the seed version in
         # the history while apply_changelog would let it override the base

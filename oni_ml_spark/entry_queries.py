@@ -446,8 +446,15 @@ def set_ops(spark, sf):
     )
     # bloom semi/anti (r8 merge, r7 verdict item 1: plans/bloom.py): the
     # broadcast-bitmap pre-filter + exact settle must reproduce the plain
-    # semi/anti joins bit-for-bit (bag semantics — counts per key)
-    from oni_ml_spark.plans.bloom import bloom_anti_join, bloom_semi_join
+    # semi/anti joins bit-for-bit (bag semantics — counts per key). ONE
+    # shared filter build — semi and anti probe the same bitmap (review
+    # finding: two inline builds scanned cf twice and pinned two
+    # checkpoints)
+    from oni_ml_spark.plans.bloom import (
+        bloom_anti_join,
+        bloom_semi_join,
+        build_bloom_filter,
+    )
 
     def bloom_rows(df, side):
         return (
@@ -456,8 +463,9 @@ def set_ops(spark, sf):
             .select(F.lit(side).alias("side"), "key", "cnt")
         )
 
-    bsemi = bloom_rows(bloom_semi_join(of, cf, "key", num_bits=1 << 20), "bloom_semi")
-    banti = bloom_rows(bloom_anti_join(of, cf, "key", num_bits=1 << 20), "bloom_anti")
+    bf = build_bloom_filter(cf, "key", num_bits=1 << 20)
+    bsemi = bloom_rows(bloom_semi_join(of, cf, "key", bloom=bf), "bloom_semi")
+    banti = bloom_rows(bloom_anti_join(of, cf, "key", bloom=bf), "bloom_anti")
     return (
         union_counts.unionByName(both).unionByName(only_o)
         .unionByName(bsemi).unionByName(banti)
@@ -1963,13 +1971,19 @@ def near_dup_verified(spark, sf):
     # bounded: |corpus| = 2·|distinct part strings| (~770 at every SF) —
     # pin it so the fuzzy self-join + dedup-groups don't re-aggregate part
     corpus = corpus.localCheckpoint(eager=True)
-    edit = fuzzy_join(corpus, corpus, "fid", "s", max_edits=1, q=3).select(
+    # ONE gram join + guard pre-flight: the pairs are pinned (bounded by
+    # the true match count) and reused by both the 'edit' part and the
+    # clustering below (review finding: the machinery ran twice)
+    epairs = fuzzy_join(corpus, corpus, "fid", "s", max_edits=1, q=3).localCheckpoint(
+        eager=True
+    )
+    edit = epairs.select(
         F.lit("edit").alias("part"),
         F.col("fid_l").alias("id_a"),
         F.col("fid_r").alias("id_b"),
         F.col("distance").cast("double").alias("v"),
     )
-    ecl = fuzzy_dedup_groups(corpus, "fid", "s", max_edits=1).select(
+    ecl = fuzzy_dedup_groups(corpus, "fid", "s", pairs=epairs).select(
         F.lit("ecluster").alias("part"),
         F.col("fid").alias("id_a"),
         F.col("cluster").alias("id_b"),

@@ -3,9 +3,11 @@ apply_changelog and scd2_history in BOTH regimes at 1x and 5x.
 
 Regimes (the two real shapes of the operator):
 - daily:  snapshot >> changelog — the incremental-refresh case a 100 TB
-  state table sees every day (here 4M rows vs 40k changes at 1x);
-- replay: changelog >> snapshot — the rebuild-from-log case (40k-row base,
-  4M-row changelog at 1x).
+  state table sees every day (4M-row snapshot, ~40k-change log at 1x:
+  n_log/2 distinct inserts + up-to-n_log/2 key-deduped updates);
+- replay: changelog >> snapshot — the rebuild-from-log case (40k-row
+  base; the log's update half dedups to <= n_snap keys, so the replay
+  log is ~2M inserts + 40k updates at 1x).
 
 Both operators' plan contracts say cost should track the CHANGELOG for
 `daily` (the snapshot contributes one column-pruned anti-join probe) and
@@ -46,13 +48,18 @@ def frames(spark, n_snap: int, n_log: int):
         (F.col("id") % 1000).cast("double").alias("score"),
     )
     half = n_log // 2
+    # EVERY column of an update row derives from k, so the dropDuplicates
+    # survivor is value-identical whichever physical row wins — the benched
+    # row counts are deterministic (review finding: op derived from the raw
+    # id made the surviving op partition-order-dependent)
+    k = F.col("id") * 7 % n_snap
     upd = spark.range(half).select(
-        (F.col("id") * 7 % n_snap).alias("k"),
+        k.alias("k"),
         F.lit("updated").alias("payload"),
         F.lit(1.0).alias("score"),
-        F.when(F.col("id") % 5 == 0, "delete").otherwise("upsert").alias("op"),
+        F.when(k % 5 == 0, "delete").otherwise("upsert").alias("op"),
         # unique (k, seq): derive seq from the key itself + a distinct band
-        ((F.col("id") * 7 % n_snap) * 4 + 1).alias("seq"),
+        (k * 4 + 1).alias("seq"),
     ).dropDuplicates(["k"])
     ins = spark.range(half).select(
         (F.col("id") + n_snap * 10).alias("k"),
@@ -75,9 +82,9 @@ def run_regime(spark, label: str, n_snap: int, n_log: int) -> dict:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     t0 = time.time()
-    # scd2 over the log alone for `replay`; seeded with the snapshot for
-    # `daily` (the full production shape — the window then carries
-    # snapshot+log rows, which is exactly the cost being measured)
+    # scd2 always seeded with the snapshot — the full production shape:
+    # the window carries snapshot+log rows, which is exactly the cost
+    # being measured in BOTH regimes
     n2 = scd2_history(log, "k", initial=snap, initial_seq=0).count()
     out["scd2_history"] = {"sec": round(time.time() - t0, 2), "rows": n2}
     spark.catalog.clearCache()

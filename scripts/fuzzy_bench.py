@@ -102,7 +102,10 @@ def main() -> None:
             gc.collect()
             t0 = time.time()
             n_pairs = (
-                fuzzy_join(df, df, "id", "s", max_edits=1, q=q)
+                # guard OFF: this harness deliberately measures the
+                # quadratic regime the guard exists to refuse (r8)
+                fuzzy_join(df, df, "id", "s", max_edits=1, q=q,
+                           max_expansion_per_gram_row=None)
                 .where(F.col("id_l") < F.col("id_r"))
                 .count()
             )
