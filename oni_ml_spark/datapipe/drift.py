@@ -1,0 +1,186 @@
+"""Distribution-drift monitoring between two corpus snapshots — the
+data-quality gate a production training pipeline runs before every refresh
+("did today's crawl shift under us?"), beyond the reference (which has no
+cross-snapshot statistics at all; its closest surface is the per-run
+quantile cuts, utilities/Quantiles.scala).
+
+Design for two 100 TB corpora: NOTHING joins row-to-row. Bin edges come
+from the REFERENCE side's exact quantile cuts (|bins| driver-side values,
+the same bounded collect the reference's own cut tables do), then each
+side reduces to one |bins|-row histogram aggregate; every comparison
+statistic (PSI, KL, chi-square, missing-rate delta) is arithmetic over
+those two bounded tables. Shuffle carries bin subtotals, never rows.
+
+Why quantile edges, not equi-width: drift shows up in the tails; equal-
+population reference bins give every bin the same statistical weight and
+make PSI's log-ratio terms comparable across bins (the standard credit-
+scoring construction of the statistic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# conventional PSI reading: < 0.1 stable, 0.1-0.25 moderate shift,
+# > 0.25 action required (population-stability-index folklore thresholds,
+# documented so reports are self-describing)
+PSI_STABLE = 0.1
+PSI_ACTION = 0.25
+
+
+def binned_counts(
+    df: DataFrame, value_col: str, edges: list[float], side: str
+) -> DataFrame:
+    """One |edges|+1-row histogram of ``value_col`` over half-open bins
+    ``(-inf, e0], (e0, e1], ..., (e_last, +inf)`` plus a null-count row
+    (bin -1). One aggregate, map-side combinable; the bin expression is a
+    literal when-chain, codegen-inlined like transforms.bin_expr."""
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly ascending")
+    v = F.col(value_col).cast("double")
+    b = F.when(v.isNull(), F.lit(-1))
+    for i, e in enumerate(edges):
+        b = b.when(v <= F.lit(float(e)), F.lit(i))
+    b = b.otherwise(F.lit(len(edges)))
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+    )
+
+
+def drift_compare(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    edges: list[float] | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-bin drift table between a REFERENCE corpus and a CURRENT one:
+    DataFrame[bin, lo, hi, n_ref, n_cur, p_ref, p_cur, psi_term, kl_term]
+    — sum psi_term for the population stability index, kl_term for
+    KL(cur ‖ ref). Use ``drift_summary`` for the one-row verdict.
+
+    ``edges`` default to the reference side's EXACT ``n_bins``-quantile
+    cuts (equal-population reference bins — the standard PSI
+    construction; the top cut is dropped so the last bin is open-ended).
+    Pass explicit ``edges`` to compare against a FROZEN binning across
+    many runs — at 100 TB you compute edges once on the baseline corpus
+    and reuse them, which also makes the whole comparison a pure
+    composition of two bounded aggregates.
+
+    ``smoothing`` (add-k on counts) keeps empty bins from producing
+    infinite log-ratios — a bin the current corpus abandoned is exactly
+    the signal PSI must flag, not a NaN. Null values are tracked as their
+    own bin (-1): a producer that started emitting nulls is drift too.
+    """
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (log-ratio of empty bins)")
+    for side, df in (("ref", ref), ("cur", cur)):
+        if value_col not in df.columns:
+            raise ValueError(f"{side} side lacks column {value_col!r}")
+    if edges is None:
+        from oni_ml_spark.transforms.quantiles import quantile_cuts
+
+        probs = [i / n_bins for i in range(1, n_bins)]
+        # bounded collect: n_bins-1 doubles — the same boundary the
+        # reference's own cut tables cross
+        edges = sorted(set(quantile_cuts(ref, value_col, probs)))
+        if not edges or edges[0] == float("inf"):
+            raise ValueError("reference side has no non-null values to bin")
+    edges = [float(e) for e in edges]
+
+    rc = binned_counts(ref, value_col, edges, "ref")
+    cc = binned_counts(cur, value_col, edges, "cur")
+    # |bins|+2-row full outer join of two bounded aggregates
+    both = rc.join(cc, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    # smoothed proportions over 1-row totals broadcast back in-plan
+    tot = both.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    k = float(smoothing)
+    p_ref = (F.col("n_ref") + k) / (F.col("__tr") + k * F.col("__nb"))
+    p_cur = (F.col("n_cur") + k) / (F.col("__tc") + k * F.col("__nb"))
+    lo_edge = {i: edges[i - 1] for i in range(1, len(edges) + 1)}
+    lo_expr = F.create_map(
+        *[F.lit(x) for kv in lo_edge.items() for x in kv]
+    )[F.col("bin")]
+    hi_expr = F.create_map(
+        *[F.lit(x) for kv in {i: e for i, e in enumerate(edges)}.items() for x in kv]
+    )[F.col("bin")]
+    return both.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        lo_expr.alias("lo"),
+        hi_expr.alias("hi"),
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        (p_cur * F.log(p_cur / p_ref)).alias("kl_term"),
+    )
+
+
+def drift_summary(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_cols: list[str],
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """One row per column: psi, kl, null-rate delta, mean/stddev deltas,
+    and the conventional verdict ('stable' / 'moderate' / 'action').
+    |value_cols| bounded drift tables + one moments aggregate per side —
+    still zero row-to-row joins."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    spark = ref.sparkSession
+
+    def moments(df, side):
+        aggs = []
+        for c in value_cols:
+            v = F.col(c).cast("double")
+            aggs += [
+                F.avg(v).alias(f"{c}__mean_{side}"),
+                F.stddev_samp(v).alias(f"{c}__std_{side}"),
+                F.avg(v.isNull().cast("double")).alias(f"{c}__nullrate_{side}"),
+            ]
+        return df.agg(*aggs).collect()[0]
+
+    mr, mc = moments(ref, "ref"), moments(cur, "cur")
+    rows = []
+    for c in value_cols:
+        d = drift_compare(ref, cur, c, n_bins=n_bins, smoothing=smoothing)
+        agg = d.agg(
+            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl")
+        ).collect()[0]
+        psi = float(agg["psi"])
+        verdict = (
+            "stable" if psi < PSI_STABLE
+            else "moderate" if psi < PSI_ACTION
+            else "action"
+        )
+        rows.append(
+            (
+                c, psi, float(agg["kl"]),
+                mr[f"{c}__mean_ref"],
+                mc[f"{c}__mean_cur"],
+                mr[f"{c}__std_ref"], mc[f"{c}__std_cur"],
+                float(mc[f"{c}__nullrate_cur"]) - float(mr[f"{c}__nullrate_ref"]),
+                verdict,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, psi double, kl double, mean_ref double, mean_cur double, "
+        "std_ref double, std_cur double, null_rate_delta double, verdict string",
+    )

@@ -135,6 +135,93 @@ def mask_pii(c: Column | str, email_token: str = "<EMAIL>", ip_token: str = "<IP
     return F.regexp_replace(F.regexp_replace(t, EMAIL_REGEX, email_token), IPV4_REGEX, ip_token)
 
 
+# Full scrub inventory. Patterns deliberately avoid lookarounds and
+# backreferences so they run IDENTICALLY under Java regex (Spark, codegen)
+# and RE2 (DuckDB — the test oracle; also what a Go/C++ reimplementation
+# would use). Order matters and is fixed: ssn/cc before phone (a hyphenated
+# SSN is phone-shaped), email before ip (an email's host can contain a
+# dotted quad).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (EMAIL_REGEX, "<EMAIL>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "credit_card": (r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{15,16}\b", "<CC>"),
+    "phone": (
+        r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        "<PHONE>",
+    ),
+    "ipv4": (IPV4_REGEX, "<IP>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    kinds: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII spans with typed placeholder tokens — the compliance
+    pass a pretraining pipeline runs before anything is tokenized, as a
+    chain of JVM-side ``regexp_replace`` (whole-stage codegen; no UDF, no
+    Python in the hot path; at 100 TB this is a map-only scan).
+
+    ``kinds`` picks from ``PII_PATTERNS`` (default: all, applied in the
+    inventory's fixed precedence order regardless of the requested
+    order); ``out_col`` defaults to replacing ``text_col`` in place.
+    Companion ``pii_counts`` reports what WOULD be redacted — run it on a
+    sample first to eyeball false-positive rates on your corpus; the
+    patterns are deliberately recall-leaning (a 16-digit id redacts as
+    <CC>), which for training data is the right failure direction.
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} not in input")
+    use = list(PII_PATTERNS) if kinds is None else list(kinds)
+    unknown = sorted(set(use) - set(PII_PATTERNS))
+    if unknown:
+        raise ValueError(f"unknown PII kind(s) {unknown}; have {list(PII_PATTERNS)}")
+    out_col = text_col if out_col is None else out_col
+    t = F.col(text_col)
+    for kind in PII_PATTERNS:  # fixed precedence order
+        if kind in use:
+            pat, token = PII_PATTERNS[kind]
+            t = F.regexp_replace(t, pat, token)
+    return df.withColumn(out_col, t)
+
+
+def pii_counts(
+    df: DataFrame, id_col: str, text_col: str, kinds: list[str] | None = None
+) -> DataFrame:
+    """(id, <kind>_n per kind, pii_total) — how many PII spans each
+    document carries, WITHOUT modifying anything: the audit/report side
+    of ``scrub_pii`` (flag documents above a threshold, sample them,
+    tune). One map-only projection (``regexp_extract_all`` + ``size``);
+    counts are per-pattern on the ORIGINAL text, so overlapping kinds
+    (an SSN is also phone-shaped) each count the span they match."""
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input")
+    use = list(PII_PATTERNS) if kinds is None else list(kinds)
+    unknown = sorted(set(use) - set(PII_PATTERNS))
+    if unknown:
+        raise ValueError(f"unknown PII kind(s) {unknown}; have {list(PII_PATTERNS)}")
+    cols = [F.col(id_col).alias("id")]
+    total = F.lit(0)
+    for kind in PII_PATTERNS:
+        if kind in use:
+            # null text carries zero PII spans (coalesce: size(null) is
+            # null/-1 depending on legacy flags — neither is a count)
+            n = F.coalesce(
+                F.size(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(PII_PATTERNS[kind][0]), F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            cols.append(n.alias(f"{kind}_n"))
+            total = total + n
+    return df.select(*cols, total.alias("pii_total"))
+
+
 def fingerprint_cols(text_col: Column | str) -> dict[str, Column]:
     """The fingerprint expressions (md5 of normalized text + 16-hex rolling
     prefix) as named Columns — composable into wider per-doc selects (the

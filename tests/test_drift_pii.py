@@ -1,0 +1,168 @@
+"""Round-8 widening: distribution-drift monitoring (PSI/KL vs a DuckDB
+restatement + hand-computed goldens) and the full PII scrub/audit pair
+(Java-regex vs RE2 parity on the shared pattern inventory)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestDriftCompare:
+    def test_identical_corpora_score_zero(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_compare
+
+        d = spark.range(1000).select((F.col("id") % 97).cast("double").alias("v"))
+        out = drift_compare(d, d, "v", n_bins=8)
+        agg = out.agg(F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl")).first()
+        assert abs(agg["psi"]) < 1e-12 and abs(agg["kl"]) < 1e-12
+
+    def test_shifted_corpus_flags_action(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_compare, drift_summary
+
+        ref = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+        cur = spark.range(5000).select(
+            ((F.col("id") % 100) + 60).cast("double").alias("v")
+        )
+        psi = (
+            drift_compare(ref, cur, "v", n_bins=10)
+            .agg(F.sum("psi_term").alias("p"))
+            .first()["p"]
+        )
+        assert psi > 0.25  # a 60-point location shift is unmissable
+        s = drift_summary(ref, cur, ["v"]).first()
+        assert s["verdict"] == "action"
+        assert s["mean_cur"] - s["mean_ref"] == pytest.approx(60.0)
+
+    def test_matches_duckdb_restatement(self, spark):
+        """Fixed explicit edges: the per-bin counts, smoothed proportions,
+        and PSI/KL terms must equal DuckDB computing the same formulas."""
+        from oni_ml_spark.datapipe.drift import drift_compare
+
+        ref_rows = [(float(i % 13),) for i in range(400)]
+        cur_rows = [(float((i * 7) % 17),) for i in range(300)] + [(None,)] * 20
+        ref = spark.createDataFrame(ref_rows, "v double")
+        cur = spark.createDataFrame(cur_rows, "v double")
+        edges = [3.0, 6.0, 9.0, 12.0]
+        got = {
+            int(r["bin"]): (r["n_ref"], r["n_cur"], round(r["psi_term"], 9))
+            for r in drift_compare(ref, cur, "v", edges=edges).collect()
+        }
+        import pandas as pd
+
+        ref_pd, cur_pd = pd.DataFrame(ref_rows, columns=["v"]), pd.DataFrame(
+            cur_rows, columns=["v"]
+        )
+        want = duckdb.sql(
+            """
+            WITH rb AS (SELECT CASE WHEN v IS NULL THEN -1
+                 WHEN v <= 3 THEN 0 WHEN v <= 6 THEN 1 WHEN v <= 9 THEN 2
+                 WHEN v <= 12 THEN 3 ELSE 4 END AS bin FROM ref_pd),
+            cb AS (SELECT CASE WHEN v IS NULL THEN -1
+                 WHEN v <= 3 THEN 0 WHEN v <= 6 THEN 1 WHEN v <= 9 THEN 2
+                 WHEN v <= 12 THEN 3 ELSE 4 END AS bin FROM cur_pd),
+            r AS (SELECT bin, count(*) AS nr FROM rb GROUP BY bin),
+            c AS (SELECT bin, count(*) AS nc FROM cb GROUP BY bin),
+            j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+                  coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+                  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+            t AS (SELECT sum(nr) AS tr, sum(nc) AS tc, count(*) AS nb FROM j)
+            SELECT bin, nr, nc,
+              round(((nc + 0.5) / (tc + 0.5 * nb) - (nr + 0.5) / (tr + 0.5 * nb))
+                * ln(((nc + 0.5) / (tc + 0.5 * nb)) / ((nr + 0.5) / (tr + 0.5 * nb))), 9)
+              AS psi_term
+            FROM j, t
+            """
+        ).fetchall()
+        assert got == {int(b): (nr, nc, ps) for b, nr, nc, ps in want}
+
+    def test_validation(self, spark):
+        from oni_ml_spark.datapipe.drift import binned_counts, drift_compare
+
+        d = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        with pytest.raises(ValueError, match="ascending"):
+            binned_counts(d, "v", [3.0, 1.0], "ref")
+        with pytest.raises(ValueError, match="smoothing"):
+            drift_compare(d, d, "v", smoothing=0.0)
+        empty = spark.createDataFrame([(None,)], "v double")
+        with pytest.raises(ValueError, match="no non-null"):
+            drift_compare(empty, d, "v")
+
+
+_PII_DOCS = [
+    (0, "mail me at jane.doe+x@example.co.uk or call 555-867-5309 today"),
+    (1, "server 10.1.2.3 responded; card 4111-1111-1111-1111 declined"),
+    (2, "ssn 123-45-6789 on file, backup ssn 987-65-4321"),
+    (3, "nothing sensitive here, just 42 and a date 2024-01-01"),
+    (4, "intl +1 (415) 555-0199 and bare 16-digit 4242424242424242"),
+    (5, None),
+]
+
+
+class TestPiiScrub:
+    def test_goldens(self, spark):
+        from oni_ml_spark.datapipe.textstats import scrub_pii
+
+        df = spark.createDataFrame(_PII_DOCS, "id bigint, text string")
+        got = {r["id"]: r["text"] for r in scrub_pii(df, "text").collect()}
+        assert got[0] == "mail me at <EMAIL> or call <PHONE> today"
+        assert got[1] == "server <IP> responded; card <CC> declined"
+        assert got[2] == "ssn <SSN> on file, backup ssn <SSN>"
+        assert got[3] == _PII_DOCS[3][1]  # untouched
+        assert got[4] == "intl <PHONE> and bare 16-digit <CC>"
+        assert got[5] is None
+
+    def test_counts_match_duckdb_re2(self, spark):
+        """Java regex (Spark) and RE2 (DuckDB) must agree on every pattern
+        over every fixture doc — the engine-portability contract the
+        inventory documents."""
+        from oni_ml_spark.datapipe.textstats import PII_PATTERNS, pii_counts
+
+        df = spark.createDataFrame(_PII_DOCS, "id bigint, text string")
+        got = sorted(
+            tuple(r) for r in pii_counts(df, "id", "text").collect()
+        )
+        import pandas as pd
+
+        docs_pd = pd.DataFrame(_PII_DOCS, columns=["id", "text"])
+        exprs = ", ".join(
+            f"coalesce(length(regexp_extract_all(text, '{pat}')), 0) AS {kind}_n"
+            for kind, (pat, _) in PII_PATTERNS.items()
+        )
+        total = " + ".join(f"{kind}_n" for kind in PII_PATTERNS)
+        want = sorted(
+            tuple(r)
+            for r in duckdb.sql(
+                f"SELECT id, {exprs}, {total} AS pii_total FROM "
+                f"(SELECT id, {exprs}, text FROM docs_pd)"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_kind_subset_and_validation(self, spark):
+        from oni_ml_spark.datapipe.textstats import pii_counts, scrub_pii
+
+        df = spark.createDataFrame(_PII_DOCS, "id bigint, text string")
+        only_email = {
+            r["id"]: r["clean"]
+            for r in scrub_pii(df, "text", kinds=["email"], out_col="clean").collect()
+        }
+        assert "<EMAIL>" in only_email[0] and "555-867-5309" in only_email[0]
+        with pytest.raises(ValueError, match="unknown PII kind"):
+            scrub_pii(df, "text", kinds=["passport"])
+        with pytest.raises(ValueError, match="unknown PII kind"):
+            pii_counts(df, "id", "text", kinds=["dna"])
+
+    def test_scrub_is_pure_codegen(self, spark):
+        """No UDF, no shuffle: the scrub plans as a single projection over
+        the scan."""
+        from oni_ml_spark.datapipe.textstats import scrub_pii
+
+        df = spark.createDataFrame(_PII_DOCS, "id bigint, text string")
+        plan = scrub_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "PythonUDF" not in plan.replace(
+            "BatchEvalPython", "PythonUDF"
+        )
