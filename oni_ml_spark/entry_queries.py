@@ -221,7 +221,34 @@ def groupby_count_docword(spark, sf):
     "hg AS (SELECT range::INT AS bin FROM range(8)), "
     "corrs AS (SELECT 'event_id|user_id' AS pair, round(corr(event_id, user_id), 6) AS c FROM events "
     "UNION ALL SELECT 'event_id|value', round(corr(event_id, value), 6) FROM events "
-    "UNION ALL SELECT 'user_id|value', round(corr(user_id, value), 6) FROM events) "
+    "UNION ALL SELECT 'user_id|value', round(corr(user_id, value), 6) FROM events), "
+    # -- drift_compare (r8): PSI/KL per-bin drift between the even-user
+    # -- half and a scale-shifted (×1.35) odd-user half with injected nulls
+    # -- (event_id % 97 → bin -1). Bin counts are exact longs from the same
+    # -- literal when-chain on both engines (IEEE ×1.35 then <= edge is
+    # -- bit-identical); psi/kl terms are double arithmetic over those
+    # -- longs, rounded at 6 with boundary distance checked before freezing.
+    "dr0 AS (SELECT value AS v FROM events WHERE user_id % 2 = 0), "
+    "dc0 AS (SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE value * 1.35 END AS v "
+    "FROM events WHERE user_id % 2 = 1), "
+    + "".join(
+        f"{cte} AS (SELECT CASE WHEN v IS NULL THEN -1 WHEN v <= 5.0 THEN 0 "
+        "WHEN v <= 15.0 THEN 1 WHEN v <= 35.0 THEN 2 WHEN v <= 70.0 THEN 3 "
+        f"WHEN v <= 150.0 THEN 4 ELSE 5 END AS bin FROM {src}), "
+        for cte, src in (("rb", "dr0"), ("cb", "dc0"))
+    )
+    + "rr AS (SELECT bin, count(*)::BIGINT AS nr FROM rb GROUP BY bin), "
+    "cc0 AS (SELECT bin, count(*)::BIGINT AS nc FROM cb GROUP BY bin), "
+    "dj AS (SELECT coalesce(rr.bin, cc0.bin) AS bin, coalesce(nr, 0) AS nr, "
+    "coalesce(nc, 0) AS nc FROM rr FULL OUTER JOIN cc0 ON rr.bin = cc0.bin), "
+    "dt AS (SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc, "
+    "count(*)::DOUBLE AS nb FROM dj), "
+    "dterm AS (SELECT bin, nr, nc, (nr::DOUBLE + 0.5) / (tr + 0.5 * nb) AS pr, "
+    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM dj, dt), "
+    "dlo AS (SELECT bin, (CASE bin WHEN 1 THEN 5.0 WHEN 2 THEN 15.0 WHEN 3 THEN 35.0 "
+    "WHEN 4 THEN 70.0 WHEN 5 THEN 150.0 END)::DOUBLE AS lo, "
+    "(CASE bin WHEN 0 THEN 5.0 WHEN 1 THEN 15.0 WHEN 2 THEN 35.0 WHEN 3 THEN 70.0 "
+    "WHEN 4 THEN 150.0 END)::DOUBLE AS hi FROM dterm) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
@@ -230,7 +257,11 @@ def groupby_count_docword(spark, sf):
     "ORDER BY n_rows DESC, key LIMIT 5) "
     "UNION ALL SELECT 'hist', bin::VARCHAR, coalesce(n, 0)::BIGINT, NULL, NULL, NULL "
     "FROM hg LEFT JOIN hc USING (bin) "
-    "UNION ALL SELECT 'corr', pair, NULL, NULL, NULL, c FROM corrs",
+    "UNION ALL SELECT 'corr', pair, NULL, NULL, NULL, c FROM corrs "
+    "UNION ALL SELECT 'drift', d.bin::VARCHAR, nr, lo, hi, "
+    "round((pc - pr) * ln(pc / pr), 6) FROM dterm d JOIN dlo USING (bin) "
+    "UNION ALL SELECT 'drift_cur', d.bin::VARCHAR, nc, NULL, NULL, "
+    "round(pc * ln(pc / pr), 6) FROM dterm d JOIN dlo USING (bin)",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -259,7 +290,21 @@ def dimension_profile(spark, sf):
       numeric columns in ONE aggregate/scan: key='col_a|col_b',
       share=round(pearson, 6) (engines agree to ~1e-9 on the co-moment
       formula; all three gate-SF values sit >=1.6e-7 from the rounding
-      boundary — checked before freezing)."""
+      boundary — checked before freezing).
+
+    r08 merges the drift monitor (datapipe.drift.drift_compare) into the
+    same profile family:
+
+    - part='drift' / 'drift_cur' — PSI/KL per-bin drift between the
+      even-user half and a scale-shifted (×1.35) odd-user half with
+      injected nulls (event_id % 97 → the null bin −1, exercised live).
+      Explicit literal edges (the frozen-binning production mode — no
+      quantile collect in the entry); key=bin, a=n_ref/n_cur,
+      lo/hi=bin edges, share=round(psi_term/kl_term, 6). Bin counts are
+      exact longs (IEEE ×1.35 then <=edge is engine-identical); the
+      psi/kl doubles' distance to the 1e-6 rounding boundary was checked
+      at the gate SF before freezing."""
+    from oni_ml_spark.datapipe.drift import drift_compare
     from oni_ml_spark.plans.diagnostics import (
         column_histogram,
         key_skew_profile,
@@ -323,9 +368,35 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.round("corr", 6).alias("share"),
     )
+    drift_ref = e.filter((F.col("user_id") % 2) == 0).select("value")
+    drift_cur = e.filter((F.col("user_id") % 2) == 1).select(
+        F.when((F.col("event_id") % 97) == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 1.35)
+        .alias("value")
+    )
+    dr = drift_compare(
+        drift_ref, drift_cur, "value", edges=[5.0, 15.0, 35.0, 70.0, 150.0]
+    )
+    dref = dr.select(
+        F.lit("drift").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n_ref").alias("a"),
+        F.col("lo"),
+        F.col("hi"),
+        F.round("psi_term", 6).alias("share"),
+    )
+    dcur = dr.select(
+        F.lit("drift_cur").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n_cur").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("kl_term", 6).alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
+        .unionByName(dref).unionByName(dcur)
     )
 
 
@@ -3110,7 +3181,68 @@ UNION ALL SELECT '__passed',
 """
 
 
-@_q("quality_gate", _QG_ORACLE)
+def _pii_oracle_block() -> tuple[str, str]:
+    """r8 PII-audit rows appended to the quality_gate report: per-kind
+    doc counts + id_sums over a deterministically PII-planted corpus
+    (every doc gets an email; every 3rd an SSN, 5th a card, 7th a phone,
+    11th an IPv4), total span count, and the scrub→re-audit residual
+    (structurally zero — the oracle performs the same fixed-order
+    regexp_replace chain, so the zero is checked cross-engine, Java
+    regex vs RE2, on the shared PII_PATTERNS inventory). Returns the
+    (extra CTEs, extra UNION rows) pair spliced into _QG_ORACLE."""
+    from oni_ml_spark.datapipe.textstats import PII_PATTERNS
+
+    plant = (
+        "text || ' contact user' || doc_id::VARCHAR || '@ex' || "
+        "(doc_id % 7)::VARCHAR || '.org'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || "
+        "lpad((doc_id % 9999)::VARCHAR, 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' card 4242-4242-4242-4242' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call (415) 555-0199' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || "
+        "(doc_id % 254)::VARCHAR || '.7' ELSE '' END"
+    )
+    scrub = "pt"
+    for pat, tok in PII_PATTERNS.values():  # fixed precedence order
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
+    kind_counts = ", ".join(
+        f"len(regexp_extract_all(pt, '{pat}'))::BIGINT AS {kind}_n"
+        for kind, (pat, _) in PII_PATTERNS.items()
+    )
+    res_counts = " + ".join(
+        f"len(regexp_extract_all(st, '{pat}'))"
+        for pat, _ in PII_PATTERNS.values()
+    )
+    total = " + ".join(f"{kind}_n" for kind in PII_PATTERNS)
+    kind_rows = " ".join(
+        f"UNION ALL SELECT 'pii_{kind}', count(*) FILTER ({kind}_n > 0)::BIGINT, "
+        f"coalesce(sum(doc_id) FILTER ({kind}_n > 0), 0)::BIGINT FROM pk"
+        for kind in PII_PATTERNS
+    )
+    ctes = (
+        f", ptxt AS (SELECT doc_id, {plant} AS pt FROM documents), "
+        f"pk AS (SELECT doc_id, {kind_counts}, {total} AS pt_total FROM ptxt), "
+        f"scr AS (SELECT doc_id, {scrub} AS st FROM ptxt), "
+        f"pres AS (SELECT doc_id, {res_counts} AS res_total FROM scr)"
+    )
+    rows = (
+        f"{kind_rows} "
+        "UNION ALL SELECT 'pii_spans', sum(pt_total)::BIGINT, "
+        "coalesce(sum(doc_id) FILTER (pt_total > 0), 0)::BIGINT FROM pk "
+        "UNION ALL SELECT 'pii_residual', sum(res_total)::BIGINT, "
+        "coalesce(sum(doc_id) FILTER (res_total > 0), 0)::BIGINT FROM pres"
+    )
+    return ctes, rows
+
+
+def _qg_oracle_with_pii() -> str:
+    ctes, rows = _pii_oracle_block()
+    head, sep, tail = _QG_ORACLE.partition("\nSELECT '")
+    assert sep, "unexpected _QG_ORACLE shape"
+    return head + ctes + sep + tail.rstrip() + " " + rows
+
+
+@_q("quality_gate", _qg_oracle_with_pii())
 def quality_gate_q(spark, sf):
     """Gopher-style document quality gate (datapipe.textstats.quality_filter,
     Rae et al. 2021 A1.1) with thresholds tuned so five of the seven rules
@@ -3123,8 +3255,24 @@ def quality_gate_q(spark, sf):
     rejection SET, not just its size), plus the '__passed' row for the
     surviving corpus. One codegen projection + one explode-free aggregate:
     rule membership is array_contains over the gate's failed_rules column,
-    summed map-side — no per-rule rescan."""
-    from oni_ml_spark.datapipe.textstats import quality_filter
+    summed map-side — no per-rule rescan.
+
+    r08 merges the PII audit/scrub pair (datapipe.textstats.pii_counts +
+    scrub_pii — the compliance gate next to the quality gate) into the
+    same rejection-report shape: per-kind 'pii_<kind>' rows (docs carrying
+    that kind + their id_sum) over a deterministically planted corpus,
+    'pii_spans' (total spans + id_sum of carrying docs), and
+    'pii_residual' — scrub then re-audit, cross-engine-checked to be
+    exactly zero (Java regex vs RE2 on the shared PII_PATTERNS
+    inventory). Everything stays codegen regexp projections + two 1-row
+    aggregates; no UDF, no extra shuffle beyond the map-side-combined
+    aggs."""
+    from oni_ml_spark.datapipe.textstats import (
+        PII_PATTERNS,
+        pii_counts,
+        quality_filter,
+        scrub_pii,
+    )
 
     d = _docs(spark, sf)
     qf = quality_filter(
@@ -3148,9 +3296,65 @@ def quality_gate_q(spark, sf):
     stack_args = ", ".join(
         [f"'{r}', __n_{r}, __s_{r}" for r in _QG_RULES] + ["'__passed', __n_passed, __s_passed"]
     )
-    return wide.selectExpr(
+    gate_rows = wide.selectExpr(
         f"stack({len(_QG_RULES) + 1}, {stack_args}) AS (rule, n_docs, id_sum)"
     )
+
+    # PII audit rows: plant deterministic PII (mirrors _pii_oracle_block's
+    # SQL expression exactly), audit with pii_counts, scrub with scrub_pii,
+    # re-audit — residual must be zero on both engines.
+    ptxt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".org"),
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 9999).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when((F.col("doc_id") % 5) == 0, F.lit(" card 4242-4242-4242-4242"))
+        .otherwise(F.lit("")),
+        F.when((F.col("doc_id") % 7) == 0, F.lit(" call (415) 555-0199"))
+        .otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 11) == 0,
+            F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 254).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    dp = d.select(F.col("doc_id"), ptxt.alias("pt"))
+    pc = pii_counts(dp, "doc_id", "pt")
+    pii_aggs = []
+    for kind in PII_PATTERNS:
+        hit = F.col(f"{kind}_n") > 0
+        pii_aggs.append(F.sum(hit.cast("long")).alias(f"__n_pii_{kind}"))
+        pii_aggs.append(
+            F.sum(F.when(hit, F.col("id")).otherwise(0)).cast("long").alias(f"__s_pii_{kind}")
+        )
+    pii_aggs.append(F.sum("pii_total").cast("long").alias("__n_pii_spans"))
+    pii_aggs.append(
+        F.sum(F.when(F.col("pii_total") > 0, F.col("id")).otherwise(0))
+        .cast("long").alias("__s_pii_spans")
+    )
+    pw = pc.agg(*pii_aggs)
+    rc = pii_counts(scrub_pii(dp, "pt"), "doc_id", "pt")
+    rw = rc.agg(
+        F.sum("pii_total").cast("long").alias("__n_pii_residual"),
+        F.sum(F.when(F.col("pii_total") > 0, F.col("id")).otherwise(0))
+        .cast("long").alias("__s_pii_residual"),
+    )
+    pii_stack = ", ".join(
+        [f"'pii_{k}', __n_pii_{k}, __s_pii_{k}" for k in PII_PATTERNS]
+        + [
+            "'pii_spans', __n_pii_spans, __s_pii_spans",
+            "'pii_residual', __n_pii_residual, __s_pii_residual",
+        ]
+    )
+    pii_rows = pw.crossJoin(F.broadcast(rw)).selectExpr(
+        f"stack({len(PII_PATTERNS) + 2}, {pii_stack}) AS (rule, n_docs, id_sum)"
+    )
+    return gate_rows.unionByName(pii_rows)
 
 
 _TEMPORAL_RESHAPE_ORACLE = """
