@@ -52,6 +52,31 @@ def binned_counts(
     )
 
 
+def _psi_terms(both: DataFrame, smoothing: float) -> DataFrame:
+    """Shared drift arithmetic over a bounded (.., n_ref, n_cur) count
+    table: smoothed proportions against in-plan 1-row totals, PSI and KL
+    terms appended. Input stays bounded (|bins| or |categories| rows);
+    the crossJoin is a broadcast of the 1-row totals."""
+    tot = both.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    k = float(smoothing)
+    p_ref = (F.col("n_ref") + k) / (F.col("__tr") + k * F.col("__nb"))
+    p_cur = (F.col("n_cur") + k) / (F.col("__tc") + k * F.col("__nb"))
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .withColumn("p_ref", p_ref)
+        .withColumn("p_cur", p_cur)
+        .withColumn(
+            "psi_term",
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
+        )
+        .withColumn("kl_term", F.col("p_cur") * F.log(F.col("p_cur") / F.col("p_ref")))
+        .drop("__tr", "__tc", "__nb")
+    )
+
+
 def drift_compare(
     ref: DataFrame,
     cur: DataFrame,
@@ -102,14 +127,6 @@ def drift_compare(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    # smoothed proportions over 1-row totals broadcast back in-plan
-    tot = both.agg(
-        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"),
-        F.count(F.lit(1)).alias("__nb"),
-    )
-    k = float(smoothing)
-    p_ref = (F.col("n_ref") + k) / (F.col("__tr") + k * F.col("__nb"))
-    p_cur = (F.col("n_cur") + k) / (F.col("__tc") + k * F.col("__nb"))
     lo_edge = {i: edges[i - 1] for i in range(1, len(edges) + 1)}
     lo_expr = F.create_map(
         *[F.lit(x) for kv in lo_edge.items() for x in kv]
@@ -117,16 +134,87 @@ def drift_compare(
     hi_expr = F.create_map(
         *[F.lit(x) for kv in {i: e for i, e in enumerate(edges)}.items() for x in kv]
     )[F.col("bin")]
-    return both.crossJoin(F.broadcast(tot)).select(
+    return _psi_terms(both, smoothing).select(
         "bin",
         lo_expr.alias("lo"),
         hi_expr.alias("hi"),
         "n_ref",
         "n_cur",
-        p_ref.alias("p_ref"),
-        p_cur.alias("p_cur"),
-        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
-        (p_cur * F.log(p_cur / p_ref)).alias("kl_term"),
+        "p_ref",
+        "p_cur",
+        "psi_term",
+        "kl_term",
+    )
+
+
+def drift_compare_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_col: str,
+    top_k: int | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-category drift table between two corpora over a categorical
+    column (source, language, domain, event type):
+    DataFrame[key, n_ref, n_cur, p_ref, p_cur, psi_term, kl_term].
+
+    Each side reduces to ONE (key, count) aggregate (map-side combinable;
+    the shuffle carries per-key partials, never rows), full-outer joined
+    on key — a category one side abandoned still appears, with the
+    smoothed log-ratio flagging it. Nulls count as their own category.
+
+    ``top_k`` bounds the comparison for unbounded key spaces (URLs,
+    domains at 100 TB): the union of each side's top_k heaviest
+    categories is compared individually and EVERYTHING else collapses
+    into one '__other' row, so total probability mass is preserved (PSI
+    over the bounded table is still a true PSI of the coarsened
+    partition, not of a truncated one). The top-k sets are
+    TakeOrderedAndProject over the already-aggregated count tables —
+    2·top_k rows broadcast back; no global sort of the key space."""
+    for side, df in (("ref", ref), ("cur", cur)):
+        if key_col not in df.columns:
+            raise ValueError(f"{side} side lacks column {key_col!r}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__null"))
+    rc = ref.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = cur.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (log-ratio of empty bins)")
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError("top_k must be >= 1")
+        keep = (
+            rc.orderBy(F.desc("n_ref"), "key").limit(top_k).select("key")
+            .unionByName(
+                cc.orderBy(F.desc("n_cur"), "key").limit(top_k).select("key")
+            )
+            .distinct()
+            .withColumn("__keep", F.lit(True))
+        )
+
+        def coarsen(counts, n_col):
+            return (
+                counts.join(F.broadcast(keep), "key", "left_outer")
+                .select(
+                    F.when(F.col("__keep"), F.col("key"))
+                    .otherwise(F.lit("__other")).alias("key"),
+                    n_col,
+                )
+                .groupBy("key")
+                .agg(F.sum(n_col).alias(n_col))
+            )
+
+        rc, cc = coarsen(rc, "n_ref"), coarsen(cc, "n_cur")
+    both = rc.join(cc, "key", "full_outer").select(
+        "key",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    return _psi_terms(both, smoothing).select(
+        "key", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "kl_term"
     )
 
 

@@ -248,7 +248,21 @@ def groupby_count_docword(spark, sf):
     "dlo AS (SELECT bin, (CASE bin WHEN 1 THEN 5.0 WHEN 2 THEN 15.0 WHEN 3 THEN 35.0 "
     "WHEN 4 THEN 70.0 WHEN 5 THEN 150.0 END)::DOUBLE AS lo, "
     "(CASE bin WHEN 0 THEN 5.0 WHEN 1 THEN 15.0 WHEN 2 THEN 35.0 WHEN 3 THEN 70.0 "
-    "WHEN 4 THEN 150.0 END)::DOUBLE AS hi FROM dterm) "
+    "WHEN 4 THEN 150.0 END)::DOUBLE AS hi FROM dterm), "
+    # -- drift_compare_categorical (r8): same smoothed PSI/KL arithmetic
+    # -- over per-category counts; cur side relabels every 13th event to
+    # -- 'synthetic' and nulls every 89th ('__null' category live)
+    "kr AS (SELECT coalesce(event_type, '__null') AS key, count(*)::BIGINT AS nr "
+    "FROM events WHERE user_id % 2 = 0 GROUP BY 1), "
+    "kc AS (SELECT coalesce(CASE WHEN event_id % 89 = 0 THEN NULL "
+    "WHEN event_id % 13 = 0 THEN 'synthetic' ELSE event_type END, '__null') AS key, "
+    "count(*)::BIGINT AS nc FROM events WHERE user_id % 2 = 1 GROUP BY 1), "
+    "kj AS (SELECT coalesce(kr.key, kc.key) AS key, coalesce(nr, 0) AS nr, "
+    "coalesce(nc, 0) AS nc FROM kr FULL OUTER JOIN kc ON kr.key = kc.key), "
+    "kt AS (SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc, "
+    "count(*)::DOUBLE AS nb FROM kj), "
+    "kterm AS (SELECT key, nr, nc, (nr::DOUBLE + 0.5) / (tr + 0.5 * nb) AS pr, "
+    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM kj, kt) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
@@ -261,7 +275,11 @@ def groupby_count_docword(spark, sf):
     "UNION ALL SELECT 'drift', d.bin::VARCHAR, nr, lo, hi, "
     "round((pc - pr) * ln(pc / pr), 6) FROM dterm d JOIN dlo USING (bin) "
     "UNION ALL SELECT 'drift_cur', d.bin::VARCHAR, nc, NULL, NULL, "
-    "round(pc * ln(pc / pr), 6) FROM dterm d JOIN dlo USING (bin)",
+    "round(pc * ln(pc / pr), 6) FROM dterm d JOIN dlo USING (bin) "
+    "UNION ALL SELECT 'driftcat', key, nr, NULL, NULL, "
+    "round((pc - pr) * ln(pc / pr), 6) FROM kterm "
+    "UNION ALL SELECT 'driftcat_cur', key, nc, NULL, NULL, "
+    "round(pc * ln(pc / pr), 6) FROM kterm",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -303,8 +321,12 @@ def dimension_profile(spark, sf):
       lo/hi=bin edges, share=round(psi_term/kl_term, 6). Bin counts are
       exact longs (IEEE ×1.35 then <=edge is engine-identical); the
       psi/kl doubles' distance to the 1e-6 rounding boundary was checked
-      at the gate SF before freezing."""
-    from oni_ml_spark.datapipe.drift import drift_compare
+      at the gate SF before freezing.
+    - part='driftcat' / 'driftcat_cur' — drift_compare_categorical over
+      event_type: cur side relabels every 13th event to 'synthetic' and
+      nulls every 89th (the '__null' category live); same smoothed PSI/KL
+      arithmetic over per-category exact long counts."""
+    from oni_ml_spark.datapipe.drift import drift_compare, drift_compare_categorical
     from oni_ml_spark.plans.diagnostics import (
         column_histogram,
         key_skew_profile,
@@ -393,10 +415,35 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.round("kl_term", 6).alias("share"),
     )
+    cat_ref = e.filter((F.col("user_id") % 2) == 0).select("event_type")
+    cat_cur = e.filter((F.col("user_id") % 2) == 1).select(
+        F.when((F.col("event_id") % 89) == 0, F.lit(None).cast("string"))
+        .when((F.col("event_id") % 13) == 0, F.lit("synthetic"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    dcat = drift_compare_categorical(cat_ref, cat_cur, "event_type")
+    kref = dcat.select(
+        F.lit("driftcat").alias("part"),
+        "key",
+        F.col("n_ref").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("psi_term", 6).alias("share"),
+    )
+    kcur = dcat.select(
+        F.lit("driftcat_cur").alias("part"),
+        "key",
+        F.col("n_cur").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("kl_term", 6).alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
         .unionByName(dref).unionByName(dcur)
+        .unionByName(kref).unionByName(kcur)
     )
 
 

@@ -79,6 +79,69 @@ class TestDriftCompare:
         ).fetchall()
         assert got == {int(b): (nr, nc, ps) for b, nr, nc, ps in want}
 
+    def test_categorical_matches_duckdb(self, spark):
+        """No top_k: per-category counts and psi/kl terms equal DuckDB
+        running the same smoothed formulas, nulls as their own key and an
+        abandoned category surviving the full-outer join."""
+        from oni_ml_spark.datapipe.drift import drift_compare_categorical
+
+        ref_rows = [("a",)] * 50 + [("b",)] * 30 + [("gone",)] * 20 + [(None,)] * 5
+        cur_rows = [("a",)] * 40 + [("b",)] * 45 + [("new",)] * 10 + [(None,)] * 12
+        ref = spark.createDataFrame(ref_rows, "k string")
+        cur = spark.createDataFrame(cur_rows, "k string")
+        got = {
+            r["key"]: (r["n_ref"], r["n_cur"], round(r["psi_term"], 9))
+            for r in drift_compare_categorical(ref, cur, "k").collect()
+        }
+        assert set(got) == {"a", "b", "gone", "new", "__null"}
+        assert got["gone"][1] == 0 and got["new"][0] == 0
+        import pandas as pd
+
+        ref_pd = pd.DataFrame(ref_rows, columns=["k"])
+        cur_pd = pd.DataFrame(cur_rows, columns=["k"])
+        want = duckdb.sql(
+            """
+            WITH r AS (SELECT coalesce(k, '__null') AS key, count(*)::BIGINT AS nr
+                       FROM ref_pd GROUP BY 1),
+            c AS (SELECT coalesce(k, '__null') AS key, count(*)::BIGINT AS nc
+                  FROM cur_pd GROUP BY 1),
+            j AS (SELECT coalesce(r.key, c.key) AS key, coalesce(nr, 0) AS nr,
+                  coalesce(nc, 0) AS nc FROM r FULL OUTER JOIN c ON r.key = c.key),
+            t AS (SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc,
+                  count(*)::DOUBLE AS nb FROM j)
+            SELECT key, nr, nc,
+              round(((nc::DOUBLE + 0.5) / (tc + 0.5 * nb) - (nr::DOUBLE + 0.5) / (tr + 0.5 * nb))
+                * ln(((nc::DOUBLE + 0.5) / (tc + 0.5 * nb)) / ((nr::DOUBLE + 0.5) / (tr + 0.5 * nb))), 9)
+            FROM j, t
+            """
+        ).fetchall()
+        assert got == {k: (nr, nc, ps) for k, nr, nc, ps in want}
+
+    def test_categorical_topk_preserves_mass(self, spark):
+        """top_k coarsening: the kept keys are the union of both sides'
+        heaviest, everything else lands in '__other', and total counts
+        (probability mass) are exactly preserved."""
+        from oni_ml_spark.datapipe.drift import drift_compare_categorical
+
+        ref = spark.range(1000).select(
+            F.concat(F.lit("k"), (F.col("id") % 37).cast("string")).alias("k")
+        )
+        cur = spark.range(800).select(
+            F.concat(F.lit("k"), ((F.col("id") % 23) + 10).cast("string")).alias("k")
+        )
+        out = drift_compare_categorical(ref, cur, "k", top_k=5).collect()
+        keys = {r["key"] for r in out}
+        assert "__other" in keys and len(keys) <= 11  # <=2*top_k kept + other
+        assert sum(r["n_ref"] for r in out) == 1000
+        assert sum(r["n_cur"] for r in out) == 800
+        full = drift_compare_categorical(ref, cur, "k").collect()
+        # coarsened table is a partition refinement: kept keys carry the
+        # same counts as the full table
+        full_map = {r["key"]: (r["n_ref"], r["n_cur"]) for r in full}
+        for r in out:
+            if r["key"] != "__other":
+                assert (r["n_ref"], r["n_cur"]) == full_map[r["key"]]
+
     def test_validation(self, spark):
         from oni_ml_spark.datapipe.drift import binned_counts, drift_compare
 
