@@ -795,3 +795,90 @@ def test_streaming_dedup_append_rejects_schema_drift(spark, tmp_path):
         writer(spark.createDataFrame([(2,)], "k bigint"), 1)
     # same schema still appends
     writer(spark.createDataFrame([(2, "b")], "k bigint, payload string"), 1)
+
+
+def test_streaming_drift_state_matches_batch_and_report(spark, tmp_path):
+    """drift_writer's accumulated histogram after draining the stream
+    equals one-shot binned_counts over everything delivered (nulls in the
+    -1 bin); a replayed micro-batch id is a no-op (bin sums are not
+    idempotent); stream_drift_report over the state is row-identical to
+    batch drift_compare on the same data."""
+    from oni_ml_spark.datapipe.drift import binned_counts, drift_compare
+    from oni_ml_spark.streaming.drift_stream import drift_writer, stream_drift_report
+    from oni_ml_spark.streaming.upsert_sink import read_upsert_table
+
+    edges = [2.0, 5.0, 8.0]
+    indir = str(tmp_path / "in")
+    state = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(float(i % 11),) for i in range(60)]
+    rows2 = [(None,)] * 7 + [(float(3 + i % 9),) for i in range(25)]
+    spark.createDataFrame(rows1, "v double").write.mode("overwrite").parquet(indir)
+
+    writer = drift_writer(state, "v", edges)
+
+    def drain():
+        stream = spark.readStream.schema("v double").parquet(indir)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, "v double").write.mode("append").parquet(indir)
+    drain()
+
+    all_df = spark.createDataFrame(rows1 + rows2, "v double")
+    got = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, state).collect()}
+    want = {
+        r["bin"]: r["n_cur"]
+        for r in binned_counts(all_df, "v", edges, "cur").collect()
+    }
+    assert got == want and got[-1] == 7  # null bin live
+
+    # replay of an already-applied batch id must not double-count
+    writer(spark.createDataFrame(rows1, "v double"), 0)
+    after = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, state).collect()}
+    assert after == want
+
+    # report over the state == batch drift_compare on the same data
+    ref = spark.createDataFrame(
+        [(float((i * 3) % 13),) for i in range(80)], "v double"
+    )
+    rep = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in stream_drift_report(spark, state, ref, "v", edges).collect()
+    )
+    batch = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in drift_compare(ref, all_df, "v", edges=edges)
+        .drop("lo", "hi")
+        .collect()
+    )
+    assert rep == batch
+
+
+def test_streaming_drift_report_requires_state_and_guards_lineage(spark, tmp_path):
+    from oni_ml_spark.streaming.drift_stream import drift_writer, stream_drift_report
+
+    with pytest.raises(ValueError, match="no committed drift state"):
+        stream_drift_report(
+            spark,
+            str(tmp_path / "missing"),
+            spark.createDataFrame([(1.0,)], "v double"),
+            "v",
+            [1.0],
+        )
+    state = str(tmp_path / "drift")
+    batch = spark.createDataFrame([(1.0,), (4.0,)], "v double")
+    drift_writer(state, "v", [2.0], query_token="ckpt-A")(batch, 3)
+    # same lineage, old id: skipped; new id: applied
+    drift_writer(state, "v", [2.0], query_token="ckpt-A")(batch, 3)
+    # a different lineage must refuse to compare batch ids
+    with pytest.raises(RuntimeError, match="not comparable across streaming"):
+        drift_writer(state, "v", [2.0], query_token="ckpt-B")(batch, 9)
+    with pytest.raises(ValueError, match="edges must be non-empty"):
+        drift_writer(state, "v", [])
