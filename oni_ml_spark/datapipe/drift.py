@@ -33,15 +33,19 @@ def binned_counts(
     df: DataFrame, value_col: str, edges: list[float], side: str
 ) -> DataFrame:
     """One |edges|+1-row histogram of ``value_col`` over half-open bins
-    ``(-inf, e0], (e0, e1], ..., (e_last, +inf)`` plus a null-count row
-    (bin -1). One aggregate, map-side combinable; the bin expression is a
-    literal when-chain, codegen-inlined like transforms.bin_expr."""
+    ``(-inf, e0], (e0, e1], ..., (e_last, +inf)`` plus a missing-count row
+    (bin -1) holding nulls AND NaNs — a producer that starts emitting 0/0
+    ratios is the same "garbage arrived" drift signal as one emitting
+    nulls, and must not masquerade as a surge of large values in the open
+    top bin. One aggregate, map-side combinable; the bin expression is a
+    literal when-chain, codegen-inlined like transforms.bin_expr (whose
+    NaN->-1 convention this matches)."""
     if not edges:
         raise ValueError("edges must be non-empty")
     if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
         raise ValueError("edges must be strictly ascending")
     v = F.col(value_col).cast("double")
-    b = F.when(v.isNull(), F.lit(-1))
+    b = F.when(v.isNull() | F.isnan(v), F.lit(-1))
     for i, e in enumerate(edges):
         b = b.when(v <= F.lit(float(e)), F.lit(i))
     b = b.otherwise(F.lit(len(edges)))
@@ -109,6 +113,8 @@ def drift_compare(
         if value_col not in df.columns:
             raise ValueError(f"{side} side lacks column {value_col!r}")
     if edges is None:
+        if n_bins < 2:
+            raise ValueError(f"n_bins must be >= 2, got {n_bins}")
         from oni_ml_spark.transforms.quantiles import quantile_cuts
 
         probs = [i / n_bins for i in range(1, n_bins)]
@@ -170,11 +176,30 @@ def drift_compare_categorical(
     over the bounded table is still a true PSI of the coarsened
     partition, not of a truncated one). The top-k sets are
     TakeOrderedAndProject over the already-aggregated count tables —
-    2·top_k rows broadcast back; no global sort of the key space."""
+    2·top_k rows broadcast back; no global sort of the key space.
+
+    The sentinel keys '__null' (genuine NULLs) and '__other' (the
+    coarsening bucket) must not occur as REAL category values — a real
+    '__null' (a common upstream null-fill token) would silently merge two
+    distinct populations into one count. An in-plan ``raise_error`` guard
+    (a codegen when-branch, no extra job) fails the comparison instead."""
     for side, df in (("ref", ref), ("cur", cur)):
         if key_col not in df.columns:
             raise ValueError(f"{side} side lacks column {key_col!r}")
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__null"))
+    raw = F.col(key_col).cast("string")
+    reserved = ["__null"] + (["__other"] if top_k is not None else [])
+    key = F.when(
+        raw.isin(reserved),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"drift_compare_categorical: real {key_col!r} value "
+                    "collides with reserved sentinel "
+                ),
+                raw,
+            )
+        ),
+    ).otherwise(F.coalesce(raw, F.lit("__null")))
     rc = ref.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).alias("n_ref")
     )
@@ -234,7 +259,7 @@ def drift_summary(
     spark = ref.sparkSession
 
     def moments(df, side):
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias(f"__n_{side}")]
         for c in value_cols:
             v = F.col(c).cast("double")
             aggs += [
@@ -245,6 +270,15 @@ def drift_summary(
         return df.agg(*aggs).collect()[0]
 
     mr, mc = moments(ref, "ref"), moments(cur, "cur")
+    for side, row, col in (("ref", mr, "__n_ref"), ("cur", mc, "__n_cur")):
+        if row[col] == 0:
+            # an empty current snapshot is catastrophic drift, not a
+            # TypeError on float(None) — name the side and stop
+            raise ValueError(
+                f"{side} side has no rows — cannot compute drift moments "
+                "(an empty current snapshot IS the incident; investigate "
+                "the feed before asking for a PSI)"
+            )
     rows = []
     for c in value_cols:
         d = drift_compare(ref, cur, c, n_bins=n_bins, smoothing=smoothing)

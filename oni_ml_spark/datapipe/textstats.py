@@ -207,13 +207,17 @@ def pii_counts(
     total = F.lit(0)
     for kind in PII_PATTERNS:
         if kind in use:
-            # null text carries zero PII spans (coalesce: size(null) is
-            # null/-1 depending on legacy flags — neither is a count)
-            n = F.coalesce(
-                F.size(
-                    F.regexp_extract_all(
-                        F.col(text_col), F.lit(PII_PATTERNS[kind][0]), F.lit(0)
-                    )
+            # null text carries zero PII spans: size(null) is NULL under
+            # ANSI but -1 under spark.sql.legacy.sizeOfNull — coalesce
+            # handles the first, greatest clamps the second
+            n = F.greatest(
+                F.coalesce(
+                    F.size(
+                        F.regexp_extract_all(
+                            F.col(text_col), F.lit(PII_PATTERNS[kind][0]), F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
                 ),
                 F.lit(0),
             )

@@ -232,7 +232,8 @@ def groupby_count_docword(spark, sf):
     "dc0 AS (SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE value * 1.35 END AS v "
     "FROM events WHERE user_id % 2 = 1), "
     + "".join(
-        f"{cte} AS (SELECT CASE WHEN v IS NULL THEN -1 WHEN v <= 5.0 THEN 0 "
+        f"{cte} AS (SELECT CASE WHEN v IS NULL OR isnan(v) THEN -1 "
+        "WHEN v <= 5.0 THEN 0 "
         "WHEN v <= 15.0 THEN 1 WHEN v <= 35.0 THEN 2 WHEN v <= 70.0 THEN 3 "
         f"WHEN v <= 150.0 THEN 4 ELSE 5 END AS bin FROM {src}), "
         for cte, src in (("rb", "dr0"), ("cb", "dc0"))

@@ -75,6 +75,13 @@ def drift_writer(
         if current is None:
             merged = part
         else:
+            stored = _read_edges(spark, root)
+            if stored is not None and stored != edges:
+                raise ValueError(
+                    f"drift state at {root} was built with edges {stored}, "
+                    f"not {edges} — accumulated bins are not comparable "
+                    "across binnings; start a new root to rebin"
+                )
             merged = (
                 current.withColumnRenamed("n_cur", "__prev")
                 .join(part.withColumnRenamed("n_cur", "__new"), "bin", "full_outer")
@@ -85,11 +92,37 @@ def drift_writer(
                     ).alias("n_cur"),
                 )
             )
+        # the binning travels WITH the state (committed before the pointer
+        # swap), so readers never have to trust a re-supplied edges list
+        edges_frame = spark.createDataFrame(
+            [(i, e) for i, e in enumerate(edges)], "i int, edge double"
+        )
         _commit_snapshot(
-            root, merged, keep_versions, batch_marker=f"{query_token}\n{batch_id}"
+            root,
+            merged,
+            keep_versions,
+            batch_marker=f"{query_token}\n{batch_id}",
+            extra_frames={"_edges": edges_frame},
         )
 
     return write_batch
+
+
+def _read_edges(spark: SparkSession, root: str) -> list[float] | None:
+    """The binning committed with the current state version (None before
+    the first commit). Bounded read: |edges| rows."""
+    import os
+
+    from oni_ml_spark.streaming.upsert_sink import _read_pointer
+
+    v = _read_pointer(root)
+    if v == 0:
+        return None
+    path = os.path.join(root, f"v{v:08d}", "_edges")
+    if not os.path.isdir(path):  # root written by an older/other sink
+        return None
+    rows = spark.read.parquet(path).collect()
+    return [r["edge"] for r in sorted(rows, key=lambda r: r["i"])]
 
 
 def stream_drift_report(
@@ -97,16 +130,18 @@ def stream_drift_report(
     root: str,
     ref: DataFrame,
     value_col: str,
-    edges: list[float],
+    edges: list[float] | None = None,
     smoothing: float = 0.5,
 ) -> DataFrame:
     """Per-bin drift table (same schema semantics as
     ``datapipe.drift.drift_compare``: bin, n_ref, n_cur, p_ref, p_cur,
     psi_term, kl_term) between a frozen REFERENCE corpus and everything a
-    ``drift_writer`` sink has accumulated so far. ``edges`` must be the
-    binning the sink was built with — the reference side is binned here
-    with the identical literal when-chain, so the comparison is
-    bin-for-bin exact.
+    ``drift_writer`` sink has accumulated so far. The binning is read
+    from the state itself (the sink commits its edges with every
+    version), so the reference side is binned with the identical literal
+    when-chain and the comparison is bin-for-bin exact by construction;
+    pass ``edges`` only as an assertion — a mismatch against the stored
+    binning raises instead of silently producing a phantom-bin PSI.
 
     Run it between batches (it reads the committed snapshot through the
     atomic pointer, so it never sees a half-merged state); sum psi_term
@@ -116,6 +151,20 @@ def stream_drift_report(
     cur = read_upsert_table(spark, root)
     if cur is None:
         raise ValueError(f"no committed drift state at {root} yet")
+    stored = _read_edges(spark, root)
+    if edges is None:
+        edges = stored
+    elif stored is not None and [float(e) for e in edges] != stored:
+        raise ValueError(
+            f"drift state at {root} was built with edges {stored}, not "
+            f"{list(edges)} — rebinning the reference against accumulated "
+            "bins would compare different partitions; start a new root"
+        )
+    if edges is None:
+        raise ValueError(
+            f"drift state at {root} has no committed _edges table and no "
+            "edges were passed — was this root written by drift_writer?"
+        )
     edges = [float(e) for e in edges]
     rc = binned_counts(ref, value_col, edges, "ref")
     both = rc.join(cur, "bin", "full_outer").select(

@@ -43,7 +43,11 @@ class TestDriftCompare:
         from oni_ml_spark.datapipe.drift import drift_compare
 
         ref_rows = [(float(i % 13),) for i in range(400)]
-        cur_rows = [(float((i * 7) % 17),) for i in range(300)] + [(None,)] * 20
+        cur_rows = (
+            [(float((i * 7) % 17),) for i in range(300)]
+            + [(None,)] * 20
+            + [(float("nan"),)] * 6  # NaN tracked with nulls in bin -1
+        )
         ref = spark.createDataFrame(ref_rows, "v double")
         cur = spark.createDataFrame(cur_rows, "v double")
         edges = [3.0, 6.0, 9.0, 12.0]
@@ -58,10 +62,10 @@ class TestDriftCompare:
         )
         want = duckdb.sql(
             """
-            WITH rb AS (SELECT CASE WHEN v IS NULL THEN -1
+            WITH rb AS (SELECT CASE WHEN v IS NULL OR isnan(v) THEN -1
                  WHEN v <= 3 THEN 0 WHEN v <= 6 THEN 1 WHEN v <= 9 THEN 2
                  WHEN v <= 12 THEN 3 ELSE 4 END AS bin FROM ref_pd),
-            cb AS (SELECT CASE WHEN v IS NULL THEN -1
+            cb AS (SELECT CASE WHEN v IS NULL OR isnan(v) THEN -1
                  WHEN v <= 3 THEN 0 WHEN v <= 6 THEN 1 WHEN v <= 9 THEN 2
                  WHEN v <= 12 THEN 3 ELSE 4 END AS bin FROM cur_pd),
             r AS (SELECT bin, count(*) AS nr FROM rb GROUP BY bin),
@@ -143,7 +147,11 @@ class TestDriftCompare:
                 assert (r["n_ref"], r["n_cur"]) == full_map[r["key"]]
 
     def test_validation(self, spark):
-        from oni_ml_spark.datapipe.drift import binned_counts, drift_compare
+        from oni_ml_spark.datapipe.drift import (
+            binned_counts,
+            drift_compare,
+            drift_summary,
+        )
 
         d = spark.range(10).select(F.col("id").cast("double").alias("v"))
         with pytest.raises(ValueError, match="ascending"):
@@ -153,6 +161,25 @@ class TestDriftCompare:
         empty = spark.createDataFrame([(None,)], "v double")
         with pytest.raises(ValueError, match="no non-null"):
             drift_compare(empty, d, "v")
+        with pytest.raises(ValueError, match="n_bins must be >= 2"):
+            drift_compare(d, d, "v", n_bins=1)
+        # an empty current snapshot is named, not a float(None) TypeError
+        no_rows = spark.createDataFrame([], "v double")
+        with pytest.raises(ValueError, match="cur side has no rows"):
+            drift_summary(d, no_rows, ["v"])
+
+    def test_categorical_sentinel_collision_raises(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_compare_categorical
+
+        clean = spark.createDataFrame([("a",), ("b",)], "k string")
+        dirty = spark.createDataFrame([("a",), ("__null",)], "k string")
+        with pytest.raises(Exception, match="reserved sentinel"):
+            drift_compare_categorical(clean, dirty, "k").collect()
+        # '__other' is only reserved when top_k coarsening is on
+        other = spark.createDataFrame([("__other",), ("b",)], "k string")
+        assert drift_compare_categorical(clean, other, "k").count() == 3
+        with pytest.raises(Exception, match="reserved sentinel"):
+            drift_compare_categorical(clean, other, "k", top_k=5).collect()
 
 
 _PII_DOCS = [

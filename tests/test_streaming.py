@@ -882,3 +882,12 @@ def test_streaming_drift_report_requires_state_and_guards_lineage(spark, tmp_pat
         drift_writer(state, "v", [2.0], query_token="ckpt-B")(batch, 9)
     with pytest.raises(ValueError, match="edges must be non-empty"):
         drift_writer(state, "v", [])
+    # the binning travels with the state: a writer or reader re-supplying
+    # DIFFERENT edges refuses instead of producing a phantom-bin PSI
+    with pytest.raises(ValueError, match="built with edges"):
+        drift_writer(state, "v", [2.0, 9.0], query_token="ckpt-A")(batch, 8)
+    ref = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="built with edges"):
+        stream_drift_report(spark, state, ref, "v", edges=[3.0])
+    # edges omitted: read from the state (identical binning by construction)
+    assert stream_drift_report(spark, state, ref, "v").count() == 2
