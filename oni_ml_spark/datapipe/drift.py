@@ -44,32 +44,51 @@ def binned_counts(
         raise ValueError("edges must be non-empty")
     if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
         raise ValueError("edges must be strictly ascending")
+    return (
+        df.select(_bin_expr(value_col, edges).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+    )
+
+
+def _bin_expr(value_col: str, edges: list[float]):
+    """The literal half-open-bin when-chain shared by every binning path
+    (missing bin -1 holds nulls AND NaNs — see binned_counts)."""
     v = F.col(value_col).cast("double")
     b = F.when(v.isNull() | F.isnan(v), F.lit(-1))
     for i, e in enumerate(edges):
         b = b.when(v <= F.lit(float(e)), F.lit(i))
-    b = b.otherwise(F.lit(len(edges)))
-    return (
-        df.select(b.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias(f"n_{side}"))
-    )
+    return b.otherwise(F.lit(len(edges)))
 
 
 def _psi_terms(both: DataFrame, smoothing: float) -> DataFrame:
     """Shared drift arithmetic over a bounded (.., n_ref, n_cur) count
     table: smoothed proportions against in-plan 1-row totals, PSI and KL
     terms appended. Input stays bounded (|bins| or |categories| rows);
-    the crossJoin is a broadcast of the 1-row totals."""
-    tot = both.agg(
+    the crossJoin is a broadcast of the 1-row totals. ``group_cols``
+    switches the totals to per-group (one bounded aggregate of the
+    already-bounded table, broadcast-joined back on the group) so each
+    group's terms are a self-contained PSI over that group's mass."""
+    return _psi_terms_grouped(both, smoothing, [])
+
+
+def _psi_terms_grouped(
+    both: DataFrame, smoothing: float, group_cols: list[str]
+) -> DataFrame:
+    aggs = [
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"),
         F.count(F.lit(1)).alias("__nb"),
-    )
+    ]
+    if group_cols:
+        tot = both.groupBy(*group_cols).agg(*aggs)
+        joined = both.join(F.broadcast(tot), group_cols)
+    else:
+        joined = both.crossJoin(F.broadcast(both.agg(*aggs)))
     k = float(smoothing)
     p_ref = (F.col("n_ref") + k) / (F.col("__tr") + k * F.col("__nb"))
     p_cur = (F.col("n_cur") + k) / (F.col("__tc") + k * F.col("__nb"))
     return (
-        both.crossJoin(F.broadcast(tot))
+        joined
         .withColumn("p_ref", p_ref)
         .withColumn("p_cur", p_cur)
         .withColumn(
@@ -150,6 +169,75 @@ def drift_compare(
         "p_cur",
         "psi_term",
         "kl_term",
+    )
+
+
+def drift_compare_grouped(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    edges: list[float],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-segment numeric drift — "WHICH source/domain/language
+    drifted?" — in one pass: DataFrame[group, bin, n_ref, n_cur, p_ref,
+    p_cur, psi_term, kl_term], where each group's terms are a
+    self-contained PSI over that group's own mass (sum psi_term per
+    group and compare against the PSI_* thresholds).
+
+    ``edges`` must be explicit (the frozen global binning): freezing one
+    binning across segments is what makes segment PSIs comparable to
+    each other and to the ungrouped monitor — per-group quantile edges
+    would give every segment a different partition and an
+    incomparable score.
+
+    Scale shape: ONE (group, bin) aggregate per side (map-side
+    combinable; |groups|·(|edges|+2) rows), a full-outer join of the two
+    bounded tables, per-group totals broadcast back. Nothing row-sized
+    survives the first aggregate. Null groups are their own '__null'
+    segment (a feed that stopped labeling rows is segment drift);
+    a REAL '__null' group value collides and raises in-plan, as in
+    drift_compare_categorical."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (log-ratio of empty bins)")
+    for side, df in (("ref", ref), ("cur", cur)):
+        for c in (group_col, value_col):
+            if c not in df.columns:
+                raise ValueError(f"{side} side lacks column {c!r}")
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly ascending")
+    edges = [float(e) for e in edges]
+    raw = F.col(group_col).cast("string")
+    gkey = F.when(
+        raw == "__null",
+        F.raise_error(
+            F.lit(
+                f"drift_compare_grouped: real {group_col!r} value collides "
+                "with reserved sentinel __null"
+            )
+        ),
+    ).otherwise(F.coalesce(raw, F.lit("__null")))
+
+    def counts(df, side):
+        return (
+            df.select(gkey.alias("group"), _bin_expr(value_col, edges).alias("bin"))
+            .groupBy("group", "bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    both = counts(ref, "ref").join(
+        counts(cur, "cur"), ["group", "bin"], "full_outer"
+    ).select(
+        "group",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    return _psi_terms_grouped(both, smoothing, ["group"]).select(
+        "group", "bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "kl_term"
     )
 
 

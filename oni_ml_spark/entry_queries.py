@@ -263,7 +263,29 @@ def groupby_count_docword(spark, sf):
     "kt AS (SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc, "
     "count(*)::DOUBLE AS nb FROM kj), "
     "kterm AS (SELECT key, nr, nc, (nr::DOUBLE + 0.5) / (tr + 0.5 * nb) AS pr, "
-    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM kj, kt) "
+    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM kj, kt), "
+    # -- drift_compare_grouped (r8): per-event_type PSI over the same
+    # -- frozen edges; each group's totals are its own (self-contained
+    # -- per-segment PSI)
+    "gr AS (SELECT event_type AS grp, "
+    "CASE WHEN value IS NULL OR isnan(value) THEN -1 WHEN value <= 5.0 THEN 0 "
+    "WHEN value <= 15.0 THEN 1 WHEN value <= 35.0 THEN 2 WHEN value <= 70.0 THEN 3 "
+    "WHEN value <= 150.0 THEN 4 ELSE 5 END AS bin FROM events WHERE user_id % 2 = 0), "
+    "gc AS (SELECT event_type AS grp, "
+    "CASE WHEN v IS NULL OR isnan(v) THEN -1 WHEN v <= 5.0 THEN 0 "
+    "WHEN v <= 15.0 THEN 1 WHEN v <= 35.0 THEN 2 WHEN v <= 70.0 THEN 3 "
+    "WHEN v <= 150.0 THEN 4 ELSE 5 END AS bin FROM "
+    "(SELECT event_type, CASE WHEN event_id % 97 = 0 THEN NULL "
+    "ELSE value * 1.35 END AS v FROM events WHERE user_id % 2 = 1)), "
+    "ga AS (SELECT grp, bin, count(*)::BIGINT AS nr FROM gr GROUP BY 1, 2), "
+    "gb AS (SELECT grp, bin, count(*)::BIGINT AS nc FROM gc GROUP BY 1, 2), "
+    "gj AS (SELECT coalesce(ga.grp, gb.grp) AS grp, coalesce(ga.bin, gb.bin) AS bin, "
+    "coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc "
+    "FROM ga FULL OUTER JOIN gb ON ga.grp = gb.grp AND ga.bin = gb.bin), "
+    "gt AS (SELECT grp, sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc, "
+    "count(*)::DOUBLE AS nb FROM gj GROUP BY grp), "
+    "gterm AS (SELECT gj.grp, bin, nr, nc, (nr::DOUBLE + 0.5) / (tr + 0.5 * nb) AS pr, "
+    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM gj JOIN gt USING (grp)) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
@@ -280,7 +302,11 @@ def groupby_count_docword(spark, sf):
     "UNION ALL SELECT 'driftcat', key, nr, NULL, NULL, "
     "round((pc - pr) * ln(pc / pr), 6) FROM kterm "
     "UNION ALL SELECT 'driftcat_cur', key, nc, NULL, NULL, "
-    "round(pc * ln(pc / pr), 6) FROM kterm",
+    "round(pc * ln(pc / pr), 6) FROM kterm "
+    "UNION ALL SELECT 'driftg', grp || '|' || bin::VARCHAR, nr, NULL, NULL, "
+    "round((pc - pr) * ln(pc / pr), 6) FROM gterm "
+    "UNION ALL SELECT 'driftg_cur', grp || '|' || bin::VARCHAR, nc, NULL, NULL, "
+    "round(pc * ln(pc / pr), 6) FROM gterm",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -326,8 +352,16 @@ def dimension_profile(spark, sf):
     - part='driftcat' / 'driftcat_cur' — drift_compare_categorical over
       event_type: cur side relabels every 13th event to 'synthetic' and
       nulls every 89th (the '__null' category live); same smoothed PSI/KL
-      arithmetic over per-category exact long counts."""
-    from oni_ml_spark.datapipe.drift import drift_compare, drift_compare_categorical
+      arithmetic over per-category exact long counts.
+    - part='driftg' / 'driftg_cur' — drift_compare_grouped: per-event_type
+      PSI over the same frozen edges (key='group|bin'); each segment's
+      totals are its own, so every group's terms are a self-contained PSI
+      (the "which source drifted" report)."""
+    from oni_ml_spark.datapipe.drift import (
+        drift_compare,
+        drift_compare_categorical,
+        drift_compare_grouped,
+    )
     from oni_ml_spark.plans.diagnostics import (
         column_histogram,
         key_skew_profile,
@@ -440,11 +474,39 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.round("kl_term", 6).alias("share"),
     )
+    g_ref = e.filter((F.col("user_id") % 2) == 0).select("event_type", "value")
+    g_cur = e.filter((F.col("user_id") % 2) == 1).select(
+        "event_type",
+        F.when((F.col("event_id") % 97) == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 1.35)
+        .alias("value"),
+    )
+    dg = drift_compare_grouped(
+        g_ref, g_cur, "event_type", "value", edges=[5.0, 15.0, 35.0, 70.0, 150.0]
+    )
+    gkey = F.concat_ws("|", "group", F.col("bin").cast("string")).alias("key")
+    gref = dg.select(
+        F.lit("driftg").alias("part"),
+        gkey,
+        F.col("n_ref").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("psi_term", 6).alias("share"),
+    )
+    gcur = dg.select(
+        F.lit("driftg_cur").alias("part"),
+        gkey,
+        F.col("n_cur").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("kl_term", 6).alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
         .unionByName(dref).unionByName(dcur)
         .unionByName(kref).unionByName(kcur)
+        .unionByName(gref).unionByName(gcur)
     )
 
 

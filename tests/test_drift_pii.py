@@ -83,6 +83,78 @@ class TestDriftCompare:
         ).fetchall()
         assert got == {int(b): (nr, nc, ps) for b, nr, nc, ps in want}
 
+    def test_grouped_matches_duckdb_and_ungrouped_per_segment(self, spark):
+        """drift_compare_grouped == DuckDB restating per-group smoothed
+        terms, AND each group's rows equal drift_compare run on that
+        group's slice alone (the self-contained-per-segment contract)."""
+        from oni_ml_spark.datapipe.drift import drift_compare, drift_compare_grouped
+
+        edges = [3.0, 7.0]
+        ref_rows = [(f"s{i % 3}", float(i % 11)) for i in range(300)]
+        cur_rows = [(f"s{i % 3}", float((i * 5) % 13)) for i in range(240)] + [
+            (None, 2.0)
+        ] * 9 + [("s1", None)] * 6
+        ref = spark.createDataFrame(ref_rows, "g string, v double")
+        cur = spark.createDataFrame(cur_rows, "g string, v double")
+        got = {
+            (r["group"], r["bin"]): (r["n_ref"], r["n_cur"], round(r["psi_term"], 9))
+            for r in drift_compare_grouped(ref, cur, "g", "v", edges).collect()
+        }
+        import pandas as pd
+
+        ref_pd = pd.DataFrame(ref_rows, columns=["g", "v"])
+        cur_pd = pd.DataFrame(cur_rows, columns=["g", "v"])
+        want = duckdb.sql(
+            """
+            WITH rb AS (SELECT coalesce(g, '__null') AS grp,
+                 CASE WHEN v IS NULL OR isnan(v) THEN -1 WHEN v <= 3 THEN 0
+                      WHEN v <= 7 THEN 1 ELSE 2 END AS bin FROM ref_pd),
+            cb AS (SELECT coalesce(g, '__null') AS grp,
+                 CASE WHEN v IS NULL OR isnan(v) THEN -1 WHEN v <= 3 THEN 0
+                      WHEN v <= 7 THEN 1 ELSE 2 END AS bin FROM cur_pd),
+            r AS (SELECT grp, bin, count(*)::BIGINT AS nr FROM rb GROUP BY 1, 2),
+            c AS (SELECT grp, bin, count(*)::BIGINT AS nc FROM cb GROUP BY 1, 2),
+            j AS (SELECT coalesce(r.grp, c.grp) AS grp, coalesce(r.bin, c.bin) AS bin,
+                  coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+                  FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.bin = c.bin),
+            t AS (SELECT grp, sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc,
+                  count(*)::DOUBLE AS nb FROM j GROUP BY grp)
+            SELECT j.grp, bin, nr, nc,
+              round(((nc::DOUBLE + 0.5) / (tc + 0.5 * nb) - (nr::DOUBLE + 0.5) / (tr + 0.5 * nb))
+                * ln(((nc::DOUBLE + 0.5) / (tc + 0.5 * nb)) / ((nr::DOUBLE + 0.5) / (tr + 0.5 * nb))), 9)
+            FROM j JOIN t USING (grp)
+            """
+        ).fetchall()
+        assert got == {(g, b): (nr, nc, ps) for g, b, nr, nc, ps in want}
+
+        # per-segment self-containment: group s0 rows == ungrouped
+        # drift_compare on the s0 slices
+        s0 = {
+            r["bin"]: (r["n_ref"], r["n_cur"], round(r["psi_term"], 9))
+            for r in drift_compare(
+                ref.filter(F.col("g") == "s0").select("v"),
+                cur.filter(F.col("g") == "s0").select("v"),
+                "v",
+                edges=edges,
+            ).collect()
+        }
+        grouped_s0 = {
+            b: v for (g, b), v in got.items() if g == "s0"
+        }
+        assert grouped_s0 == s0
+
+    def test_grouped_validation(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_compare_grouped
+
+        d = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="ascending"):
+            drift_compare_grouped(d, d, "g", "v", [5.0, 2.0])
+        with pytest.raises(ValueError, match="non-empty"):
+            drift_compare_grouped(d, d, "g", "v", [])
+        bad = spark.createDataFrame([("__null", 1.0)], "g string, v double")
+        with pytest.raises(Exception, match="reserved sentinel"):
+            drift_compare_grouped(d, bad, "g", "v", [2.0]).collect()
+
     def test_categorical_matches_duckdb(self, spark):
         """No top_k: per-category counts and psi/kl terms equal DuckDB
         running the same smoothed formulas, nulls as their own key and an
