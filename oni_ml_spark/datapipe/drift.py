@@ -63,27 +63,32 @@ def _bin_expr(value_col: str, edges: list[float]):
 
 def _psi_terms(both: DataFrame, smoothing: float) -> DataFrame:
     """Shared drift arithmetic over a bounded (.., n_ref, n_cur) count
-    table: smoothed proportions against in-plan 1-row totals, PSI and KL
-    terms appended. Input stays bounded (|bins| or |categories| rows);
-    the crossJoin is a broadcast of the 1-row totals. ``group_cols``
-    switches the totals to per-group (one bounded aggregate of the
-    already-bounded table, broadcast-joined back on the group) so each
-    group's terms are a self-contained PSI over that group's mass."""
+    table: smoothed proportions against in-plan totals, PSI and KL terms
+    appended. ``group_cols`` switches the totals to per-group so each
+    group's terms are a self-contained PSI over that group's mass.
+
+    Totals come from a WINDOW over the count table, not a second
+    aggregate joined back: an ``agg + join`` restatement would duplicate
+    the whole upstream subtree in the plan — at 100 TB that is each
+    corpus scanned TWICE for one drift table. The partition-less window
+    is k-bounded by construction: its input is the post-aggregation
+    count table (|edges|+2 bins, |categories| keys — top_k-coarsened to
+    <= 2·top_k+2 — or |groups|·(|edges|+2) rows with partitionBy(group)),
+    never the corpus."""
     return _psi_terms_grouped(both, smoothing, [])
 
 
 def _psi_terms_grouped(
     both: DataFrame, smoothing: float, group_cols: list[str]
 ) -> DataFrame:
-    aggs = [
-        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"),
-        F.count(F.lit(1)).alias("__nb"),
-    ]
-    if group_cols:
-        tot = both.groupBy(*group_cols).agg(*aggs)
-        joined = both.join(F.broadcast(tot), group_cols)
-    else:
-        joined = both.crossJoin(F.broadcast(both.agg(*aggs)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    joined = (
+        both.withColumn("__tr", F.sum("n_ref").over(w))
+        .withColumn("__tc", F.sum("n_cur").over(w))
+        .withColumn("__nb", F.count(F.lit(1)).over(w))
+    )
     k = float(smoothing)
     p_ref = (F.col("n_ref") + k) / (F.col("__tr") + k * F.col("__nb"))
     p_cur = (F.col("n_cur") + k) / (F.col("__tc") + k * F.col("__nb"))
@@ -264,7 +269,11 @@ def drift_compare_categorical(
     over the bounded table is still a true PSI of the coarsened
     partition, not of a truncated one). The top-k sets are
     TakeOrderedAndProject over the already-aggregated count tables —
-    2·top_k rows broadcast back; no global sort of the key space.
+    2·top_k rows broadcast back; no global sort of the key space. Each
+    count table feeds both its top-k selection and the coarsening join;
+    the static plan prints the subtree twice, but AQE's exchange reuse
+    dedupes it at runtime (verified: 2 ReusedExchange nodes in the
+    executed plan — one corpus scan per side).
 
     The sentinel keys '__null' (genuine NULLs) and '__other' (the
     coarsening bucket) must not occur as REAL category values — a real

@@ -218,6 +218,30 @@ class TestDriftCompare:
             if r["key"] != "__other":
                 assert (r["n_ref"], r["n_cur"]) == full_map[r["key"]]
 
+    def test_plan_contract_one_scan_per_side(self, spark):
+        """The 100 TB shape: each corpus is scanned ONCE (the totals come
+        from a k-bounded window over the count table, not a second
+        aggregate joined back — that restatement used to duplicate the
+        whole upstream subtree, 4 scans instead of 2), no cartesian
+        product, and the only shuffles carry bin/category subtotals."""
+        from oni_ml_spark.datapipe.drift import (
+            drift_compare,
+            drift_compare_categorical,
+            drift_compare_grouped,
+        )
+        from oni_ml_spark.plans.diagnostics import assert_plan
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ref = e.filter((F.col("user_id") % 2) == 0)
+        cur = e.filter((F.col("user_id") % 2) == 1)
+        for df in (
+            drift_compare(ref, cur, "value", edges=[5.0, 35.0]),
+            drift_compare_categorical(ref, cur, "event_type"),
+            drift_compare_grouped(ref, cur, "event_type", "value", [5.0, 35.0]),
+        ):
+            rep = assert_plan(df, max_exchanges=3, forbid=["CartesianProduct"])
+            assert rep["scans"] == 2, rep["plan"]
+
     def test_validation(self, spark):
         from oni_ml_spark.datapipe.drift import (
             binned_counts,
