@@ -340,6 +340,117 @@ def drift_compare_categorical(
     )
 
 
+def embedding_norm_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    edges: list[float],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Drift of an embedding corpus's NORM distribution — the cheap
+    first-line signal that an encoder version changed, a scaling bug
+    landed, or zero vectors started arriving (they land in bin 0;
+    null/NaN-bearing vectors land in bin -1). Thin composition: per-row
+    L2 norm (an in-order fold over the array — bit-identical across
+    engines for identical doubles) into ``drift_compare`` with frozen
+    ``edges``. Same 2-scan bounded-aggregate shape."""
+    from oni_ml_spark.datapipe.similarity import as_double_array, norm
+
+    def norms(df, side):
+        if vec_col not in df.columns:
+            raise ValueError(f"{side} side lacks column {vec_col!r}")
+        return df.select(norm(as_double_array(vec_col)).alias("__norm"))
+
+    return drift_compare(
+        norms(ref, "ref"), norms(cur, "cur"), "__norm",
+        edges=edges, smoothing=smoothing,
+    )
+
+
+def centroid_shift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Directional drift of an embedding corpus: one row
+    (cosine, l2_ref, l2_cur, n_ref, n_cur, dim) where ``cosine`` is the
+    angle between the two corpora's mean vectors — the "did the encoder
+    or the content rotate?" companion to ``embedding_norm_drift`` (norms
+    can hold perfectly still while every direction moves).
+
+    Determinism at scale: per-dimension sums of doubles are
+    addition-order-dependent, so each component is quantized to
+    ``floor(x * scale)`` BEFORE summing (the tf-idf top-terms trick) —
+    the per-dimension totals are exact BIGINTs on any engine and any
+    partitioning, and the final cosine is double arithmetic over 2·dim
+    bounded values. Overflow bound: |x|·scale·rows must stay under 2^63
+    (~9.2e18) — at scale=1e6 and unit-normalized embeddings that is ~1e12
+    rows per corpus; lower ``scale`` past that.
+
+    Plan shape: posexplode → ONE (pos, sum) aggregate per side (map-side
+    combinable: the shuffle carries dim·partitions partials, never
+    vectors), joined on pos (dim rows), reduced to one row."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    from oni_ml_spark.datapipe.similarity import as_double_array
+
+    def comps(df, side):
+        if vec_col not in df.columns:
+            raise ValueError(f"{side} side lacks column {vec_col!r}")
+        v = as_double_array(vec_col)
+        return (
+            df.select(F.posexplode(v).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(scale))).cast("long"))
+                .alias(f"s_{side}"),
+                F.count(F.lit(1)).alias(f"n_{side}"),
+            )
+        )
+
+    both = comps(ref, "ref").join(comps(cur, "cur"), "pos", "full_outer").select(
+        "pos",
+        F.coalesce("s_ref", F.lit(0)).alias("s_ref"),
+        F.coalesce("s_cur", F.lit(0)).alias("s_cur"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    # means in quantized units; n is per-dimension constant (= corpus rows)
+    # for rectangular data, max() recovers it without another scan
+    agg = both.agg(
+        F.sum(F.col("s_ref").cast("double") / F.greatest("n_ref", F.lit(1))
+              * (F.col("s_cur").cast("double") / F.greatest("n_cur", F.lit(1)))
+              ).alias("dot"),
+        F.sum(F.pow(F.col("s_ref").cast("double") / F.greatest("n_ref", F.lit(1)), 2)
+              ).alias("r2"),
+        F.sum(F.pow(F.col("s_cur").cast("double") / F.greatest("n_cur", F.lit(1)), 2)
+              ).alias("c2"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("dim_seen"),
+    )
+    return agg.select(
+        (F.col("dot") / (F.sqrt("r2") * F.sqrt("c2"))).alias("cosine"),
+        (F.sqrt("r2") / F.lit(float(scale))).alias("l2_ref"),
+        (F.sqrt("c2") / F.lit(float(scale))).alias("l2_cur"),
+        "n_ref",
+        "n_cur",
+        F.when(F.col("dim_seen") == dim, F.col("dim_seen")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"centroid_shift: expected dim={dim}, saw "),
+                    F.col("dim_seen").cast("string"),
+                    F.lit(" distinct positions — ragged or mis-declared vectors"),
+                )
+            )
+        ).alias("dim"),
+    )
+
+
 def drift_summary(
     ref: DataFrame,
     cur: DataFrame,

@@ -285,7 +285,43 @@ def groupby_count_docword(spark, sf):
     "gt AS (SELECT grp, sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc, "
     "count(*)::DOUBLE AS nb FROM gj GROUP BY grp), "
     "gterm AS (SELECT gj.grp, bin, nr, nc, (nr::DOUBLE + 0.5) / (tr + 0.5 * nb) AS pr, "
-    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM gj JOIN gt USING (grp)) "
+    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM gj JOIN gt USING (grp)), "
+    # -- embedding drift (r8): norm-distribution PSI (per-row L2 norm is an
+    # -- in-order fold — bit-identical across engines) between the even-id
+    # -- half and the odd half synthetically scaled by 1+(vec_id%5)/10,
+    # -- plus the centroid_shift cosine between the even half and the odd
+    # -- half scaled by -0.8 (quantized per-dim BIGINT sums — exact on any
+    # -- engine/partitioning)
+    "ern AS (SELECT sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nv "
+    "FROM embeddings WHERE vec_id % 2 = 0), "
+    "ecn AS (SELECT sqrt(list_sum(list_transform(embedding::DOUBLE[], "
+    "x -> (x * (1 + (vec_id % 5) / 10.0)) * (x * (1 + (vec_id % 5) / 10.0))))) AS nv "
+    "FROM embeddings WHERE vec_id % 2 = 1), "
+    + "".join(
+        f"{cte} AS (SELECT CASE WHEN nv IS NULL OR isnan(nv) THEN -1 "
+        "WHEN nv <= 1.05 THEN 0 WHEN nv <= 1.15 THEN 1 WHEN nv <= 1.25 THEN 2 "
+        f"WHEN nv <= 1.35 THEN 3 ELSE 4 END AS bin FROM {src}), "
+        for cte, src in (("erb", "ern"), ("ecb", "ecn"))
+    )
+    + "err AS (SELECT bin, count(*)::BIGINT AS nr FROM erb GROUP BY bin), "
+    "ecc AS (SELECT bin, count(*)::BIGINT AS nc FROM ecb GROUP BY bin), "
+    "ej AS (SELECT coalesce(err.bin, ecc.bin) AS bin, coalesce(nr, 0) AS nr, "
+    "coalesce(nc, 0) AS nc FROM err FULL OUTER JOIN ecc ON err.bin = ecc.bin), "
+    "et AS (SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc, "
+    "count(*)::DOUBLE AS nb FROM ej), "
+    "eterm AS (SELECT bin, nr, nc, (nr::DOUBLE + 0.5) / (tr + 0.5 * nb) AS pr, "
+    "(nc::DOUBLE + 0.5) / (tc + 0.5 * nb) AS pc FROM ej, et), "
+    "cqr AS (SELECT generate_subscripts(embedding, 1) AS pos, "
+    "unnest(list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT)) AS qx "
+    "FROM embeddings WHERE vec_id % 2 = 0), "
+    "cqc AS (SELECT generate_subscripts(embedding, 1) AS pos, "
+    "unnest(list_transform(embedding::DOUBLE[], x -> floor(-0.8 * x * 1000000)::BIGINT)) AS qx "
+    "FROM embeddings WHERE vec_id % 2 = 1), "
+    "cra AS (SELECT pos, sum(qx)::DOUBLE AS s, count(*)::DOUBLE AS n FROM cqr GROUP BY pos), "
+    "cca AS (SELECT pos, sum(qx)::DOUBLE AS s, count(*)::DOUBLE AS n FROM cqc GROUP BY pos), "
+    "ccos AS (SELECT sum((cra.s / cra.n) * (cca.s / cca.n)) "
+    "/ (sqrt(sum(pow(cra.s / cra.n, 2))) * sqrt(sum(pow(cca.s / cca.n, 2)))) AS cosv, "
+    "count(*)::BIGINT AS dim FROM cra JOIN cca USING (pos)) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
@@ -306,7 +342,13 @@ def groupby_count_docword(spark, sf):
     "UNION ALL SELECT 'driftg', grp || '|' || bin::VARCHAR, nr, NULL, NULL, "
     "round((pc - pr) * ln(pc / pr), 6) FROM gterm "
     "UNION ALL SELECT 'driftg_cur', grp || '|' || bin::VARCHAR, nc, NULL, NULL, "
-    "round(pc * ln(pc / pr), 6) FROM gterm",
+    "round(pc * ln(pc / pr), 6) FROM gterm "
+    "UNION ALL SELECT 'edrift', bin::VARCHAR, nr, NULL, NULL, "
+    "round((pc - pr) * ln(pc / pr), 6) FROM eterm "
+    "UNION ALL SELECT 'edrift_cur', bin::VARCHAR, nc, NULL, NULL, "
+    "round(pc * ln(pc / pr), 6) FROM eterm "
+    "UNION ALL SELECT 'ecent', 'centroid', dim, NULL, NULL, "
+    "round(cosv, 6) FROM ccos",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -356,11 +398,20 @@ def dimension_profile(spark, sf):
     - part='driftg' / 'driftg_cur' — drift_compare_grouped: per-event_type
       PSI over the same frozen edges (key='group|bin'); each segment's
       totals are its own, so every group's terms are a self-contained PSI
-      (the "which source drifted" report)."""
+      (the "which source drifted" report).
+    - part='edrift' / 'edrift_cur' / 'ecent' — embedding drift over the
+      embeddings table: norm-distribution PSI between the even-id half
+      and the odd half synthetically scaled by 1+(vec_id%5)/10 (per-row
+      L2 norm is an in-order fold, bit-identical across engines), and the
+      centroid_shift cosine vs the odd half scaled by −0.8 (per-dimension
+      floor(x·1e6) BIGINT sums — exact on any engine and partitioning;
+      key='centroid', a=validated dim, share=round(cosine, 6))."""
     from oni_ml_spark.datapipe.drift import (
+        centroid_shift,
         drift_compare,
         drift_compare_categorical,
         drift_compare_grouped,
+        embedding_norm_drift,
     )
     from oni_ml_spark.plans.diagnostics import (
         column_histogram,
@@ -501,12 +552,51 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.round("kl_term", 6).alias("share"),
     )
+    emb = load_table(spark, sf, "embeddings")
+    e_ref = emb.filter((F.col("vec_id") % 2) == 0).select("embedding")
+    scale = F.lit(1.0) + (F.col("vec_id") % 5).cast("double") / F.lit(10.0)
+    e_cur = emb.filter((F.col("vec_id") % 2) == 1).select(
+        F.transform("embedding", lambda x: x.cast("double") * scale).alias("embedding")
+    )
+    ed = embedding_norm_drift(
+        e_ref, e_cur, "embedding", edges=[1.05, 1.15, 1.25, 1.35]
+    )
+    eref = ed.select(
+        F.lit("edrift").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n_ref").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("psi_term", 6).alias("share"),
+    )
+    ecur = ed.select(
+        F.lit("edrift_cur").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n_cur").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("kl_term", 6).alias("share"),
+    )
+    c_cur = emb.filter((F.col("vec_id") % 2) == 1).select(
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(-0.8)).alias(
+            "embedding"
+        )
+    )
+    ecent = centroid_shift(e_ref, c_cur, "embedding", dim=64).select(
+        F.lit("ecent").alias("part"),
+        F.lit("centroid").alias("key"),
+        F.col("dim").alias("a"),
+        null_d.alias("lo"),
+        null_d.alias("hi"),
+        F.round("cosine", 6).alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
         .unionByName(dref).unionByName(dcur)
         .unionByName(kref).unionByName(kcur)
         .unionByName(gref).unionByName(gcur)
+        .unionByName(eref).unionByName(ecur).unionByName(ecent)
     )
 
 

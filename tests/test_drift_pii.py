@@ -352,3 +352,102 @@ class TestPiiScrub:
         assert "Exchange" not in plan and "PythonUDF" not in plan.replace(
             "BatchEvalPython", "PythonUDF"
         )
+
+class TestEmbeddingDrift:
+    def _vecs(self, n, f):
+        return [(i, [f(i, j) for j in range(4)]) for i in range(n)]
+
+    def test_norm_drift_matches_duckdb(self, spark):
+        """Per-row L2 norms are an in-order fold — bit-identical across
+        engines — so the binned drift table must match DuckDB exactly."""
+        from oni_ml_spark.datapipe.drift import embedding_norm_drift
+
+        ref_rows = self._vecs(120, lambda i, j: ((i * 7 + j) % 10) / 10.0)
+        cur_rows = self._vecs(90, lambda i, j: 1.3 * ((i * 5 + j) % 10) / 10.0)
+        ref = spark.createDataFrame(ref_rows, "id long, v array<double>")
+        cur = spark.createDataFrame(cur_rows, "id long, v array<double>")
+        edges = [0.8, 1.4, 2.0]
+        got = {
+            r["bin"]: (r["n_ref"], r["n_cur"], round(r["psi_term"], 9))
+            for r in embedding_norm_drift(ref, cur, "v", edges).collect()
+        }
+        import pandas as pd
+
+        ref_pd = pd.DataFrame(
+            [(i, vs) for i, vs in ref_rows], columns=["id", "v"]
+        )
+        cur_pd = pd.DataFrame(
+            [(i, vs) for i, vs in cur_rows], columns=["id", "v"]
+        )
+        want = duckdb.sql(
+            """
+            WITH rn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM ref_pd),
+            cn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM cur_pd),
+            rb AS (SELECT CASE WHEN nv IS NULL OR isnan(nv) THEN -1 WHEN nv <= 0.8 THEN 0
+                   WHEN nv <= 1.4 THEN 1 WHEN nv <= 2.0 THEN 2 ELSE 3 END AS bin FROM rn),
+            cb AS (SELECT CASE WHEN nv IS NULL OR isnan(nv) THEN -1 WHEN nv <= 0.8 THEN 0
+                   WHEN nv <= 1.4 THEN 1 WHEN nv <= 2.0 THEN 2 ELSE 3 END AS bin FROM cn),
+            r AS (SELECT bin, count(*)::BIGINT AS nr FROM rb GROUP BY bin),
+            c AS (SELECT bin, count(*)::BIGINT AS nc FROM cb GROUP BY bin),
+            j AS (SELECT coalesce(r.bin, c.bin) AS bin, coalesce(nr, 0) AS nr,
+                  coalesce(nc, 0) AS nc FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+            t AS (SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc,
+                  count(*)::DOUBLE AS nb FROM j)
+            SELECT bin, nr, nc,
+              round(((nc::DOUBLE + 0.5) / (tc + 0.5 * nb) - (nr::DOUBLE + 0.5) / (tr + 0.5 * nb))
+                * ln(((nc::DOUBLE + 0.5) / (tc + 0.5 * nb)) / ((nr::DOUBLE + 0.5) / (tr + 0.5 * nb))), 9)
+            FROM j, t
+            """
+        ).fetchall()
+        assert got == {b: (nr, nc, ps) for b, nr, nc, ps in want}
+
+    def test_centroid_shift_quantized_sums_match_duckdb(self, spark):
+        """The per-dimension quantized sums are exact BIGINTs on both
+        engines; the cosine agrees to 1e-12 and detects a rotation that
+        norm drift alone cannot see."""
+        from oni_ml_spark.datapipe.drift import centroid_shift
+
+        ref_rows = self._vecs(200, lambda i, j: ((i + j) % 7) / 7.0 + 0.1)
+        # sign-flip two of four dims: norms identical, direction rotated
+        cur_rows = [
+            (i, [x if j < 2 else -x for j, x in enumerate(v)])
+            for i, v in self._vecs(200, lambda i, j: ((i + j) % 7) / 7.0 + 0.1)
+        ]
+        ref = spark.createDataFrame(ref_rows, "id long, v array<double>")
+        cur = spark.createDataFrame(cur_rows, "id long, v array<double>")
+        row = centroid_shift(ref, cur, "v", dim=4).first()
+        assert row["dim"] == 4 and row["n_ref"] == 200 and row["n_cur"] == 200
+        assert row["cosine"] < 0.1  # two of four dims flipped -> ~0
+        import math
+
+        import pandas as pd
+
+        ref_pd = pd.DataFrame(ref_rows, columns=["id", "v"])
+        cur_pd = pd.DataFrame(cur_rows, columns=["id", "v"])
+        q = """
+        SELECT generate_subscripts(v, 1) AS pos,
+               unnest(list_transform(v, x -> floor(x * 1000000)::BIGINT)) AS qx
+        FROM {t}
+        """
+        want = duckdb.sql(
+            f"WITH r AS ({q.format(t='ref_pd')}), c AS ({q.format(t='cur_pd')}), "
+            "ra AS (SELECT pos, sum(qx)::BIGINT AS s, count(*)::BIGINT AS n FROM r GROUP BY pos), "
+            "ca AS (SELECT pos, sum(qx)::BIGINT AS s, count(*)::BIGINT AS n FROM c GROUP BY pos) "
+            "SELECT ra.pos, ra.s, ca.s FROM ra JOIN ca USING (pos) ORDER BY pos"
+        ).fetchall()
+        mr = [s / 200.0 for _, s, _ in want]
+        mc = [s2 / 200.0 for _, _, s2 in want]
+        dot = sum(a * b for a, b in zip(mr, mc))
+        cos = dot / (math.sqrt(sum(a * a for a in mr)) * math.sqrt(sum(b * b for b in mc)))
+        assert row["cosine"] == pytest.approx(cos, abs=1e-12)
+
+    def test_centroid_shift_validation(self, spark):
+        from oni_ml_spark.datapipe.drift import centroid_shift
+
+        d = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "id long, v array<double>"
+        )
+        with pytest.raises(ValueError, match="dim must be"):
+            centroid_shift(d, d, "v", dim=0)
+        with pytest.raises(Exception, match="ragged or mis-declared"):
+            centroid_shift(d, d, "v", dim=3).collect()
