@@ -189,7 +189,10 @@ def drift_compare_grouped(
     drifted?" — in one pass: DataFrame[group, bin, n_ref, n_cur, p_ref,
     p_cur, psi_term, kl_term], where each group's terms are a
     self-contained PSI over that group's own mass (sum psi_term per
-    group and compare against the PSI_* thresholds).
+    group and compare against the PSI_* thresholds). Passing a time
+    bucket (ingest date, hour window) as ``group_col`` turns this into
+    the rolling drift timeline — every period scored against one frozen
+    reference in a single pass.
 
     ``edges`` must be explicit (the frozen global binning): freezing one
     binning across segments is what makes segment PSIs comparable to
