@@ -37,7 +37,11 @@ SCALED = f"/tmp/driftpii_{COPIES}x_sf01"
 def build_scaled(spark):
     from pyspark.sql import functions as F
 
-    for table, idcols in (("events", ["event_id", "user_id"]), ("documents", ["doc_id"])):
+    for table, idcols in (
+        ("events", ["event_id", "user_id"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+    ):
         src = spark.read.parquet(f"{BASE}/{table}.parquet")
         parts = []
         for c in range(COPIES):
@@ -54,7 +58,11 @@ def build_scaled(spark):
 def main():
     from pyspark.sql import functions as F
 
-    from oni_ml_spark.datapipe.drift import drift_compare, drift_compare_categorical
+    from oni_ml_spark.datapipe.drift import (
+        drift_compare,
+        drift_compare_categorical,
+        drift_compare_grouped,
+    )
     from oni_ml_spark.datapipe.textstats import pii_counts, scrub_pii
     from oni_ml_spark.session import get_spark
 
@@ -95,9 +103,32 @@ def main():
             F.sum("pii_total").alias("residual")
         )
 
+    def drift_grouped(sfdir):
+        e = spark.read.parquet(f"{sfdir}/events.parquet")
+        return drift_compare_grouped(
+            e.filter((F.col("user_id") % 2) == 0),
+            e.filter((F.col("user_id") % 2) == 1),
+            "event_type",
+            "value",
+            edges=[5.0, 15.0, 35.0, 70.0, 150.0],
+        )
+
+    def emb_centroid(sfdir):
+        from oni_ml_spark.datapipe.drift import centroid_shift
+
+        emb = spark.read.parquet(f"{sfdir}/embeddings.parquet")
+        return centroid_shift(
+            emb.filter((F.col("vec_id") % 2) == 0),
+            emb.filter((F.col("vec_id") % 2) == 1),
+            "embedding",
+            dim=64,
+        )
+
     ops = {
         "drift_numeric": drift_numeric,
         "drift_categorical": drift_cat,
+        "drift_grouped": drift_grouped,
+        "embedding_centroid_shift": emb_centroid,
         "pii_scrub_audit": pii_scrub_audit,
     }
     rows = {}
