@@ -40,15 +40,19 @@ def binned_counts(
     top bin. One aggregate, map-side combinable; the bin expression is a
     literal when-chain, codegen-inlined like transforms.bin_expr (whose
     NaN->-1 convention this matches)."""
-    if not edges:
-        raise ValueError("edges must be non-empty")
-    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
-        raise ValueError("edges must be strictly ascending")
+    _validate_edges(edges)
     return (
         df.select(_bin_expr(value_col, edges).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias(f"n_{side}"))
     )
+
+
+def _validate_edges(edges: list[float]) -> None:
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly ascending")
 
 
 def _bin_expr(value_col: str, edges: list[float]):
@@ -61,21 +65,53 @@ def _bin_expr(value_col: str, edges: list[float]):
     return b.otherwise(F.lit(len(edges)))
 
 
+def _sentinel_key(raw, reserved: list[str], fn_name: str):
+    """Null-coalescing key expression with an in-plan ``raise_error``
+    guard (a codegen when-branch, no extra job) against REAL values that
+    collide with a reserved sentinel — shared by every drift path that
+    manufactures '__null' / '__other' keys."""
+    return F.when(
+        raw.isin(reserved),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn_name}: real value collides with reserved sentinel "),
+                raw,
+            )
+        ),
+    ).otherwise(F.coalesce(raw, F.lit("__null")))
+
+
 def _psi_terms(both: DataFrame, smoothing: float) -> DataFrame:
-    """Shared drift arithmetic over a bounded (.., n_ref, n_cur) count
+    """Shared drift arithmetic over a BOUNDED (.., n_ref, n_cur) count
     table: smoothed proportions against in-plan totals, PSI and KL terms
-    appended. ``group_cols`` switches the totals to per-group so each
-    group's terms are a self-contained PSI over that group's mass.
+    appended.
 
     Totals come from a WINDOW over the count table, not a second
     aggregate joined back: an ``agg + join`` restatement would duplicate
     the whole upstream subtree in the plan — at 100 TB that is each
     corpus scanned TWICE for one drift table. The partition-less window
-    is k-bounded by construction: its input is the post-aggregation
-    count table (|edges|+2 bins, |categories| keys — top_k-coarsened to
-    <= 2·top_k+2 — or |groups|·(|edges|+2) rows with partitionBy(group)),
-    never the corpus."""
+    is k-bounded by construction at every call site: |edges|+2 bins, or
+    top_k-coarsened categories (<= 2·top_k+2 rows). The ONE unbounded
+    count table — drift_compare_categorical with top_k=None over an
+    unbounded key space — routes through ``_psi_terms_broadcast_totals``
+    instead, which keeps per-key arithmetic distributed."""
     return _psi_terms_grouped(both, smoothing, [])
+
+
+def _psi_terms_broadcast_totals(both: DataFrame, smoothing: float) -> DataFrame:
+    """The distributed-totals variant for count tables that are NOT
+    k-bounded (categorical drift without top_k: one row per distinct
+    key — 10^8+ for URL-like keys). A partition-less window would funnel
+    all of them through one task; here the totals are a 1-row aggregate
+    broadcast back, so per-key arithmetic stays distributed. The totals
+    subtree is a static-plan duplicate of the count table, but its
+    aggregate exchanges are AQE ReusedExchange-deduped at runtime (same
+    mechanism verified on the top_k path)."""
+    tot = both.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    return _finish_psi(both.crossJoin(F.broadcast(tot)), smoothing)
 
 
 def _psi_terms_grouped(
@@ -84,11 +120,15 @@ def _psi_terms_grouped(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    joined = (
+    return _finish_psi(
         both.withColumn("__tr", F.sum("n_ref").over(w))
         .withColumn("__tc", F.sum("n_cur").over(w))
-        .withColumn("__nb", F.count(F.lit(1)).over(w))
+        .withColumn("__nb", F.count(F.lit(1)).over(w)),
+        smoothing,
     )
+
+
+def _finish_psi(joined: DataFrame, smoothing: float) -> DataFrame:
     k = float(smoothing)
     p_ref = (F.col("n_ref") + k) / (F.col("__tr") + k * F.col("__nb"))
     p_cur = (F.col("n_cur") + k) / (F.col("__tc") + k * F.col("__nb"))
@@ -202,8 +242,9 @@ def drift_compare_grouped(
 
     Scale shape: ONE (group, bin) aggregate per side (map-side
     combinable; |groups|·(|edges|+2) rows), a full-outer join of the two
-    bounded tables, per-group totals broadcast back. Nothing row-sized
-    survives the first aggregate. Null groups are their own '__null'
+    bounded tables, per-group totals via a window partitioned by group
+    (<= |edges|+2 rows per partition — the one-subtree shape, never a
+    second corpus scan). Nothing row-sized survives the first aggregate. Null groups are their own '__null'
     segment (a feed that stopped labeling rows is segment drift);
     a REAL '__null' group value collides and raises in-plan, as in
     drift_compare_categorical."""
@@ -213,21 +254,11 @@ def drift_compare_grouped(
         for c in (group_col, value_col):
             if c not in df.columns:
                 raise ValueError(f"{side} side lacks column {c!r}")
-    if not edges:
-        raise ValueError("edges must be non-empty")
-    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
-        raise ValueError("edges must be strictly ascending")
+    _validate_edges(edges)
     edges = [float(e) for e in edges]
-    raw = F.col(group_col).cast("string")
-    gkey = F.when(
-        raw == "__null",
-        F.raise_error(
-            F.lit(
-                f"drift_compare_grouped: real {group_col!r} value collides "
-                "with reserved sentinel __null"
-            )
-        ),
-    ).otherwise(F.coalesce(raw, F.lit("__null")))
+    gkey = _sentinel_key(
+        F.col(group_col).cast("string"), ["__null"], "drift_compare_grouped"
+    )
 
     def counts(df, side):
         return (
@@ -286,20 +317,10 @@ def drift_compare_categorical(
     for side, df in (("ref", ref), ("cur", cur)):
         if key_col not in df.columns:
             raise ValueError(f"{side} side lacks column {key_col!r}")
-    raw = F.col(key_col).cast("string")
     reserved = ["__null"] + (["__other"] if top_k is not None else [])
-    key = F.when(
-        raw.isin(reserved),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"drift_compare_categorical: real {key_col!r} value "
-                    "collides with reserved sentinel "
-                ),
-                raw,
-            )
-        ),
-    ).otherwise(F.coalesce(raw, F.lit("__null")))
+    key = _sentinel_key(
+        F.col(key_col).cast("string"), reserved, "drift_compare_categorical"
+    )
     rc = ref.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).alias("n_ref")
     )
@@ -338,7 +359,15 @@ def drift_compare_categorical(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    return _psi_terms(both, smoothing).select(
+    # with top_k the table is <= 2*top_k+2 rows (window totals are fine);
+    # without it the table is one row per distinct key — keep the per-key
+    # arithmetic distributed instead of a single-task window
+    terms = (
+        _psi_terms(both, smoothing)
+        if top_k is not None
+        else _psi_terms_broadcast_totals(both, smoothing)
+    )
+    return terms.select(
         "key", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "kl_term"
     )
 
@@ -394,7 +423,15 @@ def centroid_shift(
 
     Plan shape: posexplode → ONE (pos, sum) aggregate per side (map-side
     combinable: the shuffle carries dim·partitions partials, never
-    vectors), joined on pos (dim rows), reduced to one row."""
+    vectors), joined on pos (dim rows), reduced to one row.
+
+    Garbage REFUSES instead of deflecting the answer: a null/NaN
+    component, a null/empty vector (posexplode_outer keeps them visible),
+    or a corpus that is ragged or uniformly shorter/longer than ``dim``
+    (per-side per-dimension row counts must all equal each other and
+    dim_seen must equal ``dim``) each raise in-plan — a corrupted feed
+    must not silently drag the centroid toward zero; its norm-drift
+    sibling is the operator that COUNTS such rows (bin -1)."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
     if scale <= 0:
@@ -405,12 +442,23 @@ def centroid_shift(
         if vec_col not in df.columns:
             raise ValueError(f"{side} side lacks column {vec_col!r}")
         v = as_double_array(vec_col)
+        x = F.col("x")
+        qx = F.when(
+            x.isNull() | F.isnan(x),
+            F.raise_error(
+                F.lit(
+                    f"centroid_shift: {side} side has a null/NaN component "
+                    "or a null/empty vector — refusing to fold garbage into "
+                    "the centroid (use embedding_norm_drift's bin -1 to "
+                    "count such rows)"
+                )
+            ).cast("double"),
+        ).otherwise(F.floor(x * F.lit(float(scale)))).cast("long")
         return (
-            df.select(F.posexplode(v).alias("pos", "x"))
+            df.select(F.posexplode_outer(v).alias("pos", "x"))
             .groupBy("pos")
             .agg(
-                F.sum(F.floor(F.col("x") * F.lit(float(scale))).cast("long"))
-                .alias(f"s_{side}"),
+                F.sum(qx).alias(f"s_{side}"),
                 F.count(F.lit(1)).alias(f"n_{side}"),
             )
         )
@@ -422,8 +470,10 @@ def centroid_shift(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    # means in quantized units; n is per-dimension constant (= corpus rows)
-    # for rectangular data, max() recovers it without another scan
+    # means in quantized units; n must be the per-dimension constant
+    # (= corpus rows) on BOTH sides — min==max pins rectangularity, and a
+    # side uniformly shorter than dim shows up as min 0 after the
+    # full-outer coalesce
     agg = both.agg(
         F.sum(F.col("s_ref").cast("double") / F.greatest("n_ref", F.lit(1))
               * (F.col("s_cur").cast("double") / F.greatest("n_cur", F.lit(1)))
@@ -434,20 +484,38 @@ def centroid_shift(
               ).alias("c2"),
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
+        F.min("n_ref").alias("__n_ref_min"),
+        F.min("n_cur").alias("__n_cur_min"),
         F.count(F.lit(1)).alias("dim_seen"),
     )
+    shape_ok = (
+        (F.col("dim_seen") == dim)
+        & (F.col("n_ref") > 0)
+        & (F.col("n_cur") > 0)
+        & (F.col("__n_ref_min") == F.col("n_ref"))
+        & (F.col("__n_cur_min") == F.col("n_cur"))
+    )
     return agg.select(
-        (F.col("dot") / (F.sqrt("r2") * F.sqrt("c2"))).alias("cosine"),
+        # try_divide: an all-zero centroid (legit degenerate corpus) has
+        # no defined angle — null, not an ANSI divide-by-zero; shape
+        # violations raise via the dim column's guard, and CASE laziness
+        # keeps this expression from tripping first on an empty side
+        F.when(
+            shape_ok, F.try_divide(F.col("dot"), F.sqrt("r2") * F.sqrt("c2"))
+        ).alias("cosine"),
         (F.sqrt("r2") / F.lit(float(scale))).alias("l2_ref"),
         (F.sqrt("c2") / F.lit(float(scale))).alias("l2_cur"),
         "n_ref",
         "n_cur",
-        F.when(F.col("dim_seen") == dim, F.col("dim_seen")).otherwise(
+        F.when(shape_ok, F.col("dim_seen")).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"centroid_shift: expected dim={dim}, saw "),
                     F.col("dim_seen").cast("string"),
-                    F.lit(" distinct positions — ragged or mis-declared vectors"),
+                    F.lit(
+                        " distinct positions — ragged, truncated, empty, "
+                        "or mis-declared vectors"
+                    ),
                 )
             )
         ).alias("dim"),

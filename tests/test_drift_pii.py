@@ -236,11 +236,17 @@ class TestDriftCompare:
         cur = e.filter((F.col("user_id") % 2) == 1)
         for df in (
             drift_compare(ref, cur, "value", edges=[5.0, 35.0]),
-            drift_compare_categorical(ref, cur, "event_type"),
             drift_compare_grouped(ref, cur, "event_type", "value", [5.0, 35.0]),
         ):
             rep = assert_plan(df, max_exchanges=3, forbid=["CartesianProduct"])
             assert rep["scans"] == 2, rep["plan"]
+        # the categorical paths reuse their count-table subtrees (top-k
+        # keep sets / broadcast totals), so the static plan prints extra
+        # scans; AQE ReusedExchange restores one scan per side at runtime
+        df = drift_compare_categorical(ref, cur, "event_type")
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("ReusedExchange") >= 2, executed
 
     def test_validation(self, spark):
         from oni_ml_spark.datapipe.drift import (
@@ -449,5 +455,53 @@ class TestEmbeddingDrift:
         )
         with pytest.raises(ValueError, match="dim must be"):
             centroid_shift(d, d, "v", dim=0)
-        with pytest.raises(Exception, match="ragged or mis-declared"):
+        with pytest.raises(Exception, match="mis-declared"):
             centroid_shift(d, d, "v", dim=3).collect()
+
+    def test_centroid_shift_refuses_garbage_and_ragged(self, spark):
+        """Silent-wrong-answer classes raise: NaN/null components, null
+        vectors, a corpus uniformly SHORTER than dim (the encoder-change
+        incident — previously passed the union-of-positions check and
+        returned a cosine computed as if the missing dims were 0), and a
+        partially truncated (ragged) corpus."""
+        from oni_ml_spark.datapipe.drift import centroid_shift
+
+        ok = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0]) for i in range(4)], "id long, v array<double>"
+        )
+        nan_side = spark.createDataFrame(
+            [(0, [1.0, float("nan"), 3.0])], "id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="null/NaN component"):
+            centroid_shift(ok, nan_side, "v", dim=3).collect()
+        null_vec = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0]), (1, None)], "id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="null/NaN component"):
+            centroid_shift(ok, null_vec, "v", dim=3).collect()
+        short = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(4)], "id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="mis-declared"):
+            centroid_shift(ok, short, "v", dim=3).collect()
+        ragged = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])], "id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="mis-declared"):
+            centroid_shift(ok, ragged, "v", dim=3).collect()
+        empty = spark.createDataFrame([], "id long, v array<double>")
+        with pytest.raises(Exception, match="mis-declared"):
+            centroid_shift(ok, empty, "v", dim=3).collect()
+
+    def test_categorical_no_topk_stays_distributed(self, spark):
+        """Without top_k the count table is one row per distinct key, so
+        totals must NOT go through a partition-less window (single-task
+        funnel at 10^8 keys) — the plan keeps per-key arithmetic
+        distributed via broadcast totals."""
+        from oni_ml_spark.datapipe.drift import drift_compare_categorical
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        d = spark.range(1000).select((F.col("id") % 50).cast("string").alias("k"))
+        rep = plan_report(drift_compare_categorical(d, d, "k"))
+        assert rep["nodes"].get("Window", 0) == 0, rep["plan"]
+        assert rep["broadcast_exchanges"] >= 1, rep["plan"]
