@@ -528,13 +528,22 @@ def drift_summary(
     value_cols: list[str],
     n_bins: int = 10,
     smoothing: float = 0.5,
+    categorical_cols: list[str] | None = None,
+    top_k: int | None = 100,
 ) -> DataFrame:
     """One row per column: psi, kl, null-rate delta, mean/stddev deltas,
     and the conventional verdict ('stable' / 'moderate' / 'action').
     |value_cols| bounded drift tables + one moments aggregate per side —
-    still zero row-to-row joins."""
-    if not value_cols:
-        raise ValueError("value_cols must be non-empty")
+    still zero row-to-row joins.
+
+    ``categorical_cols`` adds one row per categorical column via
+    drift_compare_categorical (mean/std columns are null for those;
+    null_rate_delta is the '__null' share delta baked into the PSI).
+    ``top_k`` is passed through (default 100 — summaries are usually run
+    on columns whose key space nobody has audited; pass None only for
+    provably small dictionaries)."""
+    if not value_cols and not categorical_cols:
+        raise ValueError("need at least one of value_cols / categorical_cols")
     spark = ref.sparkSession
 
     def moments(df, side):
@@ -558,28 +567,39 @@ def drift_summary(
                 "(an empty current snapshot IS the incident; investigate "
                 "the feed before asking for a PSI)"
             )
-    rows = []
-    for c in value_cols:
-        d = drift_compare(ref, cur, c, n_bins=n_bins, smoothing=smoothing)
-        agg = d.agg(
-            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl")
-        ).collect()[0]
-        psi = float(agg["psi"])
-        verdict = (
+    def verdict_of(psi):
+        return (
             "stable" if psi < PSI_STABLE
             else "moderate" if psi < PSI_ACTION
             else "action"
         )
+
+    def psi_kl(d):
+        agg = d.agg(
+            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl")
+        ).collect()[0]
+        return float(agg["psi"]), float(agg["kl"])
+
+    rows = []
+    for c in value_cols:
+        psi, kl = psi_kl(
+            drift_compare(ref, cur, c, n_bins=n_bins, smoothing=smoothing)
+        )
         rows.append(
             (
-                c, psi, float(agg["kl"]),
+                c, psi, kl,
                 mr[f"{c}__mean_ref"],
                 mc[f"{c}__mean_cur"],
                 mr[f"{c}__std_ref"], mc[f"{c}__std_cur"],
                 float(mc[f"{c}__nullrate_cur"]) - float(mr[f"{c}__nullrate_ref"]),
-                verdict,
+                verdict_of(psi),
             )
         )
+    for c in categorical_cols or []:
+        psi, kl = psi_kl(
+            drift_compare_categorical(ref, cur, c, top_k=top_k, smoothing=smoothing)
+        )
+        rows.append((c, psi, kl, None, None, None, None, None, verdict_of(psi)))
     return spark.createDataFrame(
         rows,
         "column string, psi double, kl double, mean_ref double, mean_cur double, "

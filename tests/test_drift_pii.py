@@ -505,3 +505,27 @@ class TestEmbeddingDrift:
         rep = plan_report(drift_compare_categorical(d, d, "k"))
         assert rep["nodes"].get("Window", 0) == 0, rep["plan"]
         assert rep["broadcast_exchanges"] >= 1, rep["plan"]
+
+
+class TestDriftSummaryCategorical:
+    def test_mixed_summary(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_summary
+
+        ref = spark.range(2000).select(
+            (F.col("id") % 50).cast("double").alias("v"),
+            (F.col("id") % 3).cast("string").alias("k"),
+        )
+        cur = spark.range(2000).select(
+            ((F.col("id") % 50) + 40).cast("double").alias("v"),
+            F.when(F.col("id") % 2 == 0, "99").otherwise(
+                (F.col("id") % 3).cast("string")
+            ).alias("k"),
+        )
+        out = {r["column"]: r for r in drift_summary(
+            ref, cur, ["v"], categorical_cols=["k"]
+        ).collect()}
+        assert out["v"]["verdict"] == "action" and out["v"]["mean_ref"] is not None
+        assert out["k"]["verdict"] == "action"  # half the rows moved to a new key
+        assert out["k"]["mean_ref"] is None  # moments are numeric-only
+        with pytest.raises(ValueError, match="at least one"):
+            drift_summary(ref, cur, [], categorical_cols=[])
