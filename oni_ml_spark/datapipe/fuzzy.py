@@ -97,7 +97,11 @@ def fuzzy_join(
     is in its quadratic regime, not the ~constant-factor one — the call
     refuses with the measured blowup and the advice to raise ``q``.
     The pre-flight is linear with a gram-keyed shuffle (a fraction of the
-    join it is sizing) and catches the small-alphabet footgun the bench
+    join it is sizing); it makes the call EAGER (the guard aggregate runs
+    at DataFrame-construction time), and that same job localCheckpoints
+    the gram frames so the guard and the join share one gram computation
+    — pass ``None`` for a fully-lazy plan. It catches the small-alphabet
+    footgun the bench
     measured; ``None`` skips it when the corpus is known-sized.
     Ids must be unique per side (the gram-count aggregate keys on them);
     rows with a null id or a null string never participate (excluded
@@ -141,6 +145,18 @@ def fuzzy_join(
     lg = _grams(l_long, "l", q)
     rg = _grams(r_long, "r", q)
     if max_expansion_per_gram_row is not None:
+        # the pre-flight makes this path EAGER (its guard aggregate is
+        # collected at DataFrame-construction time); localCheckpoint the
+        # gram frames first (eager=False — materialized BY the guard's
+        # own job) so the guard and the join share ONE gram computation
+        # instead of shingling both corpora twice. Trade-offs, both
+        # documented here on purpose: the gram frames land in executor
+        # memory/disk (MEMORY_AND_DISK-style storage, reclaimed by the
+        # ContextCleaner when the frames are GC'd), and a lost executor
+        # fails the job instead of recomputing lineage. Pass
+        # max_expansion_per_gram_row=None for a fully-lazy single-plan
+        # path when the corpus is known-sized.
+        lg, rg = lg.localCheckpoint(eager=False), rg.localCheckpoint(eager=False)
         # exact gram-join cardinality from per-gram bucket counts: one
         # full-outer join of two |distinct grams|-row aggregates, reduced
         # to a single row — Σ l_c·r_c is exactly the row count the gram

@@ -267,11 +267,14 @@ def groupby_count_docword(spark, sf):
     # -- drift_compare_grouped (r8): per-event_type PSI over the same
     # -- frozen edges; each group's totals are its own (self-contained
     # -- per-segment PSI)
-    "gr AS (SELECT event_type AS grp, "
+    # -- coalesce mirrors drift_compare_grouped's '__null' segment sentinel
+    # -- (identity today — event_type is never null in the generator — but
+    # -- keeps the engines aligned if that ever changes)
+    "gr AS (SELECT coalesce(event_type, '__null') AS grp, "
     "CASE WHEN value IS NULL OR isnan(value) THEN -1 WHEN value <= 5.0 THEN 0 "
     "WHEN value <= 15.0 THEN 1 WHEN value <= 35.0 THEN 2 WHEN value <= 70.0 THEN 3 "
     "WHEN value <= 150.0 THEN 4 ELSE 5 END AS bin FROM events WHERE user_id % 2 = 0), "
-    "gc AS (SELECT event_type AS grp, "
+    "gc AS (SELECT coalesce(event_type, '__null') AS grp, "
     "CASE WHEN v IS NULL OR isnan(v) THEN -1 WHEN v <= 5.0 THEN 0 "
     "WHEN v <= 15.0 THEN 1 WHEN v <= 35.0 THEN 2 WHEN v <= 70.0 THEN 3 "
     "WHEN v <= 150.0 THEN 4 ELSE 5 END AS bin FROM "
@@ -3438,7 +3441,13 @@ def _pii_oracle_block() -> tuple[str, str]:
 def _qg_oracle_with_pii() -> str:
     ctes, rows = _pii_oracle_block()
     head, sep, tail = _QG_ORACLE.partition("\nSELECT '")
-    assert sep, "unexpected _QG_ORACLE shape"
+    if not sep:
+        # explicit raise, not assert: under ``python -O`` an assert is
+        # stripped and a reshaped _QG_ORACLE would splice malformed SQL
+        raise RuntimeError(
+            "_qg_oracle_with_pii: _QG_ORACLE no longer contains the "
+            "\"\\nSELECT '\" splice point — update the splice logic"
+        )
     return head + ctes + sep + tail.rstrip() + " " + rows
 
 

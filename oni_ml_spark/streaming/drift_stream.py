@@ -76,7 +76,18 @@ def drift_writer(
             merged = part
         else:
             stored = _read_edges(spark, root)
-            if stored is not None and stored != edges:
+            if stored is None:
+                # a state version with no committed _edges table was NOT
+                # written by this sink — its binning is unknown, and
+                # merging into it is exactly the phantom-bin hazard the
+                # guard exists to refuse (counts accumulated under one
+                # binning silently folded with another's)
+                raise ValueError(
+                    f"drift state at {root} has no committed _edges table "
+                    "— root of unknown binning (written by another sink?); "
+                    "refusing to merge; start a new root"
+                )
+            if stored != edges:
                 raise ValueError(
                     f"drift state at {root} was built with edges {stored}, "
                     f"not {edges} — accumulated bins are not comparable "

@@ -529,3 +529,149 @@ class TestDriftSummaryCategorical:
         assert out["k"]["mean_ref"] is None  # moments are numeric-only
         with pytest.raises(ValueError, match="at least one"):
             drift_summary(ref, cur, [], categorical_cols=[])
+
+
+class TestDriftSummarySinglePass:
+    """r9: drift_summary rebuilt as ONE unpivoted aggregate per side —
+    values must equal the per-column composition it replaced, and the
+    count-table plan must scan each corpus exactly once."""
+
+    def _mixed(self, spark):
+        ref = spark.range(3000).select(
+            (F.col("id") % 50).cast("double").alias("a"),
+            F.when(F.col("id") % 17 == 0, None)
+            .otherwise((F.col("id") % 7).cast("double")).alias("b"),
+            (F.col("id") % 5).cast("string").alias("k"),
+        )
+        cur = spark.range(2500).select(
+            ((F.col("id") % 50) + 12).cast("double").alias("a"),
+            F.when(F.col("id") % 5 == 0, None)
+            .otherwise(((F.col("id") % 7) * 1.4)).alias("b"),
+            F.when(F.col("id") % 3 == 0, "zz")
+            .otherwise((F.col("id") % 5).cast("string")).alias("k"),
+        )
+        return ref, cur
+
+    def test_matches_per_column_composition(self, spark):
+        """psi/kl/means/stds/null-rate from the single-pass summary equal
+        the old shape: drift_compare / drift_compare_categorical per
+        column plus direct per-side moment aggregates."""
+        from oni_ml_spark.datapipe.drift import (
+            drift_compare,
+            drift_compare_categorical,
+            drift_summary,
+        )
+
+        ref, cur = self._mixed(spark)
+        got = {r["column"]: r for r in drift_summary(
+            ref, cur, ["a", "b"], n_bins=8, categorical_cols=["k"], top_k=3
+        ).collect()}
+        for c in ("a", "b"):
+            d = drift_compare(ref, cur, c, n_bins=8)
+            want = d.agg(F.sum("psi_term").alias("p"), F.sum("kl_term").alias("l")).first()
+            assert got[c]["psi"] == pytest.approx(want["p"], rel=1e-9)
+            assert got[c]["kl"] == pytest.approx(want["l"], rel=1e-9)
+            m = ref.agg(
+                F.avg(c).alias("m"), F.stddev_samp(c).alias("s"),
+                F.avg(F.col(c).isNull().cast("double")).alias("nr"),
+            ).first()
+            mc = cur.agg(
+                F.avg(c).alias("m"), F.stddev_samp(c).alias("s"),
+                F.avg(F.col(c).isNull().cast("double")).alias("nr"),
+            ).first()
+            assert got[c]["mean_ref"] == pytest.approx(m["m"], rel=1e-9)
+            assert got[c]["mean_cur"] == pytest.approx(mc["m"], rel=1e-9)
+            assert got[c]["std_ref"] == pytest.approx(m["s"], rel=1e-9)
+            assert got[c]["std_cur"] == pytest.approx(mc["s"], rel=1e-9)
+            assert got[c]["null_rate_delta"] == pytest.approx(
+                mc["nr"] - m["nr"], abs=1e-12
+            )
+        kw = drift_compare_categorical(ref, cur, "k", top_k=3).agg(
+            F.sum("psi_term").alias("p"), F.sum("kl_term").alias("l")
+        ).first()
+        assert got["k"]["psi"] == pytest.approx(kw["p"], rel=1e-9)
+        assert got["k"]["kl"] == pytest.approx(kw["l"], rel=1e-9)
+        assert got["k"]["mean_ref"] is None and got["k"]["null_rate_delta"] is None
+
+    def test_plan_two_scans_for_mixed_summary(self, spark):
+        """The r8 verdict's done-criterion: a 3-numeric + 1-categorical
+        summary's count table reads each corpus ONCE (the old composition
+        planned 10 scans)."""
+        from oni_ml_spark.datapipe.drift import _summary_table
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ref = e.filter((F.col("user_id") % 2) == 0)
+        cur = e.filter((F.col("user_id") % 2) == 1)
+        edges = {
+            "value": [5.0, 35.0],
+            "event_id": [1000.0, 5000.0],
+            "user_id": [50.0, 200.0],
+        }
+        t = _summary_table(
+            ref, cur, ["value", "event_id", "user_id"], ["event_type"],
+            edges, ["__null", "__other"],
+        )
+        rep = plan_report(t)
+        assert rep["scans"] == 2, rep["plan"]
+
+    def test_nan_is_missing_consistently(self, spark):
+        """ADVICE r8: a feed drifting to NaN must move null_rate_delta
+        (not only the PSI missing bin), and NaN must not poison the
+        means — both now follow the bin -1 convention."""
+        from oni_ml_spark.datapipe.drift import drift_summary
+
+        ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+        cur = spark.createDataFrame(
+            [(float(i % 10),) for i in range(75)] + [(float("nan"),)] * 25,
+            "v double",
+        )
+        row = drift_summary(ref, cur, ["v"], edges={"v": [3.0, 6.0]}).first()
+        assert row["null_rate_delta"] == pytest.approx(0.25)
+        # NaN excluded, not NaN: mean of i%10 over range(75) = 325/75
+        assert row["mean_cur"] == pytest.approx(325.0 / 75.0)
+        assert row["std_cur"] is not None and not math.isnan(row["std_cur"])
+
+    def test_frozen_edges_and_validation(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_compare, drift_summary
+
+        ref, cur = self._mixed(spark)
+        frozen = {"a": [10.0, 25.0, 40.0], "b": [2.0, 4.0]}
+        got = {r["column"]: r for r in drift_summary(
+            ref, cur, ["a", "b"], edges=frozen
+        ).collect()}
+        for c in ("a", "b"):
+            want = drift_compare(ref, cur, c, edges=frozen[c]).agg(
+                F.sum("psi_term").alias("p")
+            ).first()["p"]
+            assert got[c]["psi"] == pytest.approx(want, rel=1e-9)
+        with pytest.raises(ValueError, match="edges missing"):
+            drift_summary(ref, cur, ["a", "b"], edges={"a": [1.0]})
+        with pytest.raises(ValueError, match="both numeric and categorical"):
+            drift_summary(ref, cur, ["a"], categorical_cols=["a"])
+        with pytest.raises(ValueError, match="ascending"):
+            drift_summary(ref, cur, ["a"], edges={"a": [5.0, 1.0]})
+        # sentinel collision still enforced through the summary path
+        dirty = cur.withColumn("k", F.lit("__null"))
+        with pytest.raises(Exception, match="reserved sentinel"):
+            drift_summary(ref, dirty, ["a"], categorical_cols=["k"])
+
+    def test_all_null_column_and_empty_sides(self, spark):
+        from oni_ml_spark.datapipe.drift import drift_summary
+
+        ref = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        no_rows = spark.createDataFrame([], "v double")
+        with pytest.raises(ValueError, match="cur side has no rows"):
+            drift_summary(ref, no_rows, ["v"])
+        # default edges: the quantile pre-pass names the failure first
+        with pytest.raises(ValueError, match="no non-null values to bin"):
+            drift_summary(no_rows, ref, ["v"])
+        # frozen edges skip the pre-pass; the count-table guard fires
+        with pytest.raises(ValueError, match="ref side has no rows"):
+            drift_summary(no_rows, ref, ["v"], edges={"v": [1.5]})
+        # all-null cur column: moments null, missing-bin PSI still fires
+        all_null = spark.createDataFrame([(None,)] * 10, "v double")
+        row = drift_summary(ref, all_null, ["v"], edges={"v": [1.5]}).first()
+        assert row["mean_cur"] is None and row["std_cur"] is None
+        assert row["null_rate_delta"] == pytest.approx(1.0)
+        assert row["psi"] > 0.25 and row["verdict"] == "action"

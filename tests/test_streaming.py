@@ -891,3 +891,23 @@ def test_streaming_drift_report_requires_state_and_guards_lineage(spark, tmp_pat
         stream_drift_report(spark, state, ref, "v", edges=[3.0])
     # edges omitted: read from the state (identical binning by construction)
     assert stream_drift_report(spark, state, ref, "v").count() == 2
+
+
+def test_streaming_drift_writer_refuses_edgeless_root(spark, tmp_path):
+    """ADVICE r8: a state root WITHOUT a committed _edges table (written
+    by another sink / an older writer) has unknown binning — merging into
+    it is the phantom-bin hazard and must refuse, not silently proceed."""
+    from oni_ml_spark.streaming.drift_stream import drift_writer
+    from oni_ml_spark.streaming.upsert_sink import _commit_snapshot
+
+    root = str(tmp_path / "foreign")
+    # a committed version with the right schema but NO _edges table
+    _commit_snapshot(
+        root,
+        spark.createDataFrame([(0, 5)], "bin int, n_cur bigint"),
+        keep_versions=2,
+        batch_marker="default\n0",
+    )
+    batch = spark.createDataFrame([(1.0,), (4.0,)], "v double")
+    with pytest.raises(ValueError, match="no committed _edges table"):
+        drift_writer(root, "v", [2.0])(batch, 1)
