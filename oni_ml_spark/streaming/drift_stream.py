@@ -6,13 +6,17 @@ discipline of streaming.upsert_sink (beyond the reference, which has no
 streaming surface at all).
 
 100 TB design: the state table is |edges|+2 rows (one per bin plus the
-null bin), regardless of stream volume. Each micro-batch reduces to ONE
-map-side-combinable |bins|-row aggregate; the merge is a bounded
-full-outer join of two |bins|-row frames. The report is pure arithmetic
-over two bounded tables — the fact stream flows through and is never
-stored. Replays are exactly-once via the same in-version batch marker +
-query-token lineage guard as ``stats_writer`` (a replayed histogram
-batch would otherwise double-count every bin).
+null bin) for the numeric sink and |keys|+2 rows ('__null' + '__other')
+for the categorical one, regardless of stream volume. Each micro-batch
+reduces to ONE map-side-combinable bounded aggregate; the merge is a
+bounded full-outer join of two bounded frames. The report is pure
+arithmetic over two bounded tables — the fact stream flows through and
+is never stored. Replays are exactly-once via the same in-version batch
+marker + query-token lineage guard as ``stats_writer`` (a replayed
+histogram batch would otherwise double-count every bin). The binning /
+dictionary travels WITH the state (committed ``_edges`` / ``_keys``
+tables), so readers never trust a re-supplied list and roots of unknown
+provenance refuse to merge.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oni_ml_spark.datapipe.drift import _psi_terms, binned_counts
+from oni_ml_spark.datapipe.drift import _psi_terms, _sentinel_key, binned_counts
 from oni_ml_spark.streaming.upsert_sink import (
     _check_schema,
     _commit_snapshot,
@@ -185,4 +189,187 @@ def stream_drift_report(
     )
     return _psi_terms(both, smoothing).select(
         "bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "kl_term"
+    )
+
+
+def categorical_counts(
+    df: DataFrame, key_col: str, keys: list[str], side: str
+) -> DataFrame:
+    """ONE (key, count) aggregate with FROZEN-DICTIONARY coarsening: keys
+    in ``keys`` count individually, genuine NULLs count as '__null' (a
+    feed that stopped labeling rows is its own drift signal, never folded
+    into the tail), and every other value coarsens into '__other' — so
+    the output is bounded at |keys|+2 rows no matter what the stream
+    sends. Freezing the dictionary (compute it once on the baseline
+    corpus, e.g. from drift_compare_categorical's kept keys) is the
+    categorical analogue of frozen bin edges: it makes per-batch work a
+    pure projection + map-side-combinable aggregate and keeps histograms
+    from different days comparable. The '__null'/'__other' sentinel
+    discipline is drift_compare_categorical's — a REAL value equal to a
+    sentinel raises in-plan rather than silently merging populations.
+    The dictionary membership test is a literal ``isin`` (codegen set
+    probe): dictionaries are meant to be small (languages, event types,
+    kept top-k keys), which is exactly what makes the state bounded."""
+    key = _sentinel_key(
+        F.col(key_col).cast("string"), ["__null", "__other"],
+        "drift_stream categorical",
+    )
+    coarse = F.when(
+        key.isin(*[str(k) for k in keys]) | (key == "__null"), key
+    ).otherwise(F.lit("__other"))
+    return (
+        df.select(coarse.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+    )
+
+
+def _validate_keys(keys: list[str]) -> list[str]:
+    if not keys:
+        raise ValueError("keys must be a non-empty frozen dictionary")
+    keys = [str(k) for k in keys]
+    if len(set(keys)) != len(keys):
+        raise ValueError("keys must be distinct")
+    bad = sorted(set(keys) & {"__null", "__other"})
+    if bad:
+        raise ValueError(
+            f"keys {bad} collide with the reserved sentinels — rename the "
+            "real categories upstream"
+        )
+    return keys
+
+
+def drift_writer_categorical(
+    root: str,
+    key_col: str,
+    keys: list[str],
+    keep_versions: int = 2,
+    query_token: str = "default",
+):
+    """foreachBatch function accumulating the stream's per-category counts
+    — the categorical sibling of ``drift_writer``:
+    ``stream.writeStream.foreachBatch(drift_writer_categorical(root, "lang", KEYS))``.
+
+    State is |keys|+2 rows ('__null' + '__other' included) regardless of
+    stream volume; each micro-batch reduces to ONE map-side-combinable
+    aggregate (``categorical_counts``) and merges via a bounded
+    full-outer join. Exactly-once via the in-version batch marker +
+    query-token lineage guard shared with the numeric sink. The frozen
+    dictionary travels WITH the state (committed ``_keys`` table, like
+    the numeric sink's ``_edges``): a writer re-supplying a different
+    dictionary, or a root whose versions lack a committed dictionary,
+    refuses instead of accumulating incomparable counts. Read back with
+    ``read_upsert_table`` (columns key, n_cur); score with
+    ``stream_drift_report_categorical``."""
+    keys = _validate_keys(keys)
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
+    if not query_token or "\n" in query_token:
+        raise ValueError("query_token must be non-empty and newline-free")
+    frozen = sorted(keys)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_applied(root, query_token):
+            return  # replayed micro-batch: already folded into the state
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        part = categorical_counts(batch_df, key_col, keys, "cur")
+        current = read_upsert_table(spark, root)
+        _check_schema(current, part)
+        if current is None:
+            merged = part
+        else:
+            stored = _read_keys(spark, root)
+            if stored is None:
+                raise ValueError(
+                    f"drift state at {root} has no committed _keys table "
+                    "— root of unknown dictionary (written by another "
+                    "sink?); refusing to merge; start a new root"
+                )
+            if stored != frozen:
+                raise ValueError(
+                    f"drift state at {root} was built with keys {stored}, "
+                    f"not {frozen} — counts coarsened under different "
+                    "dictionaries are not comparable; start a new root"
+                )
+            merged = (
+                current.withColumnRenamed("n_cur", "__prev")
+                .join(part.withColumnRenamed("n_cur", "__new"), "key", "full_outer")
+                .select(
+                    "key",
+                    (
+                        F.coalesce("__prev", F.lit(0)) + F.coalesce("__new", F.lit(0))
+                    ).alias("n_cur"),
+                )
+            )
+        keys_frame = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(frozen)], "i int, key string"
+        )
+        _commit_snapshot(
+            root,
+            merged,
+            keep_versions,
+            batch_marker=f"{query_token}\n{batch_id}",
+            extra_frames={"_keys": keys_frame},
+        )
+
+    return write_batch
+
+
+def _read_keys(spark: SparkSession, root: str) -> list[str] | None:
+    """The frozen dictionary committed with the current state version
+    (None before the first commit or for a foreign root). Bounded read:
+    |keys| rows, returned sorted (the canonical stored order)."""
+    import os
+
+    from oni_ml_spark.streaming.upsert_sink import _read_pointer
+
+    v = _read_pointer(root)
+    if v == 0:
+        return None
+    path = os.path.join(root, f"v{v:08d}", "_keys")
+    if not os.path.isdir(path):  # root written by an older/other sink
+        return None
+    rows = spark.read.parquet(path).collect()
+    return [r["key"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def stream_drift_report_categorical(
+    spark: SparkSession,
+    root: str,
+    ref: DataFrame,
+    key_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-category drift table (drift_compare_categorical's schema: key,
+    n_ref, n_cur, p_ref, p_cur, psi_term, kl_term) between a frozen
+    REFERENCE corpus and everything a ``drift_writer_categorical`` sink
+    has accumulated. The dictionary is read from the state itself, so the
+    reference side coarsens with the IDENTICAL frozen dictionary and the
+    comparison is key-for-key exact by construction — a root without a
+    committed dictionary refuses. Bounded end-to-end: the window totals
+    run over <= |keys|+2 rows."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (log-ratio of empty bins)")
+    cur = read_upsert_table(spark, root)
+    if cur is None:
+        raise ValueError(f"no committed drift state at {root} yet")
+    stored = _read_keys(spark, root)
+    if stored is None:
+        raise ValueError(
+            f"drift state at {root} has no committed _keys table — was "
+            "this root written by drift_writer_categorical?"
+        )
+    rc = categorical_counts(ref, key_col, stored, "ref")
+    both = rc.join(cur, "key", "full_outer").select(
+        "key",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    return _psi_terms(both, smoothing).select(
+        "key", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "kl_term"
     )

@@ -148,3 +148,81 @@ class TestIncrementalRefreshE2E:
         )
         writer(replay, 2)  # same batch id -> applied marker skips it
         assert read_appended(spark, ingested).count() == before
+
+    def test_drift_gate_blocks_shifted_day(self, spark, ingested, tmp_path):
+        """(r9) The production daily refresh gates each day's batch on
+        distribution drift vs a FROZEN reference histogram before folding
+        it into the aggregate state: normal days pass, a planted shifted
+        day fires the gate and its rows never reach the state. O(day):
+        each gate job reads the day's files plus the |bins|-row saved
+        reference histogram — never prior days' facts; the frozen edges
+        are reused across every day (what makes the PSIs comparable)."""
+        from oni_ml_spark.datapipe.drift import (
+            PSI_ACTION,
+            _psi_terms,
+            binned_counts,
+            drift_summary,
+        )
+        from oni_ml_spark.datapipe.incremental import (
+            finalize_aggregates,
+            merge_aggregate_state,
+            partial_aggregates,
+        )
+        from oni_ml_spark.streaming.upsert_sink import read_appended
+
+        EDGES = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+        day0 = spark.read.parquet(_day_dir(ingested, 0))
+        refdir = str(tmp_path / "ref_hist")
+        # day 0 is the frozen baseline: ONE |bins|-row histogram, saved;
+        # later gates compare against it without rescanning day 0
+        binned_counts(day0, "v", EDGES, "ref").write.mode("overwrite").parquet(refdir)
+
+        def gate_psi(batch):
+            cc = binned_counts(batch, "v", EDGES, "cur")
+            saved = spark.read.parquet(refdir)
+            both = saved.join(cc, "bin", "full_outer").select(
+                "bin",
+                F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            )
+            # O(day) proof: the gate's scan set is the day's batch files
+            # plus the bounded saved histogram — no prior fact files
+            files = both.inputFiles()
+            assert not any("ingest_batch=0" in f for f in files)
+            return _psi_terms(both, 0.5).agg(F.sum("psi_term")).first()[0]
+
+        shifted = spark.range(1000, 1400).select(
+            F.col("id").alias("k"),
+            ((F.col("id") % 7) + 40.0).cast("double").alias("v"),
+            (F.col("id") % 5).alias("cat"),
+            F.lit(3).alias("day"),
+        )
+        state = partial_aggregates(day0, ["cat"], ["v"])
+        fired = []
+        for day, batch in ((1, None), (2, None), (3, shifted)):
+            if batch is None:
+                batch = spark.read.parquet(_day_dir(ingested, day))
+                assert all(f"ingest_batch={day}" in f for f in batch.inputFiles())
+            psi = gate_psi(batch)
+            if psi > PSI_ACTION:
+                fired.append(day)
+                continue  # the incident day never reaches the state
+            state = merge_aggregate_state(
+                state, partial_aggregates(batch, ["cat"], ["v"])
+            )
+        assert fired == [3]  # days 1-2 share the generator; day 3 planted
+
+        # drift_summary's one-call verdict agrees, reusing the frozen edges
+        row = drift_summary(day0, shifted, ["v"], edges={"v": EDGES}).first()
+        assert row["verdict"] == "action"
+        assert row["mean_cur"] - row["mean_ref"] == pytest.approx(40.0, abs=1.0)
+
+        # the surviving state equals a one-shot aggregate over the CLEAN
+        # ingested corpus — the shifted day contributed nothing
+        full = read_appended(spark, ingested).drop("ingest_batch")
+        want = finalize_aggregates(partial_aggregates(full, ["cat"], ["v"])).collect()
+        got = finalize_aggregates(state).collect()
+        key = lambda r: r["cat"]  # noqa: E731
+        assert sorted(map(str, sorted(got, key=key))) == sorted(
+            map(str, sorted(want, key=key))
+        )

@@ -911,3 +911,136 @@ def test_streaming_drift_writer_refuses_edgeless_root(spark, tmp_path):
     batch = spark.createDataFrame([(1.0,), (4.0,)], "v double")
     with pytest.raises(ValueError, match="no committed _edges table"):
         drift_writer(root, "v", [2.0])(batch, 1)
+
+
+def test_streaming_categorical_drift_state_matches_batch_and_report(spark, tmp_path):
+    """drift_writer_categorical accumulates frozen-dictionary-coarsened
+    per-key counts exactly-once ('__null' and '__other' live); the report
+    over the state equals the smoothed PSI arithmetic computed directly
+    from the delivered rows."""
+    import math
+    from collections import Counter
+
+    from oni_ml_spark.streaming.drift_stream import (
+        categorical_counts,
+        drift_writer_categorical,
+        stream_drift_report_categorical,
+    )
+    from oni_ml_spark.streaming.upsert_sink import read_upsert_table
+
+    keys = ["a", "b", "c"]
+    indir = str(tmp_path / "in")
+    state = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [("a",)] * 30 + [("b",)] * 12 + [("zz",)] * 5 + [(None,)] * 3
+    rows2 = [("c",)] * 9 + [("a",)] * 4 + [("qq",)] * 2
+    spark.createDataFrame(rows1, "k string").write.mode("overwrite").parquet(indir)
+
+    writer = drift_writer_categorical(state, "k", keys)
+
+    def drain():
+        stream = spark.readStream.schema("k string").parquet(indir)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, "k string").write.mode("append").parquet(indir)
+    drain()
+
+    def coarse(v):
+        return "__null" if v is None else (v if v in keys else "__other")
+
+    want = Counter(coarse(v) for (v,) in rows1 + rows2)
+    got = {r["key"]: r["n_cur"] for r in read_upsert_table(spark, state).collect()}
+    assert got == dict(want)
+    assert got["__other"] == 7 and got["__null"] == 3
+
+    # replay of an already-applied batch id must not double-count
+    writer(spark.createDataFrame(rows1, "k string"), 0)
+    after = {r["key"]: r["n_cur"] for r in read_upsert_table(spark, state).collect()}
+    assert after == dict(want)
+
+    # report vs hand-computed smoothed PSI over the same coarsening
+    ref_rows = [("a",)] * 20 + [("b",)] * 20 + [("c",)] * 5 + [("xx",)] * 5
+    ref = spark.createDataFrame(ref_rows, "k string")
+    rep = {r["key"]: r for r in stream_drift_report_categorical(
+        spark, state, ref, "k"
+    ).collect()}
+    nr = Counter(coarse(v) for (v,) in ref_rows)
+    all_keys = set(want) | set(nr)
+    tr, tc, nb, s = sum(nr.values()), sum(want.values()), len(all_keys), 0.5
+    for k in all_keys:
+        pr = (nr.get(k, 0) + s) / (tr + s * nb)
+        pc = (want.get(k, 0) + s) / (tc + s * nb)
+        assert rep[k]["n_ref"] == nr.get(k, 0) and rep[k]["n_cur"] == want.get(k, 0)
+        assert rep[k]["psi_term"] == pytest.approx(
+            (pc - pr) * math.log(pc / pr), rel=1e-9
+        )
+    # the ref side was coarsened with the STORED dictionary (xx -> __other)
+    assert rep["__other"]["n_ref"] == 5
+
+    # batch-parity of the building block itself
+    direct = {
+        r["key"]: r["n_cur"]
+        for r in categorical_counts(
+            spark.createDataFrame(rows1 + rows2, "k string"), "k", keys, "cur"
+        ).collect()
+    }
+    assert direct == dict(want)
+
+
+def test_streaming_categorical_drift_guards(spark, tmp_path):
+    from oni_ml_spark.streaming.drift_stream import (
+        drift_writer_categorical,
+        stream_drift_report_categorical,
+    )
+    from oni_ml_spark.streaming.upsert_sink import _commit_snapshot
+
+    state = str(tmp_path / "drift")
+    batch = spark.createDataFrame([("a",), ("b",)], "k string")
+    with pytest.raises(ValueError, match="non-empty frozen dictionary"):
+        drift_writer_categorical(state, "k", [])
+    with pytest.raises(ValueError, match="distinct"):
+        drift_writer_categorical(state, "k", ["a", "a"])
+    with pytest.raises(ValueError, match="reserved sentinels"):
+        drift_writer_categorical(state, "k", ["a", "__other"])
+
+    drift_writer_categorical(state, "k", ["a", "b"], query_token="ckpt-A")(batch, 3)
+    # same lineage, old id: skipped; different lineage: refuses
+    drift_writer_categorical(state, "k", ["a", "b"], query_token="ckpt-A")(batch, 3)
+    with pytest.raises(RuntimeError, match="not comparable across streaming"):
+        drift_writer_categorical(state, "k", ["a", "b"], query_token="ckpt-B")(batch, 9)
+    # a different dictionary must refuse (order-insensitive: stored sorted)
+    with pytest.raises(ValueError, match="built with keys"):
+        drift_writer_categorical(state, "k", ["a", "zz"], query_token="ckpt-A")(batch, 8)
+    drift_writer_categorical(state, "k", ["b", "a"], query_token="ckpt-A")(batch, 8)
+
+    # a real '__null' value raises in-plan through the sink
+    dirty = spark.createDataFrame([("__null",)], "k string")
+    with pytest.raises(Exception, match="reserved sentinel"):
+        drift_writer_categorical(state, "k", ["a", "b"], query_token="ckpt-A")(dirty, 10)
+
+    ref = spark.createDataFrame([("a",)], "k string")
+    out = stream_drift_report_categorical(spark, state, ref, "k")
+    assert {r["key"] for r in out.collect()} >= {"a", "b"}
+    with pytest.raises(ValueError, match="no committed drift state"):
+        stream_drift_report_categorical(spark, str(tmp_path / "nope"), ref, "k")
+
+    # a root with committed versions but NO _keys table refuses (writer
+    # AND reader) — unknown dictionary
+    foreign = str(tmp_path / "foreign")
+    _commit_snapshot(
+        foreign,
+        spark.createDataFrame([("a", 5)], "key string, n_cur bigint"),
+        keep_versions=2,
+        batch_marker="default\n0",
+    )
+    with pytest.raises(ValueError, match="no committed _keys table"):
+        drift_writer_categorical(foreign, "k", ["a"])(batch, 1)
+    with pytest.raises(ValueError, match="no committed _keys table"):
+        stream_drift_report_categorical(spark, foreign, ref, "k")
