@@ -124,10 +124,31 @@ def main():
             dim=64,
         )
 
+    def summary_mixed(sfdir):
+        # the r9 single-pass summary: 3 numeric + 1 categorical columns,
+        # frozen edges -> exactly one scan per corpus regardless of the
+        # column count (the r8 per-column composition planned 10 scans)
+        from oni_ml_spark.datapipe.drift import drift_summary
+
+        e = spark.read.parquet(f"{sfdir}/events.parquet")
+        return drift_summary(
+            e.filter((F.col("user_id") % 2) == 0),
+            e.filter((F.col("user_id") % 2) == 1),
+            ["value", "event_id", "user_id"],
+            categorical_cols=["event_type"],
+            top_k=100,
+            edges={
+                "value": [5.0, 15.0, 35.0, 70.0, 150.0],
+                "event_id": [10_000.0, 30_000.0, 60_000.0],
+                "user_id": [100.0, 400.0, 800.0],
+            },
+        )
+
     ops = {
         "drift_numeric": drift_numeric,
         "drift_categorical": drift_cat,
         "drift_grouped": drift_grouped,
+        "drift_summary_mixed": summary_mixed,
         "embedding_centroid_shift": emb_centroid,
         "pii_scrub_audit": pii_scrub_audit,
     }
