@@ -631,10 +631,19 @@ def drift_summary(
     replaces scanned 2 + 2·|cols| times). Default edges add ONE bounded
     pre-pass over ref (``quantile_cuts_multi`` — itself a single scan
     for all columns). Per-bin moments recombine through the exact
-    parallel-variance merge; PSI totals broadcast back onto the bounded
-    checkpointed table, so no single-task window exists on any path
-    (uncoarsened categorical included). Everything after the two scans
-    is arithmetic over |columns|·(|bins|+|kept keys|) rows.
+    parallel-variance merge; PSI totals broadcast back onto the count
+    table, so no single-task window exists on any path (uncoarsened
+    categorical included). The count table is per-distinct-key sized
+    (post-aggregation — orders smaller than the corpus, but NOT
+    top_k-bounded before coarsening). With ``top_k`` set, or no
+    categorical columns, it is localCheckpoint-pinned so the five
+    downstream consumers (two keep-set orders per categorical column,
+    the coarsening join, totals, terms) re-read it instead of the
+    corpora — the pin is the price of a guaranteed single scan per side;
+    with ``top_k=None`` and categorical columns nothing is pinned
+    (pinning an uncoarsened URL-scale key table buys nothing when there
+    are no keep-set consumers) and AQE exchange reuse dedupes the shared
+    subtree at runtime instead.
 
     ``categorical_cols`` adds one row per categorical column with
     drift_compare_categorical's exact semantics — '__null' key, top-k
@@ -695,11 +704,20 @@ def drift_summary(
             _validate_edges(edges[c])
 
     reserved = ["__null"] + (["__other"] if top_k is not None else [])
-    # ONE scan per side, then pin the bounded result (|columns| ·
-    # (|bins| + |distinct keys|) rows) so the keep-set / totals / terms
-    # consumers below re-read the checkpoint, never the corpora
     both = _summary_table(ref, cur, value_cols, cat_cols, edges, reserved)
-    both = both.localCheckpoint(eager=True)
+    if top_k is not None or not cat_cols:
+        # ONE scan per side, then pin the per-distinct-key-sized result
+        # (post-aggregation — orders smaller than the corpora) so the
+        # FIVE downstream consumers (2 keep-set orders per categorical
+        # column, the coarsening join, totals, terms) re-read the
+        # checkpoint, never the corpora
+        both = both.localCheckpoint(eager=True)
+    # else (top_k=None with categorical columns): no keep-set consumers
+    # exist, so pinning an uncoarsened URL-scale key table buys nothing —
+    # stay lazy; the count-table subtree is shared by the totals and
+    # terms consumers and AQE exchange reuse dedupes it at runtime (the
+    # drift_compare_categorical-without-top_k precedent, ReusedExchange
+    # verified there), keeping one scan per corpus
 
     num = both.where(F.col("bin") != _CAT_BIN)
     cat = both.where(F.col("bin") == _CAT_BIN)

@@ -17,9 +17,15 @@ histogram batch would otherwise double-count every bin). The binning /
 dictionary travels WITH the state (committed ``_edges`` / ``_keys``
 tables), so readers never trust a re-supplied list and roots of unknown
 provenance refuse to merge.
+
+Both sinks run ONE shared accumulate-merge-commit protocol
+(``_accumulate_batch``): fixes to the replay guard, the unknown-root /
+mismatch refusals, or the merge itself land once and apply to both.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +37,105 @@ from oni_ml_spark.streaming.upsert_sink import (
     _read_applied,
     read_upsert_table,
 )
+
+
+def _validate_sink_args(keep_versions: int, query_token: str) -> None:
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
+    if not query_token or "\n" in query_token:
+        raise ValueError("query_token must be non-empty and newline-free")
+
+
+def _accumulate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    keep_versions: int,
+    query_token: str,
+    make_part: Callable[[DataFrame], DataFrame],
+    join_col: str,
+    side_table: str,
+    payload: list,
+    payload_schema: str,
+    payload_col: str,
+    what: str,
+    mismatch_msg: Callable[[list], str],
+) -> None:
+    """THE accumulate-merge-commit protocol both drift sinks run per
+    micro-batch: replay guard (exactly-once via the in-version marker +
+    lineage token), empty-batch skip, ONE bounded partial aggregate
+    (``make_part``), schema check, provenance guards (a root whose
+    current version lacks the committed ``side_table``, or committed a
+    DIFFERENT ``payload``, refuses — merging counts accumulated under
+    one binning/dictionary with another's is the phantom-bin hazard),
+    bounded full-outer coalesce-sum merge on ``join_col``, and an atomic
+    commit that carries the payload with the state. Fixes to any of
+    those semantics belong HERE, once."""
+    if batch_id <= _read_applied(root, query_token):
+        return  # replayed micro-batch: already folded into the state
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    part = make_part(batch_df)
+    current = read_upsert_table(spark, root)
+    _check_schema(current, part)
+    if current is None:
+        merged = part
+    else:
+        stored = _read_side_list(spark, root, side_table, payload_col)
+        if stored is None:
+            raise ValueError(
+                f"drift state at {root} has no committed {side_table} "
+                f"table — root of unknown {what} (written by another "
+                "sink?); refusing to merge; start a new root"
+            )
+        if stored != payload:
+            raise ValueError(mismatch_msg(stored))
+        merged = (
+            current.withColumnRenamed("n_cur", "__prev")
+            .join(part.withColumnRenamed("n_cur", "__new"), join_col, "full_outer")
+            .select(
+                join_col,
+                (
+                    F.coalesce("__prev", F.lit(0)) + F.coalesce("__new", F.lit(0))
+                ).alias("n_cur"),
+            )
+        )
+    # the payload travels WITH the state (committed before the pointer
+    # swap), so readers never have to trust a re-supplied list
+    payload_frame = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payload)], payload_schema
+    )
+    _commit_snapshot(
+        root,
+        merged,
+        keep_versions,
+        batch_marker=f"{query_token}\n{batch_id}",
+        extra_frames={side_table: payload_frame},
+    )
+
+
+def _read_side_list(
+    spark: SparkSession, root: str, side_table: str, payload_col: str
+) -> list | None:
+    """The payload committed with the CURRENT state version (None before
+    the first commit, or for a root written by an older/other sink).
+    Bounded read: |payload| rows, returned in committed index order."""
+    import os
+
+    from oni_ml_spark.streaming.upsert_sink import _read_pointer
+
+    v = _read_pointer(root)
+    if v == 0:
+        return None
+    path = os.path.join(root, f"v{v:08d}", side_table)
+    if not os.path.isdir(path):
+        return None
+    rows = spark.read.parquet(path).collect()
+    return [r[payload_col] for r in sorted(rows, key=lambda r: r["i"])]
 
 
 def drift_writer(
@@ -55,69 +160,33 @@ def drift_writer(
     micro-batch id inside each committed version (``stats_writer``'s
     exactly-once protocol): replayed batches are skipped, and a marker
     written under a different ``query_token`` lineage raises instead of
-    silently comparing incomparable batch ids."""
+    silently comparing incomparable batch ids. The binning travels with
+    the state (committed ``_edges`` table); a root whose versions lack it
+    (unknown binning) or committed different edges refuses to merge."""
     if not edges:
         raise ValueError("edges must be non-empty")
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
-    if not query_token or "\n" in query_token:
-        raise ValueError("query_token must be non-empty and newline-free")
+    _validate_sink_args(keep_versions, query_token)
     edges = [float(e) for e in edges]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_applied(root, query_token):
-            return  # replayed micro-batch: already folded into the state
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        part = binned_counts(batch_df, value_col, edges, "cur")
-        current = read_upsert_table(spark, root)
-        _check_schema(current, part)
-        if current is None:
-            merged = part
-        else:
-            stored = _read_edges(spark, root)
-            if stored is None:
-                # a state version with no committed _edges table was NOT
-                # written by this sink — its binning is unknown, and
-                # merging into it is exactly the phantom-bin hazard the
-                # guard exists to refuse (counts accumulated under one
-                # binning silently folded with another's)
-                raise ValueError(
-                    f"drift state at {root} has no committed _edges table "
-                    "— root of unknown binning (written by another sink?); "
-                    "refusing to merge; start a new root"
-                )
-            if stored != edges:
-                raise ValueError(
-                    f"drift state at {root} was built with edges {stored}, "
-                    f"not {edges} — accumulated bins are not comparable "
-                    "across binnings; start a new root to rebin"
-                )
-            merged = (
-                current.withColumnRenamed("n_cur", "__prev")
-                .join(part.withColumnRenamed("n_cur", "__new"), "bin", "full_outer")
-                .select(
-                    "bin",
-                    (
-                        F.coalesce("__prev", F.lit(0)) + F.coalesce("__new", F.lit(0))
-                    ).alias("n_cur"),
-                )
-            )
-        # the binning travels WITH the state (committed before the pointer
-        # swap), so readers never have to trust a re-supplied edges list
-        edges_frame = spark.createDataFrame(
-            [(i, e) for i, e in enumerate(edges)], "i int, edge double"
-        )
-        _commit_snapshot(
+        _accumulate_batch(
+            batch_df,
+            batch_id,
             root,
-            merged,
             keep_versions,
-            batch_marker=f"{query_token}\n{batch_id}",
-            extra_frames={"_edges": edges_frame},
+            query_token,
+            make_part=lambda b: binned_counts(b, value_col, edges, "cur"),
+            join_col="bin",
+            side_table="_edges",
+            payload=edges,
+            payload_schema="i int, edge double",
+            payload_col="edge",
+            what="binning",
+            mismatch_msg=lambda stored: (
+                f"drift state at {root} was built with edges {stored}, "
+                f"not {edges} — accumulated bins are not comparable "
+                "across binnings; start a new root to rebin"
+            ),
         )
 
     return write_batch
@@ -126,18 +195,7 @@ def drift_writer(
 def _read_edges(spark: SparkSession, root: str) -> list[float] | None:
     """The binning committed with the current state version (None before
     the first commit). Bounded read: |edges| rows."""
-    import os
-
-    from oni_ml_spark.streaming.upsert_sink import _read_pointer
-
-    v = _read_pointer(root)
-    if v == 0:
-        return None
-    path = os.path.join(root, f"v{v:08d}", "_edges")
-    if not os.path.isdir(path):  # root written by an older/other sink
-        return None
-    rows = spark.read.parquet(path).collect()
-    return [r["edge"] for r in sorted(rows, key=lambda r: r["i"])]
+    return _read_side_list(spark, root, "_edges", "edge")
 
 
 def stream_drift_report(
@@ -254,67 +312,36 @@ def drift_writer_categorical(
     stream volume; each micro-batch reduces to ONE map-side-combinable
     aggregate (``categorical_counts``) and merges via a bounded
     full-outer join. Exactly-once via the in-version batch marker +
-    query-token lineage guard shared with the numeric sink. The frozen
-    dictionary travels WITH the state (committed ``_keys`` table, like
-    the numeric sink's ``_edges``): a writer re-supplying a different
-    dictionary, or a root whose versions lack a committed dictionary,
-    refuses instead of accumulating incomparable counts. Read back with
-    ``read_upsert_table`` (columns key, n_cur); score with
-    ``stream_drift_report_categorical``."""
+    query-token lineage guard shared with the numeric sink (ONE protocol,
+    ``_accumulate_batch``). The frozen dictionary travels WITH the state
+    (committed ``_keys`` table, like the numeric sink's ``_edges``): a
+    writer re-supplying a different dictionary, or a root whose versions
+    lack a committed dictionary, refuses instead of accumulating
+    incomparable counts. Read back with ``read_upsert_table`` (columns
+    key, n_cur); score with ``stream_drift_report_categorical``."""
     keys = _validate_keys(keys)
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
-    if not query_token or "\n" in query_token:
-        raise ValueError("query_token must be non-empty and newline-free")
+    _validate_sink_args(keep_versions, query_token)
     frozen = sorted(keys)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_applied(root, query_token):
-            return  # replayed micro-batch: already folded into the state
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        part = categorical_counts(batch_df, key_col, keys, "cur")
-        current = read_upsert_table(spark, root)
-        _check_schema(current, part)
-        if current is None:
-            merged = part
-        else:
-            stored = _read_keys(spark, root)
-            if stored is None:
-                raise ValueError(
-                    f"drift state at {root} has no committed _keys table "
-                    "— root of unknown dictionary (written by another "
-                    "sink?); refusing to merge; start a new root"
-                )
-            if stored != frozen:
-                raise ValueError(
-                    f"drift state at {root} was built with keys {stored}, "
-                    f"not {frozen} — counts coarsened under different "
-                    "dictionaries are not comparable; start a new root"
-                )
-            merged = (
-                current.withColumnRenamed("n_cur", "__prev")
-                .join(part.withColumnRenamed("n_cur", "__new"), "key", "full_outer")
-                .select(
-                    "key",
-                    (
-                        F.coalesce("__prev", F.lit(0)) + F.coalesce("__new", F.lit(0))
-                    ).alias("n_cur"),
-                )
-            )
-        keys_frame = spark.createDataFrame(
-            [(i, k) for i, k in enumerate(frozen)], "i int, key string"
-        )
-        _commit_snapshot(
+        _accumulate_batch(
+            batch_df,
+            batch_id,
             root,
-            merged,
             keep_versions,
-            batch_marker=f"{query_token}\n{batch_id}",
-            extra_frames={"_keys": keys_frame},
+            query_token,
+            make_part=lambda b: categorical_counts(b, key_col, keys, "cur"),
+            join_col="key",
+            side_table="_keys",
+            payload=frozen,
+            payload_schema="i int, key string",
+            payload_col="key",
+            what="dictionary",
+            mismatch_msg=lambda stored: (
+                f"drift state at {root} was built with keys {stored}, "
+                f"not {frozen} — counts coarsened under different "
+                "dictionaries are not comparable; start a new root"
+            ),
         )
 
     return write_batch
@@ -324,18 +351,7 @@ def _read_keys(spark: SparkSession, root: str) -> list[str] | None:
     """The frozen dictionary committed with the current state version
     (None before the first commit or for a foreign root). Bounded read:
     |keys| rows, returned sorted (the canonical stored order)."""
-    import os
-
-    from oni_ml_spark.streaming.upsert_sink import _read_pointer
-
-    v = _read_pointer(root)
-    if v == 0:
-        return None
-    path = os.path.join(root, f"v{v:08d}", "_keys")
-    if not os.path.isdir(path):  # root written by an older/other sink
-        return None
-    rows = spark.read.parquet(path).collect()
-    return [r["key"] for r in sorted(rows, key=lambda r: r["i"])]
+    return _read_side_list(spark, root, "_keys", "key")
 
 
 def stream_drift_report_categorical(

@@ -675,3 +675,22 @@ class TestDriftSummarySinglePass:
         assert row["mean_cur"] is None and row["std_cur"] is None
         assert row["null_rate_delta"] == pytest.approx(1.0)
         assert row["psi"] > 0.25 and row["verdict"] == "action"
+
+    def test_uncoarsened_categorical_summary_matches(self, spark):
+        """top_k=None (provably small dictionary): no checkpoint is
+        pinned (nothing bounds the key table in general) and the psi/kl
+        must still equal drift_compare_categorical's uncoarsened path."""
+        from oni_ml_spark.datapipe.drift import (
+            drift_compare_categorical,
+            drift_summary,
+        )
+
+        ref, cur = self._mixed(spark)
+        got = {r["column"]: r for r in drift_summary(
+            ref, cur, ["a"], categorical_cols=["k"], top_k=None
+        ).collect()}
+        want = drift_compare_categorical(ref, cur, "k").agg(
+            F.sum("psi_term").alias("p"), F.sum("kl_term").alias("l")
+        ).first()
+        assert got["k"]["psi"] == pytest.approx(want["p"], rel=1e-9)
+        assert got["k"]["kl"] == pytest.approx(want["l"], rel=1e-9)
