@@ -109,6 +109,52 @@ def leakage_safe_split(
     return hash_split(joined, "cluster", splits, split_col=split_col)
 
 
+def aes_arrival(
+    key_col: str,
+    weight_col: str | None,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    caller: str = "aes_arrival",
+):
+    """THE Efraimidis–Spirakis exponential-clock expression every
+    deterministic sampler shares (batch ``weighted_sample_k`` and the
+    streaming reservoir sink): u = hash-uniform(0,1) of (key, salt),
+    arrival = -ln(u) / w. ``weight_col=None`` means uniform (w = 1).
+    Null/negative/NaN weights raise IN-PLAN (riding the scan, no
+    validation pre-pass); zero weight yields a null arrival (callers
+    filter — never sampled). Deterministic on any engine and any
+    partitioning; identical (key, salt) always redraws identically."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        u = (h.cast("double") + 1.0) / (float(1 << 32) + 2.0)
+    else:
+        m = F.lit(1 << 40)
+        u = (
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), m).cast("double") + 1.0
+        ) / (F.lit(float(1 << 40)) + 2.0)
+    if weight_col is None:
+        return -F.log(u)
+    w = F.col(weight_col).cast("double")
+    return (
+        F.when(
+            w.isNull() | (w < 0) | F.isnan(w),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{caller}: {weight_col} must be >= 0, got "),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("double"),
+        )
+        .when(w == 0, F.lit(None).cast("double"))
+        .otherwise(-F.log(u) / w)
+    )
+
+
 def weighted_sample_k(
     df: DataFrame,
     key_col: str,
@@ -163,31 +209,7 @@ def weighted_sample_k(
         raise ValueError(
             f"input carries reserved column(s) {sorted(reserved)} — rename them"
         )
-    if hash_fn == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
-            16, 10,
-        ).cast("long")
-        u = (h.cast("double") + 1.0) / (float(1 << 32) + 2.0)
-    else:
-        m = F.lit(1 << 40)
-        u = (
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), m).cast("double") + 1.0
-        ) / (F.lit(float(1 << 40)) + 2.0)
-    w = F.col(weight_col).cast("double")
-    arrival = (
-        F.when(
-            w.isNull() | (w < 0) | F.isnan(w),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"weighted_sample_k: {weight_col} must be >= 0, got "),
-                    F.col(weight_col).cast("string"),
-                )
-            ).cast("double"),
-        )
-        .when(w == 0, F.lit(None).cast("double"))
-        .otherwise(-F.log(u) / w)
-    )
+    arrival = aes_arrival(key_col, weight_col, salt, hash_fn, "weighted_sample_k")
     keyed = (
         df.where(F.col(key_col).isNotNull())
         .withColumn("__aes_key", arrival)

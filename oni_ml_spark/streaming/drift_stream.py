@@ -25,117 +25,17 @@ mismatch refusals, or the merge itself land once and apply to both.
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oni_ml_spark.datapipe.drift import _psi_terms, _sentinel_key, binned_counts
 from oni_ml_spark.streaming.upsert_sink import (
-    _check_schema,
-    _commit_snapshot,
-    _read_applied,
+    _accumulate_batch,
+    _counts_merge,
+    _read_side_list,
+    _validate_sink_args,
     read_upsert_table,
 )
-
-
-def _validate_sink_args(keep_versions: int, query_token: str) -> None:
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
-    if not query_token or "\n" in query_token:
-        raise ValueError("query_token must be non-empty and newline-free")
-
-
-def _accumulate_batch(
-    batch_df: DataFrame,
-    batch_id: int,
-    root: str,
-    keep_versions: int,
-    query_token: str,
-    make_part: Callable[[DataFrame], DataFrame],
-    join_col: str,
-    side_table: str,
-    payload: list,
-    payload_schema: str,
-    payload_col: str,
-    what: str,
-    mismatch_msg: Callable[[list], str],
-) -> None:
-    """THE accumulate-merge-commit protocol both drift sinks run per
-    micro-batch: replay guard (exactly-once via the in-version marker +
-    lineage token), empty-batch skip, ONE bounded partial aggregate
-    (``make_part``), schema check, provenance guards (a root whose
-    current version lacks the committed ``side_table``, or committed a
-    DIFFERENT ``payload``, refuses — merging counts accumulated under
-    one binning/dictionary with another's is the phantom-bin hazard),
-    bounded full-outer coalesce-sum merge on ``join_col``, and an atomic
-    commit that carries the payload with the state. Fixes to any of
-    those semantics belong HERE, once."""
-    if batch_id <= _read_applied(root, query_token):
-        return  # replayed micro-batch: already folded into the state
-    if not batch_df.take(1):
-        return
-    spark = batch_df.sparkSession
-    part = make_part(batch_df)
-    current = read_upsert_table(spark, root)
-    _check_schema(current, part)
-    if current is None:
-        merged = part
-    else:
-        stored = _read_side_list(spark, root, side_table, payload_col)
-        if stored is None:
-            raise ValueError(
-                f"drift state at {root} has no committed {side_table} "
-                f"table — root of unknown {what} (written by another "
-                "sink?); refusing to merge; start a new root"
-            )
-        if stored != payload:
-            raise ValueError(mismatch_msg(stored))
-        merged = (
-            current.withColumnRenamed("n_cur", "__prev")
-            .join(part.withColumnRenamed("n_cur", "__new"), join_col, "full_outer")
-            .select(
-                join_col,
-                (
-                    F.coalesce("__prev", F.lit(0)) + F.coalesce("__new", F.lit(0))
-                ).alias("n_cur"),
-            )
-        )
-    # the payload travels WITH the state (committed before the pointer
-    # swap), so readers never have to trust a re-supplied list
-    payload_frame = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(payload)], payload_schema
-    )
-    _commit_snapshot(
-        root,
-        merged,
-        keep_versions,
-        batch_marker=f"{query_token}\n{batch_id}",
-        extra_frames={side_table: payload_frame},
-    )
-
-
-def _read_side_list(
-    spark: SparkSession, root: str, side_table: str, payload_col: str
-) -> list | None:
-    """The payload committed with the CURRENT state version (None before
-    the first commit, or for a root written by an older/other sink).
-    Bounded read: |payload| rows, returned in committed index order."""
-    import os
-
-    from oni_ml_spark.streaming.upsert_sink import _read_pointer
-
-    v = _read_pointer(root)
-    if v == 0:
-        return None
-    path = os.path.join(root, f"v{v:08d}", side_table)
-    if not os.path.isdir(path):
-        return None
-    rows = spark.read.parquet(path).collect()
-    return [r[payload_col] for r in sorted(rows, key=lambda r: r["i"])]
 
 
 def drift_writer(
@@ -176,7 +76,7 @@ def drift_writer(
             keep_versions,
             query_token,
             make_part=lambda b: binned_counts(b, value_col, edges, "cur"),
-            join_col="bin",
+            merge_fn=_counts_merge("bin"),
             side_table="_edges",
             payload=edges,
             payload_schema="i int, edge double",
@@ -331,7 +231,7 @@ def drift_writer_categorical(
             keep_versions,
             query_token,
             make_part=lambda b: categorical_counts(b, key_col, keys, "cur"),
-            join_col="key",
+            merge_fn=_counts_merge("key"),
             side_table="_keys",
             payload=frozen,
             payload_schema="i int, key string",

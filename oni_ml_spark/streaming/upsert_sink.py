@@ -135,6 +135,113 @@ def _commit_snapshot(
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
+def _counts_merge(join_col: str):
+    """Default `_accumulate_batch` merge: bounded full-outer coalesce-sum
+    of two (join_col, n_cur) count tables."""
+
+    def merge(current: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            current.withColumnRenamed("n_cur", "__prev")
+            .join(part.withColumnRenamed("n_cur", "__new"), join_col, "full_outer")
+            .select(
+                join_col,
+                (
+                    F.coalesce("__prev", F.lit(0)) + F.coalesce("__new", F.lit(0))
+                ).alias("n_cur"),
+            )
+        )
+
+    return merge
+
+
+def _accumulate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    keep_versions: int,
+    query_token: str,
+    make_part,
+    merge_fn,
+    side_table: str,
+    payload: list,
+    payload_schema: str,
+    payload_col: str,
+    what: str,
+    mismatch_msg,
+) -> None:
+    """THE accumulate-merge-commit protocol every accumulating sink runs
+    per micro-batch (numeric + categorical drift histograms, the
+    reservoir sample): replay guard (exactly-once via the in-version
+    marker + lineage token), empty-batch skip, ONE bounded partial
+    reduction of the batch (``make_part``), schema check, provenance
+    guards (a root whose current version lacks the committed
+    ``side_table``, or committed a DIFFERENT ``payload``, refuses —
+    merging state accumulated under one binning / dictionary /
+    configuration with another's silently corrupts it), a bounded
+    ``merge_fn(current, part)``, and an atomic commit that carries the
+    payload with the state. Fixes to any of those semantics belong HERE,
+    once."""
+    if batch_id <= _read_applied(root, query_token):
+        return  # replayed micro-batch: already folded into the state
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    part = make_part(batch_df)
+    current = read_upsert_table(spark, root)
+    _check_schema(current, part)
+    if current is None:
+        merged = part
+    else:
+        stored = _read_side_list(spark, root, side_table, payload_col)
+        if stored is None:
+            raise ValueError(
+                f"accumulated state at {root} has no committed {side_table} "
+                f"table — root of unknown {what} (written by another "
+                "sink?); refusing to merge; start a new root"
+            )
+        if stored != payload:
+            raise ValueError(mismatch_msg(stored))
+        merged = merge_fn(current, part)
+    # the payload travels WITH the state (committed before the pointer
+    # swap), so readers never have to trust a re-supplied list
+    payload_frame = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payload)], payload_schema
+    )
+    _commit_snapshot(
+        root,
+        merged,
+        keep_versions,
+        batch_marker=f"{query_token}\n{batch_id}",
+        extra_frames={side_table: payload_frame},
+    )
+
+
+def _read_side_list(
+    spark: SparkSession, root: str, side_table: str, payload_col: str
+) -> list | None:
+    """The payload committed with the CURRENT state version (None before
+    the first commit, or for a root written by an older/other sink).
+    Bounded read: |payload| rows, returned in committed index order."""
+    v = _read_pointer(root)
+    if v == 0:
+        return None
+    path = os.path.join(root, f"v{v:08d}", side_table)
+    if not os.path.isdir(path):
+        return None
+    rows = spark.read.parquet(path).collect()
+    return [r[payload_col] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def _validate_sink_args(keep_versions: int, query_token: str) -> None:
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 — retention would delete the "
+            "snapshot the pointer was just swapped to"
+        )
+    if not query_token or "\n" in query_token:
+        raise ValueError("query_token must be non-empty and newline-free")
+
+
 def upsert_writer(
     root: str,
     key_cols: list[str] | str,

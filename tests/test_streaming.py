@@ -1044,3 +1044,108 @@ def test_streaming_categorical_drift_guards(spark, tmp_path):
         drift_writer_categorical(foreign, "k", ["a"])(batch, 1)
     with pytest.raises(ValueError, match="no committed _keys table"):
         stream_drift_report_categorical(spark, foreign, ref, "k")
+
+
+def test_streaming_reservoir_sample_batching_invariant(spark, tmp_path):
+    """The reservoir sink's final k rows are IDENTICAL (a) for any
+    micro-batch partitioning of the same rows and (b) to the batch
+    weighted_sample_k over everything delivered — the bottom-k-arrivals
+    construction makes the sample exact, not approximate; replay of an
+    applied batch id is a no-op."""
+    from oni_ml_spark.datapipe.sampling import weighted_sample_k
+    from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
+
+    rows = [(i, float(1 + i % 5), f"payload{i}") for i in range(500)]
+    schema = "doc_id bigint, w double, body string"
+    all_df = spark.createDataFrame(rows, schema)
+
+    def run(root, chunks):
+        w = sample_writer(str(tmp_path / root), "doc_id", 20, weight_col="w")
+        for bid, chunk in enumerate(chunks):
+            w(spark.createDataFrame(chunk, schema), bid)
+        return {
+            tuple(r) for r in stream_sample(spark, str(tmp_path / root)).collect()
+        }
+
+    one_shot = run("a", [rows])
+    three_batches = run("b", [rows[:100], rows[100:350], rows[350:]])
+    assert one_shot == three_batches and len(one_shot) == 20
+
+    batch_side = {
+        tuple(r) for r in weighted_sample_k(all_df, "doc_id", "w", 20).collect()
+    }
+    assert one_shot == batch_side
+
+    # replay: same batch id again changes nothing
+    w = sample_writer(str(tmp_path / "b"), "doc_id", 20, weight_col="w")
+    w(spark.createDataFrame(rows[:100], schema), 0)
+    assert {
+        tuple(r) for r in stream_sample(spark, str(tmp_path / "b")).collect()
+    } == one_shot
+
+    # uniform mode: any committed version is a valid exact sample of the
+    # prefix applied so far, and the uniform draw equals the weighted
+    # draw at weight 1 (same key/salt -> same clocks)
+    u = sample_writer(str(tmp_path / "u"), "doc_id", 10)
+    u(spark.createDataFrame(rows[:200], schema), 0)
+    mid = {r["doc_id"] for r in stream_sample(spark, str(tmp_path / "u")).collect()}
+    prefix_df = spark.createDataFrame(rows[:200], schema).withColumn(
+        "__one", F.lit(1.0)
+    )
+    want = {
+        r["doc_id"]
+        for r in weighted_sample_k(prefix_df, "doc_id", "__one", 10).collect()
+    }
+    assert mid == want and len(mid) == 10
+
+
+def test_streaming_reservoir_sample_guards(spark, tmp_path):
+    from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
+    from oni_ml_spark.streaming.upsert_sink import _commit_snapshot
+
+    schema = "doc_id bigint, w double"
+    batch = spark.createDataFrame([(1, 1.0), (2, 2.0)], schema)
+    root = str(tmp_path / "s")
+    with pytest.raises(ValueError, match="k must be positive"):
+        sample_writer(root, "doc_id", 0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        sample_writer(root, "doc_id", 5, hash_fn="sha1")
+
+    sample_writer(root, "doc_id", 5, weight_col="w", query_token="tok-A")(batch, 0)
+    # a different configuration must refuse (k, salt, weight col, hash)
+    for kw in ({"weight_col": None}, {"weight_col": "w", "salt": "x"},):
+        with pytest.raises(ValueError, match="sampling configuration|built with"):
+            sample_writer(root, "doc_id", 5, query_token="tok-A", **kw)(batch, 1)
+    with pytest.raises(RuntimeError, match="not comparable across streaming"):
+        sample_writer(root, "doc_id", 5, weight_col="w", query_token="tok-B")(batch, 9)
+
+    # zero weights are never sampled; negative raises in-plan
+    zw = spark.createDataFrame([(3, 0.0), (4, 1.0)], schema)
+    sample_writer(root, "doc_id", 5, weight_col="w", query_token="tok-A")(zw, 1)
+    got = {r["doc_id"] for r in stream_sample(spark, root).collect()}
+    assert 4 in got and 3 not in got
+    neg = spark.createDataFrame([(5, -1.0)], schema)
+    with pytest.raises(Exception, match="must be >= 0"):
+        sample_writer(root, "doc_id", 5, weight_col="w", query_token="tok-A")(neg, 2)
+
+    # reserved column + missing column
+    bad = spark.createDataFrame([(1, 1.0, 0.0)], schema + ", __arrival double")
+    with pytest.raises(ValueError, match="reserved column"):
+        sample_writer(str(tmp_path / "r"), "doc_id", 5)(bad, 0)
+    with pytest.raises(ValueError, match="missing from the stream"):
+        sample_writer(str(tmp_path / "m"), "nope", 5)(batch, 0)
+
+    # foreign root without a committed configuration refuses (writer + reader)
+    foreign = str(tmp_path / "foreign")
+    _commit_snapshot(
+        foreign,
+        spark.createDataFrame([(1, 1.0, 0.5)], schema + ", __arrival double"),
+        keep_versions=2,
+        batch_marker="default\n0",
+    )
+    with pytest.raises(ValueError, match="no committed _sample_conf"):
+        sample_writer(foreign, "doc_id", 5, weight_col="w")(batch, 1)
+    with pytest.raises(ValueError, match="no committed _sample_conf"):
+        stream_sample(spark, foreign)
+    with pytest.raises(ValueError, match="no committed sample state"):
+        stream_sample(spark, str(tmp_path / "missing"))
