@@ -1,0 +1,216 @@
+"""Data-contract expectations: declarative checks a production pipeline
+runs against every batch/day before trusting it — not-null, uniqueness,
+ranges, allowed sets, null-rate ceilings, regex conformance, row and
+distinct-count bounds — evaluated in ONE aggregate over ONE scan,
+returning a per-rule report (or raising, for the gate composition).
+
+Beyond the reference (which validates nothing — its closest surface is
+the implicit null rejection in the pipelines, P3); the widely-deployed
+shape is Great Expectations / dbt tests, rebuilt Spark-first: every
+rule compiles to aggregate EXPRESSIONS folded into a single
+``df.agg(...)`` (map-side combinable, whole-stage codegen), and the
+report is a lazy ``inline`` over that 1-row frame — zero driver
+round-trips, trivially SQL-oracle-able.
+
+100 TB notes: the only rule class that costs more than the shared scan
+is exact uniqueness / distinct-count (``count_distinct`` — Spark plans
+an Expand when several distinct aggregates share one agg, multiplying
+the mapper rows by the number of DISTINCT rules; fine for the usual one
+or two key columns, and the price of an EXACT answer). Everything else
+is plain sums over the one scan. NaN is not NULL here (SQL semantics,
+like the rest of the engine's filters); distribution-level NaN drift is
+datapipe.drift's job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One compiled rule: ``observed`` is an aggregate expression,
+    ``ok_of`` maps the observed aggregate column to the pass/fail
+    boolean, ``expected`` is the human-readable contract."""
+
+    rule: str
+    column: str | None
+    observed: Column
+    ok_of: Callable[[Column], Column]
+    expected: str
+
+
+def expect_row_count(min_rows: int = 1, max_rows: int | None = None) -> Expectation:
+    """Row count in [min_rows, max_rows] — the 'feed went dark / feed
+    exploded' check."""
+    hi = "inf" if max_rows is None else str(int(max_rows))
+    lo = int(min_rows)
+
+    def ok(o):
+        c = o >= lo
+        return c if max_rows is None else c & (o <= int(max_rows))
+
+    return Expectation(
+        "row_count", None, F.count(F.lit(1)), ok, f"count in [{lo}, {hi}]"
+    )
+
+
+def expect_not_null(column: str) -> Expectation:
+    """Zero SQL NULLs in ``column``; observed = violation count."""
+    return Expectation(
+        "not_null", column,
+        F.sum(F.col(column).isNull().cast("long")),
+        lambda o: o == 0, "0 nulls",
+    )
+
+
+def expect_null_rate(column: str, max_rate: float) -> Expectation:
+    """NULL share of ``column`` at most ``max_rate`` (0..1); observed is
+    the rate (null on an empty frame — which fails the rule)."""
+    if not (0.0 <= max_rate <= 1.0):
+        raise ValueError("max_rate must be in [0, 1]")
+    return Expectation(
+        "null_rate", column,
+        F.avg(F.col(column).isNull().cast("double")),
+        lambda o: o.isNotNull() & (o <= float(max_rate)),
+        f"null rate <= {max_rate}",
+    )
+
+
+def expect_unique(column: str) -> Expectation:
+    """``column`` is a key: no duplicates among non-null values (nulls
+    are not keys — pair with expect_not_null for a primary key).
+    Observed = duplicate-row count, EXACT (count - count_distinct)."""
+    return Expectation(
+        "unique", column,
+        F.count(column) - F.count_distinct(F.col(column)),
+        lambda o: o == 0, "0 duplicate keys",
+    )
+
+
+def expect_distinct_count(
+    column: str, lo: int = 1, hi: int | None = None
+) -> Expectation:
+    """Exact distinct-value count (nulls excluded) in [lo, hi] — the
+    'dimension collapsed to one value / exploded' check."""
+    hi_s = "inf" if hi is None else str(int(hi))
+
+    def ok(o):
+        c = o >= int(lo)
+        return c if hi is None else c & (o <= int(hi))
+
+    return Expectation(
+        "distinct_count", column, F.count_distinct(F.col(column)), ok,
+        f"distinct in [{int(lo)}, {hi_s}]",
+    )
+
+
+def expect_range(
+    column: str, lo: float | None = None, hi: float | None = None
+) -> Expectation:
+    """Every non-null value in [lo, hi] — works for any orderable type
+    (numbers, strings, dates: pass literals of the column's type).
+    Observed = out-of-range count. NaN compares GREATER than every
+    double in Spark's ordering, so any finite ``hi`` flags NaN rows; a
+    lo-only range does not see them (use datapipe.drift's missing bin
+    for NaN monitoring)."""
+    if lo is None and hi is None:
+        raise ValueError("expect_range needs lo and/or hi")
+    v = F.col(column)
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (v < F.lit(lo))
+    if hi is not None:
+        cond = cond | (v > F.lit(hi))
+    return Expectation(
+        "range", column,
+        F.sum(F.when(v.isNotNull() & cond, 1).otherwise(0).cast("long")),
+        lambda o: o == 0,
+        f"values in [{lo if lo is not None else '-inf'}, "
+        f"{hi if hi is not None else 'inf'}]",
+    )
+
+
+def expect_in_set(column: str, allowed: list) -> Expectation:
+    """Every non-null value drawn from ``allowed`` (a literal codegen set
+    probe — dictionaries are meant to be small); observed = violation
+    count."""
+    if not allowed:
+        raise ValueError("allowed set must be non-empty")
+    v = F.col(column)
+    return Expectation(
+        "in_set", column,
+        F.sum(
+            F.when(v.isNotNull() & ~v.isin(*allowed), 1).otherwise(0).cast("long")
+        ),
+        lambda o: o == 0,
+        f"values in {sorted(map(str, allowed))[:20]}",
+    )
+
+
+def expect_regex(column: str, pattern: str, min_rate: float = 1.0) -> Expectation:
+    """At least ``min_rate`` of non-null values fully match ``pattern``
+    (Java regex, anchored with rlike semantics as written — anchor it
+    yourself); observed = match rate among non-nulls (null when there
+    are none, which PASSES — no evidence of violation)."""
+    if not (0.0 < min_rate <= 1.0):
+        raise ValueError("min_rate must be in (0, 1]")
+    v = F.col(column)
+    return Expectation(
+        "regex", column,
+        F.avg(F.when(v.isNotNull(), v.rlike(pattern).cast("double"))),
+        lambda o: o.isNull() | (o >= float(min_rate)),
+        f"match rate >= {min_rate} for /{pattern}/",
+    )
+
+
+def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Evaluate every rule in ONE aggregate over ONE scan:
+    DataFrame[rule, column, ok, observed, expected] (row order = rule
+    order; ``observed`` stringified for the mixed long/double report).
+    Entirely lazy — compose into a plan, or collect the bounded
+    |rules|-row result."""
+    if not rules:
+        raise ValueError("need at least one expectation")
+    for r in rules:
+        if r.column is not None and r.column not in df.columns:
+            raise ValueError(f"expectation {r.rule!r}: column {r.column!r} missing")
+    aggs = [r.observed.alias(f"__o{i}") for i, r in enumerate(rules)]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(r.rule).alias("rule"),
+            F.lit(r.column).cast("string").alias("column"),
+            F.coalesce(r.ok_of(F.col(f"__o{i}")), F.lit(False)).alias("ok"),
+            F.col(f"__o{i}").cast("string").alias("observed"),
+            F.lit(r.expected).alias("expected"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return one.select(F.inline(F.array(*structs)))
+
+
+def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """The gate composition: evaluate, RAISE listing every failing rule
+    (rule/column/observed/expected), else return the passing report —
+    one eager bounded job, the shape a daily refresh calls before
+    merging a batch (see tests/test_refresh_e2e.py for the drift
+    sibling)."""
+    report = run_expectations(df, rules).collect()
+    failed = [r for r in report if not r["ok"]]
+    if failed:
+        lines = "; ".join(
+            f"{r['rule']}({r['column'] or '*'}): observed {r['observed']}, "
+            f"expected {r['expected']}"
+            for r in failed
+        )
+        raise ValueError(f"{len(failed)} expectation(s) failed — {lines}")
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        report,
+        "rule string, column string, ok boolean, observed string, expected string",
+    )

@@ -324,7 +324,20 @@ def groupby_count_docword(spark, sf):
     "cca AS (SELECT pos, sum(qx)::DOUBLE AS s, count(*)::DOUBLE AS n FROM cqc GROUP BY pos), "
     "ccos AS (SELECT sum((cra.s / cra.n) * (cca.s / cca.n)) "
     "/ (sqrt(sum(pow(cra.s / cra.n, 2))) * sqrt(sum(pow(cca.s / cca.n, 2)))) AS cosv, "
-    "count(*)::BIGINT AS dim FROM cra JOIN cca USING (pos)) "
+    "count(*)::BIGINT AS dim FROM cra JOIN cca USING (pos)), "
+    # -- data-contract expectations (r9): all eight rules are ONE
+    # -- aggregate on both engines; counts are exact longs, rates are
+    # -- identical-arithmetic divisions (int sum / int count), round 6
+    "exq AS (SELECT count(*)::BIGINT AS n, "
+    "sum((event_type IS NULL)::BIGINT) AS et_nulls, "
+    "(count(event_id) - count(DISTINCT event_id))::BIGINT AS dupes, "
+    "sum((value IS NOT NULL AND (value < 0 OR value > 100))::BIGINT) AS oor, "
+    "sum((event_type IS NOT NULL AND event_type NOT IN "
+    "('click','view','purchase','signup'))::BIGINT) AS oos, "
+    "avg((props IS NULL)::INT::DOUBLE) AS nullrate, "
+    "avg(CASE WHEN event_type IS NOT NULL THEN "
+    "regexp_matches(event_type, '^[a-z]+$')::INT::DOUBLE END) AS rrate, "
+    "count(DISTINCT event_type)::BIGINT AS dcnt FROM events) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
@@ -351,7 +364,26 @@ def groupby_count_docword(spark, sf):
     "UNION ALL SELECT 'edrift_cur', bin::VARCHAR, nc, NULL, NULL, "
     "round(pc * ln(pc / pr), 6) FROM eterm "
     "UNION ALL SELECT 'ecent', 'centroid', dim, NULL, NULL, "
-    "round(cosv, 6) FROM ccos",
+    "round(cosv, 6) FROM ccos "
+    "UNION ALL SELECT 'expect', 'row_count|*', NULL, round(n::DOUBLE, 6), "
+    "NULL, (n >= 1)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'not_null|event_type', NULL, "
+    "round(et_nulls::DOUBLE, 6), NULL, (et_nulls = 0)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'unique|event_id', NULL, "
+    "round(dupes::DOUBLE, 6), NULL, (dupes = 0)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'range|value', NULL, "
+    "round(oor::DOUBLE, 6), NULL, (oor = 0)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'in_set|event_type', NULL, "
+    "round(oos::DOUBLE, 6), NULL, (oos = 0)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'null_rate|props', NULL, "
+    "round(nullrate, 6), NULL, "
+    "(nullrate IS NOT NULL AND nullrate <= 0.5)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'regex|event_type', NULL, "
+    "round(rrate, 6), NULL, "
+    "(rrate IS NULL OR rrate >= 0.9)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expect', 'distinct_count|event_type', NULL, "
+    "round(dcnt::DOUBLE, 6), NULL, "
+    "(dcnt BETWEEN 1 AND 10)::INT::DOUBLE FROM exq",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -593,6 +625,40 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.round("cosine", 6).alias("share"),
     )
+    from oni_ml_spark.datapipe.contracts import (
+        expect_distinct_count,
+        expect_in_set,
+        expect_not_null,
+        expect_null_rate,
+        expect_range,
+        expect_regex,
+        expect_row_count,
+        expect_unique,
+        run_expectations,
+    )
+
+    # r9: the data-contract expectation suite (datapipe.contracts) over
+    # the same table — ONE aggregate evaluating all eight rules; two
+    # planted failures (value > 100 exists; 'error' is outside the set).
+    # key=rule|column, lo=observed (exact counts / identical-arithmetic
+    # rates, round 6), share=ok as 0/1.
+    exp = run_expectations(e, [
+        expect_row_count(min_rows=1),
+        expect_not_null("event_type"),
+        expect_unique("event_id"),
+        expect_range("value", lo=0.0, hi=100.0),
+        expect_in_set("event_type", ["click", "view", "purchase", "signup"]),
+        expect_null_rate("props", max_rate=0.5),
+        expect_regex("event_type", "^[a-z]+$", min_rate=0.9),
+        expect_distinct_count("event_type", lo=1, hi=10),
+    ]).select(
+        F.lit("expect").alias("part"),
+        F.concat_ws("|", "rule", F.coalesce("column", F.lit("*"))).alias("key"),
+        F.lit(None).cast("long").alias("a"),
+        F.round(F.col("observed").cast("double"), 6).alias("lo"),
+        null_d.alias("hi"),
+        F.col("ok").cast("double").alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
@@ -600,6 +666,7 @@ def dimension_profile(spark, sf):
         .unionByName(kref).unionByName(kcur)
         .unionByName(gref).unionByName(gcur)
         .unionByName(eref).unionByName(ecur).unionByName(ecent)
+        .unionByName(exp)
     )
 
 

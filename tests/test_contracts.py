@@ -1,0 +1,167 @@
+"""Round-9 widening: data-contract expectations (one-aggregate validation
+suite) — per-rule report vs a DuckDB restatement, plan contract (one scan,
+one aggregate), and the raising gate composition."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _frame(spark):
+    rows = [
+        (1, 10.0, "a", "x@y.io"),
+        (2, 20.0, "b", "p@q.com"),
+        (3, None, "a", "bad"),
+        (4, 150.0, "c", None),
+        (4, 30.0, "zz", "r@s.net"),
+        (None, 5.0, "a", "t@u.org"),
+    ]
+    return rows, spark.createDataFrame(rows, "k bigint, v double, cat string, email string")
+
+
+class TestExpectations:
+    def test_report_matches_duckdb(self, spark):
+        from oni_ml_spark.datapipe.contracts import (
+            expect_distinct_count,
+            expect_in_set,
+            expect_not_null,
+            expect_null_rate,
+            expect_range,
+            expect_regex,
+            expect_row_count,
+            expect_unique,
+            run_expectations,
+        )
+
+        rows, df = _frame(spark)
+        report = run_expectations(df, [
+            expect_row_count(min_rows=1, max_rows=100),
+            expect_not_null("k"),
+            expect_unique("k"),
+            expect_range("v", lo=0.0, hi=100.0),
+            expect_in_set("cat", ["a", "b", "c"]),
+            expect_null_rate("v", max_rate=0.2),
+            expect_regex("email", r"^[^@]+@[^@]+\.[a-z]+$", min_rate=0.8),
+            expect_distinct_count("cat", lo=2, hi=3),
+        ]).collect()
+        got = {(r["rule"], r["column"]): (r["ok"], r["observed"]) for r in report}
+
+        import pandas as pd
+        pdf = pd.DataFrame(rows, columns=["k", "v", "cat", "email"])  # noqa: F841
+        want = duckdb.sql("""
+            SELECT count(*) AS n, sum((k IS NULL)::BIGINT) AS k_nulls,
+                   count(k) - count(DISTINCT k) AS k_dupes,
+                   sum((v IS NOT NULL AND (v < 0 OR v > 100))::BIGINT) AS v_oor,
+                   sum((cat IS NOT NULL AND cat NOT IN ('a','b','c'))::BIGINT) AS cat_bad,
+                   avg((v IS NULL)::INT::DOUBLE) AS v_nullrate,
+                   avg(CASE WHEN email IS NOT NULL
+                       THEN regexp_matches(email, '^[^@]+@[^@]+\\.[a-z]+$')::INT::DOUBLE END)
+                       AS email_rate,
+                   count(DISTINCT cat) AS cat_distinct
+            FROM pdf
+        """).fetchone()
+        n, k_nulls, k_dupes, v_oor, cat_bad, v_nullrate, email_rate, cat_distinct = want
+        assert got[("row_count", None)] == (True, str(n))
+        assert got[("not_null", "k")] == (k_nulls == 0, str(k_nulls))
+        assert got[("unique", "k")] == (k_dupes == 0, str(k_dupes))
+        assert got[("range", "v")] == (v_oor == 0, str(v_oor))
+        assert got[("in_set", "cat")] == (cat_bad == 0, str(cat_bad))
+        assert got[("null_rate", "v")][0] == (v_nullrate <= 0.2)
+        assert float(got[("null_rate", "v")][1]) == pytest.approx(v_nullrate)
+        assert got[("regex", "email")][0] == (email_rate >= 0.8)
+        assert float(got[("regex", "email")][1]) == pytest.approx(email_rate)
+        assert got[("distinct_count", "cat")] == (2 <= cat_distinct <= 3, str(cat_distinct))
+        # the planted frame fails exactly these
+        fails = {(r["rule"], r["column"]) for r in report if not r["ok"]}
+        # regex PASSES: 4 of 5 non-null emails match = 0.8 >= min_rate 0.8
+        assert fails == {("not_null", "k"), ("unique", "k"), ("range", "v"),
+                         ("in_set", "cat"), ("distinct_count", "cat")}
+
+    def test_one_scan_one_aggregate(self, spark):
+        """Every rule folds into ONE aggregate over ONE scan (exact
+        uniqueness adds an Expand, never a second scan)."""
+        from oni_ml_spark.datapipe.contracts import (
+            expect_not_null,
+            expect_range,
+            expect_row_count,
+            expect_unique,
+            run_expectations,
+        )
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rep = plan_report(run_expectations(e, [
+            expect_row_count(1), expect_not_null("event_id"),
+            expect_unique("event_id"), expect_range("value", lo=0.0),
+        ]))
+        assert rep["scans"] == 1, rep["plan"]
+
+    def test_validate_raises_with_named_rules(self, spark):
+        from oni_ml_spark.datapipe.contracts import (
+            expect_not_null,
+            expect_range,
+            validate_expectations,
+        )
+
+        _, df = _frame(spark)
+        with pytest.raises(ValueError, match=r"not_null\(k\).*observed 1"):
+            validate_expectations(df, [expect_not_null("k"), expect_range("v", hi=200.0)])
+        ok = validate_expectations(df.where(F.col("k").isNotNull()),
+                                   [expect_not_null("k")])
+        assert [r["ok"] for r in ok.collect()] == [True]
+
+    def test_edge_semantics(self, spark):
+        """Empty frame: row_count and null_rate fail (no evidence IS the
+        incident), regex passes (no evidence of violation); NaN violates
+        a finite hi bound; nulls are not keys for uniqueness."""
+        from oni_ml_spark.datapipe.contracts import (
+            expect_null_rate,
+            expect_range,
+            expect_regex,
+            expect_row_count,
+            expect_unique,
+            run_expectations,
+        )
+
+        empty = spark.createDataFrame([], "k bigint, v double, s string")
+        rep = {r["rule"]: r["ok"] for r in run_expectations(empty, [
+            expect_row_count(1), expect_null_rate("v", 0.5),
+            expect_regex("s", "^a"),
+        ]).collect()}
+        assert rep == {"row_count": False, "null_rate": False, "regex": True}
+
+        nan_df = spark.createDataFrame(
+            [(1, float("nan")), (2, 1.0), (None, 2.0), (None, 3.0)],
+            "k bigint, v double",
+        )
+        rep2 = {r["rule"]: r for r in run_expectations(nan_df, [
+            expect_range("v", lo=0.0, hi=10.0), expect_unique("k"),
+        ]).collect()}
+        assert rep2["range"]["ok"] is False and rep2["range"]["observed"] == "1"
+        assert rep2["unique"]["ok"] is True  # nulls are not keys
+
+    def test_validation_errors(self, spark):
+        from oni_ml_spark.datapipe.contracts import (
+            expect_in_set,
+            expect_not_null,
+            expect_null_rate,
+            expect_range,
+            expect_regex,
+            run_expectations,
+        )
+
+        _, df = _frame(spark)
+        with pytest.raises(ValueError, match="at least one"):
+            run_expectations(df, [])
+        with pytest.raises(ValueError, match="missing"):
+            run_expectations(df, [expect_not_null("nope")])
+        with pytest.raises(ValueError, match="lo and/or hi"):
+            expect_range("v")
+        with pytest.raises(ValueError, match="non-empty"):
+            expect_in_set("cat", [])
+        with pytest.raises(ValueError, match="max_rate"):
+            expect_null_rate("v", 1.5)
+        with pytest.raises(ValueError, match="min_rate"):
+            expect_regex("s", "x", min_rate=0.0)
