@@ -60,10 +60,12 @@ def expect_row_count(min_rows: int = 1, max_rows: int | None = None) -> Expectat
 
 
 def expect_not_null(column: str) -> Expectation:
-    """Zero SQL NULLs in ``column``; observed = violation count."""
+    """Zero SQL NULLs in ``column``; observed = violation count (0 on an
+    empty frame — vacuously true, like every violation-count rule; gate
+    empty feeds with ``expect_row_count``)."""
     return Expectation(
         "not_null", column,
-        F.sum(F.col(column).isNull().cast("long")),
+        F.coalesce(F.sum(F.col(column).isNull().cast("long")), F.lit(0)),
         lambda o: o == 0, "0 nulls",
     )
 
@@ -128,7 +130,10 @@ def expect_range(
         cond = cond | (v > F.lit(hi))
     return Expectation(
         "range", column,
-        F.sum(F.when(v.isNotNull() & cond, 1).otherwise(0).cast("long")),
+        F.coalesce(
+            F.sum(F.when(v.isNotNull() & cond, 1).otherwise(0).cast("long")),
+            F.lit(0),
+        ),
         lambda o: o == 0,
         f"values in [{lo if lo is not None else '-inf'}, "
         f"{hi if hi is not None else 'inf'}]",
@@ -138,14 +143,27 @@ def expect_range(
 def expect_in_set(column: str, allowed: list) -> Expectation:
     """Every non-null value drawn from ``allowed`` (a literal codegen set
     probe — dictionaries are meant to be small); observed = violation
-    count."""
+    count. ``None`` is NOT a legal member: under SQL three-valued logic
+    ``x NOT IN (..., NULL)`` is never true, which would silently disable
+    the rule — nulls are always allowed here (pair with
+    ``expect_not_null`` to forbid them)."""
     if not allowed:
         raise ValueError("allowed set must be non-empty")
+    if any(a is None for a in allowed):
+        raise ValueError(
+            "allowed must not contain None — NOT IN against a NULL member "
+            "is never true (three-valued logic), which would disable the "
+            "rule; nulls always pass in_set, use expect_not_null to forbid "
+            "them"
+        )
     v = F.col(column)
     return Expectation(
         "in_set", column,
-        F.sum(
-            F.when(v.isNotNull() & ~v.isin(*allowed), 1).otherwise(0).cast("long")
+        F.coalesce(
+            F.sum(
+                F.when(v.isNotNull() & ~v.isin(*allowed), 1).otherwise(0).cast("long")
+            ),
+            F.lit(0),
         ),
         lambda o: o == 0,
         f"values in {sorted(map(str, allowed))[:20]}",

@@ -440,7 +440,17 @@ def dimension_profile(spark, sf):
       L2 norm is an in-order fold, bit-identical across engines), and the
       centroid_shift cosine vs the odd half scaled by −0.8 (per-dimension
       floor(x·1e6) BIGINT sums — exact on any engine and partitioning;
-      key='centroid', a=validated dim, share=round(cosine, 6))."""
+      key='centroid', a=validated dim, share=round(cosine, 6)).
+
+    r09 merges the data-contract expectation suite (datapipe.contracts)
+    into the same profile family:
+
+    - part='expect' — run_expectations over events, all eight rule kinds
+      in ONE aggregate (row_count, not_null, unique, range, in_set,
+      null_rate, regex, distinct_count), two failures planted live
+      (range|value: values > 100 exist; in_set|event_type: 'error' is
+      outside the set). key=rule|column, lo=observed (exact counts /
+      identical-arithmetic rates, round 6), share=ok as 0/1, a/hi null."""
     from oni_ml_spark.datapipe.drift import (
         centroid_shift,
         drift_compare,

@@ -232,12 +232,16 @@ def _read_side_list(
     return [r[payload_col] for r in sorted(rows, key=lambda r: r["i"])]
 
 
-def _validate_sink_args(keep_versions: int, query_token: str) -> None:
+def _validate_keep_versions(keep_versions: int) -> None:
     if keep_versions < 1:
         raise ValueError(
             "keep_versions must be >= 1 — retention would delete the "
             "snapshot the pointer was just swapped to"
         )
+
+
+def _validate_sink_args(keep_versions: int, query_token: str) -> None:
+    _validate_keep_versions(keep_versions)
     if not query_token or "\n" in query_token:
         raise ValueError("query_token must be non-empty and newline-free")
 
@@ -263,11 +267,7 @@ def upsert_writer(
     older version directories are deleted after the pointer swap.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
+    _validate_keep_versions(keep_versions)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -334,11 +334,7 @@ def topk_writer(
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if k <= 0:
         raise ValueError("k must be positive")
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
+    _validate_keep_versions(keep_versions)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -447,13 +443,7 @@ def stats_writer(
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
-    if not query_token or "\n" in query_token:
-        raise ValueError("query_token must be non-empty and newline-free")
+    _validate_sink_args(keep_versions, query_token)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _read_applied(root, query_token):
@@ -544,13 +534,7 @@ def dedup_append_writer(
     )
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    if keep_versions < 1:
-        raise ValueError(
-            "keep_versions must be >= 1 — retention would delete the "
-            "snapshot the pointer was just swapped to"
-        )
-    if not query_token or "\n" in query_token:
-        raise ValueError("query_token must be non-empty and newline-free")
+    _validate_sink_args(keep_versions, query_token)
     ledger_root = _dedup_ledger(root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

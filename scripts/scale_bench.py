@@ -123,6 +123,11 @@ def build_scaled(spark):
     import string as _string
 
     lo, up = _string.ascii_lowercase, _string.ascii_uppercase
+    if COPIES > 26:
+        # only 25 non-identity rotations exist; copy 26 would be
+        # byte-identical to copy 0 and re-create the cross-copy gram
+        # collision the rotation prevents (the 573.9x refusal, SCALE.md)
+        raise SystemExit("--copies > 26 exhausts the alphabet-rotation space")
     pt = spark.read.parquet(f"{BASE}/part.parquet")
     parts = []
     for c in range(COPIES):
@@ -161,10 +166,9 @@ def main():
                     n = fn(spark, sfdir).count()
                 except Exception as exc:  # record, keep benching the rest
                     timings[label] = {"error": str(exc)[:300]}
-                    timings["rows"] = timings.get("rows", -1)
-                    n = -1
                     print(json.dumps({"pass": pass_no, name: timings}), flush=True)
                     spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
                     continue
                 timings[label] = {"sec": round(time.time() - t0, 2), "rows": n}
                 # isolate runs exactly as bench.py does: pipelines cache

@@ -114,9 +114,12 @@ class TestExpectations:
 
     def test_edge_semantics(self, spark):
         """Empty frame: row_count and null_rate fail (no evidence IS the
-        incident), regex passes (no evidence of violation); NaN violates
-        a finite hi bound; nulls are not keys for uniqueness."""
+        incident); regex and every violation-count rule pass (0
+        violations, vacuously); NaN violates a finite hi bound; nulls
+        are not keys for uniqueness."""
         from oni_ml_spark.datapipe.contracts import (
+            expect_in_set,
+            expect_not_null,
             expect_null_rate,
             expect_range,
             expect_regex,
@@ -128,9 +131,14 @@ class TestExpectations:
         empty = spark.createDataFrame([], "k bigint, v double, s string")
         rep = {r["rule"]: r["ok"] for r in run_expectations(empty, [
             expect_row_count(1), expect_null_rate("v", 0.5),
-            expect_regex("s", "^a"),
+            expect_regex("s", "^a"), expect_not_null("k"),
+            expect_range("v", lo=0.0), expect_in_set("s", ["a"]),
         ]).collect()}
-        assert rep == {"row_count": False, "null_rate": False, "regex": True}
+        # violation-count rules are vacuously TRUE on an empty frame
+        # (0 violations, consistent with unique/regex); only row_count
+        # and null_rate treat absence of evidence as the incident
+        assert rep == {"row_count": False, "null_rate": False, "regex": True,
+                       "not_null": True, "range": True, "in_set": True}
 
         nan_df = spark.createDataFrame(
             [(1, float("nan")), (2, 1.0), (None, 2.0), (None, 3.0)],
@@ -161,6 +169,8 @@ class TestExpectations:
             expect_range("v")
         with pytest.raises(ValueError, match="non-empty"):
             expect_in_set("cat", [])
+        with pytest.raises(ValueError, match="must not contain None"):
+            expect_in_set("cat", ["a", None])
         with pytest.raises(ValueError, match="max_rate"):
             expect_null_rate("v", 1.5)
         with pytest.raises(ValueError, match="min_rate"):

@@ -226,3 +226,40 @@ class TestIncrementalRefreshE2E:
         assert sorted(map(str, sorted(got, key=key))) == sorted(
             map(str, sorted(want, key=key))
         )
+
+    def test_contract_gate_blocks_malformed_day(self, spark, ingested):
+        """(r9) The contract gate is the drift gate's structural sibling:
+        each day's batch must satisfy the data contract (non-null unique
+        keys, values in range, bounded category space) BEFORE the drift
+        comparison even runs — a malformed day (null keys, duplicate
+        keys) raises with the failing rules named and never reaches the
+        state. One aggregate over the day's files only."""
+        from oni_ml_spark.datapipe.contracts import (
+            expect_in_set,
+            expect_not_null,
+            expect_range,
+            expect_row_count,
+            expect_unique,
+            validate_expectations,
+        )
+
+        contract = [
+            expect_row_count(min_rows=1),
+            expect_not_null("k"),
+            expect_unique("k"),
+            expect_range("v", lo=0.0, hi=6.0),
+            expect_in_set("cat", [0, 1, 2, 3, 4]),
+        ]
+        for day in range(3):
+            batch = spark.read.parquet(_day_dir(ingested, day))
+            report = validate_expectations(batch.drop("ingest_batch"), contract)
+            assert all(r["ok"] for r in report.collect())
+
+        malformed = spark.range(0, 50).select(
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 20).alias("k"),
+            (F.col("id") % 7).cast("double").alias("v"),
+            (F.col("id") % 5).alias("cat"),
+            F.lit(9).alias("day"),
+        )
+        with pytest.raises(ValueError, match=r"not_null\(k\).*unique\(k\)|unique\(k\).*not_null\(k\)"):
+            validate_expectations(malformed, contract)
