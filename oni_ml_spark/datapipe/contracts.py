@@ -232,3 +232,84 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
         report,
         "rule string, column string, ok boolean, observed string, expected string",
     )
+
+
+def run_expectations_grouped(
+    df: DataFrame, group_col: str, rules: list[Expectation]
+) -> DataFrame:
+    """Per-segment contracts — "does EVERY source/language/day satisfy the
+    rules?", the grouped sibling of ``run_expectations`` (same rule
+    objects, same single-scan shape): DataFrame[group, rule, column, ok,
+    observed, expected], one row per (group, rule).
+
+    ONE groupBy aggregate evaluates every rule for every group
+    (map-side combinable; |groups|·|rules| bounded output); a null group
+    is its own '__null' segment (a feed that stopped labeling rows must
+    not vanish from the contract report), with the in-plan sentinel
+    collision guard shared with datapipe.drift. Note ``expect_row_count``
+    here bounds each GROUP's row count — a group with zero rows simply
+    has no report row (SQL GROUP BY semantics); pair with an ungrouped
+    ``expect_distinct_count(group_col, lo=...)`` to pin the expected
+    segment population."""
+    from oni_ml_spark.datapipe.drift import _sentinel_key
+
+    if not rules:
+        raise ValueError("need at least one expectation")
+    if group_col not in df.columns:
+        raise ValueError(f"group column {group_col!r} missing")
+    if "group" in df.columns and group_col != "group":
+        raise ValueError(
+            "input carries reserved column 'group' — rename it (the report "
+            "uses it for the segment key)"
+        )
+    for r in rules:
+        if r.column is not None and r.column not in df.columns:
+            raise ValueError(f"expectation {r.rule!r}: column {r.column!r} missing")
+        if r.column == group_col:
+            raise ValueError(
+                f"expectation {r.rule!r} targets the group column itself — "
+                "group it by something else or use the ungrouped suite"
+            )
+    gkey = _sentinel_key(
+        F.col(group_col).cast("string"), ["__null"], "run_expectations_grouped"
+    )
+    aggs = [r.observed.alias(f"__o{i}") for i, r in enumerate(rules)]
+    passthrough = [c for c in df.columns if c != "group"]
+    per_group = (
+        df.select(gkey.alias("group"), *passthrough).groupBy("group").agg(*aggs)
+    )
+    structs = [
+        F.struct(
+            F.lit(r.rule).alias("rule"),
+            F.lit(r.column).cast("string").alias("column"),
+            F.coalesce(r.ok_of(F.col(f"__o{i}")), F.lit(False)).alias("ok"),
+            F.col(f"__o{i}").cast("string").alias("observed"),
+            F.lit(r.expected).alias("expected"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return per_group.select("group", F.inline(F.array(*structs)))
+
+
+def validate_expectations_grouped(
+    df: DataFrame, group_col: str, rules: list[Expectation], max_named: int = 20
+) -> DataFrame:
+    """The grouped raising gate: evaluate per segment, RAISE naming up to
+    ``max_named`` failing (group, rule) pairs (plus the total), else
+    return the passing report. One eager bounded job."""
+    report = run_expectations_grouped(df, group_col, rules).collect()
+    failed = [r for r in report if not r["ok"]]
+    if failed:
+        named = "; ".join(
+            f"group {r['group']!r} {r['rule']}({r['column'] or '*'}): "
+            f"observed {r['observed']}, expected {r['expected']}"
+            for r in failed[:max_named]
+        )
+        more = "" if len(failed) <= max_named else f" (+{len(failed) - max_named} more)"
+        raise ValueError(f"{len(failed)} grouped expectation(s) failed — {named}{more}")
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        report,
+        "group string, rule string, column string, ok boolean, "
+        "observed string, expected string",
+    )

@@ -175,3 +175,103 @@ class TestExpectations:
             expect_null_rate("v", 1.5)
         with pytest.raises(ValueError, match="min_rate"):
             expect_regex("s", "x", min_rate=0.0)
+
+
+class TestGroupedExpectations:
+    def test_grouped_matches_duckdb(self, spark):
+        """Per-segment rules equal DuckDB restating the same grouped
+        aggregates; the null group reports as '__null'."""
+        from oni_ml_spark.datapipe.contracts import (
+            expect_not_null,
+            expect_null_rate,
+            expect_range,
+            expect_row_count,
+            expect_unique,
+            run_expectations_grouped,
+        )
+
+        rows = (
+            [("s0", i, float(i % 40)) for i in range(60)]
+            + [("s1", 100 + i, float(i % 120)) for i in range(140)]
+            + [("s1", 100, 5.0)]           # duplicate key in s1
+            + [(None, 900, None)]          # null group, null value
+        )
+        df = spark.createDataFrame(rows, "src string, k bigint, v double")
+        rep = {
+            (r["group"], r["rule"]): (r["ok"], r["observed"])
+            for r in run_expectations_grouped(df, "src", [
+                expect_row_count(min_rows=5),
+                expect_not_null("k"),
+                expect_unique("k"),
+                expect_range("v", lo=0.0, hi=100.0),
+                expect_null_rate("v", max_rate=0.1),
+            ]).collect()
+        }
+        import duckdb
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["src", "k", "v"])  # noqa: F841
+        want = duckdb.sql("""
+            SELECT coalesce(src, '__null') AS g, count(*) AS n,
+                   count(k) - count(DISTINCT k) AS dupes,
+                   sum((v IS NOT NULL AND (v < 0 OR v > 100))::BIGINT) AS oor,
+                   avg((v IS NULL)::INT::DOUBLE) AS nullrate
+            FROM pdf GROUP BY 1
+        """).fetchall()
+        for g, n, dupes, oor, nullrate in want:
+            assert rep[(g, "row_count")] == (n >= 5, str(n))
+            assert rep[(g, "unique")] == (dupes == 0, str(dupes))
+            assert rep[(g, "range")] == ((oor or 0) == 0, str(oor or 0))
+            assert rep[(g, "null_rate")][0] == (nullrate <= 0.1)
+        # segment verdicts: s1 fails unique + range; '__null' fails
+        # row_count + null_rate; s0 passes everything
+        assert rep[("s1", "unique")][0] is False
+        assert rep[("s1", "range")][0] is False
+        assert rep[("__null", "row_count")][0] is False
+        assert rep[("__null", "null_rate")][0] is False
+        assert all(rep[("s0", r)][0] for r in
+                   ("row_count", "not_null", "unique", "range", "null_rate"))
+
+    def test_grouped_plan_and_gate(self, spark):
+        from oni_ml_spark.datapipe.contracts import (
+            expect_not_null,
+            expect_range,
+            run_expectations_grouped,
+            validate_expectations_grouped,
+        )
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        g = run_expectations_grouped(e, "event_type", [
+            expect_not_null("event_id"), expect_range("value", lo=0.0),
+        ])
+        rep = plan_report(g)
+        assert rep["scans"] == 1, rep["plan"]
+        # gate: passes on the clean table, raises naming (group, rule)
+        validate_expectations_grouped(e, "event_type", [expect_not_null("event_id")])
+        bad = e.withColumn(
+            "value",
+            F.when(F.col("event_type") == "error", -1.0).otherwise(F.col("value")),
+        )
+        with pytest.raises(ValueError, match=r"group 'error' range\(value\)"):
+            validate_expectations_grouped(bad, "event_type", [expect_range("value", lo=0.0)])
+
+    def test_grouped_validation(self, spark):
+        from oni_ml_spark.datapipe.contracts import (
+            expect_not_null,
+            run_expectations_grouped,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "src string, k bigint")
+        with pytest.raises(ValueError, match="group column"):
+            run_expectations_grouped(df, "nope", [expect_not_null("k")])
+        with pytest.raises(ValueError, match="targets the group column"):
+            run_expectations_grouped(df, "src", [expect_not_null("src")])
+        with pytest.raises(ValueError, match="reserved column 'group'"):
+            run_expectations_grouped(
+                df.withColumn("group", F.lit("x")), "src", [expect_not_null("k")]
+            )
+        # sentinel collision: a REAL '__null' group raises in-plan
+        dirty = spark.createDataFrame([("__null", 1)], "src string, k bigint")
+        with pytest.raises(Exception, match="reserved sentinel"):
+            run_expectations_grouped(dirty, "src", [expect_not_null("k")]).collect()
