@@ -337,7 +337,13 @@ def groupby_count_docword(spark, sf):
     "avg((props IS NULL)::INT::DOUBLE) AS nullrate, "
     "avg(CASE WHEN event_type IS NOT NULL THEN "
     "regexp_matches(event_type, '^[a-z]+$')::INT::DOUBLE END) AS rrate, "
-    "count(DISTINCT event_type)::BIGINT AS dcnt FROM events) "
+    "count(DISTINCT event_type)::BIGINT AS dcnt FROM events), "
+    # -- grouped contracts (r9): the same rules PER SEGMENT in one
+    # -- grouped aggregate ('__null' sentinel group like the drift CTEs)
+    "exg AS (SELECT coalesce(event_type, '__null') AS g, count(*)::BIGINT AS n, "
+    "(count(event_id) - count(DISTINCT event_id))::BIGINT AS dupes, "
+    "sum((value IS NOT NULL AND (value < 0 OR value > 100))::BIGINT) AS oor "
+    "FROM events GROUP BY 1) "
     "SELECT 'stats' AS part, event_type AS key, cnt AS a, mn AS lo, mx AS hi, "
     "CAST(NULL AS DOUBLE) AS share FROM s "
     "UNION ALL SELECT 'dict', event_type, idx, NULL, NULL, NULL FROM d "
@@ -383,7 +389,13 @@ def groupby_count_docword(spark, sf):
     "(rrate IS NULL OR rrate >= 0.9)::INT::DOUBLE FROM exq "
     "UNION ALL SELECT 'expect', 'distinct_count|event_type', NULL, "
     "round(dcnt::DOUBLE, 6), NULL, "
-    "(dcnt BETWEEN 1 AND 10)::INT::DOUBLE FROM exq",
+    "(dcnt BETWEEN 1 AND 10)::INT::DOUBLE FROM exq "
+    "UNION ALL SELECT 'expectg', g || '|row_count|*', NULL, "
+    "round(n::DOUBLE, 6), NULL, (n >= 1)::INT::DOUBLE FROM exg "
+    "UNION ALL SELECT 'expectg', g || '|unique|event_id', NULL, "
+    "round(dupes::DOUBLE, 6), NULL, (dupes = 0)::INT::DOUBLE FROM exg "
+    "UNION ALL SELECT 'expectg', g || '|range|value', NULL, "
+    "round(oor::DOUBLE, 6), NULL, (oor = 0)::INT::DOUBLE FROM exg",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -450,7 +462,11 @@ def dimension_profile(spark, sf):
       null_rate, regex, distinct_count), two failures planted live
       (range|value: values > 100 exist; in_set|event_type: 'error' is
       outside the set). key=rule|column, lo=observed (exact counts /
-      identical-arithmetic rates, round 6), share=ok as 0/1, a/hi null."""
+      identical-arithmetic rates, round 6), share=ok as 0/1, a/hi null.
+    - part='expectg' — run_expectations_grouped per event_type (ONE
+      grouped aggregate: row_count / unique|event_id / range|value per
+      segment, range failing in every segment with values > 100);
+      key=group|rule|column, same lo/share mapping."""
     from oni_ml_spark.datapipe.drift import (
         centroid_shift,
         drift_compare,
@@ -645,6 +661,7 @@ def dimension_profile(spark, sf):
         expect_row_count,
         expect_unique,
         run_expectations,
+        run_expectations_grouped,
     )
 
     # r9: the data-contract expectation suite (datapipe.contracts) over
@@ -669,6 +686,18 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.col("ok").cast("double").alias("share"),
     )
+    expg = run_expectations_grouped(e, "event_type", [
+        expect_row_count(min_rows=1),
+        expect_unique("event_id"),
+        expect_range("value", lo=0.0, hi=100.0),
+    ]).select(
+        F.lit("expectg").alias("part"),
+        F.concat_ws("|", "group", "rule", F.coalesce("column", F.lit("*"))).alias("key"),
+        F.lit(None).cast("long").alias("a"),
+        F.round(F.col("observed").cast("double"), 6).alias("lo"),
+        null_d.alias("hi"),
+        F.col("ok").cast("double").alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
@@ -676,7 +705,7 @@ def dimension_profile(spark, sf):
         .unionByName(kref).unionByName(kcur)
         .unionByName(gref).unionByName(gcur)
         .unionByName(eref).unionByName(ecur).unionByName(ecent)
-        .unionByName(exp)
+        .unionByName(exp).unionByName(expg)
     )
 
 
