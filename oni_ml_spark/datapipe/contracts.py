@@ -95,19 +95,29 @@ def expect_unique(column: str) -> Expectation:
 
 
 def expect_distinct_count(
-    column: str, lo: int = 1, hi: int | None = None
+    column: str, lo: int = 1, hi: int | None = None, approx: bool = False
 ) -> Expectation:
-    """Exact distinct-value count (nulls excluded) in [lo, hi] — the
-    'dimension collapsed to one value / exploded' check."""
+    """Distinct-value count (nulls excluded) in [lo, hi] — the
+    'dimension collapsed to one value / exploded' check. ``approx=True``
+    swaps in ``approx_count_distinct`` (HLL++, ~2% rsd, ONE pass with no
+    Expand) — the scale path when the bounds are order-of-magnitude
+    sanity checks rather than exact contracts; leave exact for small
+    dictionaries. ``expect_unique`` has no approx mode on purpose: a
+    duplicate-count estimate would alternate a gate between pass and
+    fail on sketch noise."""
     hi_s = "inf" if hi is None else str(int(hi))
 
     def ok(o):
         c = o >= int(lo)
         return c if hi is None else c & (o <= int(hi))
 
+    agg = (
+        F.approx_count_distinct(F.col(column)) if approx
+        else F.count_distinct(F.col(column))
+    )
     return Expectation(
-        "distinct_count", column, F.count_distinct(F.col(column)), ok,
-        f"distinct in [{int(lo)}, {hi_s}]",
+        "distinct_count", column, agg, ok,
+        f"distinct in [{int(lo)}, {hi_s}]" + (" (approx)" if approx else ""),
     )
 
 

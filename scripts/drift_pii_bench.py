@@ -144,6 +144,33 @@ def main():
             },
         )
 
+    def contracts_suite(sfdir):
+        # r9: eight contract rules in ONE aggregate over ONE scan (the
+        # two exact count_distincts add an Expand, never a second scan)
+        from oni_ml_spark.datapipe.contracts import (
+            expect_distinct_count,
+            expect_in_set,
+            expect_not_null,
+            expect_null_rate,
+            expect_range,
+            expect_regex,
+            expect_row_count,
+            expect_unique,
+            run_expectations,
+        )
+
+        e = spark.read.parquet(f"{sfdir}/events.parquet")
+        return run_expectations(e, [
+            expect_row_count(min_rows=1),
+            expect_not_null("event_type"),
+            expect_unique("event_id"),
+            expect_range("value", lo=0.0, hi=100.0),
+            expect_in_set("event_type", ["click", "view", "purchase", "signup"]),
+            expect_null_rate("props", max_rate=0.5),
+            expect_regex("event_type", "^[a-z]+$", min_rate=0.9),
+            expect_distinct_count("event_type", lo=1, hi=10),
+        ])
+
     ops = {
         "drift_numeric": drift_numeric,
         "drift_categorical": drift_cat,
@@ -151,6 +178,7 @@ def main():
         "drift_summary_mixed": summary_mixed,
         "embedding_centroid_shift": emb_centroid,
         "pii_scrub_audit": pii_scrub_audit,
+        "contracts_suite": contracts_suite,
     }
     rows = {}
     for pass_no in (1, 2):  # report pass 2; pass 1 absorbs session warm-up

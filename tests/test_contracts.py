@@ -275,3 +275,35 @@ class TestGroupedExpectations:
         dirty = spark.createDataFrame([("__null", 1)], "src string, k bigint")
         with pytest.raises(Exception, match="reserved sentinel"):
             run_expectations_grouped(dirty, "src", [expect_not_null("k")]).collect()
+
+    def test_distinct_count_approx_path(self, spark):
+        """approx=True (HLL++, no Expand) satisfies order-of-magnitude
+        bounds and is labeled approx in the report."""
+        from oni_ml_spark.datapipe.contracts import (
+            expect_distinct_count,
+            run_expectations,
+        )
+        from oni_ml_spark.plans.diagnostics import plan_report
+
+        d = spark.range(10_000).select((F.col("id") % 500).cast("string").alias("k"))
+        rows = run_expectations(
+            d, [expect_distinct_count("k", lo=400, hi=600, approx=True)]
+        ).collect()
+        assert rows[0]["ok"] and "(approx)" in rows[0]["expected"]
+        # an approx rule next to an exact-distinct rule removes one
+        # distinct group from the Expand (Expand only appears when
+        # several DISTINCT aggregates share the agg); both stay one scan
+        from oni_ml_spark.datapipe.contracts import expect_unique
+
+        two_exact = run_expectations(
+            d.withColumn("k2", F.col("k")),
+            [expect_unique("k"), expect_distinct_count("k2", lo=1)],
+        )
+        mixed = run_expectations(
+            d.withColumn("k2", F.col("k")),
+            [expect_unique("k"), expect_distinct_count("k2", lo=1, approx=True)],
+        )
+        r_exact, r_mixed = plan_report(two_exact), plan_report(mixed)
+        # (the one-scan contract over a FILE source is pinned by
+        # test_one_scan_one_aggregate; spark.range has no Scan node)
+        assert r_mixed["nodes"].get("Expand", 0) <= r_exact["nodes"].get("Expand", 0)
