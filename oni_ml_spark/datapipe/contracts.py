@@ -323,3 +323,95 @@ def validate_expectations_grouped(
         "group string, rule string, column string, ok boolean, "
         "observed string, expected string",
     )
+
+
+def infer_expectations(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    range_slack: float = 0.05,
+    null_rate_slack: float = 1.5,
+    null_rate_floor: float = 0.001,
+    set_max: int = 50,
+) -> list[Expectation]:
+    """LEARN a contract from a reference corpus (the profiler shape of
+    pandera/Great Expectations, Spark-first): returns the rule list a
+    later batch is validated against — ``validate_expectations(batch,
+    infer_expectations(reference))`` is the two-line data gate.
+
+    What is inferred, from ONE stats aggregate over ONE scan:
+
+    - every column: ``expect_null_rate`` at observed·``null_rate_slack``
+      (+ ``null_rate_floor`` absolute headroom, so an all-populated
+      reference doesn't freeze a zero-tolerance rule that one legitimate
+      null would trip);
+    - numeric columns: ``expect_range`` widened by ``range_slack`` ×
+      the observed span on each side (slack 0 pins the exact envelope);
+    - string/boolean columns whose EXACT distinct count <= ``set_max``:
+      ``expect_in_set`` over the observed dictionary — collected in a
+      SECOND bounded pass that touches only the qualifying columns
+      (never ``collect_set`` over an unaudited key space: the first
+      pass's exact distinct counts decide who qualifies, so nothing
+      unbounded ever accumulates in an agg buffer);
+    - plus ``expect_row_count(min_rows=1)``.
+
+    The returned rules are ordinary ``Expectation`` objects — inspect,
+    edit, or extend them before gating. Inference is descriptive, not
+    statistical: it pins the reference's envelope; distribution-level
+    drift within the envelope is datapipe.drift's job."""
+    if range_slack < 0 or null_rate_slack < 1.0 or null_rate_floor < 0:
+        raise ValueError(
+            "range_slack >= 0, null_rate_slack >= 1, null_rate_floor >= 0"
+        )
+    if set_max < 1:
+        raise ValueError("set_max must be >= 1")
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns {missing} missing from the frame")
+    numeric = {
+        c for c in cols
+        if dtypes[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtypes[c].startswith("decimal")
+    }
+    settable = {c for c in cols if dtypes[c] in ("string", "boolean")}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nr"))
+        if c in numeric:
+            aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+        if c in settable:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__d"))
+    stats = df.agg(*aggs).collect()[0]
+    if stats["__n"] == 0:
+        raise ValueError(
+            "reference frame has no rows — cannot infer a contract from "
+            "an empty corpus"
+        )
+
+    rules: list[Expectation] = [expect_row_count(min_rows=1)]
+    for c in cols:
+        rate = float(stats[f"{c}__nr"])
+        rules.append(
+            expect_null_rate(
+                c, min(1.0, rate * null_rate_slack + null_rate_floor)
+            )
+        )
+        if c in numeric and stats[f"{c}__lo"] is not None:
+            lo, hi = float(stats[f"{c}__lo"]), float(stats[f"{c}__hi"])
+            pad = (hi - lo) * range_slack
+            rules.append(expect_range(c, lo=lo - pad, hi=hi + pad))
+    small = [
+        c for c in cols
+        if c in settable and stats[f"{c}__d"] is not None and 0 < stats[f"{c}__d"] <= set_max
+    ]
+    if small:
+        # second bounded pass: dictionaries ONLY for columns the exact
+        # distinct counts just certified as small
+        dicts = df.agg(
+            *[F.collect_set(F.col(c).cast("string")).alias(c) for c in small]
+        ).collect()[0]
+        for c in small:
+            rules.append(expect_in_set(c, sorted(dicts[c])))
+    return rules

@@ -307,3 +307,79 @@ class TestGroupedExpectations:
         # (the one-scan contract over a FILE source is pinned by
         # test_one_scan_one_aggregate; spark.range has no Scan node)
         assert r_mixed["nodes"].get("Expand", 0) <= r_exact["nodes"].get("Expand", 0)
+
+
+class TestInferExpectations:
+    def test_infer_then_validate_roundtrip(self, spark):
+        """The two-line gate: a contract inferred from a reference corpus
+        passes a same-distribution batch and fails a corrupted one, with
+        the violated rules named."""
+        from oni_ml_spark.datapipe.contracts import (
+            infer_expectations,
+            validate_expectations,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ref = e.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        rules = infer_expectations(ref)
+        kinds = {(r.rule, r.column) for r in rules}
+        # per-column null-rate everywhere, ranges for numerics, a
+        # dictionary for the 5-value event_type, plus the row floor
+        assert ("row_count", None) in kinds
+        assert ("null_rate", "value") in kinds and ("range", "value") in kinds
+        assert ("in_set", "event_type") in kinds
+        assert ("range", "event_type") not in kinds  # strings get no range
+
+        # the other half of the same generator passes the whole contract
+        cur = e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        assert all(r["ok"] for r in validate_expectations(cur, rules).collect())
+
+        # a corrupted batch fails with the rules named
+        bad = cur.withColumn(
+            "value", F.col("value") * 1000
+        ).withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 3 == 0, "mystery").otherwise(F.col("event_type")),
+        )
+        with pytest.raises(ValueError) as ei:
+            validate_expectations(bad, rules)
+        msg = str(ei.value)
+        assert "range(value)" in msg and "in_set(event_type)" in msg
+
+    def test_infer_bounds_and_guards(self, spark):
+        from oni_ml_spark.datapipe.contracts import infer_expectations
+
+        df = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, None)],
+            "k bigint, v double, s string",
+        )
+        rules = {(r.rule, r.column): r for r in infer_expectations(
+            df, range_slack=0.0, null_rate_slack=1.5, null_rate_floor=0.0
+        )}
+        # exact envelope at slack 0
+        assert "values in [10.0, 20.0]" == rules[("range", "v")].expected
+        # observed null rate 1/3 * 1.5 = 0.5
+        assert "null rate <= 0.5" == rules[("null_rate", "v")].expected
+        # observed dictionary (nulls excluded)
+        assert "['a', 'b']" in rules[("in_set", "s")].expected
+
+        # a high-cardinality string column gets NO dictionary rule
+        wide = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+        )
+        kinds = {(r.rule, r.column) for r in infer_expectations(wide, set_max=50)}
+        assert ("in_set", "s") not in kinds
+
+        empty = spark.createDataFrame([], "k bigint")
+        with pytest.raises(ValueError, match="no rows"):
+            infer_expectations(empty)
+        with pytest.raises(ValueError, match="missing"):
+            infer_expectations(df, columns=["nope"])
+        with pytest.raises(ValueError, match="set_max"):
+            infer_expectations(df, set_max=0)
+        with pytest.raises(ValueError, match="range_slack"):
+            infer_expectations(df, null_rate_slack=0.5)
