@@ -209,7 +209,14 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             raise ValueError(f"expectation {r.rule!r}: column {r.column!r} missing")
     aggs = [r.observed.alias(f"__o{i}") for i, r in enumerate(rules)]
     one = df.agg(*aggs)
-    structs = [
+    return one.select(F.inline(F.array(*_report_structs(rules))))
+
+
+def _report_structs(rules: list[Expectation]) -> list[Column]:
+    """The ONE report-row shape both suites inline over their aggregate
+    (failing closed: a null verdict — e.g. a rate rule over an empty
+    group — reports ok=False unless the rule's ok_of says otherwise)."""
+    return [
         F.struct(
             F.lit(r.rule).alias("rule"),
             F.lit(r.column).cast("string").alias("column"),
@@ -219,7 +226,18 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
         )
         for i, r in enumerate(rules)
     ]
-    return one.select(F.inline(F.array(*structs)))
+
+
+def _format_failures(failed, max_named: int | None = None, grouped: bool = False) -> str:
+    shown = failed if max_named is None else failed[:max_named]
+    named = "; ".join(
+        (f"group {r['group']!r} " if grouped else "")
+        + f"{r['rule']}({r['column'] or '*'}): observed {r['observed']}, "
+        f"expected {r['expected']}"
+        for r in shown
+    )
+    more = "" if len(failed) <= len(shown) else f" (+{len(failed) - len(shown)} more)"
+    return named + more
 
 
 def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
@@ -231,12 +249,9 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     report = run_expectations(df, rules).collect()
     failed = [r for r in report if not r["ok"]]
     if failed:
-        lines = "; ".join(
-            f"{r['rule']}({r['column'] or '*'}): observed {r['observed']}, "
-            f"expected {r['expected']}"
-            for r in failed
+        raise ValueError(
+            f"{len(failed)} expectation(s) failed — {_format_failures(failed)}"
         )
-        raise ValueError(f"{len(failed)} expectation(s) failed — {lines}")
     spark = df.sparkSession
     return spark.createDataFrame(
         report,
@@ -288,17 +303,7 @@ def run_expectations_grouped(
     per_group = (
         df.select(gkey.alias("group"), *passthrough).groupBy("group").agg(*aggs)
     )
-    structs = [
-        F.struct(
-            F.lit(r.rule).alias("rule"),
-            F.lit(r.column).cast("string").alias("column"),
-            F.coalesce(r.ok_of(F.col(f"__o{i}")), F.lit(False)).alias("ok"),
-            F.col(f"__o{i}").cast("string").alias("observed"),
-            F.lit(r.expected).alias("expected"),
-        )
-        for i, r in enumerate(rules)
-    ]
-    return per_group.select("group", F.inline(F.array(*structs)))
+    return per_group.select("group", F.inline(F.array(*_report_structs(rules))))
 
 
 def validate_expectations_grouped(
@@ -306,23 +311,38 @@ def validate_expectations_grouped(
 ) -> DataFrame:
     """The grouped raising gate: evaluate per segment, RAISE naming up to
     ``max_named`` failing (group, rule) pairs (plus the total), else
-    return the passing report. One eager bounded job."""
-    report = run_expectations_grouped(df, group_col, rules).collect()
-    failed = [r for r in report if not r["ok"]]
-    if failed:
-        named = "; ".join(
-            f"group {r['group']!r} {r['rule']}({r['column'] or '*'}): "
-            f"observed {r['observed']}, expected {r['expected']}"
-            for r in failed[:max_named]
+    return the report LAZY for the caller to persist or inspect.
+
+    Driver-safe at high group cardinality: the report is never collected
+    whole — one bounded aggregate checks the totals (zero groups / how
+    many failures), and only up to ``max_named``+ failing rows come back
+    to build the error. An EMPTY input raises too: zero groups means
+    zero report rows, and a gate that answers 'pass' on the feed going
+    dark is the failure mode gates exist to catch (the ungrouped
+    ``expect_row_count`` would have flagged it)."""
+    report = run_expectations_grouped(df, group_col, rules)
+    totals = report.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("ok")).cast("long")).alias("nf"),
+    ).collect()[0]
+    if totals["n"] == 0:
+        raise ValueError(
+            "grouped expectations over an EMPTY input: zero groups, zero "
+            "evidence — the feed went dark; refusing to report a pass"
         )
-        more = "" if len(failed) <= max_named else f" (+{len(failed) - max_named} more)"
-        raise ValueError(f"{len(failed)} grouped expectation(s) failed — {named}{more}")
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        report,
-        "group string, rule string, column string, ok boolean, "
-        "observed string, expected string",
-    )
+    if totals["nf"]:
+        failed = (
+            report.where(~F.col("ok"))
+            .orderBy("group", "rule", "column")
+            .limit(max_named)
+            .collect()
+        )
+        named = _format_failures(failed, grouped=True)
+        more = "" if totals["nf"] <= max_named else f" (+{totals['nf'] - max_named} more)"
+        raise ValueError(
+            f"{totals['nf']} grouped expectation(s) failed — {named}{more}"
+        )
+    return report
 
 
 def infer_expectations(
@@ -346,12 +366,19 @@ def infer_expectations(
       null would trip);
     - numeric columns: ``expect_range`` widened by ``range_slack`` ×
       the observed span on each side (slack 0 pins the exact envelope);
-    - string/boolean columns whose EXACT distinct count <= ``set_max``:
-      ``expect_in_set`` over the observed dictionary — collected in a
-      SECOND bounded pass that touches only the qualifying columns
-      (never ``collect_set`` over an unaudited key space: the first
-      pass's exact distinct counts decide who qualifies, so nothing
-      unbounded ever accumulates in an agg buffer);
+      NaN is EXCLUDED from the envelope (NaN sorts above every double —
+      a raw max would freeze hi=NaN and flag every finite row), so a
+      reference that itself contains NaN will FAIL its own inferred
+      range: the NaN surfaces at contract-authoring time instead of
+      being baked silently into the envelope;
+    - string/boolean columns whose distinct count is small:
+      ``expect_in_set`` over the observed dictionary — qualified by an
+      approx (HLL++) count in the shared stats pass (no N-way Expand
+      from exact multi-DISTINCT), collected in a SECOND bounded pass
+      touching only qualifying columns, and emitted only if the
+      collected set's EXACT size is <= ``set_max`` (never
+      ``collect_set`` over an unaudited key space — the sketch margin
+      bounds the buffer, the exact check bounds the rule);
     - plus ``expect_row_count(min_rows=1)``.
 
     The returned rules are ordinary ``Expectation`` objects — inspect,
@@ -380,9 +407,18 @@ def infer_expectations(
     for c in cols:
         aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nr"))
         if c in numeric:
-            aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+            # NaN-safe envelope: NaN sorts ABOVE every double in Spark,
+            # so a raw max would freeze hi=NaN and the inferred range
+            # would flag every finite row — exclude NaN from the
+            # envelope (the inferred finite hi then correctly flags NaN
+            # rows downstream, expect_range's documented semantics)
+            clean = F.when(~F.isnan(F.col(c).cast("double")), F.col(c))
+            aggs += [F.min(clean).alias(f"{c}__lo"), F.max(clean).alias(f"{c}__hi")]
         if c in settable:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__d"))
+            # approx (HLL++) qualification: ONE pass, no N-way Expand
+            # from exact multi-DISTINCT; the 2x margin absorbs sketch
+            # error, and the dictionary pass re-checks the EXACT size
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__d"))
     stats = df.agg(*aggs).collect()[0]
     if stats["__n"] == 0:
         raise ValueError(
@@ -404,14 +440,20 @@ def infer_expectations(
             rules.append(expect_range(c, lo=lo - pad, hi=hi + pad))
     small = [
         c for c in cols
-        if c in settable and stats[f"{c}__d"] is not None and 0 < stats[f"{c}__d"] <= set_max
+        if c in settable
+        and stats[f"{c}__d"] is not None
+        and 0 < stats[f"{c}__d"] <= 2 * set_max  # sketch margin; exact below
     ]
     if small:
-        # second bounded pass: dictionaries ONLY for columns the exact
-        # distinct counts just certified as small
+        # second bounded pass: dictionaries ONLY for columns the approx
+        # counts qualified (buffer bounded by ~2·set_max strings); the
+        # EXACT size check happens here, on the collected set, so a
+        # sketch undercount can widen the buffer but never emit an
+        # oversized dictionary rule
         dicts = df.agg(
             *[F.collect_set(F.col(c).cast("string")).alias(c) for c in small]
         ).collect()[0]
         for c in small:
-            rules.append(expect_in_set(c, sorted(dicts[c])))
+            if len(dicts[c]) <= set_max:
+                rules.append(expect_in_set(c, sorted(dicts[c])))
     return rules

@@ -383,3 +383,33 @@ class TestInferExpectations:
             infer_expectations(df, set_max=0)
         with pytest.raises(ValueError, match="range_slack"):
             infer_expectations(df, null_rate_slack=0.5)
+
+    def test_infer_nan_and_empty_grouped_gate(self, spark):
+        """Review r9: a NaN in the reference must not freeze a [NaN, NaN]
+        envelope (every finite row would violate it); the grouped gate
+        must RAISE on an empty input, never report a pass on zero
+        evidence."""
+        from oni_ml_spark.datapipe.contracts import (
+            expect_not_null,
+            infer_expectations,
+            run_expectations,
+            validate_expectations_grouped,
+        )
+
+        ref = spark.createDataFrame(
+            [(1.0,), (5.0,), (float("nan"),)], "v double"
+        )
+        rules = {r.rule: r for r in infer_expectations(ref, range_slack=0.0)}
+        assert rules["range"].expected == "values in [1.0, 5.0]"
+        # the NaN row violates the finite envelope — surfaced at
+        # authoring time, by design
+        rep = {r["rule"]: r for r in run_expectations(ref, [rules["range"]]).collect()}
+        assert rep["range"]["ok"] is False and rep["range"]["observed"] == "1"
+        # a NaN-free reference passes its own inferred contract
+        clean = spark.createDataFrame([(1.0,), (5.0,)], "v double")
+        crules = infer_expectations(clean, range_slack=0.0)
+        assert all(r["ok"] for r in run_expectations(clean, crules).collect())
+
+        empty = spark.createDataFrame([], "src string, k bigint")
+        with pytest.raises(ValueError, match="feed went dark"):
+            validate_expectations_grouped(empty, "src", [expect_not_null("k")])
