@@ -413,3 +413,83 @@ class TestInferExpectations:
         empty = spark.createDataFrame([], "src string, k bigint")
         with pytest.raises(ValueError, match="feed went dark"):
             validate_expectations_grouped(empty, "src", [expect_not_null("k")])
+
+
+class TestContractsProperty:
+    """Property-based: rule arithmetic agrees with a direct pure-Python
+    evaluation on arbitrary small frames (nulls, NaN, duplicates,
+    negative values, empty allowed-set misses)."""
+
+    def test_rules_match_python_oracle(self, spark):
+        import math
+
+        from hypothesis import given, settings, strategies as st
+
+        from oni_ml_spark.datapipe.contracts import (
+            expect_in_set,
+            expect_not_null,
+            expect_null_rate,
+            expect_range,
+            expect_row_count,
+            expect_unique,
+            run_expectations,
+        )
+
+        vals = st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-5, max_value=5),
+                st.just(float("nan")),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+
+        @settings(max_examples=20, deadline=None, derandomize=True)
+        @given(vals=vals, lo=st.integers(-3, 0), hi=st.integers(1, 4))
+        def check(vals, lo, hi):
+            rows = [(float(v) if v is not None else None,) for v in vals]
+            df = spark.createDataFrame(rows, "v double")
+            rep = {r["rule"]: r for r in run_expectations(df, [
+                expect_row_count(min_rows=1),
+                expect_not_null("v"),
+                expect_unique("v"),
+                expect_range("v", lo=float(lo), hi=float(hi)),
+                expect_null_rate("v", max_rate=0.3),
+                expect_in_set("v", [str(float(x)) for x in range(-2, 3)]),
+            ]).collect()}
+            n = len(vals)
+            nn = [v for v in vals if v is not None]
+            nulls = n - len(nn)
+            assert rep["row_count"]["ok"] == (n >= 1)
+            assert rep["not_null"]["observed"] == str(nulls)
+            # unique: NaN equals NaN in Spark's grouping semantics
+            keys = [float(v) for v in nn]
+            canon = ["nan" if math.isnan(k) else k for k in keys]
+            dupes = len(canon) - len(set(canon))
+            assert rep["unique"]["observed"] == str(dupes), (vals, rep["unique"])
+            # range: NaN > finite hi in Spark's ordering -> violation
+            oor = sum(
+                1 for v in (float(x) for x in nn)
+                if math.isnan(v) or v < lo or v > hi
+            )
+            assert rep["range"]["observed"] == str(oor)
+            if n:
+                assert float(rep["null_rate"]["observed"]) == pytest.approx(nulls / n)
+                assert rep["null_rate"]["ok"] == (nulls / n <= 0.3)
+            else:
+                assert rep["null_rate"]["ok"] is False
+            # in_set over a CAST to string: NaN casts to 'NaN' (not in
+            # the allowed list), integers to '1.0' etc.
+            allowed = {str(float(x)) for x in range(-2, 3)}
+            bad = sum(
+                1 for v in (float(x) for x in nn)
+                if ("NaN" if math.isnan(v) else str(v)) not in allowed
+            )
+            # Spark casts double->string with its own formatting; both
+            # engines here are Spark (cast in rule input), so compare
+            # against Spark's cast via the observed count only when no
+            # NaN formatting ambiguity exists
+            assert rep["in_set"]["observed"] == str(bad), (vals, rep["in_set"])
+
+        check()
