@@ -18,6 +18,14 @@ from oni_ml_spark.streaming.score_stream import (
     windowed_approx_distinct,
     windowed_corpus_counts,
 )
+from oni_ml_spark.streaming.drift_stream import (
+    categorical_counts,
+    drift_writer,
+    drift_writer_categorical,
+    stream_drift_report,
+    stream_drift_report_categorical,
+)
+from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
 from oni_ml_spark.streaming.stateful import sessionize_stream
 from oni_ml_spark.streaming.upsert_sink import (
     dedup_append_writer,
@@ -28,4 +36,13 @@ from oni_ml_spark.streaming.upsert_sink import (
     upsert_writer,
 )
 
-__all__ = ["as_of_join_stream", "as_of_join_stream_watermarked", "as_of_enrich_stream", "score_stream", "windowed_approx_distinct", "windowed_corpus_counts", "dedup_stream", "sessionize_stream", "upsert_writer", "read_upsert_table", "topk_writer", "stats_writer", "dedup_append_writer", "read_appended"]
+__all__ = [
+    "as_of_join_stream", "as_of_join_stream_watermarked",
+    "as_of_enrich_stream", "score_stream", "windowed_approx_distinct",
+    "windowed_corpus_counts", "dedup_stream", "sessionize_stream",
+    "upsert_writer", "read_upsert_table", "topk_writer", "stats_writer",
+    "dedup_append_writer", "read_appended",
+    "drift_writer", "drift_writer_categorical", "categorical_counts",
+    "stream_drift_report", "stream_drift_report_categorical",
+    "sample_writer", "stream_sample",
+]
