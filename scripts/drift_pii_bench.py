@@ -180,7 +180,31 @@ def main():
         "pii_scrub_audit": pii_scrub_audit,
         "contracts_suite": contracts_suite,
     }
-    rows = {}
+    # r9 reservoir sink: per-batch cost of folding a micro-batch into the
+    # k-row state (one TakeOrderedAndProject + 2k-row merge + commit) —
+    # measured separately because write_batch is an action, not a frame
+    import shutil
+    import tempfile
+
+    from oni_ml_spark.streaming.sample_stream import sample_writer
+
+    res = {}
+    for pass_no in (1, 2):
+        for label, sfdir in (("sf0.1", BASE), (f"{COPIES}x", SCALED)):
+            root = tempfile.mkdtemp(prefix="resv_")
+            shutil.rmtree(root, ignore_errors=True)
+            batch = spark.read.parquet(f"{sfdir}/events.parquet")
+            w = sample_writer(root, "event_id", 10_000)
+            t0 = time.time()
+            w(batch, 0)
+            w(batch.withColumn("event_id", F.col("event_id") + 500_000_000), 1)
+            res[label] = round(time.time() - t0, 2)
+            shutil.rmtree(root, ignore_errors=True)
+            spark.catalog.clearCache()
+    res["time_ratio"] = round(res[f"{COPIES}x"] / res["sf0.1"], 2)
+    print(json.dumps({"reservoir_two_batches": res}), flush=True)
+
+    rows = {"reservoir_two_batches": res}
     for pass_no in (1, 2):  # report pass 2; pass 1 absorbs session warm-up
         for name, fn in ops.items():
             timings = {}
