@@ -112,7 +112,9 @@ def expect_distinct_count(
         return c if hi is None else c & (o <= int(hi))
 
     agg = (
-        F.approx_count_distinct(F.col(column)) if approx
+        # rsd pinned to the documented 2% (Spark's default is 5% — a
+        # bound sized for 2% noise would flap at 5%)
+        F.approx_count_distinct(F.col(column), rsd=0.02) if approx
         else F.count_distinct(F.col(column))
     )
     return Expectation(
@@ -228,16 +230,15 @@ def _report_structs(rules: list[Expectation]) -> list[Column]:
     ]
 
 
-def _format_failures(failed, max_named: int | None = None, grouped: bool = False) -> str:
-    shown = failed if max_named is None else failed[:max_named]
-    named = "; ".join(
+def _format_failures(failed, grouped: bool = False) -> str:
+    """Pure row formatter — truncation (and any '+N more' suffix) is the
+    caller's responsibility."""
+    return "; ".join(
         (f"group {r['group']!r} " if grouped else "")
         + f"{r['rule']}({r['column'] or '*'}): observed {r['observed']}, "
         f"expected {r['expected']}"
-        for r in shown
+        for r in failed
     )
-    more = "" if len(failed) <= len(shown) else f" (+{len(failed) - len(shown)} more)"
-    return named + more
 
 
 def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
@@ -311,7 +312,7 @@ def validate_expectations_grouped(
 ) -> DataFrame:
     """The grouped raising gate: evaluate per segment, RAISE naming up to
     ``max_named`` failing (group, rule) pairs (plus the total), else
-    return the report LAZY for the caller to persist or inspect.
+    return the (pinned, bounded) report for the caller to inspect.
 
     Driver-safe at high group cardinality: the report is never collected
     whole — one bounded aggregate checks the totals (zero groups / how
@@ -319,8 +320,17 @@ def validate_expectations_grouped(
     to build the error. An EMPTY input raises too: zero groups means
     zero report rows, and a gate that answers 'pass' on the feed going
     dark is the failure mode gates exist to catch (the ungrouped
-    ``expect_row_count`` would have flagged it)."""
-    report = run_expectations_grouped(df, group_col, rules)
+    ``expect_row_count`` would have flagged it).
+
+    The report is localCheckpoint-pinned (bounded: |groups|·|rules| rows,
+    post-aggregation) so the totals check, the failure fetch, and
+    whatever the caller does with the returned frame all read ONE
+    computation — one corpus scan total, and the verdict can never
+    disagree with the rows it names (a re-derived report over a
+    non-deterministic source could)."""
+    report = run_expectations_grouped(df, group_col, rules).localCheckpoint(
+        eager=True
+    )
     totals = report.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((~F.col("ok")).cast("long")).alias("nf"),
