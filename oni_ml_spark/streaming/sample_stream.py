@@ -52,6 +52,7 @@ def sample_writer(
     key_col: str,
     k: int,
     weight_col: str | None = None,
+    group_col: str | None = None,
     salt: str = "",
     hash_fn: str = "xxhash64",
     keep_versions: int = 2,
@@ -63,44 +64,65 @@ def sample_writer(
     ``weight_col=None`` is the uniform reservoir; a weight column gives
     the Efraimidis–Spirakis weighted sample without replacement (null /
     negative / NaN weights raise in-plan; zero-weight rows are never
-    sampled). Read the current sample back with ``stream_sample`` — any
-    committed version is a valid exact sample of everything applied so
-    far, so readers never wait for the stream to end."""
+    sampled). ``group_col`` makes it a STRATIFIED reservoir — k rows per
+    stratum (source, language, day), the "balanced eval slice" shape:
+    per batch one ``grouped_topk`` (k earliest arrivals per group), the
+    merge a bounded per-group re-rank over <=2k rows per group; state is
+    |groups|·k rows, so the group space must be bounded (it is a
+    stratification key, not an id). A null group is its own stratum
+    (SQL window-partition semantics — a feed that stopped labeling rows
+    still gets sampled evidence). The same batching-invariance holds
+    per stratum, and equals batch ``weighted_sample_k(...,
+    group_cols=group_col)`` over the union. Read the current sample back
+    with ``stream_sample`` — any committed version is a valid exact
+    sample of everything applied so far, so readers never wait for the
+    stream to end."""
     if k <= 0:
         raise ValueError("k must be positive")
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    if group_col is not None and group_col == key_col:
+        raise ValueError("group_col must differ from key_col")
     _validate_sink_args(keep_versions, query_token)
     conf = [
         f"key_col={key_col}",
         f"k={int(k)}",
         f"weight_col={weight_col}",
+        f"group_col={group_col}",
         f"salt={salt}",
         f"hash_fn={hash_fn}",
     ]
 
+    def _topk(df: DataFrame) -> DataFrame:
+        if group_col is None:
+            return df.orderBy(_ARRIVAL, key_col).limit(k)
+        from oni_ml_spark.datapipe.ranking import grouped_topk
+
+        return grouped_topk(
+            df, [group_col], _ARRIVAL, k, ascending=True, tie_col=key_col
+        ).drop("rank")
+
     def make_part(batch_df: DataFrame) -> DataFrame:
-        if _ARRIVAL in batch_df.columns:
+        reserved = {_ARRIVAL} | ({"rank"} if group_col is not None else set())
+        hit = sorted(reserved & set(batch_df.columns))
+        if hit:
             raise ValueError(
-                f"input carries reserved column {_ARRIVAL!r} — rename it"
+                f"input carries reserved column(s) {hit} — rename them"
             )
-        if key_col not in batch_df.columns:
-            raise ValueError(f"column {key_col!r} missing from the stream")
-        if weight_col is not None and weight_col not in batch_df.columns:
-            raise ValueError(f"column {weight_col!r} missing from the stream")
+        for c in (key_col, weight_col, group_col):
+            if c is not None and c not in batch_df.columns:
+                raise ValueError(f"column {c!r} missing from the stream")
         arr = aes_arrival(key_col, weight_col, salt, hash_fn, "sample_writer")
-        return (
+        return _topk(
             batch_df.where(F.col(key_col).isNotNull())
             .withColumn(_ARRIVAL, arr)
             .where(F.col(_ARRIVAL).isNotNull())
-            .orderBy(_ARRIVAL, key_col)
-            .limit(k)
         )
 
     def merge(current: DataFrame, part: DataFrame) -> DataFrame:
-        # 2k-row union; the secondary sort on the key makes the cut a
-        # total order even under a hash collision
-        return current.unionByName(part).orderBy(_ARRIVAL, key_col).limit(k)
+        # <=2k rows (per group); the secondary sort on the key makes the
+        # cut a total order even under a hash collision
+        return _topk(current.unionByName(part))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _accumulate_batch(

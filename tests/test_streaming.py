@@ -1149,3 +1149,55 @@ def test_streaming_reservoir_sample_guards(spark, tmp_path):
         stream_sample(spark, foreign)
     with pytest.raises(ValueError, match="no committed sample state"):
         stream_sample(spark, str(tmp_path / "missing"))
+
+
+def test_streaming_stratified_reservoir(spark, tmp_path):
+    """group_col mode: k rows PER STRATUM, batching-invariant per
+    stratum, equal to batch weighted_sample_k with group_cols; a null
+    group is its own stratum; configuration guard covers group_col."""
+    from oni_ml_spark.datapipe.sampling import weighted_sample_k
+    from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
+
+    rows = [
+        (i, float(1 + i % 3), ("s" + str(i % 4)) if i % 17 else None)
+        for i in range(400)
+    ]
+    schema = "doc_id bigint, w double, src string"
+    all_df = spark.createDataFrame(rows, schema)
+
+    def run(root, chunks):
+        w = sample_writer(
+            str(tmp_path / root), "doc_id", 5, weight_col="w", group_col="src"
+        )
+        for bid, chunk in enumerate(chunks):
+            w(spark.createDataFrame(chunk, schema), bid)
+        return {
+            tuple(r) for r in stream_sample(spark, str(tmp_path / root)).collect()
+        }
+
+    one = run("a", [rows])
+    three = run("b", [rows[:50], rows[50:300], rows[300:]])
+    assert one == three
+    # 5 strata (s0..s3 + null), 5 rows each
+    by_group = {}
+    for r in one:
+        by_group.setdefault(r[2], set()).add(r)
+    assert set(by_group) == {"s0", "s1", "s2", "s3", None}
+    assert all(len(v) == 5 for v in by_group.values())
+
+    batch_side = {
+        tuple(r)
+        for r in weighted_sample_k(all_df, "doc_id", "w", 5, group_cols="src").collect()
+    }
+    assert one == batch_side
+
+    # configuration guard: a grouped root refuses an ungrouped writer
+    batch = spark.createDataFrame(rows[:10], schema)
+    with pytest.raises(ValueError, match="sampling configuration|built with"):
+        sample_writer(str(tmp_path / "a"), "doc_id", 5, weight_col="w")(batch, 7)
+    with pytest.raises(ValueError, match="group_col must differ"):
+        sample_writer(str(tmp_path / "x"), "doc_id", 5, group_col="doc_id")
+    # reserved 'rank' only in grouped mode
+    ranked = batch.withColumn("rank", F.lit(1))
+    with pytest.raises(ValueError, match="reserved column"):
+        sample_writer(str(tmp_path / "y"), "doc_id", 5, group_col="src")(ranked, 0)
