@@ -1,6 +1,7 @@
-"""Streaming deterministic reservoir sample: maintain a k-row uniform (or
-weighted) sample of EVERYTHING a stream has delivered, exactly-once, with
-state bounded at k rows — the "keep a representative eval slice of the
+"""Streaming deterministic reservoir sample: maintain a uniform /
+weighted / stratified sample of EVERYTHING a stream has delivered,
+exactly-once, with state bounded at k rows (k per stratum in
+``group_col`` mode) — the "keep a representative eval slice of the
 whole crawl while it lands" sink (beyond the reference, which has no
 streaming surface; the batch sibling is datapipe.sampling's
 Efraimidis–Spirakis ``weighted_sample_k``).
@@ -10,18 +11,23 @@ exponential-clock arrivals (``sampling.aes_arrival`` — a deterministic
 hash of (key, salt), no RNG) over all delivered rows, and "k smallest of
 a union" is computable incrementally: state holds the current best k
 rows WITH their arrival keys, each micro-batch reduces to its own best k
-(TakeOrderedAndProject — per-partition partial top-k, no sort/shuffle of
-the batch), and the merge is a 2k-row union + limit. The final sample is
-therefore IDENTICAL for any micro-batch partitioning of the same rows —
-batching-invariance is the test contract — and identical to the batch
-``weighted_sample_k`` over the union of all batches.
+(ungrouped: TakeOrderedAndProject — per-partition partial top-k, no
+sort/shuffle of the batch; stratified ``group_col`` mode: one
+grouped_topk window, a batch shuffle by group), and the merge is a
+union + re-rank over <=2k rows (per group). State is k rows ungrouped,
+|groups|·k stratified. The final sample is therefore IDENTICAL for any
+micro-batch partitioning of the same rows — batching-invariance is the
+test contract — and identical to the batch ``weighted_sample_k`` over
+the union of all batches (per stratum in grouped mode).
 
 Exactly-once and provenance follow the module-shared
 ``_accumulate_batch`` protocol: replayed batch ids are no-ops, a marker
 under a different query-token lineage raises, and the sampling
-configuration (key/weight/salt/hash/k) commits WITH the state — a writer
-re-supplying a different configuration, or a root lacking one, refuses
-(draws from different salts/hashes are incomparable order statistics).
+configuration (key/weight/salt/hash/k, plus group_col when stratified)
+commits WITH the state — a writer re-supplying a different
+configuration, or a root lacking one, refuses (draws from different
+salts/hashes are incomparable order statistics; grouped and ungrouped
+states have different shapes).
 
 Determinism precondition (inherited from A-ES): key values must be
 unique across the stream's lifetime — re-deliveries of the same key are
@@ -84,14 +90,20 @@ def sample_writer(
     if group_col is not None and group_col == key_col:
         raise ValueError("group_col must differ from key_col")
     _validate_sink_args(keep_versions, query_token)
+    # repr-quoted values: 'weight_col=None' (no weighting) and a column
+    # literally named "None" must commit DIFFERENT payloads, or a grouped
+    # writer could silently merge into an ungrouped root; the group_col
+    # line is appended only when set, so ungrouped roots keep the
+    # original 5-line payload across releases
     conf = [
-        f"key_col={key_col}",
+        f"key_col={key_col!r}",
         f"k={int(k)}",
-        f"weight_col={weight_col}",
-        f"group_col={group_col}",
-        f"salt={salt}",
-        f"hash_fn={hash_fn}",
+        f"weight_col={weight_col!r}",
+        f"salt={salt!r}",
+        f"hash_fn={hash_fn!r}",
     ]
+    if group_col is not None:
+        conf.append(f"group_col={group_col!r}")
 
     def _topk(df: DataFrame) -> DataFrame:
         if group_col is None:
@@ -149,8 +161,9 @@ def sample_writer(
 
 
 def stream_sample(spark: SparkSession, root: str) -> DataFrame:
-    """The current k-row sample (original stream schema — the internal
-    arrival key is dropped). Reads the committed snapshot through the
+    """The current sample — k rows, or k per stratum for a
+    ``group_col`` root (original stream schema — the internal arrival
+    key is dropped). Reads the committed snapshot through the
     atomic pointer, so it never sees a half-merged state; refuses roots
     without a committed sampling configuration."""
     cur = read_upsert_table(spark, root)
