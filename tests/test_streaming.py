@@ -1201,3 +1201,38 @@ def test_streaming_stratified_reservoir(spark, tmp_path):
     ranked = batch.withColumn("rank", F.lit(1))
     with pytest.raises(ValueError, match="reserved column"):
         sample_writer(str(tmp_path / "y"), "doc_id", 5, group_col="src")(ranked, 0)
+
+
+def test_accumulating_sink_crash_window_orphan_version(spark, tmp_path):
+    """A crash BETWEEN writing the next version directory and swapping
+    the pointer leaves an orphan vdir; the pointer still names the last
+    consistent (snapshot, marker) pair, so the retried batch must fold
+    in exactly once and the orphan must be overwritten, not read."""
+    import os
+
+    from oni_ml_spark.streaming.drift_stream import drift_writer
+    from oni_ml_spark.streaming.upsert_sink import read_upsert_table
+
+    root = str(tmp_path / "drift")
+    edges = [2.0, 5.0]
+    b0 = spark.createDataFrame([(1.0,), (3.0,), (9.0,)], "v double")
+    drift_writer(root, "v", edges)(b0, 0)
+    before = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, root).collect()}
+
+    # simulate the crash: v2 written (data only, marker and pointer never
+    # landed) — the reader must still see v1
+    orphan = os.path.join(root, "v00000002")
+    spark.createDataFrame([(0, 999)], "bin int, n_cur bigint").write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    assert {
+        r["bin"]: r["n_cur"] for r in read_upsert_table(spark, root).collect()
+    } == before
+
+    # the retried batch (same id = replay no-op; next id = applied once)
+    drift_writer(root, "v", edges)(b0, 0)
+    b1 = spark.createDataFrame([(1.0,), (6.0,)], "v double")
+    drift_writer(root, "v", edges)(b1, 1)
+    got = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, root).collect()}
+    # b0: bins 0,1,2 one each; b1: bin 0 and bin 2 — never 999
+    assert got == {0: 2, 1: 1, 2: 2}
