@@ -1236,3 +1236,42 @@ def test_accumulating_sink_crash_window_orphan_version(spark, tmp_path):
     got = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, root).collect()}
     # b0: bins 0,1,2 one each; b1: bin 0 and bin 2 — never 999
     assert got == {0: 2, 1: 1, 2: 2}
+
+
+def test_streaming_reservoir_via_real_stream(spark, tmp_path):
+    """The reservoir sink driven by an actual file stream (availableNow,
+    two drains against one checkpoint): the committed sample equals the
+    batch weighted_sample_k over everything delivered."""
+    from oni_ml_spark.datapipe.sampling import weighted_sample_k
+    from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
+
+    indir, state, ckpt = (str(tmp_path / d) for d in ("in", "state", "ckpt"))
+    rows1 = [(i, float(1 + i % 4)) for i in range(300)]
+    rows2 = [(1000 + i, float(1 + i % 7)) for i in range(200)]
+    schema = "doc_id bigint, w double"
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(indir)
+
+    writer = sample_writer(state, "doc_id", 25, weight_col="w")
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(indir)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(indir)
+    drain()
+
+    got = {tuple(r) for r in stream_sample(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in weighted_sample_k(
+            spark.createDataFrame(rows1 + rows2, schema), "doc_id", "w", 25
+        ).collect()
+    }
+    assert got == want and len(got) == 25
