@@ -1,0 +1,260 @@
+"""Model-based quality filtering: a hashing-trick linear text classifier
+(fastText-style bag-of-features scorer, Joulin et al. 2016; Weinberger et
+al. 2009 feature hashing) expressed entirely in native Spark SQL.
+
+The production shape for curation at 100 TB is: LABEL a bounded sample,
+TRAIN a small linear model on it, then SCORE every document with the
+frozen model — the scoring pass is the one that must be corpus-scale.
+Here that pass is a pure DataFrame plan: tokenize → hash features into
+``n_buckets`` md5-portable buckets → broadcast-join the (bucket, weight)
+model table → one map-side-combinable per-doc sum.  No UDF anywhere; the
+model is micro-quantized (BIGINT micro-units) so the per-doc score is an
+integer SUM — exact on any partitioning and bit-identical across engines,
+which is what lets the driver's DuckDB oracle check it.
+
+Scale notes (100 TB):
+- The model table is model-sized (≤ n_buckets rows), always broadcast —
+  the only shuffle is the per-doc partial-sum aggregate keyed on doc id.
+- Feature hashing bounds the model at ``n_buckets`` regardless of
+  vocabulary, so the broadcast never grows with the corpus.
+- ``train_hashed_linear`` builds a DENSE n_buckets-wide vector per doc and
+  is for the bounded labeled sample only (thousands-to-millions of rows,
+  n_buckets ≤ ~2^16); the corpus-scale half is ``hashed_linear_score``.
+
+Reference parity: the reference scores suspiciousness with a broadcast
+topic-model dot product (oni-ml ScoreFunction — see scoring.py); this
+module is the same broadcast-model inference pattern generalized to a
+supervised quality model over hashed text features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.dedup import (
+    _md5_hash32,
+    positional_ngrams,
+    tokens,
+)
+
+MICRO = 1_000_000  # weight quantization: 1e-6 units
+
+
+def feature_terms(c: Column | str, *, bigrams: bool = False) -> Column:
+    """Feature strings for one document: whitespace unigrams (normalized,
+    see ``dedup.tokens``), plus positional word bigrams when ``bigrams``
+    (duplicates kept — bag-of-features multiplicity is part of the model)."""
+    uni = tokens(c)
+    if not bigrams:
+        return uni
+    return F.concat(uni, positional_ngrams(c, n=2))
+
+
+def feature_bucket(term: Column, n_buckets: int, *, salt: int = 0) -> Column:
+    """Engine-portable bucket id in [0, n_buckets): md5-derived 32-bit hash
+    (``dedup._md5_hash32``) mod n_buckets — replayable in any SQL dialect,
+    unlike murmur3 ``hash()`` / HashingTF."""
+    return (_md5_hash32(term, salt) % F.lit(n_buckets)).cast("long")
+
+
+def _validate_weights(weights: DataFrame, n_buckets: int) -> None:
+    """Eager 1-row validation of the (bounded, model-sized) weights table:
+    unique buckets in range, no null weights. House style for bounded
+    frames: one aggregate, fail with the offence named."""
+    row = weights.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("bucket").alias("nd"),
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.sum(F.col("w_micro").isNull().cast("long")).alias("nulls"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError("hashed_linear_score: weights table is empty")
+    if row["nd"] != row["n"]:
+        raise ValueError(
+            f"hashed_linear_score: duplicate bucket ids in weights "
+            f"({row['n']} rows, {row['nd']} distinct) — a duplicate would "
+            "double-count its features"
+        )
+    if row["lo"] < 0 or row["hi"] >= n_buckets:
+        raise ValueError(
+            f"hashed_linear_score: bucket ids [{row['lo']}, {row['hi']}] "
+            f"outside [0, {n_buckets}) — wrong n_buckets for this model?"
+        )
+    if row["nulls"]:
+        raise ValueError("hashed_linear_score: null w_micro in weights")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int,
+    *,
+    bigrams: bool = False,
+    bias_micro: int = 0,
+    salt: int = 0,
+    mode: str = "sum",
+) -> DataFrame:
+    """Score every document under a frozen hashed-feature linear model.
+
+    ``weights``: (bucket BIGINT, w_micro BIGINT) — micro-quantized
+    coefficients (1e-6 units; see ``train_hashed_linear``).  Buckets absent
+    from the table contribute 0 (the hashing-trick contract: untrained
+    buckets are zero-weight).
+
+    Returns (id, n_features, score_micro, score):
+    - ``n_features`` — feature count incl. multiplicity (0 for empty docs),
+    - ``score_micro`` — bias_micro + Σ w_micro over features, an exact
+      BIGINT sum (deterministic on any partitioning / engine),
+    - ``score`` — score_micro / 1e6, divided by n_features when
+      ``mode='mean'`` (documents with 0 features keep the bias).
+
+    Plan: one corpus scan → explode_outer(features) → hash → broadcast
+    left join (model table) → one groupBy(id) sum.  explode_outer keeps
+    zero-token documents so the output covers every input row.
+    """
+    if mode not in ("sum", "mean"):
+        raise ValueError(f"hashed_linear_score: unknown mode {mode!r}")
+    _validate_weights(weights, n_buckets)
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(feature_terms(text_col, bigrams=bigrams)).alias("__term"),
+    ).withColumn(
+        "__bucket",
+        F.when(
+            F.col("__term").isNotNull(),
+            feature_bucket(F.col("__term"), n_buckets, salt=salt),
+        ),
+    )
+    w = F.broadcast(
+        weights.select(
+            F.col("bucket").alias("__bucket"), F.col("w_micro").alias("__w")
+        )
+    )
+    per_doc = (
+        feats.join(w, "__bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count("__term").alias("n_features"),
+            (
+                F.lit(int(bias_micro))
+                + F.coalesce(F.sum("__w"), F.lit(0))
+            ).cast("long").alias("score_micro"),
+        )
+    )
+    score = F.col("score_micro") / F.lit(float(MICRO))
+    if mode == "mean":
+        score = F.when(F.col("n_features") > 0, score / F.col("n_features")).otherwise(
+            score
+        )
+    return per_doc.withColumn("score", score)
+
+
+def quality_flags(
+    scored: DataFrame, threshold: float, *, keep_above: bool = True
+) -> DataFrame:
+    """Attach the accept/reject flag: keep docs with score >= threshold
+    (or <= when ``keep_above=False``). Pure projection."""
+    cmp = F.col("score") >= F.lit(float(threshold))
+    if not keep_above:
+        cmp = F.col("score") <= F.lit(float(threshold))
+    return scored.withColumn("passes", cmp)
+
+
+def train_hashed_linear(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int,
+    *,
+    bigrams: bool = False,
+    salt: int = 0,
+    max_iter: int = 60,
+    reg_param: float = 0.0,
+    elastic_net: float = 0.0,
+) -> tuple[DataFrame, int]:
+    """Fit a logistic-regression quality model on a LABELED SAMPLE and
+    return the frozen, portable model: (weights DataFrame (bucket,
+    w_micro), bias_micro).
+
+    The sample is vectorized on the SAME md5 bucket space the scorer uses
+    (never HashingTF — murmur3 buckets would not be replayable at
+    inference), as a dense n_buckets-wide count vector per doc built from
+    a map literal — O(n_buckets) per sample row, which is why this half is
+    sample-scale only.  Coefficients are micro-quantized
+    (round(coef·1e6)); the quantization is part of the model contract —
+    inference is exact integer arithmetic from here on.  LBFGS is
+    deterministic for a given Spark version but not engine-portable →
+    verified by behavior (planted-signal separation), not a SQL oracle.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("label"),
+        F.explode_outer(feature_terms(text_col, bigrams=bigrams)).alias("__term"),
+    ).withColumn(
+        "__bucket",
+        F.when(
+            F.col("__term").isNotNull(),
+            feature_bucket(F.col("__term"), n_buckets, salt=salt),
+        ),
+    )
+    # Two map-side-combinable aggregates (sample-scale): per-bucket
+    # multiplicity, then one (bucket → count) map per doc.  Empty docs keep
+    # their single __bucket=null row → empty map → all-zero vector.
+    per_bucket = feats.groupBy("id", "label", "__bucket").agg(
+        F.count("__term").alias("__cnt")
+    )
+    counts = (
+        per_bucket.groupBy("id", "label")
+        .agg(
+            F.map_from_entries(
+                F.filter(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__bucket").alias("k"),
+                            F.col("__cnt").alias("v"),
+                        )
+                    ),
+                    lambda e: e["k"].isNotNull(),
+                )
+            ).alias("__m")
+        )
+        .withColumn(
+            "fv",
+            array_to_vector(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at("__m", i.cast("bigint")), F.lit(0)
+                    ).cast("double"),
+                )
+            ),
+        )
+        .select("id", "label", "fv")
+    )
+    lr = LogisticRegression(
+        featuresCol="fv",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+    )
+    model = lr.fit(counts)
+    coefs = model.coefficients.toArray()
+    rows = [
+        (int(b), int(round(float(c) * MICRO)))
+        for b, c in enumerate(coefs)
+        if round(float(c) * MICRO) != 0
+    ]
+    spark = df.sparkSession
+    weights = spark.createDataFrame(rows or [(0, 0)], "bucket bigint, w_micro bigint")
+    if not rows:
+        weights = weights.limit(0)
+    return weights, int(round(float(model.intercept) * MICRO))

@@ -451,10 +451,9 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
-    cf = c.withColumn("fv", array_to_vector(F.col("cv")))
+    cf = _prep_members(corpus, id_col, vec_col).withColumn(
+        "fv", array_to_vector(F.col("cv"))
+    )
 
     km = KMeans(
         k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell",
@@ -511,6 +510,154 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+def _prep_members(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, cv, cn) member rows — shared by build_ivf_index's
+    corpus prep and ivf_append's delta prep."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+
+
+def assign_cells(cent_df: DataFrame, members: DataFrame) -> DataFrame:
+    """Assign each (neighbor_id, cv, cn) member to its nearest centroid by
+    exact squared euclidean distance (KMeans' assignment metric) — the
+    incremental half of IVF index maintenance.
+
+    Plan: broadcast the model-sized centroid table (n_cells rows), stream
+    the member × centroid pairs through a partial min-aggregate — each
+    member's n_cells candidate rows are produced and collapsed INSIDE its
+    input partition (broadcast join preserves the delta's partitioning),
+    so the groupBy(neighbor_id) shuffle moves one argmin row per member,
+    never the pair fan-out.  dist² = |v|² + |c|² − 2·v·c from the
+    precomputed norms; ties break to the smallest cell id (struct-min),
+    matching MLlib's first-minimal-index rule.  The in-plan assert refuses
+    dimension-mismatched vectors instead of silently mis-assigning."""
+    cent = F.broadcast(cent_df.select("cell", "centv", "centn"))
+    pairs = members.crossJoin(cent).withColumn(
+        "__d2",
+        F.when(
+            F.assert_true(
+                F.size("cv") == F.size("centv"),
+                F.concat(
+                    F.lit("assign_cells: vector dim "), F.size("cv").cast("string"),
+                    F.lit(" != centroid dim "), F.size("centv").cast("string"),
+                ),
+            ).isNull(),
+            F.col("cn") * F.col("cn")
+            + F.col("centn") * F.col("centn")
+            - 2 * dot(F.col("cv"), F.col("centv")),
+        ),
+    )
+    best = pairs.groupBy("neighbor_id").agg(
+        F.min(F.struct(F.col("__d2").alias("d"), F.col("cell"))).alias("__m"),
+        F.first("cv").alias("cv"),
+        F.first("cn").alias("cn"),
+    )
+    return best.select(
+        "neighbor_id", "cv", "cn", F.col("__m.cell").alias("cell")
+    )
+
+
+def ivf_append(
+    cent_df: DataFrame,
+    c_assigned: DataFrame,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_conflict: str = "error",
+) -> DataFrame:
+    """Incrementally maintain an IVF index: assign ONLY the delta to the
+    frozen centroids and union it into the posting table — the daily-refresh
+    path, O(delta) instead of the O(corpus) k-means rebuild.
+
+    ``on_conflict`` for ids already present in the index:
+    - 'error'   — refuse (one validation pass over the index, new ids
+      broadcast so the index is scanned, never shuffled),
+    - 'replace' — the delta wins (anti-join the old rows out; same
+      one-broadcast-pass shape),
+    - 'ignore'  — the index wins (delta rows with existing ids dropped;
+      the delta ids are broadcast into one semi scan of the index and the
+      hits anti-joined out of the delta: one index scan either way).
+
+    Centroids stay frozen, so appended members land exactly where a
+    same-centroid full reassignment would put them (batching-invariant —
+    pinned by tests); monitor ``ivf_index_stats`` / ``ivf_rebuild_due``
+    for when drift in the corpus warrants a re-fit."""
+    if on_conflict not in ("error", "replace", "ignore"):
+        raise ValueError(f"ivf_append: unknown on_conflict {on_conflict!r}")
+    delta = assign_cells(cent_df, _prep_members(new_corpus, id_col, vec_col))
+    new_ids = delta.select("neighbor_id")
+    if on_conflict == "error":
+        dup = (
+            c_assigned.join(F.broadcast(new_ids), "neighbor_id", "semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivf_append: id {dup[0]['neighbor_id']!r} already in the "
+                "index — pass on_conflict='replace' or 'ignore'"
+            )
+        kept = c_assigned
+    elif on_conflict == "replace":
+        kept = c_assigned.join(F.broadcast(new_ids), "neighbor_id", "anti")
+    else:  # ignore
+        # the index is the big side: broadcast the DELTA ids into a semi
+        # scan of the index, then anti the hits out of the delta (two
+        # delta-sized frames join; the index is scanned once, broadcast
+        # never exceeds the delta)
+        existing_hits = c_assigned.select("neighbor_id").join(
+            F.broadcast(new_ids), "neighbor_id", "semi"
+        )
+        delta = delta.join(existing_hits, "neighbor_id", "anti")
+        kept = c_assigned
+    return kept.unionByName(delta.select(*c_assigned.columns))
+
+
+def ivf_index_stats(cent_df: DataFrame, c_assigned: DataFrame) -> DataFrame:
+    """Per-cell member counts incl. empty cells — ONE map-side-combinable
+    count over the index joined back to the n_cells-row centroid table."""
+    counts = c_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cent_df.select("cell")
+        .join(counts, "cell", "left")
+        .select("cell", F.coalesce("n_members", F.lit(0)).alias("n_members"))
+    )
+
+
+def ivf_rebuild_due(
+    cent_df: DataFrame,
+    c_assigned: DataFrame,
+    *,
+    max_cell_frac: float = 0.25,
+    max_imbalance: float = 8.0,
+) -> dict:
+    """Heuristic re-fit trigger for an append-maintained IVF index: the
+    index degrades when appends pile into few cells (probed search stops
+    pruning).  Returns {n_cells, n_vectors, max_frac, imbalance, due} from
+    ONE bounded aggregate over the n_cells-row stats table (collect is
+    n_cells-bounded).  due = max cell holds > max_cell_frac of the corpus
+    OR max/mean member count > max_imbalance."""
+    stats = ivf_index_stats(cent_df, c_assigned)
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_members").alias("n_vectors"),
+        F.max("n_members").alias("mx"),
+        F.avg("n_members").alias("mean"),
+    ).first()
+    n_vec = int(row["n_vectors"] or 0)
+    mx = int(row["mx"] or 0)
+    max_frac = (mx / n_vec) if n_vec else 0.0
+    imbalance = (mx / row["mean"]) if row["mean"] else 0.0
+    return {
+        "n_cells": int(row["n_cells"]),
+        "n_vectors": n_vec,
+        "max_frac": max_frac,
+        "imbalance": imbalance,
+        "due": bool(n_vec and (max_frac > max_cell_frac or imbalance > max_imbalance)),
+    }
 
 
 def group_centroids(

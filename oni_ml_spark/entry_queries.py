@@ -3544,8 +3544,37 @@ def _pii_oracle_block() -> tuple[str, str]:
     return ctes, rows
 
 
+def _lmq_oracle_block() -> tuple[str, str]:
+    """r9 model-quality rows appended to the quality_gate report: the
+    hashing-trick linear scorer (datapipe.classify.hashed_linear_score)
+    restated in SQL.  The model table is generated in-plan on the Spark
+    side (even buckets of [0, 4096) carry an md5-derived micro-weight; odd
+    buckets are ABSENT, exercising the missing-bucket → 0 contract), so
+    the oracle can compute each bucket's weight inline — while the Spark
+    path still runs the operator's real broadcast join against a weights
+    DataFrame.  score_micro is an exact BIGINT sum → hash-matchable."""
+    ctes = (
+        f", lmtf AS (SELECT doc_id AS id, unnest({_TOKENS.format(c='text')}) "
+        "AS term FROM documents), "
+        "lmtb AS (SELECT id, ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT "
+        "% 4096 AS b FROM lmtf), "
+        "lmts AS (SELECT id, sum(CASE WHEN b % 2 = 0 THEN "
+        "(('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001) - 1000 "
+        "ELSE 0 END)::BIGINT AS sm FROM lmtb GROUP BY id), "
+        "lms AS (SELECT d.doc_id AS id, coalesce(t.sm, 0)::BIGINT AS sm "
+        "FROM documents d LEFT JOIN lmts t ON d.doc_id = t.id)"
+    )
+    rows = (
+        "UNION ALL SELECT 'lmq_flagged', count(*) FILTER (sm < 0)::BIGINT, "
+        "coalesce(sum(id) FILTER (sm < 0), 0)::BIGINT FROM lms "
+        "UNION ALL SELECT 'lmq_mass', count(*)::BIGINT, sum(sm)::BIGINT FROM lms"
+    )
+    return ctes, rows
+
+
 def _qg_oracle_with_pii() -> str:
-    ctes, rows = _pii_oracle_block()
+    pii_ctes, pii_rows = _pii_oracle_block()
+    lmq_ctes, lmq_rows = _lmq_oracle_block()
     head, sep, tail = _QG_ORACLE.partition("\nSELECT '")
     if not sep:
         # explicit raise, not assert: under ``python -O`` an assert is
@@ -3554,7 +3583,10 @@ def _qg_oracle_with_pii() -> str:
             "_qg_oracle_with_pii: _QG_ORACLE no longer contains the "
             "\"\\nSELECT '\" splice point — update the splice logic"
         )
-    return head + ctes + sep + tail.rstrip() + " " + rows
+    return (
+        head + pii_ctes + lmq_ctes + sep + tail.rstrip()
+        + " " + pii_rows + " " + lmq_rows
+    )
 
 
 @_q("quality_gate", _qg_oracle_with_pii())
@@ -3581,7 +3613,16 @@ def quality_gate_q(spark, sf):
     exactly zero (Java regex vs RE2 on the shared PII_PATTERNS
     inventory). Everything stays codegen regexp projections + two 1-row
     aggregates; no UDF, no extra shuffle beyond the map-side-combined
-    aggs."""
+    aggs.
+
+    r09 merges the hashing-trick linear quality scorer
+    (datapipe.classify.hashed_linear_score — fastText-style model-based
+    filtering, md5-portable feature buckets, micro-quantized broadcast
+    model table): 'lmq_flagged' (count + id_sum of the exact
+    negative-score rejection set) and 'lmq_mass' (corpus count + exact
+    BIGINT score mass). The model is generated in-plan (even buckets
+    weighted, odd ABSENT → the missing-bucket → 0 path is live at the
+    gate)."""
     from oni_ml_spark.datapipe.textstats import (
         PII_PATTERNS,
         pii_counts,
@@ -3669,7 +3710,42 @@ def quality_gate_q(spark, sf):
     pii_rows = pw.crossJoin(F.broadcast(rw)).selectExpr(
         f"stack({len(PII_PATTERNS) + 2}, {pii_stack}) AS (rule, n_docs, id_sum)"
     )
-    return gate_rows.unionByName(pii_rows)
+
+    # r9: model-quality rows — the hashing-trick linear scorer
+    # (datapipe.classify) under an in-plan-generated even-bucket model;
+    # 'lmq_flagged' pins the exact rejection set (count + id_sum of docs
+    # with negative score), 'lmq_mass' the corpus size + exact BIGINT
+    # score mass.  The Spark path runs the operator's real broadcast
+    # model join; the oracle computes each bucket's weight inline
+    # (_lmq_oracle_block).
+    from oni_ml_spark.datapipe.classify import hashed_linear_score
+
+    lm_w = spark.range(0, 4096, 2).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("w_micro"),
+    )
+    lm = hashed_linear_score(d, "doc_id", "text", lm_w, 4096)
+    lmw = lm.agg(
+        F.sum((F.col("score_micro") < 0).cast("long")).alias("__n_lmq_flagged"),
+        F.sum(F.when(F.col("score_micro") < 0, F.col("id")).otherwise(0))
+        .cast("long").alias("__s_lmq_flagged"),
+        F.count(F.lit(1)).alias("__n_lmq_mass"),
+        F.sum("score_micro").cast("long").alias("__s_lmq_mass"),
+    )
+    lmq_rows = lmw.selectExpr(
+        "stack(2, 'lmq_flagged', __n_lmq_flagged, __s_lmq_flagged, "
+        "'lmq_mass', __n_lmq_mass, __s_lmq_mass) AS (rule, n_docs, id_sum)"
+    )
+    return gate_rows.unionByName(pii_rows).unionByName(lmq_rows)
 
 
 _TEMPORAL_RESHAPE_ORACLE = """

@@ -1,0 +1,296 @@
+"""Small-file compaction for parquet datasets — the table-maintenance half
+of the 100 TB story.  Streaming sinks, incremental upserts, and day-grain
+refreshes all leave a long tail of under-sized files; each one costs a
+task, a footer read, and scheduler overhead per scan, and at ~10⁵ extra
+files the driver's listing alone dominates small queries.  This module
+plans and executes bin-packed rewrites of ONLY the undersized files,
+partition directory by partition directory, leaving right-sized files
+untouched (metadata-only moves, never rewritten).
+
+Design:
+- ``dataset_files`` — one recursive FS listing → (file, bytes, dir).
+  Planning is driver-side over this manifest: at 1 GiB target files a
+  100 TB table is a ~10⁵-row listing, megabytes of driver memory.
+- ``compaction_plan`` — per directory, greedy first-fit-decreasing
+  bin-packing of files smaller than ``small_bytes`` (default target/2)
+  into ``target_bytes`` bins.  Directories with fewer than two small
+  files are left alone (nothing to merge).
+- ``compact_dataset`` — executes the plan with a journaled three-phase
+  swap: (1) write each bin's rows into a hidden staging dir (underscore
+  prefix → invisible to parquet readers), (2) journal, (3) move originals
+  to a hidden trash dir, move staged bins live, clean up.  Every phase-3
+  step is a per-file metadata move.  A crash leaves the journal behind;
+  ``recover_compaction`` rolls FORWARD when the originals are already in
+  trash and BACK otherwise, so the dataset converges to exactly-one of
+  {pre-compaction, post-compaction} content.
+
+Isolation caveat (stated, not hidden): plain parquet directories have no
+snapshot isolation — a reader listing files DURING phase 3 can see a few
+rows missing (original moved, bin not yet live).  Run compaction in the
+maintenance window, or use a table format (Delta/Iceberg OPTIMIZE) when
+concurrent readers need isolation; the planning/bin-packing here is the
+same algorithm those formats run.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _is_hidden(name: str) -> bool:
+    return name.startswith("_") or name.startswith(".")
+
+
+def dataset_files(spark: SparkSession, path: str) -> list[dict]:
+    """Recursive listing of the dataset's DATA files: [{file, bytes, dir}],
+    dir relative to the root ('' for unpartitioned roots).  Skips hidden
+    files/dirs (_SUCCESS, staging, trash).  One FS metadata pass — no data
+    read."""
+    fs, jpath, _ = _fs(spark, path)
+    root = fs.getFileStatus(jpath).getPath().toString()
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(root):].lstrip("/")
+        parts = rel.split("/")
+        if any(_is_hidden(p) for p in parts):
+            continue
+        out.append(
+            {
+                "file": full,
+                "bytes": int(st.getLen()),
+                "dir": posixpath.dirname(rel),
+            }
+        )
+    return out
+
+
+@dataclass
+class CompactionPlan:
+    target_bytes: int
+    small_bytes: int
+    # [{dir, files: [full paths], bytes}] — one entry per output bin
+    bins: list[dict] = field(default_factory=list)
+    n_files_total: int = 0
+    n_files_small: int = 0
+
+    @property
+    def n_files_compacted(self) -> int:
+        return sum(len(b["files"]) for b in self.bins)
+
+    def summary(self) -> dict:
+        return {
+            "n_files_total": self.n_files_total,
+            "n_files_small": self.n_files_small,
+            "n_files_compacted": self.n_files_compacted,
+            "n_bins": len(self.bins),
+            "files_removed": self.n_files_compacted - len(self.bins),
+        }
+
+
+def compaction_plan(
+    files: list[dict],
+    target_bytes: int,
+    small_bytes: int | None = None,
+) -> CompactionPlan:
+    """Greedy first-fit-decreasing bin-packing of each directory's small
+    files.  A bin may exceed target_bytes only when a single file does;
+    singleton bins are dropped (rewriting one file buys nothing)."""
+    if small_bytes is None:
+        small_bytes = target_bytes // 2
+    plan = CompactionPlan(target_bytes=target_bytes, small_bytes=small_bytes)
+    plan.n_files_total = len(files)
+    by_dir: dict[str, list[dict]] = {}
+    for f in files:
+        if f["bytes"] < small_bytes:
+            by_dir.setdefault(f["dir"], []).append(f)
+            plan.n_files_small += 1
+    for d in sorted(by_dir):
+        small = sorted(by_dir[d], key=lambda f: (-f["bytes"], f["file"]))
+        if len(small) < 2:
+            continue
+        bins: list[dict] = []
+        for f in small:
+            placed = False
+            for b in bins:
+                if b["bytes"] + f["bytes"] <= target_bytes:
+                    b["files"].append(f["file"])
+                    b["bytes"] += f["bytes"]
+                    placed = True
+                    break
+            if not placed:
+                bins.append({"dir": d, "files": [f["file"]], "bytes": f["bytes"]})
+        plan.bins.extend(b for b in bins if len(b["files"]) >= 2)
+    return plan
+
+
+def _journal_path(root: str, token: str) -> str:
+    return f"{root}/_compact_journal_{token}.json"
+
+
+def _write_text(fs, jvm, path: str, text: str) -> None:
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def _read_text(fs, jvm, path: str) -> str:
+    inp = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        jbr = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(inp, "UTF-8"))
+        lines = []
+        line = jbr.readLine()
+        while line is not None:
+            lines.append(line)
+            line = jbr.readLine()
+        return "\n".join(lines)
+    finally:
+        inp.close()
+
+
+def _move(fs, jvm, src: str, dst: str) -> None:
+    p = jvm.org.apache.hadoop.fs.Path
+    dst_path = p(dst)
+    parent = dst_path.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(p(src), dst_path):
+        raise IOError(f"compaction: rename failed {src} -> {dst}")
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    small_bytes: int | None = None,
+    dry_run: bool = False,
+    _crash_after: str | None = None,
+) -> dict:
+    """Plan and (unless ``dry_run``) execute compaction of ``path``.
+
+    Returns the plan summary + {'executed': bool}.  Each bin is rewritten
+    by one coalesce(1) job reading ONLY that bin's files — the data read
+    is exactly the small-file tail, never the right-sized bulk.  Safe to
+    re-run: an already-compacted dataset plans zero bins (idempotent), and
+    an interrupted run is repaired by ``recover_compaction`` (the journal
+    names every pending move).
+
+    ``_crash_after`` (tests only): raise after the named phase
+    ('staged' | 'journal' | 'trashed') to exercise the recovery paths.
+    """
+    files = dataset_files(spark, path)
+    plan = compaction_plan(files, target_bytes, small_bytes)
+    result = plan.summary()
+    result["executed"] = False
+    if dry_run or not plan.bins:
+        return result
+
+    fs, jroot, jvm = _fs(spark, path)
+    root = fs.getFileStatus(jroot).getPath().toString()
+    token = uuid.uuid4().hex[:12]
+    staging = f"{root}/_compact_staging_{token}"
+    trash = f"{root}/_compact_trash_{token}"
+
+    # Phase 1: stage every bin (data jobs — the only non-metadata work).
+    moves = []       # staged file -> live destination
+    originals = []   # live original -> trash slot
+    for i, b in enumerate(plan.bins):
+        bin_dir = f"{staging}/bin{i:05d}"
+        spark.read.parquet(*b["files"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(bin_dir)
+        part = [
+            f for f in dataset_files(spark, bin_dir) if f["file"].endswith(".parquet")
+        ]
+        if len(part) != 1:
+            raise IOError(f"compaction: expected 1 staged file in {bin_dir}")
+        live_dir = f"{root}/{b['dir']}" if b["dir"] else root
+        moves.append(
+            {
+                "src": part[0]["file"],
+                "dst": f"{live_dir}/compacted-{token}-{i:05d}.parquet",
+            }
+        )
+        for j, orig in enumerate(b["files"]):
+            originals.append({"src": orig, "dst": f"{trash}/{i:05d}-{j:05d}.parquet"})
+    if _crash_after == "staged":
+        raise RuntimeError("injected crash after staging")
+
+    # Phase 2: journal — from here recovery can finish or undo everything.
+    journal = {"token": token, "moves": moves, "originals": originals,
+               "staging": staging, "trash": trash}
+    _write_text(fs, jvm, _journal_path(root, token), json.dumps(journal))
+    if _crash_after == "journal":
+        raise RuntimeError("injected crash after journal")
+
+    # Phase 3: metadata moves — originals out, bins in, cleanup.
+    for m in originals:
+        _move(fs, jvm, m["src"], m["dst"])
+    if _crash_after == "trashed":
+        raise RuntimeError("injected crash after trashing originals")
+    for m in moves:
+        _move(fs, jvm, m["src"], m["dst"])
+    _cleanup(fs, jvm, journal, root)
+    result["executed"] = True
+    return result
+
+
+def _cleanup(fs, jvm, journal: dict, root: str) -> None:
+    p = jvm.org.apache.hadoop.fs.Path
+    fs.delete(p(journal["trash"]), True)
+    fs.delete(p(journal["staging"]), True)
+    fs.delete(p(_journal_path(root, journal["token"])), False)
+
+
+def pending_compactions(spark: SparkSession, path: str) -> list[str]:
+    """Journal tokens of interrupted compaction runs under ``path``."""
+    fs, jroot, _ = _fs(spark, path)
+    root = fs.getFileStatus(jroot).getPath().toString()
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.startswith("_compact_journal_") and name.endswith(".json"):
+            out.append(name[len("_compact_journal_"):-len(".json")])
+    return sorted(out)
+
+
+def recover_compaction(spark: SparkSession, path: str, token: str) -> str:
+    """Repair an interrupted run.  Roll FORWARD when every original is
+    already in trash (phase 3 was underway — finish the staged moves and
+    clean up); roll BACK otherwise (restore any trashed originals, drop
+    staging).  Returns 'forward' or 'back'.  Idempotent: missing sources
+    whose destinations exist are treated as already-moved."""
+    fs, jroot, jvm = _fs(spark, path)
+    root = fs.getFileStatus(jroot).getPath().toString()
+    journal = json.loads(_read_text(fs, jvm, _journal_path(root, token)))
+    p = jvm.org.apache.hadoop.fs.Path
+
+    all_trashed = all(
+        fs.exists(p(m["dst"])) or not fs.exists(p(m["src"]))
+        for m in journal["originals"]
+    ) and any(fs.exists(p(m["dst"])) for m in journal["originals"])
+    if all_trashed:
+        for m in journal["moves"]:
+            if fs.exists(p(m["src"])) and not fs.exists(p(m["dst"])):
+                _move(fs, jvm, m["src"], m["dst"])
+        _cleanup(fs, jvm, journal, root)
+        return "forward"
+    for m in journal["originals"]:
+        if fs.exists(p(m["dst"])) and not fs.exists(p(m["src"])):
+            _move(fs, jvm, m["dst"], m["src"])
+    _cleanup(fs, jvm, journal, root)
+    return "back"

@@ -1,0 +1,205 @@
+"""Hashed-feature linear quality classifier (datapipe.classify): portable
+exact inference (DuckDB restatement), planted-signal training roundtrip,
+guards, plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.classify import (
+    MICRO,
+    feature_terms,
+    hashed_linear_score,
+    quality_flags,
+    train_hashed_linear,
+)
+from tests.conftest import SF_DIR
+
+N_BUCKETS = 4096
+
+# Even buckets carry a deterministic md5-derived weight, odd buckets are
+# absent from the table — exercising the missing-bucket → 0 contract.
+_W_SQL = (
+    "SELECT b AS bucket, "
+    "(('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001) - 1000 "
+    "AS w_micro FROM (SELECT unnest(range(0, 4096, 2)) AS b)"
+)
+
+
+def _gen_weights(spark):
+    return spark.range(0, N_BUCKETS, 2).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("w_micro"),
+    )
+
+
+class TestExactInference:
+    def test_score_matches_duckdb(self, spark):
+        """score_micro is an exact BIGINT — identical in DuckDB restating
+        tokenize → md5-bucket → even-bucket weight → sum, doc for doc."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        w = _gen_weights(spark)
+        got = {
+            r["id"]: (r["n_features"], r["score_micro"])
+            for r in hashed_linear_score(
+                docs, "doc_id", "text", w, N_BUCKETS, bias_micro=250_000
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(
+            "WITH tf AS (SELECT doc_id AS id, unnest(list_filter(string_split("
+            "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+            "  t -> t != '')) AS term FROM documents), "
+            "tb AS (SELECT id, ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT "
+            "  % 4096 AS b FROM tf), "
+            "ts AS (SELECT id, count(*) AS nf, sum(CASE WHEN b % 2 = 0 THEN "
+            "  (('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001)"
+            "  - 1000 ELSE 0 END)::BIGINT AS sm FROM tb GROUP BY id) "
+            "SELECT d.doc_id AS id, coalesce(ts.nf, 0) AS nf, "
+            "  250000 + coalesce(ts.sm, 0) AS sm "
+            "FROM documents d LEFT JOIN ts ON d.doc_id = ts.id"
+        ).fetchall()
+        con.close()
+        assert len(want) == len(got)
+        for doc_id, nf, sm in want:
+            assert got[doc_id] == (nf, sm), f"doc {doc_id}"
+
+    def test_empty_doc_scores_bias(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one word")], "doc_id bigint, text string"
+        )
+        w = _gen_weights(spark)
+        rows = {
+            r["id"]: r
+            for r in hashed_linear_score(
+                docs, "doc_id", "text", w, N_BUCKETS, bias_micro=42
+            ).collect()
+        }
+        assert rows[1]["n_features"] == 0 and rows[1]["score_micro"] == 42
+        assert rows[2]["n_features"] == 0 and rows[2]["score_micro"] == 42
+        assert rows[3]["n_features"] == 2
+
+    def test_mean_mode_divides_by_features(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "")], "doc_id bigint, text string"
+        )
+        w = _gen_weights(spark)
+        s = {
+            r["id"]: r
+            for r in hashed_linear_score(
+                docs, "doc_id", "text", w, N_BUCKETS, bias_micro=100, mode="mean"
+            ).collect()
+        }
+        assert s[1]["score"] == pytest.approx(s[1]["score_micro"] / MICRO / 2)
+        # zero-feature docs keep the (un-divided) bias
+        assert s[2]["score"] == pytest.approx(100 / MICRO)
+
+    def test_multiplicity_counts(self, spark):
+        """Repeated tokens contribute once per occurrence (bag semantics)."""
+        docs = spark.createDataFrame(
+            [(1, "spam"), (2, "spam spam spam")], "doc_id bigint, text string"
+        )
+        w = _gen_weights(spark)
+        s = {
+            r["id"]: r["score_micro"]
+            for r in hashed_linear_score(docs, "doc_id", "text", w, N_BUCKETS).collect()
+        }
+        assert s[2] == 3 * s[1]
+
+    def test_bigram_features(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        terms = docs.select(
+            feature_terms("text", bigrams=True).alias("t")
+        ).first()["t"]
+        assert terms == ["a", "b", "c", "a b", "b c"]
+
+
+class TestGuards:
+    def test_duplicate_bucket_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        w = spark.createDataFrame(
+            [(3, 10), (3, 20)], "bucket bigint, w_micro bigint"
+        )
+        with pytest.raises(ValueError, match="duplicate bucket"):
+            hashed_linear_score(docs, "doc_id", "text", w, N_BUCKETS)
+
+    def test_out_of_range_bucket_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        w = spark.createDataFrame([(4096, 10)], "bucket bigint, w_micro bigint")
+        with pytest.raises(ValueError, match="outside"):
+            hashed_linear_score(docs, "doc_id", "text", w, N_BUCKETS)
+
+    def test_empty_weights_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        w = spark.createDataFrame([], "bucket bigint, w_micro bigint")
+        with pytest.raises(ValueError, match="empty"):
+            hashed_linear_score(docs, "doc_id", "text", w, N_BUCKETS)
+
+    def test_bad_mode_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        w = spark.createDataFrame([(0, 1)], "bucket bigint, w_micro bigint")
+        with pytest.raises(ValueError, match="mode"):
+            hashed_linear_score(docs, "doc_id", "text", w, N_BUCKETS, mode="max")
+
+
+class TestTraining:
+    def test_planted_signal_roundtrip(self, spark):
+        """Train on a corpus where 'zzspam' marks the positive class; the
+        frozen model's own inference separates it perfectly."""
+        rows = []
+        fillers = ["quiet", "river", "stone", "lamp", "novel", "garden"]
+        for i in range(80):
+            base = " ".join(fillers[(i + j) % len(fillers)] for j in range(6))
+            if i % 2 == 0:
+                rows.append((i, base + " zzspam offer", 1))
+            else:
+                rows.append((i, base, 0))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+        w, bias = train_hashed_linear(df, "doc_id", "text", "label", 512)
+        scored = quality_flags(
+            hashed_linear_score(df, "doc_id", "text", w, 512, bias_micro=bias),
+            0.0,
+        )
+        got = {r["id"]: r["passes"] for r in scored.collect()}
+        for i in range(80):
+            assert got[i] == (i % 2 == 0), f"doc {i}"
+
+    def test_trained_weights_schema(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb", 1), (2, "cc dd", 0)] * 4,
+            "doc_id bigint, text string, label int",
+        )
+        w, bias = train_hashed_linear(df, "doc_id", "text", "label", 64, max_iter=10)
+        assert w.columns == ["bucket", "w_micro"]
+        assert isinstance(bias, int)
+        b = w.agg(F.min("bucket"), F.max("bucket")).first()
+        assert b[0] >= 0 and b[1] < 64
+
+
+class TestPlanShape:
+    def test_single_scan_broadcast_join(self, spark):
+        """Inference is one corpus scan, a broadcast join, and one
+        aggregate — no sort-merge join, no second scan of documents."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        w = _gen_weights(spark)
+        plan = (
+            hashed_linear_score(docs, "doc_id", "text", w, N_BUCKETS)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("documents.parquet") == 1

@@ -1,0 +1,191 @@
+"""Small-file compaction (plans.compaction): bin-packing plan unit tests,
+roundtrip content preservation, partitioned datasets, idempotence, and
+crash/recovery at every injected failure point."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.plans.compaction import (
+    compact_dataset,
+    compaction_plan,
+    dataset_files,
+    pending_compactions,
+    recover_compaction,
+)
+
+
+def _content_hash(spark, path):
+    df = spark.read.parquet(path)
+    row = (
+        df.select(F.xxhash64(*sorted(df.columns)).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h") % 1_000_003).alias("s"),
+        )
+        .first()
+    )
+    return (row["n"], row["s"])
+
+
+def _write_fragmented(spark, path, n_fragments=8, rows_per=50, partitioned=False):
+    df = spark.range(n_fragments * rows_per).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    for i in range(n_fragments):
+        frag = df.filter((F.col("id") >= i * rows_per) & (F.col("id") < (i + 1) * rows_per))
+        w = frag.write.mode("append")
+        if partitioned:
+            w.partitionBy("k").parquet(path)
+        else:
+            w.parquet(path)
+
+
+class TestPlan:
+    def test_bin_packing_first_fit_decreasing(self):
+        files = [
+            {"file": f"f{i}", "bytes": b, "dir": ""}
+            for i, b in enumerate([60, 40, 35, 30, 20, 15])
+        ]
+        plan = compaction_plan(files, target_bytes=100, small_bytes=50)
+        # small = 40,35,30,20,15 → FFD bins: [40,35,20] (95), [30,15] (45)
+        sizes = sorted(b["bytes"] for b in plan.bins)
+        assert sizes == [45, 95]
+        assert plan.n_files_small == 5 and plan.n_files_compacted == 5
+
+    def test_per_directory_grouping(self):
+        files = [
+            {"file": "a/1", "bytes": 10, "dir": "a"},
+            {"file": "a/2", "bytes": 10, "dir": "a"},
+            {"file": "b/1", "bytes": 10, "dir": "b"},
+        ]
+        plan = compaction_plan(files, target_bytes=100)
+        # b has only one small file — nothing to merge there
+        assert len(plan.bins) == 1 and plan.bins[0]["dir"] == "a"
+
+    def test_large_files_untouched(self):
+        files = [
+            {"file": "big", "bytes": 900, "dir": ""},
+            {"file": "s1", "bytes": 10, "dir": ""},
+            {"file": "s2", "bytes": 10, "dir": ""},
+        ]
+        plan = compaction_plan(files, target_bytes=100)
+        assert all("big" not in b["files"] for b in plan.bins)
+
+    def test_singleton_bin_dropped(self):
+        files = [
+            {"file": "s1", "bytes": 90, "dir": ""},
+            {"file": "s2", "bytes": 90, "dir": ""},
+        ]
+        # each alone overflows a 100-byte bin with the other → two
+        # singleton bins → both dropped
+        plan = compaction_plan(files, target_bytes=100, small_bytes=95)
+        assert plan.bins == []
+
+
+class TestExecute:
+    def test_roundtrip_and_file_count(self, spark, tmp_path):
+        path = str(tmp_path / "ds")
+        _write_fragmented(spark, path)
+        before = _content_hash(spark, path)
+        n_before = len(dataset_files(spark, path))
+        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        assert res["executed"]
+        assert _content_hash(spark, path) == before
+        n_after = len(dataset_files(spark, path))
+        assert n_after < n_before
+        assert n_after == n_before - res["files_removed"]
+        # everything fits one bin per directory at a 1 GiB target
+        assert n_after == 1
+
+    def test_partitioned_compacts_within_partitions(self, spark, tmp_path):
+        path = str(tmp_path / "pds")
+        _write_fragmented(spark, path, partitioned=True)
+        before = _content_hash(spark, path)
+        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        assert res["executed"]
+        assert _content_hash(spark, path) == before
+        files = dataset_files(spark, path)
+        # one compacted file per partition directory, partition col intact
+        assert len(files) == 4
+        assert sorted({f["dir"] for f in files}) == [f"k={i}" for i in range(4)]
+        assert spark.read.parquet(path).groupBy("k").count().count() == 4
+
+    def test_idempotent_second_run(self, spark, tmp_path):
+        path = str(tmp_path / "ds2")
+        _write_fragmented(spark, path)
+        compact_dataset(spark, path, target_bytes=1 << 30)
+        res2 = compact_dataset(spark, path, target_bytes=1 << 30)
+        assert not res2["executed"] and res2["n_bins"] == 0
+
+    def test_dry_run_touches_nothing(self, spark, tmp_path):
+        path = str(tmp_path / "ds3")
+        _write_fragmented(spark, path)
+        n_before = len(dataset_files(spark, path))
+        res = compact_dataset(spark, path, target_bytes=1 << 30, dry_run=True)
+        assert not res["executed"] and res["n_bins"] >= 1
+        assert len(dataset_files(spark, path)) == n_before
+
+    def test_target_splits_into_multiple_bins(self, spark, tmp_path):
+        path = str(tmp_path / "ds4")
+        _write_fragmented(spark, path, n_fragments=8)
+        sizes = [f["bytes"] for f in dataset_files(spark, path)]
+        target = max(sizes) * 3  # ~3 fragments per bin
+        res = compact_dataset(spark, path, target_bytes=target, small_bytes=max(sizes) + 1)
+        assert res["executed"] and res["n_bins"] >= 2
+
+
+class TestRecovery:
+    @pytest.mark.parametrize("crash_at,expect", [
+        ("staged", None),          # pre-journal: nothing to recover
+        ("journal", "back"),       # journal written, nothing moved yet
+        ("trashed", "forward"),    # originals out → finish the swap
+    ])
+    def test_crash_then_recover(self, spark, tmp_path, crash_at, expect):
+        path = str(tmp_path / f"crash_{crash_at}")
+        _write_fragmented(spark, path)
+        before = _content_hash(spark, path)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dataset(spark, path, target_bytes=1 << 30, _crash_after=crash_at)
+        tokens = pending_compactions(spark, path)
+        if expect is None:
+            assert tokens == []
+        else:
+            assert len(tokens) == 1
+            assert recover_compaction(spark, path, tokens[0]) == expect
+            assert pending_compactions(spark, path) == []
+        # whatever the path, content is exactly the pre-compaction corpus
+        assert _content_hash(spark, path) == before
+        # hidden dirs cleaned up (staging may linger only pre-journal,
+        # where it is invisible to readers and re-runs)
+        if expect is not None:
+            leftovers = [
+                p for p in glob.glob(os.path.join(path, "_compact_*"))
+            ]
+            assert leftovers == []
+
+    def test_recovered_forward_dataset_is_compacted(self, spark, tmp_path):
+        path = str(tmp_path / "fwd")
+        _write_fragmented(spark, path)
+        with pytest.raises(RuntimeError):
+            compact_dataset(spark, path, target_bytes=1 << 30, _crash_after="trashed")
+        token = pending_compactions(spark, path)[0]
+        assert recover_compaction(spark, path, token) == "forward"
+        assert len(dataset_files(spark, path)) == 1
+
+    def test_rerun_after_rollback_succeeds(self, spark, tmp_path):
+        path = str(tmp_path / "rb")
+        _write_fragmented(spark, path)
+        before = _content_hash(spark, path)
+        with pytest.raises(RuntimeError):
+            compact_dataset(spark, path, target_bytes=1 << 30, _crash_after="journal")
+        recover_compaction(spark, path, pending_compactions(spark, path)[0])
+        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        assert res["executed"]
+        assert _content_hash(spark, path) == before
