@@ -58,6 +58,23 @@ def feature_bucket(term: Column, n_buckets: int, *, salt: int = 0) -> Column:
     return (_md5_hash32(term, salt) % F.lit(n_buckets)).cast("long")
 
 
+def demo_weights(spark, n_buckets: int = 4096, step: int = 2) -> DataFrame:
+    """Deterministic model table for gates/benches/tests: every ``step``-th
+    bucket carries w_micro = md5_hash32('w:' || bucket) % 2001 − 1000, the
+    others are ABSENT (exercising the missing-bucket → 0 contract).  The
+    ONE Spark-side source of this expression — its DuckDB restatement
+    lives next to each oracle that checks it (entry_queries
+    `_lmq_oracle_block`, tests/test_classify.py)."""
+    return spark.range(0, n_buckets, step).select(
+        F.col("id").alias("bucket"),
+        (
+            _md5_hash32(F.col("id").cast("string"), salt="w")
+            % 2001
+            - 1000
+        ).alias("w_micro"),
+    )
+
+
 def _validate_weights(weights: DataFrame, n_buckets: int) -> None:
     """Eager 1-row validation of the (bounded, model-sized) weights table:
     unique buckets in range, no null weights. House style for bounded
@@ -253,8 +270,12 @@ def train_hashed_linear(
         for b, c in enumerate(coefs)
         if round(float(c) * MICRO) != 0
     ]
-    spark = df.sparkSession
-    weights = spark.createDataFrame(rows or [(0, 0)], "bucket bigint, w_micro bigint")
     if not rows:
-        weights = weights.limit(0)
+        # the all-zero model (e.g. hard L1, intercept-only separation) is
+        # one EXPLICIT zero-weight row, never an empty frame — the
+        # scorer's empty-weights guard exists to catch accidental empty
+        # tables and must keep firing on those
+        rows = [(0, 0)]
+    spark = df.sparkSession
+    weights = spark.createDataFrame(rows, "bucket bigint, w_micro bigint")
     return weights, int(round(float(model.intercept) * MICRO))

@@ -148,10 +148,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def _md5_hash32(c: Column, salt: int) -> Column:
+def _md5_hash32(c: Column, salt: int | str) -> Column:
     """Deterministic 32-bit hash from md5 — portable across engines (the same
     value is computable in any SQL dialect with md5 + hex parsing), unlike
-    Spark's murmur3 ``hash()``."""
+    Spark's murmur3 ``hash()``.  ``salt`` becomes the literal '<salt>:'
+    domain-separation prefix (ints for the minhash families, short strings
+    for named domains like classify's 'w')."""
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1, 8), 16, 10).cast("long")
 
 

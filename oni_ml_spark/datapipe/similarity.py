@@ -552,11 +552,26 @@ def assign_cells(cent_df: DataFrame, members: DataFrame) -> DataFrame:
     )
     best = pairs.groupBy("neighbor_id").agg(
         F.min(F.struct(F.col("__d2").alias("d"), F.col("cell"))).alias("__m"),
-        F.first("cv").alias("cv"),
-        F.first("cn").alias("cn"),
+        F.min("cv").alias("cv"),
+        F.min("cn").alias("cn"),
+        F.max("cv").alias("__cv_hi"),
+    )
+    # duplicate ids with DIFFERENT vectors would otherwise merge into a
+    # hybrid row (one vector's cell, the other's cv) and the index would
+    # silently mis-place it — refuse in-plan, id named.  Same-vector
+    # duplicates collapse harmlessly (min == max).
+    dup_ok = F.assert_true(
+        F.col("cv") == F.col("__cv_hi"),
+        F.concat(
+            F.lit("assign_cells: id "), F.col("neighbor_id").cast("string"),
+            F.lit(" appears with conflicting vectors in one batch"),
+        ),
     )
     return best.select(
-        "neighbor_id", "cv", "cn", F.col("__m.cell").alias("cell")
+        "neighbor_id",
+        F.when(dup_ok.isNull(), F.col("cv")).alias("cv"),
+        "cn",
+        F.col("__m.cell").alias("cell"),
     )
 
 
@@ -588,7 +603,10 @@ def ivf_append(
     if on_conflict not in ("error", "replace", "ignore"):
         raise ValueError(f"ivf_append: unknown on_conflict {on_conflict!r}")
     delta = assign_cells(cent_df, _prep_members(new_corpus, id_col, vec_col))
-    new_ids = delta.select("neighbor_id")
+    # ids from the RAW delta, not the assignment output — deriving them
+    # from `delta` would re-run the O(delta x n_cells) argmin subtree under
+    # every conflict join (and eagerly, for the 'error' check)
+    new_ids = new_corpus.select(F.col(id_col).alias("neighbor_id"))
     if on_conflict == "error":
         dup = (
             c_assigned.join(F.broadcast(new_ids), "neighbor_id", "semi")

@@ -3718,22 +3718,9 @@ def quality_gate_q(spark, sf):
     # score mass.  The Spark path runs the operator's real broadcast
     # model join; the oracle computes each bucket's weight inline
     # (_lmq_oracle_block).
-    from oni_ml_spark.datapipe.classify import hashed_linear_score
+    from oni_ml_spark.datapipe.classify import demo_weights, hashed_linear_score
 
-    lm_w = spark.range(0, 4096, 2).select(
-        F.col("id").alias("bucket"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8
-                ),
-                16, 10,
-            ).cast("long")
-            % 2001
-            - 1000
-        ).alias("w_micro"),
-    )
-    lm = hashed_linear_score(d, "doc_id", "text", lm_w, 4096)
+    lm = hashed_linear_score(d, "doc_id", "text", demo_weights(spark), 4096)
     lmw = lm.agg(
         F.sum((F.col("score_micro") < 0).cast("long")).alias("__n_lmq_flagged"),
         F.sum(F.when(F.col("score_micro") < 0, F.col("id")).otherwise(0))

@@ -206,13 +206,25 @@ def compact_dataset(
     trash = f"{root}/_compact_trash_{token}"
 
     # Phase 1: stage every bin (data jobs — the only non-metadata work).
+    # mergeSchema: fragments written across a schema evolution must union
+    # their columns — picking one file's schema would silently DROP the
+    # others' extra columns and phase 3 then destroys the originals.  The
+    # row-count check below is the cheap invariant that the staged bin
+    # holds every source row before anything is journaled (abort here
+    # leaves only an invisible underscore-prefixed staging dir).
     moves = []       # staged file -> live destination
     originals = []   # live original -> trash slot
     for i, b in enumerate(plan.bins):
         bin_dir = f"{staging}/bin{i:05d}"
-        spark.read.parquet(*b["files"]).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(bin_dir)
+        src = spark.read.option("mergeSchema", "true").parquet(*b["files"])
+        src.coalesce(1).write.mode("overwrite").parquet(bin_dir)
+        n_src = src.count()
+        n_staged = spark.read.parquet(bin_dir).count()
+        if n_staged != n_src:
+            raise IOError(
+                f"compaction: staged bin {bin_dir} holds {n_staged} rows, "
+                f"sources hold {n_src} — aborting before any original is touched"
+            )
         part = [
             f for f in dataset_files(spark, bin_dir) if f["file"].endswith(".parquet")
         ]
@@ -231,9 +243,13 @@ def compact_dataset(
         raise RuntimeError("injected crash after staging")
 
     # Phase 2: journal — from here recovery can finish or undo everything.
+    # Written tmp-then-rename: a crash mid-write must never leave a
+    # truncated journal that recover_compaction cannot parse.
     journal = {"token": token, "moves": moves, "originals": originals,
                "staging": staging, "trash": trash}
-    _write_text(fs, jvm, _journal_path(root, token), json.dumps(journal))
+    tmp = f"{staging}/journal.tmp"
+    _write_text(fs, jvm, tmp, json.dumps(journal))
+    _move(fs, jvm, tmp, _journal_path(root, token))
     if _crash_after == "journal":
         raise RuntimeError("injected crash after journal")
 
@@ -278,6 +294,20 @@ def recover_compaction(spark: SparkSession, path: str, token: str) -> str:
     root = fs.getFileStatus(jroot).getPath().toString()
     journal = json.loads(_read_text(fs, jvm, _journal_path(root, token)))
     p = jvm.org.apache.hadoop.fs.Path
+
+    # Completed run whose _cleanup died between the trash delete and the
+    # journal delete: every move landed, nothing in trash — the dataset is
+    # in the POST-compaction state, so finishing forward (a cleanup no-op
+    # plus the journal delete) is the truthful verdict; the roll-back
+    # branch below would no-op the files but *report* 'back'.
+    completed = (
+        all(fs.exists(p(m["dst"])) for m in journal["moves"])
+        and not any(fs.exists(p(m["src"])) for m in journal["originals"])
+        and not any(fs.exists(p(m["dst"])) for m in journal["originals"])
+    )
+    if completed:
+        _cleanup(fs, jvm, journal, root)
+        return "forward"
 
     all_trashed = all(
         fs.exists(p(m["dst"])) or not fs.exists(p(m["src"]))

@@ -78,17 +78,9 @@ def main():
     build_scaled(spark, 1, base1)
     build_scaled(spark, COPIES, SCALED)
 
-    weights = spark.range(0, 4096, 2).select(
-        F.col("id").alias("bucket"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8
-                ),
-                16, 10,
-            ).cast("long") % 2001 - 1000
-        ).alias("w_micro"),
-    ).localCheckpoint()
+    from oni_ml_spark.datapipe.classify import demo_weights
+
+    weights = demo_weights(spark, 4096).localCheckpoint()
 
     def classifier_score(sfdir):
         d = spark.read.parquet(f"{sfdir}/documents.parquet")

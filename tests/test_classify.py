@@ -19,27 +19,14 @@ from tests.conftest import SF_DIR
 
 N_BUCKETS = 4096
 
-# Even buckets carry a deterministic md5-derived weight, odd buckets are
-# absent from the table — exercising the missing-bucket → 0 contract.
-_W_SQL = (
-    "SELECT b AS bucket, "
-    "(('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001) - 1000 "
-    "AS w_micro FROM (SELECT unnest(range(0, 4096, 2)) AS b)"
-)
-
 
 def _gen_weights(spark):
-    return spark.range(0, N_BUCKETS, 2).select(
-        F.col("id").alias("bucket"),
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
-                16, 10,
-            ).cast("long")
-            % 2001
-            - 1000
-        ).alias("w_micro"),
-    )
+    # even buckets weighted, odd absent — the missing-bucket → 0 path;
+    # the DuckDB restatement of this table is inline in
+    # test_score_matches_duckdb
+    from oni_ml_spark.datapipe.classify import demo_weights
+
+    return demo_weights(spark, N_BUCKETS, step=2)
 
 
 class TestExactInference:
@@ -175,6 +162,26 @@ class TestTraining:
         got = {r["id"]: r["passes"] for r in scored.collect()}
         for i in range(80):
             assert got[i] == (i % 2 == 0), f"doc {i}"
+
+    def test_zero_model_scores_bias(self, spark):
+        """Hard L1 drives every coefficient to zero; the trainer returns
+        one explicit zero-weight row (not an empty frame) and the scorer
+        gives every doc the bias."""
+        df = spark.createDataFrame(
+            [(1, "aa bb", 1), (2, "cc dd", 0)] * 4,
+            "doc_id bigint, text string, label int",
+        )
+        w, bias = train_hashed_linear(
+            df, "doc_id", "text", "label", 64, reg_param=10.0, elastic_net=1.0
+        )
+        assert w.count() == 1
+        scores = {
+            r["id"]: r["score_micro"]
+            for r in hashed_linear_score(
+                df, "doc_id", "text", w, 64, bias_micro=bias
+            ).collect()
+        }
+        assert set(scores.values()) == {bias}
 
     def test_trained_weights_schema(self, spark):
         df = spark.createDataFrame(

@@ -117,6 +117,22 @@ class TestExecute:
         assert sorted({f["dir"] for f in files}) == [f"k={i}" for i in range(4)]
         assert spark.read.parquet(path).groupBy("k").count().count() == 4
 
+    def test_schema_evolved_fragments_keep_all_columns(self, spark, tmp_path):
+        """Fragments written across a schema evolution (a later column)
+        must compact with the UNION of columns — dropping the late column
+        would destroy its values with the originals."""
+        path = str(tmp_path / "evo")
+        spark.range(10).select("id").write.mode("append").parquet(path)
+        spark.range(10, 20).select(
+            "id", F.lit("en").alias("lang")
+        ).write.mode("append").parquet(path)
+        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        assert res["executed"]
+        out = spark.read.option("mergeSchema", "true").parquet(path)
+        assert sorted(out.columns) == ["id", "lang"]
+        assert out.filter(F.col("lang") == "en").count() == 10
+        assert out.count() == 20
+
     def test_idempotent_second_run(self, spark, tmp_path):
         path = str(tmp_path / "ds2")
         _write_fragmented(spark, path)
@@ -169,6 +185,36 @@ class TestRecovery:
                 p for p in glob.glob(os.path.join(path, "_compact_*"))
             ]
             assert leftovers == []
+
+    def test_completed_run_with_orphan_journal_reports_forward(self, spark, tmp_path):
+        """A crash between the trash delete and the journal delete leaves
+        an orphan journal over a fully-compacted dataset — recovery must
+        report 'forward' (the dataset IS post-compaction), not 'back'."""
+        import json as _json
+
+        path = str(tmp_path / "orphan")
+        _write_fragmented(spark, path)
+        before = _content_hash(spark, path)
+        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        assert res["executed"] and pending_compactions(spark, path) == []
+        # reconstruct the orphan state: a journal naming moves that all
+        # landed and originals that are gone (trash already deleted)
+        files = dataset_files(spark, path)
+        assert len(files) == 1
+        journal = {
+            "token": "deadbeef0123",
+            "moves": [{"src": path + "/_gone/s", "dst": files[0]["file"]}],
+            "originals": [
+                {"src": path + "/old-part.parquet", "dst": path + "/_gone/t"}
+            ],
+            "staging": path + "/_compact_staging_deadbeef0123",
+            "trash": path + "/_compact_trash_deadbeef0123",
+        }
+        with open(f"{path}/_compact_journal_deadbeef0123.json", "w") as f:
+            _json.dump(journal, f)
+        assert recover_compaction(spark, path, "deadbeef0123") == "forward"
+        assert pending_compactions(spark, path) == []
+        assert _content_hash(spark, path) == before
 
     def test_recovered_forward_dataset_is_compacted(self, spark, tmp_path):
         path = str(tmp_path / "fwd")

@@ -5,7 +5,6 @@ rebuild heuristic, guards."""
 
 from __future__ import annotations
 
-import math
 import random
 
 import pytest
@@ -69,6 +68,27 @@ class TestAssign:
         got_one = {r["neighbor_id"]: r["cell"] for r in one.collect()}
         got_two = {r["neighbor_id"]: r["cell"] for r in b.collect()}
         assert got_one == got_two
+
+    def test_conflicting_duplicate_vectors_refused(self, spark, index):
+        """The same id arriving twice in one batch with DIFFERENT vectors
+        would merge into a hybrid (cell from one, cv from the other) —
+        refused in-plan, id named."""
+        _, cent, assigned = index
+        bad = spark.createDataFrame(
+            [(4242, [1.0] * DIM), (4242, [2.0] * DIM)],
+            "vec_id bigint, embedding array<double>",
+        )
+        with pytest.raises(Exception, match="conflicting vectors"):
+            ivf_append(cent, assigned, bad, on_conflict="replace").collect()
+
+    def test_same_vector_duplicate_collapses(self, spark, index):
+        _, cent, assigned = index
+        twice = spark.createDataFrame(
+            [(4242, [1.0] * DIM), (4242, [1.0] * DIM)],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = ivf_append(cent, assigned, twice, on_conflict="replace")
+        assert out.filter(F.col("neighbor_id") == 4242).count() == 1
 
     def test_dim_mismatch_raises_in_plan(self, spark, index):
         _, cent, assigned = index
