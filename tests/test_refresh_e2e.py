@@ -227,6 +227,72 @@ class TestIncrementalRefreshE2E:
             map(str, sorted(want, key=key))
         )
 
+    def test_model_gate_blocks_low_quality_day(self, spark, tmp_path):
+        """(r9) The model-based quality gate is the third sibling next to
+        the drift and contract gates: a linear quality model is trained
+        ONCE on a labeled bootstrap sample, frozen (micro-quantized
+        weights saved as a parquet model table), and every day's text
+        batch is scored with one broadcast join — a day whose flagged
+        fraction spikes (a scraper regression flooding boilerplate) raises
+        before the batch reaches the state. O(day): the gate job reads the
+        day's files plus the model table, never prior days or the
+        training sample."""
+        from oni_ml_spark.datapipe.classify import (
+            hashed_linear_score,
+            train_hashed_linear,
+        )
+
+        fillers = ["river", "stone", "garden", "novel", "quiet", "lamp"]
+
+        def doc(i, spammy):
+            base = " ".join(fillers[(i + j) % len(fillers)] for j in range(8))
+            return base + (" zzclick zzwin zzfree" if spammy else "")
+
+        # labeled bootstrap sample (the expensive, human-labeled part —
+        # bounded by construction), model trained and FROZEN to parquet
+        sample = spark.createDataFrame(
+            [(i, doc(i, i % 2 == 0), 1 if i % 2 == 0 else 0) for i in range(60)],
+            "doc_id bigint, text string, label int",
+        )
+        w, bias = train_hashed_linear(sample, "doc_id", "text", "label", 512)
+        model_dir = str(tmp_path / "quality_model")
+        w.write.mode("overwrite").parquet(model_dir)
+
+        root = str(tmp_path / "docs")
+        for day in range(3):
+            bad_rate = 0.5 if day == 2 else 0.05  # day 2: planted regression
+            rows = [
+                (day * 1000 + i, doc(i, (i * 7919) % 100 < bad_rate * 100))
+                for i in range(200)
+            ]
+            spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+                "overwrite"
+            ).parquet(f"{root}/day={day}")
+
+        model = spark.read.parquet(model_dir)
+
+        def gate(day):
+            batch = spark.read.parquet(f"{root}/day={day}")
+            assert all(f"day={day}" in f for f in batch.inputFiles())
+            scored = hashed_linear_score(
+                batch, "doc_id", "text", model, 512, bias_micro=bias
+            )
+            row = scored.agg(
+                F.avg((F.col("score_micro") > 0).cast("double")).alias("flagged"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if row["flagged"] > 0.2:
+                raise ValueError(
+                    f"quality gate: day {day} flagged fraction "
+                    f"{row['flagged']:.2f} over {row['n']} docs exceeds 0.20"
+                )
+            return row
+
+        assert gate(0)["n"] == 200
+        assert gate(1)["flagged"] <= 0.2
+        with pytest.raises(ValueError, match="quality gate: day 2"):
+            gate(2)
+
     def test_contract_gate_blocks_malformed_day(self, spark, ingested):
         """(r9) The contract gate is the drift gate's structural sibling:
         each day's batch must satisfy the data contract (non-null unique
