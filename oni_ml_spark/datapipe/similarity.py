@@ -634,6 +634,110 @@ def ivf_append(
     return kept.unionByName(delta.select(*c_assigned.columns))
 
 
+def save_ivf_index(
+    cent_df: DataFrame,
+    c_assigned: DataFrame,
+    root: str,
+    *,
+    keep_versions: int = 2,
+) -> int:
+    """Persist an IVF index as a self-contained VERSION directory:
+    ``root/v{N}/{centroids,members,_conf}``.  The 1-row _conf table
+    (n_cells, dim, n_members, version) is written LAST — it is the commit
+    marker, so a crashed save leaves an orphan version dir that
+    ``load_ivf_index`` never reads (the accumulating sinks' protocol).
+    Versioning is what makes the daily refresh safe: ``ivf_append`` reads
+    version N lazily while the save writes N+1 — never an in-place
+    overwrite of an input still being scanned.  Old committed versions
+    beyond ``keep_versions`` are pruned.  Returns the new version."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    spark = cent_df.sparkSession
+    committed = _ivf_versions(spark, root)
+    version = (committed[-1] + 1) if committed else 0
+    vdir = f"{root}/v{version:06d}"
+    cent_df.select("cell", "centv", "centn").write.mode("errorifexists").parquet(
+        f"{vdir}/centroids"
+    )
+    c_assigned.select("neighbor_id", "cv", "cn", "cell").write.mode(
+        "errorifexists"
+    ).parquet(f"{vdir}/members")
+    cent_back = spark.read.parquet(f"{vdir}/centroids")
+    meta = cent_back.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min(F.size("centv")).alias("dim_lo"),
+        F.max(F.size("centv")).alias("dim_hi"),
+    ).first()
+    if meta["dim_lo"] != meta["dim_hi"]:
+        raise ValueError(
+            f"save_ivf_index: ragged centroid dims "
+            f"[{meta['dim_lo']}, {meta['dim_hi']}] — refusing to commit"
+        )
+    n_members = spark.read.parquet(f"{vdir}/members").count()
+    spark.createDataFrame(
+        [(int(meta["n_cells"]), int(meta["dim_lo"]), int(n_members), version)],
+        "n_cells int, dim int, n_members bigint, version int",
+    ).write.mode("errorifexists").parquet(f"{vdir}/_conf")
+    for old in _ivf_versions(spark, root)[:-keep_versions]:
+        _delete_dir(spark, f"{root}/v{old:06d}")
+    return version
+
+
+def _delete_dir(spark, path: str) -> None:
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+
+
+def _ivf_versions(spark, root: str) -> list[int]:
+    """Committed (conf-bearing) version numbers, ascending."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return []
+    out = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_conf/_SUCCESS")
+            ):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def load_ivf_index(
+    spark, root: str, *, version: int | None = None
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(centroids, members, conf) of the latest committed version (or a
+    pinned one).  Cross-checks the conf against the centroid table so a
+    corrupted/foreign directory fails loudly, not with silent bad
+    searches."""
+    committed = _ivf_versions(spark, root)
+    if not committed:
+        raise ValueError(f"load_ivf_index: no committed version under {root}")
+    if version is None:
+        version = committed[-1]
+    elif version not in committed:
+        raise ValueError(
+            f"load_ivf_index: version {version} not committed (have {committed})"
+        )
+    vdir = f"{root}/v{version:06d}"
+    conf = spark.read.parquet(f"{vdir}/_conf").first().asDict()
+    cent = spark.read.parquet(f"{vdir}/centroids")
+    check = cent.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("centv")).alias("d")
+    ).first()
+    if check["n"] != conf["n_cells"] or check["d"] != conf["dim"]:
+        raise ValueError(
+            f"load_ivf_index: conf says n_cells={conf['n_cells']} dim={conf['dim']} "
+            f"but centroids hold {check['n']} cells of dim {check['d']} — "
+            "corrupted or foreign index directory"
+        )
+    return cent, spark.read.parquet(f"{vdir}/members"), conf
+
+
 def ivf_index_stats(cent_df: DataFrame, c_assigned: DataFrame) -> DataFrame:
     """Per-cell member counts incl. empty cells — ONE map-side-combinable
     count over the index joined back to the n_cells-row centroid table."""

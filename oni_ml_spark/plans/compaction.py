@@ -59,6 +59,8 @@ def dataset_files(spark: SparkSession, path: str) -> list[dict]:
     files/dirs (_SUCCESS, staging, trash).  One FS metadata pass — no data
     read."""
     fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
     root = fs.getFileStatus(jpath).getPath().toString()
     it = fs.listFiles(jpath, True)
     out = []

@@ -182,6 +182,87 @@ class TestRebuildHeuristic:
         assert all(stats[c] == 0 for c in range(3, 8))
 
 
+class TestPersistence:
+    def test_save_load_roundtrip_and_refresh_loop(self, spark, index, tmp_path):
+        """build -> save v0 -> load -> append the day's delta -> save v1 ->
+        load picks v1; the daily-refresh loop the module is for."""
+        from oni_ml_spark.datapipe.similarity import (
+            _ivf_versions,
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        _, cent, assigned = index
+        root = str(tmp_path / "ivf")
+        assert save_ivf_index(cent, assigned, root) == 0
+        c0, m0, conf0 = load_ivf_index(spark, root)
+        assert conf0["n_cells"] == 8 and conf0["dim"] == DIM
+        assert conf0["n_members"] == 200 and m0.count() == 200
+
+        delta = _df(spark, _vecs(40, seed=99), id_offset=3000)
+        out = ivf_append(c0, m0, delta)
+        assert save_ivf_index(c0, out, root) == 1
+        _, m1, conf1 = load_ivf_index(spark, root)
+        assert conf1["version"] == 1 and conf1["n_members"] == 240
+        assert m1.count() == 240
+        # pinned old version still loadable while within keep_versions
+        _, m_old, _ = load_ivf_index(spark, root, version=0)
+        assert m_old.count() == 200
+
+    def test_keep_versions_prunes(self, spark, index, tmp_path):
+        from oni_ml_spark.datapipe.similarity import (
+            _ivf_versions,
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        _, cent, assigned = index
+        root = str(tmp_path / "ivf_prune")
+        save_ivf_index(cent, assigned, root, keep_versions=1)
+        save_ivf_index(cent, assigned, root, keep_versions=1)
+        assert _ivf_versions(spark, root) == [1]
+        with pytest.raises(ValueError, match="not committed"):
+            load_ivf_index(spark, root, version=0)
+
+    def test_orphan_uncommitted_version_ignored(self, spark, index, tmp_path):
+        """A crashed save (no _conf) must be invisible to the loader and
+        must not block the next save."""
+        from oni_ml_spark.datapipe.similarity import (
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        _, cent, assigned = index
+        root = str(tmp_path / "ivf_orphan")
+        save_ivf_index(cent, assigned, root)
+        # orphan v000001: centroids+members but NO conf
+        cent.write.parquet(f"{root}/v000001/centroids")
+        _, _, conf = load_ivf_index(spark, root)
+        assert conf["version"] == 0
+
+    def test_empty_root_raises(self, spark, tmp_path):
+        from oni_ml_spark.datapipe.similarity import load_ivf_index
+
+        with pytest.raises(ValueError, match="no committed version"):
+            load_ivf_index(spark, str(tmp_path / "nothing"))
+
+    def test_foreign_conf_mismatch_raises(self, spark, index, tmp_path):
+        from oni_ml_spark.datapipe.similarity import (
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        _, cent, assigned = index
+        root = str(tmp_path / "ivf_bad")
+        save_ivf_index(cent, assigned, root)
+        # corrupt: overwrite the conf with a wrong cell count
+        spark.createDataFrame(
+            [(99, DIM, 200, 0)], "n_cells int, dim int, n_members bigint, version int"
+        ).write.mode("overwrite").parquet(f"{root}/v000000/_conf")
+        with pytest.raises(ValueError, match="corrupted or foreign"):
+            load_ivf_index(spark, root)
+
+
 class TestPlanShape:
     def test_assign_is_broadcast_no_pair_shuffle(self, spark, index):
         """The centroid table is broadcast and the argmin aggregate
