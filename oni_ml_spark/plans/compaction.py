@@ -180,6 +180,7 @@ def compact_dataset(
     target_bytes: int,
     small_bytes: int | None = None,
     dry_run: bool = False,
+    sort_cols: list[str] | None = None,
     _crash_after: str | None = None,
 ) -> dict:
     """Plan and (unless ``dry_run``) execute compaction of ``path``.
@@ -219,7 +220,14 @@ def compact_dataset(
     for i, b in enumerate(plan.bins):
         bin_dir = f"{staging}/bin{i:05d}"
         src = spark.read.option("mergeSchema", "true").parquet(*b["files"])
-        src.coalesce(1).write.mode("overwrite").parquet(bin_dir)
+        staged_df = src.coalesce(1)
+        if sort_cols:
+            # compaction is the moment to fix layout: sorting each bin
+            # tightens the compacted file's min/max footer stats so later
+            # filtered scans prune it (for multi-column curves rewrite
+            # with layout.write_zordered instead)
+            staged_df = staged_df.sortWithinPartitions(*sort_cols)
+        staged_df.write.mode("overwrite").parquet(bin_dir)
         n_src = src.count()
         n_staged = spark.read.parquet(bin_dir).count()
         if n_staged != n_src:

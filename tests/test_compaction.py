@@ -148,6 +148,23 @@ class TestExecute:
         assert not res["executed"] and res["n_bins"] >= 1
         assert len(dataset_files(spark, path)) == n_before
 
+    def test_sort_cols_orders_compacted_file(self, spark, tmp_path):
+        """sort_cols sorts each bin's rows on write, so the compacted
+        file's footer min/max are tight for the sorted column."""
+        path = str(tmp_path / "sorted")
+        _write_fragmented(spark, path)
+        before = _content_hash(spark, path)
+        res = compact_dataset(spark, path, target_bytes=1 << 30, sort_cols=["id"])
+        assert res["executed"]
+        assert _content_hash(spark, path) == before
+        files = dataset_files(spark, path)
+        assert len(files) == 1
+        import pyarrow.parquet as pq
+
+        local = files[0]["file"].removeprefix("file:")
+        ids = pq.read_table(local, columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids)
+
     def test_target_splits_into_multiple_bins(self, spark, tmp_path):
         path = str(tmp_path / "ds4")
         _write_fragmented(spark, path, n_fragments=8)

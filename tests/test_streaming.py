@@ -1275,3 +1275,85 @@ def test_streaming_reservoir_via_real_stream(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_streaming_model_score_monitor(spark, tmp_path):
+    """(r9) Composition: score each text micro-batch with the FROZEN
+    hashed linear quality model inside foreachBatch and accumulate the
+    score distribution with drift_writer — the production "is my quality
+    model's output drifting" monitor. The accumulated histogram equals
+    one-shot binned_counts over the scores of everything delivered, and
+    stream_drift_report gives the PSI vs a frozen reference corpus's
+    scores without rescanning any batch."""
+    from oni_ml_spark.datapipe.classify import demo_weights, hashed_linear_score
+    from oni_ml_spark.datapipe.drift import binned_counts
+    from oni_ml_spark.streaming.drift_stream import drift_writer, stream_drift_report
+    from oni_ml_spark.streaming.upsert_sink import read_upsert_table
+
+    words = ["river", "stone", "zzgood", "zzbad", "lamp", "quiet", "offer"]
+
+    def doc(i):
+        return " ".join(words[(i + j) % len(words)] for j in range(5))
+
+    model = demo_weights(spark, 512).localCheckpoint()
+    edges = [-2000.0, -500.0, 0.0, 500.0, 2000.0]  # score_micro space
+    indir, state, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "scores"), str(tmp_path / "ckpt")
+    )
+    rows1 = [(i, doc(i)) for i in range(80)]
+    rows2 = [(100 + i, doc(3 * i)) for i in range(40)]
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(indir)
+
+    inner = drift_writer(state, "score_micro", edges)
+
+    def scored_writer(batch_df, batch_id):
+        inner(
+            hashed_linear_score(batch_df, "doc_id", "text", model, 512)
+            .withColumn("score_micro", F.col("score_micro").cast("double")),
+            batch_id,
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(indir)
+            .writeStream.foreachBatch(scored_writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(indir)
+    drain()
+
+    everything = spark.createDataFrame(rows1 + rows2, schema)
+    all_scored = hashed_linear_score(
+        everything, "doc_id", "text", model, 512
+    ).withColumn("score_micro", F.col("score_micro").cast("double"))
+    got = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, state).collect()}
+    want = {
+        r["bin"]: r["n_cur"]
+        for r in binned_counts(all_scored, "score_micro", edges, "cur").collect()
+    }
+    assert got == want and sum(got.values()) == 120
+
+    # replayed batch id is a no-op (exactly-once carries through the
+    # composed writer untouched)
+    scored_writer(spark.createDataFrame(rows1, schema), 0)
+    after = {r["bin"]: r["n_cur"] for r in read_upsert_table(spark, state).collect()}
+    assert after == want
+
+    # PSI report vs the reference corpus's OWN scores — all from the
+    # k-bounded state, no batch rescan
+    ref_scored = hashed_linear_score(
+        spark.createDataFrame([(1000 + i, doc(2 * i)) for i in range(60)], schema),
+        "doc_id", "text", model, 512,
+    ).withColumn("score_micro", F.col("score_micro").cast("double"))
+    rep = stream_drift_report(spark, state, ref_scored, "score_micro", edges)
+    rows = rep.collect()
+    assert rows  # only mass-bearing bins are reported
+    assert sum(r["p_cur"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["p_ref"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["n_cur"] for r in rows) == 120
