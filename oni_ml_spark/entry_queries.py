@@ -3018,7 +3018,25 @@ def minhash_ml_builtin(spark, sf):
     "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT) "
     "UNION ALL SELECT 'ivfpq_check', "
     "CAST(5 * least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT), "
-    "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)",
+    "CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT) "
+    # -- assign (r9): the incremental-IVF delta assignment against LITERAL
+    # -- frozen centroids — pure SQL argmin, restating assign_cells' exact
+    # -- norms-trick formula (in-order sums both engines; worst best-vs-2nd
+    # -- relative margin 1.8e-3 at the gate SF, ~13 orders above ulp noise)
+    "UNION ALL SELECT 'assign', vec_id, cell::BIGINT, "
+    "CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT) FROM ("
+    "  SELECT d.vec_id, a.cell, row_number() OVER (PARTITION BY d.vec_id ORDER BY"
+    "    (sqrt(list_sum(list_transform(d.v, x -> x*x)))"
+    "     * sqrt(list_sum(list_transform(d.v, x -> x*x)))"
+    "     + sqrt(list_sum(list_transform(a.centv, x -> x*x)))"
+    "     * sqrt(list_sum(list_transform(a.centv, x -> x*x)))"
+    "     - 2 * list_inner_product(d.v, a.centv)), a.cell) AS rnk"
+    "  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    "        WHERE vec_id < 50) d,"
+    "       (SELECT c AS cell, list_transform(range(0, 64),"
+    "          i -> CAST(((c * 7 + i * 3) % 11) - 5 AS DOUBLE)) AS centv"
+    "        FROM (SELECT unnest(range(0, 4)) AS c)) a"
+    ") WHERE rnk = 1",
 )
 def ann_ivf_kmeans(spark, sf):
     """Exact + approximate ANN in one entry (r05 merge of ann_cosine_topk
@@ -3051,7 +3069,15 @@ def ann_ivf_kmeans(spark, sf):
       row-identical to flat ADC (count of the 4-column inner join equals
       both counts — the candidate-set equivalence Jégou's composition
       promises), (r) pruned recall vs flat >= 0.32 (measured 0.52 at
-      sf0.01)."""
+      sf0.01).
+
+    r09 adds part='assign' — the incremental-IVF maintenance half
+    (similarity.assign_cells, the engine of ivf_append) run against
+    LITERAL frozen centroids so the delta assignment is hash-matched
+    row-for-row against the oracle's SQL argmin (worst best-vs-2nd
+    relative distance margin 1.8e-3 at the gate SF — 13 orders above
+    cross-engine float noise; the KMeans-fitted paths above remain
+    invariant-checked because seeded fits aren't engine-portable)."""
     from oni_ml_spark.datapipe.similarity import (
         as_double_array,
         brute_force_topk,
@@ -3191,7 +3217,36 @@ def ann_ivf_kmeans(spark, sf):
             .otherwise(F.lit(0)).cast("long").alias("r"),
         )
     )
-    return exact_rows.unionByName(check).unionByName(pq_check).unionByName(ivfpq_check)
+
+    # r9: part='assign' — the incremental-IVF maintenance half
+    # (similarity.assign_cells) against LITERAL frozen centroids, so the
+    # delta assignment is a pure SQL argmin the oracle restates and
+    # hash-matches row-for-row (the KMeans-fitted paths above stay
+    # invariant-checked; this part pins the append machinery itself).
+    from oni_ml_spark.datapipe.similarity import _prep_members, assign_cells, norm
+
+    cent_lit = spark.range(4).select(
+        F.col("id").cast("int").alias("cell"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (((F.col("id") * 7 + i.cast("bigint") * 3) % 11) - 5)
+            .cast("double"),
+        ).alias("centv"),
+    ).withColumn("centn", norm(F.col("centv")))
+    assigned_lit = assign_cells(
+        cent_lit, _prep_members(emb.filter(F.col("vec_id") < 50), "vec_id", "embedding")
+    )
+    assign_rows = assigned_lit.select(
+        F.lit("assign").alias("part"),
+        F.col("neighbor_id").alias("a"),
+        F.col("cell").cast("long").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("r"),
+    )
+    return (
+        exact_rows.unionByName(check).unionByName(pq_check)
+        .unionByName(ivfpq_check).unionByName(assign_rows)
+    )
 
 
 # ---- round-4 additions: span dedup, dataset mixing, range join ------------
