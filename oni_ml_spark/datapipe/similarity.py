@@ -782,6 +782,56 @@ def ivf_rebuild_due(
     }
 
 
+def _md5_signs(out_dim: int, dim: int, salt: str = "jl") -> list[list[float]]:
+    """±1 projection matrix derived from md5 parity — deterministic,
+    engine-portable (any SQL dialect can recompute sign(j,i) from
+    md5('<salt>:<j>:<i>')), and seed-free.  Computed ONCE driver-side with
+    hashlib; the per-row work is plain literal arithmetic."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    dim: int,
+    *,
+    salt: str = "jl",
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: (id, proj array<double>) with
+    proj[j] = v · sign_row_j (/ sqrt(out_dim) when ``scale`` — the JL
+    normalization that preserves squared norms in expectation, Achlioptas
+    2001).  The cheap dimensionality reduction in front of ANN / clustering:
+    out_dim dot products of literal ±1 rows per input row — pure codegen
+    column arithmetic, no shuffle, no fit, no model to store (the matrix
+    regenerates from (salt, out_dim, dim) anywhere, incl. in plain SQL for
+    the oracle).  The in-plan dim assert refuses mis-sized vectors."""
+    if out_dim < 1:
+        raise ValueError("random_projection: out_dim must be >= 1")
+    signs = _md5_signs(out_dim, dim, salt)
+    v = _checked_dim(vec_col, dim)
+    vd = F.transform(v, lambda x: x.cast("double"))
+    comps = [dot(vd, _plane_lit(row)) for row in signs]
+    if scale:
+        import math
+
+        s = 1.0 / math.sqrt(out_dim)
+        comps = [c * F.lit(s) for c in comps]
+    return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str,

@@ -3036,7 +3036,19 @@ def minhash_ml_builtin(spark, sf):
     "       (SELECT c AS cell, list_transform(range(0, 64),"
     "          i -> CAST(((c * 7 + i * 3) % 11) - 5 AS DOUBLE)) AS centv"
     "        FROM (SELECT unnest(range(0, 4)) AS c)) a"
-    ") WHERE rnk = 1",
+    ") WHERE rnk = 1 "
+    # -- jl (r9): Johnson-Lindenstrauss sign projection — the oracle
+    # -- DERIVES the ±1 matrix from md5 parity in SQL while Spark builds
+    # -- the same rows driver-side with hashlib; the hash-match proves the
+    # -- two constructions and both engines' in-order dot folds agree
+    "UNION ALL SELECT 'jl', d.vec_id, s.j::BIGINT, "
+    "list_inner_product(d.v, s.sgn), CAST(NULL AS BIGINT) FROM "
+    "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    "  WHERE vec_id < 50) d, "
+    "(SELECT j, list_transform(range(0, 64), i -> CASE WHEN "
+    "  ('0x' || substr(md5('jl:' || j::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT"
+    "  % 2 = 0 THEN 1.0 ELSE -1.0 END) AS sgn"
+    " FROM (SELECT unnest(range(0, 4)) AS j)) s",
 )
 def ann_ivf_kmeans(spark, sf):
     """Exact + approximate ANN in one entry (r05 merge of ann_cosine_topk
@@ -3243,9 +3255,30 @@ def ann_ivf_kmeans(spark, sf):
         F.lit(None).cast("double").alias("v"),
         F.lit(None).cast("long").alias("r"),
     )
+
+    # r9: part='jl' — random_projection with the md5-parity sign matrix;
+    # one row per (vector, component), v = the UNSCALED in-order dot (the
+    # oracle recomputes the signs from md5 in SQL — hashlib and SQL md5
+    # must derive the same matrix, and both engines' folds are in-order,
+    # so v hash-matches exactly)
+    from oni_ml_spark.datapipe.similarity import random_projection
+
+    proj = random_projection(
+        emb.filter(F.col("vec_id") < 50), "vec_id", "embedding",
+        out_dim=4, dim=64, scale=False,
+    )
+    jl_rows = proj.select(
+        "id", F.posexplode("proj").alias("j", "comp")
+    ).select(
+        F.lit("jl").alias("part"),
+        F.col("id").alias("a"),
+        F.col("j").cast("long").alias("b"),
+        F.col("comp").alias("v"),
+        F.lit(None).cast("long").alias("r"),
+    )
     return (
         exact_rows.unionByName(check).unionByName(pq_check)
-        .unionByName(ivfpq_check).unionByName(assign_rows)
+        .unionByName(ivfpq_check).unionByName(assign_rows).unionByName(jl_rows)
     )
 
 

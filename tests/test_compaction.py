@@ -89,6 +89,55 @@ class TestPlan:
         assert plan.bins == []
 
 
+class TestPlanProperties:
+    """Property-based invariants of the FFD bin-packer (pure driver code —
+    no Spark): no file in two bins, capacity respected except for
+    singletons, every multi-small directory fully covered."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # dir id
+                st.integers(min_value=1, max_value=2000),   # bytes
+            ),
+            min_size=0,
+            max_size=80,
+        ),
+        st.integers(min_value=2, max_value=2500),           # target
+    )
+    def test_packing_invariants(self, spec, target):
+        files = [
+            {"file": f"d{d}/f{i}", "bytes": b, "dir": f"d{d}"}
+            for i, (d, b) in enumerate(spec)
+        ]
+        plan = compaction_plan(files, target_bytes=target)
+        small = target // 2
+        seen = []
+        for b in plan.bins:
+            # every bin merges >= 2 files from ONE directory
+            assert len(b["files"]) >= 2
+            dirs = {f.split("/")[0] for f in b["files"]}
+            assert dirs == {b["dir"]}
+            seen.extend(b["files"])
+            by_name = {f["file"]: f["bytes"] for f in files}
+            sizes = [by_name[f] for f in b["files"]]
+            assert b["bytes"] == sum(sizes)
+            # capacity: a bin only exceeds target when its FIRST (largest)
+            # file alone does — and then it holds just that file, which
+            # the singleton rule already dropped, so in practice:
+            assert b["bytes"] <= target or max(sizes) > target
+            # only small files ever enter a bin
+            assert all(s < small for s in sizes)
+        # no file placed twice
+        assert len(seen) == len(set(seen))
+        assert plan.n_files_total == len(files)
+        assert plan.n_files_small == sum(1 for f in files if f["bytes"] < small)
+
+
 class TestExecute:
     def test_roundtrip_and_file_count(self, spark, tmp_path):
         path = str(tmp_path / "ds")

@@ -263,6 +263,64 @@ class TestPersistence:
             load_ivf_index(spark, root)
 
 
+class TestRandomProjection:
+    def test_signs_and_components_hand_checked(self, spark):
+        from oni_ml_spark.datapipe.similarity import _md5_signs, random_projection
+
+        signs = _md5_signs(out_dim=2, dim=3)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+        )
+        got = random_projection(
+            df, "vec_id", "embedding", out_dim=2, dim=3, scale=False
+        ).first()["proj"]
+        want = [sum(v * s for v, s in zip([1.0, 2.0, 3.0], row)) for row in signs]
+        assert got == want
+        assert all(s in (-1.0, 1.0) for row in signs for s in row)
+
+    def test_norm_preserved_in_expectation(self, spark):
+        """JL with the 1/sqrt(k) scale: mean squared-norm ratio over many
+        vectors stays near 1 (k=16 → se of the mean ~ 2.5%)."""
+        from oni_ml_spark.datapipe.similarity import random_projection
+
+        corpus = _df(spark, _vecs(300, seed=5))
+        proj = random_projection(corpus, "vec_id", "embedding", out_dim=16, dim=DIM)
+        r = (
+            proj.select(
+                F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x).alias("pn")
+            )
+            .agg(F.avg("pn"))
+            .first()[0]
+        )
+        base = (
+            _df(spark, _vecs(300, seed=5))
+            .select(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                ).alias("n")
+            )
+            .agg(F.avg("n"))
+            .first()[0]
+        )
+        assert r / base == pytest.approx(1.0, rel=0.15)
+
+    def test_dim_mismatch_raises(self, spark):
+        from oni_ml_spark.datapipe.similarity import random_projection
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="dim"):
+            random_projection(df, "vec_id", "embedding", out_dim=2, dim=3).collect()
+
+    def test_salt_changes_matrix(self, spark):
+        from oni_ml_spark.datapipe.similarity import _md5_signs
+
+        assert _md5_signs(4, 32, "jl") != _md5_signs(4, 32, "other")
+
+
 class TestPlanShape:
     def test_assign_is_broadcast_no_pair_shuffle(self, spark, index):
         """The centroid table is broadcast and the argmin aggregate
