@@ -29,7 +29,7 @@ supervised quality model over hashed text features.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oni_ml_spark.datapipe.dedup import (
@@ -179,6 +179,122 @@ def quality_flags(
     if not keep_above:
         cmp = F.col("score") <= F.lit(float(threshold))
     return scored.withColumn("passes", cmp)
+
+
+def binary_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against binary labels, distributed — the
+    evaluation half of model-based curation (is the quality model still
+    ranking good above bad on fresh labels?).
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), computed exactly from
+    the (score → n_pos, n_neg) count table: each distinct score contributes
+    n_pos · (negatives strictly below + n_neg_tied/2).  All terms are
+    integers (or exact halves), so the result is bit-identical on any
+    partitioning and any engine — SQL-oracle-checkable.
+
+    Plan shape (the quantiles._cdf_table discipline): ONE full-data
+    hash-aggregate to distinct-score counts, bucket boundaries from an
+    in-plan percentile sketch (1-row broadcast, never collected),
+    per-bucket running sums, cross-bucket offsets from a window over the
+    ≤ num_buckets subtotal rows.  No data-sized single-partition window.
+
+    Returns one row (auc, n_pos, n_neg, n_scores); auc is NULL when either
+    class is absent.  NULL scores are excluded (no rank); labels must be
+    0/1 — anything else raises in-plan.
+    """
+    spark = df.sparkSession
+    lbl = F.col(label_col).cast("long")
+    lbl_ok = F.assert_true(
+        lbl.isin(0, 1),
+        F.concat(
+            F.lit(f"binary_auc: {label_col} must be 0/1, got "),
+            F.coalesce(lbl.cast("string"), F.lit("NULL")),
+        ),
+    )
+    counts = (
+        df.select(
+            F.col(score_col).cast("double").alias("value"),
+            F.when(lbl_ok.isNull(), lbl).alias("__y"),
+        )
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.sum("__y").alias("np"),
+            F.sum(1 - F.col("__y")).alias("nn"),
+        )
+    )
+    b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if b > 1:
+        probs = F.array(*[F.lit(i / b) for i in range(1, b)])
+        acc = max(100, 4 * b)
+        bnd = counts.agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.coalesce(
+                        F.percentile_approx("value", probs, F.lit(acc)),
+                        F.array().cast("array<double>"),
+                    )
+                )
+            ).alias("__bs")
+        )
+        bucketed = (
+            counts.join(F.broadcast(bnd))
+            .withColumn(
+                "bucket",
+                F.size(
+                    F.filter(F.col("__bs"), lambda x: x < F.col("value"))
+                ).cast("int"),
+            )
+            .drop("__bs")
+        )
+    else:
+        bucketed = counts.withColumn("bucket", F.lit(0))
+
+    subtot = bucketed.groupBy("bucket").agg(F.sum("nn").alias("__s"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = subtot.select(
+        "bucket",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__neg_offset"),
+    )
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn("__neg_upto", F.col("__neg_offset") + F.sum("nn").over(w_run))
+        .select(
+            F.col("np"),
+            F.col("nn"),
+            (
+                F.col("np")
+                * (
+                    (F.col("__neg_upto") - F.col("nn")).cast("double")
+                    + F.col("nn").cast("double") / 2
+                )
+            ).alias("__c"),
+        )
+    )
+    return contrib.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum("__c").alias("__csum"),
+    ).select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__csum") / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+        "n_scores",
+    )
 
 
 def train_hashed_linear(

@@ -3650,12 +3650,23 @@ def _lmq_oracle_block() -> tuple[str, str]:
         "(('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001) - 1000 "
         "ELSE 0 END)::BIGINT AS sm FROM lmtb GROUP BY id), "
         "lms AS (SELECT d.doc_id AS id, coalesce(t.sm, 0)::BIGINT AS sm "
-        "FROM documents d LEFT JOIN lmts t ON d.doc_id = t.id)"
+        "FROM documents d LEFT JOIN lmts t ON d.doc_id = t.id), "
+        # -- lmq_auc: exact tie-aware ROC-AUC of the score against doc_id
+        # -- parity (classify.binary_auc restated: per distinct score,
+        # -- n_pos * (negatives strictly below + ties/2) — every term a
+        # -- multiple of 0.5 < 2^52, so the sum is exact in any order)
+        "lmc AS (SELECT sm, sum(id % 2)::BIGINT AS np, "
+        "sum(1 - id % 2)::BIGINT AS nn FROM lms GROUP BY sm), "
+        "lmr AS (SELECT np, nn, sum(nn) OVER (ORDER BY sm) - nn AS below FROM lmc), "
+        "lma AS (SELECT (SELECT count(*) FROM lmc)::BIGINT AS n_scores, "
+        "sum(np * (below + nn / 2.0)) / "
+        "((SELECT sum(np) FROM lmc) * (SELECT sum(nn) FROM lmc)) AS auc FROM lmr)"
     )
     rows = (
         "UNION ALL SELECT 'lmq_flagged', count(*) FILTER (sm < 0)::BIGINT, "
         "coalesce(sum(id) FILTER (sm < 0), 0)::BIGINT FROM lms "
-        "UNION ALL SELECT 'lmq_mass', count(*)::BIGINT, sum(sm)::BIGINT FROM lms"
+        "UNION ALL SELECT 'lmq_mass', count(*)::BIGINT, sum(sm)::BIGINT FROM lms "
+        "UNION ALL SELECT 'lmq_auc', n_scores, floor(auc * 1000000)::BIGINT FROM lma"
     )
     return ctes, rows
 
@@ -3710,7 +3721,10 @@ def quality_gate_q(spark, sf):
     negative-score rejection set) and 'lmq_mass' (corpus count + exact
     BIGINT score mass). The model is generated in-plan (even buckets
     weighted, odd ABSENT → the missing-bucket → 0 path is live at the
-    gate)."""
+    gate). 'lmq_auc' adds the model-eval op (classify.binary_auc): exact
+    tie-aware ROC-AUC of the score against doc_id parity, micro-quantized
+    — every pairwise term is a multiple of 0.5 far below 2^52, so the
+    cross-engine sum is exact in any order."""
     from oni_ml_spark.datapipe.textstats import (
         PII_PATTERNS,
         pii_counts,
@@ -3806,9 +3820,16 @@ def quality_gate_q(spark, sf):
     # score mass.  The Spark path runs the operator's real broadcast
     # model join; the oracle computes each bucket's weight inline
     # (_lmq_oracle_block).
-    from oni_ml_spark.datapipe.classify import demo_weights, hashed_linear_score
+    from oni_ml_spark.datapipe.classify import (
+        binary_auc,
+        demo_weights,
+        hashed_linear_score,
+    )
 
-    lm = hashed_linear_score(d, "doc_id", "text", demo_weights(spark), 4096)
+    # lm feeds the flagged/mass aggregate AND the AUC — checkpoint the
+    # 3-narrow-column per-doc frame so the tokenize+join subtree runs once
+    lm = hashed_linear_score(d, "doc_id", "text", demo_weights(spark), 4096)\
+        .localCheckpoint()
     lmw = lm.agg(
         F.sum((F.col("score_micro") < 0).cast("long")).alias("__n_lmq_flagged"),
         F.sum(F.when(F.col("score_micro") < 0, F.col("id")).otherwise(0))
@@ -3820,7 +3841,21 @@ def quality_gate_q(spark, sf):
         "stack(2, 'lmq_flagged', __n_lmq_flagged, __s_lmq_flagged, "
         "'lmq_mass', __n_lmq_mass, __s_lmq_mass) AS (rule, n_docs, id_sum)"
     )
-    return gate_rows.unionByName(pii_rows).unionByName(lmq_rows)
+    # 'lmq_auc': exact tie-aware ROC-AUC of the score vs doc_id parity
+    # (classify.binary_auc — the model-eval op), quantized to micros;
+    # n_docs carries the distinct-score count the AUC ranks over
+    auc_row = binary_auc(
+        lm.withColumn("label", (F.col("id") % 2).cast("int")),
+        "label", "score_micro",
+    ).select(
+        F.lit("lmq_auc").alias("rule"),
+        F.col("n_scores").cast("long").alias("n_docs"),
+        F.floor(F.col("auc") * 1_000_000).cast("long").alias("id_sum"),
+    )
+    return (
+        gate_rows.unionByName(pii_rows).unionByName(lmq_rows)
+        .unionByName(auc_row)
+    )
 
 
 _TEMPORAL_RESHAPE_ORACLE = """

@@ -195,6 +195,101 @@ class TestTraining:
         assert b[0] >= 0 and b[1] < 64
 
 
+class TestBinaryAUC:
+    def _auc(self, spark, rows, **kw):
+        from oni_ml_spark.datapipe.classify import binary_auc
+
+        df = spark.createDataFrame(rows, "label int, score double")
+        return binary_auc(df, "label", "score", **kw).first()
+
+    def test_hand_computed_with_ties(self, spark):
+        # pos {3, 2}, neg {1, 2}: pairs 3>1, 3>2, 2>1 win; 2=2 half
+        r = self._auc(spark, [(1, 3.0), (1, 2.0), (0, 1.0), (0, 2.0)])
+        assert r["auc"] == pytest.approx(3.5 / 4)
+        assert (r["n_pos"], r["n_neg"], r["n_scores"]) == (2, 2, 3)
+
+    def test_perfect_and_inverted(self, spark):
+        perfect = [(1, float(10 + i)) for i in range(5)] + [
+            (0, float(i)) for i in range(5)
+        ]
+        assert self._auc(spark, perfect)["auc"] == 1.0
+        inverted = [(1, float(i)) for i in range(5)] + [
+            (0, float(10 + i)) for i in range(5)
+        ]
+        assert self._auc(spark, inverted)["auc"] == 0.0
+
+    def test_matches_brute_force_pairs(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [
+            (rng.randint(0, 1), float(rng.randint(0, 40)) / 4) for _ in range(300)
+        ]
+        pos = [s for l, s in rows if l == 1]
+        neg = [s for l, s in rows if l == 0]
+        want = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+        ) / (len(pos) * len(neg))
+        got = self._auc(spark, rows)
+        assert got["auc"] == pytest.approx(want, abs=1e-12)
+
+    def test_bucketed_equals_single_bucket(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(rng.randint(0, 1), rng.gauss(0, 1)) for _ in range(500)]
+        a = self._auc(spark, rows)["auc"]
+        b = self._auc(spark, rows, num_buckets=1)["auc"]
+        assert a == b  # exact arithmetic — not just approx
+
+    def test_degenerate_single_class_is_null(self, spark):
+        assert self._auc(spark, [(1, 1.0), (1, 2.0)])["auc"] is None
+
+    def test_null_scores_excluded(self, spark):
+        r = self._auc(spark, [(1, 3.0), (1, None), (0, 1.0)])
+        assert r["n_pos"] == 1 and r["auc"] == 1.0
+
+    def test_bad_label_raises_in_plan(self, spark):
+        with pytest.raises(Exception, match="must be 0/1"):
+            self._auc(spark, [(2, 1.0), (0, 2.0)])
+
+    def test_matches_duckdb_on_model_scores(self, spark):
+        """Full-pipeline exactness: demo-model scores over the parquet
+        corpus, label = doc_id parity, AUC identical to DuckDB restating
+        count-table + strictly-below + half-ties."""
+        from oni_ml_spark.datapipe.classify import binary_auc
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        scored = hashed_linear_score(
+            docs, "doc_id", "text", _gen_weights(spark), N_BUCKETS
+        ).withColumn("label", (F.col("id") % 2).cast("int"))
+        got = binary_auc(scored, "label", "score_micro").first()
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(
+            "WITH tf AS (SELECT doc_id AS id, unnest(list_filter(string_split("
+            "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+            "  t -> t != '')) AS term FROM documents), "
+            "tb AS (SELECT id, ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT "
+            "  % 4096 AS b FROM tf), "
+            "ts AS (SELECT id, sum(CASE WHEN b % 2 = 0 THEN "
+            "  (('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001)"
+            "  - 1000 ELSE 0 END)::BIGINT AS sm FROM tb GROUP BY id), "
+            "lms AS (SELECT d.doc_id % 2 AS y, coalesce(t.sm, 0)::DOUBLE AS s "
+            "  FROM documents d LEFT JOIN ts t ON d.doc_id = t.id), "
+            "c AS (SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn "
+            "  FROM lms GROUP BY s), "
+            "r AS (SELECT np, nn, sum(nn) OVER (ORDER BY s) - nn AS below FROM c) "
+            "SELECT sum(np * (below + nn / 2.0)) / "
+            "  ((SELECT sum(np) FROM c) * (SELECT sum(nn) FROM c)) FROM r"
+        ).fetchone()[0]
+        con.close()
+        assert got["auc"] == want
+
+
 class TestPlanShape:
     def test_single_scan_broadcast_join(self, spark):
         """Inference is one corpus scan, a broadcast join, and one
