@@ -297,6 +297,108 @@ def binary_auc(
     )
 
 
+def binary_auc_grouped(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-segment exact ROC-AUC — the grouped sibling of ``binary_auc``
+    (does the quality model still rank well on EVERY source/language, not
+    just on average?).  One (group, score) count aggregate, ONE window
+    partitioned by group (parallelism = |groups|; a task sees one group's
+    distinct scores — the keyed `_cdf_table` shape), one final per-group
+    aggregate.  A null group is its own segment (SQL window semantics).
+    Returns (group, auc, n_pos, n_neg, n_scores); auc NULL for
+    single-class segments."""
+    lbl = F.col(label_col).cast("long")
+    lbl_ok = F.assert_true(
+        lbl.isin(0, 1),
+        F.concat(
+            F.lit(f"binary_auc_grouped: {label_col} must be 0/1, got "),
+            F.coalesce(lbl.cast("string"), F.lit("NULL")),
+        ),
+    )
+    counts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(score_col).cast("double").alias("value"),
+            F.when(lbl_ok.isNull(), lbl).alias("__y"),
+        )
+        .where(F.col("value").isNotNull())
+        .groupBy("group", "value")
+        .agg(F.sum("__y").alias("np"), F.sum(1 - F.col("__y")).alias("nn"))
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = counts.withColumn(
+        "__c",
+        F.col("np")
+        * (
+            (F.sum("nn").over(w) - F.col("nn")).cast("double")
+            + F.col("nn").cast("double") / 2
+        ),
+    )
+    return contrib.groupBy("group").agg(
+        F.when(
+            (F.sum("np") > 0) & (F.sum("nn") > 0),
+            F.sum("__c") / (F.sum("np") * F.sum("nn")).cast("double"),
+        ).alias("auc"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+
+
+def threshold_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Confusion counts + precision/recall at each decision threshold
+    (predict positive when score >= t) — the operating-point picker next
+    to ``binary_auc``.  ALL thresholds fold into ONE map-side-combinable
+    aggregate over ONE scan (4·|thresholds| conditional sums), then a
+    |thresholds|-row stack.  NULL scores count as negatives-predicted
+    (they never exceed a threshold); precision is NULL at zero predicted
+    positives."""
+    if not thresholds:
+        raise ValueError("threshold_report: thresholds must be non-empty")
+    lbl = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("double")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        # coalesce: a NULL score never exceeds a threshold → predicted
+        # negative (it must land in fn/tn, not vanish from the counts)
+        pred = F.coalesce(s >= F.lit(float(t)), F.lit(False))
+        aggs += [
+            F.sum((pred & (lbl == 1)).cast("long")).alias(f"__tp_{i}"),
+            F.sum((pred & (lbl == 0)).cast("long")).alias(f"__fp_{i}"),
+            F.sum((~pred & (lbl == 1)).cast("long")).alias(f"__fn_{i}"),
+            F.sum((~pred & (lbl == 0)).cast("long")).alias(f"__tn_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"{float(t)}D, coalesce(__tp_{i}, 0), coalesce(__fp_{i}, 0), "
+        f"coalesce(__fn_{i}, 0), coalesce(__tn_{i}, 0)"
+        for i, t in enumerate(thresholds)
+    )
+    rows = wide.selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS (threshold, tp, fp, fn, tn)"
+    )
+    return rows.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+    )
+
+
 def train_hashed_linear(
     df: DataFrame,
     id_col: str,

@@ -3660,13 +3660,26 @@ def _lmq_oracle_block() -> tuple[str, str]:
         "lmr AS (SELECT np, nn, sum(nn) OVER (ORDER BY sm) - nn AS below FROM lmc), "
         "lma AS (SELECT (SELECT count(*) FROM lmc)::BIGINT AS n_scores, "
         "sum(np * (below + nn / 2.0)) / "
-        "((SELECT sum(np) FROM lmc) * (SELECT sum(nn) FROM lmc)) AS auc FROM lmr)"
+        "((SELECT sum(np) FROM lmc) * (SELECT sum(nn) FROM lmc)) AS auc FROM lmr), "
+        # -- per-source AUC (binary_auc_grouped): same construction keyed
+        # -- by source; single-class segments yield NULL
+        "lmg AS (SELECT coalesce(d.source, '__null') AS g, d.doc_id % 2 AS y, "
+        "l.sm FROM documents d JOIN lms l ON d.doc_id = l.id), "
+        "lmgc AS (SELECT g, sm, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn "
+        "FROM lmg GROUP BY g, sm), "
+        "lmgr AS (SELECT g, np, nn, "
+        "sum(nn) OVER (PARTITION BY g ORDER BY sm) - nn AS below FROM lmgc), "
+        "lmga AS (SELECT g, count(*)::BIGINT AS ns, "
+        "CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN "
+        "sum(np * (below + nn / 2.0)) / (sum(np) * sum(nn)) END AS auc "
+        "FROM lmgr GROUP BY g)"
     )
     rows = (
         "UNION ALL SELECT 'lmq_flagged', count(*) FILTER (sm < 0)::BIGINT, "
         "coalesce(sum(id) FILTER (sm < 0), 0)::BIGINT FROM lms "
         "UNION ALL SELECT 'lmq_mass', count(*)::BIGINT, sum(sm)::BIGINT FROM lms "
-        "UNION ALL SELECT 'lmq_auc', n_scores, floor(auc * 1000000)::BIGINT FROM lma"
+        "UNION ALL SELECT 'lmq_auc', n_scores, floor(auc * 1000000)::BIGINT FROM lma "
+        "UNION ALL SELECT 'lmq_aucg|' || g, ns, floor(auc * 1000000)::BIGINT FROM lmga"
     )
     return ctes, rows
 
@@ -3852,9 +3865,24 @@ def quality_gate_q(spark, sf):
         F.col("n_scores").cast("long").alias("n_docs"),
         F.floor(F.col("auc") * 1_000_000).cast("long").alias("id_sum"),
     )
+    # per-source AUC rows (binary_auc_grouped — is the model still ranking
+    # well on EVERY source?): 'lmq_aucg|<source>', NULL auc for
+    # single-class segments survives as a NULL id_sum on both engines
+    from oni_ml_spark.datapipe.classify import binary_auc_grouped
+
+    aucg_rows = binary_auc_grouped(
+        lm.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .withColumn("label", (F.col("id") % 2).cast("int")),
+        "source", "label", "score_micro",
+    ).select(
+        F.concat(F.lit("lmq_aucg|"), F.coalesce("group", F.lit("__null")))
+        .alias("rule"),
+        F.col("n_scores").cast("long").alias("n_docs"),
+        F.floor(F.col("auc") * 1_000_000).cast("long").alias("id_sum"),
+    )
     return (
         gate_rows.unionByName(pii_rows).unionByName(lmq_rows)
-        .unionByName(auc_row)
+        .unionByName(auc_row).unionByName(aucg_rows)
     )
 
 

@@ -290,6 +290,83 @@ class TestBinaryAUC:
         assert got["auc"] == want
 
 
+class TestGroupedAUC:
+    def test_matches_per_group_brute_force(self, spark):
+        import random
+
+        from oni_ml_spark.datapipe.classify import binary_auc_grouped
+
+        rng = random.Random(29)
+        rows = [
+            (["a", "b", None][rng.randint(0, 2)], rng.randint(0, 1),
+             float(rng.randint(0, 20)) / 2)
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, label int, score double")
+        got = {
+            r["group"]: r["auc"]
+            for r in binary_auc_grouped(df, "g", "label", "score").collect()
+        }
+        for g in ("a", "b", None):
+            pos = [s for gg, l, s in rows if gg == g and l == 1]
+            neg = [s for gg, l, s in rows if gg == g and l == 0]
+            want = sum(
+                1.0 if p > n else (0.5 if p == n else 0.0)
+                for p in pos for n in neg
+            ) / (len(pos) * len(neg))
+            assert got[g] == pytest.approx(want, abs=1e-12), f"group {g}"
+
+    def test_single_class_group_null(self, spark):
+        from oni_ml_spark.datapipe.classify import binary_auc_grouped
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 0, 0.0), ("b", 1, 1.0), ("b", 1, 2.0)],
+            "g string, label int, score double",
+        )
+        got = {r["group"]: r["auc"] for r in binary_auc_grouped(df, "g", "label", "score").collect()}
+        assert got["a"] == 1.0 and got["b"] is None
+
+
+class TestThresholdReport:
+    def test_hand_counts(self, spark):
+        from oni_ml_spark.datapipe.classify import threshold_report
+
+        df = spark.createDataFrame(
+            [(1, 0.9), (1, 0.4), (0, 0.6), (0, 0.1), (1, None)],
+            "label int, score double",
+        )
+        rep = {
+            r["threshold"]: r.asDict()
+            for r in threshold_report(df, "label", "score", [0.5, 0.95]).collect()
+        }
+        r5 = rep[0.5]
+        # score>=0.5: pos {0.9}, neg {0.6}; below: pos {0.4, None}, neg {0.1}
+        assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (1, 1, 2, 1)
+        assert r5["precision"] == 0.5 and r5["recall"] == pytest.approx(1 / 3)
+        r95 = rep[0.95]
+        assert (r95["tp"], r95["fp"]) == (0, 0) and r95["precision"] is None
+
+    def test_empty_thresholds_rejected(self, spark):
+        from oni_ml_spark.datapipe.classify import threshold_report
+
+        df = spark.createDataFrame([(1, 1.0)], "label int, score double")
+        with pytest.raises(ValueError, match="non-empty"):
+            threshold_report(df, "label", "score", [])
+
+    def test_one_scan_one_aggregate(self, spark):
+        from oni_ml_spark.datapipe.classify import threshold_report
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            (F.col("doc_id") % 2).cast("int").alias("label"),
+            F.col("n_chars").cast("double").alias("score"),
+        )
+        plan = (
+            threshold_report(docs, "label", "score", [100.0, 200.0, 300.0])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("documents.parquet") == 1
+
+
 class TestPlanShape:
     def test_single_scan_broadcast_join(self, spark):
         """Inference is one corpus scan, a broadcast join, and one
