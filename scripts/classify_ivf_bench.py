@@ -103,9 +103,18 @@ def main():
             F.count(F.lit(1)).alias("n"), F.count_distinct("cell").alias("cells")
         )
 
+    def auc_score(sfdir):
+        from oni_ml_spark.datapipe.classify import binary_auc
+
+        d = spark.read.parquet(f"{sfdir}/documents.parquet")
+        scored = hashed_linear_score(d, "doc_id", "text", weights, 4096)\
+            .withColumn("label", (F.col("id") % 2).cast("int"))
+        return binary_auc(scored, "label", "score_micro")
+
     results = {}
     for name, fn in (("classifier_score", classifier_score),
-                     ("ivf_assign_delta", ivf_assign_delta)):
+                     ("ivf_assign_delta", ivf_assign_delta),
+                     ("auc_score", auc_score)):
         # interleaved floor protocol: alternate 1x/25x passes and take the
         # min of 5 per side — single readings on this host swing 3-5x
         # outside the ±30% ambient band at 1-10 s job sizes; interleaving
