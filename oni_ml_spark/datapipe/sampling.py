@@ -617,6 +617,102 @@ def temperature_mix(
     )
 
 
+def match_distribution(
+    df: DataFrame,
+    ref: DataFrame,
+    key_col: str,
+    value_col: str,
+    edges: list[float],
+    *,
+    salt: str = "#dmatch",
+) -> tuple[DataFrame, DataFrame]:
+    """Subsample ``df`` so ``value_col``'s binned distribution matches a
+    REFERENCE corpus's, keeping as much data as possible — the importance
+    resampler for "make the new crawl's length/quality mix look like the
+    vetted corpus" (rejection sampling against the reference shape).
+
+    Per bin b: ratio_b = p_ref(b) / p_cur(b); acceptance rate
+    r_b = ratio_b / max_c ratio_c (so the most under-represented bin keeps
+    EVERYTHING — maximum retention for an exact shape match in
+    expectation); a row is kept when md5_u32(key||salt)/2³² < r_b — the
+    deterministic draw, identical on any engine/run.  Bins absent from the
+    reference get rate 0 (their rows don't exist in the target shape);
+    the null/NaN bin (-1) participates like any other.  An empty reference
+    raises in-plan.
+
+    Plan: ONE bounded histogram aggregate per side (|edges|+2 rows,
+    drift.binned_counts), rates derived via windows over those bounded
+    rows, broadcast back into a single filter projection over ``df`` —
+    the corpus is scanned twice total (once for its histogram, once for
+    the filtered output), nothing is collected.
+
+    Returns (kept, rates): the surviving rows (original columns) and the
+    per-bin (bin, n_ref, n_cur, rate) table for reporting."""
+    from oni_ml_spark.datapipe.drift import _bin_expr, binned_counts
+
+    hist = (
+        binned_counts(df, value_col, edges, "cur")
+        .join(binned_counts(ref, value_col, edges, "ref"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        )
+    )
+    # windows over the |edges|+2-row histogram — bounded, never data-sized
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ratio = F.when(
+        (F.col("n_cur") > 0) & (F.col("n_ref") > 0),
+        (F.col("n_ref").cast("double") * F.col("__Ncur").cast("double"))
+        / (F.col("n_cur").cast("double") * F.col("__Nref").cast("double")),
+    )
+    rates = (
+        hist.withColumn("__Ncur", F.sum("n_cur").over(w_all))
+        .withColumn("__Nref", F.sum("n_ref").over(w_all))
+        .withColumn("__ratio", ratio)
+        # guard on the MAX, not the totals: a null max means no bin is
+        # populated on both sides — an empty reference OR disjoint
+        # supports, and either way there is no shape to match (guarding
+        # the totals alone would be pruned away: the ratio branch never
+        # evaluates them when every row short-circuits false)
+        .withColumn(
+            "rate",
+            F.when(
+                F.max("__ratio").over(w_all).isNull(),
+                F.raise_error(
+                    F.lit(
+                        "match_distribution: reference is empty or shares no "
+                        "populated bin with the corpus"
+                    )
+                ),
+            ).otherwise(
+                F.coalesce(F.col("__ratio") / F.max("__ratio").over(w_all), F.lit(0.0))
+            ),
+        )
+        .select("bin", "n_ref", "n_cur", "rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        df.withColumn("__b", _bin_expr(value_col, edges))
+        .join(
+            F.broadcast(rates.select(F.col("bin").alias("__b"), "rate")), "__b"
+        )
+        .where(u < F.col("rate"))
+        .drop("__b", "rate")
+    )
+    return kept, rates
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, seed: str | int = 0
 ) -> DataFrame:

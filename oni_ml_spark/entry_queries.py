@@ -1984,7 +1984,36 @@ def proxy_pipeline_invariants(spark, sf):
     "      % 10000 AS b FROM ("
     "    SELECT doc_id, CASE WHEN doc_id % 5 < 2 THEN doc_id - doc_id % 5 "
     "      ELSE doc_id END AS cl FROM documents))) "
-    "GROUP BY split",
+    "GROUP BY split "
+    # -- dmatch (r9): sampling.match_distribution — resample the doc_id%3!=0
+    # -- corpus to the %3==0 reference's n_chars shape; per-bin acceptance
+    # -- rate = ratio/max(ratio) from the two bounded histograms (identical
+    # -- double arithmetic both engines), deterministic md5 draw
+    "UNION ALL SELECT 'dmatch', bin::VARCHAR, count(*), sum(doc_id)::BIGINT FROM ("
+    " SELECT d.doc_id, d.bin FROM"
+    " (SELECT doc_id, CASE WHEN n_chars <= 150 THEN 0 WHEN n_chars <= 300 THEN 1"
+    "   WHEN n_chars <= 450 THEN 2 ELSE 3 END AS bin"
+    "  FROM documents WHERE doc_id % 3 != 0) d"
+    " JOIN (SELECT bin, coalesce(ratio / mx, 0.0) AS rate FROM ("
+    "   SELECT bin, ratio, max(ratio) OVER () AS mx FROM ("
+    "     SELECT coalesce(c.bin, r.bin) AS bin,"
+    "       CASE WHEN coalesce(c.n_cur, 0) > 0 AND coalesce(r.n_ref, 0) > 0 THEN"
+    "         (coalesce(r.n_ref, 0)::DOUBLE"
+    "          * (sum(coalesce(c.n_cur, 0)) OVER ())::DOUBLE)"
+    "         / (coalesce(c.n_cur, 0)::DOUBLE"
+    "            * (sum(coalesce(r.n_ref, 0)) OVER ())::DOUBLE)"
+    "       END AS ratio"
+    "     FROM (SELECT CASE WHEN n_chars <= 150 THEN 0 WHEN n_chars <= 300 THEN 1"
+    "             WHEN n_chars <= 450 THEN 2 ELSE 3 END AS bin, count(*) AS n_cur"
+    "           FROM documents WHERE doc_id % 3 != 0 GROUP BY 1) c"
+    "     FULL OUTER JOIN"
+    "          (SELECT CASE WHEN n_chars <= 150 THEN 0 WHEN n_chars <= 300 THEN 1"
+    "             WHEN n_chars <= 450 THEN 2 ELSE 3 END AS bin, count(*) AS n_ref"
+    "           FROM documents WHERE doc_id % 3 = 0 GROUP BY 1) r"
+    "     ON c.bin = r.bin))) rt ON d.bin = rt.bin"
+    " WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#dmatch'), 1, 8))::BIGINT"
+    "   / 4294967296.0 < rt.rate"
+    ") GROUP BY bin",
 )
 def deterministic_sampling(spark, sf):
     """The deterministic-sampling family in one entry, each side's per-group
@@ -2013,7 +2042,11 @@ def deterministic_sampling(spark, sf):
     - leakage_safe_split (r8): hash_split keyed on a (partly synthetic)
       near-dup cluster table with the coalesce(cluster, id) fallback —
       docs with doc_id%5<2 share planted clusters, the rest exercise the
-      self-cluster fallback path."""
+      self-cluster fallback path;
+    - match_distribution (r9): the %3!=0 corpus resampled to the %3==0
+      reference's n_chars shape — per-bin acceptance rate ratio/max(ratio)
+      from two bounded histograms, deterministic md5 draw; the per-bin
+      (cnt, id_sum) rows pin the exact kept set."""
     from oni_ml_spark.datapipe.sampling import (
         deterministic_global_sample,
         deterministic_k_sample,
@@ -2101,10 +2134,32 @@ def deterministic_sampling(spark, sf):
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
         .select(F.lit("lsplit").alias("part"), F.col("split").alias("key"), "cnt", "id_sum")
     )
+    # dmatch (r9): distribution-matching resampler — reshape the
+    # doc_id%3!=0 corpus to the %3==0 reference's n_chars histogram;
+    # per-bin (cnt, id_sum) pins the exact kept SET
+    from oni_ml_spark.datapipe.drift import _bin_expr
+    from oni_ml_spark.datapipe.sampling import match_distribution
+
+    dm_edges = [150.0, 300.0, 450.0]
+    kept_dm, _ = match_distribution(
+        d.filter(F.col("doc_id") % 3 != 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        "doc_id", "n_chars", dm_edges,
+    )
+    dmatch = (
+        kept_dm.select(_bin_expr("n_chars", dm_edges).alias("b"), "doc_id")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("dmatch").alias("part"),
+            F.col("b").cast("string").alias("key"),
+            "cnt", "id_sum",
+        )
+    )
     return (
         split.unionByName(strat).unionByName(ksamp).unionByName(gshuf)
         .unionByName(gsamp).unionByName(wsamp).unionByName(budget)
-        .unionByName(lsplit)
+        .unionByName(lsplit).unionByName(dmatch)
     )
 
 
