@@ -223,6 +223,39 @@ class TestExecute:
         assert res["executed"] and res["n_bins"] >= 2
 
 
+class TestManifestInteraction:
+    def test_compaction_invalidates_then_rebuilds_skipping_manifest(
+        self, spark, tmp_path
+    ):
+        """Compaction rewrites files, so a persisted data-skipping manifest
+        MUST fail verify_file_stats afterwards (a stale manifest silently
+        drops rows from pruned reads) — and a rebuild over the compacted
+        dataset restores pruning with identical query results."""
+        from oni_ml_spark.plans.skipping import (
+            build_file_stats,
+            pruned_paths,
+            verify_file_stats,
+        )
+
+        path = str(tmp_path / "skipds")
+        _write_fragmented(spark, path)
+        manifest_df = build_file_stats(
+            spark.read.parquet(path), ["id"]
+        ).localCheckpoint()
+        verify_file_stats(spark, path, manifest_df)  # fresh: passes
+
+        assert compact_dataset(spark, path, target_bytes=1 << 30)["executed"]
+        with pytest.raises(ValueError, match="stale"):
+            verify_file_stats(spark, path, manifest_df)
+
+        rebuilt = build_file_stats(spark.read.parquet(path), ["id"]).localCheckpoint()
+        verify_file_stats(spark, path, rebuilt)
+        files = pruned_paths(rebuilt, {"id": (0, 10)})
+        assert files  # the one compacted file covers the range
+        got = spark.read.parquet(*files).where("id <= 10").count()
+        assert got == spark.read.parquet(path).where("id <= 10").count()
+
+
 class TestRecovery:
     @pytest.mark.parametrize("crash_at,expect", [
         ("staged", None),          # pre-journal: nothing to recover
