@@ -116,6 +116,72 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+DEFAULT_LINE_BLACKLIST = ("javascript", "lorem ipsum", "cookie")
+
+
+def line_keep_predicate(
+    line: Column,
+    *,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blacklist: tuple[str, ...] = DEFAULT_LINE_BLACKLIST,
+    max_line_chars: int = 2000,
+) -> Column:
+    """C4-style per-line keep rule (Raffel et al. 2020 §2.2): at least
+    ``min_words`` whitespace words, ends in terminal punctuation
+    (. ! ? "), no blacklisted boilerplate phrase, bounded length.  A pure
+    boolean expression over one line — shared by ``line_filter`` and any
+    caller that wants the rule without the reassembly."""
+    words = F.size(F.filter(F.split(F.trim(line), " "), lambda w: w != ""))
+    keep = words >= F.lit(int(min_words))
+    if require_terminal_punct:
+        keep = keep & F.rtrim(line).rlike('[.!?"]$')
+    low = F.lower(line)
+    for phrase in blacklist:
+        keep = keep & ~low.contains(phrase)
+    keep = keep & (F.length(line) <= F.lit(int(max_line_chars)))
+    return keep
+
+
+def line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blacklist: tuple[str, ...] = DEFAULT_LINE_BLACKLIST,
+    max_line_chars: int = 2000,
+) -> DataFrame:
+    """Line-level document cleaning, the C4 recipe: split on newlines,
+    keep only lines passing ``line_keep_predicate``, reassemble in order.
+    Returns (id, text [the cleaned document], n_lines, n_kept).
+
+    One projection over one scan — split / filter / array_join are all
+    codegen HOF expressions, no explode, no shuffle, no UDF: the per-doc
+    line loop stays inside the row, so this runs at full scan speed over
+    100 TB.  Documents whose every line is dropped come back with empty
+    text (n_kept = 0) — filter on n_kept downstream rather than silently
+    dropping rows here."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: line_keep_predicate(
+            l,
+            min_words=min_words,
+            require_terminal_punct=require_terminal_punct,
+            blacklist=blacklist,
+            max_line_chars=max_line_chars,
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def strip_html(c: Column | str) -> Column:
     """Remove tags and collapse whitespace — the cheap boilerplate-stripping
     pass before quality scoring (regexp, stays in codegen)."""

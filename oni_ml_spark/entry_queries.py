@@ -1479,8 +1479,24 @@ def _text_profile_oracle() -> str:
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
         '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g') AS masked,
       md5({norm}) AS fp_md5,
-      substr(md5(substr({norm}, 1, 64)), 1, 16) AS fp_prefix64
-    FROM documents JOIN lang USING (doc_id)"""
+      substr(md5(substr({norm}, 1, 64)), 1, 16) AS fp_prefix64,
+      array_to_string(kept, chr(10)) AS c4_clean,
+      len(string_split(mlt, chr(10)))::BIGINT AS c4_lines,
+      len(kept)::BIGINT AS c4_kept
+    FROM documents JOIN lang USING (doc_id)
+    JOIN (SELECT doc_id, mlt, list_filter(string_split(mlt, chr(10)),
+        l -> len(list_filter(string_split(trim(l), ' '), w -> w != '')) >= 3
+             AND regexp_matches(rtrim(l), '[.!?"]$')
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'lorem ipsum')
+             AND NOT contains(lower(l), 'cookie')
+             AND length(l) <= 2000) AS kept
+      FROM (SELECT doc_id, text
+            || chr(10) || 'This boilerplate line mentions javascript here.'
+            || chr(10) || 'Too short.'
+            || chr(10) || 'A genuinely kept line with enough words, properly terminated.'
+            || chr(10) || 'no terminal punctuation on this line'
+            AS mlt FROM documents)) USING (doc_id)"""
 
 
 @_q("text_profile", _text_profile_oracle())
@@ -1493,10 +1509,18 @@ def text_profile(spark, sf):
     IPv4 per document, masked identically on both engines), and
     deterministic md5 fingerprints — the combined
     lang_id + quality_metrics + strip_html + mask_pii + fingerprint pass a
-    curation pipeline actually runs (no self-join of separate passes)."""
+    curation pipeline actually runs (no self-join of separate passes).
+
+    r09 adds the C4 line-filtering recipe (textstats.line_filter, Raffel
+    et al. 2020 §2.2) over a deterministically planted multi-line version
+    of each document (one boilerplate line, one too-short line, one keeper,
+    one unterminated line appended): c4_clean is the reassembled cleaned
+    text, c4_lines/c4_kept the per-doc line accounting — all codegen HOF
+    expressions, value-hashed against DuckDB's list_filter restatement."""
     from oni_ml_spark.datapipe.textstats import (
         fingerprint_cols,
         lang_id,
+        line_filter,
         mask_pii,
         quality_metrics,
         strip_html,
@@ -1509,7 +1533,7 @@ def text_profile(spark, sf):
         F.lit("@example.com from 10.1.2.3"),
     )
     fp = fingerprint_cols("text")
-    return quality_metrics(
+    base = quality_metrics(
         d,
         "doc_id",
         "text",
@@ -1520,6 +1544,23 @@ def text_profile(spark, sf):
             "fp_md5": fp["fp_md5"],
             "fp_prefix64": fp["fp_prefix64"],
         },
+    )
+    mlt = F.concat(
+        F.col("text"),
+        F.lit("\nThis boilerplate line mentions javascript here."),
+        F.lit("\nToo short."),
+        F.lit("\nA genuinely kept line with enough words, properly terminated."),
+        F.lit("\nno terminal punctuation on this line"),
+    )
+    lf = line_filter(d.select("doc_id", mlt.alias("text")), "doc_id", "text")
+    return base.join(
+        lf.select(
+            "id",
+            F.col("text").alias("c4_clean"),
+            F.col("n_lines").alias("c4_lines"),
+            F.col("n_kept").alias("c4_kept"),
+        ),
+        "id",
     )
 
 

@@ -1,0 +1,68 @@
+"""C4-style line filtering (textstats.line_filter): rule semantics, order
+preservation, all-dropped documents, configurability, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oni_ml_spark.datapipe.textstats import line_filter
+
+
+def _run(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    return line_filter(df, "doc_id", "text", **kw).first()
+
+
+class TestLineFilter:
+    def test_c4_rules(self, spark):
+        text = "\n".join(
+            [
+                "This line is long enough and ends well.",   # kept
+                "Too short.",                                 # < 3 words
+                "this one mentions javascript somewhere.",    # blacklisted
+                "no terminal punctuation on this line",       # no . ! ? "
+                'A quoted ending counts as terminal too."',   # kept
+                "Our lorem ipsum filler paragraph ends here.",  # blacklisted
+            ]
+        )
+        r = _run(spark, text)
+        assert r["n_lines"] == 6 and r["n_kept"] == 2
+        assert r["text"].split("\n") == [
+            "This line is long enough and ends well.",
+            'A quoted ending counts as terminal too."',
+        ]
+
+    def test_order_preserved(self, spark):
+        text = "Line one is fine and ends here.\nLine two is fine and ends here too."
+        r = _run(spark, text)
+        assert r["text"].startswith("Line one") and r["n_kept"] == 2
+
+    def test_all_dropped_yields_empty_text(self, spark):
+        r = _run(spark, "nope\nstill nope")
+        assert r["n_kept"] == 0 and r["text"] == ""
+
+    def test_config_knobs(self, spark):
+        text = "two words.\nthis has no punctuation but enough words"
+        strict = _run(spark, text)
+        assert strict["n_kept"] == 0
+        loose = _run(
+            spark, text, min_words=2, require_terminal_punct=False, blacklist=()
+        )
+        assert loose["n_kept"] == 2
+
+    def test_max_line_chars(self, spark):
+        long_line = "word " * 500 + "end."
+        r = _run(spark, long_line, max_line_chars=100)
+        assert r["n_kept"] == 0
+
+    def test_no_explode_no_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(i, "A line that ends well.") for i in range(10)],
+            "doc_id bigint, text string",
+        )
+        plan = (
+            line_filter(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
