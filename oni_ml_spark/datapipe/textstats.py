@@ -152,10 +152,15 @@ def line_filter(
     require_terminal_punct: bool = True,
     blacklist: tuple[str, ...] = DEFAULT_LINE_BLACKLIST,
     max_line_chars: int = 2000,
+    dedup_lines: bool = False,
 ) -> DataFrame:
     """Line-level document cleaning, the C4 recipe: split on newlines,
     keep only lines passing ``line_keep_predicate``, reassemble in order.
     Returns (id, text [the cleaned document], n_lines, n_kept).
+    ``dedup_lines`` drops WITHIN-document repeats (nav menus, footers)
+    keeping each line's first occurrence — array_distinct order semantics;
+    cross-document repeats are the global span-dedup's job
+    (dedup.remove_duplicate_spans).
 
     One projection over one scan — split / filter / array_join are all
     codegen HOF expressions, no explode, no shuffle, no UDF: the per-doc
@@ -174,6 +179,8 @@ def line_filter(
             max_line_chars=max_line_chars,
         ),
     )
+    if dedup_lines:
+        kept = F.array_distinct(kept)
     return df.select(
         F.col(id_col).alias("id"),
         F.array_join(kept, "\n").alias("text"),

@@ -111,10 +111,41 @@ def main():
             .withColumn("label", (F.col("id") % 2).cast("int"))
         return binary_auc(scored, "label", "score_micro")
 
+    def line_filter_clean(sfdir):
+        from oni_ml_spark.datapipe.textstats import line_filter
+
+        d = spark.read.parquet(f"{sfdir}/documents.parquet")
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nThis line mentions javascript and dies."),
+                F.lit("\nA keeper line with plenty of words, terminated."),
+            ).alias("text"),
+        )
+        return line_filter(planted, "doc_id", "text", dedup_lines=True).agg(
+            F.sum("n_lines").alias("lines"), F.sum("n_kept").alias("kept")
+        )
+
+    def dmatch(sfdir):
+        from oni_ml_spark.datapipe.sampling import match_distribution
+
+        d = spark.read.parquet(f"{sfdir}/documents.parquet")
+        kept, _ = match_distribution(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 3 == 0),
+            "doc_id", "n_chars", [150.0, 300.0, 450.0],
+        )
+        return kept.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+        )
+
     results = {}
     for name, fn in (("classifier_score", classifier_score),
                      ("ivf_assign_delta", ivf_assign_delta),
-                     ("auc_score", auc_score)):
+                     ("auc_score", auc_score),
+                     ("line_filter_clean", line_filter_clean),
+                     ("dmatch", dmatch)):
         # interleaved floor protocol: alternate 1x/25x passes and take the
         # min of 5 per side — single readings on this host swing 3-5x
         # outside the ±30% ambient band at 1-10 s job sizes; interleaving

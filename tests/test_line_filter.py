@@ -56,6 +56,23 @@ class TestLineFilter:
         r = _run(spark, long_line, max_line_chars=100)
         assert r["n_kept"] == 0
 
+    def test_dedup_lines_keeps_first_occurrence(self, spark):
+        text = "\n".join(
+            [
+                "A navigation menu repeated on every page.",
+                "Unique body content goes right here.",
+                "A navigation menu repeated on every page.",
+            ]
+        )
+        r = _run(spark, text, dedup_lines=True)
+        assert r["n_kept"] == 2
+        assert r["text"].split("\n") == [
+            "A navigation menu repeated on every page.",
+            "Unique body content goes right here.",
+        ]
+        # without the flag, repeats survive
+        assert _run(spark, text)["n_kept"] == 3
+
     def test_no_explode_no_shuffle(self, spark):
         df = spark.createDataFrame(
             [(i, "A line that ends well.") for i in range(10)],
