@@ -181,6 +181,97 @@ def quality_flags(
     return scored.withColumn("passes", cmp)
 
 
+def hashed_linear_argmax(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int,
+    classes: list[str],
+    *,
+    bigrams: bool = False,
+    biases: dict[str, int] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Multiclass hashed-feature linear classification (fastText-style
+    language ID / domain routing at corpus scale): score every class per
+    document, return the argmax.
+
+    ``weights``: (bucket BIGINT, cls STRING, w_micro BIGINT) — one row per
+    (bucket, class) the model learned; absent pairs contribute 0.
+    ``biases``: optional {class: bias_micro}.  Every class in ``classes``
+    competes on every document (a doc matching no class's features still
+    gets each class's bias).  Ties break to the lexicographically smallest
+    class — deterministic, engine-portable.
+
+    Plan: one corpus scan → explode_outer(features) → broadcast join the
+    model (≤ n_buckets·|classes| rows) → ONE (id, cls) partial-sum
+    aggregate → per-doc |classes|-bounded map lookup + argmin(struct(-score,
+    cls)) projection.  Scores stay exact BIGINT micro sums throughout.
+
+    Returns (id, label, score_micro)."""
+    if not classes:
+        raise ValueError("hashed_linear_argmax: classes must be non-empty")
+    if sorted(set(classes)) != sorted(classes):
+        raise ValueError("hashed_linear_argmax: duplicate class names")
+    biases = biases or {}
+    unknown = set(biases) - set(classes)
+    if unknown:
+        raise ValueError(f"hashed_linear_argmax: biases for unknown classes {sorted(unknown)}")
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(feature_terms(text_col, bigrams=bigrams)).alias("__term"),
+    ).withColumn(
+        "__bucket",
+        F.when(
+            F.col("__term").isNotNull(),
+            feature_bucket(F.col("__term"), n_buckets, salt=salt),
+        ),
+    )
+    w = F.broadcast(
+        weights.select(
+            F.col("bucket").alias("__bucket"),
+            F.col("cls").alias("__cls"),
+            F.col("w_micro").alias("__w"),
+        )
+    )
+    # left join keeps featureless docs (one null row) so they still get a
+    # verdict; per-(id, cls) sums collapse map-side
+    sums = (
+        feats.join(w, "__bucket", "left")
+        .groupBy("id", "__cls")
+        .agg(F.sum("__w").alias("__s"))
+    )
+    per_doc = sums.groupBy("id").agg(
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(F.struct("__cls", "__s")),
+                lambda e: e["__cls"].isNotNull(),
+            )
+        ).alias("__m")
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        F.coalesce(F.element_at("__m", c), F.lit(0))
+                        + F.lit(int(biases.get(c, 0)))
+                    )
+                ).alias("neg"),
+                F.lit(c).alias("cls"),
+            )
+            for c in classes
+        ]
+    )
+    best = F.array_min(scored)
+    return per_doc.select(
+        "id",
+        best["cls"].alias("label"),
+        (-best["neg"]).cast("long").alias("score_micro"),
+    )
+
+
 def binary_auc(
     df: DataFrame,
     label_col: str,

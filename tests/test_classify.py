@@ -290,6 +290,127 @@ class TestBinaryAUC:
         assert got["auc"] == want
 
 
+class TestMulticlassArgmax:
+    def _hand_model(self, spark):
+        from oni_ml_spark.datapipe.classify import feature_bucket
+
+        b = spark.createDataFrame(
+            [("the",), ("el",)], "t string"
+        ).select("t", feature_bucket(F.col("t"), 4096).alias("b")).collect()
+        buckets = {r["t"]: r["b"] for r in b}
+        w = spark.createDataFrame(
+            [(buckets["the"], "en", 500_000), (buckets["el"], "es", 500_000)],
+            "bucket bigint, cls string, w_micro bigint",
+        )
+        return w
+
+    def test_hand_model_routes_and_ties(self, spark):
+        from oni_ml_spark.datapipe.classify import hashed_linear_argmax
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "el gato corre"), (3, "")],
+            "doc_id bigint, text string",
+        )
+        w = self._hand_model(spark)
+        got = {
+            r["id"]: (r["label"], r["score_micro"])
+            for r in hashed_linear_argmax(
+                docs, "doc_id", "text", w, 4096, ["en", "es"]
+            ).collect()
+        }
+        assert got[1] == ("en", 500_000)
+        assert got[2] == ("es", 500_000)
+        assert got[3] == ("en", 0)  # featureless: tie breaks to smallest class
+
+    def test_bias_decides_featureless_docs(self, spark):
+        from oni_ml_spark.datapipe.classify import hashed_linear_argmax
+
+        docs = spark.createDataFrame([(3, "")], "doc_id bigint, text string")
+        got = hashed_linear_argmax(
+            docs, "doc_id", "text", self._hand_model(spark), 4096,
+            ["en", "es"], biases={"es": 7},
+        ).first()
+        assert got["label"] == "es" and got["score_micro"] == 7
+
+    def test_guards(self, spark):
+        from oni_ml_spark.datapipe.classify import hashed_linear_argmax
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        w = self._hand_model(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            hashed_linear_argmax(docs, "doc_id", "text", w, 4096, [])
+        with pytest.raises(ValueError, match="duplicate"):
+            hashed_linear_argmax(docs, "doc_id", "text", w, 4096, ["en", "en"])
+        with pytest.raises(ValueError, match="unknown classes"):
+            hashed_linear_argmax(
+                docs, "doc_id", "text", w, 4096, ["en"], biases={"zz": 1}
+            )
+
+    def test_matches_duckdb_argmax(self, spark):
+        """Corpus-scale cross-engine check: md5-derived (bucket, class)
+        weights, argmax restated in DuckDB with the same tie-break."""
+        from oni_ml_spark.datapipe.classify import hashed_linear_argmax
+
+        classes = ["de", "en", "es"]
+        w = (
+            spark.range(0, 4096, 2)
+            .crossJoin(spark.createDataFrame([(c,) for c in classes], "cls string"))
+            .select(
+                F.col("id").alias("bucket"),
+                "cls",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("cls"), F.lit(":"),
+                                    F.col("id").cast("string"),
+                                )
+                            ),
+                            1, 8,
+                        ),
+                        16, 10,
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                ).alias("w_micro"),
+            )
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got = {
+            r["id"]: (r["label"], r["score_micro"])
+            for r in hashed_linear_argmax(
+                docs, "doc_id", "text", w, 4096, classes
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(
+            "WITH tf AS (SELECT doc_id AS id, unnest(list_filter(string_split("
+            "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+            "  t -> t != '')) AS term FROM documents), "
+            "tb AS (SELECT id, ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT "
+            "  % 4096 AS b FROM tf), "
+            "cl AS (SELECT unnest(['de', 'en', 'es']) AS cls), "
+            "s AS (SELECT id, cls, sum(CASE WHEN b % 2 = 0 THEN "
+            "  (('0x' || substr(md5(cls || ':' || b::VARCHAR), 1, 8))::BIGINT "
+            "   % 2001) - 1000 ELSE 0 END)::BIGINT AS sc "
+            "  FROM tb, cl GROUP BY id, cls), "
+            "full_s AS (SELECT d.doc_id AS id, cl.cls, coalesce(s.sc, 0) AS sc "
+            "  FROM documents d CROSS JOIN cl "
+            "  LEFT JOIN s ON s.id = d.doc_id AND s.cls = cl.cls), "
+            "r AS (SELECT id, cls, sc, row_number() OVER "
+            "  (PARTITION BY id ORDER BY sc DESC, cls) AS rn FROM full_s) "
+            "SELECT id, cls, sc FROM r WHERE rn = 1"
+        ).fetchall()
+        con.close()
+        assert len(want) == len(got)
+        for doc_id, cls, sc in want:
+            assert got[doc_id] == (cls, sc), f"doc {doc_id}"
+
+
 class TestGroupedAUC:
     def test_matches_per_group_brute_force(self, spark):
         import random
