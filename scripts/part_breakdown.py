@@ -13,8 +13,13 @@ Readings are pass-2 warm-floor numbers (pass 1 absorbs codegen/session
 warm-up); compare them with each other, not with battery numbers (which
 carry session-context inflation — see BASELINE.md).
 
+Constant-folding caveat: entries built as UNIONs of literal-tagged
+branches prune fully; entries whose tags come from stack() over wide
+1-row aggregates (quality_gate) do NOT — their per-part readings are
+family floors (the shared scans still run), attribute only large deltas.
+
 Usage: python scripts/part_breakdown.py [--entry dimension_profile]
-       [--sf /root/testdata/sf0.1]
+       [--sf /root/testdata/sf0.1] [--col part]
 """
 
 from __future__ import annotations
@@ -30,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--entry", default="dimension_profile")
 _ap.add_argument("--sf", default="/root/testdata/sf0.1")
+_ap.add_argument("--col", default="part",
+                 help="tag column (quality_gate uses 'rule'); prefix "
+                      "matching up to the first '|' groups rows like "
+                      "'lmq_aucg|web' under one family")
 _args = _ap.parse_args()
 
 
@@ -43,14 +52,18 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     fn = QUERIES[_args.entry]
     df = fn(spark, _args.sf)
-    if "part" not in df.columns:
-        raise SystemExit(f"entry {_args.entry} has no 'part' column")
-    parts = [r["part"] for r in df.select("part").distinct().orderBy("part").collect()]
+    col = _args.col
+    if col not in df.columns:
+        raise SystemExit(f"entry {_args.entry} has no {col!r} column")
+    fam = F.split(F.col(col), r"\|").getItem(0)
+    parts = [
+        r["p"] for r in df.select(fam.alias("p")).distinct().orderBy("p").collect()
+    ]
     out = {}
     for pass_no in (1, 2):
         for p in parts:
             t0 = time.time()
-            n = fn(spark, _args.sf).where(F.col("part") == p).count()
+            n = fn(spark, _args.sf).where(fam == p).count()
             out[p] = {"sec": round(time.time() - t0, 3), "rows": n}
             spark.catalog.clearCache()
     t0 = time.time()
