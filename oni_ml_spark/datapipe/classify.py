@@ -490,6 +490,135 @@ def threshold_report(
     )
 
 
+def _vectorize_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_expr: Column,
+    n_buckets: int,
+    *,
+    bigrams: bool,
+    salt: int,
+) -> DataFrame:
+    """(id, label, fv) dense n_buckets-wide count vectors for a LABELED
+    SAMPLE on the scorer's md5 bucket space — shared by the binary and
+    multiclass trainers.  Two map-side-combinable aggregates (per-bucket
+    multiplicity, then one (bucket → count) map per doc); empty docs keep
+    their single null-bucket row → empty map → all-zero vector."""
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        label_expr.alias("label"),
+        F.explode_outer(feature_terms(text_col, bigrams=bigrams)).alias("__term"),
+    ).withColumn(
+        "__bucket",
+        F.when(
+            F.col("__term").isNotNull(),
+            feature_bucket(F.col("__term"), n_buckets, salt=salt),
+        ),
+    )
+    per_bucket = feats.groupBy("id", "label", "__bucket").agg(
+        F.count("__term").alias("__cnt")
+    )
+    return (
+        per_bucket.groupBy("id", "label")
+        .agg(
+            F.map_from_entries(
+                F.filter(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__bucket").alias("k"),
+                            F.col("__cnt").alias("v"),
+                        )
+                    ),
+                    lambda e: e["k"].isNotNull(),
+                )
+            ).alias("__m")
+        )
+        .withColumn(
+            "fv",
+            array_to_vector(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at("__m", i.cast("bigint")), F.lit(0)
+                    ).cast("double"),
+                )
+            ),
+        )
+        .select("id", "label", "fv")
+    )
+
+
+def train_hashed_linear_multiclass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int,
+    *,
+    bigrams: bool = False,
+    salt: int = 0,
+    max_iter: int = 60,
+    reg_param: float = 0.0,
+    elastic_net: float = 0.0,
+) -> tuple[DataFrame, dict[str, int], list[str]]:
+    """Fit a multinomial logistic-regression routing model on a labeled
+    sample and freeze it for ``hashed_linear_argmax``: returns
+    (weights (bucket, cls, w_micro), biases {cls: bias_micro}, classes).
+    Class indices are assigned by SORTED label value (deterministic — no
+    StringIndexer frequency ordering); the label column may be any type,
+    its string form becomes the class name.  Same contract as
+    ``train_hashed_linear``: sample-scale dense vectorization, coefficients
+    micro-quantized into the portable exact-integer inference space."""
+    from pyspark.ml.classification import LogisticRegression
+
+    classes = sorted(
+        r["c"]
+        for r in df.select(F.col(label_col).cast("string").alias("c"))
+        .where(F.col("c").isNotNull())
+        .distinct()
+        .collect()
+    )
+    if len(classes) < 2:
+        raise ValueError(
+            f"train_hashed_linear_multiclass: need >= 2 classes, got {classes}"
+        )
+    idx = None
+    for i, c in enumerate(classes):
+        cond = F.col(label_col).cast("string") == c
+        idx = F.when(cond, float(i)) if idx is None else idx.when(cond, float(i))
+    counts = _vectorize_sample(
+        df, id_col, text_col, idx, n_buckets, bigrams=bigrams, salt=salt
+    )
+    lr = LogisticRegression(
+        featuresCol="fv",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+        family="multinomial",
+    )
+    model = lr.fit(counts)
+    mat = model.coefficientMatrix.toArray()
+    rows = [
+        (int(b), classes[k], int(round(float(w) * MICRO)))
+        for k in range(len(classes))
+        for b, w in enumerate(mat[k])
+        if round(float(w) * MICRO) != 0
+    ]
+    if not rows:
+        rows = [(0, classes[0], 0)]  # explicit zero model, never empty
+    spark = df.sparkSession
+    weights = spark.createDataFrame(rows, "bucket bigint, cls string, w_micro bigint")
+    biases = {
+        classes[k]: int(round(float(v) * MICRO))
+        for k, v in enumerate(model.interceptVector.toArray())
+    }
+    return weights, biases, classes
+
+
 def train_hashed_linear(
     df: DataFrame,
     id_col: str,
@@ -518,52 +647,10 @@ def train_hashed_linear(
     verified by behavior (planted-signal separation), not a SQL oracle.
     """
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).cast("double").alias("label"),
-        F.explode_outer(feature_terms(text_col, bigrams=bigrams)).alias("__term"),
-    ).withColumn(
-        "__bucket",
-        F.when(
-            F.col("__term").isNotNull(),
-            feature_bucket(F.col("__term"), n_buckets, salt=salt),
-        ),
-    )
-    # Two map-side-combinable aggregates (sample-scale): per-bucket
-    # multiplicity, then one (bucket → count) map per doc.  Empty docs keep
-    # their single __bucket=null row → empty map → all-zero vector.
-    per_bucket = feats.groupBy("id", "label", "__bucket").agg(
-        F.count("__term").alias("__cnt")
-    )
-    counts = (
-        per_bucket.groupBy("id", "label")
-        .agg(
-            F.map_from_entries(
-                F.filter(
-                    F.collect_list(
-                        F.struct(
-                            F.col("__bucket").alias("k"),
-                            F.col("__cnt").alias("v"),
-                        )
-                    ),
-                    lambda e: e["k"].isNotNull(),
-                )
-            ).alias("__m")
-        )
-        .withColumn(
-            "fv",
-            array_to_vector(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-                    lambda i: F.coalesce(
-                        F.element_at("__m", i.cast("bigint")), F.lit(0)
-                    ).cast("double"),
-                )
-            ),
-        )
-        .select("id", "label", "fv")
+    counts = _vectorize_sample(
+        df, id_col, text_col, F.col(label_col).cast("double"),
+        n_buckets, bigrams=bigrams, salt=salt,
     )
     lr = LogisticRegression(
         featuresCol="fv",

@@ -411,6 +411,52 @@ class TestMulticlassArgmax:
             assert got[doc_id] == (cls, sc), f"doc {doc_id}"
 
 
+class TestMulticlassTraining:
+    def test_planted_language_routing(self, spark):
+        """Three planted 'languages' with disjoint marker vocab: the
+        trained multinomial model, frozen and run through
+        hashed_linear_argmax, routes every training doc correctly."""
+        from oni_ml_spark.datapipe.classify import (
+            hashed_linear_argmax,
+            train_hashed_linear_multiclass,
+        )
+
+        vocab = {
+            "aa": ["aqua", "arbor", "amber", "atlas"],
+            "bb": ["birch", "basil", "brook", "bloom"],
+            "cc": ["cedar", "coral", "cliff", "cloud"],
+        }
+        rows = []
+        for i in range(120):
+            lang = ["aa", "bb", "cc"][i % 3]
+            words = [vocab[lang][(i + j) % 4] for j in range(6)]
+            rows.append((i, " ".join(words), lang))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        w, biases, classes = train_hashed_linear_multiclass(
+            df, "doc_id", "text", "lang", 512, max_iter=40
+        )
+        assert classes == ["aa", "bb", "cc"]
+        assert set(biases) == {"aa", "bb", "cc"}
+        got = {
+            r["id"]: r["label"]
+            for r in hashed_linear_argmax(
+                df, "doc_id", "text", w, 512, classes, biases=biases
+            ).collect()
+        }
+        for i in range(120):
+            assert got[i] == ["aa", "bb", "cc"][i % 3], f"doc {i}"
+
+    def test_single_class_rejected(self, spark):
+        from oni_ml_spark.datapipe.classify import train_hashed_linear_multiclass
+
+        df = spark.createDataFrame(
+            [(1, "x", "only"), (2, "y", "only")],
+            "doc_id bigint, text string, lang string",
+        )
+        with pytest.raises(ValueError, match=">= 2 classes"):
+            train_hashed_linear_multiclass(df, "doc_id", "text", "lang", 64)
+
+
 class TestGroupedAUC:
     def test_matches_per_group_brute_force(self, spark):
         import random
