@@ -75,32 +75,36 @@ def demo_weights(spark, n_buckets: int = 4096, step: int = 2) -> DataFrame:
     )
 
 
-def _validate_weights(weights: DataFrame, n_buckets: int) -> None:
+def _validate_weights(
+    weights: DataFrame, n_buckets: int, *, caller: str = "hashed_linear_score",
+    key_cols: tuple[str, ...] = ("bucket",),
+) -> None:
     """Eager 1-row validation of the (bounded, model-sized) weights table:
-    unique buckets in range, no null weights. House style for bounded
-    frames: one aggregate, fail with the offence named."""
+    unique keys (bucket, or (bucket, cls) for the multiclass model) in
+    range, no null weights. House style for bounded frames: one aggregate,
+    fail with the offence named."""
     row = weights.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("bucket").alias("nd"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("nd"),
         F.min("bucket").alias("lo"),
         F.max("bucket").alias("hi"),
         F.sum(F.col("w_micro").isNull().cast("long")).alias("nulls"),
     ).first()
     if row["n"] == 0:
-        raise ValueError("hashed_linear_score: weights table is empty")
+        raise ValueError(f"{caller}: weights table is empty")
     if row["nd"] != row["n"]:
         raise ValueError(
-            f"hashed_linear_score: duplicate bucket ids in weights "
+            f"{caller}: duplicate {'/'.join(key_cols)} keys in weights "
             f"({row['n']} rows, {row['nd']} distinct) — a duplicate would "
             "double-count its features"
         )
     if row["lo"] < 0 or row["hi"] >= n_buckets:
         raise ValueError(
-            f"hashed_linear_score: bucket ids [{row['lo']}, {row['hi']}] "
+            f"{caller}: bucket ids [{row['lo']}, {row['hi']}] "
             f"outside [0, {n_buckets}) — wrong n_buckets for this model?"
         )
     if row["nulls"]:
-        raise ValueError("hashed_linear_score: null w_micro in weights")
+        raise ValueError(f"{caller}: null w_micro in weights")
 
 
 def hashed_linear_score(
@@ -218,6 +222,12 @@ def hashed_linear_argmax(
     unknown = set(biases) - set(classes)
     if unknown:
         raise ValueError(f"hashed_linear_argmax: biases for unknown classes {sorted(unknown)}")
+    # same defects the binary scorer refuses: duplicate (bucket, cls) rows
+    # double-count, out-of-range buckets silently never match
+    _validate_weights(
+        weights, n_buckets,
+        caller="hashed_linear_argmax", key_cols=("bucket", "cls"),
+    )
     feats = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(feature_terms(text_col, bigrams=bigrams)).alias("__term"),
@@ -319,7 +329,15 @@ def binary_auc(
             F.sum(1 - F.col("__y")).alias("nn"),
         )
     )
-    b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if num_buckets is not None and num_buckets < 1:
+        raise ValueError("binary_auc: num_buckets must be >= 1")
+    if num_buckets is None:
+        # 'auto' is a legal value for this conf under some AQE setups —
+        # fall back rather than crash before the first job
+        raw_b = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        b = int(raw_b) if raw_b.isdigit() else 32
+    else:
+        b = num_buckets
     if b > 1:
         probs = F.array(*[F.lit(i / b) for i in range(1, b)])
         acc = max(100, 4 * b)
@@ -459,7 +477,18 @@ def threshold_report(
     positives."""
     if not thresholds:
         raise ValueError("threshold_report: thresholds must be non-empty")
-    lbl = F.col(label_col).cast("long")
+    raw = F.col(label_col).cast("long")
+    # same in-plan 0/1 contract as binary_auc: a NULL or out-of-range
+    # label must raise, not silently fall out of all four counts and
+    # leave tp+fp+fn+tn < N
+    lbl_ok = F.assert_true(
+        raw.isin(0, 1),
+        F.concat(
+            F.lit(f"threshold_report: {label_col} must be 0/1, got "),
+            F.coalesce(raw.cast("string"), F.lit("NULL")),
+        ),
+    )
+    lbl = F.when(lbl_ok.isNull(), raw)
     s = F.col(score_col).cast("double")
     aggs = []
     for i, t in enumerate(thresholds):
@@ -574,13 +603,18 @@ def train_hashed_linear_multiclass(
     micro-quantized into the portable exact-integer inference space."""
     from pyspark.ml.classification import LogisticRegression
 
-    classes = sorted(
+    raw_classes = [
         r["c"]
         for r in df.select(F.col(label_col).cast("string").alias("c"))
-        .where(F.col("c").isNotNull())
         .distinct()
         .collect()
-    )
+    ]
+    if None in raw_classes:
+        raise ValueError(
+            "train_hashed_linear_multiclass: sample contains NULL labels — "
+            "filter or impute them before training"
+        )
+    classes = sorted(raw_classes)
     if len(classes) < 2:
         raise ValueError(
             f"train_hashed_linear_multiclass: need >= 2 classes, got {classes}"

@@ -693,10 +693,22 @@ def match_distribution(
         )
         .select("bin", "n_ref", "n_cur", "rate")
     )
+    # a NULL key has no deterministic draw — refuse in-plan (the sibling
+    # weighted samplers' convention), never silently drop the row
+    key_ok = F.assert_true(
+        F.col(key_col).isNotNull(),
+        F.lit(f"match_distribution: NULL {key_col} — keys must be non-null"),
+    )
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+                F.md5(
+                    F.concat(
+                        F.when(key_ok.isNull(), F.col(key_col)).cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1, 8,
             ),
             16, 10,
         ).cast("long")
@@ -705,10 +717,13 @@ def match_distribution(
     kept = (
         df.withColumn("__b", _bin_expr(value_col, edges))
         .join(
-            F.broadcast(rates.select(F.col("bin").alias("__b"), "rate")), "__b"
+            F.broadcast(
+                rates.select(F.col("bin").alias("__b"), F.col("rate").alias("__rate"))
+            ),
+            "__b",
         )
-        .where(u < F.col("rate"))
-        .drop("__b", "rate")
+        .where(u < F.col("__rate"))
+        .drop("__b", "__rate")
     )
     return kept, rates
 

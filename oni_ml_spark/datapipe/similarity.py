@@ -653,14 +653,20 @@ def save_ivf_index(
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     spark = cent_df.sparkSession
+    # number past EVERY existing version dir, committed or orphan — a
+    # crashed save leaves an uncommitted vN, and numbering from committed
+    # versions only would collide with it forever; overwrite mode clears
+    # a same-numbered orphan (only orphans can exist at this number: a
+    # committed dir is always behind the max)
+    all_vers = _ivf_versions(spark, root, committed_only=False)
     committed = _ivf_versions(spark, root)
-    version = (committed[-1] + 1) if committed else 0
+    version = (max(all_vers) + 1) if all_vers else 0
     vdir = f"{root}/v{version:06d}"
-    cent_df.select("cell", "centv", "centn").write.mode("errorifexists").parquet(
+    cent_df.select("cell", "centv", "centn").write.mode("overwrite").parquet(
         f"{vdir}/centroids"
     )
     c_assigned.select("neighbor_id", "cv", "cn", "cell").write.mode(
-        "errorifexists"
+        "overwrite"
     ).parquet(f"{vdir}/members")
     cent_back = spark.read.parquet(f"{vdir}/centroids")
     meta = cent_back.agg(
@@ -677,7 +683,7 @@ def save_ivf_index(
     spark.createDataFrame(
         [(int(meta["n_cells"]), int(meta["dim_lo"]), int(n_members), version)],
         "n_cells int, dim int, n_members bigint, version int",
-    ).write.mode("errorifexists").parquet(f"{vdir}/_conf")
+    ).write.mode("overwrite").parquet(f"{vdir}/_conf")
     for old in _ivf_versions(spark, root)[:-keep_versions]:
         _delete_dir(spark, f"{root}/v{old:06d}")
     return version
@@ -689,8 +695,11 @@ def _delete_dir(spark, path: str) -> None:
     jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
 
 
-def _ivf_versions(spark, root: str) -> list[int]:
-    """Committed (conf-bearing) version numbers, ascending."""
+def _ivf_versions(spark, root: str, committed_only: bool = True) -> list[int]:
+    """Version numbers under ``root``, ascending.  ``committed_only``
+    keeps conf-bearing versions (what the loader may read);
+    ``committed_only=False`` also counts crashed-save orphans (what the
+    writer must number past)."""
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(root)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -700,7 +709,7 @@ def _ivf_versions(spark, root: str) -> list[int]:
     for st in fs.listStatus(jp):
         name = st.getPath().getName()
         if name.startswith("v") and name[1:].isdigit():
-            if fs.exists(
+            if not committed_only or fs.exists(
                 jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_conf/_SUCCESS")
             ):
                 out.append(int(name[1:]))

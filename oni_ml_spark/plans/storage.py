@@ -8,7 +8,8 @@ At 100 TB / 1 GiB files the full listing is ~10⁵ rows and 64-256 sampled
 footers (deterministic stride over the sorted listing — every partition
 range gets sampled, no RNG) describe the layout to within a few percent
 unless the dataset's schema varies wildly file-to-file — in which case
-``files_with_schema_drift`` in the report says so.
+``layout_report``'s ``files_with_schema_drift`` flag says so (run it
+alongside ``storage_profile`` before trusting the extrapolation).
 
 Uses pyarrow for footer parsing (driver-side; works on any
 pyarrow-readable filesystem — local paths here, fsspec-backed object
@@ -59,10 +60,8 @@ def storage_profile(
     sampled_bytes = sum(f["bytes"] for f in sampled)
 
     cols: dict[str, dict] = {}
-    schemas = set()
     for f in sampled:
         meta = pq.ParquetFile(_local_path(f["file"])).metadata
-        schemas.add(tuple(meta.schema.names))
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):

@@ -346,6 +346,33 @@ class TestMulticlassArgmax:
                 docs, "doc_id", "text", w, 4096, ["en"], biases={"zz": 1}
             )
 
+    def test_duplicate_weight_pair_rejected(self, spark):
+        """Same (bucket, cls) twice would double-count — refused like the
+        binary scorer's duplicate-bucket guard; the same bucket under two
+        DIFFERENT classes is a legal model."""
+        from oni_ml_spark.datapipe.classify import hashed_linear_argmax
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        dup = spark.createDataFrame(
+            [(3, "en", 10), (3, "en", 20)], "bucket bigint, cls string, w_micro bigint"
+        )
+        with pytest.raises(ValueError, match="duplicate bucket/cls"):
+            hashed_linear_argmax(docs, "doc_id", "text", dup, 4096, ["en", "es"])
+        ok = spark.createDataFrame(
+            [(3, "en", 10), (3, "es", 20)], "bucket bigint, cls string, w_micro bigint"
+        )
+        hashed_linear_argmax(docs, "doc_id", "text", ok, 4096, ["en", "es"]).collect()
+
+    def test_null_label_sample_rejected(self, spark):
+        from oni_ml_spark.datapipe.classify import train_hashed_linear_multiclass
+
+        df = spark.createDataFrame(
+            [(1, "x", "en"), (2, "y", "es"), (3, "z", None)],
+            "doc_id bigint, text string, lang string",
+        )
+        with pytest.raises(ValueError, match="NULL labels"):
+            train_hashed_linear_multiclass(df, "doc_id", "text", "lang", 64)
+
     def test_matches_duckdb_argmax(self, spark):
         """Corpus-scale cross-engine check: md5-derived (bucket, class)
         weights, argmax restated in DuckDB with the same tie-break."""
@@ -512,6 +539,23 @@ class TestThresholdReport:
         assert r5["precision"] == 0.5 and r5["recall"] == pytest.approx(1 / 3)
         r95 = rep[0.95]
         assert (r95["tp"], r95["fp"]) == (0, 0) and r95["precision"] is None
+
+    def test_bad_label_raises_not_dropped(self, spark):
+        """Labels outside 0/1 (incl. NULL) raise in-plan — the
+        binary_auc contract — instead of silently falling out of all four
+        confusion counts."""
+        from oni_ml_spark.datapipe.classify import threshold_report
+
+        df = spark.createDataFrame(
+            [(1, 0.9), (2, 0.4)], "label int, score double"
+        )
+        with pytest.raises(Exception, match="must be 0/1"):
+            threshold_report(df, "label", "score", [0.5]).collect()
+        dfn = spark.createDataFrame(
+            [(1, 0.9), (None, 0.4)], "label int, score double"
+        )
+        with pytest.raises(Exception, match="must be 0/1"):
+            threshold_report(dfn, "label", "score", [0.5]).collect()
 
     def test_empty_thresholds_rejected(self, spark):
         from oni_ml_spark.datapipe.classify import threshold_report

@@ -239,6 +239,11 @@ class TestPersistence:
         cent.write.parquet(f"{root}/v000001/centroids")
         _, _, conf = load_ivf_index(spark, root)
         assert conf["version"] == 0
+        # ...and the next save numbers PAST the orphan instead of
+        # colliding with it — the writer half of the crash contract
+        assert save_ivf_index(cent, assigned, root) == 2
+        _, _, conf2 = load_ivf_index(spark, root)
+        assert conf2["version"] == 2
 
     def test_empty_root_raises(self, spark, tmp_path):
         from oni_ml_spark.datapipe.similarity import load_ivf_index

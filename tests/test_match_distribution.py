@@ -122,6 +122,27 @@ class TestMatchDistribution:
         assert r[-1] == 1.0 and r[1] == 1.0  # identical shares → keep all
         assert kept.count() == 80
 
+    def test_null_key_raises_in_plan(self, spark):
+        cur = spark.createDataFrame(
+            [(1, 15.0), (None, 15.0)], "k bigint, v double"
+        )
+        ref = spark.createDataFrame([(9, 15.0)] * 5, "k bigint, v double")
+        with pytest.raises(Exception, match="NULL k"):
+            match_distribution(cur, ref, "k", "v", EDGES)[0].collect()
+
+    def test_caller_rate_column_survives(self, spark):
+        """The internal acceptance column is __-prefixed: an input frame
+        that already carries a 'rate' column joins without ambiguity and
+        keeps it in the output."""
+        cur = spark.createDataFrame(
+            [(i, 15.0, 0.5) for i in range(60)], "k bigint, v double, rate double"
+        )
+        ref = spark.createDataFrame([(9, 15.0)] * 30, "k bigint, v double")
+        kept, _ = match_distribution(cur, ref, "k", "v", EDGES)
+        assert "rate" in kept.columns
+        assert kept.count() == 60  # single shared bin → rate 1, all kept
+        assert all(r["rate"] == 0.5 for r in kept.collect())
+
     def test_empty_reference_raises(self, spark):
         cur = spark.createDataFrame([(1, 5.0)], "k bigint, v double")
         ref = spark.createDataFrame([], "k bigint, v double")
