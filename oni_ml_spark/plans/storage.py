@@ -110,6 +110,39 @@ def storage_profile(
     )
 
 
+def dataset_report(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    sample_files: int = 64,
+    top_columns: int = 8,
+) -> dict:
+    """The one-call datasheet for an unfamiliar parquet dataset:
+    {'layout': file/row-group/schema-drift summary (footers only),
+     'storage_top': the ``top_columns`` biggest columns by compressed
+     bytes with shares and extrapolated totals (footers only),
+     'profile': per-column rows/nulls/distinct/min/max
+     (plans.diagnostics.profile_table — the ONE data scan in the call)}.
+    Everything returned is driver-bounded (|columns| + |bins| rows); the
+    data scan reads only the profiled columns."""
+    from oni_ml_spark.plans.diagnostics import profile_table
+
+    layout = layout_report(spark, path, sample_files)
+    storage = storage_profile(spark, path, sample_files)
+    top = [
+        {
+            "column": r["column"],
+            "frac_of_total": r["frac_of_total"],
+            "est_total_bytes": r["est_total_bytes"],
+            "compression_ratio": r["compression_ratio"],
+        }
+        for r in storage.limit(top_columns).collect()
+    ]
+    df = spark.read.parquet(path)
+    prof = [r.asDict() for r in profile_table(df, columns).collect()]
+    return {"layout": layout, "storage_top": top, "profile": prof}
+
+
 def layout_report(spark: SparkSession, path: str, sample_files: int = 64) -> dict:
     """File/row-group layout summary from the listing + sampled footers:
     the numbers that decide maxPartitionBytes, compaction targets, and

@@ -60,6 +60,21 @@ class TestStorageProfile:
         assert names[0] == "f000" and names[-1] >= "f090"
 
 
+class TestDatasetReport:
+    def test_one_call_datasheet(self, spark, dataset):
+        from oni_ml_spark.plans.storage import dataset_report
+
+        rep = dataset_report(spark, dataset, top_columns=2)
+        assert set(rep) == {"layout", "storage_top", "profile"}
+        assert rep["layout"]["n_files"] == 4
+        assert len(rep["storage_top"]) == 2
+        assert rep["storage_top"][0]["column"] == "noise"
+        prof = {p["column"]: p for p in rep["profile"]}
+        assert set(prof) == {"id", "constant", "noise"}
+        assert all(p["n_rows"] == 20_000 for p in prof.values())
+        assert prof["constant"]["n_nulls"] == 0
+
+
 class TestLayoutReport:
     def test_fields_and_counts(self, spark, dataset):
         rep = layout_report(spark, dataset)
