@@ -282,6 +282,39 @@ def _cleanup(fs, jvm, journal: dict, root: str) -> None:
     fs.delete(p(_journal_path(root, journal["token"])), False)
 
 
+def compaction_due(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    *,
+    max_small_frac: float = 0.3,
+    min_small_files: int = 8,
+    small_bytes: int | None = None,
+) -> dict:
+    """The maintenance-policy trigger: is this dataset's small-file tail
+    worth a compaction run?  One FS listing, no data read.  Returns
+    {n_files, n_small, small_frac, files_removable, due} — due when the
+    small-file FRACTION exceeds ``max_small_frac`` AND at least
+    ``min_small_files`` small files exist (a 4-file dataset is never worth
+    a job), using the same plan the run itself would execute."""
+    files = dataset_files(spark, path)
+    plan = compaction_plan(files, target_bytes, small_bytes)
+    n = len(files)
+    small_frac = (plan.n_files_small / n) if n else 0.0
+    return {
+        "n_files": n,
+        "n_small": plan.n_files_small,
+        "small_frac": small_frac,
+        "files_removable": plan.summary()["files_removed"],
+        "due": bool(
+            n
+            and plan.n_files_small >= min_small_files
+            and small_frac > max_small_frac
+            and plan.bins
+        ),
+    }
+
+
 def pending_compactions(spark: SparkSession, path: str) -> list[str]:
     """Journal tokens of interrupted compaction runs under ``path``."""
     fs, jroot, _ = _fs(spark, path)

@@ -223,6 +223,27 @@ class TestExecute:
         assert res["executed"] and res["n_bins"] >= 2
 
 
+class TestMaintenancePolicy:
+    def test_due_then_not_after_compaction(self, spark, tmp_path):
+        from oni_ml_spark.plans.compaction import compaction_due
+
+        path = str(tmp_path / "policy")
+        _write_fragmented(spark, path, n_fragments=8)
+        verdict = compaction_due(spark, path, target_bytes=1 << 30)
+        assert verdict["due"] and verdict["small_frac"] == 1.0
+        assert verdict["files_removable"] > 0
+        compact_dataset(spark, path, target_bytes=1 << 30)
+        after = compaction_due(spark, path, target_bytes=1 << 30)
+        assert not after["due"] and after["files_removable"] == 0
+
+    def test_tiny_dataset_never_due(self, spark, tmp_path):
+        from oni_ml_spark.plans.compaction import compaction_due
+
+        path = str(tmp_path / "tiny")
+        spark.range(10).coalesce(1).write.parquet(path)
+        assert not compaction_due(spark, path, target_bytes=1 << 30)["due"]
+
+
 class TestManifestInteraction:
     def test_compaction_invalidates_then_rebuilds_skipping_manifest(
         self, spark, tmp_path

@@ -293,6 +293,54 @@ class TestIncrementalRefreshE2E:
         with pytest.raises(ValueError, match="quality gate: day 2"):
             gate(2)
 
+    def test_ivf_index_daily_refresh(self, spark, tmp_path):
+        """(r9) The ANN index's daily refresh: build once, persist as v0,
+        then each day LOAD the committed version, assign ONLY the day's
+        vectors to the frozen centroids, and commit the union as the next
+        version. O(day): the assignment job's inputs are the day's file
+        plus the model-sized centroid table; the prior members are unioned
+        lazily into the save, never reassigned. The rebuild trigger stays
+        quiet while the corpus shape holds."""
+        import random
+
+        from oni_ml_spark.datapipe.similarity import (
+            build_ivf_index,
+            ivf_append,
+            ivf_rebuild_due,
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        rng = random.Random(3)
+
+        def day_vectors(day, n):
+            return spark.createDataFrame(
+                [
+                    (day * 10_000 + i, [rng.gauss(0, 1) for _ in range(16)])
+                    for i in range(n)
+                ],
+                "vec_id bigint, embedding array<double>",
+            )
+
+        root = str(tmp_path / "ivf")
+        day0 = day_vectors(0, 150)
+        cent, assigned = build_ivf_index(day0, n_cells=8, seed=7)
+        assert save_ivf_index(cent, assigned, root, keep_versions=3) == 0
+
+        for day in (1, 2):
+            c, members, conf = load_ivf_index(spark, root)
+            batch_dir = str(tmp_path / f"day{day}")
+            day_vectors(day, 80).write.parquet(batch_dir)
+            batch = spark.read.parquet(batch_dir)
+            assert all(f"day{day}" in f for f in batch.inputFiles())
+            out = ivf_append(c, members, batch)
+            assert save_ivf_index(c, out, root, keep_versions=3) == day
+
+        _, final, conf = load_ivf_index(spark, root)
+        assert conf["version"] == 2 and conf["n_members"] == 310
+        assert final.count() == 310
+        assert not ivf_rebuild_due(cent, final)["due"]
+
     def test_contract_gate_blocks_malformed_day(self, spark, ingested):
         """(r9) The contract gate is the drift gate's structural sibling:
         each day's batch must satisfy the data contract (non-null unique
