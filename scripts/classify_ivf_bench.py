@@ -140,12 +140,30 @@ def main():
             F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
         )
 
+    def multiclass_route(sfdir):
+        from oni_ml_spark.datapipe.classify import hashed_linear_argmax
+
+        classes = ["de", "en", "es"]
+        w3 = (
+            spark.range(0, 4096, 2)
+            .crossJoin(spark.createDataFrame([(c,) for c in classes], "cls string"))
+            .select(
+                F.col("id").alias("bucket"), "cls",
+                (F.xxhash64("cls", "id") % 2001 - 1000).alias("w_micro"),
+            )
+        )
+        d = spark.read.parquet(f"{sfdir}/documents.parquet")
+        return hashed_linear_argmax(
+            d, "doc_id", "text", w3, 4096, classes
+        ).groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
     results = {}
     for name, fn in (("classifier_score", classifier_score),
                      ("ivf_assign_delta", ivf_assign_delta),
                      ("auc_score", auc_score),
                      ("line_filter_clean", line_filter_clean),
-                     ("dmatch", dmatch)):
+                     ("dmatch", dmatch),
+                     ("multiclass_route", multiclass_route)):
         # interleaved floor protocol: alternate 1x/25x passes and take the
         # min of 5 per side — single readings on this host swing 3-5x
         # outside the ±30% ambient band at 1-10 s job sizes; interleaving
