@@ -25,6 +25,11 @@ from oni_ml_spark.streaming.drift_stream import (
     stream_drift_report,
     stream_drift_report_categorical,
 )
+from oni_ml_spark.streaming.gate_stream import (
+    gated_writer,
+    quarantined_batches,
+    read_quarantined,
+)
 from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
 from oni_ml_spark.streaming.stateful import sessionize_stream
 from oni_ml_spark.streaming.upsert_sink import (

@@ -1357,3 +1357,83 @@ def test_streaming_model_score_monitor(spark, tmp_path):
     assert sum(r["p_cur"] for r in rows) == pytest.approx(1.0)
     assert sum(r["p_ref"] for r in rows) == pytest.approx(1.0)
     assert sum(r["n_cur"] for r in rows) == 120
+
+
+def test_streaming_contract_gate_quarantines_bad_batch(spark, tmp_path):
+    """(r9) gated_writer: the streaming contract gate routes a poisoned
+    micro-batch (null keys) to quarantine — data + rule report — while
+    good batches flow to the wrapped exactly-once ingest writer and the
+    stream never stops. A replayed failing batch overwrites its own
+    quarantine dir (no duplication); on_fail='raise' restores the
+    batch-side hard stop."""
+    from oni_ml_spark.datapipe.contracts import expect_not_null, expect_row_count
+    from oni_ml_spark.streaming.gate_stream import (
+        gated_writer,
+        quarantined_batches,
+        read_quarantined,
+    )
+    from oni_ml_spark.streaming.upsert_sink import dedup_append_writer, read_appended
+
+    indir = str(tmp_path / "in")
+    root = str(tmp_path / "ingest")
+    qroot = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v double"
+    contract = [expect_row_count(min_rows=1), expect_not_null("k")]
+    writer = gated_writer(
+        dedup_append_writer(root, "k", query_token="gate-e2e", num_bits=1 << 16),
+        contract,
+        qroot,
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(indir)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    good1 = [(i, float(i)) for i in range(40)]
+    spark.createDataFrame(good1, schema).write.mode("overwrite").parquet(indir)
+    drain()
+    bad = [(None, 1.0), (900, 2.0), (None, 3.0)]
+    spark.createDataFrame(bad, schema).write.mode("append").parquet(indir)
+    drain()
+    good2 = [(100 + i, float(i)) for i in range(20)]
+    spark.createDataFrame(good2, schema).write.mode("append").parquet(indir)
+    drain()
+
+    # good rows ingested, bad batch absent from the fact table
+    ingested = {r["k"] for r in read_appended(spark, root).collect()}
+    assert ingested == {k for k, _ in good1} | {k for k, _ in good2}
+
+    # exactly one quarantined batch, with data + failing rule named
+    qb = quarantined_batches(spark, qroot)
+    assert len(qb) == 1
+    data, report = read_quarantined(spark, qroot, qb[0])
+    assert data.count() == 3
+    bad_rules = {r["rule"] for r in report.collect() if not r["ok"]}
+    assert bad_rules == {"not_null"}
+
+    # replaying the failing batch id overwrites, never duplicates
+    writer(spark.createDataFrame(bad, schema), qb[0])
+    assert quarantined_batches(spark, qroot) == qb
+    data2, _ = read_quarantined(spark, qroot, qb[0])
+    assert data2.count() == 3
+
+    # hard-stop variant
+    strict = gated_writer(
+        dedup_append_writer(root, "k", query_token="gate-e2e", num_bits=1 << 16),
+        contract, qroot, on_fail="raise",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not_null"):
+        strict(spark.createDataFrame(bad, schema), 99)
+
+    # unknown mode rejected at construction
+    with _pytest.raises(ValueError, match="on_fail"):
+        gated_writer(lambda a, b: None, contract, qroot, on_fail="skip")
