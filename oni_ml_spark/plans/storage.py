@@ -42,26 +42,35 @@ def _sample(files: list[dict], n: int) -> list[dict]:
     return [ordered[int(i * stride)] for i in range(n)]
 
 
+def _footer_scan(spark: SparkSession, path: str, sample_files: int):
+    """(files, sampled, metas): one FS listing + one footer parse per
+    sampled file, shared by storage_profile / layout_report /
+    dataset_report so the one-call datasheet pays the metadata cost
+    once."""
+    import pyarrow.parquet as pq
+
+    files = dataset_files(spark, path)
+    sampled = _sample(files, sample_files)
+    metas = [pq.ParquetFile(_local_path(f["file"])).metadata for f in sampled]
+    return files, sampled, metas
+
+
 def storage_profile(
-    spark: SparkSession, path: str, sample_files: int = 64
+    spark: SparkSession, path: str, sample_files: int = 64, _scan=None
 ) -> DataFrame:
     """Per-column storage report, extrapolated from sampled footers:
     (column, compressed_bytes, uncompressed_bytes, compression_ratio,
     frac_of_total, est_total_bytes, encodings, n_values, n_nulls).
     Sizes are the SAMPLE's exact sums; est_total_bytes scales each
     column's share by listed-total / sampled-total bytes."""
-    import pyarrow.parquet as pq
-
-    files = dataset_files(spark, path)
+    files, sampled, metas = _scan or _footer_scan(spark, path, sample_files)
     if not files:
         raise ValueError(f"storage_profile: no data files under {path}")
-    sampled = _sample(files, sample_files)
     total_bytes = sum(f["bytes"] for f in files)
     sampled_bytes = sum(f["bytes"] for f in sampled)
 
     cols: dict[str, dict] = {}
-    for f in sampled:
-        meta = pq.ParquetFile(_local_path(f["file"])).metadata
+    for meta in metas:
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):
@@ -127,8 +136,9 @@ def dataset_report(
     data scan reads only the profiled columns."""
     from oni_ml_spark.plans.diagnostics import profile_table
 
-    layout = layout_report(spark, path, sample_files)
-    storage = storage_profile(spark, path, sample_files)
+    scan = _footer_scan(spark, path, sample_files)
+    layout = layout_report(spark, path, sample_files, _scan=scan)
+    storage = storage_profile(spark, path, sample_files, _scan=scan)
     top = [
         {
             "column": r["column"],
@@ -143,22 +153,20 @@ def dataset_report(
     return {"layout": layout, "storage_top": top, "profile": prof}
 
 
-def layout_report(spark: SparkSession, path: str, sample_files: int = 64) -> dict:
+def layout_report(
+    spark: SparkSession, path: str, sample_files: int = 64, _scan=None
+) -> dict:
     """File/row-group layout summary from the listing + sampled footers:
     the numbers that decide maxPartitionBytes, compaction targets, and
     whether footers mention schema drift.  Driver-side, bounded."""
-    import pyarrow.parquet as pq
-
-    files = dataset_files(spark, path)
+    files, sampled, metas = _scan or _footer_scan(spark, path, sample_files)
     if not files:
         raise ValueError(f"layout_report: no data files under {path}")
     sizes = sorted(f["bytes"] for f in files)
-    sampled = _sample(files, sample_files)
     rg_sizes: list[int] = []
     rg_rows: list[int] = []
     schemas = set()
-    for f in sampled:
-        meta = pq.ParquetFile(_local_path(f["file"])).metadata
+    for meta in metas:
         schemas.add(tuple(meta.schema.names))
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)

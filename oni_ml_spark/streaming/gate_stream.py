@@ -14,8 +14,12 @@ Exactly-once composition: passing batches reach the wrapped writer
 untouched, so ITS replay protocol (ledger markers, version commits) is
 what it always was.  Quarantined batches write ``mode('overwrite')`` into
 their own ``batch=<id>`` directory — a replayed failing batch lands
-byte-identical instead of duplicating, and the report is written AFTER
-the data (a report-bearing quarantine dir is complete).
+byte-identical instead of duplicating — and the report is written AFTER
+the data with any stale report retracted FIRST, so a report-bearing
+quarantine dir always covers complete data even across a crash
+mid-replay.  A batch the contract cannot even evaluate (a producer
+dropped a rule column) quarantines with a ``__contract_error`` report row
+instead of killing the stream.
 
 Per batch the gate costs ONE bounded aggregate over the batch
 (`contracts.run_expectations` — all rules in one pass); nothing about the
@@ -25,6 +29,8 @@ accumulated stream is rescanned.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from oni_ml_spark.plans.compaction import _fs
 
 
 def gated_writer(
@@ -49,24 +55,44 @@ def gated_writer(
         raise ValueError(f"gated_writer: unknown on_fail {on_fail!r}")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        report = run_expectations(batch_df, rules).collect()
-        failed = [r for r in report if not r["ok"]]
-        if not failed:
+        # one source read per batch: the gate's aggregate AND the inner
+        # write (or quarantine write) both consume the pinned copy — the
+        # upsert_sink convention
+        batch_df = batch_df.localCheckpoint()
+        try:
+            report = run_expectations(batch_df, rules).collect()
+            rows = [
+                (r["rule"], r["column"], bool(r["ok"]), r["observed"], r["expected"])
+                for r in report
+            ]
+            failed_msg = None
+            if any(not r["ok"] for r in report):
+                failed = [r for r in report if not r["ok"]]
+                failed_msg = (
+                    f"{len(failed)} expectation(s) failed — "
+                    + _format_failures(failed)
+                )
+        except ValueError as e:
+            # a structurally un-evaluable batch (e.g. a rule column the
+            # producer dropped) is the most violated contract of all — it
+            # must quarantine, not kill the stream
+            rows = [("__contract_error", None, False, str(e), "contract evaluable")]
+            failed_msg = f"contract not evaluable — {e}"
+        if failed_msg is None:
             inner_writer(batch_df, batch_id)
             return
         if on_fail == "raise":
-            raise ValueError(
-                f"gated_writer: batch {batch_id}: {len(failed)} "
-                f"expectation(s) failed — {_format_failures(failed)}"
-            )
-        bdir = f"{quarantine_root}/batch={batch_id}"
-        batch_df.write.mode("overwrite").parquet(f"{bdir}/data")
+            raise ValueError(f"gated_writer: batch {batch_id}: {failed_msg}")
         spark = batch_df.sparkSession
+        bdir = f"{quarantine_root}/batch={batch_id}"
+        # replay hygiene: retract the completeness marker BEFORE touching
+        # data, so a crash mid-rewrite can never leave a report-bearing
+        # dir over partial data
+        fs, _, jvm = _fs(spark, quarantine_root)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{bdir}/_report"), True)
+        batch_df.write.mode("overwrite").parquet(f"{bdir}/data")
         spark.createDataFrame(
-            [
-                (r["rule"], r["column"], bool(r["ok"]), r["observed"], r["expected"])
-                for r in report
-            ],
+            rows,
             "rule string, column string, ok boolean, observed string, expected string",
         ).write.mode("overwrite").parquet(f"{bdir}/_report")
 
@@ -77,20 +103,21 @@ def quarantined_batches(spark: SparkSession, quarantine_root: str) -> list[int]:
     """Batch ids with a COMPLETE quarantine record (report landed — the
     data-then-report write order makes the report the completeness
     marker), ascending."""
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(quarantine_root)
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jp, jvm = _fs(spark, quarantine_root)
     if not fs.exists(jp):
         return []
     out = []
     for st in fs.listStatus(jp):
         name = st.getPath().getName()
-        if name.startswith("batch="):
+        suffix = name[len("batch="):]
+        # digit guard: a stray batch=tmp / __HIVE_DEFAULT_PARTITION__ dir
+        # must not crash the repair loop
+        if name.startswith("batch=") and suffix.isdigit():
             marker = jvm.org.apache.hadoop.fs.Path(
                 f"{quarantine_root}/{name}/_report/_SUCCESS"
             )
             if fs.exists(marker):
-                out.append(int(name[len("batch="):]))
+                out.append(int(suffix))
     return sorted(out)
 
 

@@ -1437,3 +1437,18 @@ def test_streaming_contract_gate_quarantines_bad_batch(spark, tmp_path):
     # unknown mode rejected at construction
     with _pytest.raises(ValueError, match="on_fail"):
         gated_writer(lambda a, b: None, contract, qroot, on_fail="skip")
+
+    # schema-drift batch (rule column gone) quarantines with a
+    # __contract_error row instead of killing the stream
+    drifted = spark.createDataFrame([(1.0,)], "v double")
+    writer(drifted, 55)
+    assert 55 in quarantined_batches(spark, qroot)
+    _, rep55 = read_quarantined(spark, qroot, 55)
+    row = rep55.first()
+    assert row["rule"] == "__contract_error" and "missing" in row["observed"]
+
+    # a stray non-numeric batch= dir must not crash the repair loop
+    import os
+
+    os.makedirs(f"{qroot}/batch=tmp", exist_ok=True)
+    assert set(quarantined_batches(spark, qroot)) == set(qb) | {55}
