@@ -21,6 +21,21 @@ Scale notes (100 TB):
   is for the bounded labeled sample only (thousands-to-millions of rows,
   n_buckets ≤ ~2^16); the corpus-scale half is ``hashed_linear_score``.
 
+The module is the full model-curation loop, not just the scorer:
+- ``train_hashed_linear`` / ``train_hashed_linear_multiclass`` — fit on
+  the labeled sample (binary LR / multinomial LR on the SAME md5 bucket
+  space), freeze micro-quantized weights;
+- ``hashed_linear_score`` / ``hashed_linear_argmax`` — corpus-scale
+  inference (quality scoring / fastText-style language-and-domain
+  routing), exact integer arithmetic;
+- ``binary_auc`` / ``binary_auc_grouped`` / ``threshold_report`` —
+  evaluation on fresh labels: exact tie-aware ROC-AUC (global and
+  per-segment, rank statistic WITHOUT a global sort — bucketed prefix
+  sums, the quantiles._cdf_table discipline) and the one-aggregate
+  operating-point picker. AUC degradation is the retrain signal;
+  ``streaming/drift_stream`` monitors the score distribution between
+  label batches.
+
 Reference parity: the reference scores suspiciousness with a broadcast
 topic-model dot product (oni-ml ScoreFunction — see scoring.py); this
 module is the same broadcast-model inference pattern generalized to a

@@ -10,6 +10,14 @@
 - near-duplicate pairs: exact all-pairs (test oracle only) and the banded
   SRP-bucketed composition (candidate buckets → exact verify) that replaces
   the O(N²) cross join at scale.
+- incremental IVF maintenance (r9): ``assign_cells`` / ``ivf_append`` put
+  ONLY the day's delta into the frozen-centroid index (O(delta) refresh),
+  ``save_ivf_index`` / ``load_ivf_index`` persist it as crash-safe
+  version directories, ``ivf_rebuild_due`` says when corpus drift
+  warrants a re-fit.
+- ``random_projection`` (r9): JL ±1 sign projection with an md5-parity
+  matrix — seed-free, regenerable in plain SQL, the cheap dimensionality
+  reduction in front of ANN/clustering.
 
 All vector arithmetic is native zip_with/aggregate — JVM-side, no Python in
 the row loop.
