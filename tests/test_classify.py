@@ -253,6 +253,42 @@ class TestBinaryAUC:
         with pytest.raises(Exception, match="must be 0/1"):
             self._auc(spark, [(2, 1.0), (0, 2.0)])
 
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),
+                st.integers(min_value=-8, max_value=8),  # coarse → many ties
+            ),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def test_property_matches_brute_force(self, spark, pairs):
+        """Any label/score multiset (heavy ties by construction): the
+        distributed AUC equals the O(n²) pairwise definition, or is NULL
+        exactly when a class is absent."""
+        from oni_ml_spark.datapipe.classify import binary_auc
+
+        rows = [(l, float(s)) for l, s in pairs]
+        got = binary_auc(
+            spark.createDataFrame(rows, "label int, score double"),
+            "label", "score", num_buckets=3,
+        ).first()["auc"]
+        pos = [s for l, s in rows if l == 1]
+        neg = [s for l, s in rows if l == 0]
+        if not pos or not neg:
+            assert got is None
+        else:
+            want = sum(
+                1.0 if p > n else (0.5 if p == n else 0.0)
+                for p in pos for n in neg
+            ) / (len(pos) * len(neg))
+            assert got == pytest.approx(want, abs=1e-12)
+
     def test_matches_duckdb_on_model_scores(self, spark):
         """Full-pipeline exactness: demo-model scores over the parquet
         corpus, label = doc_id parity, AUC identical to DuckDB restating
