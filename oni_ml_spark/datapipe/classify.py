@@ -44,6 +44,8 @@ supervised quality model over hashed text features.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -309,9 +311,13 @@ def binary_auc(
 
     AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), computed exactly from
     the (score → n_pos, n_neg) count table: each distinct score contributes
-    n_pos · (negatives strictly below + n_neg_tied/2).  All terms are
-    integers (or exact halves), so the result is bit-identical on any
-    partitioning and any engine — SQL-oracle-checkable.
+    n_pos · (negatives strictly below + n_neg_tied/2).  The doubled
+    contribution 2c = n_pos·(2·neg_below + n_neg_tied) is an exact integer,
+    accumulated as DECIMAL(38,0) — exact and order-independent up to 10^38
+    half-pairs (n_pos·n_neg itself overflows long before the sum does), so
+    the result stays bit-identical on any partitioning and any engine even
+    past the 2^53 double-mantissa boundary (~200 M balanced rows) —
+    SQL-oracle-checkable at any scale.
 
     Plan shape (the quantiles._cdf_table discipline): ONE full-data
     hash-aggregate to distinct-score counts, bucket boundaries from an
@@ -348,9 +354,10 @@ def binary_auc(
         raise ValueError("binary_auc: num_buckets must be >= 1")
     if num_buckets is None:
         # 'auto' is a legal value for this conf under some AQE setups —
-        # fall back rather than crash before the first job
+        # fall back to the cluster's actual parallelism rather than a
+        # magic constant, so bucket count tracks the cluster either way
         raw_b = spark.conf.get("spark.sql.shuffle.partitions", "32")
-        b = int(raw_b) if raw_b.isdigit() else 32
+        b = int(raw_b) if raw_b.isdigit() else spark.sparkContext.defaultParallelism
     else:
         b = num_buckets
     if b > 1:
@@ -390,6 +397,9 @@ def binary_auc(
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # doubled contribution 2c = np·(2·neg_strictly_below + nn_tied): exact
+    # integer, summed in DECIMAL(38,0) so the total is order-independent
+    # past the 2^53 double boundary; cast to double only for the final ratio
     contrib = (
         bucketed.join(F.broadcast(offsets), "bucket")
         .withColumn("__neg_upto", F.col("__neg_offset") + F.sum("nn").over(w_run))
@@ -397,23 +407,27 @@ def binary_auc(
             F.col("np"),
             F.col("nn"),
             (
-                F.col("np")
+                F.col("np").cast("decimal(38,0)")
                 * (
-                    (F.col("__neg_upto") - F.col("nn")).cast("double")
-                    + F.col("nn").cast("double") / 2
-                )
-            ).alias("__c"),
+                    2 * (F.col("__neg_upto") - F.col("nn")) + F.col("nn")
+                ).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("__c2"),
         )
     )
     return contrib.agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
         F.count(F.lit(1)).alias("n_scores"),
-        F.sum("__c").alias("__csum"),
+        F.sum("__c2").alias("__csum2"),
     ).select(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.col("__csum") / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+            F.col("__csum2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
         ).alias("auc"),
         "n_pos",
         "n_neg",
@@ -458,18 +472,25 @@ def binary_auc_grouped(
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # same exact-decimal doubled-contribution discipline as binary_auc
     contrib = counts.withColumn(
-        "__c",
-        F.col("np")
-        * (
-            (F.sum("nn").over(w) - F.col("nn")).cast("double")
-            + F.col("nn").cast("double") / 2
-        ),
+        "__c2",
+        (
+            F.col("np").cast("decimal(38,0)")
+            * (
+                2 * (F.sum("nn").over(w) - F.col("nn")) + F.col("nn")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)"),
     )
     return contrib.groupBy("group").agg(
         F.when(
             (F.sum("np") > 0) & (F.sum("nn") > 0),
-            F.sum("__c") / (F.sum("np") * F.sum("nn")).cast("double"),
+            F.sum("__c2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("np").cast("double")
+                * F.sum("nn").cast("double")
+            ),
         ).alias("auc"),
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
@@ -492,6 +513,13 @@ def threshold_report(
     positives."""
     if not thresholds:
         raise ValueError("threshold_report: thresholds must be non-empty")
+    bad_t = [t for t in thresholds if not math.isfinite(float(t))]
+    if bad_t:
+        # inf/nan would interpolate into stack() as 'infD'/'nanD' and die
+        # with an opaque parse error — refuse with the offender named
+        raise ValueError(
+            f"threshold_report: thresholds must be finite, got {bad_t}"
+        )
     raw = F.col(label_col).cast("long")
     # same in-plan 0/1 contract as binary_auc: a NULL or out-of-range
     # label must raise, not silently fall out of all four counts and
@@ -607,6 +635,7 @@ def train_hashed_linear_multiclass(
     max_iter: int = 60,
     reg_param: float = 0.0,
     elastic_net: float = 0.0,
+    max_classes: int = 1000,
 ) -> tuple[DataFrame, dict[str, int], list[str]]:
     """Fit a multinomial logistic-regression routing model on a labeled
     sample and freeze it for ``hashed_linear_argmax``: returns
@@ -615,9 +644,28 @@ def train_hashed_linear_multiclass(
     StringIndexer frequency ordering); the label column may be any type,
     its string form becomes the class name.  Same contract as
     ``train_hashed_linear``: sample-scale dense vectorization, coefficients
-    micro-quantized into the portable exact-integer inference space."""
+    micro-quantized into the portable exact-integer inference space.
+    Refuses when the label column holds more than ``max_classes`` distinct
+    values (approx pre-check, the ``contracts.infer_expectations``
+    discipline) — a raw high-cardinality column passed as the label would
+    otherwise become an unbounded driver collect."""
     from pyspark.ml.classification import LogisticRegression
 
+    if max_classes < 2:
+        raise ValueError(
+            f"train_hashed_linear_multiclass: max_classes must be >= 2, got {max_classes}"
+        )
+    approx = df.agg(
+        F.approx_count_distinct(F.col(label_col).cast("string")).alias("n")
+    ).first()["n"]
+    # approx_count_distinct is ±~5%; 2× headroom keeps the guard about
+    # runaway cardinality (a raw id/text column), not borderline counts
+    if approx > 2 * max_classes:
+        raise ValueError(
+            f"train_hashed_linear_multiclass: {label_col} has ~{approx} "
+            f"distinct values (> max_classes={max_classes}) — that is not a "
+            "class label; pass a bounded routing label or raise max_classes"
+        )
     raw_classes = [
         r["c"]
         for r in df.select(F.col(label_col).cast("string").alias("c"))
@@ -633,6 +681,11 @@ def train_hashed_linear_multiclass(
     if len(classes) < 2:
         raise ValueError(
             f"train_hashed_linear_multiclass: need >= 2 classes, got {classes}"
+        )
+    if len(classes) > max_classes:
+        raise ValueError(
+            f"train_hashed_linear_multiclass: {len(classes)} classes exceed "
+            f"max_classes={max_classes}"
         )
     idx = None
     for i, c in enumerate(classes):

@@ -657,7 +657,9 @@ def save_ivf_index(
     Versioning is what makes the daily refresh safe: ``ivf_append`` reads
     version N lazily while the save writes N+1 — never an in-place
     overwrite of an input still being scanned.  Old committed versions
-    beyond ``keep_versions`` are pruned.  Returns the new version."""
+    beyond ``keep_versions`` are pruned, and crashed-save orphan dirs
+    observed before this save are swept after the commit (they would
+    otherwise accumulate unboundedly).  Returns the new version."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     spark = cent_df.sparkSession
@@ -667,7 +669,7 @@ def save_ivf_index(
     # a same-numbered orphan (only orphans can exist at this number: a
     # committed dir is always behind the max)
     all_vers = _ivf_versions(spark, root, committed_only=False)
-    committed = _ivf_versions(spark, root)
+    orphans = sorted(set(all_vers) - set(_ivf_versions(spark, root)))
     version = (max(all_vers) + 1) if all_vers else 0
     vdir = f"{root}/v{version:06d}"
     cent_df.select("cell", "centv", "centn").write.mode("overwrite").parquet(
@@ -694,6 +696,11 @@ def save_ivf_index(
     ).write.mode("overwrite").parquet(f"{vdir}/_conf")
     for old in _ivf_versions(spark, root)[:-keep_versions]:
         _delete_dir(spark, f"{root}/v{old:06d}")
+    # crashed-save orphans observed BEFORE this save are dead: they are
+    # numbered below the version just committed and the loader never reads
+    # them — without this sweep they would accumulate unboundedly
+    for orphan in orphans:
+        _delete_dir(spark, f"{root}/v{orphan:06d}")
     return version
 
 

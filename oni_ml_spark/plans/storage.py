@@ -19,6 +19,7 @@ stores in production).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from oni_ml_spark.plans.compaction import dataset_files
 
@@ -146,7 +147,11 @@ def dataset_report(
             "est_total_bytes": r["est_total_bytes"],
             "compression_ratio": r["compression_ratio"],
         }
-        for r in storage.limit(top_columns).collect()
+        # explicit orderBy: limit() without one has no ordering guarantee,
+        # so "top" could silently return non-top columns under repartitioning
+        for r in storage.orderBy(F.desc("compressed_bytes"), "column")
+        .limit(top_columns)
+        .collect()
     ]
     df = spark.read.parquet(path)
     prof = [r.asDict() for r in profile_table(df, columns).collect()]

@@ -28,7 +28,13 @@ accumulated stream is rescanned.
 
 from __future__ import annotations
 
+from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame, SparkSession
+
+try:  # classic-mode py4j backend; absent under Spark Connect
+    from py4j.protocol import Py4JJavaError
+except ImportError:  # pragma: no cover
+    Py4JJavaError = PySparkException
 
 from oni_ml_spark.plans.compaction import _fs
 
@@ -72,10 +78,14 @@ def gated_writer(
                     f"{len(failed)} expectation(s) failed — "
                     + _format_failures(failed)
                 )
-        except ValueError as e:
-            # a structurally un-evaluable batch (e.g. a rule column the
-            # producer dropped) is the most violated contract of all — it
-            # must quarantine, not kill the stream
+        except (ValueError, PySparkException, Py4JJavaError) as e:
+            # a structurally un-evaluable batch is the most violated
+            # contract of all — it must quarantine, not kill the stream.
+            # ValueError: the gate's own pre-checks; PySparkException
+            # covers AnalysisException (a rule column the producer
+            # dropped) and evaluation-time failures (the producer changed
+            # a column's type out from under an rlike/avg rule);
+            # Py4JJavaError: unconverted JVM errors from the collect
             rows = [("__contract_error", None, False, str(e), "contract evaluable")]
             failed_msg = f"contract not evaluable — {e}"
         if failed_msg is None:

@@ -629,3 +629,67 @@ class TestPlanShape:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert plan.count("documents.parquet") == 1
+
+
+class TestRound10Hardening:
+    def test_nonfinite_thresholds_rejected(self, spark):
+        """(r10) inf/nan thresholds would interpolate into stack() as
+        'infD'/'nanD' and die with an opaque parse error — refused up
+        front with the offender named."""
+        from oni_ml_spark.datapipe.classify import threshold_report
+
+        df = spark.createDataFrame([(1, 1.0)], "label int, score double")
+        for bad in (float("inf"), float("-inf"), float("nan")):
+            with pytest.raises(ValueError, match="finite"):
+                threshold_report(df, "label", "score", [0.5, bad])
+
+    def test_multiclass_label_cardinality_guard(self, spark):
+        """(r10) a raw high-cardinality column passed as the routing label
+        must be refused BEFORE the distinct-labels driver collect."""
+        from oni_ml_spark.datapipe.classify import train_hashed_linear_multiclass
+
+        df = spark.range(5000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text "), F.col("id")).alias("text"),
+            F.col("id").cast("string").alias("lang"),  # 5000 "classes"
+        )
+        with pytest.raises(ValueError, match="max_classes"):
+            train_hashed_linear_multiclass(df, "doc_id", "text", "lang", 64)
+        # exact middle-band check: approx passes with 2x headroom, the
+        # post-collect exact count still enforces the bound
+        small = spark.createDataFrame(
+            [(i, f"doc {i}", f"c{i % 3}") for i in range(30)],
+            "doc_id bigint, text string, lang string",
+        )
+        with pytest.raises(ValueError, match="exceed"):
+            train_hashed_linear_multiclass(
+                small, "doc_id", "text", "lang", 64, max_classes=2
+            )
+        with pytest.raises(ValueError, match="max_classes must be"):
+            train_hashed_linear_multiclass(
+                small, "doc_id", "text", "lang", 64, max_classes=1
+            )
+
+    def test_auc_decimal_exact_accumulation(self, spark):
+        """(r10) the AUC contribution sum is DECIMAL(38,0) — exact and
+        order-independent past the 2^53 double boundary (ADVICE r9).
+        Checked structurally (the aggregate's sum input is decimal) and
+        behaviorally (tie-heavy parity is covered by the property test)."""
+        from oni_ml_spark.datapipe.classify import binary_auc, binary_auc_grouped
+
+        df = spark.createDataFrame(
+            [(i % 2, float(i % 7)) for i in range(200)], "label int, score double"
+        )
+        out = binary_auc(df, "label", "score")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "decimal(38,0)" in plan
+        row = out.first()
+        assert row["n_pos"] == 100 and row["n_neg"] == 100
+        assert row["auc"] is not None and 0.0 <= row["auc"] <= 1.0
+
+        g = binary_auc_grouped(
+            df.withColumn("g", F.lit("a")), "g", "label", "score"
+        )
+        gplan = g._jdf.queryExecution().optimizedPlan().toString()
+        assert "decimal(38,0)" in gplan
+        assert abs(g.first()["auc"] - row["auc"]) < 1e-15

@@ -244,6 +244,12 @@ class TestPersistence:
         assert save_ivf_index(cent, assigned, root) == 2
         _, _, conf2 = load_ivf_index(spark, root)
         assert conf2["version"] == 2
+        # (r10) the successful save swept the dead orphan — without the
+        # sweep, crashed-save dirs accumulate unboundedly under root
+        import os
+
+        assert not os.path.exists(f"{root}/v000001")
+        assert os.path.exists(f"{root}/v000000") and os.path.exists(f"{root}/v000002")
 
     def test_empty_root_raises(self, spark, tmp_path):
         from oni_ml_spark.datapipe.similarity import load_ivf_index

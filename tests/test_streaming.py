@@ -1452,3 +1452,34 @@ def test_streaming_contract_gate_quarantines_bad_batch(spark, tmp_path):
 
     os.makedirs(f"{qroot}/batch=tmp", exist_ok=True)
     assert set(quarantined_batches(spark, qroot)) == set(qb) | {55}
+
+
+def test_streaming_contract_gate_quarantines_type_drift(spark, tmp_path):
+    """(r10) a producer that CHANGES a rule column's type (not drops it)
+    makes the rule die at evaluation with an AnalysisException, not the
+    gate's own ValueError — that too must quarantine with a
+    __contract_error row, never kill the stream (ADVICE r9)."""
+    from oni_ml_spark.datapipe.contracts import expect_regex
+    from oni_ml_spark.streaming.gate_stream import (
+        gated_writer,
+        quarantined_batches,
+        read_quarantined,
+    )
+
+    qroot = str(tmp_path / "q_typedrift")
+    passed = []
+    contract = [expect_regex("k", r"^[a-z]+$")]
+    writer = gated_writer(lambda df, bid: passed.append(bid), contract, qroot)
+
+    writer(spark.createDataFrame([("abc",)], "k string"), 1)
+    assert passed == [1]
+
+    # rlike over array<int> fails analysis — the poisoned-producer case
+    drifted = spark.createDataFrame([([1, 2],)], "k array<int>")
+    writer(drifted, 2)
+    assert passed == [1]
+    assert 2 in quarantined_batches(spark, qroot)
+    data, rep = read_quarantined(spark, qroot, 2)
+    row = rep.first()
+    assert row["rule"] == "__contract_error" and not row["ok"]
+    assert data.count() == 1
