@@ -6,6 +6,15 @@ often enough that co-bucketing both sides pays for itself.
 """
 
 from oni_ml_spark.plans.audit import PipelineAudit
+from oni_ml_spark.plans.compaction import (
+    compact_dataset,
+    compaction_due,
+    compaction_plan,
+    dataset_files,
+    maintain_dataset,
+    pending_compactions,
+    recover_compaction,
+)
 from oni_ml_spark.plans.bloom import (
     bloom_anti_join,
     bloom_semi_join,
@@ -35,6 +44,9 @@ from oni_ml_spark.plans.diagnostics import (
 )
 
 __all__ = ["PipelineAudit",
+           "compact_dataset", "compaction_due", "compaction_plan",
+           "dataset_files", "maintain_dataset", "pending_compactions",
+           "recover_compaction",
            "bloom_anti_join", "bloom_semi_join", "build_bloom_filter",
            "merge_bloom_filters", "update_bloom_filter",
            "build_file_stats", "manifest_selectivity", "pruned_paths",

@@ -174,47 +174,19 @@ def _move(fs, jvm, src: str, dst: str) -> None:
         raise IOError(f"compaction: rename failed {src} -> {dst}")
 
 
-def compact_dataset(
+def _stage_per_bin(
     spark: SparkSession,
-    path: str,
-    target_bytes: int,
-    small_bytes: int | None = None,
-    dry_run: bool = False,
-    sort_cols: list[str] | None = None,
-    _crash_after: str | None = None,
-) -> dict:
-    """Plan and (unless ``dry_run``) execute compaction of ``path``.
-
-    Returns the plan summary + {'executed': bool}.  Each bin is rewritten
-    by one coalesce(1) job reading ONLY that bin's files — the data read
-    is exactly the small-file tail, never the right-sized bulk.  Safe to
-    re-run: an already-compacted dataset plans zero bins (idempotent), and
-    an interrupted run is repaired by ``recover_compaction`` (the journal
-    names every pending move).
-
-    ``_crash_after`` (tests only): raise after the named phase
-    ('staged' | 'journal' | 'trashed') to exercise the recovery paths.
-    """
-    files = dataset_files(spark, path)
-    plan = compaction_plan(files, target_bytes, small_bytes)
-    result = plan.summary()
-    result["executed"] = False
-    if dry_run or not plan.bins:
-        return result
-
-    fs, jroot, jvm = _fs(spark, path)
-    root = fs.getFileStatus(jroot).getPath().toString()
-    token = uuid.uuid4().hex[:12]
-    staging = f"{root}/_compact_staging_{token}"
-    trash = f"{root}/_compact_trash_{token}"
-
-    # Phase 1: stage every bin (data jobs — the only non-metadata work).
-    # mergeSchema: fragments written across a schema evolution must union
-    # their columns — picking one file's schema would silently DROP the
-    # others' extra columns and phase 3 then destroys the originals.  The
-    # row-count check below is the cheap invariant that the staged bin
-    # holds every source row before anything is journaled (abort here
-    # leaves only an invisible underscore-prefixed staging dir).
+    plan: CompactionPlan,
+    root: str,
+    staging: str,
+    trash: str,
+    token: str,
+    sort_cols: list[str] | None,
+) -> tuple[list[dict], list[dict]]:
+    """Phase-1 strategy A: one coalesce(1) job per bin.  Simple and
+    schema-tight (mergeSchema unions only WITHIN a bin), but a 10⁴-bin
+    backlog pays 10⁴ job-scheduling latencies — use ``_stage_grouped``
+    for large backlogs."""
     moves = []       # staged file -> live destination
     originals = []   # live original -> trash slot
     for i, b in enumerate(plan.bins):
@@ -249,6 +221,179 @@ def compact_dataset(
         )
         for j, orig in enumerate(b["files"]):
             originals.append({"src": orig, "dst": f"{trash}/{i:05d}-{j:05d}.parquet"})
+    return moves, originals
+
+
+def _stage_grouped(
+    spark: SparkSession,
+    plan: CompactionPlan,
+    root: str,
+    staging: str,
+    trash: str,
+    token: str,
+    sort_cols: list[str] | None,
+) -> tuple[list[dict], list[dict]]:
+    """Phase-1 strategy B: ONE job per directory writes ALL of the
+    directory's bins — each source row is tagged with its bin id (file →
+    bin broadcast lookup on the file's basename, unique within one FS
+    directory), repartitioned BY the bin id so every bin's rows land in
+    exactly one task, and written ``partitionBy('__bin')`` so each bin
+    becomes one file.  A 10⁴-bin backlog costs |directories| jobs instead
+    of 10⁴ — wall-time ~constant in bin count at fixed bytes (SCALE.md).
+
+    Same invariants as per-bin staging, checked before anything is
+    journaled: per-bin staged row counts (read BACK from the staging dir)
+    equal the tagged source counts, the tag join dropped zero rows, and
+    every bin staged exactly one file.  Schema note: mergeSchema unions
+    columns across the DIRECTORY's small files (per-bin mode unions only
+    within a bin) — fragments from before a schema evolution gain the new
+    columns as nulls, same semantics at directory grain.  A bin whose
+    sources hold zero rows cannot be staged by partitionBy (no rows → no
+    directory) and raises; rerun those with grouped=False."""
+    from pyspark.sql import functions as F
+
+    by_dir: dict[str, list[tuple[int, dict]]] = {}
+    for i, b in enumerate(plan.bins):
+        by_dir.setdefault(b["dir"], []).append((i, b))
+    moves = []
+    originals = []
+    for k, d in enumerate(sorted(by_dir)):
+        dir_bins = by_dir[d]
+        name_to_bin = []
+        all_files = []
+        for i, b in dir_bins:
+            for f in b["files"]:
+                name_to_bin.append((posixpath.basename(f), i))
+                all_files.append(f)
+        src = spark.read.option("mergeSchema", "true").parquet(*all_files)
+        mapping = F.broadcast(
+            spark.createDataFrame(name_to_bin, "__fname string, __bin int")
+        )
+        tagged = (
+            src.withColumn(
+                "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(mapping, "__fname")
+            .drop("__fname")
+        )
+        gstage = f"{staging}/grp{k:05d}"
+        out = tagged.repartition(len(dir_bins), F.col("__bin"))
+        if sort_cols:
+            # __bin leads the sort so hash-colliding bins sharing a task
+            # stay contiguous; partitionBy preserves in-partition order, so
+            # each bin's file ends up sorted by sort_cols (same layout
+            # contract as per-bin mode)
+            out = out.sortWithinPartitions("__bin", *sort_cols)
+        out.write.partitionBy("__bin").mode("overwrite").parquet(gstage)
+        # invariants, all before the journal: (a) the basename tag join
+        # dropped nothing (expected sums to the raw source count — the tag
+        # counts alone could not catch a join silently dropping rows),
+        # (b) staged counts read back from disk equal the tagged counts
+        # per bin, (c) exactly one staged file per bin
+        expected = {
+            r["__bin"]: r["n"]
+            for r in tagged.groupBy("__bin").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_src = src.count()
+        if sum(expected.values()) != n_src:
+            raise IOError(
+                f"compaction: bin tagging covered {sum(expected.values())} of "
+                f"{n_src} source rows in {d or '<root>'} — aborting before "
+                "any original is touched"
+            )
+        missing = [i for i, _ in dir_bins if i not in expected]
+        if missing:
+            raise IOError(
+                f"compaction: bins {missing} in {d or '<root>'} hold zero "
+                "rows — partitionBy cannot stage an empty bin; rerun with "
+                "grouped=False"
+            )
+        staged = {
+            r["__bin"]: r["n"]
+            for r in spark.read.parquet(gstage)
+            .groupBy("__bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if staged != expected:
+            raise IOError(
+                f"compaction: staged bin counts {staged} != source counts "
+                f"{expected} in {gstage} — aborting before any original is touched"
+            )
+        live_dir = f"{root}/{d}" if d else root
+        for i, b in dir_bins:
+            part = [
+                f
+                for f in dataset_files(spark, f"{gstage}/__bin={i}")
+                if f["file"].endswith(".parquet")
+            ]
+            if len(part) != 1:
+                raise IOError(
+                    f"compaction: expected 1 staged file in {gstage}/__bin={i}, "
+                    f"found {len(part)}"
+                )
+            moves.append(
+                {
+                    "src": part[0]["file"],
+                    "dst": f"{live_dir}/compacted-{token}-{i:05d}.parquet",
+                }
+            )
+            for j, orig in enumerate(b["files"]):
+                originals.append(
+                    {"src": orig, "dst": f"{trash}/{i:05d}-{j:05d}.parquet"}
+                )
+    return moves, originals
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    small_bytes: int | None = None,
+    dry_run: bool = False,
+    sort_cols: list[str] | None = None,
+    grouped: bool = False,
+    _crash_after: str | None = None,
+) -> dict:
+    """Plan and (unless ``dry_run``) execute compaction of ``path``.
+
+    Returns the plan summary + {'executed': bool}.  Only the bins' files
+    are read — the data read is exactly the small-file tail, never the
+    right-sized bulk.  ``grouped=False`` (default) rewrites each bin with
+    its own coalesce(1) job; ``grouped=True`` writes all of a directory's
+    bins in ONE job via a bin-id column (see ``_stage_grouped``) — the
+    day-2 mode for large backlogs where per-bin job latency dominates.
+    Both strategies produce identical journaled moves, so recovery and
+    idempotence are strategy-independent.  Safe to re-run: an
+    already-compacted dataset plans zero bins (idempotent), and an
+    interrupted run is repaired by ``recover_compaction`` (the journal
+    names every pending move).
+
+    ``_crash_after`` (tests only): raise after the named phase
+    ('staged' | 'journal' | 'trashed') to exercise the recovery paths.
+    """
+    files = dataset_files(spark, path)
+    plan = compaction_plan(files, target_bytes, small_bytes)
+    result = plan.summary()
+    result["executed"] = False
+    if dry_run or not plan.bins:
+        return result
+
+    fs, jroot, jvm = _fs(spark, path)
+    root = fs.getFileStatus(jroot).getPath().toString()
+    token = uuid.uuid4().hex[:12]
+    staging = f"{root}/_compact_staging_{token}"
+    trash = f"{root}/_compact_trash_{token}"
+
+    # Phase 1: stage every bin (data jobs — the only non-metadata work).
+    # mergeSchema: fragments written across a schema evolution must union
+    # their columns — picking one file's schema would silently DROP the
+    # others' extra columns and phase 3 then destroys the originals.  The
+    # row-count checks are the cheap invariant that the staged bins hold
+    # every source row before anything is journaled (abort here leaves
+    # only an invisible underscore-prefixed staging dir).
+    stage = _stage_grouped if grouped else _stage_per_bin
+    moves, originals = stage(spark, plan, root, staging, trash, token, sort_cols)
     if _crash_after == "staged":
         raise RuntimeError("injected crash after staging")
 
@@ -313,6 +458,47 @@ def compaction_due(
             and plan.bins
         ),
     }
+
+
+def maintain_dataset(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    *,
+    max_small_frac: float = 0.3,
+    min_small_files: int = 8,
+    small_bytes: int | None = None,
+    grouped: bool = True,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """The closed day-2 maintenance loop in one call (the
+    ``refresh_ivf_index`` discipline): (1) repair any interrupted runs —
+    every pending journal rolls forward or back so the dataset is in a
+    known state before new work; (2) evaluate ``compaction_due`` (one FS
+    listing, no data read); (3) when due, execute the compaction —
+    grouped by default, the large-backlog mode.  Returns
+    {recovered: [(token, direction)], due: <trigger dict>, executed,
+    ...plan summary when executed}.  Idempotent: a second call on a
+    just-maintained dataset recovers nothing and plans zero bins."""
+    recovered = [
+        (token, recover_compaction(spark, path, token))
+        for token in pending_compactions(spark, path)
+    ]
+    verdict = compaction_due(
+        spark, path, target_bytes,
+        max_small_frac=max_small_frac,
+        min_small_files=min_small_files,
+        small_bytes=small_bytes,
+    )
+    out: dict = {"recovered": recovered, "due": verdict, "executed": False}
+    if verdict["due"]:
+        out.update(
+            compact_dataset(
+                spark, path, target_bytes,
+                small_bytes=small_bytes, sort_cols=sort_cols, grouped=grouped,
+            )
+        )
+    return out
 
 
 def pending_compactions(spark: SparkSession, path: str) -> list[str]:

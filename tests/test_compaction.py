@@ -139,12 +139,13 @@ class TestPlanProperties:
 
 
 class TestExecute:
-    def test_roundtrip_and_file_count(self, spark, tmp_path):
-        path = str(tmp_path / "ds")
+    @pytest.mark.parametrize("grouped", [False, True])
+    def test_roundtrip_and_file_count(self, spark, tmp_path, grouped):
+        path = str(tmp_path / f"ds_{grouped}")
         _write_fragmented(spark, path)
         before = _content_hash(spark, path)
         n_before = len(dataset_files(spark, path))
-        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=grouped)
         assert res["executed"]
         assert _content_hash(spark, path) == before
         n_after = len(dataset_files(spark, path))
@@ -153,11 +154,12 @@ class TestExecute:
         # everything fits one bin per directory at a 1 GiB target
         assert n_after == 1
 
-    def test_partitioned_compacts_within_partitions(self, spark, tmp_path):
-        path = str(tmp_path / "pds")
+    @pytest.mark.parametrize("grouped", [False, True])
+    def test_partitioned_compacts_within_partitions(self, spark, tmp_path, grouped):
+        path = str(tmp_path / f"pds_{grouped}")
         _write_fragmented(spark, path, partitioned=True)
         before = _content_hash(spark, path)
-        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=grouped)
         assert res["executed"]
         assert _content_hash(spark, path) == before
         files = dataset_files(spark, path)
@@ -166,16 +168,17 @@ class TestExecute:
         assert sorted({f["dir"] for f in files}) == [f"k={i}" for i in range(4)]
         assert spark.read.parquet(path).groupBy("k").count().count() == 4
 
-    def test_schema_evolved_fragments_keep_all_columns(self, spark, tmp_path):
+    @pytest.mark.parametrize("grouped", [False, True])
+    def test_schema_evolved_fragments_keep_all_columns(self, spark, tmp_path, grouped):
         """Fragments written across a schema evolution (a later column)
         must compact with the UNION of columns — dropping the late column
         would destroy its values with the originals."""
-        path = str(tmp_path / "evo")
+        path = str(tmp_path / f"evo_{grouped}")
         spark.range(10).select("id").write.mode("append").parquet(path)
         spark.range(10, 20).select(
             "id", F.lit("en").alias("lang")
         ).write.mode("append").parquet(path)
-        res = compact_dataset(spark, path, target_bytes=1 << 30)
+        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=grouped)
         assert res["executed"]
         out = spark.read.option("mergeSchema", "true").parquet(path)
         assert sorted(out.columns) == ["id", "lang"]
@@ -197,13 +200,16 @@ class TestExecute:
         assert not res["executed"] and res["n_bins"] >= 1
         assert len(dataset_files(spark, path)) == n_before
 
-    def test_sort_cols_orders_compacted_file(self, spark, tmp_path):
+    @pytest.mark.parametrize("grouped", [False, True])
+    def test_sort_cols_orders_compacted_file(self, spark, tmp_path, grouped):
         """sort_cols sorts each bin's rows on write, so the compacted
         file's footer min/max are tight for the sorted column."""
-        path = str(tmp_path / "sorted")
+        path = str(tmp_path / f"sorted_{grouped}")
         _write_fragmented(spark, path)
         before = _content_hash(spark, path)
-        res = compact_dataset(spark, path, target_bytes=1 << 30, sort_cols=["id"])
+        res = compact_dataset(
+            spark, path, target_bytes=1 << 30, sort_cols=["id"], grouped=grouped
+        )
         assert res["executed"]
         assert _content_hash(spark, path) == before
         files = dataset_files(spark, path)
@@ -214,13 +220,19 @@ class TestExecute:
         ids = pq.read_table(local, columns=["id"]).column("id").to_pylist()
         assert ids == sorted(ids)
 
-    def test_target_splits_into_multiple_bins(self, spark, tmp_path):
-        path = str(tmp_path / "ds4")
+    @pytest.mark.parametrize("grouped", [False, True])
+    def test_target_splits_into_multiple_bins(self, spark, tmp_path, grouped):
+        path = str(tmp_path / f"ds4_{grouped}")
         _write_fragmented(spark, path, n_fragments=8)
+        before = _content_hash(spark, path)
         sizes = [f["bytes"] for f in dataset_files(spark, path)]
         target = max(sizes) * 3  # ~3 fragments per bin
-        res = compact_dataset(spark, path, target_bytes=target, small_bytes=max(sizes) + 1)
+        res = compact_dataset(
+            spark, path, target_bytes=target, small_bytes=max(sizes) + 1,
+            grouped=grouped,
+        )
         assert res["executed"] and res["n_bins"] >= 2
+        assert _content_hash(spark, path) == before
 
 
 class TestMaintenancePolicy:
@@ -283,12 +295,16 @@ class TestRecovery:
         ("journal", "back"),       # journal written, nothing moved yet
         ("trashed", "forward"),    # originals out → finish the swap
     ])
-    def test_crash_then_recover(self, spark, tmp_path, crash_at, expect):
-        path = str(tmp_path / f"crash_{crash_at}")
+    @pytest.mark.parametrize("grouped", [False, True])
+    def test_crash_then_recover(self, spark, tmp_path, crash_at, expect, grouped):
+        path = str(tmp_path / f"crash_{crash_at}_{grouped}")
         _write_fragmented(spark, path)
         before = _content_hash(spark, path)
         with pytest.raises(RuntimeError, match="injected crash"):
-            compact_dataset(spark, path, target_bytes=1 << 30, _crash_after=crash_at)
+            compact_dataset(
+                spark, path, target_bytes=1 << 30,
+                _crash_after=crash_at, grouped=grouped,
+            )
         tokens = pending_compactions(spark, path)
         if expect is None:
             assert tokens == []
@@ -355,3 +371,98 @@ class TestRecovery:
         res = compact_dataset(spark, path, target_bytes=1 << 30)
         assert res["executed"]
         assert _content_hash(spark, path) == before
+
+
+class TestGroupedExecution:
+    """(r10) grouped staging: one job per directory writes all its bins."""
+
+    def test_grouped_equals_per_bin_content_multi_dir_multi_bin(
+        self, spark, tmp_path
+    ):
+        """Same fragmented partitioned dataset compacted both ways: byte
+        content, file counts, and per-partition bin layout all agree."""
+        pa = str(tmp_path / "gpa")
+        pb = str(tmp_path / "gpb")
+        for p in (pa, pb):
+            _write_fragmented(spark, p, partitioned=True, n_fragments=6)
+        before = _content_hash(spark, pa)
+        assert _content_hash(spark, pb) == before
+        sizes = [f["bytes"] for f in dataset_files(spark, pa)]
+        target = max(sizes) * 3
+        ra = compact_dataset(
+            spark, pa, target_bytes=target, small_bytes=max(sizes) + 1,
+            grouped=False,
+        )
+        rb = compact_dataset(
+            spark, pb, target_bytes=target, small_bytes=max(sizes) + 1,
+            grouped=True,
+        )
+        assert ra["executed"] and rb["executed"]
+        assert ra["n_bins"] == rb["n_bins"] >= 2
+        assert _content_hash(spark, pa) == before
+        assert _content_hash(spark, pb) == before
+        fa, fb = dataset_files(spark, pa), dataset_files(spark, pb)
+        assert len(fa) == len(fb)
+        assert sorted(f["dir"] for f in fa) == sorted(f["dir"] for f in fb)
+
+    def test_grouped_zero_row_bin_refused_before_journal(self, spark, tmp_path):
+        """partitionBy cannot stage an empty bin (no rows -> no dir) — the
+        grouped path must refuse BEFORE any original is touched, and the
+        dataset must be byte-identical afterwards."""
+        path = str(tmp_path / "gzero")
+        for _ in range(2):
+            spark.range(0).select(F.col("id")).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        # ensure the empty fragments actually materialized as data files
+        assert len(dataset_files(spark, path)) >= 2
+        before = _content_hash(spark, path)
+        with pytest.raises(IOError, match="zero\\s+rows"):
+            compact_dataset(spark, path, target_bytes=1 << 30, grouped=True)
+        assert _content_hash(spark, path) == before
+        assert pending_compactions(spark, path) == []
+        # per-bin mode handles the same dataset fine
+        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=False)
+        assert res["executed"]
+        assert _content_hash(spark, path) == before
+
+
+class TestMaintainLoop:
+    def test_maintain_recovers_then_compacts_then_idempotent(
+        self, spark, tmp_path
+    ):
+        """(r10) maintain_dataset closes the day-2 loop: a crashed prior
+        run is repaired FIRST (journal rolled forward/back), the trigger
+        is evaluated on the repaired state, and a due dataset compacts —
+        one call, idempotent on re-run."""
+        from oni_ml_spark.plans.compaction import maintain_dataset
+
+        path = str(tmp_path / "loop")
+        _write_fragmented(spark, path, n_fragments=8)
+        before = _content_hash(spark, path)
+        # crash mid-swap: originals trashed, bins not yet live
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dataset(spark, path, target_bytes=1 << 30, _crash_after="trashed")
+        assert len(pending_compactions(spark, path)) == 1
+
+        out = maintain_dataset(spark, path, target_bytes=1 << 30)
+        # the interrupted run rolled FORWARD (originals were out) — the
+        # dataset is already compacted, so the trigger is quiet and no
+        # second compaction runs
+        assert out["recovered"] and out["recovered"][0][1] == "forward"
+        assert not out["due"]["due"] and not out["executed"]
+        assert _content_hash(spark, path) == before
+        assert len(dataset_files(spark, path)) == 1
+
+        # fresh fragmentation: the loop compacts (grouped by default)
+        _write_fragmented(spark, path, n_fragments=8)
+        before2 = _content_hash(spark, path)
+        out2 = maintain_dataset(spark, path, target_bytes=1 << 30)
+        assert out2["recovered"] == [] and out2["due"]["due"] and out2["executed"]
+        assert _content_hash(spark, path) == before2
+
+        # idempotent: nothing pending, nothing due, nothing executed
+        out3 = maintain_dataset(spark, path, target_bytes=1 << 30)
+        assert out3["recovered"] == [] and not out3["due"]["due"]
+        assert not out3["executed"]
+        assert _content_hash(spark, path) == before2
