@@ -659,7 +659,10 @@ def save_ivf_index(
     overwrite of an input still being scanned.  Old committed versions
     beyond ``keep_versions`` are pruned, and crashed-save orphan dirs
     observed before this save are swept after the commit (they would
-    otherwise accumulate unboundedly).  Returns the new version."""
+    otherwise accumulate unboundedly).  Single-writer by design (the
+    daily-refresh job): concurrent saves already race on version
+    numbering, and the orphan sweep assumes an uncommitted dir is a
+    CRASHED save, not a live concurrent one.  Returns the new version."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     spark = cent_df.sparkSession
@@ -804,6 +807,72 @@ def ivf_rebuild_due(
         "imbalance": imbalance,
         "due": bool(n_vec and (max_frac > max_cell_frac or imbalance > max_imbalance)),
     }
+
+
+def refresh_ivf_index(
+    spark,
+    root: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    on_conflict: str = "error",
+    keep_versions: int = 2,
+    max_cell_frac: float = 0.25,
+    max_imbalance: float = 8.0,
+    n_cells: int | None = None,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> dict:
+    """The closed daily-refresh loop in one call: load the latest committed
+    version, append the day's delta against the FROZEN centroids
+    (O(delta) — see ``ivf_append``), evaluate ``ivf_rebuild_due`` on the
+    appended candidate, and when the trigger fires RE-FIT the codebook
+    over the full (old ∪ delta) corpus instead — then commit whichever
+    index as the next version (``save_ivf_index``'s journaled protocol, so
+    a crash anywhere leaves the prior version live).
+
+    Returns {version, rebuilt, n_cells, n_vectors, max_frac, imbalance,
+    due} — the trigger stats are the PRE-rebuild candidate's, so the
+    caller can log why a re-fit happened.
+
+    Scale shape: quiet days cost the O(delta) assignment plus two index
+    scans (the n_cells-bounded stats aggregate and the save); trigger days
+    additionally pay the O(corpus) k-means re-fit — which is the point of
+    the trigger: the expensive fit runs only when append-drift has
+    actually degraded cell balance, not on a schedule.  ``n_cells``
+    defaults to the loaded index's cell count."""
+    appended_cent, members, conf = load_ivf_index(spark, root)
+    appended = ivf_append(
+        appended_cent, members, delta, id_col, vec_col, on_conflict
+    )
+    stats = ivf_rebuild_due(
+        appended_cent,
+        appended,
+        max_cell_frac=max_cell_frac,
+        max_imbalance=max_imbalance,
+    )
+    rebuilt = False
+    if stats["due"]:
+        # pin the combined corpus: the k-means fit iterates over it, and
+        # without the checkpoint every iteration would re-run the
+        # append-assignment subtree
+        corpus = appended.select(
+            F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+        ).localCheckpoint()
+        appended_cent, appended = build_ivf_index(
+            corpus,
+            id_col,
+            vec_col,
+            n_cells=n_cells or int(conf["n_cells"]),
+            seed=seed,
+            max_iter=max_iter,
+        )
+        rebuilt = True
+    version = save_ivf_index(
+        appended_cent, appended, root, keep_versions=keep_versions
+    )
+    return {"version": version, "rebuilt": rebuilt, **stats}
 
 
 def _md5_signs(out_dim: int, dim: int, salt: str = "jl") -> list[list[float]]:

@@ -341,6 +341,62 @@ class TestIncrementalRefreshE2E:
         assert final.count() == 310
         assert not ivf_rebuild_due(cent, final)["due"]
 
+    def test_ivf_refresh_loop_closed_rebuild_on_skew(self, spark, tmp_path):
+        """(r10) refresh_ivf_index closes the maintenance loop: quiet days
+        append O(day) and commit; a planted skewed day (a displaced cloud
+        that all lands in one frozen cell) flips ivf_rebuild_due, the
+        refresh RE-FITS the codebook over old ∪ delta, and the committed
+        next version restores cell balance — all through the same
+        journaled versioned persistence."""
+        import random
+
+        from oni_ml_spark.datapipe.similarity import (
+            build_ivf_index,
+            ivf_rebuild_due,
+            load_ivf_index,
+            refresh_ivf_index,
+            save_ivf_index,
+        )
+
+        rng = random.Random(5)
+
+        def cloud(n, id0, shift):
+            return spark.createDataFrame(
+                [
+                    (id0 + i, [rng.gauss(shift, 1.0) for _ in range(16)])
+                    for i in range(n)
+                ],
+                "vec_id bigint, embedding array<double>",
+            )
+
+        root = str(tmp_path / "ivf_loop")
+        cent, assigned = build_ivf_index(cloud(150, 0, 0.0), n_cells=8, seed=7)
+        assert save_ivf_index(cent, assigned, root, keep_versions=4) == 0
+
+        # quiet day: same distribution, no trigger, O(day) append commit
+        quiet_dir = str(tmp_path / "quiet_day")
+        cloud(40, 10_000, 0.0).write.parquet(quiet_dir)
+        quiet = spark.read.parquet(quiet_dir)
+        assert all("quiet_day" in f for f in quiet.inputFiles())  # O(day) input
+        r1 = refresh_ivf_index(spark, root, quiet)
+        assert r1["version"] == 1 and not r1["rebuilt"] and not r1["due"]
+        _, m1, conf1 = load_ivf_index(spark, root)
+        assert conf1["n_members"] == 190
+
+        # skewed day: a displaced cloud, 2x the corpus — under the FROZEN
+        # centroids it piles into the nearest cell(s) and flips the trigger
+        r2 = refresh_ivf_index(spark, root, cloud(380, 20_000, 10.0))
+        assert r2["due"] and r2["rebuilt"] and r2["version"] == 2
+        assert r2["max_frac"] > 0.25  # the pre-rebuild candidate's stats
+
+        # the committed re-fit restored balance: the trigger is quiet on
+        # the NEW version's own centroids
+        cent2, m2, conf2 = load_ivf_index(spark, root)
+        assert conf2["version"] == 2 and conf2["n_members"] == 570
+        after = ivf_rebuild_due(cent2, m2)
+        assert not after["due"]
+        assert after["max_frac"] < r2["max_frac"]
+
     def test_contract_gate_blocks_malformed_day(self, spark, ingested):
         """(r9) The contract gate is the drift gate's structural sibling:
         each day's batch must satisfy the data contract (non-null unique
