@@ -3736,7 +3736,11 @@ def _lmq_oracle_block() -> tuple[str, str]:
     buckets are ABSENT, exercising the missing-bucket → 0 contract), so
     the oracle can compute each bucket's weight inline — while the Spark
     path still runs the operator's real broadcast join against a weights
-    DataFrame.  score_micro is an exact BIGINT sum → hash-matchable."""
+    DataFrame.  score_micro is an exact BIGINT sum → hash-matchable.
+    r10 adds the routing and operating-point rows: 'lmq_route|<cls>' /
+    'lmq_route_mass' (hashed_linear_argmax under the derived 3-class
+    model) and 'lmq_thr|<t>|pos/neg' (threshold_report confusion counts
+    vs doc_id parity)."""
     ctes = (
         f", lmtf AS (SELECT doc_id AS id, unnest({_TOKENS.format(c='text')}) "
         "AS term FROM documents), "
@@ -3768,14 +3772,44 @@ def _lmq_oracle_block() -> tuple[str, str]:
         "lmga AS (SELECT g, count(*)::BIGINT AS ns, "
         "CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN "
         "sum(np * (below + nn / 2.0)) / (sum(np) * sum(nn)) END AS auc "
-        "FROM lmgr GROUP BY g)"
+        "FROM lmgr GROUP BY g), "
+        # -- r10 lmq_route: the multiclass router (hashed_linear_argmax)
+        # -- under the derived 3-class model: even buckets carry the
+        # -- demo weight under class c(bucket % 3), odd pairs ABSENT;
+        # -- every class competes on every doc (coalesce 0), ties break
+        # -- to the smallest class name — row_number s DESC, k ASC
+        "lmr3 AS (SELECT id, b % 3 AS k, sum(CASE WHEN b % 2 = 0 THEN "
+        "(('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT % 2001) - 1000 "
+        "ELSE 0 END)::BIGINT AS s FROM lmtb GROUP BY id, b % 3), "
+        "lmkx AS (SELECT d.doc_id AS id, kk.k FROM documents d "
+        "CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) kk), "
+        "lmsc AS (SELECT lmkx.id, lmkx.k, coalesce(r.s, 0)::BIGINT AS s "
+        "FROM lmkx LEFT JOIN lmr3 r ON r.id = lmkx.id AND r.k = lmkx.k), "
+        "lmroute AS (SELECT id, k, s FROM (SELECT id, k, s, row_number() "
+        "OVER (PARTITION BY id ORDER BY s DESC, k ASC) AS rn FROM lmsc) "
+        "WHERE rn = 1), "
+        # -- r10 lmq_thr: threshold_report restated — per threshold the
+        # -- exact confusion counts of (score >= t) vs doc_id parity
+        "lmthr AS (SELECT unnest([-2000, 0, 2000]) AS v)"
     )
     rows = (
         "UNION ALL SELECT 'lmq_flagged', count(*) FILTER (sm < 0)::BIGINT, "
         "coalesce(sum(id) FILTER (sm < 0), 0)::BIGINT FROM lms "
         "UNION ALL SELECT 'lmq_mass', count(*)::BIGINT, sum(sm)::BIGINT FROM lms "
         "UNION ALL SELECT 'lmq_auc', n_scores, floor(auc * 1000000)::BIGINT FROM lma "
-        "UNION ALL SELECT 'lmq_aucg|' || g, ns, floor(auc * 1000000)::BIGINT FROM lmga"
+        "UNION ALL SELECT 'lmq_aucg|' || g, ns, floor(auc * 1000000)::BIGINT FROM lmga "
+        "UNION ALL SELECT 'lmq_route|c' || k::VARCHAR, count(*)::BIGINT, "
+        "sum(id)::BIGINT FROM lmroute GROUP BY k "
+        "UNION ALL SELECT 'lmq_route_mass', count(*)::BIGINT, sum(s)::BIGINT "
+        "FROM lmroute "
+        "UNION ALL SELECT 'lmq_thr|' || v::VARCHAR || '|pos', "
+        "count(*) FILTER (sm >= v AND id % 2 = 1)::BIGINT, "
+        "count(*) FILTER (sm >= v AND id % 2 = 0)::BIGINT "
+        "FROM lms CROSS JOIN lmthr GROUP BY v "
+        "UNION ALL SELECT 'lmq_thr|' || v::VARCHAR || '|neg', "
+        "count(*) FILTER (sm < v AND id % 2 = 1)::BIGINT, "
+        "count(*) FILTER (sm < v AND id % 2 = 0)::BIGINT "
+        "FROM lms CROSS JOIN lmthr GROUP BY v"
     )
     return ctes, rows
 
@@ -3976,9 +4010,63 @@ def quality_gate_q(spark, sf):
         F.col("n_scores").cast("long").alias("n_docs"),
         F.floor(F.col("auc") * 1_000_000).cast("long").alias("id_sum"),
     )
+    # r10: 'lmq_route|<cls>' — the multiclass router
+    # (classify.hashed_linear_argmax) under a derived in-plan 3-class
+    # model (each even demo bucket's weight belongs to class
+    # c(bucket % 3); odd (bucket, cls) pairs ABSENT — the missing-pair →
+    # 0 contract is live).  Per class the winner count + id_sum pin the
+    # exact routing partition; 'lmq_route_mass' pins the winners' exact
+    # BIGINT score mass.  Ties break to the smallest class name on both
+    # engines.
+    from oni_ml_spark.datapipe.classify import (
+        hashed_linear_argmax,
+        threshold_report,
+    )
+
+    wmc = demo_weights(spark).select(
+        "bucket",
+        F.concat(F.lit("c"), (F.col("bucket") % 3).cast("string")).alias("cls"),
+        "w_micro",
+    )
+    route = hashed_linear_argmax(
+        d, "doc_id", "text", wmc, 4096, ["c0", "c1", "c2"]
+    )
+    route_rows = route.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("id").cast("long").alias("id_sum"),
+    ).select(
+        F.concat(F.lit("lmq_route|"), F.col("label")).alias("rule"),
+        "n_docs", "id_sum",
+    )
+    route_mass = route.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_micro").cast("long").alias("id_sum"),
+    ).select(F.lit("lmq_route_mass").alias("rule"), "n_docs", "id_sum")
+
+    # r10: 'lmq_thr|<t>|pos/neg' — threshold_report (the operating-point
+    # picker): per threshold the exact confusion counts of
+    # (score_micro >= t) vs doc_id parity, packed as pos=(tp, fp) and
+    # neg=(fn, tn) rows.  One scan of the checkpointed per-doc scores.
+    thr = threshold_report(
+        lm.withColumn("label", (F.col("id") % 2).cast("int")),
+        "label", "score_micro", [-2000.0, 0.0, 2000.0],
+    )
+    t_name = F.col("threshold").cast("long").cast("string")
+    thr_pos = thr.select(
+        F.concat(F.lit("lmq_thr|"), t_name, F.lit("|pos")).alias("rule"),
+        F.col("tp").alias("n_docs"),
+        F.col("fp").alias("id_sum"),
+    )
+    thr_neg = thr.select(
+        F.concat(F.lit("lmq_thr|"), t_name, F.lit("|neg")).alias("rule"),
+        F.col("fn").alias("n_docs"),
+        F.col("tn").alias("id_sum"),
+    )
     return (
         gate_rows.unionByName(pii_rows).unionByName(lmq_rows)
         .unionByName(auc_row).unionByName(aucg_rows)
+        .unionByName(route_rows).unionByName(route_mass)
+        .unionByName(thr_pos).unionByName(thr_neg)
     )
 
 
