@@ -85,20 +85,31 @@ def parallelize_for_decode(media: DataFrame, min_partitions: int | None = None) 
     return media
 
 
-def extract_media_metadata(media: DataFrame, parallelize: bool = True) -> DataFrame:
+def extract_media_metadata(
+    media: DataFrame, parallelize: bool = True, decoder=None
+) -> DataFrame:
     """mapInPandas decode stage: (media_id, payload) → MEDIA_META_SCHEMA.
 
     Arrow-batched; one Python roundtrip per batch, not per row. This is the
     pattern every real decode/resize/frame-sample stage follows. Input is
     spread across the session's cores first (see parallelize_for_decode) —
     decode is the Python-side stage where partition count IS the speedup.
+
+    ``decoder`` is the swap seam: any ``bytes → {n_bytes, format, width,
+    height}`` callable (e.g. a PIL header parse once codec libraries are
+    available) slots in without touching the plan, batching, or schema;
+    the default is the deterministic stub.  The callable ships to
+    executors inside the mapInPandas closure: define it in an
+    executor-importable module (cloudpickle serializes module-level
+    functions by REFERENCE) or as a closure/lambda (serialized by value).
     """
     if parallelize:
         media = parallelize_for_decode(media)
+    decode = decoder if decoder is not None else decode_image_stub
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_image_stub(p) for p in pdf["payload"]]
+            metas = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),

@@ -139,6 +139,46 @@ class TestMultimodal:
         for r in n16:
             assert r["count"] == max(len(texts[r["media_id"]].encode()) // 16, 1)
 
+    def test_decoder_seam_swaps_without_plan_changes(self, spark, docs):
+        """(r10) the decode stage's public seam: a 'real' decoder (here a
+        fake header parser that reads dimensions out of the byte content,
+        standing in for PIL) injects through the ``decoder`` argument and
+        the plumbing — schema, batching, row coverage — is untouched.
+        Proves the pipeline depends on the seam's contract, not on
+        decode_image_stub internals."""
+        from oni_ml_spark.datapipe.multimodal import (
+            MEDIA_META_SCHEMA,
+            attach_payload,
+            extract_media_metadata,
+        )
+
+        def fake_real_decoder(payload: bytes) -> dict:
+            # stands in for a PIL header parse: 'dimensions' come from the
+            # first and last payload bytes — unlike the stub's
+            # length-derived fakes, so the test can tell which decoder ran.
+            # Nested on purpose: cloudpickle serializes it by VALUE into
+            # the mapInPandas closure (a test-module-level function would
+            # be pickled by reference and fail to import on executors)
+            return {
+                "n_bytes": len(payload),
+                "format": "img/hdr",
+                "width": int(payload[0]) if payload else 0,
+                "height": int(payload[-1]) if payload else 0,
+            }
+
+        media = attach_payload(docs, "doc_id", "text")
+        out = extract_media_metadata(media, decoder=fake_real_decoder)
+        assert out.schema == MEDIA_META_SCHEMA  # schema pinned by the seam
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == docs.count()  # every row decoded
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for i, t in texts.items():
+            b = t.encode()
+            assert rows[i]["format"] == "img/hdr"  # the INJECTED decoder ran
+            assert rows[i]["n_bytes"] == len(b)
+            assert rows[i]["width"] == b[0] if b else rows[i]["width"] == 0
+            assert rows[i]["height"] == (b[-1] if b else 0)
+
 
 class TestBucketedNearDup:
     def test_bucketed_matches_exact_on_planted_dups(self, spark):
