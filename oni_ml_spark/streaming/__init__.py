@@ -30,6 +30,11 @@ from oni_ml_spark.streaming.gate_stream import (
     quarantined_batches,
     read_quarantined,
 )
+from oni_ml_spark.streaming.route_stream import (
+    read_routed,
+    routed_append_writer,
+    routing_counts,
+)
 from oni_ml_spark.streaming.sample_stream import sample_writer, stream_sample
 from oni_ml_spark.streaming.stateful import sessionize_stream
 from oni_ml_spark.streaming.upsert_sink import (
@@ -50,4 +55,5 @@ __all__ = [
     "drift_writer", "drift_writer_categorical", "categorical_counts",
     "stream_drift_report", "stream_drift_report_categorical",
     "sample_writer", "stream_sample",
+    "routed_append_writer", "read_routed", "routing_counts",
 ]

@@ -1483,3 +1483,94 @@ def test_streaming_contract_gate_quarantines_type_drift(spark, tmp_path):
     row = rep.first()
     assert row["rule"] == "__contract_error" and not row["ok"]
     assert data.count() == 1
+
+
+def test_streaming_router_partitions_replay_and_parity(spark, tmp_path):
+    """(r10) routed_append_writer: a real availableNow stream routed under
+    a frozen hand model lands label-partitioned, matches the batch
+    operator doc-for-doc, replays idempotently, prunes per-label reads to
+    that label's directories, and keeps the per-class ledger counts in
+    lockstep with the data."""
+    from oni_ml_spark.datapipe.classify import feature_bucket, hashed_linear_argmax
+    from oni_ml_spark.streaming.route_stream import (
+        read_routed,
+        routed_append_writer,
+        routing_counts,
+    )
+
+    b = spark.createDataFrame([("the",), ("el",)], "t string").select(
+        "t", feature_bucket(F.col("t"), 4096).alias("b")
+    ).collect()
+    buckets = {r["t"]: r["b"] for r in b}
+    w = spark.createDataFrame(
+        [(buckets["the"], "en", 500_000), (buckets["el"], "es", 500_000)],
+        "bucket bigint, cls string, w_micro bigint",
+    )
+
+    indir = str(tmp_path / "in")
+    root = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+    writer = routed_append_writer(
+        root, w, 4096, ["en", "es"], "doc_id", "text", query_token="route-e2e"
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(indir)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(i, "the doc number %d" % i) for i in range(30)] + [
+        (100 + i, "el documento %d" % i) for i in range(20)
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(indir)
+    drain()
+    batch2 = [(200 + i, "el otro %d" % i) for i in range(10)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(indir)
+    drain()
+
+    # batch/stream parity: same labels the batch operator assigns
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r["id"]: r["label"]
+        for r in hashed_linear_argmax(
+            all_rows, "doc_id", "text", w, 4096, ["en", "es"]
+        ).collect()
+    }
+    got = {r["doc_id"]: r["label"] for r in read_routed(spark, root).collect()}
+    assert got == expect
+    assert sum(1 for v in got.values() if v == "en") == 30
+    assert sum(1 for v in got.values() if v == "es") == 30
+
+    # per-label read is PARTITION-PRUNED to that label's directories: the
+    # label predicate lands in the scan's PartitionFilters (inputFiles()
+    # would list the whole relation — pruning happens at planning)
+    es = read_routed(spark, root, label="es")
+    assert es.count() == 30
+    plan = es._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # ledger counts in lockstep
+    counts = {r["label"]: r["n_cur"] for r in routing_counts(spark, root).collect()}
+    assert counts == {"en": 30, "es": 30}
+
+    # replayed batch id: data overwritten, counts NOT double-summed
+    writer(spark.createDataFrame(batch2, schema), 1)
+    counts2 = {r["label"]: r["n_cur"] for r in routing_counts(spark, root).collect()}
+    assert counts2 == counts
+    assert read_routed(spark, root).count() == 60
+
+    # guards: reserved column, duplicate ids, null ids
+    with pytest.raises(ValueError, match="reserved"):
+        writer(
+            spark.createDataFrame([(1, "x", "en")], schema + ", label string"), 99
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        writer(spark.createDataFrame([(1, "a"), (1, "b")], schema), 99)
+    with pytest.raises(ValueError, match="null"):
+        writer(spark.createDataFrame([(None, "a")], schema), 99)
