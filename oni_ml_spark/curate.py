@@ -1,0 +1,229 @@
+"""Training-data curation CLI — the one-command front door to the
+``datapipe`` stack, the way ``oni_ml_spark.cli`` is the front door to the
+suspicious-connects analyses:
+
+    python -m oni_ml_spark.curate --input /data/raw.parquet \
+        --output /data/curated \
+        --c4-clean --eval /data/benchmarks.parquet \
+        --model /models/quality_weights.parquet --shuffle-seed 0
+
+Stage order (the production curation order; every stage optional by flag):
+
+1. C4 line cleaning (``textstats.line_filter`` — boilerplate lines out,
+   optional within-doc line dedup), documents left with zero kept lines
+   dropped;
+2. Gopher rule gate (``textstats.quality_filter``);
+3. near-duplicate removal (``dedup.near_dup_clusters`` — MinHash bands →
+   exact-Jaccard verify → connected components; cluster-smallest id
+   survives);
+4. benchmark decontamination (``textstats.remove_contaminated`` — strict
+   raw-count policy against the eval corpus's distinct shingle set);
+5. model-based quality gate (``classify.hashed_linear_score`` under a
+   frozen (bucket, w_micro) parquet model + threshold);
+6. deterministic shuffle (``sampling.deterministic_shuffle`` — seeded,
+   engine-portable training order).
+
+Scale shape: every stage boundary is pinned with ``localCheckpoint`` —
+the near-dup and decontamination stages each scan their input several
+times internally (LSH bands + Jaccard verify + the connected-components
+loop; two shingle passes), so an unpinned chain would re-run the whole
+upstream pipeline per internal pass (the curation_pipeline entry measured
+51 s → 4 s from exactly this pin at sf0.1; on a real cluster use the same
+boundaries with ``persist(DISK_ONLY)``).  The per-stage counts ride those
+pinned frames at state-table cost.  The report lands under
+``<output>/_curation_report`` (underscore-hidden from parquet discovery
+of the curated data) and is printed as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="oni_ml_spark.curate",
+        description="End-to-end training-data curation (clean -> gate -> "
+                    "dedup -> decontaminate -> model gate -> shuffle).",
+    )
+    p.add_argument("--input", required=True,
+                   help="parquet path(s) of the raw corpus, comma-separated")
+    p.add_argument("--output", required=True,
+                   help="output directory for the curated parquet")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    # stage 1: C4 line cleaning
+    p.add_argument("--c4-clean", action="store_true",
+                   help="apply C4-style line cleaning before the gates")
+    p.add_argument("--c4-min-words", type=int, default=3)
+    p.add_argument("--c4-dedup-lines", action="store_true",
+                   help="also drop within-document repeated lines")
+    p.add_argument("--c4-no-terminal-punct", action="store_true",
+                   help="keep lines without sentence-final punctuation "
+                        "(non-prose corpora: code, logs, titles)")
+    # stage 2: Gopher rules
+    p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--min-tokens", type=int, default=50)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--min-mean-token-len", type=float, default=3.0)
+    p.add_argument("--max-mean-token-len", type=float, default=10.0)
+    p.add_argument("--min-stopword-hits", type=int, default=2)
+    # stage 3: near-dup removal
+    p.add_argument("--skip-dedup", action="store_true")
+    p.add_argument("--dedup-threshold", type=float, default=0.7,
+                   help="Jaccard threshold for near-duplicate pairs")
+    p.add_argument("--dedup-ngram", type=int, default=3)
+    p.add_argument("--dedup-hashes", type=int, default=16)
+    p.add_argument("--dedup-bands", type=int, default=4)
+    # stage 4: decontamination
+    p.add_argument("--eval", default=None,
+                   help="parquet path of the evaluation corpus to "
+                        "decontaminate against (omit to skip)")
+    p.add_argument("--eval-text-col", default=None,
+                   help="eval corpus text column (defaults to --text-col)")
+    p.add_argument("--decon-ngram", type=int, default=8)
+    p.add_argument("--max-contamination", type=float, default=0.0)
+    # stage 5: model gate
+    p.add_argument("--model", default=None,
+                   help="parquet path of frozen (bucket, w_micro) weights "
+                        "(train_hashed_linear output; omit to skip)")
+    p.add_argument("--n-buckets", type=int, default=4096)
+    p.add_argument("--model-threshold", type=float, default=0.0,
+                   help="keep documents with model score >= this")
+    p.add_argument("--model-bias-micro", type=int, default=0)
+    # stage 6: output order
+    p.add_argument("--shuffle-seed", type=int, default=None,
+                   help="deterministic training-order shuffle seed "
+                        "(omit for input order)")
+    p.add_argument("--single-file", action="store_true",
+                   help="coalesce(1) before writing (small outputs only)")
+    return p
+
+
+def run(spark, args) -> dict:
+    """The curation flow on an existing session; returns the stage report
+    (also written under <output>/_curation_report)."""
+    from oni_ml_spark.datapipe.classify import hashed_linear_score, quality_flags
+    from oni_ml_spark.datapipe.dedup import near_dup_clusters
+    from oni_ml_spark.datapipe.sampling import deterministic_shuffle
+    from oni_ml_spark.datapipe.textstats import (
+        line_filter,
+        quality_filter,
+        remove_contaminated,
+    )
+
+    id_col, text_col = args.id_col, args.text_col
+    df = spark.read.parquet(*args.input.split(","))
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise SystemExit(f"curate: input lacks column {c!r}")
+
+    report: dict[str, int] = {}
+
+    def counted(frame, stage: str):
+        # pin the stage boundary: downstream stages scan their input
+        # several times internally, and the count rides the pinned frame
+        frame = frame.localCheckpoint()
+        report[stage] = frame.count()
+        return frame
+
+    df = counted(df, "input")
+
+    if args.c4_clean:
+        cleaned = line_filter(
+            df, id_col, text_col,
+            min_words=args.c4_min_words,
+            require_terminal_punct=not args.c4_no_terminal_punct,
+            dedup_lines=args.c4_dedup_lines,
+        ).filter(F.col("n_kept") > 0)
+        df = df.drop(text_col).join(
+            cleaned.select(
+                F.col("id").alias(id_col), F.col("text").alias(text_col)
+            ),
+            id_col,
+        )
+        df = counted(df, "after_c4_clean")
+
+    if not args.skip_quality:
+        gate = quality_filter(
+            df, id_col, text_col,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            min_mean_token_len=args.min_mean_token_len,
+            max_mean_token_len=args.max_mean_token_len,
+            min_stopword_hits=args.min_stopword_hits,
+        )
+        df = df.join(
+            gate.filter("passes").select(F.col("id").alias(id_col)), id_col
+        )
+        df = counted(df, "after_quality_gate")
+
+    if not args.skip_dedup:
+        clusters = near_dup_clusters(
+            df, id_col, text_col,
+            n=args.dedup_ngram,
+            num_hashes=args.dedup_hashes,
+            bands=args.dedup_bands,
+            threshold=args.dedup_threshold,
+        )
+        df = df.join(
+            clusters.filter("keep").select(F.col("id").alias(id_col)), id_col
+        )
+        df = counted(df, "after_near_dup")
+
+    if args.eval:
+        eval_df = spark.read.parquet(*args.eval.split(","))
+        df = remove_contaminated(
+            df, eval_df, id_col, text_col,
+            eval_text_col=args.eval_text_col or text_col,
+            n=args.decon_ngram,
+            max_contamination=args.max_contamination,
+        )
+        df = counted(df, "after_decontamination")
+
+    if args.model:
+        weights = spark.read.parquet(args.model)
+        scored = quality_flags(
+            hashed_linear_score(
+                df, id_col, text_col, weights, args.n_buckets,
+                bias_micro=args.model_bias_micro,
+            ),
+            args.model_threshold,
+        )
+        df = df.join(
+            scored.filter("passes").select(F.col("id").alias(id_col)), id_col
+        )
+        df = counted(df, "after_model_gate")
+
+    if args.shuffle_seed is not None:
+        df = deterministic_shuffle(df, id_col, seed=args.shuffle_seed)
+    if args.single_file:
+        df = df.coalesce(1)
+    df.write.mode("overwrite").parquet(args.output)
+
+    report["output"] = args.output
+    spark.createDataFrame(
+        [(k, int(v)) for k, v in report.items() if k != "output"],
+        "stage string, n_docs bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{args.output}/_curation_report"
+    )
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    from oni_ml_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("oni_ml_spark_curate")
+    report = run(spark, args)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

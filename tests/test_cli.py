@@ -97,3 +97,81 @@ def test_flow_cli_audit_flag(spark, tmp_path, capsys):
     rep = json.loads(line[len("AUDIT "):])
     assert rep["input"]["n_rows"] == 302
     assert 0 < rep["suspicious"]["n_rows"] <= 10
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    """(r10) the curation CLI: every stage live (C4 clean, Gopher gate,
+    near-dup removal, decontamination, model gate, deterministic
+    shuffle), monotone non-increasing stage counts, the report readable
+    from _curation_report, the curated parquet hidden from none of it,
+    and the shuffle reproducible run-over-run."""
+    import json as _json
+
+    from oni_ml_spark.curate import main as curate_main
+    from oni_ml_spark.datapipe.classify import demo_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "raw.parquet")
+    docs.write.parquet(inp)
+    # eval corpus: 20 of the training docs verbatim — decontamination must
+    # remove their training twins (plus any doc sharing an 8-gram)
+    evalp = str(tmp_path / "eval.parquet")
+    docs.filter("doc_id % 25 = 0").write.parquet(evalp)
+    modelp = str(tmp_path / "model.parquet")
+    demo_weights(spark).write.parquet(modelp)
+    out = str(tmp_path / "curated")
+
+    rc = curate_main([
+        "--input", inp, "--output", out,
+        "--c4-clean", "--c4-no-terminal-punct",
+        "--min-tokens", "10",
+        "--dedup-threshold", "0.5",
+        "--eval", evalp,
+        "--model", modelp, "--model-threshold", "-100.0",
+        "--shuffle-seed", "7", "--single-file",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = ["input", "after_c4_clean", "after_quality_gate",
+              "after_near_dup", "after_decontamination", "after_model_gate"]
+    assert list(report)[:6] == stages
+    counts = [report[s] for s in stages]
+    assert counts[0] == 500
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone
+    assert counts[-1] > 0
+    # decontamination removed at least the eval docs' training twins
+    assert report["after_decontamination"] < report["after_near_dup"]
+
+    curated = spark.read.parquet(out)
+    assert curated.count() == counts[-1]
+    assert set(docs.columns) == set(curated.columns)
+    # no eval doc survived
+    surviving = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not any(i % 25 == 0 for i in surviving)
+
+    # stage report persisted next to (but hidden from) the data
+    rep_df = spark.read.parquet(f"{out}/_curation_report")
+    persisted = {r["stage"]: r["n_docs"] for r in rep_df.collect()}
+    assert persisted == {s: report[s] for s in stages}
+
+    # deterministic: same seed -> byte-identical order
+    out2 = str(tmp_path / "curated2")
+    rc2 = curate_main([
+        "--input", inp, "--output", out2,
+        "--c4-clean", "--c4-no-terminal-punct",
+        "--min-tokens", "10",
+        "--dedup-threshold", "0.5",
+        "--eval", evalp,
+        "--model", modelp, "--model-threshold", "-100.0",
+        "--shuffle-seed", "7", "--single-file",
+    ])
+    assert rc2 == 0
+    a = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    b = [r["doc_id"] for r in spark.read.parquet(out2).collect()]
+    assert a == b
+
+    # missing column fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="lacks column"):
+        curate_main(["--input", inp, "--output", out, "--id-col", "nope"])
