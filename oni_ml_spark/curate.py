@@ -121,6 +121,26 @@ def run(spark, args) -> dict:
     for c in (id_col, text_col):
         if c not in df.columns:
             raise SystemExit(f"curate: input lacks column {c!r}")
+    # id hygiene up front: every stage is an equi-join / per-id aggregate
+    # on id_col, so a duplicate id would FAN OUT multiplicatively through
+    # five joins (fabricated row combinations, inflated stage counts) and
+    # a null id would vanish at the first join — refuse, offenders named
+    idstats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
+    ).first()
+    if idstats["nulls"]:
+        raise SystemExit(
+            f"curate: input has {idstats['nulls']} null {id_col} row(s) — "
+            "every stage joins on the id; null-id rows would silently vanish"
+        )
+    if idstats["nd"] != idstats["n"]:
+        raise SystemExit(
+            f"curate: {id_col} is not unique ({idstats['n']} rows, "
+            f"{idstats['nd']} distinct) — duplicate ids would fan out "
+            "multiplicatively through the stage joins"
+        )
 
     report: dict[str, int] = {}
 

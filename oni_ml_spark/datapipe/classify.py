@@ -355,9 +355,16 @@ def binary_auc(
     if num_buckets is None:
         # 'auto' is a legal value for this conf under some AQE setups —
         # fall back to the cluster's actual parallelism rather than a
-        # magic constant, so bucket count tracks the cluster either way
+        # magic constant, so bucket count tracks the cluster either way;
+        # sparkContext is unavailable under Spark Connect, where 32 stands
         raw_b = spark.conf.get("spark.sql.shuffle.partitions", "32")
-        b = int(raw_b) if raw_b.isdigit() else spark.sparkContext.defaultParallelism
+        if raw_b.isdigit():
+            b = int(raw_b)
+        else:
+            try:
+                b = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no sparkContext
+                b = 32
     else:
         b = num_buckets
     if b > 1:
@@ -646,32 +653,29 @@ def train_hashed_linear_multiclass(
     ``train_hashed_linear``: sample-scale dense vectorization, coefficients
     micro-quantized into the portable exact-integer inference space.
     Refuses when the label column holds more than ``max_classes`` distinct
-    values (approx pre-check, the ``contracts.infer_expectations``
-    discipline) — a raw high-cardinality column passed as the label would
-    otherwise become an unbounded driver collect."""
+    values — a raw high-cardinality column passed as the label would
+    otherwise become an unbounded driver collect (the collect is bounded
+    by ``limit(max_classes + 1)``, so the refusal itself never transfers
+    more than max_classes + 1 rows)."""
     from pyspark.ml.classification import LogisticRegression
 
     if max_classes < 2:
         raise ValueError(
             f"train_hashed_linear_multiclass: max_classes must be >= 2, got {max_classes}"
         )
-    approx = df.agg(
-        F.approx_count_distinct(F.col(label_col).cast("string")).alias("n")
-    ).first()["n"]
-    # approx_count_distinct is ±~5%; 2× headroom keeps the guard about
-    # runaway cardinality (a raw id/text column), not borderline counts
-    if approx > 2 * max_classes:
-        raise ValueError(
-            f"train_hashed_linear_multiclass: {label_col} has ~{approx} "
-            f"distinct values (> max_classes={max_classes}) — that is not a "
-            "class label; pass a bounded routing label or raise max_classes"
-        )
     raw_classes = [
         r["c"]
         for r in df.select(F.col(label_col).cast("string").alias("c"))
         .distinct()
+        .limit(max_classes + 1)
         .collect()
     ]
+    if len(raw_classes) > max_classes:
+        raise ValueError(
+            f"train_hashed_linear_multiclass: {label_col} has more than "
+            f"max_classes={max_classes} distinct values — that is not a "
+            "class label; pass a bounded routing label or raise max_classes"
+        )
     if None in raw_classes:
         raise ValueError(
             "train_hashed_linear_multiclass: sample contains NULL labels — "
@@ -681,11 +685,6 @@ def train_hashed_linear_multiclass(
     if len(classes) < 2:
         raise ValueError(
             f"train_hashed_linear_multiclass: need >= 2 classes, got {classes}"
-        )
-    if len(classes) > max_classes:
-        raise ValueError(
-            f"train_hashed_linear_multiclass: {len(classes)} classes exceed "
-            f"max_classes={max_classes}"
         )
     idx = None
     for i, c in enumerate(classes):

@@ -17,9 +17,11 @@ their own ``batch=<id>`` directory — a replayed failing batch lands
 byte-identical instead of duplicating — and the report is written AFTER
 the data with any stale report retracted FIRST, so a report-bearing
 quarantine dir always covers complete data even across a crash
-mid-replay.  A batch the contract cannot even evaluate (a producer
-dropped a rule column) quarantines with a ``__contract_error`` report row
-instead of killing the stream.
+mid-replay.  A batch the contract cannot even evaluate DETERMINISTICALLY
+(a producer dropped or retyped a rule column; the batch's own data kills
+a rule expression at evaluation) quarantines with a ``__contract_error``
+report row instead of killing the stream; transient infrastructure
+failures still fail the micro-batch so the streaming engine retries it.
 
 Per batch the gate costs ONE bounded aggregate over the batch
 (`contracts.run_expectations` — all rules in one pass); nothing about the
@@ -28,13 +30,8 @@ accumulated stream is rescanned.
 
 from __future__ import annotations
 
-from pyspark.errors import PySparkException
+from pyspark.errors import AnalysisException, SparkRuntimeException
 from pyspark.sql import DataFrame, SparkSession
-
-try:  # classic-mode py4j backend; absent under Spark Connect
-    from py4j.protocol import Py4JJavaError
-except ImportError:  # pragma: no cover
-    Py4JJavaError = PySparkException
 
 from oni_ml_spark.plans.compaction import _fs
 
@@ -78,14 +75,19 @@ def gated_writer(
                     f"{len(failed)} expectation(s) failed — "
                     + _format_failures(failed)
                 )
-        except (ValueError, PySparkException, Py4JJavaError) as e:
+        except (ValueError, AnalysisException, SparkRuntimeException) as e:
             # a structurally un-evaluable batch is the most violated
             # contract of all — it must quarantine, not kill the stream.
-            # ValueError: the gate's own pre-checks; PySparkException
-            # covers AnalysisException (a rule column the producer
-            # dropped) and evaluation-time failures (the producer changed
-            # a column's type out from under an rlike/avg rule);
-            # Py4JJavaError: unconverted JVM errors from the collect
+            # ValueError: the gate's own pre-checks; AnalysisException: a
+            # rule column the producer dropped or retyped (rlike over an
+            # array fails analysis); SparkRuntimeException: deterministic
+            # evaluation-time failures from the batch's own DATA (ANSI
+            # cast errors etc. — a replay would fail identically).
+            # Deliberately NOT the blanket PySparkException/Py4JJavaError:
+            # transient infrastructure failures (executor loss, shuffle
+            # fetch, OOM) must FAIL the micro-batch so Structured
+            # Streaming's restart retries it — quarantining a healthy
+            # batch on an infra blip would silently divert good data
             rows = [("__contract_error", None, False, str(e), "contract evaluable")]
             failed_msg = f"contract not evaluable — {e}"
         if failed_msg is None:

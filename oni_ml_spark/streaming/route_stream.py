@@ -122,11 +122,18 @@ def routed_append_writer(
         ).select(F.col("id").alias(id_col), "label", "score_micro")
         out = batch_df.join(routed, id_col)
         # data FIRST (overwrite-on-replay idempotent), ledger marker LAST
-        out.write.mode("overwrite").partitionBy("label").parquet(
-            f"{root}/data/ingest_batch={batch_id}"
-        )
-        counts = out.groupBy("label").agg(F.count(F.lit(1)).alias("n_cur"))
+        bdir = f"{root}/data/ingest_batch={batch_id}"
+        out.write.mode("overwrite").partitionBy("label").parquet(bdir)
         spark = batch_df.sparkSession
+        # ledger counts from the JUST-WRITTEN batch directory, not from
+        # `out` — re-consuming `out` would execute the whole routing
+        # subtree (tokenize + broadcast join + two aggregations) a second
+        # time; the read-back is batch-sized, and counting what actually
+        # landed is the stronger invariant anyway
+        counts = (
+            spark.read.option("basePath", bdir).parquet(bdir)
+            .groupBy("label").agg(F.count(F.lit(1)).alias("n_cur"))
+        )
         current = read_upsert_table(spark, ledger_root)
         merged = (
             counts if current is None else _counts_merge("label")(current, counts)

@@ -645,7 +645,9 @@ class TestRound10Hardening:
 
     def test_multiclass_label_cardinality_guard(self, spark):
         """(r10) a raw high-cardinality column passed as the routing label
-        must be refused BEFORE the distinct-labels driver collect."""
+        must be refused, and the distinct-labels collect is bounded by
+        limit(max_classes + 1) so the refusal itself never transfers an
+        unbounded row set to the driver."""
         from oni_ml_spark.datapipe.classify import train_hashed_linear_multiclass
 
         df = spark.range(5000).select(
@@ -655,13 +657,11 @@ class TestRound10Hardening:
         )
         with pytest.raises(ValueError, match="max_classes"):
             train_hashed_linear_multiclass(df, "doc_id", "text", "lang", 64)
-        # exact middle-band check: approx passes with 2x headroom, the
-        # post-collect exact count still enforces the bound
         small = spark.createDataFrame(
             [(i, f"doc {i}", f"c{i % 3}") for i in range(30)],
             "doc_id bigint, text string, lang string",
         )
-        with pytest.raises(ValueError, match="exceed"):
+        with pytest.raises(ValueError, match="max_classes"):
             train_hashed_linear_multiclass(
                 small, "doc_id", "text", "lang", 64, max_classes=2
             )
