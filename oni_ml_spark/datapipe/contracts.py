@@ -1,7 +1,9 @@
 """Data-contract expectations: declarative checks a production pipeline
 runs against every batch/day before trusting it — not-null, uniqueness,
 ranges, allowed sets, null-rate ceilings, regex conformance, row and
-distinct-count bounds — evaluated in ONE aggregate over ONE scan,
+distinct-count bounds, and the vector-column rules (array dimension,
+NaN-freedom — scalar or elementwise) — evaluated in ONE aggregate over
+ONE scan,
 returning a per-rule report (or raising, for the gate composition).
 
 Beyond the reference (which validates nothing — its closest surface is
@@ -179,6 +181,51 @@ def expect_in_set(column: str, allowed: list) -> Expectation:
         ),
         lambda o: o == 0,
         f"values in {sorted(map(str, allowed))[:20]}",
+    )
+
+
+def expect_array_dim(column: str, dim: int) -> Expectation:
+    """Every non-null array value has exactly ``dim`` elements — the
+    embedding-column contract (a ragged vector batch would corrupt every
+    dot product / index downstream; the similarity stack's in-plan
+    asserts catch it at use, this catches it at INGEST where the producer
+    can still be named).  Observed = wrong-dimension count; one sum over
+    the shared scan like every other rule."""
+    if dim < 1:
+        raise ValueError("expect_array_dim: dim must be >= 1")
+    v = F.col(column)
+    return Expectation(
+        "array_dim", column,
+        F.coalesce(
+            F.sum(
+                F.when(v.isNotNull() & (F.size(v) != dim), 1)
+                .otherwise(0).cast("long")
+            ),
+            F.lit(0),
+        ),
+        lambda o: o == 0,
+        f"array length == {dim}",
+    )
+
+
+def expect_no_nan(column: str, elementwise: bool = False) -> Expectation:
+    """No NaN values in a float/double column (``elementwise=True`` for an
+    array<float/double> column — any NaN element flags the row).  NaN is
+    NOT NULL in SQL semantics, so not_null/null_rate never see it; a NaN
+    reaching a model or an index silently poisons every aggregate it
+    touches.  Observed = NaN-carrying row count.  The scalar/array choice
+    is a construction-time flag because both expression branches would
+    otherwise have to analyze against one column type."""
+    v = F.col(column)
+    nan_row = (
+        F.exists(v, lambda x: F.isnan(x)) if elementwise else F.isnan(v)
+    )
+    is_bad = F.when(v.isNotNull() & nan_row, 1).otherwise(0)
+    return Expectation(
+        "no_nan", column,
+        F.coalesce(F.sum(is_bad.cast("long")), F.lit(0)),
+        lambda o: o == 0,
+        "no NaN values" + (" (elementwise)" if elementwise else ""),
     )
 
 

@@ -338,6 +338,21 @@ def groupby_count_docword(spark, sf):
     "avg(CASE WHEN event_type IS NOT NULL THEN "
     "regexp_matches(event_type, '^[a-z]+$')::INT::DOUBLE END) AS rrate, "
     "count(DISTINCT event_type)::BIGINT AS dcnt FROM events), "
+    # -- vector contracts (r10): replicate the Spark side's planted
+    # -- violations (NaN first element every 50th vector, NaN scalar every
+    # -- 77th row, dim-63 rule over the untouched column) then count them
+    "expe AS (SELECT vec_id, CASE WHEN vec_id % 50 = 0 THEN "
+    "list_concat(['NaN'::FLOAT], embedding[2:64]) ELSE embedding END AS emb, "
+    "embedding AS emb63, "
+    "CASE WHEN vec_id % 77 = 0 THEN 'NaN'::DOUBLE ELSE 1.0 END AS vscalar "
+    "FROM embeddings), "
+    "exe AS (SELECT "
+    "sum((emb IS NOT NULL AND len(emb) != 64)::BIGINT) AS dim_bad, "
+    "sum((emb63 IS NOT NULL AND len(emb63) != 63)::BIGINT) AS dim63_bad, "
+    "sum((emb IS NOT NULL AND len(list_filter(emb, x -> isnan(x))) > 0)::BIGINT) "
+    "AS nan_rows, "
+    "sum((vscalar IS NOT NULL AND isnan(vscalar))::BIGINT) AS nan_scalar "
+    "FROM expe), "
     # -- grouped contracts (r9): the same rules PER SEGMENT in one
     # -- grouped aggregate ('__null' sentinel group like the drift CTEs)
     "exg AS (SELECT coalesce(event_type, '__null') AS g, count(*)::BIGINT AS n, "
@@ -395,7 +410,15 @@ def groupby_count_docword(spark, sf):
     "UNION ALL SELECT 'expectg', g || '|unique|event_id', NULL, "
     "round(dupes::DOUBLE, 6), NULL, (dupes = 0)::INT::DOUBLE FROM exg "
     "UNION ALL SELECT 'expectg', g || '|range|value', NULL, "
-    "round(oor::DOUBLE, 6), NULL, (oor = 0)::INT::DOUBLE FROM exg",
+    "round(oor::DOUBLE, 6), NULL, (oor = 0)::INT::DOUBLE FROM exg "
+    "UNION ALL SELECT 'expect', 'array_dim|embedding', NULL, "
+    "round(dim_bad::DOUBLE, 6), NULL, (dim_bad = 0)::INT::DOUBLE FROM exe "
+    "UNION ALL SELECT 'expect', 'array_dim|emb63', NULL, "
+    "round(dim63_bad::DOUBLE, 6), NULL, (dim63_bad = 0)::INT::DOUBLE FROM exe "
+    "UNION ALL SELECT 'expect', 'no_nan|embedding', NULL, "
+    "round(nan_rows::DOUBLE, 6), NULL, (nan_rows = 0)::INT::DOUBLE FROM exe "
+    "UNION ALL SELECT 'expect', 'no_nan|vscalar', NULL, "
+    "round(nan_scalar::DOUBLE, 6), NULL, (nan_scalar = 0)::INT::DOUBLE FROM exe",
 )
 def dimension_profile(spark, sf):
     """Three dimension-table aggregates over one key, r06 merge of
@@ -652,8 +675,10 @@ def dimension_profile(spark, sf):
         F.round("cosine", 6).alias("share"),
     )
     from oni_ml_spark.datapipe.contracts import (
+        expect_array_dim,
         expect_distinct_count,
         expect_in_set,
+        expect_no_nan,
         expect_not_null,
         expect_null_rate,
         expect_range,
@@ -698,6 +723,37 @@ def dimension_profile(spark, sf):
         null_d.alias("hi"),
         F.col("ok").cast("double").alias("share"),
     )
+    # r10: the vector-column contracts (expect_array_dim / expect_no_nan)
+    # over embeddings with PLANTED violations — every 50th vector's first
+    # element becomes NaN (dim preserved), a scalar column gets NaN every
+    # 77th row, and the dim-63 rule (aliased column, distinct report key)
+    # fails on the whole table. Two pass rows + two planted-fail rows.
+    planted = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 50 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice("embedding", 2, 63),
+            ),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        F.col("embedding").alias("emb63"),
+        F.when(F.col("vec_id") % 77 == 0, F.lit(float("nan")))
+        .otherwise(F.lit(1.0)).alias("vscalar"),
+    )
+    expv = run_expectations(planted, [
+        expect_array_dim("embedding", 64),              # passes
+        expect_array_dim("emb63", 63),                  # planted fail: all rows
+        expect_no_nan("embedding", elementwise=True),   # planted fail: every 50th
+        expect_no_nan("vscalar"),                       # planted fail: every 77th
+    ]).select(
+        F.lit("expect").alias("part"),
+        F.concat_ws("|", "rule", F.coalesce("column", F.lit("*"))).alias("key"),
+        F.lit(None).cast("long").alias("a"),
+        F.round(F.col("observed").cast("double"), 6).alias("lo"),
+        null_d.alias("hi"),
+        F.col("ok").cast("double").alias("share"),
+    )
     return (
         stats.unionByName(dic).unionByName(skew)
         .unionByName(hist).unionByName(corr)
@@ -705,7 +761,7 @@ def dimension_profile(spark, sf):
         .unionByName(kref).unionByName(kcur)
         .unionByName(gref).unionByName(gcur)
         .unionByName(eref).unionByName(ecur).unionByName(ecent)
-        .unionByName(exp).unionByName(expg)
+        .unionByName(exp).unionByName(expg).unionByName(expv)
     )
 
 

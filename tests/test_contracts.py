@@ -493,3 +493,56 @@ class TestContractsProperty:
             assert rep["in_set"]["observed"] == str(bad), (vals, rep["in_set"])
 
         check()
+
+
+class TestVectorContracts:
+    """(r10) expect_array_dim / expect_no_nan — the embedding-column
+    contract at ingest."""
+
+    def test_array_dim_and_no_nan_elementwise(self, spark):
+        from oni_ml_spark.datapipe.contracts import (
+            expect_array_dim,
+            expect_no_nan,
+            run_expectations,
+        )
+
+        nan = float("nan")
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], 1.0),
+                (2, [3.0], 2.0),          # wrong dim
+                (3, None, nan),           # null array passes dim; scalar NaN
+                (4, [nan, 5.0], 4.0),     # elementwise NaN
+            ],
+            "id bigint, emb array<double>, s double",
+        )
+        rep = {
+            (r["rule"], r["column"]): (r["ok"], r["observed"])
+            for r in run_expectations(df, [
+                expect_array_dim("emb", 2),
+                expect_no_nan("emb", elementwise=True),
+                expect_no_nan("s"),
+            ]).collect()
+        }
+        assert rep[("array_dim", "emb")] == (False, "1")   # row 2 only
+        assert rep[("no_nan", "emb")] == (False, "1")      # row 4 only
+        assert rep[("no_nan", "s")] == (False, "1")        # row 3 only
+
+        clean = spark.createDataFrame(
+            [(1, [1.0, 2.0], 0.5)], "id bigint, emb array<double>, s double"
+        )
+        rep2 = {
+            r["rule"]: r["ok"]
+            for r in run_expectations(clean, [
+                expect_array_dim("emb", 2),
+                expect_no_nan("emb", elementwise=True),
+                expect_no_nan("s"),
+            ]).collect()
+        }
+        assert rep2 == {"array_dim": True, "no_nan": True} or all(rep2.values())
+
+    def test_array_dim_guard(self, spark):
+        from oni_ml_spark.datapipe.contracts import expect_array_dim
+
+        with pytest.raises(ValueError, match="dim must be"):
+            expect_array_dim("emb", 0)
