@@ -189,6 +189,36 @@ def line_filter(
     )
 
 
+def unicode_normalize_col(c: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column — the
+    pass that runs BEFORE exact dedup and fingerprinting: byte-different
+    encodings of the same text ('é' precomposed vs 'e'+combining-acute,
+    fullwidth ＡＢＣ vs ABC under the K forms) defeat hash-based dedup and
+    inflate vocabulary.  Spark has no built-in normalizer, so this is the
+    engine's documented slow-path exception: an Arrow-batched pandas_udf
+    over ``unicodedata.normalize`` — one Python roundtrip per batch, not
+    per row, and the only Python UDF in the text stack.  NULLs pass
+    through.  NFC is cross-engine checkable (DuckDB ``nfc_normalize``);
+    the K forms are pinned by pytest against CPython's unicodedata."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(
+            f"unicode_normalize_col: unknown form {form!r} "
+            "(want NFC, NFD, NFKC or NFKD)"
+        )
+    import pandas as pd  # noqa: F401 — pandas_udf requires it at runtime
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm(F.col(c) if isinstance(c, str) else c)
+
+
 def strip_html(c: Column | str) -> Column:
     """Remove tags and collapse whitespace — the cheap boilerplate-stripping
     pass before quality scoring (regexp, stays in codegen)."""

@@ -1536,6 +1536,9 @@ def _text_profile_oracle() -> str:
         '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g') AS masked,
       md5({norm}) AS fp_md5,
       substr(md5(substr({norm}, 1, 64)), 1, 16) AS fp_prefix64,
+      md5(nfc_normalize(text || ' Café ＡＢＣ')) AS nfc_md5,
+      (nfc_normalize(text || ' Café ＡＢＣ')
+        != text || ' Café ＡＢＣ')::BIGINT AS nfc_changed,
       array_to_string(kept, chr(10)) AS c4_clean,
       len(string_split(mlt, chr(10)))::BIGINT AS c4_lines,
       len(kept)::BIGINT AS c4_kept
@@ -1572,7 +1575,12 @@ def text_profile(spark, sf):
     of each document (one boilerplate line, one too-short line, one keeper,
     one unterminated line appended): c4_clean is the reassembled cleaned
     text, c4_lines/c4_kept the per-doc line accounting — all codegen HOF
-    expressions, value-hashed against DuckDB's list_filter restatement."""
+    expressions, value-hashed against DuckDB's list_filter restatement.
+
+    r10 adds unicode normalization (textstats.unicode_normalize_col — the
+    pass before exact dedup; the stack's one Python-UDF operator): nfc_md5
+    / nfc_changed over a planted decomposed suffix, checked
+    cross-IMPLEMENTATION (CPython unicodedata vs DuckDB utf8proc)."""
     from oni_ml_spark.datapipe.textstats import (
         fingerprint_cols,
         lang_id,
@@ -1580,6 +1588,7 @@ def text_profile(spark, sf):
         mask_pii,
         quality_metrics,
         strip_html,
+        unicode_normalize_col,
     )
 
     d = _docs(spark, sf)
@@ -1589,6 +1598,15 @@ def text_profile(spark, sf):
         F.lit("@example.com from 10.1.2.3"),
     )
     fp = fingerprint_cols("text")
+    # r10: unicode normalization (the pass before exact dedup) over a
+    # planted decomposed suffix — 'Cafe' + combining acute + fullwidth
+    # ABC; NFC composes the acute (nfc_changed = 1 for every row, the
+    # plant is non-vacuous) while keeping the fullwidth letters.  The
+    # oracle is DuckDB's utf8proc nfc_normalize vs CPython's unicodedata
+    # through the Arrow-batched pandas_udf — a cross-implementation check
+    # of the one Python-UDF operator in the text stack.
+    utext = F.concat(F.col("text"), F.lit(" Café ＡＢＣ"))
+    nfc = unicode_normalize_col(utext, "NFC")
     base = quality_metrics(
         d,
         "doc_id",
@@ -1599,6 +1617,8 @@ def text_profile(spark, sf):
             "masked": mask_pii(planted),
             "fp_md5": fp["fp_md5"],
             "fp_prefix64": fp["fp_prefix64"],
+            "nfc_md5": F.md5(nfc),
+            "nfc_changed": (nfc != utext).cast("long"),
         },
     )
     mlt = F.concat(

@@ -83,3 +83,69 @@ class TestLineFilter:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Generate" not in plan
+
+
+class TestUnicodeNormalize:
+    """(r10) unicode_normalize_col — the pre-dedup normalization pass (the
+    text stack's one Python-UDF operator, Arrow-batched)."""
+
+    def test_forms_nulls_and_dedup_motivation(self, spark):
+        import unicodedata
+
+        from oni_ml_spark.datapipe.textstats import unicode_normalize_col
+
+        composed = "Caf\u00e9"                  # precomposed é
+        decomposed = "Cafe\u0301"               # e + combining acute
+        fullwidth = "\uff21\uff22\uff23 \uff15"      # ＡＢＣ 5
+        df = spark.createDataFrame(
+            [(1, composed), (2, decomposed), (3, fullwidth), (4, None)],
+            "id bigint, t string",
+        )
+        out = {
+            r["id"]: (r["nfc"], r["nfkc"])
+            for r in df.select(
+                "id",
+                unicode_normalize_col("t", "NFC").alias("nfc"),
+                unicode_normalize_col("t", "NFKC").alias("nfkc"),
+            ).collect()
+        }
+        # the dedup motivation: byte-different equal texts converge
+        assert out[1][0] == out[2][0] == composed
+        # NFC keeps fullwidth; NFKC folds it to ASCII
+        assert out[3][0] == fullwidth
+        assert out[3][1] == "ABC 5"
+        assert out[4] == (None, None)
+        # pinned against CPython's unicodedata (the implementation itself)
+        assert out[2][1] == unicodedata.normalize("NFKC", decomposed)
+
+    def test_matches_duckdb_nfc(self, spark):
+        import duckdb
+
+        from oni_ml_spark.datapipe.textstats import unicode_normalize_col
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        planted = docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" Café Ａ")).alias("t"),
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in planted.select(
+                "doc_id", unicode_normalize_col("t", "NFC").alias("n")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = dict(con.execute(
+            "SELECT doc_id, nfc_normalize(text || ' Café Ａ') FROM documents"
+        ).fetchall())
+        assert got == want
+
+    def test_bad_form_rejected(self, spark):
+        from oni_ml_spark.datapipe.textstats import unicode_normalize_col
+
+        with pytest.raises(ValueError, match="unknown form"):
+            unicode_normalize_col("t", "NFX")
