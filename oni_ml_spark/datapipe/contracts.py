@@ -436,6 +436,12 @@ def infer_expectations(
       collected set's EXACT size is <= ``set_max`` (never
       ``collect_set`` over an unaudited key space — the sketch margin
       bounds the buffer, the exact check bounds the rule);
+    - array columns with a CONSTANT reference dimension:
+      ``expect_array_dim`` (a variable-dim reference infers nothing —
+      raggedness is evidently legal there);
+    - float columns and float-array columns with a NaN-free reference:
+      ``expect_no_nan`` (a reference WITH NaN infers nothing rather
+      than freezing a rule its own data violates);
     - plus ``expect_row_count(min_rows=1)``.
 
     The returned rules are ordinary ``Expectation`` objects — inspect,
@@ -459,10 +465,39 @@ def infer_expectations(
         or dtypes[c].startswith("decimal")
     }
     settable = {c for c in cols if dtypes[c] in ("string", "boolean")}
+    arrays = {c for c in cols if dtypes[c].startswith("array<")}
+    # NaN-capable columns: scalar floats, and arrays OF floats (element
+    # type read off the dtype string) — the no_nan inference candidates
+    floats = {c for c in cols if dtypes[c] in ("float", "double")}
+    float_arrays = {
+        c for c in arrays if dtypes[c] in ("array<float>", "array<double>")
+    }
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nr"))
+        if c in arrays:
+            # null-safe dimension envelope (size(NULL) is -1, not NULL)
+            sz = F.when(F.col(c).isNotNull(), F.size(F.col(c)))
+            aggs += [F.min(sz).alias(f"{c}__dlo"), F.max(sz).alias(f"{c}__dhi")]
+        if c in floats:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & F.isnan(F.col(c)), 1
+                    ).otherwise(0).cast("long")
+                ).alias(f"{c}__nan")
+            )
+        if c in float_arrays:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & F.exists(F.col(c), lambda x: F.isnan(x)),
+                        1,
+                    ).otherwise(0).cast("long")
+                ).alias(f"{c}__nan")
+            )
         if c in numeric:
             # NaN-safe envelope: NaN sorts ABOVE every double in Spark,
             # so a raw max would freeze hi=NaN and the inferred range
@@ -495,6 +530,20 @@ def infer_expectations(
             lo, hi = float(stats[f"{c}__lo"]), float(stats[f"{c}__hi"])
             pad = (hi - lo) * range_slack
             rules.append(expect_range(c, lo=lo - pad, hi=hi + pad))
+        # vector rules (r10): a CONSTANT reference dimension pins
+        # expect_array_dim (a variable-dim reference infers nothing —
+        # raggedness is evidently legal there); a NaN-free reference pins
+        # expect_no_nan (a reference WITH NaN infers nothing rather than
+        # freezing a rule its own data violates — descriptive inference)
+        if (
+            c in arrays
+            and stats[f"{c}__dlo"] is not None
+            and stats[f"{c}__dlo"] == stats[f"{c}__dhi"]
+            and stats[f"{c}__dlo"] >= 1
+        ):
+            rules.append(expect_array_dim(c, int(stats[f"{c}__dlo"])))
+        if (c in floats or c in float_arrays) and stats[f"{c}__nan"] == 0:
+            rules.append(expect_no_nan(c, elementwise=c in float_arrays))
     small = [
         c for c in cols
         if c in settable

@@ -546,3 +546,45 @@ class TestVectorContracts:
 
         with pytest.raises(ValueError, match="dim must be"):
             expect_array_dim("emb", 0)
+
+    def test_infer_learns_vector_rules(self, spark):
+        """(r10) inference: a constant-dim NaN-free embedding reference
+        pins array_dim + elementwise no_nan; a later ragged/NaN batch
+        fails exactly those rules. Variable-dim or NaN-carrying
+        references infer nothing for that column."""
+        from oni_ml_spark.datapipe.contracts import (
+            infer_expectations,
+            run_expectations,
+        )
+
+        nan = float("nan")
+        ref = spark.createDataFrame(
+            [(1, [1.0, 2.0], 0.5), (2, [3.0, 4.0], 1.5)],
+            "id bigint, emb array<double>, s double",
+        )
+        rules = infer_expectations(ref)
+        kinds = {(r.rule, r.column) for r in rules}
+        assert ("array_dim", "emb") in kinds
+        assert ("no_nan", "emb") in kinds and ("no_nan", "s") in kinds
+
+        bad = spark.createDataFrame(
+            [(1, [1.0], 0.5), (2, [3.0, nan], nan)],
+            "id bigint, emb array<double>, s double",
+        )
+        rep = {
+            (r["rule"], r["column"]): r["ok"]
+            for r in run_expectations(bad, rules).collect()
+        }
+        assert rep[("array_dim", "emb")] is False
+        assert rep[("no_nan", "emb")] is False
+        assert rep[("no_nan", "s")] is False
+
+        # ragged / NaN-carrying reference: no vector rules inferred
+        loose = spark.createDataFrame(
+            [(1, [1.0], nan), (2, [3.0, 4.0], 1.0)],
+            "id bigint, emb array<double>, s double",
+        )
+        kinds2 = {(r.rule, r.column) for r in infer_expectations(loose)}
+        assert ("array_dim", "emb") not in kinds2
+        assert ("no_nan", "s") not in kinds2
+        assert ("no_nan", "emb") in kinds2  # emb itself is NaN-free
