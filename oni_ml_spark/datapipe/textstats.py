@@ -189,32 +189,39 @@ def line_filter(
     )
 
 
-def unicode_normalize_col(c: Column | str, form: str = "NFC") -> Column:
-    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column — the
-    pass that runs BEFORE exact dedup and fingerprinting: byte-different
-    encodings of the same text ('é' precomposed vs 'e'+combining-acute,
-    fullwidth ＡＢＣ vs ABC under the K forms) defeat hash-based dedup and
-    inflate vocabulary.  Spark has no built-in normalizer, so this is the
-    engine's documented slow-path exception: an Arrow-batched pandas_udf
-    over ``unicodedata.normalize`` — one Python roundtrip per batch, not
-    per row, and the only Python UDF in the text stack.  NULLs pass
-    through.  NFC is cross-engine checkable (DuckDB ``nfc_normalize``);
-    the K forms are pinned by pytest against CPython's unicodedata."""
+def unicode_normalize_col(
+    c: Column | str, form: str = "NFC", casefold: bool = False
+) -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD, optional casefold) of a
+    string EXPRESSION — the column-level primitive under
+    ``unicode_normalize`` (the DataFrame-level wrapper), and the pass that
+    runs BEFORE exact dedup and fingerprinting: byte-different encodings
+    of the same text ('é' precomposed vs 'e'+combining-acute, fullwidth
+    ＡＢＣ vs ABC under the K forms) defeat hash-based dedup and inflate
+    vocabulary.  Spark has no built-in normalizer, so this is the text
+    stack's designated Arrow path: a pandas_udf over
+    ``unicodedata.normalize`` — one Python roundtrip per batch, not per
+    row.  NULLs pass through.  NFC is cross-engine checkable (DuckDB
+    ``nfc_normalize``); the K forms are pinned by pytest against
+    CPython's unicodedata."""
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(
             f"unicode_normalize_col: unknown form {form!r} "
             "(want NFC, NFD, NFKC or NFKD)"
         )
-    import pandas as pd  # noqa: F401 — pandas_udf requires it at runtime
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _norm(s):
         import unicodedata
 
-        return s.map(
-            lambda x: unicodedata.normalize(form, x) if x is not None else None
-        )
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            return y.casefold() if casefold else y
+
+        return s.map(one)
 
     return _norm(F.col(c) if isinstance(c, str) else c)
 
@@ -608,29 +615,16 @@ def unicode_normalize(
     full-width digits, ligatures) otherwise hash to different keys and
     slip through exact and MinHash dedup alike.
 
-    Spark SQL has no Unicode-normalization expression, so this is the
-    designated Arrow path: a vectorized pandas UDF over ``unicodedata``
-    (per-batch, no Python-per-row loop in Spark's runtime — the .map is
-    C-batched through pandas). Deterministic; NULL passes through.
+    Delegates to ``unicode_normalize_col`` — the single pandas_udf
+    implementation (one copy to fix when pandas NA handling or the
+    Unicode version ever needs pinning); this wrapper adds only the
+    DataFrame/withColumn plumbing.  Deterministic; NULL passes through.
     """
-    import unicodedata
-
-    from pyspark.sql.functions import pandas_udf
-
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
-
-    @pandas_udf("string")
-    def _norm(s):
-        def one(x):
-            if x is None:
-                return None
-            y = unicodedata.normalize(form, x)
-            return y.casefold() if casefold else y
-
-        return s.map(one)
-
-    return df.withColumn(out_col or col, _norm(F.col(col)))
+    return df.withColumn(
+        out_col or col, unicode_normalize_col(col, form, casefold=casefold)
+    )
 
 
 def remove_contaminated(

@@ -727,7 +727,7 @@ def dimension_profile(spark, sf):
     # over embeddings with PLANTED violations — every 50th vector's first
     # element becomes NaN (dim preserved), a scalar column gets NaN every
     # 77th row, and the dim-63 rule (aliased column, distinct report key)
-    # fails on the whole table. Two pass rows + two planted-fail rows.
+    # fails on the whole table. One pass row + three planted-fail rows.
     planted = emb.select(
         "vec_id",
         F.when(
@@ -1578,7 +1578,7 @@ def text_profile(spark, sf):
     expressions, value-hashed against DuckDB's list_filter restatement.
 
     r10 adds unicode normalization (textstats.unicode_normalize_col — the
-    pass before exact dedup; the stack's one Python-UDF operator): nfc_md5
+    pass before exact dedup; the text stack's Arrow-path pandas_udf operator): nfc_md5
     / nfc_changed over a planted decomposed suffix, checked
     cross-IMPLEMENTATION (CPython unicodedata vs DuckDB utf8proc)."""
     from oni_ml_spark.datapipe.textstats import (
@@ -1604,7 +1604,7 @@ def text_profile(spark, sf):
     # plant is non-vacuous) while keeping the fullwidth letters.  The
     # oracle is DuckDB's utf8proc nfc_normalize vs CPython's unicodedata
     # through the Arrow-batched pandas_udf — a cross-implementation check
-    # of the one Python-UDF operator in the text stack.
+    # of the text stack's designated Arrow-path (pandas_udf) operator.
     utext = F.concat(F.col("text"), F.lit(" Café ＡＢＣ"))
     nfc = unicode_normalize_col(utext, "NFC")
     base = quality_metrics(

@@ -532,14 +532,18 @@ class TestVectorContracts:
             [(1, [1.0, 2.0], 0.5)], "id bigint, emb array<double>, s double"
         )
         rep2 = {
-            r["rule"]: r["ok"]
+            (r["rule"], r["column"]): r["ok"]
             for r in run_expectations(clean, [
                 expect_array_dim("emb", 2),
                 expect_no_nan("emb", elementwise=True),
                 expect_no_nan("s"),
             ]).collect()
         }
-        assert rep2 == {"array_dim": True, "no_nan": True} or all(rep2.values())
+        assert rep2 == {
+            ("array_dim", "emb"): True,
+            ("no_nan", "emb"): True,
+            ("no_nan", "s"): True,
+        }
 
     def test_array_dim_guard(self, spark):
         from oni_ml_spark.datapipe.contracts import expect_array_dim

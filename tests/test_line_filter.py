@@ -87,7 +87,7 @@ class TestLineFilter:
 
 class TestUnicodeNormalize:
     """(r10) unicode_normalize_col — the pre-dedup normalization pass (the
-    text stack's one Python-UDF operator, Arrow-batched)."""
+    text stack's Arrow-path pandas_udf primitive)."""
 
     def test_forms_nulls_and_dedup_motivation(self, spark):
         import unicodedata
