@@ -693,3 +693,50 @@ class TestRound10Hardening:
         gplan = g._jdf.queryExecution().optimizedPlan().toString()
         assert "decimal(38,0)" in gplan
         assert abs(g.first()["auc"] - row["auc"]) < 1e-15
+
+
+class TestThresholdReportProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),
+                st.one_of(
+                    st.integers(min_value=-5, max_value=5).map(float),
+                    st.none(),  # NULL scores: predicted-negative contract
+                ),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.lists(
+            st.integers(min_value=-6, max_value=6).map(float),
+            min_size=1, max_size=4, unique=True,
+        ),
+    )
+    def test_property_confusion_counts(self, spark, rows, thresholds):
+        """(r10) any label/score multiset incl. NULL scores, any threshold
+        set: tp+fn == positives and fp+tn == negatives at EVERY threshold
+        (nothing vanishes from the counts), tp is monotone non-increasing
+        in the threshold, and each cell equals the brute-force count."""
+        from oni_ml_spark.datapipe.classify import threshold_report
+
+        df = spark.createDataFrame(rows, "label int, score double")
+        rep = {
+            r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+            for r in threshold_report(df, "label", "score", thresholds).collect()
+        }
+        P = sum(1 for l, _ in rows if l == 1)
+        N = len(rows) - P
+        for t in thresholds:
+            tp, fp, fn, tn = rep[t]
+            assert tp + fn == P and fp + tn == N
+            want_tp = sum(1 for l, s in rows if l == 1 and s is not None and s >= t)
+            want_fp = sum(1 for l, s in rows if l == 0 and s is not None and s >= t)
+            assert (tp, fp) == (want_tp, want_fp)
+        by_t = sorted(rep)
+        tps = [rep[t][0] for t in by_t]
+        assert tps == sorted(tps, reverse=True)  # monotone in threshold
