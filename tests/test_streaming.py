@@ -1574,3 +1574,46 @@ def test_streaming_router_partitions_replay_and_parity(spark, tmp_path):
         writer(spark.createDataFrame([(1, "a"), (1, "b")], schema), 99)
     with pytest.raises(ValueError, match="null"):
         writer(spark.createDataFrame([(None, "a")], schema), 99)
+
+
+def test_streaming_contract_gate_vector_rules_quarantine_nan_batch(spark, tmp_path):
+    """(r10) the gate composes with the vector rules: an embedding feed
+    whose batch carries a NaN vector (or a ragged one) is quarantined
+    whole — NaN would otherwise sail through not_null and poison every
+    downstream dot product/index."""
+    from oni_ml_spark.datapipe.contracts import expect_array_dim, expect_no_nan
+    from oni_ml_spark.streaming.gate_stream import (
+        gated_writer,
+        quarantined_batches,
+        read_quarantined,
+    )
+
+    qroot = str(tmp_path / "q_vec")
+    passed = []
+    contract = [
+        expect_array_dim("embedding", 4),
+        expect_no_nan("embedding", elementwise=True),
+    ]
+    writer = gated_writer(lambda df, bid: passed.append(bid), contract, qroot)
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id bigint, embedding array<double>"
+    )
+    writer(ok, 1)
+    assert passed == [1]
+
+    nan_batch = spark.createDataFrame(
+        [(2, [1.0, float("nan"), 3.0, 4.0]), (3, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    writer(nan_batch, 2)
+    ragged = spark.createDataFrame(
+        [(4, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    writer(ragged, 3)
+    assert passed == [1]
+    assert set(quarantined_batches(spark, qroot)) == {2, 3}
+    _, rep2 = read_quarantined(spark, qroot, 2)
+    assert {r["rule"] for r in rep2.collect() if not r["ok"]} == {"no_nan"}
+    _, rep3 = read_quarantined(spark, qroot, 3)
+    assert {r["rule"] for r in rep3.collect() if not r["ok"]} == {"array_dim"}
