@@ -243,13 +243,25 @@ def _stage_grouped(
 
     Same invariants as per-bin staging, checked before anything is
     journaled: per-bin staged row counts (read BACK from the staging dir)
-    equal the tagged source counts, the tag join dropped zero rows, and
-    every bin staged exactly one file.  Schema note: mergeSchema unions
-    columns across the DIRECTORY's small files (per-bin mode unions only
-    within a bin) — fragments from before a schema evolution gain the new
-    columns as nulls, same semantics at directory grain.  A bin whose
-    sources hold zero rows cannot be staged by partitionBy (no rows → no
-    directory) and raises; rerun those with grouped=False."""
+    equal the expected source counts, the tag join can drop zero rows
+    (coverage validated driver-side from per-file counts BEFORE the write
+    job runs), and every bin staged exactly one file.  Schema note:
+    mergeSchema unions columns across the DIRECTORY's small files (per-bin
+    mode unions only within a bin) — fragments from before a schema
+    evolution gain the new columns as nulls, same semantics at directory
+    grain.  A bin whose sources hold zero rows cannot be staged by
+    partitionBy (no rows → no directory); those bins are absorbed here by
+    staging them through the per-bin empty-write path (one coalesce(1)
+    write of the bin's — empty — union, same journaled moves), so
+    delete-heavy directories full of empty fragments never abort the
+    grouped mode.
+
+    Read budget per directory: ONE column-pruned count pass over the
+    small files (footer-driven — count(1) grouped by input_file_name
+    reads no column data) + the staging write's scan, down from the three
+    source scans of the r10 implementation (write + tagged-count +
+    src.count).  The staged read-back stays: it is the invariant that
+    validates the WRITE, not the plan."""
     from pyspark.sql import functions as F
 
     by_dir: dict[str, list[tuple[int, dict]]] = {}
@@ -265,71 +277,100 @@ def _stage_grouped(
             for f in b["files"]:
                 name_to_bin.append((posixpath.basename(f), i))
                 all_files.append(f)
+        bin_of = dict(name_to_bin)
         src = spark.read.option("mergeSchema", "true").parquet(*all_files)
-        mapping = F.broadcast(
-            spark.createDataFrame(name_to_bin, "__fname string, __bin int")
-        )
-        tagged = (
-            src.withColumn(
-                "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        # ONE validation scan, before any write: per-file row counts.
+        # count(1) by input_file_name is column-pruned to nothing — the
+        # vectorized reader serves it from row-group metadata.  Driver-side
+        # sums give (a) per-bin expected counts, (b) the total source
+        # count, and (c) join coverage: a scanned basename missing from the
+        # mapping is exactly the row the tag join would silently drop.
+        fcounts = {
+            r["__fname"]: r["n"]
+            for r in src.groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__fname")
             )
-            .join(mapping, "__fname")
-            .drop("__fname")
-        )
-        gstage = f"{staging}/grp{k:05d}"
-        out = tagged.repartition(len(dir_bins), F.col("__bin"))
-        if sort_cols:
-            # __bin leads the sort so hash-colliding bins sharing a task
-            # stay contiguous; partitionBy preserves in-partition order, so
-            # each bin's file ends up sorted by sort_cols (same layout
-            # contract as per-bin mode)
-            out = out.sortWithinPartitions("__bin", *sort_cols)
-        out.write.partitionBy("__bin").mode("overwrite").parquet(gstage)
-        # invariants, all before the journal: (a) the basename tag join
-        # dropped nothing (expected sums to the raw source count — the tag
-        # counts alone could not catch a join silently dropping rows),
-        # (b) staged counts read back from disk equal the tagged counts
-        # per bin, (c) exactly one staged file per bin
-        expected = {
-            r["__bin"]: r["n"]
-            for r in tagged.groupBy("__bin").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        n_src = src.count()
-        if sum(expected.values()) != n_src:
-            raise IOError(
-                f"compaction: bin tagging covered {sum(expected.values())} of "
-                f"{n_src} source rows in {d or '<root>'} — aborting before "
-                "any original is touched"
-            )
-        missing = [i for i, _ in dir_bins if i not in expected]
-        if missing:
-            raise IOError(
-                f"compaction: bins {missing} in {d or '<root>'} hold zero "
-                "rows — partitionBy cannot stage an empty bin; rerun with "
-                "grouped=False"
-            )
-        staged = {
-            r["__bin"]: r["n"]
-            for r in spark.read.parquet(gstage)
-            .groupBy("__bin")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        if staged != expected:
+        unknown = sorted(set(fcounts) - set(bin_of))
+        if unknown:
             raise IOError(
-                f"compaction: staged bin counts {staged} != source counts "
-                f"{expected} in {gstage} — aborting before any original is touched"
+                f"compaction: scanned files {unknown} in {d or '<root>'} have "
+                "no bin mapping — the tag join would drop their rows; "
+                "aborting before any original is touched"
             )
+        expected = {i: 0 for i, _ in dir_bins}
+        for fname, n in fcounts.items():
+            expected[bin_of[fname]] += n
+        nonzero_bins = [(i, b) for i, b in dir_bins if expected[i] > 0]
+        zero_bins = [(i, b) for i, b in dir_bins if expected[i] == 0]
+
+        gstage = f"{staging}/grp{k:05d}"
+        if nonzero_bins:
+            mapping = F.broadcast(
+                spark.createDataFrame(name_to_bin, "__fname string, __bin int")
+            )
+            tagged = (
+                src.withColumn(
+                    "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
+                .join(mapping, "__fname")
+                .drop("__fname")
+            )
+            out = tagged.repartition(len(nonzero_bins), F.col("__bin"))
+            if sort_cols:
+                # __bin leads the sort so hash-colliding bins sharing a task
+                # stay contiguous; partitionBy preserves in-partition order,
+                # so each bin's file ends up sorted by sort_cols (same
+                # layout contract as per-bin mode)
+                out = out.sortWithinPartitions("__bin", *sort_cols)
+            out.write.partitionBy("__bin").mode("overwrite").parquet(gstage)
+            # the write-validating invariant: staged counts read back from
+            # disk equal the expected per-bin counts
+            staged = {
+                r["__bin"]: r["n"]
+                for r in spark.read.parquet(gstage)
+                .groupBy("__bin")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            want = {i: expected[i] for i, _ in nonzero_bins}
+            if staged != want:
+                raise IOError(
+                    f"compaction: staged bin counts {staged} != source counts "
+                    f"{want} in {gstage} — aborting before any original is "
+                    "touched"
+                )
+        # zero-row bins: partitionBy cannot stage them (no rows → no
+        # directory), so stage each as one empty coalesce(1) write of the
+        # bin's union — Spark emits a single schema-bearing empty parquet
+        # file (same as per-bin mode).  Still a win: N empty fragments
+        # collapse to one file.  Cheap by construction — the scans read
+        # zero rows.
+        zstaged: dict[int, str] = {}
+        for i, b in zero_bins:
+            zdir = f"{staging}/bin{i:05d}"
+            zsrc = spark.read.option("mergeSchema", "true").parquet(*b["files"])
+            zsrc.coalesce(1).write.mode("overwrite").parquet(zdir)
+            n_back = spark.read.parquet(zdir).count()
+            if n_back != 0:
+                raise IOError(
+                    f"compaction: zero-row bin {i} staged {n_back} rows in "
+                    f"{zdir} — aborting before any original is touched"
+                )
+            zstaged[i] = zdir
         live_dir = f"{root}/{d}" if d else root
         for i, b in dir_bins:
+            staged_dir = zstaged.get(i, f"{gstage}/__bin={i}")
             part = [
                 f
-                for f in dataset_files(spark, f"{gstage}/__bin={i}")
+                for f in dataset_files(spark, staged_dir)
                 if f["file"].endswith(".parquet")
             ]
             if len(part) != 1:
                 raise IOError(
-                    f"compaction: expected 1 staged file in {gstage}/__bin={i}, "
+                    f"compaction: expected 1 staged file in {staged_dir}, "
                     f"found {len(part)}"
                 )
             moves.append(

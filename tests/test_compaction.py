@@ -405,26 +405,70 @@ class TestGroupedExecution:
         assert len(fa) == len(fb)
         assert sorted(f["dir"] for f in fa) == sorted(f["dir"] for f in fb)
 
-    def test_grouped_zero_row_bin_refused_before_journal(self, spark, tmp_path):
-        """partitionBy cannot stage an empty bin (no rows -> no dir) — the
-        grouped path must refuse BEFORE any original is touched, and the
-        dataset must be byte-identical afterwards."""
+    def test_grouped_zero_row_bin_absorbed(self, spark, tmp_path):
+        """(r11) zero-row bins no longer abort the grouped mode: empty
+        fragments (delete-heavy day, empty micro-batches) are staged
+        through the per-bin empty-write path INSIDE the same grouped
+        call — the unattended day-2 loop keeps closing without a
+        grouped=False rerun."""
         path = str(tmp_path / "gzero")
-        for _ in range(2):
+        # partition p=a: only empty fragments (a pure zero-row bin);
+        # partition p=b: real rows across fragments (nonzero bins) —
+        # one grouped call must handle both directories
+        for _ in range(3):
+            spark.range(0).select(
+                F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+            ).coalesce(1).write.mode("append").parquet(path + "/p=a")
+        for i in range(3):
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+            ).coalesce(1).write.mode("append").parquet(path + "/p=b")
+        assert len(dataset_files(spark, path)) == 6
+        before = _content_hash(spark, path)
+        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=True)
+        assert res["executed"] and res["n_bins"] == 2
+        assert _content_hash(spark, path) == before
+        assert pending_compactions(spark, path) == []
+        files = dataset_files(spark, path)
+        assert len(files) == 2
+        assert sorted(f["dir"] for f in files) == ["p=a", "p=b"]
+        # idempotent: the two right-sized survivors plan zero bins
+        res2 = compact_dataset(spark, path, target_bytes=1 << 30, grouped=True)
+        assert not res2["executed"]
+
+    def test_grouped_all_empty_dataset_compacts(self, spark, tmp_path):
+        """(r11) the degenerate all-empty directory — every fragment zero
+        rows — compacts grouped: N empty files collapse to one
+        schema-bearing empty file, content (zero rows) preserved."""
+        path = str(tmp_path / "gallempty")
+        for _ in range(3):
             spark.range(0).select(F.col("id")).coalesce(1).write.mode(
                 "append"
             ).parquet(path)
-        # ensure the empty fragments actually materialized as data files
-        assert len(dataset_files(spark, path)) >= 2
-        before = _content_hash(spark, path)
-        with pytest.raises(IOError, match="zero\\s+rows"):
-            compact_dataset(spark, path, target_bytes=1 << 30, grouped=True)
-        assert _content_hash(spark, path) == before
-        assert pending_compactions(spark, path) == []
-        # per-bin mode handles the same dataset fine
-        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=False)
+        assert len(dataset_files(spark, path)) == 3
+        res = compact_dataset(spark, path, target_bytes=1 << 30, grouped=True)
         assert res["executed"]
-        assert _content_hash(spark, path) == before
+        assert len(dataset_files(spark, path)) == 1
+        assert spark.read.parquet(path).count() == 0
+        assert spark.read.parquet(path).columns == ["id"]
+
+    def test_maintain_loop_survives_delete_heavy_day(self, spark, tmp_path):
+        """(r11, the ADVICE scenario) maintain_dataset defaults
+        grouped=True; a directory of empty micro-batch fragments must not
+        wedge the unattended loop."""
+        from oni_ml_spark.plans.compaction import maintain_dataset
+
+        path = str(tmp_path / "gwedge")
+        for _ in range(10):
+            spark.range(0).select(F.col("id")).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        out = maintain_dataset(spark, path, target_bytes=1 << 30)
+        assert out["due"]["due"] and out["executed"]
+        assert len(dataset_files(spark, path)) == 1
+        # and the loop stays closed: second call quiet
+        out2 = maintain_dataset(spark, path, target_bytes=1 << 30)
+        assert not out2["due"]["due"] and not out2["executed"]
 
 
 class TestMaintainLoop:
