@@ -27,10 +27,48 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FLOORS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_floors.json")
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def floor_flags(
+    timings: dict[str, float],
+    floors: dict[str, float],
+    threshold: float = 2.0,
+) -> dict[str, float]:
+    """Guardrail (r11): ratio of each entry's reading to its recorded warm
+    floor, for entries deviating more than ``threshold``×.  An ambient
+    flap or a genuine plan regression is flagged AT MEASUREMENT TIME in
+    the JSON artifact instead of at judging time.  Pure function so the
+    flag logic is unit-testable without a Spark session.  Entries with no
+    recorded floor, failed entries (-1), and sub-noise floors (<0.2 s,
+    where any ratio is timer jitter) are skipped."""
+    out = {}
+    for name, t in timings.items():
+        f = floors.get(name)
+        if f is None or f < 0.2 or t < 0:
+            continue
+        ratio = t / f
+        if ratio > threshold:
+            out[name] = round(ratio, 2)
+    return out
+
+
+def _load_floors(sf: float) -> dict[str, float]:
+    """Per-entry warm floors recorded in BASELINE_floors.json — only
+    comparable at the same scale factor the floors were measured at."""
+    try:
+        with open(FLOORS_PATH) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if abs(data.get("sf", -1.0) - sf) > 1e-9:
+        return {}
+    return data.get("queries", {})
 
 
 def main() -> None:
@@ -68,6 +106,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    failed_runs: dict[str, list[int]] = {}
     for name in order:
         fn = QUERIES[name]
         best = None
@@ -82,9 +121,11 @@ def main() -> None:
                 best = elapsed if best is None else min(best, elapsed)
             except Exception as exc:  # noqa: BLE001 — record failures, keep benching
                 # a failure on a LATER run keeps the earlier valid reading
-                # (transient blip); with no valid reading at all, -1 marks
-                # the query failed
+                # (transient blip) but is recorded in failed_runs so a
+                # warm-state nondeterministic failure is machine-visible in
+                # the JSON artifact, not just stderr noise
                 failed = True
+                failed_runs.setdefault(name, []).append(run_no + 1)
                 if best is None:
                     best = -1.0
                     first_runs[name] = -1.0
@@ -117,6 +158,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value_first_run": first_total,
+                # protocol markers (r11): a consumer diffing cross-round
+                # totals can now tell which measurement protocol produced
+                # each number — min-of-N 'value' is NOT comparable to a
+                # single-shot 'value'; compare like with like
+                # (value_first_run vs old single-shot totals)
+                "protocol": f"min-of-{runs}" if runs > 1 else "single-shot",
+                "runs": runs,
+                # machine-visible failures: entry -> list of failed run
+                # numbers (an entry can fail run 2 yet keep run 1's timing)
+                "failed_runs": failed_runs,
+                # guardrail: entries >2x their recorded same-sf warm floor
+                "floor_flags": floor_flags(timings, _load_floors(sf)),
                 "sf": sf,
             }
         )

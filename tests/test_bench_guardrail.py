@@ -1,0 +1,64 @@
+"""bench.py's measurement-time guardrail (r11): per-entry floor-ratio
+flags fire when a reading deviates >2x from its recorded warm floor, so
+an ambient flap or a genuine plan regression is visible in the JSON
+artifact itself instead of at judging time.  Pure-function tests — no
+Spark session."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+_BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+_spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+class TestFloorFlags:
+    def test_synthetic_slow_entry_fires(self):
+        floors = {"q_fast": 5.0, "q_slow": 5.0}
+        timings = {"q_fast": 5.5, "q_slow": 11.2}
+        flags = bench.floor_flags(timings, floors)
+        assert flags == {"q_slow": 2.24}
+
+    def test_within_band_is_quiet(self):
+        floors = {"a": 3.0, "b": 8.0}
+        assert bench.floor_flags({"a": 5.9, "b": 15.9}, floors) == {}
+
+    def test_failed_entry_and_missing_floor_skipped(self):
+        floors = {"a": 3.0}
+        # a failed (-1) and b has no recorded floor — neither may flag
+        assert bench.floor_flags({"a": -1.0, "b": 99.0}, floors) == {}
+
+    def test_sub_noise_floor_skipped(self):
+        # a 0.15 s floor entry reading 0.5 s is timer jitter, not a
+        # regression — ratios on sub-0.2 s floors are meaningless
+        assert bench.floor_flags({"tiny": 0.5}, {"tiny": 0.15}) == {}
+
+    def test_threshold_is_exclusive(self):
+        assert bench.floor_flags({"q": 10.0}, {"q": 5.0}) == {}
+        assert bench.floor_flags({"q": 10.01}, {"q": 5.0}) == {"q": 2.0}
+
+
+class TestFloorsFile:
+    def test_baseline_floors_cover_the_registry(self):
+        """The recorded floors file matches the live query registry at the
+        benchmark scale factor — a renamed/added entry without a floor
+        would silently lose its guardrail."""
+        with open(bench.FLOORS_PATH) as fh:
+            data = json.load(fh)
+        assert data["sf"] == 0.1
+        from oni_ml_spark.entry_queries import QUERIES
+
+        missing = set(QUERIES) - set(data["queries"])
+        # new entries added THIS round may not have a recorded floor yet;
+        # everything recorded must still exist in the registry
+        stale = set(data["queries"]) - set(QUERIES)
+        assert not stale, f"floors recorded for dead entries: {sorted(stale)}"
+        assert len(missing) <= 5, f"too many unfloored entries: {sorted(missing)}"
+
+    def test_loader_rejects_other_sf(self):
+        assert bench._load_floors(0.001) == {}
+        assert bench._load_floors(0.1) != {}
