@@ -30,10 +30,58 @@ accumulated stream is rescanned.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException, SparkRuntimeException
+from pyspark.errors import AnalysisException, PySparkException
 from pyspark.sql import DataFrame, SparkSession
 
 from oni_ml_spark.plans.compaction import _fs
+
+# Spark error-condition families that are DETERMINISTIC functions of the
+# batch's own data — a replay would fail identically, so quarantining is
+# correct.  Everything outside this list is infra-suspect and must fail
+# the micro-batch so Structured Streaming retries it.  Matching on the
+# error CONDITION (Spark's stable, documented error-class registry)
+# instead of the Python exception type, because the type is
+# version-dependent: on PySpark 4.1 an ANSI cast error surfaces as
+# NumberFormatException (a CapturedException), NOT SparkRuntimeException —
+# a type-based gate either kills the stream on real data errors or
+# quarantines healthy batches on infra noise, depending on version.
+_DATA_ERROR_CONDITION_PREFIXES = (
+    "CAST_",                      # CAST_INVALID_INPUT, CAST_OVERFLOW, ...
+    "DIVIDE_BY_ZERO",
+    "ARITHMETIC_OVERFLOW",
+    "NUMERIC_VALUE_OUT_OF_RANGE",
+    "INVALID_ARRAY_INDEX",        # ...and _IN_ELEMENT_AT
+    "INVALID_INDEX_OF_ZERO",
+    "INVALID_FRACTION_OF_SECOND",
+    "MALFORMED_RECORD_IN_PARSING",
+    "CANNOT_PARSE_",              # decimals, timestamps, protobuf...
+    "DATETIME_OVERFLOW",
+    "DATETIME_FIELD_OUT_OF_RANGE",
+    "CONVERSION_INVALID_INPUT",
+    "DUPLICATE_MAP_KEY",
+)
+
+
+def _error_condition(e: Exception) -> str | None:
+    """The Spark error condition (error class) of ``e``, when it carries
+    one.  getCondition is the 4.x name, getErrorClass the 3.x one."""
+    for attr in ("getCondition", "getErrorClass"):
+        getter = getattr(e, attr, None)
+        if getter is None:
+            continue
+        try:
+            cond = getter()
+        except Exception:  # noqa: BLE001 — a broken getter is "no condition"
+            return None
+        # an explicit None from getCondition is authoritative — do NOT
+        # fall through to the deprecated getErrorClass alias
+        return str(cond) if cond else None
+    return None
+
+
+def _is_deterministic_data_error(e: Exception) -> bool:
+    cond = _error_condition(e)
+    return cond is not None and cond.startswith(_DATA_ERROR_CONDITION_PREFIXES)
 
 
 def gated_writer(
@@ -75,21 +123,31 @@ def gated_writer(
                     f"{len(failed)} expectation(s) failed — "
                     + _format_failures(failed)
                 )
-        except (ValueError, AnalysisException, SparkRuntimeException) as e:
+        except (ValueError, AnalysisException) as e:
             # a structurally un-evaluable batch is the most violated
             # contract of all — it must quarantine, not kill the stream.
             # ValueError: the gate's own pre-checks; AnalysisException: a
             # rule column the producer dropped or retyped (rlike over an
-            # array fails analysis); SparkRuntimeException: deterministic
-            # evaluation-time failures from the batch's own DATA (ANSI
-            # cast errors etc. — a replay would fail identically).
-            # Deliberately NOT the blanket PySparkException/Py4JJavaError:
-            # transient infrastructure failures (executor loss, shuffle
-            # fetch, OOM) must FAIL the micro-batch so Structured
-            # Streaming's restart retries it — quarantining a healthy
-            # batch on an infra blip would silently divert good data
+            # array fails analysis) — deterministic by construction
             rows = [("__contract_error", None, False, str(e), "contract evaluable")]
             failed_msg = f"contract not evaluable — {e}"
+        except PySparkException as e:
+            # Runtime failures classify by ERROR CONDITION, not exception
+            # type (the type is Spark-version-dependent — see the module
+            # prefix list): a deterministic data error (ANSI cast, divide
+            # by zero...) would fail identically on replay, so it
+            # quarantines; anything unclassified or non-data (executor
+            # loss, shuffle fetch, OOM, Connect transport) re-raises so
+            # the streaming engine retries the micro-batch — quarantining
+            # a healthy batch on an infra blip would silently divert good
+            # data.  Py4JJavaError (non-captured JVM faults) is not a
+            # PySparkException and propagates naturally.
+            if not _is_deterministic_data_error(e):
+                raise
+            cond = _error_condition(e)
+            rows = [("__contract_error", None, False, f"[{cond}] {e}",
+                     "contract evaluable")]
+            failed_msg = f"contract not evaluable — [{cond}] {e}"
         if failed_msg is None:
             inner_writer(batch_df, batch_id)
             return

@@ -26,6 +26,18 @@ then the ledger commits with the batch marker; ``read_routed`` exposes
 only batches the marker covers, so a crash between the two steps is
 invisible to readers and repaired by the replay.
 
+Single-writer assumption (same discipline as ``upsert_sink``): exactly
+ONE streaming query writes a given ``root``.  The applied-batch marker
+makes any replay ORDER idempotent for that one writer — a replayed
+batch-id at or below the marker is skipped before any work, so
+interleaved replays cannot double-sum the ledger (pinned by test).  Two
+CONCURRENT writers on one root would race the marker read (both could
+see it unapplied and both merge the same batch's counts); run a second
+query against its own root, or move the ledger to a transactional table
+format.  Structured Streaming itself enforces this when the query owns
+its checkpoint dir — the assumption only binds ad-hoc callers invoking
+the writer function directly.
+
 Scale shape per batch: one tokenize scan of the batch, one broadcast
 model join, ONE (id, class) partial-sum aggregate, a |classes|-bounded
 argmax, one partitioned write; the ledger merge is a |classes|-row
@@ -169,5 +181,11 @@ def routing_counts(spark: SparkSession, root: str) -> DataFrame | None:
     """The running per-class row counts (the routing monitor — feed it to
     drift checks: a language mix shifting under a frozen model is the
     retrain signal).  |classes|-row table, read through the ledger
-    pointer so it always matches what ``read_routed`` exposes."""
+    pointer so it always matches what ``read_routed`` exposes.
+
+    Exactly-once under the module's SINGLE-WRITER assumption: one
+    streaming query per root.  Replays of any batch-id, in any
+    interleaving, are skipped by the applied-batch marker before the
+    ledger merge, so the counts cannot double-sum; concurrent writers on
+    one root are outside the contract (see module docstring)."""
     return read_upsert_table(spark, os.path.join(root, "ledger"))

@@ -1576,6 +1576,147 @@ def test_streaming_router_partitions_replay_and_parity(spark, tmp_path):
         writer(spark.createDataFrame([(None, "a")], schema), 99)
 
 
+def test_streaming_router_interleaved_replays_cannot_double_sum(spark, tmp_path):
+    """(r11) the single-writer ledger contract pinned: replays of ANY
+    already-applied batch-id, in ANY interleaving with fresh batches, are
+    skipped before the ledger merge — the per-class counts stay exactly
+    the once-applied sums throughout."""
+    from oni_ml_spark.datapipe.classify import feature_bucket
+    from oni_ml_spark.streaming.route_stream import (
+        read_routed,
+        routed_append_writer,
+        routing_counts,
+    )
+
+    b = spark.createDataFrame([("the",), ("el",)], "t string").select(
+        "t", feature_bucket(F.col("t"), 4096).alias("b")
+    ).collect()
+    buckets = {r["t"]: r["b"] for r in b}
+    w = spark.createDataFrame(
+        [(buckets["the"], "en", 500_000), (buckets["el"], "es", 500_000)],
+        "bucket bigint, cls string, w_micro bigint",
+    )
+    root = str(tmp_path / "routed_ilv")
+    schema = "doc_id bigint, text string"
+    writer = routed_append_writer(
+        root, w, 4096, ["en", "es"], "doc_id", "text", query_token="route-ilv"
+    )
+    b0 = spark.createDataFrame([(i, "the doc %d" % i) for i in range(5)], schema)
+    b1 = spark.createDataFrame([(10 + i, "el doc %d" % i) for i in range(3)], schema)
+    b2 = spark.createDataFrame([(20, "the last"), (21, "el final")], schema)
+
+    def counts():
+        df = routing_counts(spark, root)
+        return {r["label"]: r["n_cur"] for r in df.collect()}
+
+    writer(b0, 0)
+    writer(b1, 1)
+    want = {"en": 5, "es": 3}
+    assert counts() == want
+    # interleaved replays: 0, 1, 0 again — every one skipped pre-merge
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b0, 0)
+    assert counts() == want
+    # a fresh batch still lands after the replay storm...
+    writer(b2, 2)
+    want2 = {"en": 6, "es": 4}
+    assert counts() == want2
+    assert read_routed(spark, root).count() == 10
+    # ...and replaying an OLD id afterwards still cannot double-sum
+    writer(b1, 1)
+    writer(b2, 2)
+    assert counts() == want2
+    assert read_routed(spark, root).count() == 10
+
+
+def test_streaming_gate_ansi_data_error_quarantines_by_condition(spark, tmp_path):
+    """(r11, ADVICE) runtime failures classify by Spark error CONDITION,
+    not exception type: on PySpark 4.x an ANSI cast error surfaces as
+    NumberFormatException (not SparkRuntimeException), and the old
+    type-based gate would have KILLED the stream on it.  The
+    condition-based gate quarantines it with the condition named."""
+    from pyspark.sql import Column
+    from oni_ml_spark.datapipe.contracts import Expectation
+    from oni_ml_spark.streaming.gate_stream import (
+        gated_writer,
+        quarantined_batches,
+        read_quarantined,
+    )
+
+    qroot = str(tmp_path / "q_ansi")
+    passed = []
+    # a contract that aggregates a cast — the poisoned batch's own DATA
+    # kills evaluation deterministically (ANSI CAST_INVALID_INPUT)
+    rule = Expectation(
+        "int_sum", "v", F.sum(F.col("v").cast("int")),
+        lambda o: o.isNotNull(), "v castable to int",
+    )
+    assert isinstance(rule.observed, Column)
+    writer = gated_writer(lambda df, bid: passed.append(bid), [rule], qroot)
+
+    writer(spark.createDataFrame([("7",), ("35",)], "v string"), 1)
+    assert passed == [1]
+    writer(spark.createDataFrame([("7",), ("abc",)], "v string"), 2)
+    assert passed == [1]
+    assert 2 in quarantined_batches(spark, qroot)
+    data, rep = read_quarantined(spark, qroot, 2)
+    row = rep.first()
+    assert row["rule"] == "__contract_error" and not row["ok"]
+    assert "CAST_INVALID_INPUT" in row["observed"]
+    assert data.count() == 2
+
+
+def test_streaming_gate_infra_suspect_error_fails_the_batch(spark, tmp_path, monkeypatch):
+    """(r11, ADVICE) an unclassified / non-data runtime failure must NOT
+    quarantine a (possibly healthy) batch — it re-raises so the streaming
+    engine retries the micro-batch."""
+    from pyspark.errors import PySparkException
+    import oni_ml_spark.datapipe.contracts as contracts
+    from oni_ml_spark.streaming.gate_stream import (
+        gated_writer,
+        quarantined_batches,
+    )
+
+    class FakeInfraError(PySparkException):
+        def __init__(self):
+            Exception.__init__(self, "executor lost on node 17")
+
+        def getCondition(self):
+            return None  # infra faults carry no data-error condition
+
+    def boom(df, rules):
+        raise FakeInfraError()
+
+    monkeypatch.setattr(contracts, "run_expectations", boom)
+    qroot = str(tmp_path / "q_infra")
+    writer = gated_writer(
+        lambda df, bid: None, [contracts.expect_not_null("v")], qroot
+    )
+    with pytest.raises(FakeInfraError):
+        writer(spark.createDataFrame([("x",)], "v string"), 1)
+    assert quarantined_batches(spark, qroot) == []
+
+
+def test_gate_error_condition_classifier_unit():
+    """Pure-classifier pins: data-error prefixes in, everything else out."""
+    from oni_ml_spark.streaming.gate_stream import _is_deterministic_data_error
+
+    class E(Exception):
+        def __init__(self, cond):
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    assert _is_deterministic_data_error(E("CAST_INVALID_INPUT"))
+    assert _is_deterministic_data_error(E("DIVIDE_BY_ZERO"))
+    assert _is_deterministic_data_error(E("INVALID_ARRAY_INDEX_IN_ELEMENT_AT"))
+    assert not _is_deterministic_data_error(E(None))
+    assert not _is_deterministic_data_error(E("CONNECT_SESSION_EXPIRED"))
+    assert not _is_deterministic_data_error(Exception("plain"))
+
+
 def test_streaming_contract_gate_vector_rules_quarantine_nan_batch(spark, tmp_path):
     """(r10) the gate composes with the vector rules: an embedding feed
     whose batch carries a NaN vector (or a ragged one) is quarantined
