@@ -2,10 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` stages. The decode internals are STUBBED
-(no codec libraries in this environment — see ``decode_image_stub``); the
-Spark-side contract (schemas, batching, partitioning, UDF signatures) is
-real and tested, so a real decoder drops in without touching the plan.
+as Arrow-batched ``mapInPandas`` stages.  Header-level metadata extraction
+(format + dimensions for PNG/JPEG/GIF/BMP) is REAL — pure struct
+arithmetic, no codec library (``parse_image_header``).  Full pixel decode
+remains the one env-blocked seam: swap any ``bytes → meta`` callable in
+via ``extract_media_metadata(decoder=...)`` without touching the plan,
+batching, or schema (the contract the seam test pins); unrecognized
+payloads fall back to the deterministic ``decode_image_stub``.
 
 Scale notes: binary payloads make rows wide — repartition by a size-aware
 key before CPU-heavy decode stages so Arrow batches stay bounded
@@ -62,6 +65,85 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segments to the first SOF frame header (C0-CF excluding
+    the non-frame C4/C8/CC) and read (width, height)."""
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            height = int.from_bytes(b[i + 5 : i + 7], "big")
+            width = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (width, height)
+        i += 2 + seg_len
+    return None
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Pure-Python image header parse — magic + dimensions via struct
+    arithmetic, NO codec library — for the three commonest web formats
+    plus BMP.  Returns {n_bytes, format, width, height} or None when the
+    payload is not a recognized (and sufficiently complete) image.
+
+    This upgrades the decode seam's DEFAULT from a fake to a real parser
+    for metadata extraction (the 100 TB corpus-triage pass: dimensions,
+    format mix, aspect filtering) while full pixel decode stays behind the
+    ``decoder=`` seam for when codec libraries exist.
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandated first: width/height big-endian u32 at 16/20
+        return {
+            "n_bytes": n,
+            "format": "png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+        }
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "n_bytes": n,
+            "format": "gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+        }
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        dims = _jpeg_dims(payload)
+        if dims is None:
+            return None
+        return {"n_bytes": n, "format": "jpeg", "width": dims[0], "height": dims[1]}
+    if n >= 26 and payload[:2] == b"BM":
+        return {
+            "n_bytes": n,
+            "format": "bmp",
+            "width": int.from_bytes(payload[18:22], "little", signed=True),
+            "height": abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        }
+    return None
+
+
+def decode_image_header(payload: bytes) -> dict:
+    """The engine's default decoder: REAL header parse for PNG/JPEG/GIF/BMP
+    (``parse_image_header``), deterministic stub for everything else — so
+    non-image payloads keep the stub's stable metadata while planted real
+    headers get true dimensions.  Full pixel decode remains the one
+    env-blocked seam (swap in a PIL-backed callable via ``decoder=``)."""
+    parsed = parse_image_header(payload)
+    return parsed if parsed is not None else decode_image_stub(payload)
+
+
 def parallelize_for_decode(media: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a decode stage gets enough partitions to use every core.
 
@@ -105,7 +187,7 @@ def extract_media_metadata(
     """
     if parallelize:
         media = parallelize_for_decode(media)
-    decode = decoder if decoder is not None else decode_image_stub
+    decode = decoder if decoder is not None else decode_image_header
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1539,6 +1539,10 @@ def _text_profile_oracle() -> str:
       md5(nfc_normalize(text || ' Café ＡＢＣ')) AS nfc_md5,
       (nfc_normalize(text || ' Café ＡＢＣ')
         != text || ' Café ＡＢＣ')::BIGINT AS nfc_changed,
+      md5(text || ' Caf' || chr(233) || ' ABC') AS nfkc_md5,
+      (nfc_normalize(text || ' Caf' || 'e' || chr(769) || ' '
+         || chr(65313) || chr(65314) || chr(65315))
+        != (text || ' Caf' || chr(233) || ' ABC'))::BIGINT AS nfkc_folded,
       array_to_string(kept, chr(10)) AS c4_clean,
       len(string_split(mlt, chr(10)))::BIGINT AS c4_lines,
       len(kept)::BIGINT AS c4_kept
@@ -1580,7 +1584,13 @@ def text_profile(spark, sf):
     r10 adds unicode normalization (textstats.unicode_normalize_col — the
     pass before exact dedup; the text stack's Arrow-path pandas_udf operator): nfc_md5
     / nfc_changed over a planted decomposed suffix, checked
-    cross-IMPLEMENTATION (CPython unicodedata vs DuckDB utf8proc)."""
+    cross-IMPLEMENTATION (CPython unicodedata vs DuckDB utf8proc).
+
+    r11 adds NFKC (nfkc_md5 / nfkc_folded): the compatibility fold that
+    collapses fullwidth/ligature variants before dedup.  DuckDB lacks
+    nfkc_normalize, so the oracle golden-constructs the folded string
+    (chr-built, byte-exact) — sound on this ASCII corpus, which the NFC
+    hash-match independently verifies."""
     from oni_ml_spark.datapipe.textstats import (
         fingerprint_cols,
         lang_id,
@@ -1607,6 +1617,14 @@ def text_profile(spark, sf):
     # of the text stack's designated Arrow-path (pandas_udf) operator.
     utext = F.concat(F.col("text"), F.lit(" Café ＡＢＣ"))
     nfc = unicode_normalize_col(utext, "NFC")
+    # r11: NFKC — the fullwidth/compatibility fold most dedup pipelines
+    # actually run.  DuckDB has no nfkc_normalize, so the oracle is the
+    # golden construction text || ' Caf\u00e9 ABC' (precomposed acute via
+    # chr(233), fullwidth folded to ASCII) — sound because the corpus text
+    # is ASCII, which the nfc_md5 hash-match already cross-verifies.
+    # nfkc_folded = (NFKC != NFC) proves the K-fold did MORE than
+    # composition on every row (the fullwidth plant is non-vacuous).
+    nfkc = unicode_normalize_col(utext, "NFKC")
     base = quality_metrics(
         d,
         "doc_id",
@@ -1619,6 +1637,8 @@ def text_profile(spark, sf):
             "fp_prefix64": fp["fp_prefix64"],
             "nfc_md5": F.md5(nfc),
             "nfc_changed": (nfc != utext).cast("long"),
+            "nfkc_md5": F.md5(nfkc),
+            "nfkc_folded": (nfkc != nfc).cast("long"),
         },
     )
     mlt = F.concat(
@@ -1640,31 +1660,79 @@ def text_profile(spark, sf):
     )
 
 
+def _planted_image_headers() -> list[tuple[int, bytes]]:
+    """Four byte-exact REAL image headers (struct-built, no codec lib):
+    PNG 640x360, GIF 320x200, JPEG 1024x768 (SOF0 behind an APP0 segment),
+    BMP 64x48.  Negative media_ids keep them disjoint from doc_ids."""
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (360).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )  # 29 bytes
+    gif = (
+        b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        + b"\xf7\x00\x00"
+    )  # 13 bytes
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+        + b"\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (768).to_bytes(2, "big") + (1024).to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )  # 41 bytes
+    bmp = (
+        b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (26).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (64).to_bytes(4, "little", signed=True)
+        + (48).to_bytes(4, "little", signed=True)
+    )  # 26 bytes
+    return [(-1, png), (-2, gif), (-3, jpeg), (-4, bmp)]
+
+
 @_q(
     "multimodal_frames",
     "WITH meta AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
     "  'fake/raw' AS format, (octet_length(encode(text)) % 640)::INT AS width, "
-    "  ((octet_length(encode(text)) * 7) % 480)::INT AS height FROM documents), "
+    "  ((octet_length(encode(text)) * 7) % 480)::INT AS height FROM documents "
+    "  UNION ALL SELECT * FROM (VALUES (-1, 29, 'png', 640, 360), "
+    "   (-2, 13, 'gif', 320, 200), (-3, 41, 'jpeg', 1024, 768), "
+    "   (-4, 26, 'bmp', 64, 48)) p(media_id, n_bytes, format, width, height)), "
     "frames AS (SELECT doc_id AS media_id, "
     "  unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_no, "
     "  unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS offset "
-    "  FROM documents) "
+    "  FROM documents "
+    "  UNION ALL SELECT * FROM (VALUES (-1, 0, 0), (-2, 0, 0), (-3, 0, 0), "
+    '   (-4, 0, 0)) q(media_id, frame_no, "offset")) '
     'SELECT f.media_id, frame_no, "offset", n_bytes, format, width, height '
     "FROM frames f JOIN meta USING (media_id)",
 )
 def multimodal_frames(spark, sf):
     """Binary-payload plumbing end to end: Arrow-batched mapInPandas decode
-    (stubbed codec, deterministic) producing typed metadata, joined with
-    the per-64-byte frame-sampling explosion — one row per sampled frame
-    carrying its media's metadata, the shape a video/image feature
-    extractor consumes."""
+    producing typed metadata, joined with the per-64-byte frame-sampling
+    explosion — one row per sampled frame carrying its media's metadata,
+    the shape a video/image feature extractor consumes.
+
+    r11: the default decoder is now a REAL header parse (pure struct
+    arithmetic — multimodal.parse_image_header) with the deterministic
+    stub only as the unrecognized-payload fallback.  Four planted
+    byte-exact PNG/GIF/JPEG/BMP headers flow through the same Arrow
+    batches as the text payloads; the oracle states their true
+    dimensions literally, so the gate hash-checks real decoding, not
+    just plumbing."""
     from oni_ml_spark.datapipe.multimodal import (
         attach_payload,
         extract_media_metadata,
         sample_frames,
     )
 
-    media = attach_payload(_docs(spark, sf), "doc_id", "text")
+    media = attach_payload(_docs(spark, sf), "doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in _planted_image_headers()],
+            "media_id long, payload binary",
+        )
+    )
     meta = extract_media_metadata(media)
     frames = sample_frames(media, every_n_bytes=64)
     return frames.join(meta, "media_id").select(

@@ -179,6 +179,57 @@ class TestMultimodal:
             assert rows[i]["width"] == b[0] if b else rows[i]["width"] == 0
             assert rows[i]["height"] == (b[-1] if b else 0)
 
+    def test_parse_image_header_goldens(self):
+        """(r11) the pure-Python header parser: byte-exact goldens for the
+        four supported formats, plus rejection of truncated / alien
+        payloads (which must fall back to the stub in the default
+        decoder).  No Spark session — this is plain struct arithmetic."""
+        from oni_ml_spark.datapipe.multimodal import (
+            decode_image_header,
+            decode_image_stub,
+            parse_image_header,
+        )
+        from oni_ml_spark.entry_queries import _planted_image_headers
+
+        planted = dict(_planted_image_headers())
+        want = {
+            -1: ("png", 640, 360, 29),
+            -2: ("gif", 320, 200, 13),
+            -3: ("jpeg", 1024, 768, 41),
+            -4: ("bmp", 64, 48, 26),
+        }
+        for mid, (fmt, w, h, n) in want.items():
+            got = parse_image_header(planted[mid])
+            assert got == {"n_bytes": n, "format": fmt, "width": w, "height": h}
+            # the default decoder routes recognized magics to the parser
+            assert decode_image_header(planted[mid]) == got
+
+        # truncated PNG (magic only, no IHDR), truncated JPEG (SOI only),
+        # and a text payload: parser refuses, default decoder falls back
+        # to the deterministic stub
+        for bad in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"hello world", b""):
+            assert parse_image_header(bad) is None
+            assert decode_image_header(bad) == decode_image_stub(bad)
+
+        # JPEG whose SOF sits behind restart/standalone markers still parses
+        jpeg2 = (
+            b"\xff\xd8\xff\x01"
+            + b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+            + (2).to_bytes(2, "big") + (3).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 9
+        )
+        got = parse_image_header(jpeg2)
+        assert (got["format"], got["width"], got["height"]) == ("jpeg", 3, 2)
+        # top-down BMP (negative height) reports positive dimensions
+        bmp_td = (
+            b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (26).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (64).to_bytes(4, "little", signed=True)
+            + (-48).to_bytes(4, "little", signed=True)
+        )
+        got = parse_image_header(bmp_td)
+        assert (got["width"], got["height"]) == (64, 48)
+
 
 class TestBucketedNearDup:
     def test_bucketed_matches_exact_on_planted_dups(self, spark):
