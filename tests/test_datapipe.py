@@ -230,6 +230,38 @@ class TestMultimodal:
         got = parse_image_header(bmp_td)
         assert (got["width"], got["height"]) == (64, 48)
 
+    def test_parse_image_header_never_crashes_on_arbitrary_bytes(self):
+        """(r11) property: the parser TOTAL-functions over arbitrary byte
+        strings — corrupt uploads and truncated payloads at 100 TB scale
+        must classify (None -> stub fallback), never throw into the Arrow
+        batch.  Adversarial prefixes steer the fuzz into every magic's
+        partial-header territory."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from oni_ml_spark.datapipe.multimodal import parse_image_header
+
+        magics = [
+            b"", b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a",
+            b"\xff\xd8", b"\xff\xd8\xff", b"BM",
+        ]
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            prefix=st.sampled_from(magics),
+            tail=st.binary(min_size=0, max_size=64),
+        )
+        def prop(prefix, tail):
+            payload = prefix + tail
+            got = parse_image_header(payload)
+            if got is not None:
+                assert got["n_bytes"] == len(payload)
+                assert got["format"] in ("png", "gif", "jpeg", "bmp")
+                assert isinstance(got["width"], int)
+                assert isinstance(got["height"], int)
+
+        prop()
+
 
 class TestBucketedNearDup:
     def test_bucketed_matches_exact_on_planted_dups(self, spark):
