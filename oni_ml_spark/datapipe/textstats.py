@@ -347,6 +347,54 @@ def fingerprint_cols(text_col: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_unit_cols(
+    text_col: Column | str, unit: str = "line"
+) -> dict[str, Column]:
+    """Gopher's WITHIN-document duplicate line / paragraph rules (Rae et
+    al. 2021, appendix A1.1 — 'duplicate line fraction', 'duplicate line
+    character fraction', and the paragraph pair) as named Columns — pure
+    higher-order-function expressions over the split array, ZERO shuffle,
+    composable into a wider per-doc projection (the text_profile battery
+    entry) exactly like ``fingerprint_cols``.
+
+    ``repetition_metrics`` covers the n-GRAM half of Gopher's repetition
+    suite (needs a per-(doc, gram) aggregate); this is the line/paragraph
+    half, which never leaves the row:
+
+    - dup_<unit>_frac: repeated units beyond their first occurrence /
+      total units (1 - distinct/total)
+    - dup_<unit>_char_frac: those repeats' character mass / total unit
+      characters — the convention the open Gopher reproductions use
+      (duplicates AFTER the first occurrence count; the first does not)
+
+    Lines split on '\\n', paragraphs on blank-line runs ('\\n{2,}');
+    units empty after the split are dropped (a trailing newline is not a
+    duplicate line).  Empty documents yield 0.0 for every fraction.
+    Fractions round to 6 places so cross-engine float hashing is stable.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if unit == "line":
+        sep, p = "\n", "line"
+    elif unit == "paragraph":
+        sep, p = "\\n{2,}", "para"
+    else:
+        raise ValueError(f"unit must be 'line' or 'paragraph', got {unit!r}")
+    units = F.filter(F.split(c, sep), lambda x: F.length(x) > 0)
+    distinct = F.array_distinct(units)
+
+    def chars(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    n, nd = F.size(units), F.size(distinct)
+    tc, dc = chars(units), chars(distinct)
+    return {
+        f"dup_{p}_frac": F.round((n - nd) / F.greatest(n, F.lit(1)), 6),
+        f"dup_{p}_char_frac": F.round((tc - dc) / F.greatest(tc, F.lit(1)), 6),
+    }
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text plus a
     16-hex-char rolling prefix fingerprint (cheap locality clue)."""

@@ -1543,10 +1543,32 @@ def _text_profile_oracle() -> str:
       (nfc_normalize(text || ' Caf' || 'e' || chr(769) || ' '
          || chr(65313) || chr(65314) || chr(65315))
         != (text || ' Caf' || chr(233) || ' ABC'))::BIGINT AS nfkc_folded,
+      round((len(lu) - len(list_distinct(lu))) / greatest(len(lu), 1), 6)
+        AS dup_line_frac,
+      round((coalesce(list_aggregate(list_transform(lu, x -> length(x)), 'sum'), 0)
+             - coalesce(list_aggregate(list_transform(list_distinct(lu), x -> length(x)), 'sum'), 0))
+            / greatest(coalesce(list_aggregate(list_transform(lu, x -> length(x)), 'sum'), 0), 1), 6)
+        AS dup_line_char_frac,
+      round((len(pu) - len(list_distinct(pu))) / greatest(len(pu), 1), 6)
+        AS dup_para_frac,
+      round((coalesce(list_aggregate(list_transform(pu, x -> length(x)), 'sum'), 0)
+             - coalesce(list_aggregate(list_transform(list_distinct(pu), x -> length(x)), 'sum'), 0))
+            / greatest(coalesce(list_aggregate(list_transform(pu, x -> length(x)), 'sum'), 0), 1), 6)
+        AS dup_para_char_frac,
       array_to_string(kept, chr(10)) AS c4_clean,
       len(string_split(mlt, chr(10)))::BIGINT AS c4_lines,
       len(kept)::BIGINT AS c4_kept
     FROM documents JOIN lang USING (doc_id)
+    JOIN (SELECT doc_id,
+          list_filter(string_split(
+            text || chr(10) || text || chr(10) || 'Unique line one.'
+              || chr(10) || 'Repeated line.' || chr(10) || 'Repeated line.',
+            chr(10)), x -> length(x) > 0) AS lu,
+          list_filter(regexp_split_to_array(
+            text || chr(10) || chr(10) || 'Repeated para.'
+              || chr(10) || chr(10) || 'Repeated para.',
+            '\n{{2,}}'), x -> length(x) > 0) AS pu
+          FROM documents) USING (doc_id)
     JOIN (SELECT doc_id, mlt, list_filter(string_split(mlt, chr(10)),
         l -> len(list_filter(string_split(trim(l), ' '), w -> w != '')) >= 3
              AND regexp_matches(rtrim(l), '[.!?"]$')
@@ -1590,13 +1612,20 @@ def text_profile(spark, sf):
     collapses fullwidth/ligature variants before dedup.  DuckDB lacks
     nfkc_normalize, so the oracle golden-constructs the folded string
     (chr-built, byte-exact) — sound on this ASCII corpus, which the NFC
-    hash-match independently verifies."""
+    hash-match independently verifies.
+
+    r11 also adds the line/paragraph half of Gopher's repetition suite
+    (textstats.repetition_unit_cols — dup_line_frac / dup_line_char_frac /
+    dup_para_frac / dup_para_char_frac, pure zero-shuffle HOF columns)
+    over planted within-document repetition; the n-gram half lives in
+    ngram_diagnostics."""
     from oni_ml_spark.datapipe.textstats import (
         fingerprint_cols,
         lang_id,
         line_filter,
         mask_pii,
         quality_metrics,
+        repetition_unit_cols,
         strip_html,
         unicode_normalize_col,
     )
@@ -1639,6 +1668,25 @@ def text_profile(spark, sf):
             "nfc_changed": (nfc != utext).cast("long"),
             "nfkc_md5": F.md5(nfkc),
             "nfkc_folded": (nfkc != nfc).cast("long"),
+            # r11: Gopher's within-doc duplicate line/paragraph rules over
+            # planted repetition (text twice + a repeated line; a repeated
+            # paragraph) — dup fractions constant by construction, char
+            # fractions vary with each doc's length, both hash-checked
+            # against DuckDB's list-function restatement
+            **repetition_unit_cols(
+                F.concat(
+                    F.col("text"), F.lit("\n"), F.col("text"),
+                    F.lit("\nUnique line one.\nRepeated line.\nRepeated line."),
+                ),
+                "line",
+            ),
+            **repetition_unit_cols(
+                F.concat(
+                    F.col("text"),
+                    F.lit("\n\nRepeated para.\n\nRepeated para."),
+                ),
+                "paragraph",
+            ),
         },
     )
     mlt = F.concat(

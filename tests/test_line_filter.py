@@ -149,3 +149,70 @@ class TestUnicodeNormalize:
 
         with pytest.raises(ValueError, match="unknown form"):
             unicode_normalize_col("t", "NFX")
+
+
+class TestRepetitionUnitCols:
+    """(r11) repetition_unit_cols — Gopher's within-document duplicate
+    line / paragraph rules as zero-shuffle HOF columns."""
+
+    def test_goldens_lines_and_paragraphs(self, spark):
+        from oni_ml_spark.datapipe.textstats import repetition_unit_cols
+
+        # lines: aaaa x2, bb x1, c x3  -> 6 units, 3 distinct
+        # dup_line_frac = 3/6; chars: total 4*2+2+1*3 = 13, distinct 4+2+1=7
+        # dup_line_char_frac = 6/13
+        lined = "aaaa\naaaa\nbb\nc\nc\nc"
+        # paragraphs: "P one." x2, "Q." x1 -> dup_para_frac = 1/3
+        # chars: total 6+6+2 = 14, distinct 8 -> dup_para_char_frac = 6/14
+        parad = "P one.\n\nP one.\n\n\nQ."
+        df = spark.createDataFrame([(1, lined, parad)], "id long, lt string, pt string")
+        row = df.select(
+            *[v.alias(k) for k, v in repetition_unit_cols("lt", "line").items()],
+            *[v.alias(k) for k, v in repetition_unit_cols("pt", "paragraph").items()],
+        ).first()
+        assert row["dup_line_frac"] == 0.5
+        assert row["dup_line_char_frac"] == round(6 / 13, 6)
+        assert row["dup_para_frac"] == round(1 / 3, 6)
+        assert row["dup_para_char_frac"] == round(6 / 14, 6)
+
+    def test_edges_empty_and_unique(self, spark):
+        from oni_ml_spark.datapipe.textstats import repetition_unit_cols
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "\n\n\n"), (3, "all\nunique\nlines")],
+            "id long, t string",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                *[v.alias(k) for k, v in repetition_unit_cols("t", "line").items()],
+            ).collect()
+        }
+        # empty doc and all-newline doc: no units -> all fractions 0.0
+        for i in (1, 2):
+            assert rows[i]["dup_line_frac"] == 0.0
+            assert rows[i]["dup_line_char_frac"] == 0.0
+        assert rows[3]["dup_line_frac"] == 0.0
+        assert rows[3]["dup_line_char_frac"] == 0.0
+
+    def test_zero_shuffle_plan(self, spark):
+        """The whole point: the gate never leaves the row — no Exchange,
+        no Generate (explode) in the plan."""
+        from oni_ml_spark.datapipe.textstats import repetition_unit_cols
+
+        df = spark.createDataFrame([(1, "a\na")], "id long, t string")
+        out = df.select(
+            *[v.alias(k) for k, v in repetition_unit_cols("t", "line").items()],
+            *[v.alias(k) for k, v in repetition_unit_cols("t", "paragraph").items()],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+
+    def test_unknown_unit_refused(self):
+        import pytest as _pytest
+
+        from oni_ml_spark.datapipe.textstats import repetition_unit_cols
+
+        with _pytest.raises(ValueError, match="unit must be"):
+            repetition_unit_cols("t", "sentence")
