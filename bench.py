@@ -168,8 +168,13 @@ def main() -> None:
                 # machine-visible failures: entry -> list of failed run
                 # numbers (an entry can fail run 2 yet keep run 1's timing)
                 "failed_runs": failed_runs,
-                # guardrail: entries >2x their recorded same-sf warm floor
-                "floor_flags": floor_flags(timings, _load_floors(sf)),
+                # guardrail: entries >2x their recorded same-sf warm floor.
+                # Only meaningful against min-of-N readings — single-shot
+                # timings carry one-off codegen-compile cost (+14-27 s on
+                # the widest entries) that would mass-flag healthy queries
+                "floor_flags": (
+                    floor_flags(timings, _load_floors(sf)) if runs > 1 else {}
+                ),
                 "sf": sf,
             }
         )

@@ -83,13 +83,30 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
         if seg_len < 2:
             return None
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if i + 9 > n:
+            # the frame header must DECLARE the 5 bytes we read past the
+            # length field (precision + height + width); a shorter seg_len
+            # means those bytes belong to the NEXT segment — truncated/
+            # malformed, refuse rather than return confident garbage
+            if seg_len < 7 or i + 9 > n:
                 return None
             height = int.from_bytes(b[i + 5 : i + 7], "big")
             width = int.from_bytes(b[i + 7 : i + 9], "big")
             return (width, height)
         i += 2 + seg_len
     return None
+
+
+# DIB header sizes of the BMP variants in circulation — bytes 14-18 of a
+# real .bmp are one of these; ASCII text that merely starts with 'BM'
+# essentially never is, which is what keeps text payloads out of the bmp
+# branch (the PNG/JPEG magics contain non-UTF-8 bytes, so only the
+# all-ASCII 'BM'/'GIF8xa' magics can collide with text at all)
+_BMP_DIB_SIZES = frozenset({12, 40, 52, 56, 64, 108, 124})
+_MAX_PLAUSIBLE_DIM = 1 << 24  # no real image is 16M pixels wide
+
+
+def _plausible(width: int, height: int) -> bool:
+    return 0 < width < _MAX_PLAUSIBLE_DIM and 0 < height < _MAX_PLAUSIBLE_DIM
 
 
 def parse_image_header(payload: bytes) -> dict | None:
@@ -102,35 +119,48 @@ def parse_image_header(payload: bytes) -> dict | None:
     for metadata extraction (the 100 TB corpus-triage pass: dimensions,
     format mix, aspect filtering) while full pixel decode stays behind the
     ``decoder=`` seam for when codec libraries exist.
+
+    Misclassification guard: dims are plausibility-gated (0 < dim < 2^24,
+    so a crafted u32 can never wrap negative through an int32 cast), a
+    JPEG SOF must declare the bytes it is read from, and the all-ASCII
+    'BM' magic is discriminated by the fixed DIB-header-size whitelist
+    (prose starting with 'BM' stays on the stub path).  The one residual
+    ambiguity is text beginning literally with 'GIF87a'/'GIF89a' — the
+    same call libmagic makes; route such corpora through an explicit
+    ``decoder=`` if they exist.
     """
     n = len(payload)
     if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        # IHDR is mandated first: width/height big-endian u32 at 16/20
-        return {
-            "n_bytes": n,
-            "format": "png",
-            "width": int.from_bytes(payload[16:20], "big"),
-            "height": int.from_bytes(payload[20:24], "big"),
-        }
+        # IHDR is mandated first: width/height big-endian u32 at 16/20.
+        # Plausibility-gate the dims: a crafted u32 past 2^31 would
+        # otherwise wrap negative through Arrow's unsafe int32 cast
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        if payload[12:16] != b"IHDR" or not _plausible(width, height):
+            return None
+        return {"n_bytes": n, "format": "png", "width": width, "height": height}
     if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
-        return {
-            "n_bytes": n,
-            "format": "gif",
-            "width": int.from_bytes(payload[6:8], "little"),
-            "height": int.from_bytes(payload[8:10], "little"),
-        }
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        if not _plausible(width, height):
+            return None
+        return {"n_bytes": n, "format": "gif", "width": width, "height": height}
     if n >= 4 and payload[:2] == b"\xff\xd8":
         dims = _jpeg_dims(payload)
-        if dims is None:
+        if dims is None or not _plausible(*dims):
             return None
         return {"n_bytes": n, "format": "jpeg", "width": dims[0], "height": dims[1]}
     if n >= 26 and payload[:2] == b"BM":
-        return {
-            "n_bytes": n,
-            "format": "bmp",
-            "width": int.from_bytes(payload[18:22], "little", signed=True),
-            "height": abs(int.from_bytes(payload[22:26], "little", signed=True)),
-        }
+        # 'BM' is valid ASCII, so text payloads can reach here — the DIB
+        # header size at bytes 14-18 is the discriminator: real BMPs carry
+        # one of a handful of fixed values, prose never does
+        if int.from_bytes(payload[14:18], "little") not in _BMP_DIB_SIZES:
+            return None
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        if not _plausible(width, height):
+            return None
+        return {"n_bytes": n, "format": "bmp", "width": width, "height": height}
     return None
 
 

@@ -174,6 +174,42 @@ def _move(fs, jvm, src: str, dst: str) -> None:
         raise IOError(f"compaction: rename failed {src} -> {dst}")
 
 
+def _stage_one_bin(
+    spark: SparkSession,
+    files: list[str],
+    bin_dir: str,
+    sort_cols: list[str] | None,
+) -> str:
+    """Stage ONE bin: mergeSchema union of its files → coalesce(1)
+    (+ optional layout sort) → ``bin_dir``; validates the staged rows
+    against a fresh source count and that exactly one parquet file was
+    produced.  Returns the staged file's path.  Shared by the per-bin
+    strategy and the grouped strategy's zero-row-bin fallback so the
+    (read, coalesce, verify, expect-one-file) sequence lives once."""
+    src = spark.read.option("mergeSchema", "true").parquet(*files)
+    staged_df = src.coalesce(1)
+    if sort_cols:
+        # compaction is the moment to fix layout: sorting each bin
+        # tightens the compacted file's min/max footer stats so later
+        # filtered scans prune it (for multi-column curves rewrite
+        # with layout.write_zordered instead)
+        staged_df = staged_df.sortWithinPartitions(*sort_cols)
+    staged_df.write.mode("overwrite").parquet(bin_dir)
+    n_src = src.count()
+    n_staged = spark.read.parquet(bin_dir).count()
+    if n_staged != n_src:
+        raise IOError(
+            f"compaction: staged bin {bin_dir} holds {n_staged} rows, "
+            f"sources hold {n_src} — aborting before any original is touched"
+        )
+    part = [
+        f for f in dataset_files(spark, bin_dir) if f["file"].endswith(".parquet")
+    ]
+    if len(part) != 1:
+        raise IOError(f"compaction: expected 1 staged file in {bin_dir}")
+    return part[0]["file"]
+
+
 def _stage_per_bin(
     spark: SparkSession,
     plan: CompactionPlan,
@@ -190,32 +226,11 @@ def _stage_per_bin(
     moves = []       # staged file -> live destination
     originals = []   # live original -> trash slot
     for i, b in enumerate(plan.bins):
-        bin_dir = f"{staging}/bin{i:05d}"
-        src = spark.read.option("mergeSchema", "true").parquet(*b["files"])
-        staged_df = src.coalesce(1)
-        if sort_cols:
-            # compaction is the moment to fix layout: sorting each bin
-            # tightens the compacted file's min/max footer stats so later
-            # filtered scans prune it (for multi-column curves rewrite
-            # with layout.write_zordered instead)
-            staged_df = staged_df.sortWithinPartitions(*sort_cols)
-        staged_df.write.mode("overwrite").parquet(bin_dir)
-        n_src = src.count()
-        n_staged = spark.read.parquet(bin_dir).count()
-        if n_staged != n_src:
-            raise IOError(
-                f"compaction: staged bin {bin_dir} holds {n_staged} rows, "
-                f"sources hold {n_src} — aborting before any original is touched"
-            )
-        part = [
-            f for f in dataset_files(spark, bin_dir) if f["file"].endswith(".parquet")
-        ]
-        if len(part) != 1:
-            raise IOError(f"compaction: expected 1 staged file in {bin_dir}")
+        staged = _stage_one_bin(spark, b["files"], f"{staging}/bin{i:05d}", sort_cols)
         live_dir = f"{root}/{b['dir']}" if b["dir"] else root
         moves.append(
             {
-                "src": part[0]["file"],
+                "src": staged,
                 "dst": f"{live_dir}/compacted-{token}-{i:05d}.parquet",
             }
         )
@@ -343,39 +358,40 @@ def _stage_grouped(
                     "touched"
                 )
         # zero-row bins: partitionBy cannot stage them (no rows → no
-        # directory), so stage each as one empty coalesce(1) write of the
-        # bin's union — Spark emits a single schema-bearing empty parquet
-        # file (same as per-bin mode).  Still a win: N empty fragments
-        # collapse to one file.  Cheap by construction — the scans read
-        # zero rows.
+        # directory), so each falls back to the per-bin staging helper —
+        # one empty coalesce(1) write producing a single schema-bearing
+        # empty parquet file.  Still a win (N empty fragments collapse to
+        # one file) and cheap by construction (the scans read zero rows);
+        # these are the rare tail of a delete-heavy day, so the per-bin
+        # job latency grouped mode amortizes does not return here.  The
+        # helper's own src==staged count check also self-corrects a stale
+        # fcount: a "zero" bin that actually holds rows simply stages
+        # them (the bin's files are in NO other bin, so nothing is lost
+        # or doubled).
         zstaged: dict[int, str] = {}
         for i, b in zero_bins:
-            zdir = f"{staging}/bin{i:05d}"
-            zsrc = spark.read.option("mergeSchema", "true").parquet(*b["files"])
-            zsrc.coalesce(1).write.mode("overwrite").parquet(zdir)
-            n_back = spark.read.parquet(zdir).count()
-            if n_back != 0:
-                raise IOError(
-                    f"compaction: zero-row bin {i} staged {n_back} rows in "
-                    f"{zdir} — aborting before any original is touched"
-                )
-            zstaged[i] = zdir
+            zstaged[i] = _stage_one_bin(
+                spark, b["files"], f"{staging}/bin{i:05d}", sort_cols
+            )
         live_dir = f"{root}/{d}" if d else root
         for i, b in dir_bins:
-            staged_dir = zstaged.get(i, f"{gstage}/__bin={i}")
-            part = [
-                f
-                for f in dataset_files(spark, staged_dir)
-                if f["file"].endswith(".parquet")
-            ]
-            if len(part) != 1:
-                raise IOError(
-                    f"compaction: expected 1 staged file in {staged_dir}, "
-                    f"found {len(part)}"
-                )
+            if i in zstaged:
+                staged_file = zstaged[i]
+            else:
+                part = [
+                    f
+                    for f in dataset_files(spark, f"{gstage}/__bin={i}")
+                    if f["file"].endswith(".parquet")
+                ]
+                if len(part) != 1:
+                    raise IOError(
+                        f"compaction: expected 1 staged file in "
+                        f"{gstage}/__bin={i}, found {len(part)}"
+                    )
+                staged_file = part[0]["file"]
             moves.append(
                 {
-                    "src": part[0]["file"],
+                    "src": staged_file,
                     "dst": f"{live_dir}/compacted-{token}-{i:05d}.parquet",
                 }
             )

@@ -48,7 +48,9 @@ from oni_ml_spark.plans.compaction import _fs
 _DATA_ERROR_CONDITION_PREFIXES = (
     "CAST_",                      # CAST_INVALID_INPUT, CAST_OVERFLOW, ...
     "DIVIDE_BY_ZERO",
+    "INTERVAL_DIVIDED_BY_ZERO",
     "ARITHMETIC_OVERFLOW",
+    "INTERVAL_ARITHMETIC_OVERFLOW",
     "NUMERIC_VALUE_OUT_OF_RANGE",
     "INVALID_ARRAY_INDEX",        # ...and _IN_ELEMENT_AT
     "INVALID_INDEX_OF_ZERO",

@@ -127,7 +127,11 @@ class TestGroupedTopk:
             [("g", long_min, 1), ("g", -5, 2), ("g", 2**63 - 1, 3)],
             "grp string, v long, id int",
         )
-        old_ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
+        # capture WITHOUT a default fallback: conf.get(key, "false") on an
+        # unset key would "restore" an explicit false over Spark 4's
+        # ANSI-on default, silently disabling ANSI for every later test in
+        # the shared session (caught by the r11 gate test's suite failure)
+        old_ansi = spark.conf.get("spark.sql.ansi.enabled")
         spark.conf.set("spark.sql.ansi.enabled", "true")
         try:
             assert grouped_topk(df, "grp", "v", 1, tie_col="id") \

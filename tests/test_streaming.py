@@ -1655,16 +1655,23 @@ def test_streaming_gate_ansi_data_error_quarantines_by_condition(spark, tmp_path
     assert isinstance(rule.observed, Column)
     writer = gated_writer(lambda df, bid: passed.append(bid), [rule], qroot)
 
-    writer(spark.createDataFrame([("7",), ("35",)], "v string"), 1)
-    assert passed == [1]
-    writer(spark.createDataFrame([("7",), ("abc",)], "v string"), 2)
-    assert passed == [1]
-    assert 2 in quarantined_batches(spark, qroot)
-    data, rep = read_quarantined(spark, qroot, 2)
-    row = rep.first()
-    assert row["rule"] == "__contract_error" and not row["ok"]
-    assert "CAST_INVALID_INPUT" in row["observed"]
-    assert data.count() == 2
+    # pin ANSI on for the test body (order-independent in the shared
+    # session: the scenario IS "an ANSI pipeline's cast error")
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        writer(spark.createDataFrame([("7",), ("35",)], "v string"), 1)
+        assert passed == [1]
+        writer(spark.createDataFrame([("7",), ("abc",)], "v string"), 2)
+        assert passed == [1]
+        assert 2 in quarantined_batches(spark, qroot)
+        data, rep = read_quarantined(spark, qroot, 2)
+        row = rep.first()
+        assert row["rule"] == "__contract_error" and not row["ok"]
+        assert "CAST_INVALID_INPUT" in row["observed"]
+        assert data.count() == 2
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
 
 
 def test_streaming_gate_infra_suspect_error_fails_the_batch(spark, tmp_path, monkeypatch):
