@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-mean-token-len", type=float, default=3.0)
     p.add_argument("--max-mean-token-len", type=float, default=10.0)
     p.add_argument("--min-stopword-hits", type=int, default=2)
+    # within-document repetition rules (r11): OFF unless a threshold is
+    # given; Gopher's paper values are 0.30 (unit fractions) / 0.20
+    # (character fractions)
+    p.add_argument("--max-dup-line-frac", type=float, default=None)
+    p.add_argument("--max-dup-line-char-frac", type=float, default=None)
+    p.add_argument("--max-dup-para-frac", type=float, default=None)
+    p.add_argument("--max-dup-para-char-frac", type=float, default=None)
     # stage 3: near-dup removal
     p.add_argument("--skip-dedup", action="store_true")
     p.add_argument("--dedup-threshold", type=float, default=0.7,
@@ -176,6 +183,10 @@ def run(spark, args) -> dict:
             min_mean_token_len=args.min_mean_token_len,
             max_mean_token_len=args.max_mean_token_len,
             min_stopword_hits=args.min_stopword_hits,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_dup_line_char_frac=args.max_dup_line_char_frac,
+            max_dup_para_frac=args.max_dup_para_frac,
+            max_dup_para_char_frac=args.max_dup_para_char_frac,
         )
         df = df.join(
             gate.filter("passes").select(F.col("id").alias(id_col)), id_col

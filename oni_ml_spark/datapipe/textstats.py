@@ -578,6 +578,10 @@ def quality_filter(
     min_stopword_hits: int = 2,
     stopwords: list[str] | None = None,
     alpha_regex: str = "[a-z]",
+    max_dup_line_frac: float | None = None,
+    max_dup_line_char_frac: float | None = None,
+    max_dup_para_frac: float | None = None,
+    max_dup_para_char_frac: float | None = None,
 ) -> DataFrame:
     """Gopher-style rule-based document quality gate (Rae et al. 2021,
     appendix A1.1) — the standard pretraining corpus filter, as ONE
@@ -604,6 +608,13 @@ def quality_filter(
     explode(failed_rules) for the corpus rejection report; filter on
     ``passes`` for the corpus itself. Thresholds are keyword args: tighten
     or loosen per corpus without touching the plan shape.
+
+    r11: the four ``max_dup_*`` kwargs arm Gopher's within-document
+    repetition rules (``repetition_unit_cols`` — still zero-shuffle HOF
+    expressions folded into the same projection).  Default ``None`` = off,
+    preserving pre-r11 behavior; the paper's thresholds are 0.30 for the
+    line/paragraph duplicate fractions and 0.20 for their character
+    fractions (Rae et al. 2021, table A1).
     """
     stop_list = LANG_MARKERS["en"] if stopwords is None else list(stopwords)
     if not stop_list:
@@ -623,24 +634,34 @@ def quality_filter(
     def rule(name: str, failed: Column) -> Column:
         return F.when(failed, F.lit(name)).otherwise(F.lit(None).cast("string"))
 
-    failed = F.filter(
-        F.array(
-            rule("too_few_tokens", n < min_tokens),
-            rule("too_many_tokens", n > max_tokens),
-            rule("mean_token_len_low", mean_len < min_mean_token_len),
-            rule("mean_token_len_high", mean_len > max_mean_token_len),
-            rule(
-                "symbol_ratio",
-                symbolic > max_symbol_word_ratio * F.greatest(n, F.lit(1)),
-            ),
-            rule(
-                "alpha_words",
-                alpha < min_alpha_word_frac * F.greatest(n, F.lit(1)),
-            ),
-            rule("stopword_hits", stop_hits < min_stopword_hits),
+    rules = [
+        rule("too_few_tokens", n < min_tokens),
+        rule("too_many_tokens", n > max_tokens),
+        rule("mean_token_len_low", mean_len < min_mean_token_len),
+        rule("mean_token_len_high", mean_len > max_mean_token_len),
+        rule(
+            "symbol_ratio",
+            symbolic > max_symbol_word_ratio * F.greatest(n, F.lit(1)),
         ),
-        lambda x: x.isNotNull(),
-    )
+        rule(
+            "alpha_words",
+            alpha < min_alpha_word_frac * F.greatest(n, F.lit(1)),
+        ),
+        rule("stopword_hits", stop_hits < min_stopword_hits),
+    ]
+    line_rep = repetition_unit_cols(text_col, "line")
+    para_rep = repetition_unit_cols(text_col, "paragraph")
+    for name, cap, col in (
+        ("dup_line_frac", max_dup_line_frac, line_rep["dup_line_frac"]),
+        ("dup_line_char_frac", max_dup_line_char_frac,
+         line_rep["dup_line_char_frac"]),
+        ("dup_para_frac", max_dup_para_frac, para_rep["dup_para_frac"]),
+        ("dup_para_char_frac", max_dup_para_char_frac,
+         para_rep["dup_para_char_frac"]),
+    ):
+        if cap is not None:
+            rules.append(rule(name, col > float(cap)))
+    failed = F.filter(F.array(*rules), lambda x: x.isNotNull())
     return df.select(
         F.col(id_col).alias("id"),
         n.cast("long").alias("n_tokens"),

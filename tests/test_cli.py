@@ -175,3 +175,37 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="lacks column"):
         curate_main(["--input", inp, "--output", out, "--id-col", "nope"])
+
+
+def test_curate_cli_repetition_gate(spark, tmp_path, capsys):
+    """(r11) the --max-dup-* flags arm Gopher's within-document repetition
+    rules in the curation gate: a planted looping document is removed,
+    the same corpus without the flags keeps it."""
+    import json as _json
+
+    from oni_ml_spark.curate import main as curate_main
+
+    clean = "the cat and the dog ran off to the park with all of the dogs"
+    rows = [(i, f"{clean} variation {i} " + "every single day without fail")
+            for i in range(20)]
+    rows.append((99, "\n".join([clean] * 12)))  # the looping doc
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "raw")
+    )
+
+    def run(extra):
+        out = str(tmp_path / f"out{len(extra)}")
+        rc = curate_main([
+            "--input", str(tmp_path / "raw"), "--output", out,
+            "--min-tokens", "10", "--skip-dedup", "--single-file", *extra,
+        ])
+        assert rc == 0
+        _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    unarmed = run([])
+    assert 99 in unarmed
+    armed = run(["--max-dup-line-frac", "0.30",
+                 "--max-dup-line-char-frac", "0.20"])
+    assert 99 not in armed
+    assert armed == unarmed - {99}

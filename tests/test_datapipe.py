@@ -1277,6 +1277,48 @@ class TestQualityFilter:
         assert "symbol_ratio" in out[4][0]
         assert "alpha_words" in out[5][0]
 
+    def test_repetition_rules_armed_and_default_off(self, spark):
+        """(r11) the max_dup_* kwargs arm Gopher's within-document
+        repetition rules; default None keeps pre-r11 behavior byte-for-
+        byte (a looping doc passes the unarmed gate, fails the armed
+        one on exactly the repetition rules)."""
+        from oni_ml_spark.datapipe.textstats import quality_filter
+
+        clean = "the cat and the dog ran off to the park with all of the other dogs"
+        looping = "\n".join([clean] * 10)          # 90% duplicate lines
+        para_loop = "\n\n".join([clean] * 10)      # 90% duplicate paragraphs
+        df = spark.createDataFrame(
+            [(0, clean * 2), (1, looping), (2, para_loop)],
+            "doc_id long, text string",
+        )
+        unarmed = {
+            r["id"]: r["passes"]
+            for r in quality_filter(df, "doc_id", "text", min_tokens=20).collect()
+        }
+        assert unarmed == {0: True, 1: True, 2: True}
+        armed = {
+            r["id"]: (set(r["failed_rules"]), r["passes"])
+            for r in quality_filter(
+                df, "doc_id", "text", min_tokens=20,
+                max_dup_line_frac=0.30, max_dup_line_char_frac=0.20,
+                max_dup_para_frac=0.30, max_dup_para_char_frac=0.20,
+            ).collect()
+        }
+        assert armed[0] == (set(), True)
+        assert {"dup_line_frac", "dup_line_char_frac"} <= armed[1][0]
+        assert not armed[1][1]
+        assert {"dup_para_frac", "dup_para_char_frac"} <= armed[2][0]
+        assert not armed[2][1]
+        # the armed gate is still one zero-shuffle projection
+        plan = (
+            quality_filter(
+                df, "doc_id", "text", max_dup_line_frac=0.30,
+                max_dup_para_char_frac=0.20,
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
+
     def test_multilingual_gate_via_configurable_rules(self, spark):
         """The DEFAULT rules are English-only (ASCII alpha regex, English
         stop-list) and must reject a Chinese document on exactly those two
