@@ -39,18 +39,22 @@ def floor_flags(
     timings: dict[str, float],
     floors: dict[str, float],
     threshold: float = 2.0,
+    exclude: set[str] | frozenset[str] = frozenset(),
 ) -> dict[str, float]:
     """Guardrail (r11): ratio of each entry's reading to its recorded warm
     floor, for entries deviating more than ``threshold``×.  An ambient
     flap or a genuine plan regression is flagged AT MEASUREMENT TIME in
     the JSON artifact instead of at judging time.  Pure function so the
     flag logic is unit-testable without a Spark session.  Entries with no
-    recorded floor, failed entries (-1), and sub-noise floors (<0.2 s,
-    where any ratio is timer jitter) are skipped."""
+    recorded floor, failed entries (-1), sub-noise floors (<0.2 s, where
+    any ratio is timer jitter), and ``exclude``d names (entries whose
+    surviving reading is a COLD first run because a later run failed —
+    cold-vs-warm-floor ratios would mass-flag exactly like single-shot
+    mode) are skipped."""
     out = {}
     for name, t in timings.items():
         f = floors.get(name)
-        if f is None or f < 0.2 or t < 0:
+        if name in exclude or f is None or f < 0.2 or t < 0:
             continue
         ratio = t / f
         if ratio > threshold:
@@ -64,11 +68,13 @@ def _load_floors(sf: float) -> dict[str, float]:
     try:
         with open(FLOORS_PATH) as fh:
             data = json.load(fh)
-    except (OSError, ValueError):
+        if abs(float(data.get("sf", -1.0)) - sf) > 1e-9:
+            return {}
+        return data.get("queries", {})
+    except (OSError, ValueError, TypeError):
+        # a malformed floors file degrades to "no guardrail", never to a
+        # crash after the whole battery already ran
         return {}
-    if abs(data.get("sf", -1.0) - sf) > 1e-9:
-        return {}
-    return data.get("queries", {})
 
 
 def main() -> None:
@@ -173,7 +179,11 @@ def main() -> None:
                 # timings carry one-off codegen-compile cost (+14-27 s on
                 # the widest entries) that would mass-flag healthy queries
                 "floor_flags": (
-                    floor_flags(timings, _load_floors(sf)) if runs > 1 else {}
+                    floor_flags(
+                        timings, _load_floors(sf), exclude=set(failed_runs)
+                    )
+                    if runs > 1
+                    else {}
                 ),
                 "sf": sf,
             }

@@ -61,6 +61,8 @@ _DATA_ERROR_CONDITION_PREFIXES = (
     "DATETIME_FIELD_OUT_OF_RANGE",
     "CONVERSION_INVALID_INPUT",
     "DUPLICATE_MAP_KEY",
+    "MAP_KEY_DOES_NOT_EXIST",     # element_at on a map under ANSI
+    "USER_RAISED_EXCEPTION",      # raise_error/assert_true inside a rule
 )
 
 

@@ -41,6 +41,28 @@ class TestFloorFlags:
         assert bench.floor_flags({"q": 10.0}, {"q": 5.0}) == {}
         assert bench.floor_flags({"q": 10.01}, {"q": 5.0}) == {"q": 2.0}
 
+    def test_cold_only_survivor_excluded(self):
+        """An entry whose run 2 failed keeps its COLD run-1 reading; its
+        cold-vs-warm-floor ratio must not flag (the exclude path main()
+        feeds from failed_runs)."""
+        floors = {"wide": 7.0, "ok": 5.0}
+        timings = {"wide": 21.0, "ok": 16.0}
+        flags = bench.floor_flags(timings, floors, exclude={"wide"})
+        assert flags == {"ok": 3.2}
+
+    def test_malformed_floors_file_degrades(self, tmp_path, monkeypatch):
+        """A hand-edited floors file (string sf, null sf, truncated JSON)
+        degrades to no-guardrail, never to a crash after the battery."""
+        p = tmp_path / "floors.json"
+        monkeypatch.setattr(bench, "FLOORS_PATH", str(p))
+        for content in ('{"sf": "0.1x", "queries": {"a": 1.0}}',
+                        '{"sf": null, "queries": {}}', "{truncated"):
+            p.write_text(content)
+            assert bench._load_floors(0.1) == {}
+        p.write_text('{"sf": "0.1", "queries": {"a": 1.0}}')
+        # a numeric-string sf still parses (float() coercion)
+        assert bench._load_floors(0.1) == {"a": 1.0}
+
 
 class TestFloorsFile:
     def test_baseline_floors_cover_the_registry(self):
