@@ -486,18 +486,32 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, n_grams, distinct_n_grams, top_gram_frac, dup_gram_frac) — the
-    degenerate-repetition gate (looping generations, boilerplate spam,
-    keyword stuffing).
+    """(id, n_grams, distinct_n_grams, top_gram_frac, dup_gram_frac,
+    top_gram_char_frac, dup_gram_char_frac) — the degenerate-repetition
+    gate (looping generations, boilerplate spam, keyword stuffing).
 
     - top_gram_frac: occurrences of the single most frequent word n-gram /
       total n-grams (near 1.0 = one phrase looping)
     - dup_gram_frac: fraction of n-gram instances beyond each gram's first
       occurrence (1 - distinct/total; high = low information density)
+    - top_gram_char_frac (r11, Gopher's 'top n-gram character fraction'):
+      characters covered by all occurrences of the most frequent n-gram /
+      document characters.  Ties on count break to the LONGEST gram —
+      max(struct(count, len)) is deterministic where an arbitrary argmax
+      would flap the value run-to-run (and against the SQL oracle).
+    - dup_gram_char_frac (Gopher's 'duplicate n-gram character fraction'):
+      characters covered by every occurrence of each gram appearing more
+      than once / document characters — overlap-NAIVE, like the open
+      reproductions: overlapping duplicate grams count their characters
+      each time, so the ratio can exceed 1.0 on extreme loops (use the
+      paper's per-n thresholds, which were tuned under the same
+      convention).
 
-    One explode + one (id, gram) count + one per-id aggregate — all
-    map-side-combinable; no windows over data-sized input. Documents with
-    fewer than n tokens have no n-grams and are absent (no gate signal).
+    One explode + one (id, gram) count + one per-id aggregate, then an
+    id-keyed join with the per-doc char count (both sides already per-id
+    sized) — all map-side-combinable; no windows over data-sized input.
+    Documents with fewer than n tokens have no n-grams and are absent
+    (no gate signal).
     """
     from oni_ml_spark.datapipe.dedup import positional_ngrams
 
@@ -506,11 +520,31 @@ def repetition_metrics(
         F.explode(positional_ngrams(text_col, n)).alias("gram"),
     )
     per_gram = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    return per_gram.groupBy("id").agg(
+    agg = per_gram.groupBy("id").agg(
         F.sum("c").cast("long").alias("n_grams"),
         F.count(F.lit(1)).cast("long").alias("distinct_n_grams"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
         F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6).alias("dup_gram_frac"),
+        # lexicographic struct max = (max count, longest gram at that
+        # count) — the deterministic tie-break documented above
+        F.max(F.struct(F.col("c"), F.length("gram").alias("l"))).alias("__top"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(0)
+        ).cast("long").alias("__dupchars"),
+    )
+    doc_chars = df.select(
+        F.col(id_col).alias("id"), F.length(text_col).alias("__doc_chars")
+    )
+    return agg.join(doc_chars, "id").select(
+        "id", "n_grams", "distinct_n_grams", "top_gram_frac", "dup_gram_frac",
+        F.round(
+            F.col("__top.c") * F.col("__top.l")
+            / F.greatest("__doc_chars", F.lit(1)),
+            6,
+        ).alias("top_gram_char_frac"),
+        F.round(
+            F.col("__dupchars") / F.greatest("__doc_chars", F.lit(1)), 6
+        ).alias("dup_gram_char_frac"),
     )
 
 

@@ -3588,8 +3588,14 @@ def ann_ivf_kmeans(spark, sf):
     pg AS (SELECT id, gram, count(*) AS c FROM g3 GROUP BY id, gram),
     rep AS (SELECT id, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS distinct_n_grams,
             round(max(c) / sum(c), 6) AS top_gram_frac,
-            round((sum(c) - count(*)) / sum(c), 6) AS dup_gram_frac
+            round((sum(c) - count(*)) / sum(c), 6) AS dup_gram_frac,
+            max(c) AS mc,
+            sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dupchars
             FROM pg GROUP BY id),
+    topl AS (SELECT pg.id, max(length(pg.gram)) AS tl
+             FROM pg JOIN rep ON rep.id = pg.id AND pg.c = rep.mc
+             GROUP BY pg.id),
+    dchars AS (SELECT doc_id AS id, length(text) AS doc_chars FROM documents),
     shd AS (SELECT DISTINCT id, gkey FROM grams),
     evals AS (SELECT DISTINCT gkey FROM shd WHERE id % 10 = 0),
     cont AS (SELECT id, count(*)::BIGINT AS n_shingles,
@@ -3617,6 +3623,10 @@ def ann_ivf_kmeans(spark, sf):
            round(coalesce(per.covered, 0) / greatest(len(t.toks), 1), 6)
              AS dup_token_fraction,
            rep.n_grams, rep.distinct_n_grams, rep.top_gram_frac, rep.dup_gram_frac,
+           round(rep.mc * topl.tl / greatest(dchars.doc_chars, 1), 6)
+             AS top_gram_char_frac,
+           round(rep.dupchars / greatest(dchars.doc_chars, 1), 6)
+             AS dup_gram_char_frac,
            cont.n_shingles, cont.n_contaminated,
            round(cont.n_contaminated / cont.n_shingles, 6) AS contamination_frac,
            CASE WHEN t.id % 10 = 0 THEN NULL
@@ -3627,6 +3637,8 @@ def ann_ivf_kmeans(spark, sf):
            md5(coalesce(prebuilt.text, '')) AS para_text_md5
     FROM t LEFT JOIN per ON per.id = t.id
            LEFT JOIN rep ON rep.id = t.id
+           LEFT JOIN topl ON topl.id = t.id
+           LEFT JOIN dchars ON dchars.id = t.id
            LEFT JOIN cont ON cont.id = t.id
            LEFT JOIN ptot ON ptot.id = t.id
            LEFT JOIN prebuilt ON prebuilt.id = t.id""",
@@ -3639,7 +3651,9 @@ def ngram_diagnostics_q(spark, sf):
       the EXACT interval-union size (per-doc lead() window over duplicate
       starts); corpus counting groups on md5 digests, never window text.
     - repetition_metrics: 3-gram top-gram / duplicate-gram fractions (the
-      degenerate-repetition gate).
+      degenerate-repetition gate); r11 adds Gopher's CHARACTER fractions —
+      top_gram_char_frac (deterministic count-then-length tie-break) and
+      the overlap-naive dup_gram_char_frac, both over doc chars.
     - ngram_contamination: fraction of each training doc's distinct
       8-gram shingles that appear anywhere in the eval split (docs with
       id % 10 == 0 stand in as the eval set; its members carry NULL
@@ -3703,7 +3717,9 @@ def ngram_diagnostics_q(spark, sf):
         .select(
             "id", "n_tokens", "dup_span_starts", "covered_tokens",
             "dup_token_fraction", "n_grams", "distinct_n_grams",
-            "top_gram_frac", "dup_gram_frac", "n_shingles", "n_contaminated",
+            "top_gram_frac", "dup_gram_frac",
+            "top_gram_char_frac", "dup_gram_char_frac",
+            "n_shingles", "n_contaminated",
             "contamination_frac",
             F.when(F.col("id") % 10 == 0, F.lit(None).cast("long"))
             .otherwise(F.coalesce("__dk", F.lit(0))).alias("decon_kept"),

@@ -183,6 +183,33 @@ def test_repetition_flags_degenerate_text(spark):
     got = {r["id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
     assert got[0]["dup_gram_frac"] > 0.9 and got[0]["top_gram_frac"] > 0.3
     assert got[1]["dup_gram_frac"] == 0.0
+    # (r11) the char fractions move with the count fractions: a looping
+    # doc's duplicate grams cover nearly all (overlap-naive: can exceed 1)
+    assert got[0]["dup_gram_char_frac"] > 0.9
+    assert got[1]["dup_gram_char_frac"] == 0.0
+
+
+def test_repetition_char_fraction_goldens(spark):
+    """(r11) Gopher character-fraction goldens, hand-computed, including
+    the deterministic count-then-length tie-break."""
+    from oni_ml_spark.datapipe.textstats import repetition_metrics
+
+    rows = [
+        # bigrams of [ab, ab, ab, cd]: 'ab ab' x2, 'ab cd' x1; doc chars 11
+        # top = 2 x len('ab ab')=5 -> 10/11; dupchars = 2*5 -> 10/11
+        (0, "ab ab ab cd"),
+        # tie on count=2 between 'aa b' (len 4) and 'c ddd' (len 5):
+        # the LONGEST gram wins the tie -> top = 2*5 / 23
+        (1, "aa b aa b c ddd c ddd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r for r in repetition_metrics(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[0]["n_grams"] == 3 and got[0]["distinct_n_grams"] == 2
+    assert got[0]["top_gram_char_frac"] == round(10 / 11, 6)
+    assert got[0]["dup_gram_char_frac"] == round(10 / 11, 6)
+    assert got[1]["top_gram_char_frac"] == round(10 / len(rows[1][1]), 6)
 
 
 def test_ngram_contamination_planted_overlap(spark):
