@@ -3,10 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` stages.  Header-level metadata extraction
-(format + dimensions for PNG/JPEG/GIF/BMP) is REAL — pure struct
-arithmetic, no codec library (``parse_image_header``).  Full pixel decode
-remains the one env-blocked seam: swap any ``bytes → meta`` callable in
-via ``extract_media_metadata(decoder=...)`` without touching the plan,
+is REAL — pure struct arithmetic, no codec library — for five image
+formats (PNG/JPEG/GIF/BMP/WebP, ``parse_image_header``), WAV audio
+(fmt-chunk sample rate / channels / declared-size duration), and MP4
+video (ftyp + moov-lite track dims / duration) via
+``parse_media_container``.  Full pixel/sample decode remains the one
+env-blocked seam: swap any ``bytes → meta`` callable in via
+``extract_media_metadata(decoder=...)`` without touching the plan,
 batching, or schema (the contract the seam test pins); unrecognized
 payloads fall back to the deterministic ``decode_image_stub``.
 
@@ -33,6 +36,11 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # audio/video container fields (r12) — null for image payloads;
+        # width/height are null for audio-only payloads
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
@@ -79,6 +87,12 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
             i += 2
             continue
+        if marker == 0xDA:
+            # SOS reached without a SOF frame header: in a valid JPEG SOF
+            # always precedes SOS, and walking on would treat entropy-coded
+            # scan bytes as segments — a fake SOF pattern inside scan data
+            # then parses as confident garbage dims. Refuse instead.
+            return None
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         if seg_len < 2:
             return None
@@ -96,6 +110,156 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _webp_dims(b: bytes) -> tuple[int, int] | None:
+    """Dimensions from the first WebP chunk after the RIFF/WEBP preamble —
+    all three container variants (RIFF container spec + VP8/VP8L bitstream
+    headers, both public):
+
+    * ``VP8X`` (extended): canvas width-1 / height-1 as 24-bit LE at
+      payload offsets 4 and 7.
+    * ``VP8 `` (lossy): 3-byte frame tag, then the mandatory start code
+      ``9D 01 2A``, then 14-bit width / height in two LE u16s (top 2 bits
+      are the scaling field).
+    * ``VP8L`` (lossless): signature byte ``0x2F``, then width-1 /
+      height-1 as back-to-back 14-bit fields in a 32-bit LE word.
+
+    The start-code / signature bytes double as the misclassification
+    guard — a truncated or alien RIFF refuses rather than guessing."""
+    fourcc = b[12:16]
+    p = 20  # chunk payload start (12 RIFF preamble + 4 fourcc + 4 size)
+    if fourcc == b"VP8X" and len(b) >= p + 10:
+        width = int.from_bytes(b[p + 4 : p + 7], "little") + 1
+        height = int.from_bytes(b[p + 7 : p + 10], "little") + 1
+        return (width, height)
+    if fourcc == b"VP8 " and len(b) >= p + 10:
+        if b[p + 3 : p + 6] != b"\x9d\x01\x2a":  # mandatory start code
+            return None
+        width = int.from_bytes(b[p + 6 : p + 8], "little") & 0x3FFF
+        height = int.from_bytes(b[p + 8 : p + 10], "little") & 0x3FFF
+        return (width, height)
+    if fourcc == b"VP8L" and len(b) >= p + 5:
+        if b[p] != 0x2F:  # mandatory signature byte
+            return None
+        word = int.from_bytes(b[p + 1 : p + 5], "little")
+        width = (word & 0x3FFF) + 1
+        height = ((word >> 14) & 0x3FFF) + 1
+        return (width, height)
+    return None
+
+
+def _wav_meta(b: bytes) -> dict | None:
+    """Walk RIFF/WAVE chunks to the mandatory ``fmt `` chunk (channels,
+    sample rate, byte rate) and the ``data`` chunk (declared size →
+    duration).  Chunk sizes are DECLARED — the data payload need not be
+    present (triage over truncated heads still works); duration comes
+    from the declared size, so a lying header yields a lying duration,
+    same trust model as every header sniffer."""
+    n = len(b)
+    i = 12
+    sample_rate = channels = byte_rate = None
+    duration_ms = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and size >= 16 and i + 24 <= n:
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            if byte_rate:
+                duration_ms = size * 1000 // byte_rate
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or channels is None:
+        return None  # no fmt chunk in the available bytes: refuse
+    if not (0 < channels <= 64 and 0 < sample_rate < 1_000_000):
+        return None  # implausible fmt values — corrupt, not audio
+    return {
+        "n_bytes": n,
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "duration_ms": duration_ms,
+    }
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    b[start:end]; stops at the first malformed size (bounds are clamped so
+    a lying size can't index past the available bytes)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < hdr:
+            return
+        yield (btype, i + hdr, min(i + size, end))
+        i += size
+
+
+def _mp4_meta(b: bytes) -> dict | None:
+    """ISO-BMFF 'moov-lite' walk: classify by the ftyp box (must be the
+    file's first box per the spec), then best-effort extract duration
+    (moov/mvhd: timescale + duration, v0/v1) and the first video track's
+    dimensions (moov/trak/tkhd: 16.16 fixed-point width/height).  ``moov``
+    commonly sits at the END of a non-faststart file, so a header-only
+    payload classifies as mp4 with null dims/duration rather than
+    refusing — format-mix triage works either way."""
+    n = len(b)
+    if n < 12 or b[4:8] != b"ftyp":
+        return None
+    width = height = None
+    duration_ms = None
+    for btype, ps, pe in _mp4_boxes(b, 0, n):
+        if btype != b"moov":
+            continue
+        for ityp, ips, ipe in _mp4_boxes(b, ps, pe):
+            if ityp == b"mvhd" and ipe - ips >= 4:
+                ver = b[ips]
+                if ver == 0 and ipe - ips >= 20:
+                    timescale = int.from_bytes(b[ips + 12 : ips + 16], "big")
+                    duration = int.from_bytes(b[ips + 16 : ips + 20], "big")
+                elif ver == 1 and ipe - ips >= 32:
+                    timescale = int.from_bytes(b[ips + 20 : ips + 24], "big")
+                    duration = int.from_bytes(b[ips + 24 : ips + 32], "big")
+                else:
+                    continue
+                if timescale > 0:
+                    duration_ms = duration * 1000 // timescale
+            elif ityp == b"trak" and width is None:
+                for ttyp, tps, tpe in _mp4_boxes(b, ips, ipe):
+                    if ttyp != b"tkhd" or tpe - tps < 4:
+                        continue
+                    # fixed-point width/height offsets WITHIN the tkhd
+                    # payload (version..matrix): v0 76, v1 88
+                    off = 76 if b[tps] == 0 else 88
+                    if tpe - tps >= off + 8:
+                        w = int.from_bytes(b[tps + off : tps + off + 4], "big") >> 16
+                        h = int.from_bytes(b[tps + off + 4 : tps + off + 8], "big") >> 16
+                        if w > 0 and h > 0:  # audio tracks carry 0x0
+                            width, height = w, h
+                    break
+        break
+    return {
+        "n_bytes": n,
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "channels": None,
+        "duration_ms": duration_ms,
+    }
+
+
 # DIB header sizes of the BMP variants in circulation — bytes 14-18 of a
 # real .bmp are one of these; ASCII text that merely starts with 'BM'
 # essentially never is, which is what keeps text payloads out of the bmp
@@ -111,9 +275,10 @@ def _plausible(width: int, height: int) -> bool:
 
 def parse_image_header(payload: bytes) -> dict | None:
     """Pure-Python image header parse — magic + dimensions via struct
-    arithmetic, NO codec library — for the three commonest web formats
-    plus BMP.  Returns {n_bytes, format, width, height} or None when the
-    payload is not a recognized (and sufficiently complete) image.
+    arithmetic, NO codec library — for the four commonest web formats
+    (PNG/JPEG/GIF/WebP) plus BMP.  Returns {n_bytes, format, width,
+    height} or None when the payload is not a recognized (and
+    sufficiently complete) image.
 
     This upgrades the decode seam's DEFAULT from a fake to a real parser
     for metadata extraction (the 100 TB corpus-triage pass: dimensions,
@@ -150,6 +315,11 @@ def parse_image_header(payload: bytes) -> dict | None:
         if dims is None or not _plausible(*dims):
             return None
         return {"n_bytes": n, "format": "jpeg", "width": dims[0], "height": dims[1]}
+    if n >= 20 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        dims = _webp_dims(payload)
+        if dims is None or not _plausible(*dims):
+            return None
+        return {"n_bytes": n, "format": "webp", "width": dims[0], "height": dims[1]}
     if n >= 26 and payload[:2] == b"BM":
         # 'BM' is valid ASCII, so text payloads can reach here — the DIB
         # header size at bytes 14-18 is the discriminator: real BMPs carry
@@ -164,14 +334,81 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+def parse_media_container(payload: bytes) -> dict | None:
+    """Header-level sniff across all three media classes: images
+    (PNG/JPEG/GIF/BMP/WebP via ``parse_image_header``), WAV audio (RIFF
+    fmt-chunk → sample rate / channels / declared-size duration), and MP4
+    video (ftyp brand + moov-lite → track dims / mvhd duration).  Returns
+    the full MEDIA_META_SCHEMA field dict or None when the payload matches
+    no known container."""
+    img = parse_image_header(payload)
+    if img is not None:
+        return {**img, "sample_rate": None, "channels": None, "duration_ms": None}
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_meta(payload)
+    return _mp4_meta(payload)
+
+
 def decode_image_header(payload: bytes) -> dict:
-    """The engine's default decoder: REAL header parse for PNG/JPEG/GIF/BMP
-    (``parse_image_header``), deterministic stub for everything else — so
-    non-image payloads keep the stub's stable metadata while planted real
-    headers get true dimensions.  Full pixel decode remains the one
-    env-blocked seam (swap in a PIL-backed callable via ``decoder=``)."""
+    """REAL header parse for PNG/JPEG/GIF/BMP/WebP (``parse_image_header``),
+    deterministic stub for everything else — so non-image payloads keep the
+    stub's stable metadata while planted real headers get true dimensions.
+    Full pixel decode remains the one env-blocked seam (swap in a
+    PIL-backed callable via ``decoder=``)."""
     parsed = parse_image_header(payload)
     return parsed if parsed is not None else decode_image_stub(payload)
+
+
+def decode_media_header(payload: bytes) -> dict:
+    """The engine's default decoder (r12): REAL header parse for the five
+    image formats plus WAV and MP4 containers (``parse_media_container``),
+    deterministic stub fallback for everything else."""
+    parsed = parse_media_container(payload)
+    return parsed if parsed is not None else decode_image_stub(payload)
+
+
+def try_codec_decoder():
+    """Guarded-import probe (r12): when the runtime has a codec stack
+    (PIL/Pillow), return a decoder that opens the actual image — true
+    format/dimensions for EVERY format PIL knows (TIFF, AVIF via plugins,
+    …), not just the five the struct sniffer covers — falling back to the
+    header sniff / stub on undecodable payloads.  Returns None in
+    codec-less sandboxes (this container), so the header sniffer stays the
+    default there with zero behavior change.
+
+    The returned callable captures the resolved ``Image`` object, so it
+    ships to executors by reference when PIL is a real installed package
+    (importable on workers) and by value when a test injects a fake."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def codec_decoder(payload: bytes) -> dict:
+        import io
+
+        try:
+            img = Image.open(io.BytesIO(payload))
+            width, height = img.size
+            return {
+                "n_bytes": len(payload),
+                "format": (img.format or "img").lower(),
+                "width": int(width),
+                "height": int(height),
+            }
+        except Exception:  # noqa: BLE001 — any undecodable payload
+            return decode_media_header(payload)
+
+    return codec_decoder
+
+
+def default_decoder():
+    """Resolve the engine's default decoder at plan-build time: the
+    codec-backed decoder when one is importable, else the pure-Python
+    header sniffer.  The seam (``extract_media_metadata(decoder=...)``)
+    is unchanged either way — a future sandbox with Pillow auto-upgrades
+    with no code edit."""
+    return try_codec_decoder() or decode_media_header
 
 
 def parallelize_for_decode(media: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -217,18 +454,35 @@ def extract_media_metadata(
     """
     if parallelize:
         media = parallelize_for_decode(media)
-    decode = decoder if decoder is not None else decode_image_header
+    decode = decoder if decoder is not None else default_decoder()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [decode(p) for p in pdf["payload"]]
+            # the audio/video fields are OPTIONAL in the decoder contract
+            # (.get) so pre-r12 decoders — including user-injected ones —
+            # keep working unchanged; pandas nullable Int64/float carry the
+            # Nones through Arrow as proper SQL nulls
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "n_bytes": [m["n_bytes"] for m in metas],
                     "format": [m["format"] for m in metas],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [m.get("sample_rate") for m in metas], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [m.get("channels") for m in metas], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m.get("duration_ms") for m in metas], dtype="Int64"
+                    ),
                 }
             )
 

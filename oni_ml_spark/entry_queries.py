@@ -1709,9 +1709,10 @@ def text_profile(spark, sf):
 
 
 def _planted_image_headers() -> list[tuple[int, bytes]]:
-    """Four byte-exact REAL image headers (struct-built, no codec lib):
+    """Five byte-exact REAL image headers (struct-built, no codec lib):
     PNG 640x360, GIF 320x200, JPEG 1024x768 (SOF0 behind an APP0 segment),
-    BMP 64x48.  Negative media_ids keep them disjoint from doc_ids."""
+    BMP 64x48, WebP 480x320 (RIFF/VP8 lossy with the mandatory 9D 01 2A
+    start code).  Negative media_ids keep them disjoint from doc_ids."""
     png = (
         b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
         + (640).to_bytes(4, "big") + (360).to_bytes(4, "big")
@@ -1736,24 +1737,77 @@ def _planted_image_headers() -> list[tuple[int, bytes]]:
         + (64).to_bytes(4, "little", signed=True)
         + (48).to_bytes(4, "little", signed=True)
     )  # 26 bytes
-    return [(-1, png), (-2, gif), (-3, jpeg), (-4, bmp)]
+    vp8_frame = (
+        b"\x30\x01\x00" + b"\x9d\x01\x2a"
+        + (480).to_bytes(2, "little") + (320).to_bytes(2, "little")
+    )
+    webp = (
+        b"RIFF" + (12 + len(vp8_frame)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + len(vp8_frame).to_bytes(4, "little") + vp8_frame
+    )  # 30 bytes
+    return [(-1, png), (-2, gif), (-3, jpeg), (-4, bmp), (-5, webp)]
+
+
+def _planted_av_containers() -> list[tuple[int, bytes]]:
+    """Two byte-exact REAL audio/video container headers (struct-built,
+    no codec lib): a WAV (PCM mono 8 kHz, 32-byte data chunk -> 2 ms) and
+    an MP4 (isom ftyp + moov with mvhd timescale=1000/duration=5000 and a
+    640x360 v0 tkhd video track)."""
+    wav = (
+        b"RIFF" + (68).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")      # PCM, mono
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + (32).to_bytes(4, "little") + b"\x00" * 32
+    )  # 76 bytes
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + (0).to_bytes(4, "big")
+    mvhd_body = (
+        bytes([0, 0, 0, 0]) + (0).to_bytes(8, "big")
+        + (1000).to_bytes(4, "big") + (5000).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + (2).to_bytes(4, "big")
+    )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    tkhd_body = (
+        bytes([0, 0, 0, 7]) + (0).to_bytes(8, "big") + (1).to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (5000).to_bytes(4, "big")
+        + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + (640 << 16).to_bytes(4, "big") + (360 << 16).to_bytes(4, "big")
+    )
+    tkhd = (8 + len(tkhd_body)).to_bytes(4, "big") + b"tkhd" + tkhd_body
+    trak = (8 + len(tkhd)).to_bytes(4, "big") + b"trak" + tkhd
+    moov = (8 + len(mvhd) + len(trak)).to_bytes(4, "big") + b"moov" + mvhd + trak
+    mp4 = ftyp + moov  # 232 bytes
+    return [(-6, wav), (-7, mp4)]
 
 
 @_q(
     "multimodal_frames",
     "WITH meta AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
     "  'fake/raw' AS format, (octet_length(encode(text)) % 640)::INT AS width, "
-    "  ((octet_length(encode(text)) * 7) % 480)::INT AS height FROM documents "
-    "  UNION ALL SELECT * FROM (VALUES (-1, 29, 'png', 640, 360), "
-    "   (-2, 13, 'gif', 320, 200), (-3, 41, 'jpeg', 1024, 768), "
-    "   (-4, 26, 'bmp', 64, 48)) p(media_id, n_bytes, format, width, height)), "
+    "  ((octet_length(encode(text)) * 7) % 480)::INT AS height, "
+    "  NULL::INT AS sample_rate, NULL::INT AS channels, "
+    "  NULL::BIGINT AS duration_ms FROM documents "
+    "  UNION ALL SELECT * FROM (VALUES "
+    "   (-1, 29, 'png', 640, 360, NULL, NULL, NULL), "
+    "   (-2, 13, 'gif', 320, 200, NULL, NULL, NULL), "
+    "   (-3, 41, 'jpeg', 1024, 768, NULL, NULL, NULL), "
+    "   (-4, 26, 'bmp', 64, 48, NULL, NULL, NULL), "
+    "   (-5, 30, 'webp', 480, 320, NULL, NULL, NULL), "
+    "   (-6, 76, 'wav', NULL, NULL, 8000, 1, 2), "
+    "   (-7, 232, 'mp4', 640, 360, NULL, NULL, 5000)) "
+    "   p(media_id, n_bytes, format, width, height, sample_rate, channels, "
+    "     duration_ms)), "
     "frames AS (SELECT doc_id AS media_id, "
     "  unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_no, "
     "  unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS offset "
     "  FROM documents "
     "  UNION ALL SELECT * FROM (VALUES (-1, 0, 0), (-2, 0, 0), (-3, 0, 0), "
-    '   (-4, 0, 0)) q(media_id, frame_no, "offset")) '
-    'SELECT f.media_id, frame_no, "offset", n_bytes, format, width, height '
+    "   (-4, 0, 0), (-5, 0, 0), (-6, 0, 0), (-7, 0, 0), (-7, 1, 64), "
+    '   (-7, 2, 128)) q(media_id, frame_no, "offset")) '
+    'SELECT f.media_id, frame_no, "offset", n_bytes, format, width, height, '
+    "  sample_rate, channels, duration_ms "
     "FROM frames f JOIN meta USING (media_id)",
 )
 def multimodal_frames(spark, sf):
@@ -1762,13 +1816,15 @@ def multimodal_frames(spark, sf):
     explosion — one row per sampled frame carrying its media's metadata,
     the shape a video/image feature extractor consumes.
 
-    r11: the default decoder is now a REAL header parse (pure struct
-    arithmetic — multimodal.parse_image_header) with the deterministic
-    stub only as the unrecognized-payload fallback.  Four planted
-    byte-exact PNG/GIF/JPEG/BMP headers flow through the same Arrow
-    batches as the text payloads; the oracle states their true
-    dimensions literally, so the gate hash-checks real decoding, not
-    just plumbing."""
+    r11: the default decoder is a REAL header parse (pure struct
+    arithmetic) with the deterministic stub only as the
+    unrecognized-payload fallback.  r12 extends the real pass across all
+    three media classes (multimodal.parse_media_container): five planted
+    byte-exact image headers (PNG/GIF/JPEG/BMP/WebP) plus a WAV and an
+    MP4 container flow through the same Arrow batches as the text
+    payloads; the oracle states their true dimensions / sample rate /
+    channels / durations literally, so the gate hash-checks real
+    decoding, not just plumbing."""
     from oni_ml_spark.datapipe.multimodal import (
         attach_payload,
         extract_media_metadata,
@@ -1777,14 +1833,18 @@ def multimodal_frames(spark, sf):
 
     media = attach_payload(_docs(spark, sf), "doc_id", "text").unionByName(
         spark.createDataFrame(
-            [(i, bytearray(b)) for i, b in _planted_image_headers()],
+            [
+                (i, bytearray(b))
+                for i, b in _planted_image_headers() + _planted_av_containers()
+            ],
             "media_id long, payload binary",
         )
     )
     meta = extract_media_metadata(media)
     frames = sample_frames(media, every_n_bytes=64)
     return frames.join(meta, "media_id").select(
-        "media_id", "frame_no", "offset", "n_bytes", "format", "width", "height"
+        "media_id", "frame_no", "offset", "n_bytes", "format", "width", "height",
+        "sample_rate", "channels", "duration_ms",
     )
 
 

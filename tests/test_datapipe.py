@@ -128,7 +128,10 @@ class TestMultimodal:
         meta = extract_media_metadata(media)
         rows = meta.collect()
         assert len(rows) == docs.count()
-        assert set(meta.columns) == {"media_id", "n_bytes", "format", "width", "height"}
+        assert set(meta.columns) == {
+            "media_id", "n_bytes", "format", "width", "height",
+            "sample_rate", "channels", "duration_ms",
+        }
         byid = {r["media_id"]: r for r in rows}
         texts = {r["doc_id"]: r["text"] for r in docs.collect()}
         for i, t in texts.items():
@@ -197,6 +200,7 @@ class TestMultimodal:
             -2: ("gif", 320, 200, 13),
             -3: ("jpeg", 1024, 768, 41),
             -4: ("bmp", 64, 48, 26),
+            -5: ("webp", 480, 320, 30),
         }
         for mid, (fmt, w, h, n) in want.items():
             got = parse_image_header(planted[mid])
@@ -220,6 +224,18 @@ class TestMultimodal:
         )
         got = parse_image_header(jpeg2)
         assert (got["format"], got["width"], got["height"]) == ("jpeg", 3, 2)
+        # (r12, ADVICE) SOS before any SOF: a malformed/truncated JPEG must
+        # refuse, not keep walking into entropy-coded scan data where a
+        # fake SOF byte pattern would parse as confident garbage dims
+        jpeg_sos_first = (
+            b"\xff\xd8"
+            + b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+            # scan bytes that LOOK like a SOF0 declaring 77x99
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (99).to_bytes(2, "big") + (77).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 9
+        )
+        assert parse_image_header(jpeg_sos_first) is None
         # top-down BMP (negative height) reports positive dimensions
         bmp_td = (
             b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00"
@@ -230,6 +246,232 @@ class TestMultimodal:
         got = parse_image_header(bmp_td)
         assert (got["width"], got["height"]) == (64, 48)
 
+    def test_parse_webp_variants_and_refusals(self):
+        """(r12) all three WebP container variants parse; a RIFF/WEBP whose
+        bitstream lacks the mandatory start-code / signature byte refuses
+        (falls back to the stub) instead of guessing dims."""
+        from oni_ml_spark.datapipe.multimodal import (
+            decode_image_header,
+            decode_image_stub,
+            parse_image_header,
+        )
+
+        def riff(fourcc: bytes, chunk: bytes) -> bytes:
+            return (
+                b"RIFF" + (12 + len(chunk)).to_bytes(4, "little") + b"WEBP"
+                + fourcc + len(chunk).to_bytes(4, "little") + chunk
+            )
+
+        vp8 = riff(
+            b"VP8 ",
+            b"\x30\x01\x00\x9d\x01\x2a"
+            + (480).to_bytes(2, "little") + (320).to_bytes(2, "little"),
+        )
+        word = (800 - 1) | ((600 - 1) << 14)
+        vp8l = riff(b"VP8L", b"\x2f" + word.to_bytes(4, "little"))
+        vp8x = riff(
+            b"VP8X",
+            b"\x00\x00\x00\x00"
+            + (1920 - 1).to_bytes(3, "little") + (1080 - 1).to_bytes(3, "little"),
+        )
+        for payload, w, h in ((vp8, 480, 320), (vp8l, 800, 600), (vp8x, 1920, 1080)):
+            got = parse_image_header(payload)
+            assert got == {
+                "n_bytes": len(payload), "format": "webp", "width": w, "height": h,
+            }
+
+        bad_start_code = riff(b"VP8 ", b"\x30\x01\x00XYZ\x00\x01\x00\x01")
+        bad_sig = riff(b"VP8L", b"\x00" + word.to_bytes(4, "little"))
+        alien_chunk = riff(b"ALPH", b"\x00" * 10)
+        truncated = vp8[:18]
+        for bad in (bad_start_code, bad_sig, alien_chunk, truncated):
+            assert parse_image_header(bad) is None
+            assert decode_image_header(bad) == decode_image_stub(bad)
+
+    def test_parse_av_containers_goldens(self):
+        """(r12) WAV and MP4 header sniffing: the planted battery payloads
+        parse to their true sample rate / channels / duration / track
+        dims; header-only MP4s (moov at file end) still classify; prose
+        and corrupt RIFFs refuse."""
+        from oni_ml_spark.datapipe.multimodal import (
+            decode_image_stub,
+            decode_media_header,
+            parse_media_container,
+        )
+        from oni_ml_spark.entry_queries import (
+            _planted_av_containers,
+            _planted_image_headers,
+        )
+
+        planted = dict(_planted_av_containers())
+        assert parse_media_container(planted[-6]) == {
+            "n_bytes": 76, "format": "wav", "width": None, "height": None,
+            "sample_rate": 8000, "channels": 1, "duration_ms": 2,
+        }
+        assert parse_media_container(planted[-7]) == {
+            "n_bytes": 232, "format": "mp4", "width": 640, "height": 360,
+            "sample_rate": None, "channels": None, "duration_ms": 5000,
+        }
+        # ftyp-only head (non-faststart file truncated before moov):
+        # classifies as mp4, dims/duration honestly null
+        ftyp_only = planted[-7][:16]
+        got = parse_media_container(ftyp_only)
+        assert got["format"] == "mp4"
+        assert got["width"] is None and got["duration_ms"] is None
+        # images flow through the container parser with null AV fields
+        got = parse_media_container(dict(_planted_image_headers())[-1])
+        assert got["format"] == "png" and got["sample_rate"] is None
+        # refusals: prose RIFF, WAV with no fmt chunk, implausible fmt
+        no_fmt = b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" \
+            + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8
+        bad_fmt = b"RIFF" + (28).to_bytes(4, "little") + b"WAVE" \
+            + b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little") \
+            + (0).to_bytes(2, "little") + (8000).to_bytes(4, "little") \
+            + (0).to_bytes(4, "little") + (2).to_bytes(2, "little") \
+            + (16).to_bytes(2, "little")
+        for bad in (b"RIFF raffle WAVEforms", no_fmt, bad_fmt, b"hello", b""):
+            assert parse_media_container(bad) is None
+            assert decode_media_header(bad) == decode_image_stub(bad)
+
+    def test_codec_probe_auto_upgrades_default_decoder(self, spark, monkeypatch):
+        """(r12) the guarded-import probe: in THIS sandbox (no Pillow) the
+        probe returns None and the header sniffer stays the default; with
+        a (fake) PIL injected, the codec decoder becomes the default and
+        real pixel-level opens flow through extract_media_metadata with
+        the plan, schema, and batching untouched.  The fake's Image class
+        nests in the test so cloudpickle ships it to executors BY VALUE —
+        exactly how a real installed Pillow ships by reference."""
+        import sys
+        import types
+
+        from oni_ml_spark.datapipe.multimodal import (
+            MEDIA_META_SCHEMA,
+            attach_payload,
+            default_decoder,
+            decode_media_header,
+            extract_media_metadata,
+            try_codec_decoder,
+        )
+
+        # codec-less sandbox: probe declines, sniffer is the default
+        assert try_codec_decoder() is None
+        assert default_decoder() is decode_media_header
+
+        class FakeImg:
+            """Decodes any payload that starts with b'IMG!' as a
+            (first-byte x last-byte) image — dims the header sniffer
+            could never produce, so the assertion proves the codec path."""
+
+            def __init__(self, w, h):
+                self.size = (w, h)
+                self.format = "FAKEFMT"
+
+        class FakeImage:
+            @staticmethod
+            def open(fh):
+                b = fh.read()
+                if not b.startswith(b"IMG!"):
+                    raise OSError("cannot identify image file")
+                return FakeImg(int(b[4]), int(b[5]))
+
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = FakeImage
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+        decode = try_codec_decoder()
+        assert decode is not None
+        # codec path: decodes the planted payload
+        assert decode(b"IMG!\x28\x1e rest") == {
+            "n_bytes": 11, "format": "fakefmt", "width": 40, "height": 30,
+        }
+        # fallback path: undecodable payloads keep the sniffer/stub values
+        assert decode(b"hello") == decode_media_header(b"hello")
+
+        docs = spark.createDataFrame(
+            [(1, "IMG!\x28\x1e payload"), (2, "plain text")],
+            "doc_id long, text string",
+        )
+        media = attach_payload(docs, "doc_id", "text")
+        out = extract_media_metadata(media, decoder=decode)
+        assert out.schema == MEDIA_META_SCHEMA  # seam/plan untouched
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == (
+            "fakefmt", 40, 30,
+        )
+        assert rows[2]["format"] == "fake/raw"  # stub fallback
+
+    def test_parse_media_container_roundtrip_property(self):
+        """(r12) hypothesis round-trip: for GENERATED valid headers of each
+        format, parsed dimensions/rates equal the generated ones — the
+        fixed goldens pin known bytes, this pins the struct arithmetic
+        over the whole plausible parameter space."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from oni_ml_spark.datapipe.multimodal import parse_media_container
+
+        dim = st.integers(min_value=1, max_value=0x3FFF)
+        rate = st.integers(min_value=1, max_value=384_000)
+        chans = st.integers(min_value=1, max_value=8)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            w=dim, h=dim, sr=rate, ch=chans,
+            fmt=st.sampled_from(["png", "gif", "webp_vp8", "webp_vp8l", "wav"]),
+        )
+        def prop(w, h, sr, ch, fmt):
+            if fmt == "png":
+                payload = (
+                    b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                    + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + b"\x08\x06\x00\x00\x00"
+                )
+                want = ("png", w, h, None, None)
+            elif fmt == "gif":
+                payload = (
+                    b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                    + b"\xf7\x00\x00"
+                )
+                want = ("gif", w, h, None, None)
+            elif fmt == "webp_vp8":
+                chunk = (
+                    b"\x30\x01\x00\x9d\x01\x2a"
+                    + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                )
+                payload = (
+                    b"RIFF" + (12 + len(chunk)).to_bytes(4, "little") + b"WEBP"
+                    + b"VP8 " + len(chunk).to_bytes(4, "little") + chunk
+                )
+                want = ("webp", w, h, None, None)
+            elif fmt == "webp_vp8l":
+                word = (w - 1) | ((h - 1) << 14)
+                chunk = b"\x2f" + word.to_bytes(4, "little")
+                payload = (
+                    b"RIFF" + (12 + len(chunk)).to_bytes(4, "little") + b"WEBP"
+                    + b"VP8L" + len(chunk).to_bytes(4, "little") + chunk
+                )
+                want = ("webp", w, h, None, None)
+            else:  # wav
+                byte_rate = sr * ch * 2
+                payload = (
+                    b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+                    + sr.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+                    + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                    + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8
+                )
+                want = ("wav", None, None, sr, ch)
+
+            got = parse_media_container(payload)
+            assert got is not None
+            assert (
+                got["format"], got["width"], got["height"],
+                got["sample_rate"], got["channels"],
+            ) == want
+
+        prop()
+
     def test_parse_image_header_never_crashes_on_arbitrary_bytes(self):
         """(r11) property: the parser TOTAL-functions over arbitrary byte
         strings — corrupt uploads and truncated payloads at 100 TB scale
@@ -239,11 +481,18 @@ class TestMultimodal:
         from hypothesis import given, settings
         from hypothesis import strategies as st
 
-        from oni_ml_spark.datapipe.multimodal import parse_image_header
+        from oni_ml_spark.datapipe.multimodal import (
+            parse_image_header,
+            parse_media_container,
+        )
 
         magics = [
             b"", b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a",
             b"\xff\xd8", b"\xff\xd8\xff", b"BM",
+            # r12: container magics — partial RIFF/WEBP/WAVE preambles and
+            # ISO-BMFF box heads steer the fuzz into the new parsers
+            b"RIFF", b"RIFF\x10\x00\x00\x00WEBP", b"RIFF\x10\x00\x00\x00WAVE",
+            b"\x00\x00\x00\x10ftyp", b"\x00\x00\x00\x10ftypisom",
         ]
 
         @settings(max_examples=300, deadline=None)
@@ -256,9 +505,15 @@ class TestMultimodal:
             got = parse_image_header(payload)
             if got is not None:
                 assert got["n_bytes"] == len(payload)
-                assert got["format"] in ("png", "gif", "jpeg", "bmp")
+                assert got["format"] in ("png", "gif", "jpeg", "bmp", "webp")
                 assert isinstance(got["width"], int)
                 assert isinstance(got["height"], int)
+            got = parse_media_container(payload)
+            if got is not None:
+                assert got["n_bytes"] == len(payload)
+                assert got["format"] in (
+                    "png", "gif", "jpeg", "bmp", "webp", "wav", "mp4",
+                )
 
         prop()
 
