@@ -62,15 +62,49 @@ def floor_flags(
     return out
 
 
+def registry_fingerprint() -> str:
+    """md5 over every battery entry's (name, query source, oracle SQL).
+    Changes exactly when an entry is added/renamed or its code/oracle
+    changes — which is when recorded warm floors go stale.  Written into
+    BASELINE_floors.json at refresh time; tests/test_bench_guardrail.py
+    asserts the recorded fingerprint matches HEAD, mechanizing the
+    refresh discipline BASELINE.md previously enforced by prose."""
+    import hashlib
+    import inspect
+
+    from oni_ml_spark.entry_queries import ORACLES, QUERIES
+
+    h = hashlib.md5()
+    for name in sorted(QUERIES):
+        h.update(name.encode())
+        h.update(inspect.getsource(QUERIES[name]).encode())
+        h.update(ORACLES.get(name, "").encode())
+    return h.hexdigest()
+
+
+def floors_stale(floors_data: dict, current_fingerprint: str) -> bool:
+    """True when the floors file was recorded against a DIFFERENT battery
+    registry than HEAD's (or predates fingerprinting) — its warm floors
+    then describe code that no longer runs and must be re-measured."""
+    if not isinstance(floors_data, dict):
+        return True
+    return floors_data.get("registry_fingerprint") != current_fingerprint
+
+
 def _load_floors(sf: float) -> dict[str, float]:
     """Per-entry warm floors recorded in BASELINE_floors.json — only
     comparable at the same scale factor the floors were measured at."""
     try:
         with open(FLOORS_PATH) as fh:
             data = json.load(fh)
+        # shape-validate before touching fields: a floors file holding
+        # non-dict JSON (null / list / bare string) or a non-dict
+        # "queries" value must degrade exactly like a missing file
+        if not isinstance(data, dict) or not isinstance(data.get("queries"), dict):
+            return {}
         if abs(float(data.get("sf", -1.0)) - sf) > 1e-9:
             return {}
-        return data.get("queries", {})
+        return data["queries"]
     except (OSError, ValueError, TypeError):
         # a malformed floors file degrades to "no guardrail", never to a
         # crash after the whole battery already ran
@@ -109,6 +143,12 @@ def main() -> None:
         return 3
 
     order = sorted(QUERIES, key=lambda n: _family(n))  # stable within family
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — re-measure a subset (floor refresh
+    # after a single entry changes); the official battery never sets it
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        order = [n for n in order if n in wanted]
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}

@@ -63,6 +63,20 @@ class TestFloorFlags:
         # a numeric-string sf still parses (float() coercion)
         assert bench._load_floors(0.1) == {"a": 1.0}
 
+    def test_non_dict_floors_json_degrades(self, tmp_path, monkeypatch):
+        """(r12, ADVICE) non-dict top-level JSON (null / list / string /
+        number) and a non-dict "queries" value must ALSO degrade to
+        no-guardrail — previously these raised AttributeError on
+        data.get or leaked a list into floor_flags."""
+        p = tmp_path / "floors.json"
+        monkeypatch.setattr(bench, "FLOORS_PATH", str(p))
+        for content in ("null", "[1, 2]", '"floors"', "3.5",
+                        '{"sf": 0.1, "queries": [1, 2]}',
+                        '{"sf": 0.1, "queries": "a"}',
+                        '{"sf": 0.1}'):
+            p.write_text(content)
+            assert bench._load_floors(0.1) == {}
+
 
 class TestFloorsFile:
     def test_baseline_floors_cover_the_registry(self):
@@ -84,3 +98,45 @@ class TestFloorsFile:
     def test_loader_rejects_other_sf(self):
         assert bench._load_floors(0.001) == {}
         assert bench._load_floors(0.1) != {}
+
+
+class TestFloorRefreshDiscipline:
+    """(r12, VERDICT r11 #7) the floors file must be re-measured whenever
+    the battery registry changes — previously prose discipline in
+    BASELINE.md, now a fingerprint check: BASELINE_floors.json records
+    the md5 of every entry's (name, source, oracle) at refresh time and
+    this test fails on any drift."""
+
+    def test_recorded_fingerprint_matches_head(self):
+        with open(bench.FLOORS_PATH) as fh:
+            data = json.load(fh)
+        assert not bench.floors_stale(data, bench.registry_fingerprint()), (
+            "BASELINE_floors.json was recorded against a different battery "
+            "registry than HEAD — re-measure the changed entries "
+            "(SPARK_GRAFT_BENCH_ONLY=<names> bench.py at sf0.1) and stamp "
+            "the new registry_fingerprint"
+        )
+
+    def test_stale_floors_simulation_fails(self):
+        fp = "beef" * 8
+        assert bench.floors_stale({"registry_fingerprint": "0" * 32}, fp)
+        assert bench.floors_stale({}, fp)            # pre-fingerprint file
+        assert bench.floors_stale([1, 2], fp)        # malformed file
+        assert not bench.floors_stale({"registry_fingerprint": fp}, fp)
+
+    def test_fingerprint_tracks_registry_content(self):
+        """The fingerprint is a pure function of the live registry and
+        changes when any entry's oracle changes (simulated via a
+        temporary registry mutation)."""
+        import oni_ml_spark.entry_queries as eq
+
+        fp1 = bench.registry_fingerprint()
+        assert fp1 == bench.registry_fingerprint()  # deterministic
+        name = sorted(eq.ORACLES)[0]
+        orig = eq.ORACLES[name]
+        try:
+            eq.ORACLES[name] = orig + " -- mutated"
+            assert bench.registry_fingerprint() != fp1
+        finally:
+            eq.ORACLES[name] = orig
+        assert bench.registry_fingerprint() == fp1
