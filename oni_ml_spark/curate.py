@@ -33,6 +33,24 @@ boundaries with ``persist(DISK_ONLY)``).  The per-stage counts ride those
 pinned frames at state-table cost.  The report lands under
 ``<output>/_curation_report`` (underscore-hidden from parquet discovery
 of the curated data) and is printed as one JSON line.
+
+Crash-resume (r12): with ``--resume-dir`` each stage's survivor frame is
+persisted as parquet under the resume dir and sealed with a marker file
+(written tmp→rename AFTER the data lands, so a crash can never leave a
+marker without its data).  A rerun skips every leading stage whose
+marker matches the run's chained config fingerprint and recomputes from
+the first miss onward — at 100 TB a crash in stage 5 of 6 costs one
+stage, not a day.  Markers chain: each stage's fingerprint folds in all
+upstream stage configs, so changing any earlier flag invalidates
+everything downstream automatically.  Resume only ever skips a PREFIX —
+once one stage recomputes, later markers are ignored (and overwritten).
+
+Multimodal corpora note: the header sniffer classifies by magic bytes;
+plain text that literally starts with ``GIF87a``/``GIF89a`` (the one
+all-ASCII image magic with no structural discriminator) is classified as
+GIF — the same call libmagic makes.  If such prose exists in a mixed
+corpus, route the decode stage through an explicit
+``extract_media_metadata(decoder=...)`` instead of the default sniffer.
 """
 
 from __future__ import annotations
@@ -108,7 +126,103 @@ def build_parser() -> argparse.ArgumentParser:
                         "(omit for input order)")
     p.add_argument("--single-file", action="store_true",
                    help="coalesce(1) before writing (small outputs only)")
+    # crash-resume (r12)
+    p.add_argument("--resume-dir", default=None,
+                   help="directory for per-stage survivor parquet + "
+                        "markers; a rerun with the same config skips "
+                        "every stage already sealed there")
     return p
+
+
+def _stage_fingerprint(prev_fp: str, cfg: dict) -> str:
+    import hashlib
+
+    blob = prev_fp + json.dumps(cfg, sort_keys=True, default=str)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
+class _StageLedger:
+    """Crash-resume bookkeeping for the curation stages (r12).
+
+    When ``root`` is set: each completed stage's survivors persist as
+    parquet under ``<root>/<NN>_<stage>`` and are sealed by
+    ``<root>/_stage_<NN>_<stage>.json`` (tmp→rename, written only after
+    the parquet landed — a crash can leave data without a marker, never
+    the reverse).  ``lookup`` skips a stage only while the run is still on
+    the sealed PREFIX: the first miss (or fingerprint mismatch, from a
+    changed flag) flips ``live`` off and every later stage recomputes and
+    reseals.  Reading survivors back from parquet doubles as the stage
+    pin (replaces localCheckpoint on the resume path).
+
+    When ``root`` is None the ledger is inert and stages pin with
+    ``localCheckpoint`` exactly as before."""
+
+    def __init__(self, spark, root: str | None):
+        self.spark = spark
+        self.root = root
+        self.live = root is not None  # still walking the sealed prefix?
+        self.ordinal = 0
+        if root is not None:
+            from oni_ml_spark.plans.compaction import _fs
+
+            self.fs, _, self.jvm = _fs(spark, root)
+            self.fs.mkdirs(self.jvm.org.apache.hadoop.fs.Path(root))
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        tag = f"{self.ordinal:02d}_{stage}"
+        return f"{self.root}/{tag}", f"{self.root}/_stage_{tag}.json"
+
+    def lookup(self, stage: str, fp: str, with_data: bool = True):
+        """(skip?, frame, n_docs) — frame/n from the sealed marker when the
+        stage can be skipped."""
+        if self.root is None or not self.live:
+            return (False, None, 0)
+        from oni_ml_spark.plans.compaction import _read_text
+
+        data_path, marker = self._paths(stage)
+        jp = self.jvm.org.apache.hadoop.fs.Path
+        if not self.fs.exists(jp(marker)):
+            self.live = False
+            return (False, None, 0)
+        try:
+            m = json.loads(_read_text(self.fs, self.jvm, marker))
+        except ValueError:
+            self.live = False
+            return (False, None, 0)
+        if m.get("fingerprint") != fp or (
+            with_data and not self.fs.exists(jp(f"{data_path}/_SUCCESS"))
+        ):
+            self.live = False
+            return (False, None, 0)
+        frame = self.spark.read.parquet(data_path) if with_data else None
+        return (True, frame, int(m["n_docs"]))
+
+    def persist(self, stage: str, frame):
+        """Land a computed stage's survivors as parquet (no marker yet —
+        a crash here leaves data without its seal, which lookup treats
+        as not-done).  Returns the parquet-backed frame."""
+        data_path, _ = self._paths(stage)
+        frame.write.mode("overwrite").parquet(data_path)
+        return self.spark.read.parquet(data_path)
+
+    def seal(self, stage: str, fp: str, n_docs: int) -> None:
+        """Write the stage marker (tmp→rename) — ONLY after the stage's
+        data and count are final; the marker is the commit point."""
+        from oni_ml_spark.plans.compaction import _move, _write_text
+
+        _, marker = self._paths(stage)
+        _write_text(
+            self.fs, self.jvm, marker + ".tmp",
+            json.dumps({"stage": stage, "ordinal": self.ordinal,
+                        "fingerprint": fp, "n_docs": int(n_docs)}),
+        )
+        # a recompute reseals over an invalidated marker: Hadoop rename
+        # refuses to clobber, so drop the stale seal first (the window
+        # with no marker is safe — lookup treats it as not-done)
+        jmarker = self.jvm.org.apache.hadoop.fs.Path(marker)
+        if self.fs.exists(jmarker):
+            self.fs.delete(jmarker, False)
+        _move(self.fs, self.jvm, marker + ".tmp", marker)
 
 
 def run(spark, args) -> dict:
@@ -128,107 +242,185 @@ def run(spark, args) -> dict:
     for c in (id_col, text_col):
         if c not in df.columns:
             raise SystemExit(f"curate: input lacks column {c!r}")
-    # id hygiene up front: every stage is an equi-join / per-id aggregate
-    # on id_col, so a duplicate id would FAN OUT multiplicatively through
-    # five joins (fabricated row combinations, inflated stage counts) and
-    # a null id would vanish at the first join — refuse, offenders named
-    idstats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("nd"),
-        F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
-    ).first()
-    if idstats["nulls"]:
-        raise SystemExit(
-            f"curate: input has {idstats['nulls']} null {id_col} row(s) — "
-            "every stage joins on the id; null-id rows would silently vanish"
-        )
-    if idstats["nd"] != idstats["n"]:
-        raise SystemExit(
-            f"curate: {id_col} is not unique ({idstats['n']} rows, "
-            f"{idstats['nd']} distinct) — duplicate ids would fan out "
-            "multiplicatively through the stage joins"
-        )
 
     report: dict[str, int] = {}
+    ledger = _StageLedger(spark, getattr(args, "resume_dir", None))
+    fp = _stage_fingerprint(
+        "", {"input": args.input, "id_col": id_col, "text_col": text_col}
+    )
 
-    def counted(frame, stage: str):
-        # pin the stage boundary: downstream stages scan their input
-        # several times internally, and the count rides the pinned frame
-        frame = frame.localCheckpoint()
-        report[stage] = frame.count()
+    def counted(stage: str, cfg: dict, builder):
+        """Advance one stage: skip from the ledger's sealed prefix when the
+        chained fingerprint matches, else compute, count, and seal.  The
+        stage boundary is pinned either way — by the survivor parquet on
+        the resume path, by localCheckpoint otherwise (downstream stages
+        scan their input several times internally)."""
+        nonlocal fp
+        ledger.ordinal += 1
+        fp = _stage_fingerprint(fp, cfg)
+        skip, frame, n = ledger.lookup(stage, fp)
+        if skip:
+            report[stage] = n
+            return frame
+        frame = builder()
+        if ledger.root is None:
+            frame = frame.localCheckpoint()
+            report[stage] = frame.count()
+            return frame
+        frame = ledger.persist(stage, frame)   # data lands first
+        report[stage] = n = frame.count()
+        ledger.seal(stage, fp, n)              # marker is the commit point
         return frame
 
-    df = counted(df, "input")
+    # stage 0 — id hygiene: every stage is an equi-join / per-id aggregate
+    # on id_col, so a duplicate id would FAN OUT multiplicatively through
+    # five joins (fabricated row combinations, inflated stage counts) and
+    # a null id would vanish at the first join — refuse, offenders named.
+    # On resume the sealed marker proves the scan already passed; the
+    # input itself is durable parquet, so only the count is recorded.
+    ledger.ordinal += 1
+    fp = _stage_fingerprint(fp, {"stage": "input"})
+    skip, _, n = ledger.lookup("input", fp, with_data=False)
+    if skip:
+        report["input"] = n
+        # lazy pin: if every later stage also skips, the raw input is
+        # never scanned at all; if one recomputes, the pin kicks in then
+        df = df.localCheckpoint(eager=False)
+    else:
+        idstats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
+        ).first()
+        if idstats["nulls"]:
+            raise SystemExit(
+                f"curate: input has {idstats['nulls']} null {id_col} row(s) — "
+                "every stage joins on the id; null-id rows would silently vanish"
+            )
+        if idstats["nd"] != idstats["n"]:
+            raise SystemExit(
+                f"curate: {id_col} is not unique ({idstats['n']} rows, "
+                f"{idstats['nd']} distinct) — duplicate ids would fan out "
+                "multiplicatively through the stage joins"
+            )
+        df = df.localCheckpoint()
+        report["input"] = idstats["n"]
+        if ledger.root is not None:
+            ledger.seal("input", fp, idstats["n"])
 
     if args.c4_clean:
-        cleaned = line_filter(
-            df, id_col, text_col,
-            min_words=args.c4_min_words,
-            require_terminal_punct=not args.c4_no_terminal_punct,
-            dedup_lines=args.c4_dedup_lines,
-        ).filter(F.col("n_kept") > 0)
-        df = df.drop(text_col).join(
-            cleaned.select(
-                F.col("id").alias(id_col), F.col("text").alias(text_col)
-            ),
-            id_col,
+        def _c4(df=df):
+            cleaned = line_filter(
+                df, id_col, text_col,
+                min_words=args.c4_min_words,
+                require_terminal_punct=not args.c4_no_terminal_punct,
+                dedup_lines=args.c4_dedup_lines,
+            ).filter(F.col("n_kept") > 0)
+            return df.drop(text_col).join(
+                cleaned.select(
+                    F.col("id").alias(id_col), F.col("text").alias(text_col)
+                ),
+                id_col,
+            )
+
+        df = counted(
+            "after_c4_clean",
+            {"min_words": args.c4_min_words,
+             "terminal_punct": not args.c4_no_terminal_punct,
+             "dedup_lines": args.c4_dedup_lines},
+            _c4,
         )
-        df = counted(df, "after_c4_clean")
 
     if not args.skip_quality:
-        gate = quality_filter(
-            df, id_col, text_col,
-            min_tokens=args.min_tokens,
-            max_tokens=args.max_tokens,
-            min_mean_token_len=args.min_mean_token_len,
-            max_mean_token_len=args.max_mean_token_len,
-            min_stopword_hits=args.min_stopword_hits,
-            max_dup_line_frac=args.max_dup_line_frac,
-            max_dup_line_char_frac=args.max_dup_line_char_frac,
-            max_dup_para_frac=args.max_dup_para_frac,
-            max_dup_para_char_frac=args.max_dup_para_char_frac,
+        def _quality(df=df):
+            gate = quality_filter(
+                df, id_col, text_col,
+                min_tokens=args.min_tokens,
+                max_tokens=args.max_tokens,
+                min_mean_token_len=args.min_mean_token_len,
+                max_mean_token_len=args.max_mean_token_len,
+                min_stopword_hits=args.min_stopword_hits,
+                max_dup_line_frac=args.max_dup_line_frac,
+                max_dup_line_char_frac=args.max_dup_line_char_frac,
+                max_dup_para_frac=args.max_dup_para_frac,
+                max_dup_para_char_frac=args.max_dup_para_char_frac,
+            )
+            return df.join(
+                gate.filter("passes").select(F.col("id").alias(id_col)), id_col
+            )
+
+        df = counted(
+            "after_quality_gate",
+            {"min_tokens": args.min_tokens, "max_tokens": args.max_tokens,
+             "min_mean_token_len": args.min_mean_token_len,
+             "max_mean_token_len": args.max_mean_token_len,
+             "min_stopword_hits": args.min_stopword_hits,
+             "max_dup_line_frac": args.max_dup_line_frac,
+             "max_dup_line_char_frac": args.max_dup_line_char_frac,
+             "max_dup_para_frac": args.max_dup_para_frac,
+             "max_dup_para_char_frac": args.max_dup_para_char_frac},
+            _quality,
         )
-        df = df.join(
-            gate.filter("passes").select(F.col("id").alias(id_col)), id_col
-        )
-        df = counted(df, "after_quality_gate")
 
     if not args.skip_dedup:
-        clusters = near_dup_clusters(
-            df, id_col, text_col,
-            n=args.dedup_ngram,
-            num_hashes=args.dedup_hashes,
-            bands=args.dedup_bands,
-            threshold=args.dedup_threshold,
+        def _dedup(df=df):
+            clusters = near_dup_clusters(
+                df, id_col, text_col,
+                n=args.dedup_ngram,
+                num_hashes=args.dedup_hashes,
+                bands=args.dedup_bands,
+                threshold=args.dedup_threshold,
+            )
+            return df.join(
+                clusters.filter("keep").select(F.col("id").alias(id_col)), id_col
+            )
+
+        df = counted(
+            "after_near_dup",
+            {"n": args.dedup_ngram, "num_hashes": args.dedup_hashes,
+             "bands": args.dedup_bands, "threshold": args.dedup_threshold},
+            _dedup,
         )
-        df = df.join(
-            clusters.filter("keep").select(F.col("id").alias(id_col)), id_col
-        )
-        df = counted(df, "after_near_dup")
 
     if args.eval:
-        eval_df = spark.read.parquet(*args.eval.split(","))
-        df = remove_contaminated(
-            df, eval_df, id_col, text_col,
-            eval_text_col=args.eval_text_col or text_col,
-            n=args.decon_ngram,
-            max_contamination=args.max_contamination,
+        def _decon(df=df):
+            eval_df = spark.read.parquet(*args.eval.split(","))
+            return remove_contaminated(
+                df, eval_df, id_col, text_col,
+                eval_text_col=args.eval_text_col or text_col,
+                n=args.decon_ngram,
+                max_contamination=args.max_contamination,
+            )
+
+        df = counted(
+            "after_decontamination",
+            {"eval": args.eval, "eval_text_col": args.eval_text_col,
+             "n": args.decon_ngram,
+             "max_contamination": args.max_contamination},
+            _decon,
         )
-        df = counted(df, "after_decontamination")
 
     if args.model:
-        weights = spark.read.parquet(args.model)
-        scored = quality_flags(
-            hashed_linear_score(
-                df, id_col, text_col, weights, args.n_buckets,
-                bias_micro=args.model_bias_micro,
-            ),
-            args.model_threshold,
+        def _model(df=df):
+            weights = spark.read.parquet(args.model)
+            scored = quality_flags(
+                hashed_linear_score(
+                    df, id_col, text_col, weights, args.n_buckets,
+                    bias_micro=args.model_bias_micro,
+                ),
+                args.model_threshold,
+            )
+            return df.join(
+                scored.filter("passes").select(F.col("id").alias(id_col)), id_col
+            )
+
+        df = counted(
+            "after_model_gate",
+            {"model": args.model, "n_buckets": args.n_buckets,
+             "threshold": args.model_threshold,
+             "bias_micro": args.model_bias_micro},
+            _model,
         )
-        df = df.join(
-            scored.filter("passes").select(F.col("id").alias(id_col)), id_col
-        )
-        df = counted(df, "after_model_gate")
 
     if args.shuffle_seed is not None:
         df = deterministic_shuffle(df, id_col, seed=args.shuffle_seed)

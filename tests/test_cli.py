@@ -209,3 +209,94 @@ def test_curate_cli_repetition_gate(spark, tmp_path, capsys):
                  "--max-dup-line-char-frac", "0.20"])
     assert 99 not in armed
     assert armed == unarmed - {99}
+
+
+def test_curate_cli_crash_resume(spark, tmp_path, capsys, monkeypatch):
+    """(r12) crash-resume: a crash mid-pipeline leaves sealed per-stage
+    survivors under --resume-dir; the rerun SKIPS every sealed stage
+    (proven by poisoning the skipped stages' functions — they would raise
+    if called), completes, and produces a report and final training order
+    byte-identical to an uncrashed reference run.  A changed stage flag
+    invalidates that stage and everything downstream via the chained
+    fingerprint."""
+    import json as _json
+
+    import pytest as _pytest
+
+    import oni_ml_spark.datapipe.dedup as dedup_mod
+    import oni_ml_spark.datapipe.textstats as textstats_mod
+    from oni_ml_spark.curate import main as curate_main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "raw.parquet")
+    docs.write.parquet(inp)
+
+    def flags(out, extra=()):
+        return [
+            "--input", inp, "--output", out,
+            "--c4-clean", "--c4-no-terminal-punct",
+            "--min-tokens", "10", "--dedup-threshold", "0.5",
+            "--shuffle-seed", "7", "--single-file", *extra,
+        ]
+
+    def last_report():
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # uncrashed reference (no resume dir)
+    ref_out = str(tmp_path / "ref")
+    assert curate_main(flags(ref_out)) == 0
+    ref_report = last_report()
+    ref_order = [r["doc_id"] for r in spark.read.parquet(ref_out).collect()]
+
+    # run 1: crash INSIDE the near-dup stage, after c4+quality sealed
+    resume = str(tmp_path / "resume")
+    out = str(tmp_path / "curated")
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic stage-3 crash")
+
+    monkeypatch.setattr(dedup_mod, "near_dup_clusters", boom)
+    with _pytest.raises(RuntimeError, match="synthetic stage-3"):
+        curate_main(flags(out, ["--resume-dir", resume]))
+    monkeypatch.undo()
+    capsys.readouterr()
+    sealed = sorted(p.name for p in (tmp_path / "resume").glob("_stage_*"))
+    assert sealed == [
+        "_stage_01_input.json", "_stage_02_after_c4_clean.json",
+        "_stage_03_after_quality_gate.json",
+    ]
+
+    # run 2: rerun with stages 1-3's functions POISONED — they must never
+    # be called (sealed prefix skips them); the run completes and matches
+    # the uncrashed reference byte-for-byte
+    monkeypatch.setattr(textstats_mod, "line_filter", boom)
+    monkeypatch.setattr(textstats_mod, "quality_filter", boom)
+    assert curate_main(flags(out, ["--resume-dir", resume])) == 0
+    monkeypatch.undo()
+    report = last_report()
+    assert {k: report[k] for k in ref_report if k != "output"} == {
+        k: ref_report[k] for k in ref_report if k != "output"
+    }
+    got_order = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert got_order == ref_order
+    # the near-dup stage is now sealed too
+    assert (tmp_path / "resume" / "_stage_04_after_near_dup.json").exists()
+
+    # run 3: full-skip rerun — every stage sealed, still byte-identical
+    monkeypatch.setattr(textstats_mod, "line_filter", boom)
+    monkeypatch.setattr(textstats_mod, "quality_filter", boom)
+    monkeypatch.setattr(dedup_mod, "near_dup_clusters", boom)
+    assert curate_main(flags(out, ["--resume-dir", resume])) == 0
+    monkeypatch.undo()
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == ref_order
+
+    # run 4: a changed quality flag invalidates stage 2 and everything
+    # after it (chained fingerprint) while stage 1 still skips
+    monkeypatch.setattr(textstats_mod, "line_filter", boom)  # stage 1 skips
+    assert curate_main(
+        flags(out, ["--resume-dir", resume, "--min-tokens", "40"])
+    ) == 0
+    monkeypatch.undo()
+    report4 = last_report()
+    assert report4["after_c4_clean"] == ref_report["after_c4_clean"]
+    assert report4["after_quality_gate"] < ref_report["after_quality_gate"]
