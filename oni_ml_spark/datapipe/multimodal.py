@@ -184,6 +184,65 @@ def _wav_meta(b: bytes) -> dict | None:
     }
 
 
+def _flac_meta(b: bytes) -> dict | None:
+    """FLAC: 'fLaC' magic, then the mandatory STREAMINFO metadata block
+    (spec: it MUST be first).  Sample rate (20 bits), channels-1 (3
+    bits), and total samples (36 bits) sit in the 8 bytes after the
+    block-/frame-size fields — pure bit arithmetic on the public
+    layout."""
+    n = len(b)
+    if n < 26 or b[:4] != b"fLaC" or (b[4] & 0x7F) != 0:
+        return None  # first block must be STREAMINFO (type 0)
+    packed = int.from_bytes(b[18:26], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if not (0 < sample_rate < 1_000_000):
+        return None
+    return {
+        "n_bytes": n,
+        "format": "flac",
+        "width": None,
+        "height": None,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "duration_ms": (
+            total_samples * 1000 // sample_rate if total_samples else None
+        ),
+    }
+
+
+def _ogg_meta(b: bytes) -> dict | None:
+    """Ogg: 'OggS' page header (version 0), then the first packet — an
+    'OpusHead' (channel count u8, input rate LE u32) or a Vorbis
+    identification header (\\x01vorbis: channels u8, rate LE u32).
+    Unrecognized codecs still classify as ogg with null fields — the
+    container magic is real either way."""
+    n = len(b)
+    if n < 28 or b[:4] != b"OggS" or b[4] != 0:
+        return None
+    nsegs = b[26]
+    p = 27 + nsegs  # first packet starts after the segment table
+    sample_rate = channels = None
+    if b[p : p + 8] == b"OpusHead" and n >= p + 16:
+        channels = b[p + 9]
+        sample_rate = int.from_bytes(b[p + 12 : p + 16], "little")
+    elif b[p : p + 7] == b"\x01vorbis" and n >= p + 16:
+        channels = b[p + 11]
+        sample_rate = int.from_bytes(b[p + 12 : p + 16], "little")
+    if sample_rate is not None and not (0 < sample_rate < 1_000_000):
+        return None
+    return {
+        "n_bytes": n,
+        "format": "ogg",
+        "width": None,
+        "height": None,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "duration_ms": None,  # needs the last page's granule position
+    }
+
+
 def _mp4_boxes(b: bytes, start: int, end: int):
     """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
     b[start:end]; stops at the first malformed size (bounds are clamped so
@@ -336,8 +395,9 @@ def parse_image_header(payload: bytes) -> dict | None:
 
 def parse_media_container(payload: bytes) -> dict | None:
     """Header-level sniff across all three media classes: images
-    (PNG/JPEG/GIF/BMP/WebP via ``parse_image_header``), WAV audio (RIFF
-    fmt-chunk → sample rate / channels / declared-size duration), and MP4
+    (PNG/JPEG/GIF/BMP/WebP via ``parse_image_header``), audio (WAV RIFF
+    fmt-chunk, FLAC STREAMINFO, Ogg Opus/Vorbis identification headers →
+    sample rate / channels / duration where the head carries it), and MP4
     video (ftyp brand + moov-lite → track dims / mvhd duration).  Returns
     the full MEDIA_META_SCHEMA field dict or None when the payload matches
     no known container."""
@@ -346,6 +406,10 @@ def parse_media_container(payload: bytes) -> dict | None:
         return {**img, "sample_rate": None, "channels": None, "duration_ms": None}
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_meta(payload)
+    if payload[:4] == b"fLaC":
+        return _flac_meta(payload)
+    if payload[:4] == b"OggS":
+        return _ogg_meta(payload)
     return _mp4_meta(payload)
 
 
@@ -487,6 +551,93 @@ def extract_media_metadata(
             )
 
     return media.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+
+
+def _plausible_media(min_dim: int, aspect_bounds: tuple[float, float]):
+    """Column predicate: does a decoded row look like usable training
+    media?  Images gate on minimum dimension + aspect-ratio bounds (the
+    standard web-crawl icon/banner filter); audio rows gate on a sane
+    sample rate; rows with neither (stub fallbacks, header-only MP4s)
+    fail — they need a real decode before use."""
+    lo, hi = aspect_bounds
+    w, h = F.col("width"), F.col("height")
+    img_ok = (
+        w.isNotNull() & h.isNotNull()
+        & (w >= min_dim) & (h >= min_dim)
+        & (w / h >= lo) & (w / h <= hi)
+    )
+    audio_ok = F.col("sample_rate").isNotNull() & F.col("sample_rate").between(
+        100, 768_000
+    )
+    return F.when(w.isNotNull() | h.isNotNull(), img_ok).otherwise(audio_ok)
+
+
+def media_triage(
+    meta: DataFrame,
+    min_dim: int = 32,
+    aspect_bounds: tuple[float, float] = (0.2, 5.0),
+) -> DataFrame:
+    """Corpus-level format-mix table over ``extract_media_metadata``
+    output — the first question a 100 TB multimodal crawl gets asked:
+    what formats, how many bytes, what dimensions, how much survives the
+    plausibility gates.  One hash aggregate keyed on |formats| distinct
+    values (k-bounded: the sniffer emits a fixed format vocabulary), with
+    map-side partial aggregation; never touches payload bytes."""
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                _plausible_media(min_dim, aspect_bounds).cast("long")
+            ).alias("n_plausible"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.median("width").alias("p50_width"),
+            F.median("height").alias("p50_height"),
+        )
+    )
+
+
+def filter_media(
+    meta: DataFrame,
+    formats: list[str] | None = None,
+    min_dim: int = 32,
+    aspect_bounds: tuple[float, float] = (0.2, 5.0),
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Survivor selection for a decode/training pipeline: keep rows whose
+    metadata passes the plausibility gates (see ``_plausible_media``),
+    optionally restricted to a format whitelist and a payload size cap.
+    Pure row-local predicates — pushes down, no shuffle."""
+    out = meta.filter(_plausible_media(min_dim, aspect_bounds))
+    if formats is not None:
+        out = out.filter(F.col("format").isin(list(formats)))
+    if max_bytes is not None:
+        out = out.filter(F.col("n_bytes") <= max_bytes)
+    return out
+
+
+def sample_frames_by_duration(meta: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Time-based frame sampling for rows whose container declared a real
+    duration (MP4 mvhd, WAV/FLAC data-derived): one (media_id, frame_no,
+    t_ms) row per ``every_ms`` of runtime, t < duration.  Native
+    sequence+posexplode — the row-multiplying shape of real video frame
+    extraction, driven by actual timeline length instead of byte count
+    (``sample_frames``)."""
+    dur = F.col("duration_ms")
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest((F.ceil(dur / every_ms) - 1).cast("long"), F.lit(0).cast("long")),
+    )
+    return (
+        meta.filter(dur.isNotNull() & (dur > 0))
+        .select("media_id", F.posexplode(idx).alias("frame_no", "step"))
+        .select(
+            "media_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            (F.col("step") * every_ms).cast("long").alias("t_ms"),
+        )
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

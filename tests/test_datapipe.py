@@ -333,6 +333,129 @@ class TestMultimodal:
             assert parse_media_container(bad) is None
             assert decode_media_header(bad) == decode_image_stub(bad)
 
+    def test_media_triage_filter_and_duration_frames(self, spark, docs):
+        """(r12) the corpus-triage trio over extract_media_metadata output:
+        per-format mix table with plausibility counts, survivor filtering,
+        and duration-driven frame sampling — on the planted real headers
+        plus the text corpus (stub fallbacks)."""
+        from oni_ml_spark.datapipe.multimodal import (
+            attach_payload,
+            extract_media_metadata,
+            filter_media,
+            media_triage,
+            sample_frames_by_duration,
+        )
+        from oni_ml_spark.entry_queries import (
+            _planted_av_containers,
+            _planted_image_headers,
+        )
+
+        media = attach_payload(docs, "doc_id", "text").unionByName(
+            spark.createDataFrame(
+                [
+                    (i, bytearray(b))
+                    for i, b in _planted_image_headers() + _planted_av_containers()
+                ],
+                "media_id long, payload binary",
+            )
+        )
+        meta = extract_media_metadata(media).localCheckpoint()
+
+        mix = {r["format"]: r for r in media_triage(meta).collect()}
+        n_docs = docs.count()
+        assert mix["fake/raw"]["n"] == n_docs
+        # stub rows carry synthetic dims (n%640 x 7n%480) and are gated
+        # exactly like images — mirror the formula for the expected count
+        def stub_plausible(nb):
+            w, h = nb % 640, (nb * 7) % 480
+            return w >= 32 and h >= 32 and 0.2 <= w / h <= 5.0
+
+        expected = sum(
+            stub_plausible(len(r["text"].encode())) for r in docs.collect()
+        )
+        assert mix["fake/raw"]["n_plausible"] == expected
+        for fmt in ("png", "gif", "jpeg", "bmp", "webp", "wav", "mp4"):
+            assert mix[fmt]["n"] == 1
+        assert mix["png"]["n_plausible"] == 1      # 640x360: sane
+        assert mix["wav"]["n_plausible"] == 1      # 8 kHz mono: sane audio
+        assert mix["mp4"]["n_plausible"] == 1      # 640x360 track dims
+        assert mix["png"]["p50_width"] == 640.0
+        assert mix["wav"]["total_bytes"] == 76
+
+        survivors = {
+            r["media_id"] for r in filter_media(meta, min_dim=100).collect()
+        }
+        # min_dim=100 drops the 64x48 BMP; audio (no dims) gates on rate
+        assert survivors == {-1, -2, -3, -5, -6, -7}
+        only_img = {
+            r["media_id"]
+            for r in filter_media(
+                meta, formats=["png", "webp"], min_dim=100
+            ).collect()
+        }
+        assert only_img == {-1, -5}
+
+        frames = sample_frames_by_duration(meta, every_ms=1000).collect()
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r["media_id"], []).append((r["frame_no"], r["t_ms"]))
+        # only the MP4 declared a >=1s duration (5000 ms -> 5 frames);
+        # the WAV's 2 ms clip still yields its single t=0 frame
+        assert sorted(by_id[-7]) == [(i, i * 1000) for i in range(5)]
+        assert sorted(by_id[-6]) == [(0, 0)]
+        assert set(by_id) == {-6, -7}
+
+    def test_parse_flac_and_ogg_goldens(self):
+        """(r12) FLAC STREAMINFO bit unpacking (20-bit rate / 3-bit
+        channels / 36-bit total samples) and Ogg first-packet codec
+        identification (OpusHead, \\x01vorbis), plus refusals for
+        out-of-spec heads."""
+        from oni_ml_spark.datapipe.multimodal import parse_media_container
+
+        def flac(sr, ch, total):
+            packed = (sr << 44) | ((ch - 1) << 41) | (16 - 1) << 36 | total
+            return (
+                b"fLaC" + b"\x00" + (34).to_bytes(3, "big")
+                + (4096).to_bytes(2, "big") + (4096).to_bytes(2, "big")
+                + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+                + packed.to_bytes(8, "big") + b"\x00" * 16  # md5 stub
+            )
+
+        got = parse_media_container(flac(44100, 2, 88200))
+        assert (got["format"], got["sample_rate"], got["channels"],
+                got["duration_ms"]) == ("flac", 44100, 2, 2000)
+        # zero total samples (streamed/unknown length): duration null
+        assert parse_media_container(flac(48000, 1, 0))["duration_ms"] is None
+        # first block not STREAMINFO / implausible rate: refuse
+        bad = bytearray(flac(44100, 2, 88200)); bad[4] = 0x04  # VORBIS_COMMENT
+        assert parse_media_container(bytes(bad)) is None
+        assert parse_media_container(flac(0, 2, 100)) is None
+
+        def ogg(first_packet):
+            return (
+                b"OggS" + b"\x00" + b"\x02" + b"\x00" * 8  # version, BOS, granule
+                + b"\x01\x00\x00\x00" + b"\x00" * 4 + b"\x00" * 4  # serial/seq/crc
+                + b"\x01" + bytes([len(first_packet)])  # 1 segment
+                + first_packet
+            )
+
+        opus = ogg(b"OpusHead" + b"\x01" + b"\x02" + b"\x38\x01"
+                   + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+        got = parse_media_container(opus)
+        assert (got["format"], got["sample_rate"], got["channels"]) == (
+            "ogg", 48000, 2)
+        vorbis = ogg(b"\x01vorbis" + b"\x00\x00\x00\x00" + b"\x02"
+                     + (44100).to_bytes(4, "little") + b"\x00" * 12)
+        got = parse_media_container(vorbis)
+        assert (got["format"], got["sample_rate"], got["channels"]) == (
+            "ogg", 44100, 2)
+        # unknown codec in an Ogg page still classifies, fields null
+        got = parse_media_container(ogg(b"\x7fFLAC rest"))
+        assert got["format"] == "ogg" and got["sample_rate"] is None
+        # non-zero structure version: refuse
+        bad_ver = bytearray(opus); bad_ver[4] = 1
+        assert parse_media_container(bytes(bad_ver)) is None
+
     def test_codec_probe_auto_upgrades_default_decoder(self, spark, monkeypatch):
         """(r12) the guarded-import probe: in THIS sandbox (no Pillow) the
         probe returns None and the header sniffer stays the default; with
@@ -493,6 +616,7 @@ class TestMultimodal:
             # ISO-BMFF box heads steer the fuzz into the new parsers
             b"RIFF", b"RIFF\x10\x00\x00\x00WEBP", b"RIFF\x10\x00\x00\x00WAVE",
             b"\x00\x00\x00\x10ftyp", b"\x00\x00\x00\x10ftypisom",
+            b"fLaC", b"fLaC\x00\x00\x00\x22", b"OggS", b"OggS\x00\x02",
         ]
 
         @settings(max_examples=300, deadline=None)
@@ -513,6 +637,7 @@ class TestMultimodal:
                 assert got["n_bytes"] == len(payload)
                 assert got["format"] in (
                     "png", "gif", "jpeg", "bmp", "webp", "wav", "mp4",
+                    "flac", "ogg",
                 )
 
         prop()
