@@ -1765,3 +1765,49 @@ def test_streaming_contract_gate_vector_rules_quarantine_nan_batch(spark, tmp_pa
     assert {r["rule"] for r in rep2.collect() if not r["ok"]} == {"no_nan"}
     _, rep3 = read_quarantined(spark, qroot, 3)
     assert {r["rule"] for r in rep3.collect() if not r["ok"]} == {"array_dim"}
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """(r12) the multimodal decode stage runs under Structured Streaming:
+    extract_media_metadata's mapInPandas applies to a readStream frame
+    unchanged (parallelize_for_decode steps aside — micro-batch sizing is
+    the source's job), and a planted real-header corpus decodes to the
+    same metadata the batch path produces."""
+    from oni_ml_spark.datapipe.multimodal import extract_media_metadata
+    from oni_ml_spark.entry_queries import (
+        _planted_av_containers,
+        _planted_image_headers,
+    )
+
+    rows = [
+        (i, bytearray(b))
+        for i, b in _planted_image_headers() + _planted_av_containers()
+    ] + [(100, bytearray(b"just some text payload"))]
+    batch = spark.createDataFrame(rows, "media_id long, payload binary")
+    batch.write.mode("overwrite").parquet(str(tmp_path / "media_in"))
+
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(
+        str(tmp_path / "media_in")
+    )
+    out = extract_media_metadata(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("media_meta_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["media_id"]: r
+        for r in spark.sql("SELECT * FROM media_meta_stream").collect()
+    }
+    want = {r["media_id"]: r for r in extract_media_metadata(batch).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k].asDict() == want[k].asDict(), k
+    # spot: the stream really decoded, not stubbed
+    assert (got[-7]["format"], got[-7]["duration_ms"]) == ("mp4", 5000)
+    assert got[100]["format"] == "fake/raw"
