@@ -64,11 +64,17 @@ def floor_flags(
 
 def registry_fingerprint() -> str:
     """md5 over every battery entry's (name, query source, oracle SQL).
-    Changes exactly when an entry is added/renamed or its code/oracle
-    changes — which is when recorded warm floors go stale.  Written into
-    BASELINE_floors.json at refresh time; tests/test_bench_guardrail.py
-    asserts the recorded fingerprint matches HEAD, mechanizing the
-    refresh discipline BASELINE.md previously enforced by prose."""
+    Scope: REGISTRY-level drift — an entry added, renamed, rewritten, or
+    its oracle changed — which is when recorded floors provably describe
+    a different battery.  It deliberately does NOT chase callee source
+    (the library functions entries delegate to): that class of drift is
+    what the runtime floor_flags guardrail measures directly — a callee
+    regression >2x fires at measurement time whether or not the floors
+    file was refreshed, while sub-2x callee drift is re-banded at the
+    next official refresh.  Written into BASELINE_floors.json at refresh
+    time; tests/test_bench_guardrail.py asserts the recorded fingerprint
+    matches HEAD, mechanizing the refresh discipline BASELINE.md
+    previously enforced by prose."""
     import hashlib
     import inspect
 

@@ -141,6 +141,23 @@ def _stage_fingerprint(prev_fp: str, cfg: dict) -> str:
     return hashlib.md5(blob.encode("utf-8")).hexdigest()
 
 
+def _engine_fingerprint() -> str:
+    """md5 over the SOURCE of every module implementing curation stages.
+    Folded into the resume chain's base so sealed survivors computed by
+    an older implementation are invalidated by ANY stage-code change —
+    resume is crash recovery within one code version, never a license to
+    stitch old-semantics survivors into new-semantics stages."""
+    import hashlib
+    import inspect
+
+    from oni_ml_spark.datapipe import classify, dedup, sampling, textstats
+
+    h = hashlib.md5()
+    for mod in (classify, dedup, sampling, textstats):
+        h.update(inspect.getsource(mod).encode("utf-8"))
+    return h.hexdigest()
+
+
 class _StageLedger:
     """Crash-resume bookkeeping for the curation stages (r12).
 
@@ -246,7 +263,8 @@ def run(spark, args) -> dict:
     report: dict[str, int] = {}
     ledger = _StageLedger(spark, getattr(args, "resume_dir", None))
     fp = _stage_fingerprint(
-        "", {"input": args.input, "id_col": id_col, "text_col": text_col}
+        _engine_fingerprint() if ledger.root is not None else "",
+        {"input": args.input, "id_col": id_col, "text_col": text_col},
     )
 
     def counted(stage: str, cfg: dict, builder):

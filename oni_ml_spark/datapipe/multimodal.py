@@ -157,7 +157,7 @@ def _wav_meta(b: bytes) -> dict | None:
     n = len(b)
     i = 12
     sample_rate = channels = byte_rate = None
-    duration_ms = None
+    data_size = None
     while i + 8 <= n:
         cid = b[i : i + 4]
         size = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -165,14 +165,19 @@ def _wav_meta(b: bytes) -> dict | None:
             channels = int.from_bytes(b[i + 10 : i + 12], "little")
             sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
             byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
-        elif cid == b"data":
-            if byte_rate:
-                duration_ms = size * 1000 // byte_rate
+        elif cid == b"data" and data_size is None:
+            data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or channels is None:
         return None  # no fmt chunk in the available bytes: refuse
     if not (0 < channels <= 64 and 0 < sample_rate < 1_000_000):
         return None  # implausible fmt values — corrupt, not audio
+    # duration computed AFTER the walk so the non-canonical data-before-fmt
+    # chunk order (seen from real writers) still yields it
+    duration_ms = (
+        data_size * 1000 // byte_rate if data_size is not None and byte_rate
+        else None
+    )
     return {
         "n_bytes": n,
         "format": "wav",
@@ -180,7 +185,7 @@ def _wav_meta(b: bytes) -> dict | None:
         "height": None,
         "sample_rate": sample_rate,
         "channels": channels,
-        "duration_ms": duration_ms,
+        "duration_ms": _clamp_duration(duration_ms),
     }
 
 
@@ -206,7 +211,7 @@ def _flac_meta(b: bytes) -> dict | None:
         "height": None,
         "sample_rate": sample_rate,
         "channels": channels,
-        "duration_ms": (
+        "duration_ms": _clamp_duration(
             total_samples * 1000 // sample_rate if total_samples else None
         ),
     }
@@ -216,8 +221,9 @@ def _ogg_meta(b: bytes) -> dict | None:
     """Ogg: 'OggS' page header (version 0), then the first packet — an
     'OpusHead' (channel count u8, input rate LE u32) or a Vorbis
     identification header (\\x01vorbis: channels u8, rate LE u32).
-    Unrecognized codecs still classify as ogg with null fields — the
-    container magic is real either way."""
+    Unrecognized codecs AND implausible declared values still classify as
+    ogg with null fields — the container magic is real either way, only
+    the codec-declared numbers are untrusted."""
     n = len(b)
     if n < 28 or b[:4] != b"OggS" or b[4] != 0:
         return None
@@ -231,7 +237,9 @@ def _ogg_meta(b: bytes) -> dict | None:
         channels = b[p + 11]
         sample_rate = int.from_bytes(b[p + 12 : p + 16], "little")
     if sample_rate is not None and not (0 < sample_rate < 1_000_000):
-        return None
+        sample_rate = None  # lying codec header; the container is still Ogg
+    if channels is not None and not (0 < channels <= 64):
+        channels = None
     return {
         "n_bytes": n,
         "format": "ogg",
@@ -292,8 +300,13 @@ def _mp4_meta(b: bytes) -> dict | None:
                     duration = int.from_bytes(b[ips + 24 : ips + 32], "big")
                 else:
                     continue
-                if timescale > 0:
-                    duration_ms = duration * 1000 // timescale
+                # the all-ones duration is the spec's "unknown" sentinel
+                # (common in fragmented/non-faststart files) — and any
+                # lying u64 would overflow the Arrow int64 conversion
+                # downstream, so clamp to the plausibility window
+                sentinel = (1 << (32 if ver == 0 else 64)) - 1
+                if timescale > 0 and duration != sentinel:
+                    duration_ms = _clamp_duration(duration * 1000 // timescale)
             elif ityp == b"trak" and width is None:
                 for ttyp, tps, tpe in _mp4_boxes(b, ips, ipe):
                     if ttyp != b"tkhd" or tpe - tps < 4:
@@ -315,7 +328,7 @@ def _mp4_meta(b: bytes) -> dict | None:
         "height": height,
         "sample_rate": None,
         "channels": None,
-        "duration_ms": duration_ms,
+        "duration_ms": _clamp_duration(duration_ms),
     }
 
 
@@ -326,6 +339,18 @@ def _mp4_meta(b: bytes) -> dict | None:
 # all-ASCII 'BM'/'GIF8xa' magics can collide with text at all)
 _BMP_DIB_SIZES = frozenset({12, 40, 52, 56, 64, 108, 124})
 _MAX_PLAUSIBLE_DIM = 1 << 24  # no real image is 16M pixels wide
+# duration clamp: headers DECLARE durations, and corrupt/sentinel values
+# (mvhd all-ones = "unknown", lying muxers) must not flow downstream —
+# an unclamped u64 duration*1000 overflows Arrow's int64 conversion and
+# kills the whole mapInPandas stage on ONE bad file. 30 days bounds any
+# plausible single media file.
+_MAX_PLAUSIBLE_DURATION_MS = 30 * 24 * 60 * 60 * 1000
+
+
+def _clamp_duration(duration_ms: int | None) -> int | None:
+    if duration_ms is None or not (0 <= duration_ms <= _MAX_PLAUSIBLE_DURATION_MS):
+        return None
+    return duration_ms
 
 
 def _plausible(width: int, height: int) -> bool:
@@ -569,7 +594,14 @@ def _plausible_media(min_dim: int, aspect_bounds: tuple[float, float]):
     audio_ok = F.col("sample_rate").isNotNull() & F.col("sample_rate").between(
         100, 768_000
     )
-    return F.when(w.isNotNull() | h.isNotNull(), img_ok).otherwise(audio_ok)
+    # stub fallbacks FABRICATE dims (decode_image_stub's n%640 x 7n%480),
+    # so they must fail regardless of what those numbers look like — an
+    # unrecognized payload needs a real decode before it can count as
+    # usable media
+    return (
+        (F.col("format") != "fake/raw")
+        & F.when(w.isNotNull() | h.isNotNull(), img_ok).otherwise(audio_ok)
+    )
 
 
 def media_triage(
@@ -617,17 +649,31 @@ def filter_media(
     return out
 
 
-def sample_frames_by_duration(meta: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames_by_duration(
+    meta: DataFrame, every_ms: int = 1000, max_frames_per_media: int = 100_000
+) -> DataFrame:
     """Time-based frame sampling for rows whose container declared a real
     duration (MP4 mvhd, WAV/FLAC data-derived): one (media_id, frame_no,
     t_ms) row per ``every_ms`` of runtime, t < duration.  Native
     sequence+posexplode — the row-multiplying shape of real video frame
     extraction, driven by actual timeline length instead of byte count
-    (``sample_frames``)."""
+    (``sample_frames``).
+
+    ``max_frames_per_media`` is an EXPLICIT per-row cap: durations are
+    header-DECLARED (the sniffers clamp to a 30-day plausibility window,
+    but 30 days at a fine ``every_ms`` is still millions of rows), and an
+    unbounded sequence over one lying file would blow Spark's array
+    limit.  Rows hitting the cap emit exactly ``max_frames_per_media``
+    frames — truncation is visible as frame_no == cap-1."""
     dur = F.col("duration_ms")
     idx = F.sequence(
         F.lit(0),
-        F.greatest((F.ceil(dur / every_ms) - 1).cast("long"), F.lit(0).cast("long")),
+        F.least(
+            F.greatest(
+                (F.ceil(dur / every_ms) - 1).cast("long"), F.lit(0).cast("long")
+            ),
+            F.lit(max_frames_per_media - 1).cast("long"),
+        ),
     )
     return (
         meta.filter(dur.isNotNull() & (dur > 0))

@@ -364,16 +364,9 @@ class TestMultimodal:
         mix = {r["format"]: r for r in media_triage(meta).collect()}
         n_docs = docs.count()
         assert mix["fake/raw"]["n"] == n_docs
-        # stub rows carry synthetic dims (n%640 x 7n%480) and are gated
-        # exactly like images — mirror the formula for the expected count
-        def stub_plausible(nb):
-            w, h = nb % 640, (nb * 7) % 480
-            return w >= 32 and h >= 32 and 0.2 <= w / h <= 5.0
-
-        expected = sum(
-            stub_plausible(len(r["text"].encode())) for r in docs.collect()
-        )
-        assert mix["fake/raw"]["n_plausible"] == expected
+        # stub rows FABRICATE dims — they must never count as plausible
+        # media no matter what the fabricated numbers look like
+        assert mix["fake/raw"]["n_plausible"] == 0
         for fmt in ("png", "gif", "jpeg", "bmp", "webp", "wav", "mp4"):
             assert mix[fmt]["n"] == 1
         assert mix["png"]["n_plausible"] == 1      # 640x360: sane
@@ -452,9 +445,101 @@ class TestMultimodal:
         # unknown codec in an Ogg page still classifies, fields null
         got = parse_media_container(ogg(b"\x7fFLAC rest"))
         assert got["format"] == "ogg" and got["sample_rate"] is None
+        # an implausible DECLARED rate nulls the field but keeps the
+        # classification — the container magic is real, the number lies
+        zero_rate = ogg(b"OpusHead" + b"\x01" + b"\x02" + b"\x38\x01"
+                        + (0).to_bytes(4, "little") + b"\x00\x00\x00")
+        got = parse_media_container(zero_rate)
+        assert got["format"] == "ogg"
+        assert got["sample_rate"] is None and got["channels"] == 2
         # non-zero structure version: refuse
         bad_ver = bytearray(opus); bad_ver[4] = 1
         assert parse_media_container(bytes(bad_ver)) is None
+
+    def test_declared_duration_hardening(self, spark):
+        """(r12 review) header-DECLARED durations are untrusted: the mvhd
+        all-ones "unknown" sentinel and lying u64s must clamp to null
+        (unclamped they overflow the Arrow int64 conversion and kill the
+        decode stage), non-canonical WAV chunk order (data before fmt)
+        still yields a duration, and sample_frames_by_duration caps
+        per-media frames so one lying file can't blow the array limit."""
+        from pyspark.sql import functions as SF
+
+        from oni_ml_spark.datapipe.multimodal import (
+            _MAX_PLAUSIBLE_DURATION_MS,
+            extract_media_metadata,
+            parse_media_container,
+            sample_frames_by_duration,
+        )
+
+        def mp4_with_mvhd(ver, timescale, duration):
+            ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+            if ver == 0:
+                body = (
+                    bytes([0, 0, 0, 0]) + b"\x00" * 8
+                    + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+                    + b"\x00" * 80
+                )
+            else:
+                body = (
+                    bytes([1, 0, 0, 0]) + b"\x00" * 16
+                    + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+                    + b"\x00" * 80
+                )
+            mvhd = (8 + len(body)).to_bytes(4, "big") + b"mvhd" + body
+            moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+            return ftyp + moov
+
+        # v1 all-ones sentinel (would be ~3e19 ms): null, classification kept
+        got = parse_media_container(mp4_with_mvhd(1, 600, (1 << 64) - 1))
+        assert got["format"] == "mp4" and got["duration_ms"] is None
+        # v0 sentinel: same
+        got = parse_media_container(mp4_with_mvhd(0, 1, (1 << 32) - 1))
+        assert got["format"] == "mp4" and got["duration_ms"] is None
+        # lying-but-not-sentinel duration beyond 30 days: clamped to null
+        month_ms = _MAX_PLAUSIBLE_DURATION_MS
+        got = parse_media_container(mp4_with_mvhd(0, 1, 40 * 24 * 3600))
+        assert got["duration_ms"] is None
+        # sane duration survives
+        got = parse_media_container(mp4_with_mvhd(0, 600, 600 * 90))
+        assert got["duration_ms"] == 90_000
+
+        # the sentinel payload flows through the Arrow batch without
+        # killing the stage (this is the reproduced OverflowError path)
+        media = spark.createDataFrame(
+            [(1, bytearray(mp4_with_mvhd(1, 600, (1 << 64) - 1)))],
+            "media_id long, payload binary",
+        )
+        rows = extract_media_metadata(media).collect()
+        assert rows[0]["format"] == "mp4" and rows[0]["duration_ms"] is None
+
+        # WAV with data chunk BEFORE fmt: duration still computed
+        wav_swapped = (
+            b"RIFF" + (68).to_bytes(4, "little") + b"WAVE"
+            + b"data" + (32).to_bytes(4, "little") + b"\x00" * 32
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        got = parse_media_container(wav_swapped)
+        assert (got["format"], got["duration_ms"]) == ("wav", 2)
+
+        # frame cap: a max-plausible duration at 1 ms stride caps at the
+        # explicit per-media bound instead of a 2.6e9-element sequence
+        meta = spark.createDataFrame(
+            [(1, month_ms), (2, 5000)],
+            "media_id long, duration_ms long",
+        )
+        frames = (
+            sample_frames_by_duration(meta, every_ms=1, max_frames_per_media=1000)
+            .groupBy("media_id").agg(SF.count(SF.lit(1)).alias("n"),
+                                     SF.max("frame_no").alias("mx"))
+            .collect()
+        )
+        byid = {r["media_id"]: r for r in frames}
+        assert byid[1]["n"] == 1000 and byid[1]["mx"] == 999  # capped
+        assert byid[2]["n"] == 1000 and byid[2]["mx"] == 999  # 5000>cap too
 
     def test_codec_probe_auto_upgrades_default_decoder(self, spark, monkeypatch):
         """(r12) the guarded-import probe: in THIS sandbox (no Pillow) the
