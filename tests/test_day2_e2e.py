@@ -132,12 +132,31 @@ def test_day_in_production(spark, tmp_path, capsys):
     day_dir = str(tmp_path / "day_input")
     today_landed.write.parquet(day_dir)
     curated_dir = str(tmp_path / "curated")
-    rc = curate_main([
+    # run resumably, the way an unattended day-2 loop would (r12): a crash
+    # planted mid-pipeline, then the rerun completes from the sealed prefix
+    resume_dir = str(tmp_path / "curate_ledger")
+    curate_flags = [
         "--input", day_dir, "--output", curated_dir,
         "--min-tokens", "10",
         "--dedup-threshold", "0.5",
         "--shuffle-seed", "11", "--single-file",
-    ])
+        "--resume-dir", resume_dir,
+    ]
+    import oni_ml_spark.datapipe.dedup as _dedup_mod
+
+    real_near_dup = _dedup_mod.near_dup_clusters
+
+    def _crash(*a, **k):
+        raise RuntimeError("planted day-2 crash")
+
+    _dedup_mod.near_dup_clusters = _crash
+    try:
+        with pytest.raises(RuntimeError, match="planted day-2"):
+            curate_main(curate_flags)
+    finally:
+        _dedup_mod.near_dup_clusters = real_near_dup
+    capsys.readouterr()
+    rc = curate_main(curate_flags)
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["input"] == n1 + n3 + n_poisoned
