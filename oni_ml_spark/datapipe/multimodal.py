@@ -189,6 +189,104 @@ def _wav_meta(b: bytes) -> dict | None:
     }
 
 
+_MP3_SAMPLE_RATES = {  # MPEG version bits -> sample-rate table (Hz)
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+
+def _mp3_frame_rate(b: bytes, i: int) -> int | None:
+    """Sample rate from an MPEG audio frame header at offset i, or None if
+    the four bytes there are not a valid Layer III header."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (b[i + 1] >> 3) & 0x3
+    layer = (b[i + 1] >> 1) & 0x3
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    if version == 1 or layer != 1 or sr_idx == 3:  # reserved version/rate; layer III only
+        return None
+    return _MP3_SAMPLE_RATES[version][sr_idx]
+
+
+def _mp3_meta(b: bytes) -> dict | None:
+    """MP3: either a bare MPEG Layer III frame sync (FF Ex) at offset 0,
+    or an ID3v2 tag ('ID3' + version + flags + 4 syncsafe size bytes)
+    followed by a frame sync after the tag.  'ID3' is printable ASCII, so
+    the guard is structural: the version byte must be a real ID3v2
+    version (2/3/4), the four size bytes must be syncsafe (<0x80), and a
+    valid frame header must confirm where the tag says audio starts —
+    prose starting with the letters 'ID3' fails those together.  Channels
+    come from the frame's mode field; duration needs the full frame walk
+    (VBR) and stays null."""
+    n = len(b)
+    start = 0
+    if b[:3] == b"ID3":
+        if n < 10 or b[3] not in (2, 3, 4):
+            return None
+        size_bytes = b[6:10]
+        if any(x & 0x80 for x in size_bytes):
+            return None  # not syncsafe -> not a real ID3v2 header
+        tag_size = (
+            (size_bytes[0] << 21) | (size_bytes[1] << 14)
+            | (size_bytes[2] << 7) | size_bytes[3]
+        )
+        start = 10 + tag_size
+        if start + 4 > n:
+            return None  # audio starts beyond the available head: refuse
+    sample_rate = _mp3_frame_rate(b, start)
+    if sample_rate is None:
+        return None
+    mode = (b[start + 3] >> 6) & 0x3
+    return {
+        "n_bytes": n,
+        "format": "mp3",
+        "width": None,
+        "height": None,
+        "sample_rate": sample_rate,
+        "channels": 1 if mode == 3 else 2,
+        "duration_ms": None,  # needs the full frame walk (VBR-safe)
+    }
+
+
+def _tiff_dims(b: bytes) -> tuple[int, int] | None:
+    """TIFF: 'II*\\0' (little-endian) or 'MM\\0*' (big-endian), then the
+    first IFD — ImageWidth (tag 256) and ImageLength (tag 257) as SHORT
+    or LONG entry values.  The magic contains NUL bytes, so prose can
+    never reach this branch."""
+    n = len(b)
+    if n < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        endian = "little"
+    elif b[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        return None
+    ifd = int.from_bytes(b[4:8], endian)
+    if ifd + 2 > n:
+        return None
+    count = int.from_bytes(b[ifd : ifd + 2], endian)
+    width = height = None
+    for k in range(count):
+        e = ifd + 2 + 12 * k
+        if e + 12 > n:
+            break
+        tag = int.from_bytes(b[e : e + 2], endian)
+        typ = int.from_bytes(b[e + 2 : e + 4], endian)
+        if tag in (256, 257) and typ in (3, 4):
+            # SHORT values sit left-justified in the 4-byte value slot
+            nbytes = 2 if typ == 3 else 4
+            val = int.from_bytes(b[e + 8 : e + 8 + nbytes], endian)
+            if tag == 256:
+                width = val
+            else:
+                height = val
+    if width is None or height is None:
+        return None
+    return (width, height)
+
+
 def _flac_meta(b: bytes) -> dict | None:
     """FLAC: 'fLaC' magic, then the mandatory STREAMINFO metadata block
     (spec: it MUST be first).  Sample rate (20 bits), channels-1 (3
@@ -360,8 +458,8 @@ def _plausible(width: int, height: int) -> bool:
 def parse_image_header(payload: bytes) -> dict | None:
     """Pure-Python image header parse — magic + dimensions via struct
     arithmetic, NO codec library — for the four commonest web formats
-    (PNG/JPEG/GIF/WebP) plus BMP.  Returns {n_bytes, format, width,
-    height} or None when the payload is not a recognized (and
+    (PNG/JPEG/GIF/WebP) plus BMP and TIFF.  Returns {n_bytes, format,
+    width, height} or None when the payload is not a recognized (and
     sufficiently complete) image.
 
     This upgrades the decode seam's DEFAULT from a fake to a real parser
@@ -404,6 +502,11 @@ def parse_image_header(payload: bytes) -> dict | None:
         if dims is None or not _plausible(*dims):
             return None
         return {"n_bytes": n, "format": "webp", "width": dims[0], "height": dims[1]}
+    if n >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        dims = _tiff_dims(payload)
+        if dims is None or not _plausible(*dims):
+            return None
+        return {"n_bytes": n, "format": "tiff", "width": dims[0], "height": dims[1]}
     if n >= 26 and payload[:2] == b"BM":
         # 'BM' is valid ASCII, so text payloads can reach here — the DIB
         # header size at bytes 14-18 is the discriminator: real BMPs carry
@@ -420,12 +523,12 @@ def parse_image_header(payload: bytes) -> dict | None:
 
 def parse_media_container(payload: bytes) -> dict | None:
     """Header-level sniff across all three media classes: images
-    (PNG/JPEG/GIF/BMP/WebP via ``parse_image_header``), audio (WAV RIFF
-    fmt-chunk, FLAC STREAMINFO, Ogg Opus/Vorbis identification headers →
-    sample rate / channels / duration where the head carries it), and MP4
-    video (ftyp brand + moov-lite → track dims / mvhd duration).  Returns
-    the full MEDIA_META_SCHEMA field dict or None when the payload matches
-    no known container."""
+    (PNG/JPEG/GIF/BMP/WebP/TIFF via ``parse_image_header``), audio (WAV
+    RIFF fmt-chunk, FLAC STREAMINFO, Ogg Opus/Vorbis identification
+    headers, MP3 ID3v2/frame sync → sample rate / channels / duration
+    where the head carries it), and MP4 video (ftyp brand + moov-lite →
+    track dims / mvhd duration).  Returns the full MEDIA_META_SCHEMA
+    field dict or None when the payload matches no known container."""
     img = parse_image_header(payload)
     if img is not None:
         return {**img, "sample_rate": None, "channels": None, "duration_ms": None}
@@ -435,6 +538,10 @@ def parse_media_container(payload: bytes) -> dict | None:
         return _flac_meta(payload)
     if payload[:4] == b"OggS":
         return _ogg_meta(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _mp3_meta(payload)
     return _mp4_meta(payload)
 
 

@@ -456,6 +456,65 @@ class TestMultimodal:
         bad_ver = bytearray(opus); bad_ver[4] = 1
         assert parse_media_container(bytes(bad_ver)) is None
 
+    def test_parse_mp3_and_tiff_goldens(self):
+        """(r12) MP3 (ID3v2 syncsafe guard + Layer III frame header) and
+        TIFF (both endiannesses, first-IFD SHORT/LONG dims) — plus the
+        structural guards that keep prose starting with the printable
+        'ID3' letters out."""
+        from oni_ml_spark.datapipe.multimodal import (
+            parse_image_header,
+            parse_media_container,
+        )
+
+        # bare MPEG1 Layer III frame: FF FB = sync + MPEG1 + layer III;
+        # byte 2: bitrate idx 9, sample rate idx 0 (44100); byte 3:
+        # mode 01 (joint stereo)
+        bare = b"\xff\xfb\x90\x40" + b"\x00" * 32
+        got = parse_media_container(bare)
+        assert (got["format"], got["sample_rate"], got["channels"]) == (
+            "mp3", 44100, 2)
+        # mono MPEG2: version bits 10 -> 22050 at idx 0; mode 11
+        mono = b"\xff\xf3\x90\xc0" + b"\x00" * 8
+        got = parse_media_container(mono)
+        assert (got["sample_rate"], got["channels"]) == (22050, 1)
+        # ID3v2-tagged: 16-byte tag, then the frame
+        id3 = (b"ID3" + bytes([3, 0]) + b"\x00"
+               + bytes([0, 0, 0, 16]) + b"\x00" * 16 + bare)
+        got = parse_media_container(id3)
+        assert (got["format"], got["sample_rate"]) == ("mp3", 44100)
+        # prose starting 'ID3', non-syncsafe sizes, tag-past-head, and a
+        # tag whose claimed audio start holds no frame: all refuse
+        for bad in (
+            b"ID3 tags are widely used in audio files",
+            b"ID3" + bytes([3, 0]) + b"\x00" + bytes([0, 0, 0x80, 0]) + b"\x00" * 20,
+            b"ID3" + bytes([3, 0]) + b"\x00" + bytes([0, 0, 1, 0]) + b"\x00" * 4,
+            b"ID3" + bytes([3, 0]) + b"\x00" + bytes([0, 0, 0, 4]) + b"\x00" * 12,
+        ):
+            assert parse_media_container(bad) is None
+
+        def tiff(endian, w, h, typ=4):
+            bo = "little" if endian == "II" else "big"
+            magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+            nb = 2 if typ == 3 else 4
+            def entry(tag, val):
+                return (tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                        + (1).to_bytes(4, bo)
+                        + val.to_bytes(nb, bo) + b"\x00" * (4 - nb))
+            return (magic + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
+                    + entry(256, w) + entry(257, h) + (0).to_bytes(4, bo))
+
+        for e in ("II", "MM"):
+            got = parse_image_header(tiff(e, 2480, 3508))
+            assert got == {"n_bytes": 38, "format": "tiff",
+                           "width": 2480, "height": 3508}
+            # SHORT-typed dims read the left-justified 2-byte slot
+            got = parse_image_header(tiff(e, 640, 480, typ=3))
+            assert (got["width"], got["height"]) == (640, 480)
+        # IFD missing a dim tag / pointing past the head: refuse
+        assert parse_image_header(b"II*\x00" + (8).to_bytes(4, "little")
+                                  + (0).to_bytes(2, "little")) is None
+        assert parse_image_header(b"II*\x00" + (999).to_bytes(4, "little")) is None
+
     def test_declared_duration_hardening(self, spark):
         """(r12 review) header-DECLARED durations are untrusted: the mvhd
         all-ones "unknown" sentinel and lying u64s must clamp to null
@@ -702,6 +761,8 @@ class TestMultimodal:
             b"RIFF", b"RIFF\x10\x00\x00\x00WEBP", b"RIFF\x10\x00\x00\x00WAVE",
             b"\x00\x00\x00\x10ftyp", b"\x00\x00\x00\x10ftypisom",
             b"fLaC", b"fLaC\x00\x00\x00\x22", b"OggS", b"OggS\x00\x02",
+            b"ID3", b"ID3\x03\x00\x00", b"\xff\xfb", b"\xff\xe0",
+            b"II*\x00", b"MM\x00*", b"II*\x00\x08\x00\x00\x00",
         ]
 
         @settings(max_examples=300, deadline=None)
@@ -714,15 +775,15 @@ class TestMultimodal:
             got = parse_image_header(payload)
             if got is not None:
                 assert got["n_bytes"] == len(payload)
-                assert got["format"] in ("png", "gif", "jpeg", "bmp", "webp")
+                assert got["format"] in ("png", "gif", "jpeg", "bmp", "webp", "tiff")
                 assert isinstance(got["width"], int)
                 assert isinstance(got["height"], int)
             got = parse_media_container(payload)
             if got is not None:
                 assert got["n_bytes"] == len(payload)
                 assert got["format"] in (
-                    "png", "gif", "jpeg", "bmp", "webp", "wav", "mp4",
-                    "flac", "ogg",
+                    "png", "gif", "jpeg", "bmp", "webp", "tiff", "wav", "mp4",
+                    "flac", "ogg", "mp3",
                 )
 
         prop()
