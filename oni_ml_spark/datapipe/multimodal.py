@@ -3,10 +3,11 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` stages.  Header-level metadata extraction
-is REAL — pure struct arithmetic, no codec library — for five image
-formats (PNG/JPEG/GIF/BMP/WebP, ``parse_image_header``), WAV audio
-(fmt-chunk sample rate / channels / declared-size duration), and MP4
-video (ftyp + moov-lite track dims / duration) via
+is REAL — pure struct arithmetic, no codec library — for six image
+formats (PNG/JPEG/GIF/BMP/WebP/TIFF, ``parse_image_header``), four audio
+containers (WAV fmt-chunk, FLAC STREAMINFO, Ogg Opus/Vorbis, MP3
+ID3v2/frame header → sample rate / channels / duration where the head
+carries it), and MP4 video (ftyp + moov-lite track dims / duration) via
 ``parse_media_container``.  Full pixel/sample decode remains the one
 env-blocked seam: swap any ``bytes → meta`` callable in via
 ``extract_media_metadata(decoder=...)`` without touching the plan,
@@ -203,8 +204,12 @@ def _mp3_frame_rate(b: bytes, i: int) -> int | None:
         return None
     version = (b[i + 1] >> 3) & 0x3
     layer = (b[i + 1] >> 1) & 0x3
+    bitrate_idx = (b[i + 2] >> 4) & 0xF
     sr_idx = (b[i + 2] >> 2) & 0x3
-    if version == 1 or layer != 1 or sr_idx == 3:  # reserved version/rate; layer III only
+    if version == 1 or layer != 1 or sr_idx == 3 or bitrate_idx == 15:
+        # reserved version / rate / bitrate index; layer III only — every
+        # reserved field rejected shrinks the random-binary false-positive
+        # surface (crawl corpora are full of 0xFF-dense compressed junk)
         return None
     return _MP3_SAMPLE_RATES[version][sr_idx]
 
@@ -232,6 +237,8 @@ def _mp3_meta(b: bytes) -> dict | None:
             | (size_bytes[2] << 7) | size_bytes[3]
         )
         start = 10 + tag_size
+        if b[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes before audio
+            start += 10
         if start + 4 > n:
             return None  # audio starts beyond the available head: refuse
     sample_rate = _mp3_frame_rate(b, start)
@@ -274,7 +281,10 @@ def _tiff_dims(b: bytes) -> tuple[int, int] | None:
             break
         tag = int.from_bytes(b[e : e + 2], endian)
         typ = int.from_bytes(b[e + 2 : e + 4], endian)
-        if tag in (256, 257) and typ in (3, 4):
+        cnt = int.from_bytes(b[e + 4 : e + 8], endian)
+        # count must be 1: with count>1 the value slot holds a file
+        # OFFSET (TIFF spec), which would read as confident garbage dims
+        if tag in (256, 257) and typ in (3, 4) and cnt == 1:
             # SHORT values sit left-justified in the 4-byte value slot
             nbytes = 2 if typ == 3 else 4
             val = int.from_bytes(b[e + 8 : e + 8 + nbytes], endian)
@@ -546,18 +556,20 @@ def parse_media_container(payload: bytes) -> dict | None:
 
 
 def decode_image_header(payload: bytes) -> dict:
-    """REAL header parse for PNG/JPEG/GIF/BMP/WebP (``parse_image_header``),
-    deterministic stub for everything else — so non-image payloads keep the
-    stub's stable metadata while planted real headers get true dimensions.
-    Full pixel decode remains the one env-blocked seam (swap in a
-    PIL-backed callable via ``decoder=``)."""
+    """REAL header parse for the image formats ``parse_image_header``
+    covers (PNG/JPEG/GIF/BMP/WebP/TIFF), deterministic stub for everything
+    else — so non-image payloads keep the stub's stable metadata while
+    planted real headers get true dimensions.  Full pixel decode remains
+    the one env-blocked seam (swap in a PIL-backed callable via
+    ``decoder=``)."""
     parsed = parse_image_header(payload)
     return parsed if parsed is not None else decode_image_stub(payload)
 
 
 def decode_media_header(payload: bytes) -> dict:
-    """The engine's default decoder (r12): REAL header parse for the five
-    image formats plus WAV and MP4 containers (``parse_media_container``),
+    """The engine's default decoder (r12): REAL header parse for the full
+    container vocabulary — png/gif/jpeg/bmp/webp/tiff images,
+    wav/flac/ogg/mp3 audio, mp4 video (``parse_media_container``) —
     deterministic stub fallback for everything else."""
     parsed = parse_media_container(payload)
     return parsed if parsed is not None else decode_image_stub(payload)

@@ -503,6 +503,16 @@ class TestMultimodal:
             return (magic + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
                     + entry(256, w) + entry(257, h) + (0).to_bytes(4, bo))
 
+        # (review) reserved bitrate index 15: no real decoder accepts it
+        assert parse_media_container(b"\xff\xfb\xf0\x40" + b"\x00" * 8) is None
+        # (review) ID3v2.4 footer flag: audio starts 10 bytes later
+        footer_tag = (b"ID3" + bytes([4, 0]) + b"\x10"
+                      + bytes([0, 0, 0, 16]) + b"\x00" * 16
+                      + b"3DI" + bytes([4, 0]) + b"\x00" + bytes([0, 0, 0, 16])
+                      + bare)
+        got = parse_media_container(footer_tag)
+        assert (got["format"], got["sample_rate"]) == ("mp3", 44100)
+
         for e in ("II", "MM"):
             got = parse_image_header(tiff(e, 2480, 3508))
             assert got == {"n_bytes": 38, "format": "tiff",
@@ -514,6 +524,15 @@ class TestMultimodal:
         assert parse_image_header(b"II*\x00" + (8).to_bytes(4, "little")
                                   + (0).to_bytes(2, "little")) is None
         assert parse_image_header(b"II*\x00" + (999).to_bytes(4, "little")) is None
+        # (review) count>1 means the value slot holds a file OFFSET, not
+        # the dimension — refuse instead of reading garbage dims
+        bo = "little"
+        def entry_c2(tag):
+            return (tag.to_bytes(2, bo) + (4).to_bytes(2, bo)
+                    + (2).to_bytes(4, bo) + (38).to_bytes(4, bo))
+        multi = (b"II*\x00" + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
+                 + entry_c2(256) + entry_c2(257) + (0).to_bytes(4, bo))
+        assert parse_image_header(multi) is None
 
     def test_declared_duration_hardening(self, spark):
         """(r12 review) header-DECLARED durations are untrusted: the mvhd
