@@ -700,10 +700,13 @@ class TestMultimodal:
         rate = st.integers(min_value=1, max_value=384_000)
         chans = st.integers(min_value=1, max_value=8)
 
-        @settings(max_examples=200, deadline=None)
+        @settings(max_examples=250, deadline=None)
         @given(
             w=dim, h=dim, sr=rate, ch=chans,
-            fmt=st.sampled_from(["png", "gif", "webp_vp8", "webp_vp8l", "wav"]),
+            fmt=st.sampled_from([
+                "png", "gif", "webp_vp8", "webp_vp8l", "wav",
+                "flac", "tiff_ii", "tiff_mm",
+            ]),
         )
         def prop(w, h, sr, ch, fmt):
             if fmt == "png":
@@ -737,7 +740,7 @@ class TestMultimodal:
                     + b"VP8L" + len(chunk).to_bytes(4, "little") + chunk
                 )
                 want = ("webp", w, h, None, None)
-            else:  # wav
+            elif fmt == "wav":
                 byte_rate = sr * ch * 2
                 payload = (
                     b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
@@ -748,6 +751,28 @@ class TestMultimodal:
                     + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8
                 )
                 want = ("wav", None, None, sr, ch)
+            elif fmt == "flac":
+                packed = (sr << 44) | ((ch - 1) << 41) | (16 - 1) << 36 | 0
+                payload = (
+                    b"fLaC" + b"\x00" + (34).to_bytes(3, "big")
+                    + (4096).to_bytes(2, "big") + (4096).to_bytes(2, "big")
+                    + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+                    + packed.to_bytes(8, "big") + b"\x00" * 16
+                )
+                want = ("flac", None, None, sr, ch)
+            else:  # tiff, either endianness
+                bo = "little" if fmt == "tiff_ii" else "big"
+                magic = b"II*\x00" if fmt == "tiff_ii" else b"MM\x00*"
+
+                def entry(tag, val):
+                    return (tag.to_bytes(2, bo) + (4).to_bytes(2, bo)
+                            + (1).to_bytes(4, bo) + val.to_bytes(4, bo))
+
+                payload = (
+                    magic + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
+                    + entry(256, w) + entry(257, h) + (0).to_bytes(4, bo)
+                )
+                want = ("tiff", w, h, None, None)
 
             got = parse_media_container(payload)
             assert got is not None
