@@ -344,10 +344,24 @@ def _ogg_meta(b: bytes) -> dict | None:
     elif b[p : p + 7] == b"\x01vorbis" and n >= p + 16:
         channels = b[p + 11]
         sample_rate = int.from_bytes(b[p + 12 : p + 16], "little")
+    is_opus = b[p : p + 8] == b"OpusHead"
     if sample_rate is not None and not (0 < sample_rate < 1_000_000):
         sample_rate = None  # lying codec header; the container is still Ogg
     if channels is not None and not (0 < channels <= 64):
         channels = None
+    # duration: the LAST page's granule position counts PCM samples —
+    # only available when the payload holds the end of the stream
+    # (header-only reads keep null).  Opus granules tick at 48 kHz
+    # regardless of the input rate (RFC 7845); Vorbis at the declared
+    # rate.  rfind can land on 'OggS' bytes inside codec data, so the
+    # value is best-effort and rides the plausibility clamp.
+    duration_ms = None
+    gr_rate = 48_000 if is_opus else sample_rate
+    last = b.rfind(b"OggS")
+    if last > 0 and gr_rate and last + 14 <= n and b[last + 4] == 0:
+        granule = int.from_bytes(b[last + 6 : last + 14], "little")
+        if granule not in (0, (1 << 64) - 1):  # 0 = header page, -1 = none
+            duration_ms = _clamp_duration(granule * 1000 // gr_rate)
     return {
         "n_bytes": n,
         "format": "ogg",
@@ -355,7 +369,7 @@ def _ogg_meta(b: bytes) -> dict | None:
         "height": None,
         "sample_rate": sample_rate,
         "channels": channels,
-        "duration_ms": None,  # needs the last page's granule position
+        "duration_ms": duration_ms,
     }
 
 

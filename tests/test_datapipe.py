@@ -455,6 +455,24 @@ class TestMultimodal:
         # non-zero structure version: refuse
         bad_ver = bytearray(opus); bad_ver[4] = 1
         assert parse_media_container(bytes(bad_ver)) is None
+        # whole-file payload: the final page's granule position yields the
+        # duration (Opus granules tick at 48 kHz regardless of input rate)
+        def ogg_page(granule, packet, ptype=0):
+            return (
+                b"OggS" + b"\x00" + bytes([ptype])
+                + granule.to_bytes(8, "little")
+                + b"\x01\x00\x00\x00" + b"\x00" * 4 + b"\x00" * 4
+                + b"\x01" + bytes([len(packet)]) + packet
+            )
+        whole = (
+            ogg_page(0, b"OpusHead" + b"\x01" + b"\x02" + b"\x38\x01"
+                     + (48000).to_bytes(4, "little") + b"\x00\x00\x00", 2)
+            + ogg_page(96000, b"\x00" * 10, 4)  # EOS page: 2 s at 48 kHz
+        )
+        got = parse_media_container(whole)
+        assert (got["format"], got["duration_ms"]) == ("ogg", 2000)
+        # header-only payload still carries null duration
+        assert parse_media_container(opus)["duration_ms"] is None
 
     def test_parse_mp3_and_tiff_goldens(self):
         """(r12) MP3 (ID3v2 syncsafe guard + Layer III frame header) and
