@@ -203,7 +203,9 @@ class _StageLedger:
             return (False, None, 0)
         try:
             m = json.loads(_read_text(self.fs, self.jvm, marker))
-        except ValueError:
+        except Exception:  # noqa: BLE001 — truncated JSON, Hadoop checksum
+            # mismatch (Py4JJavaError), any unreadable seal: the stage is
+            # NOT-DONE, never a crash — recompute from here
             self.live = False
             return (False, None, 0)
         if m.get("fingerprint") != fp or (

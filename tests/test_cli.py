@@ -300,3 +300,70 @@ def test_curate_cli_crash_resume(spark, tmp_path, capsys, monkeypatch):
     report4 = last_report()
     assert report4["after_c4_clean"] == ref_report["after_c4_clean"]
     assert report4["after_quality_gate"] < ref_report["after_quality_gate"]
+
+
+class TestStageLedger:
+    """(r12) unit coverage for the resume ledger's commit-point contract,
+    beyond the end-to-end CLI runs: data-without-marker is not-done, a
+    corrupt or mismatched seal kills the prefix, and reseal clobbers."""
+
+    def _ledger(self, spark, tmp_path):
+        from oni_ml_spark.curate import _StageLedger
+
+        return _StageLedger(spark, str(tmp_path / "ledger"))
+
+    def test_persist_without_seal_is_not_done(self, spark, tmp_path):
+        led = self._ledger(spark, tmp_path)
+        led.ordinal = 1
+        df = spark.range(5)
+        led.persist("stage_a", df)  # data lands, NO marker (crash window)
+        skip, frame, n = led.lookup("stage_a", "fp1")
+        assert not skip and led.live is False
+
+    def test_sealed_stage_skips_and_returns_frame(self, spark, tmp_path):
+        led = self._ledger(spark, tmp_path)
+        led.ordinal = 1
+        led.persist("stage_a", spark.range(5))
+        led.seal("stage_a", "fp1", 5)
+        skip, frame, n = led.lookup("stage_a", "fp1")
+        assert skip and n == 5 and frame.count() == 5
+
+    def test_fingerprint_mismatch_kills_prefix(self, spark, tmp_path):
+        led = self._ledger(spark, tmp_path)
+        led.ordinal = 1
+        led.persist("stage_a", spark.range(3))
+        led.seal("stage_a", "fp1", 3)
+        led.ordinal = 2
+        led.persist("stage_b", spark.range(2))
+        led.seal("stage_b", "fp2", 2)
+        # fresh ledger, changed config at stage 1: nothing may skip, not
+        # even stage 2 whose own marker is intact (prefix-only rule)
+        led2 = self._ledger(spark, tmp_path)
+        led2.ordinal = 1
+        skip, *_ = led2.lookup("stage_a", "CHANGED")
+        assert not skip and led2.live is False
+        led2.ordinal = 2
+        skip, *_ = led2.lookup("stage_b", "fp2")
+        assert not skip
+
+    def test_corrupt_marker_is_not_done(self, spark, tmp_path):
+        led = self._ledger(spark, tmp_path)
+        led.ordinal = 1
+        led.persist("stage_a", spark.range(3))
+        led.seal("stage_a", "fp1", 3)
+        (tmp_path / "ledger" / "_stage_01_stage_a.json").write_text("{trunc")
+        led2 = self._ledger(spark, tmp_path)
+        led2.ordinal = 1
+        skip, *_ = led2.lookup("stage_a", "fp1")
+        assert not skip and led2.live is False
+
+    def test_reseal_clobbers_stale_marker(self, spark, tmp_path):
+        led = self._ledger(spark, tmp_path)
+        led.ordinal = 1
+        led.persist("stage_a", spark.range(3))
+        led.seal("stage_a", "fp1", 3)
+        led.seal("stage_a", "fp2", 99)  # recompute reseals over the old one
+        led2 = self._ledger(spark, tmp_path)
+        led2.ordinal = 1
+        skip, _, n = led2.lookup("stage_a", "fp2")
+        assert skip and n == 99
