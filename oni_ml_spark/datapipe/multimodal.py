@@ -395,6 +395,53 @@ def _mp4_boxes(b: bytes, start: int, end: int):
         i += size
 
 
+# ISO-BMFF major brands that are IMAGES, not video — without this an
+# AVIF/HEIC payload (ftyp like any mp4) would be mislabeled as video in
+# the format-mix triage
+_BMFF_IMAGE_BRANDS = {
+    b"avif": "avif", b"avis": "avif",
+    b"heic": "heic", b"heix": "heic",
+    b"mif1": "heif", b"msf1": "heif",
+}
+
+
+def _bmff_image_meta(b: bytes, fmt: str) -> dict:
+    """Dimensions for a BMFF-container image (AVIF/HEIC): meta (a FullBox
+    — 4 version/flags bytes after the header) → iprp → ipco → first ispe
+    property (version/flags + width u32be + height u32be).  Dims stay
+    null when the property boxes aren't in the available head."""
+    n = len(b)
+    width = height = None
+    for btype, ps, pe in _mp4_boxes(b, 0, n):
+        if btype != b"meta":
+            continue
+        for t1, s1, e1 in _mp4_boxes(b, ps + 4, pe):  # skip FullBox prefix
+            if t1 != b"iprp":
+                continue
+            for t2, s2, e2 in _mp4_boxes(b, s1, e1):
+                if t2 != b"ipco":
+                    continue
+                for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                    if t3 == b"ispe" and e3 - s3 >= 12:
+                        w = int.from_bytes(b[s3 + 4 : s3 + 8], "big")
+                        h = int.from_bytes(b[s3 + 8 : s3 + 12], "big")
+                        if _plausible(w, h):
+                            width, height = w, h
+                        break
+                break
+            break
+        break
+    return {
+        "n_bytes": n,
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "channels": None,
+        "duration_ms": None,
+    }
+
+
 def _mp4_meta(b: bytes) -> dict | None:
     """ISO-BMFF 'moov-lite' walk: classify by the ftyp box (must be the
     file's first box per the spec), then best-effort extract duration
@@ -402,10 +449,15 @@ def _mp4_meta(b: bytes) -> dict | None:
     dimensions (moov/trak/tkhd: 16.16 fixed-point width/height).  ``moov``
     commonly sits at the END of a non-faststart file, so a header-only
     payload classifies as mp4 with null dims/duration rather than
-    refusing — format-mix triage works either way."""
+    refusing — format-mix triage works either way.  Image brands
+    (AVIF/HEIC/HEIF) dispatch to the ispe-property walk instead of being
+    mislabeled as video."""
     n = len(b)
     if n < 12 or b[4:8] != b"ftyp":
         return None
+    img_fmt = _BMFF_IMAGE_BRANDS.get(b[8:12])
+    if img_fmt is not None:
+        return _bmff_image_meta(b, img_fmt)
     width = height = None
     duration_ms = None
     for btype, ps, pe in _mp4_boxes(b, 0, n):

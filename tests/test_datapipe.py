@@ -552,6 +552,31 @@ class TestMultimodal:
                  + entry_c2(256) + entry_c2(257) + (0).to_bytes(4, bo))
         assert parse_image_header(multi) is None
 
+    def test_bmff_image_brands_classify_as_images(self):
+        """(r12) AVIF/HEIC are ISO-BMFF files with an ftyp box like any
+        mp4 — brand dispatch must classify them as IMAGES (with ispe
+        dims when the property boxes are in the head), never as video."""
+        from oni_ml_spark.datapipe.multimodal import parse_media_container
+
+        def box(t, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+        ftyp_avif = box(b"ftyp", b"avif" + b"\x00" * 4 + b"mif1")
+        ispe = box(b"ispe", b"\x00" * 4
+                   + (1200).to_bytes(4, "big") + (800).to_bytes(4, "big"))
+        meta = box(b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", ispe)))
+        got = parse_media_container(ftyp_avif + meta)
+        assert (got["format"], got["width"], got["height"],
+                got["duration_ms"]) == ("avif", 1200, 800, None)
+        # ftyp-only head: classified by brand, dims honestly null
+        got = parse_media_container(ftyp_avif)
+        assert got["format"] == "avif" and got["width"] is None
+        ftyp_heic = box(b"ftyp", b"heic" + b"\x00" * 4)
+        assert parse_media_container(ftyp_heic)["format"] == "heic"
+        # a video brand still routes to the moov walk
+        ftyp_isom = box(b"ftyp", b"isom" + b"\x00" * 4)
+        assert parse_media_container(ftyp_isom)["format"] == "mp4"
+
     def test_declared_duration_hardening(self, spark):
         """(r12 review) header-DECLARED durations are untrusted: the mvhd
         all-ones "unknown" sentinel and lying u64s must clamp to null
@@ -845,7 +870,7 @@ class TestMultimodal:
                 assert got["n_bytes"] == len(payload)
                 assert got["format"] in (
                     "png", "gif", "jpeg", "bmp", "webp", "tiff", "wav", "mp4",
-                    "flac", "ogg", "mp3",
+                    "flac", "ogg", "mp3", "avif", "heic", "heif",
                 )
 
         prop()
