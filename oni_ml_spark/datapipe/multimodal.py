@@ -634,7 +634,7 @@ def decode_image_header(payload: bytes) -> dict:
 
 def decode_media_header(payload: bytes) -> dict:
     """The engine's default decoder (r12): REAL header parse for the full
-    container vocabulary — png/gif/jpeg/bmp/webp/tiff images,
+    container vocabulary — png/gif/jpeg/bmp/webp/tiff/avif/heic images,
     wav/flac/ogg/mp3 audio, mp4 video (``parse_media_container``) —
     deterministic stub fallback for everything else."""
     parsed = parse_media_container(payload)
