@@ -407,39 +407,33 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
-    """Per-key robust statistics via grouped applyInPandas:
-    (key, n, median, mad) with mad = median(|x - median(x)|).
+    """Per-key robust statistics: (key, n, median, mad) with
+    mad = median(|x - median(x)|).
 
-    The applyInPandas surface (Arrow-batched grouped UDF) for aggregations
-    Spark SQL can't express in one pass — medians-of-derived-values need
-    the whole group in hand. Groups stream through Arrow; memory is bounded
-    by the largest single group.
+    r12: two JVM ``percentile`` aggregations (exact, interpolating — the
+    same lower + frac·(upper−lower) rule NumPy's median applies at the
+    0.5 midpoint) replace the grouped applyInPandas stage. Every row used
+    to cross the JVM→Python boundary twice per run (Arrow out, Arrow
+    back); now the whole operator is native partial-aggregate +
+    final-aggregate (map-side combine, no Python workers, no
+    FlatMapGroupsInPandas exchange pinning whole groups in one task —
+    guide §4.1). MAD needs the group median first, so it is a second
+    grouped pass over (value − median): one extra broadcast-joined
+    aggregation instead of whole-group-in-hand Python.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    # the key column keeps its input type — string keys are the common case
-    out_schema = T.StructType(
-        [
-            T.StructField("key", df.schema[key_col].dataType),
-            T.StructField("n", T.LongType()),
-            T.StructField("median", T.DoubleType()),
-            T.StructField("mad", T.DoubleType()),
-        ]
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
     )
-
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf[value_col].to_numpy(dtype="float64")
-        med = float(np.median(vals))
-        mad = float(np.median(np.abs(vals - med)))
-        return pd.DataFrame(
-            {"key": [pdf[key_col].iloc[0]], "n": [len(vals)],
-             "median": [med], "mad": [mad]}
-        )
-
-    return df.groupBy(key_col).applyInPandas(stats, out_schema)
+    # no broadcast hint on the median side: |keys| is data-dependent, so the
+    # join strategy is left to Catalyst/AQE (broadcast when the aggregated
+    # side is small, shuffle join at scale)
+    dev = df.join(med, F.col(key_col) == F.col("key"), "inner").select(
+        "key", F.abs(v - F.col("median")).alias("__ad")
+    )
+    mad = dev.groupBy("key").agg(F.expr("percentile(__ad, 0.5)").alias("mad"))
+    return med.join(mad, "key").select("key", "n", "median", "mad")
 
 
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

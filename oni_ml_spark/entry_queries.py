@@ -3443,8 +3443,8 @@ def ann_ivf_kmeans(spark, sf):
         brute_force_topk,
         build_ivf_index,
         build_pq_codebooks,
-        ivf_kmeans_topk,
         ivf_pq_search,
+        ivf_search,
         pq_encode,
         pq_search,
     )
@@ -3454,9 +3454,86 @@ def ann_ivf_kmeans(spark, sf):
     # every small result frame below feeds 2-4 downstream consumers inside
     # ONE unioned job — localCheckpoint pins each (bounded: <= 5*k rows)
     # so the expensive subtree (crossJoin top-k, mapInPandas ADC scoring)
-    # evaluates once, not once per consumer
-    ivf = ivf_kmeans_topk(q, emb, k=5, n_cells=8, n_probe=4).localCheckpoint()
-    exact = brute_force_topk(q, emb, k=5).localCheckpoint()
+    # evaluates once, not once per consumer.
+    #
+    # r12 optimization (guide §1.2 step 1 + §2.6): the entry used to fit the
+    # n_cells=8/seed=7 IVF KMeans index TWICE — once inside ivf_kmeans_topk
+    # and once via the direct build_ivf_index call for the IVF-PQ
+    # composition. The fit is seeded and deterministic, so both produced the
+    # identical index; now it is built ONCE and shared. The four remaining
+    # independent eager sub-DAGs (IVF build+search, exact-cosine baseline,
+    # PQ codebooks→encode→flat-ADC, exact-L2 baseline) are submitted from a
+    # small driver thread pool so their KMeans iteration jobs / checkpoint
+    # jobs backfill each other's stragglers instead of running serially —
+    # every fit keeps its own seed, so the result tensor is identical to
+    # the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _branch_ivf():
+        cent_df, assigned = build_ivf_index(
+            emb, "vec_id", "embedding", n_cells=8, seed=7
+        )
+        # assigned feeds both the IVF search and the IVF-PQ code join —
+        # pin it (corpus-sized but narrow) so the KMeans model transform
+        # runs once, not once per consumer
+        assigned = assigned.localCheckpoint()
+        ivf = ivf_search(
+            q, cent_df, assigned, "vec_id", "embedding", k=5, n_probe=4
+        ).localCheckpoint()
+        return cent_df, assigned, ivf
+
+    def _branch_exact():
+        return brute_force_topk(q, emb, k=5).localCheckpoint()
+
+    # ---- PQ stack: one codebook fit + one encode shared by flat ADC and
+    # the composed IVF-PQ index (refitting per consumer would double the
+    # KMeans cost for identical books)
+    def _branch_pq():
+        books = build_pq_codebooks(
+            emb, "embedding", m=8, codes_per_subspace=16, dim=64, seed=7
+        )
+        # enc feeds flat ADC, the IVF-PQ code join, and both probed
+        # searches — pin the corpus-sized-but-2-bytes-per-code table once
+        enc = pq_encode(emb, "vec_id", "embedding", books).localCheckpoint()
+        flat = pq_search(
+            q, enc, books, "vec_id", "embedding", k=5
+        ).localCheckpoint()
+        return books, enc, flat
+
+    # exact squared-L2 top-5 — the metric ADC approximates (cosine exact_topk
+    # above ranks differently on unnormalized embeddings)
+    def _branch_l2():
+        qd = q.select(
+            F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv")
+        )
+        cd = emb.select(
+            F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv")
+        )
+        wl2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        return (
+            qd.crossJoin(cd)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.aggregate(
+                    F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ).alias("d2"),
+            )
+            .withColumn("rank", F.row_number().over(wl2))
+            .filter(F.col("rank") <= 5)
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_ivf = pool.submit(_branch_ivf)
+        f_exact = pool.submit(_branch_exact)
+        f_pq = pool.submit(_branch_pq)
+        f_l2 = pool.submit(_branch_l2)
+        cent_df, assigned, ivf = f_ivf.result()
+        exact = f_exact.result()
+        books, enc, flat = f_pq.result()
+        exact_l2 = f_l2.result()
+
     a_ivf = ivf.agg(
         F.count(F.lit(1)).cast("long").alias("n_results"),
         F.sum(
@@ -3490,34 +3567,6 @@ def ann_ivf_kmeans(spark, sf):
         F.col("rank").cast("long").alias("r"),
     )
 
-    # ---- PQ stack: one codebook fit + one encode shared by flat ADC and
-    # the composed IVF-PQ index (refitting per consumer would double the
-    # KMeans cost for identical books)
-    books = build_pq_codebooks(
-        emb, "embedding", m=8, codes_per_subspace=16, dim=64, seed=7
-    )
-    # enc feeds flat ADC, the IVF-PQ code join, and both probed searches —
-    # pin the corpus-sized-but-2-bytes-per-code table once
-    enc = pq_encode(emb, "vec_id", "embedding", books).localCheckpoint()
-    flat = pq_search(q, enc, books, "vec_id", "embedding", k=5).localCheckpoint()
-    # exact squared-L2 top-5 — the metric ADC approximates (cosine exact_topk
-    # above ranks differently on unnormalized embeddings)
-    qd = q.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv"))
-    cd = emb.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv"))
-    wl2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact_l2 = (
-        qd.crossJoin(cd)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.aggregate(
-                F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ).alias("d2"),
-        )
-        .withColumn("rank", F.row_number().over(wl2))
-        .filter(F.col("rank") <= 5)
-    ).localCheckpoint()
     p_n = flat.agg(
         F.count(F.lit(1)).cast("long").alias("n_flat"),
         F.sum(
@@ -3540,7 +3589,8 @@ def ann_ivf_kmeans(spark, sf):
         .otherwise(F.lit(0)).cast("long").alias("r"),
     )
 
-    cent_df, assigned = build_ivf_index(emb, "vec_id", "embedding", n_cells=8, seed=7)
+    # cent_df/assigned come from the single shared IVF build above (the
+    # seeded fit makes them identical to what a second build would produce)
     assigned_codes = assigned.select("neighbor_id", "cell").join(
         enc.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
     )

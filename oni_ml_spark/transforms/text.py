@@ -60,12 +60,15 @@ def string_entropy(col: Column | str) -> Column:
     chars = F.split(s, "")  # ['a','b','c'] — O(n), unlike a substr loop
 
     uniq = F.array_distinct(chars)
-    # counts materialized once via transform — HOF lambdas are interpreted
-    # per element, so evaluating the O(len) filter once per distinct char
-    # (not twice, for p and log2(p)) halves the dominant cost; the float
+    # count per distinct char as len(s) - len(replace(s, c)) — replace is a
+    # native (codegen) string intrinsic, so the interpreted-lambda count
+    # drops from O(distinct·len) filter-element evaluations to O(distinct)
+    # transform steps (guide §4.1: prefer built-ins inside HOFs). The counts
+    # are the same exact integers the filter(chars, x == c) form produced
+    # (single-code-point search, literal match, no overlap), and the float
     # expression and summation order are unchanged (p*log2(p) in
     # first-appearance order), keeping reference goldens bit-identical
-    cnts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"))
+    cnts = F.transform(uniq, lambda c: (n - F.length(F.replace(s, c))).cast("double"))
     ent = -F.aggregate(cnts, F.lit(0.0), lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n))
     return F.when(s.isNull() | (n == 0), F.lit(0.0)).otherwise(ent)
 
