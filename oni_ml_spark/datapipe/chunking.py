@@ -161,11 +161,20 @@ def pack_sequences(
     text_col: str,
     capacity: int = 2048,
     num_partitions: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, bin_id) — assign each document to a packing bin.
 
     First-fit-decreasing per partition (see module docstring). Documents
     longer than the capacity get a bin of their own.
+
+    ``n_tokens_col`` (r12): callers that already carry a whitespace token
+    count (``chunk_documents`` emits one per chunk) can name it to skip
+    re-tokenizing ``text_col`` — the count feeds both the range
+    partitioner's sampling pass and the shuffle itself, so without it the
+    corpus is tokenized twice per pack (guide §2.3: shuffle metadata, not
+    payloads). Values are identical by construction for chunk output
+    (chunk_text is the single-space join of the counted tokens).
     """
     from collections.abc import Iterator
 
@@ -177,8 +186,11 @@ def pack_sequences(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    count_col = (
+        F.col(n_tokens_col) if n_tokens_col is not None else F.size(tokens(text_col))
+    )
     sized = df.select(
-        F.col(id_col).alias("id"), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+        F.col(id_col).alias("id"), count_col.cast("long").alias("n_tokens")
     )
     ranged = sized.repartitionByRange(
         n_parts, F.desc("n_tokens")

@@ -171,6 +171,19 @@ def minhash_hash_exprs(c: Column, num_hashes: int) -> list[Column]:
     return out
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) minhash signatures from a prebuilt (id, shingle) table.
+
+    min() over exact md5-derived longs is order-insensitive, so the result
+    is identical whether the shingle table is computed fresh, cached, or
+    shared with another consumer (unlike order-sensitive fits, sharing
+    cannot move any value)."""
+    hashes = minhash_hash_exprs(F.col("shingle"), num_hashes)
+    mins = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -179,11 +192,9 @@ def minhash_signatures(
     One explode + one groupBy; the k hash functions are computed per shingle
     as literal expressions (no UDF). Deterministic across runs and engines.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    hashes = minhash_hash_exprs(F.col("shingle"), num_hashes)
-    mins = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return _signatures_from_shingles(
+        shingle_table(df, id_col, text_col, n), num_hashes
+    )
 
 
 def _banded_buckets(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -239,6 +250,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -246,8 +258,14 @@ def minhash_lsh_candidates(
     → groupBy(band, bucket) self-pairing. Returns distinct (id_a, id_b).
     At scale: the band-bucket shuffle replaces the all-pairs O(N²) — the
     standard minhash-LSH trade (tune bands/rows for the target Jaccard).
+
+    ``sig`` (r12): a precomputed ``minhash_signatures``/``lsh_index`` table
+    for the SAME (n, num_hashes) — callers that already hold the corpus
+    index (the persisted-index flow) pass it to skip re-shingling and
+    re-hashing the corpus for candidate generation.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = _banded_buckets(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -340,17 +358,38 @@ def near_dup_pairs(
     bands: int = 4,
     threshold: float = 0.6,
     max_df_fraction: float | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The production near-dup flow: LSH candidate generation → exact
-    Jaccard verification of candidates only.
+    Jaccard verification of candidates only. ``sig`` — see
+    ``minhash_lsh_candidates``.
 
     This is the composition SCALE.md prescribes for 100 TB: the banded-LSH
     bucket join bounds the candidate set, then the exact intersection count
     runs only over candidate pairs (broadcast-joined against the shingle
     table), never all pairs. Returns (id_a, id_b, jaccard >= threshold).
     """
-    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = shingle_table(df, id_col, text_col, n, max_df_fraction).cache()
+    # ONE shingle pass (r12, guide §1.2): the signature side and the
+    # verification side previously each ran the tokenize → n-gram →
+    # explode chain over the corpus. Build the unfiltered shingle table
+    # once, cache it, and derive BOTH the minhash signatures (when the
+    # caller didn't hand one in) and the verify-side table from it.
+    # Signatures are exact mins over md5 longs, so sharing cannot move
+    # any value; the max_df_fraction stop-shingle filter applies (as
+    # before) only to the verification side.
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    if sig is None:
+        sig = _signatures_from_shingles(sh, num_hashes)
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands, sig=sig)
+    if max_df_fraction is not None:
+        n_docs = df.count()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > n_docs * max_df_fraction)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
@@ -810,6 +849,7 @@ def duplicate_span_metrics(
     text_col: str,
     span: int = 10,
     min_count: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage — the diagnostic side of
     exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
@@ -830,7 +870,11 @@ def duplicate_span_metrics(
     base = df.select(
         F.col(id_col).alias("id"), F.size(tokens(text_col)).alias("n_tokens")
     )
-    grams = _span_gram_table(df, id_col, text_col, span)
+    # ``grams`` (r12): callers composing several n-gram diagnostics over one
+    # corpus can pass a shared (cached) ``_span_gram_table`` so the
+    # tokenize → n-gram → md5 pass runs once, not once per operator
+    if grams is None:
+        grams = _span_gram_table(df, id_col, text_col, span)
     occ = grams.groupBy("gkey").agg(F.count(F.lit(1)).alias("occ"))
     dup = (
         grams.join(occ.filter(F.col("occ") >= min_count), "gkey")

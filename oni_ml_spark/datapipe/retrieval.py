@@ -35,7 +35,8 @@ def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tf_idf(
-    df: DataFrame, id_col: str, text_col: str, n_docs: int | None = None
+    df: DataFrame, id_col: str, text_col: str, n_docs: int | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(id, term, tf, df, tfidf) with the smoothed IDF
     ln((N + 1) / (df + 1)) + 1 (the scikit-learn convention — never
@@ -47,8 +48,16 @@ def tf_idf(
     not count toward N (they have no postings) — sklearn's TfidfVectorizer
     counts every input row. Pass ``n_docs`` to pin N explicitly (e.g. the
     full corpus size, or a constant held fixed across incremental batches).
+
+    ``tf`` (r12): a precomputed ``term_frequencies`` postings table. A
+    caller composing several lexical operators over ONE corpus (tf-idf +
+    BM25 + per-group top terms) otherwise re-runs the tokenize → explode →
+    (id, term) shuffle once per operator; passing a shared (cached)
+    postings table makes that one corpus pass total (guide §1.2: remove
+    duplicate passes).
     """
-    tf = term_frequencies(df, id_col, text_col)
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if n_docs is None:
         # distinct docs with >= 1 token, computed in-plan: max over the
@@ -75,6 +84,7 @@ def top_terms_per_group(
     text_col: str,
     k: int = 10,
     min_df: int = 1,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(group, term, sum_tfidf, n_docs, rank) — the k most characteristic
     terms of each group by summed TF-IDF: the "what is actually IN this
@@ -105,7 +115,7 @@ def top_terms_per_group(
         raise ValueError("min_df must be >= 1")
     from oni_ml_spark.datapipe.ranking import grouped_topk
 
-    ti = tf_idf(df, id_col, text_col).filter(F.col("df") >= min_df)
+    ti = tf_idf(df, id_col, text_col, tf=tf).filter(F.col("df") >= min_df)
     labels = df.select(
         F.col(id_col).alias("id"), F.col(group_col).alias("group")
     )
@@ -129,6 +139,7 @@ def bm25_scores(
     query_terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) — Okapi BM25 of every matching document for a bag of
     query terms; documents sharing no term are absent (score 0 by
@@ -149,7 +160,8 @@ def bm25_scores(
     from collections import Counter
 
     qtf = Counter(str(t) for t in query_terms)
-    tf = term_frequencies(df, id_col, text_col)
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     doclen = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     # corpus stats as a 1-row broadcast: N and avgdl
     stats = doclen.agg(

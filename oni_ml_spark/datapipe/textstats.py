@@ -549,6 +549,8 @@ def ngram_contamination(
     text_col: str,
     eval_text_col: str | None = None,
     n: int = 8,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_shingles, n_contaminated, contamination_frac) — per-document
     fraction of word n-gram shingles that also appear ANYWHERE in the
@@ -566,12 +568,24 @@ def ngram_contamination(
     from oni_ml_spark.datapipe.dedup import shingle_table
 
     ecol = eval_text_col or text_col
-    train = shingle_table(df, id_col, text_col, n)
+    # ``train_shingles`` / ``eval_shingles`` (r12): prebuilt per-doc distinct
+    # shingle tables — (id, shingle) and (shingle,) — from a shared corpus
+    # pass. Any equality-preserving shingle key works (raw gram text or an
+    # md5 digest), since the operator only counts per-doc shingles and
+    # probes membership against the eval set; callers must derive BOTH
+    # sides with the same keying.
+    train = (
+        train_shingles
+        if train_shingles is not None
+        else shingle_table(df, id_col, text_col, n)
+    )
     # the eval side reduces to its distinct shingle set — synthesize a
     # throwaway id so ANY eval frame works (a benchmark table need not
     # share the training corpus's id column)
     eval_sh = (
-        shingle_table(
+        eval_shingles.select("shingle").distinct()
+        if eval_shingles is not None
+        else shingle_table(
             eval_df.select(F.monotonically_increasing_id().alias("__eid"),
                            F.col(ecol)),
             "__eid", ecol, n,

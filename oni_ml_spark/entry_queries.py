@@ -2833,6 +2833,7 @@ def tf_idf_bm25(spark, sf):
     from oni_ml_spark.datapipe.retrieval import (
         bm25_scores,
         rrf_fuse,
+        term_frequencies,
         tf_idf,
         top_terms_per_group,
     )
@@ -2840,7 +2841,15 @@ def tf_idf_bm25(spark, sf):
 
     d = _docs(spark, sf)
     qset = list(dict.fromkeys(_QUERY_TERMS))
-    ti = tf_idf(d, "doc_id", "text")
+    # ONE corpus pass for all three lexical operators (r12, guide §1.2):
+    # tf-idf, BM25, and top-terms each start from the same (id, term, tf)
+    # postings — share a cached copy instead of re-running the tokenize →
+    # explode → shuffle chain once per operator. Bounded: one row per
+    # distinct (doc, term). All downstream per-id/per-term sums are
+    # quantized or boundary-distant (see part docstrings), so cache row
+    # order cannot move any rounded value.
+    tfc = term_frequencies(d, "doc_id", "text").cache()
+    ti = tf_idf(d, "doc_id", "text", tf=tfc)
     qa = (
         ti.filter(F.col("term").isin(qset))
         .groupBy("id")
@@ -2853,7 +2862,7 @@ def tf_idf_bm25(spark, sf):
     # tokenize+tf+idf subtree evaluates once per consumer (plan_report
     # showed 55 exchanges before the pin). Bounded: one row per doc
     # matching a query term.
-    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS).localCheckpoint()
+    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS, tf=tfc).localCheckpoint()
     null_l = F.lit(None).cast("long")
     scores = bm.join(qa, "id").select(
         F.lit("scores").alias("part"),
@@ -2882,7 +2891,9 @@ def tf_idf_bm25(spark, sf):
         F.col("n_lists").alias("n"),
         F.col("rank").cast("long").alias("r"),
     )
-    tt = top_terms_per_group(d, "source", "doc_id", "text", k=5, min_df=2).select(
+    tt = top_terms_per_group(
+        d, "source", "doc_id", "text", k=5, min_df=2, tf=tfc
+    ).select(
         F.lit("topterms").alias("part"),
         F.concat("group", F.lit("/"), "term").alias("id"),
         F.round("sum_tfidf", 6).alias("v1"),
@@ -3223,7 +3234,11 @@ def curation_pipeline(spark, sf):
     chunks = chunk_documents(
         surv, "doc_id", "text", chunk_tokens=64, overlap=8
     ).withColumn("cid", cid).cache()
-    packed = pack_sequences(chunks, "cid", "chunk_text", capacity=256)
+    # n_tokens_col: reuse the chunker's token count — the packer otherwise
+    # re-tokenizes every chunk twice (range-sampling pass + shuffle pass)
+    packed = pack_sequences(
+        chunks, "cid", "chunk_text", capacity=256, n_tokens_col="n_tokens"
+    )
     bins = packed.groupBy("bin_id").agg(
         F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("nchunks")
     )
@@ -3297,8 +3312,16 @@ def minhash_ml_builtin(spark, sf):
     )
 
     d = _docs(spark, sf).filter(F.col("doc_id") < 2000)
+    # ONE signature pass (r12, guide §1.2): the banded candidate path and
+    # the refresh check both need the corpus's minhash index at the same
+    # (n=3, num_hashes=8) — build index0 once, cache it, and feed it to
+    # near_dup_pairs via the sig= fast path instead of re-shingling and
+    # re-hashing the corpus a second time. Signatures are exact min-of-md5
+    # integers, so sharing cannot move any value.
+    index0 = lsh_index(d, "doc_id", "text", n=3, num_hashes=8).localCheckpoint()
     banded = near_dup_pairs(
-        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3,
+        sig=index0,
     ).select("id_a", "id_b")
     ml = minhash_ml_candidates(d, "doc_id", "text", jaccard_distance_threshold=0.8)
     nb = banded.agg(F.count(F.lit(1)).cast("long").alias("n_banded"))
@@ -3321,7 +3344,6 @@ def minhash_ml_builtin(spark, sf):
         .otherwise(F.col("text")),
     )
     batch = edited.filter(F.col("doc_id") % 5 == 0)
-    index0 = lsh_index(d, "doc_id", "text", n=3, num_hashes=8)
     updated = update_lsh_index(index0, batch, "doc_id", "text", n=3, num_hashes=8)
     rebuilt = lsh_index(edited, "doc_id", "text", n=3, num_hashes=8)
     u = updated.select("id", F.col("sig").alias("__us"))
@@ -3784,15 +3806,31 @@ def ngram_diagnostics_q(spark, sf):
         repetition_metrics,
     )
 
+    from oni_ml_spark.datapipe.dedup import _span_gram_table
+
     d = _docs(spark, sf)
     train = d.filter(F.col("doc_id") % 10 != 0)
     evald = d.filter(F.col("doc_id") % 10 == 0)
-    spans = duplicate_span_metrics(d, "doc_id", "text", span=8, min_count=2)
+    # ONE 8-token gram pass (r12, guide §1.2): the span diagnostic and the
+    # contamination probe both consume the corpus's 8-gram table — build it
+    # once, cache it, and derive both operators' inputs (the contamination
+    # sides key on the md5 digest, which the oracle's shd CTE already
+    # models; digest equality ≡ gram-text equality). Bounded: one row per
+    # (doc, position).
+    grams8 = _span_gram_table(d, "doc_id", "text", span=8).cache()
+    spans = duplicate_span_metrics(
+        d, "doc_id", "text", span=8, min_count=2, grams=grams8
+    )
+    shd = grams8.select("id", F.col("gkey").alias("shingle")).distinct()
     rep = repetition_metrics(d, "doc_id", "text", n=3)
     # the contamination fractions feed BOTH the reported columns and the
     # removal below; localCheckpoint materializes the small per-doc table
     # once so the two consumers don't each re-run the shingle passes
-    cont = ngram_contamination(train, evald, "doc_id", "text", n=8).localCheckpoint()
+    cont = ngram_contamination(
+        train, evald, "doc_id", "text", n=8,
+        train_shingles=shd.filter(F.col("id") % 10 != 0),
+        eval_shingles=shd.filter(F.col("id") % 10 == 0).select("shingle"),
+    ).localCheckpoint()
     decon = remove_contaminated(
         train, evald, "doc_id", "text", n=8, fractions=cont
     ).select(F.col("doc_id").alias("id"), F.lit(1).cast("long").alias("__dk"))

@@ -74,6 +74,26 @@ class TestPacking:
         # packing actually packs: far fewer bins than docs
         assert len(totals) < len(rows) / 2
 
+    def test_precomputed_count_column_matches_retokenizing(self, spark):
+        """r12: pack_sequences(n_tokens_col=...) must assign every chunk to
+        the SAME bin as the re-tokenizing path — the precomputed count is
+        the optimization, not a semantic knob."""
+        from oni_ml_spark.datapipe.chunking import chunk_documents
+
+        docs = load_table(spark, SF_DIR, "documents")
+        chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+        from pyspark.sql import functions as F
+
+        chunks = chunks.withColumn(
+            "cid",
+            F.concat_ws("_", F.col("id").cast("string"), F.col("chunk_no").cast("string")),
+        )
+        a = pack_sequences(chunks, "cid", "chunk_text", capacity=256)
+        b = pack_sequences(
+            chunks, "cid", "chunk_text", capacity=256, n_tokens_col="n_tokens"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
     def test_oversized_doc_gets_own_bin(self, spark):
         df = spark.createDataFrame(
             [(1, " ".join(["w"] * 50)), (2, "a b"), (3, "c d")],

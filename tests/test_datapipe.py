@@ -2213,6 +2213,43 @@ class TestContaminationEvalIdIndependence:
         assert out[1]["n_contaminated"] == 0
 
 
+class TestSharedGramTablePaths:
+    """r12: the prebuilt-table fast paths (duplicate_span_metrics(grams=),
+    ngram_contamination(train_shingles=/eval_shingles=)) must reproduce the
+    default self-computed paths row-for-row — they are optimizations (one
+    corpus gram pass shared across operators), not semantic knobs."""
+
+    def test_prebuilt_tables_match_default_paths(self, spark):
+        from pyspark.sql import functions as F
+
+        from oni_ml_spark.datapipe.dedup import (
+            _span_gram_table,
+            duplicate_span_metrics,
+        )
+        from oni_ml_spark.datapipe.textstats import ngram_contamination
+        from oni_ml_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        evald = docs.filter(F.col("doc_id") % 10 == 0)
+
+        grams = _span_gram_table(docs, "doc_id", "text", span=8)
+        a = duplicate_span_metrics(docs, "doc_id", "text", span=8, min_count=2)
+        b = duplicate_span_metrics(
+            docs, "doc_id", "text", span=8, min_count=2, grams=grams
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+        shd = grams.select("id", F.col("gkey").alias("shingle")).distinct()
+        c = ngram_contamination(train, evald, "doc_id", "text", n=8)
+        d = ngram_contamination(
+            train, evald, "doc_id", "text", n=8,
+            train_shingles=shd.filter(F.col("id") % 10 != 0),
+            eval_shingles=shd.filter(F.col("id") % 10 == 0).select("shingle"),
+        )
+        assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+
+
 class TestWeightedMixProperty:
     def test_random_configs_match_python_reference(self, spark):
         """weighted_mix vs a direct Python reference of the same md5
