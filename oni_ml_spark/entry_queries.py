@@ -774,11 +774,20 @@ def ecdf_quantile_cuts(spark, sf):
     """A6 + A7 in one entry: exact distributed ECDF
     (utilities/Quantiles.scala:21-40) joined with the exact discrete decile
     cutoffs it induces (Quantiles.scala:54-86) — (p, cutoff, cdf at the
-    cutoff). Both operator plans execute in full; the join checks they
-    agree on the same column."""
+    cutoff). The join checks the two operators agree on the same column.
+
+    r12 (guide §1.2): both operators read the SAME distinct-value CDF
+    table — build ``_ecdf_parts`` once, pin it (bounded: |distinct
+    values| narrow rows), and derive both sides from it instead of running
+    the distinct-value shuffle + bucketed prefix-sum twice. Every parts
+    column is an exact count/prefix-sum, so sharing cannot move any
+    value; the default (parts=None) paths recompute the identical table."""
+    from oni_ml_spark.transforms.quantiles import _ecdf_parts
+
     li = load_table(spark, sf, "lineitem")
-    ec = ecdf(li, "l_extendedprice")
-    cuts = quantile_cuts_df(li, "l_extendedprice", DECILES)
+    parts = _ecdf_parts(li, "l_extendedprice").localCheckpoint()
+    ec = ecdf(li, "l_extendedprice", parts=parts)
+    cuts = quantile_cuts_df(li, "l_extendedprice", DECILES, parts=parts)
     return cuts.join(ec, cuts["cutoff"] == ec["value"]).select("p", "cutoff", "cdf")
 
 
@@ -2983,14 +2992,27 @@ def grouped_quantile_cuts_q(spark, sf):
     1e-6 (cum/tot is an identical int division on both engines, floor is
     knife-edge-free there) and summed exactly."""
     from oni_ml_spark.transforms.quantiles import (
+        _cdf_table,
         grouped_quantile_cuts,
         percentile_rank,
         winsorize,
     )
 
     li = load_table(spark, sf, "lineitem")
+    # r12 (guide §1.2): the cuts part and BOTH winsorize calls read the
+    # SAME per-group distinct-value CDF table — build it once, pin it
+    # (bounded: |distinct (flag, quantity)| rows), and share it so the
+    # full-data (key, value) shuffle runs once, not three times. Every
+    # parts column is an exact count/prefix-sum; the default (parts=None)
+    # paths recompute the identical table.
+    ct = _cdf_table(
+        li.select(
+            F.col("l_returnflag").alias("key"), F.col("l_quantity").alias("value")
+        ),
+        "value", ["key"],
+    ).localCheckpoint()
     cuts = grouped_quantile_cuts(
-        li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 1.0]
+        li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 1.0], parts=ct
     ).select(F.lit("cuts").alias("part"), "key", "p", F.col("cutoff").alias("v"))
     q = li.select("l_returnflag", "l_quantity")
 
@@ -3007,12 +3029,13 @@ def grouped_quantile_cuts_q(spark, sf):
         )
 
     wins = winsorize(
-        q, "l_quantity", 0.05, 0.95, group_col="l_returnflag", out_col="cv"
+        q, "l_quantity", 0.05, 0.95, group_col="l_returnflag", out_col="cv",
+        cuts_parts=ct,
     )
     winsor = agg_rows(wins, "winsor", "cv")
     winsf = agg_rows(
         winsorize(q, "l_quantity", 0.05, 0.95, group_col="l_returnflag",
-                  mode="filter"),
+                  mode="filter", cuts_parts=ct),
         "winsorf", "l_quantity",
     )
     pr = percentile_rank(q, "l_quantity", group_col="l_returnflag", out_col="pct")

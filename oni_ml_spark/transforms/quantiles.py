@@ -180,16 +180,35 @@ def _ecdf_parts(df: DataFrame, value_col: str, num_buckets: int | None = None) -
     return _cdf_table(df, value_col, None, True, num_buckets)
 
 
-def ecdf(df: DataFrame, value_col: str, num_buckets: int | None = None) -> DataFrame:
+def ecdf(
+    df: DataFrame,
+    value_col: str,
+    num_buckets: int | None = None,
+    parts: DataFrame | None = None,
+) -> DataFrame:
     """Empirical CDF over one column → DataFrame[value double, cdf double].
 
     Reference: utilities/Quantiles.scala:21-40. Fully lazy — see
     ``_ecdf_parts`` for the plan shape.
+
+    ``parts`` (r12): a prebuilt ``_ecdf_parts`` table for the SAME column —
+    callers composing several quantile operators over one distribution
+    (ECDF + cutoffs) pass a shared (pinned) copy so the distinct-value
+    shuffle runs once, not once per operator (guide §1.2: remove duplicate
+    passes). Every parts column is an exact count/prefix-sum, so sharing
+    cannot move any value.
     """
-    return _ecdf_parts(df, value_col, num_buckets).select("value", "cdf")
+    if parts is None:
+        parts = _ecdf_parts(df, value_col, num_buckets)
+    return parts.select("value", "cdf")
 
 
-def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataFrame:
+def quantile_cuts_df(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    parts: DataFrame | None = None,
+) -> DataFrame:
     """Cutoffs as a DataFrame[p double, cutoff double] (stays distributed).
 
     cutoff(p) = min value whose ecdf >= p (Quantiles.scala:54-75).
@@ -199,8 +218,11 @@ def quantile_cuts_df(df: DataFrame, value_col: str, probs: list[float]) -> DataF
     array per row and explode. One row out per prob, no join, no re-agg;
     the predecessor CDF reuses the same exact long-arithmetic numerator, so
     the float comparison is bit-identical to "min value with cdf >= p".
+
+    ``parts`` — see ``ecdf``.
     """
-    parts = _ecdf_parts(df, value_col)
+    if parts is None:
+        parts = _ecdf_parts(df, value_col)
     probs_arr = F.array(*[F.lit(float(p)) for p in probs])
     return parts.select(
         F.explode(F.filter(probs_arr, lambda p: _interval_covers(p))).alias("p"),
@@ -293,6 +315,7 @@ def winsorize(
     group_col: str | None = None,
     out_col: str | None = None,
     mode: str = "clip",
+    cuts_parts: DataFrame | None = None,
 ) -> DataFrame:
     """Percentile-based outlier handling on the engine's EXACT discrete
     quantiles: values below the ``lo_q`` cutoff / above the ``hi_q``
@@ -317,6 +340,12 @@ def winsorize(
     NULL group key likewise pass through unchanged (null-never-equals —
     a null group has no distribution of its own here); a group absent
     from the cutoff table (all-null values) passes through unchanged.
+
+    ``cuts_parts`` (r12, grouped mode only) — a prebuilt grouped
+    ``_cdf_table`` over the same (group, value double) frame, forwarded to
+    ``grouped_quantile_cuts`` so callers computing several winsorizations /
+    cut lists over one distribution share the distinct-value shuffle
+    (guide §1.2); see ``ecdf``.
     """
     if not 0.0 <= lo_q < hi_q <= 1.0:
         raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
@@ -331,7 +360,9 @@ def winsorize(
         lo_c, hi_c = F.lit(lo), F.lit(hi)
         clipped = df
     else:
-        cuts = grouped_quantile_cuts(df, group_col, value_col, [lo_q, hi_q])
+        cuts = grouped_quantile_cuts(
+            df, group_col, value_col, [lo_q, hi_q], parts=cuts_parts
+        )
         bounds = (
             cuts.where(F.col("key").isNotNull())  # null group: pass-through
             .groupBy("key")
@@ -538,7 +569,11 @@ def quantile_cuts_multi(
 
 
 def grouped_quantile_cuts(
-    df: DataFrame, key_col: str, value_col: str, probs: list[float]
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: list[float],
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT discrete quantile cutoffs PER GROUP, fully distributed —
     DataFrame[key, p double, cutoff double], one row per (group, prob).
@@ -555,11 +590,15 @@ def grouped_quantile_cuts(
 
     Groups whose values are all NULL are absent (no rows, matching
     GROUP-BY-over-non-null-aggregate SQL semantics).
+
+    ``parts`` (r12) — a prebuilt grouped ``_cdf_table`` over the same
+    (key, value double) frame; see ``ecdf``.
     """
-    parts = _cdf_table(
-        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value")),
-        "value", ["key"],
-    )
+    if parts is None:
+        parts = _cdf_table(
+            df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value")),
+            "value", ["key"],
+        )
     probs_arr = F.array(*[F.lit(float(p)) for p in sorted(set(float(p) for p in probs))])
     return parts.select(
         "key",

@@ -110,6 +110,51 @@ def test_prob_zero_means_minimum(spark):
     assert got["x"] == [3.0, 9.0]
 
 
+def test_shared_parts_table_matches_default_paths(spark):
+    """r12: ecdf(parts=) / quantile_cuts_df(parts=) over one prebuilt
+    _ecdf_parts table must reproduce the default self-computed paths
+    row-for-row — the shared table is an optimization (one distinct-value
+    shuffle for both operators), not a semantic knob."""
+    from oni_ml_spark.transforms.quantiles import (
+        _ecdf_parts,
+        ecdf,
+        quantile_cuts_df,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v % 17) + 0.25 * (v % 3),) for v in range(500)], "x double"
+    )
+    parts = _ecdf_parts(df, "x")
+    a_ec = ecdf(df, "x").collect()
+    b_ec = ecdf(df, "x", parts=parts).collect()
+    assert sorted(map(tuple, a_ec)) == sorted(map(tuple, b_ec))
+    a_cut = quantile_cuts_df(df, "x", DECILES).collect()
+    b_cut = quantile_cuts_df(df, "x", DECILES, parts=parts).collect()
+    assert sorted(map(tuple, a_cut)) == sorted(map(tuple, b_cut))
+
+    from oni_ml_spark.transforms.quantiles import (
+        _cdf_table,
+        grouped_quantile_cuts,
+        winsorize,
+    )
+
+    gdf = spark.createDataFrame(
+        [("g" + str(v % 3), float(v % 23)) for v in range(500)], "k string, x double"
+    )
+    gparts = _cdf_table(
+        gdf.select(F.col("k").alias("key"), F.col("x").alias("value")),
+        "value", ["key"],
+    )
+    a_g = grouped_quantile_cuts(gdf, "k", "x", QUINTILES).collect()
+    b_g = grouped_quantile_cuts(gdf, "k", "x", QUINTILES, parts=gparts).collect()
+    assert sorted(map(tuple, a_g)) == sorted(map(tuple, b_g))
+    a_w = winsorize(gdf, "x", 0.05, 0.95, group_col="k", out_col="cv").collect()
+    b_w = winsorize(
+        gdf, "x", 0.05, 0.95, group_col="k", out_col="cv", cuts_parts=gparts
+    ).collect()
+    assert sorted(map(tuple, a_w)) == sorted(map(tuple, b_w))
+
+
 def test_grouped_quantile_cuts_match_duckdb(spark):
     """Per-group exact discrete quantiles vs DuckDB quantile_disc GROUP BY."""
     import duckdb
