@@ -703,6 +703,7 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — pairs whose 64-bit SimHash fingerprints
     differ in at most ``max_hamming`` bits, via pigeonhole band blocking.
@@ -714,6 +715,14 @@ def simhash_near_dups(
     Candidates then verify with one xor + bit_count. All native
     expressions; the join shuffles (band, 16-bit value) keys, never
     documents.
+
+    ``fp`` (r12, guide §1.2): a precomputed ``simhash64`` table for the
+    same corpus — the band self-join consumes the fingerprint subtree
+    TWICE (stream + broadcast build sides), so without it the whole
+    tokenize + 64-bitplane aggregation runs twice. Callers pass a pinned
+    (id, simhash) copy (one narrow row per doc — bounded at any scale) to
+    compute it once. Fingerprints are deterministic md5 arithmetic, so
+    sharing cannot move any value.
     """
     if not 0 < bands <= 64 or 64 % bands:
         raise ValueError("bands must divide 64")
@@ -724,7 +733,8 @@ def simhash_near_dups(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    fp = simhash64(df, id_col, text_col)
+    if fp is None:
+        fp = simhash64(df, id_col, text_col)
     banded = fp.select(
         "id",
         "simhash",

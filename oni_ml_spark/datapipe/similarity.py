@@ -279,12 +279,19 @@ def embedding_near_duplicates_bucketed(
     # passes. Fail loudly instead. Zero-norm vectors are excluded: cosine
     # is undefined for them and the verify division would raise under
     # ANSI mode (same guard as semantic_contamination).
-    v = v.withColumn("v", _checked_dim("v", dim)).where(F.col("n") > 0)
+    # The plan below consumes v FOUR times (both bucket-join sides, both
+    # verify sides) and the SRP projection twice — cache both so the
+    # scan + cast + norm pass and the planes_per_band·bands plane dots
+    # run once per vector, not once per consumer (r12, guide §1.2; the
+    # same internal-cache pattern as near_dup_pairs' shingle table).
+    # Both tables are one narrow row per vector (× bands for buckets) —
+    # bounded at any corpus scale.
+    v = v.withColumn("v", _checked_dim("v", dim)).where(F.col("n") > 0).cache()
 
     hp = _hyperplanes(dim, planes_per_band * bands, seed)
     buckets = v.select(
         "id", F.explode(_srp_banded_expr("v", hp, bands)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket").cache()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -490,6 +490,17 @@ def dimension_profile(spark, sf):
       grouped aggregate: row_count / unique|event_id / range|value per
       segment, range failing in every segment with values > 100);
       key=group|rule|column, same lo/share mapping."""
+    return _dimension_profile_impl(spark, sf)
+
+
+def _dimension_profile_impl(spark, sf, pin=None):
+    """dimension_profile body, factored so the A/B harness can compare
+    pin strategies for the four doubly-consumed drift frames (guide
+    §1.2): each of dr/dcat/dg/ed feeds TWO union branches (ref + cur
+    projections), so without pinning its whole computation is planned —
+    and executed — twice.  ``pin`` is applied to each; None keeps the
+    pre-r12 recompute-per-branch shape."""
+    _p = (lambda d: d) if pin is None else pin
     from oni_ml_spark.datapipe.drift import (
         centroid_shift,
         drift_compare,
@@ -566,9 +577,9 @@ def dimension_profile(spark, sf):
         .otherwise(F.col("value") * 1.35)
         .alias("value")
     )
-    dr = drift_compare(
+    dr = _p(drift_compare(
         drift_ref, drift_cur, "value", edges=[5.0, 15.0, 35.0, 70.0, 150.0]
-    )
+    ))
     dref = dr.select(
         F.lit("drift").alias("part"),
         F.col("bin").cast("string").alias("key"),
@@ -592,7 +603,7 @@ def dimension_profile(spark, sf):
         .otherwise(F.col("event_type"))
         .alias("event_type")
     )
-    dcat = drift_compare_categorical(cat_ref, cat_cur, "event_type")
+    dcat = _p(drift_compare_categorical(cat_ref, cat_cur, "event_type"))
     kref = dcat.select(
         F.lit("driftcat").alias("part"),
         "key",
@@ -616,9 +627,9 @@ def dimension_profile(spark, sf):
         .otherwise(F.col("value") * 1.35)
         .alias("value"),
     )
-    dg = drift_compare_grouped(
+    dg = _p(drift_compare_grouped(
         g_ref, g_cur, "event_type", "value", edges=[5.0, 15.0, 35.0, 70.0, 150.0]
-    )
+    ))
     gkey = F.concat_ws("|", "group", F.col("bin").cast("string")).alias("key")
     gref = dg.select(
         F.lit("driftg").alias("part"),
@@ -642,9 +653,9 @@ def dimension_profile(spark, sf):
     e_cur = emb.filter((F.col("vec_id") % 2) == 1).select(
         F.transform("embedding", lambda x: x.cast("double") * scale).alias("embedding")
     )
-    ed = embedding_norm_drift(
+    ed = _p(embedding_norm_drift(
         e_ref, e_cur, "embedding", edges=[1.05, 1.15, 1.25, 1.35]
-    )
+    ))
     eref = ed.select(
         F.lit("edrift").alias("part"),
         F.col("bin").cast("string").alias("key"),
@@ -3073,10 +3084,14 @@ def simhash_near_dups_q(spark, sf):
     agree on one of 4 16-bit blocks). The oracle is the all-pairs brute
     force over the bit-sign tables; the blocked path must reproduce it
     exactly to hash-match."""
-    from oni_ml_spark.datapipe.dedup import simhash_near_dups
+    from oni_ml_spark.datapipe.dedup import simhash64, simhash_near_dups
 
     d = _docs(spark, sf)
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3, bands=4)
+    # r12 (guide §1.2): the band self-join consumes the fingerprint
+    # subtree twice (stream + broadcast build) — pin the (id, simhash)
+    # table so the tokenize + 64-bitplane aggregation runs once.
+    fp = simhash64(d, "doc_id", "text").localCheckpoint()
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3, bands=4, fp=fp)
 
 
 # reachability over the verified near-dup pairs + survivor flag — shared by

@@ -1259,6 +1259,20 @@ class TestSimhashNearDups:
         with pytest.raises(ValueError):
             simhash_near_dups(d, "doc_id", "text", bands=5)
 
+    def test_precomputed_fp_matches_default_path(self, spark):
+        """r12: fp= over a prebuilt simhash64 table must reproduce the
+        default self-computed path row-for-row — a shared fingerprint
+        table is an optimization (one tokenize + bitplane pass for the
+        self-join's two sides), not a semantic knob."""
+        from oni_ml_spark.datapipe.dedup import simhash64, simhash_near_dups
+        from oni_ml_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = simhash_near_dups(d, "doc_id", "text", max_hamming=3).collect()
+        fp = simhash64(d, "doc_id", "text")
+        b = simhash_near_dups(d, "doc_id", "text", max_hamming=3, fp=fp).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
 
 class TestGroupCentroids:
     def test_matches_manual_mean(self, spark):
