@@ -171,26 +171,34 @@ def test_quantile_cuts_plan_is_lazy_and_join_free(spark):
     li.schema  # absorb the read-side footer job before counting
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
-    ecdf(li, "l_quantity")
-    quantile_cuts_df(li, "l_extendedprice", DECILES)
+    ec = ecdf(li, "l_quantity")
+    cuts = quantile_cuts_df(li, "l_extendedprice", DECILES)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "building the quantile plans ran Spark jobs"
-    p = _plan(spark, "ecdf_quantile_cuts")
-    e = p  # merged entry: ECDF and cutoff plans execute in the same query
+    # r12: the battery entry pins the shared CDF table (localCheckpoint),
+    # so ITS declared plan reads the pinned RDD — the sketch/explode
+    # shape must be asserted on the OPERATOR plans (the parts=None
+    # default path, which is what a fresh caller gets).
+    p = _plan_of(spark, cuts)
+    e = _plan_of(spark, ec)
     # the only nested-loop join allowed is the 1-row boundary-array attach
     # (broadcasting a scalar aggregate). It feeds both the cdf branch and
     # the subtotal branch, and pre-AQE explain prints the shared subtree
-    # once per consumer — up to 2 occurrences per side, and the merged
-    # entry joins the cuts plan with the ecdf plan (2 + 2); the old
-    # data×probs nested loop would add a fifth.
-    assert p.count("BroadcastNestedLoopJoin") <= 4
-    assert e.count("BroadcastNestedLoopJoin") <= 4
+    # once per consumer — up to 2 occurrences per side; the old
+    # data×probs nested loop would add a third.
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert e.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in p
     # cutoff selection is the interval-cover explode, not a join + re-agg
     assert "Generate explode" in p
     # the boundary sketch must be in-plan (percentile_approx), not collected
     assert "percentile_approx" in p.lower() or "approximatepercentile" in p.lower()
     assert "percentile_approx" in e.lower() or "approximatepercentile" in e.lower()
+    # the entry's declared plan: cuts×ecdf join over the pinned parts,
+    # interval-cover explode retained, still no cartesian anywhere
+    ent = _plan(spark, "ecdf_quantile_cuts")
+    assert "CartesianProduct" not in ent
+    assert "Generate explode" in ent
 
 
 def test_span_mix_rangejoin_entries_plan_clean(spark):
