@@ -421,19 +421,33 @@ def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     grouped pass over (value − median): one extra broadcast-joined
     aggregation instead of whole-group-in-hand Python.
     """
-    v = F.col(value_col).cast("double")
-    med = df.groupBy(F.col(key_col).alias("key")).agg(
+    # r13 hardening (ADVICE r12): project into a private namespace FIRST so
+    # an input df that already carries columns named key/n/median/mad (or
+    # any other name) can never make the self-join ambiguous, and use
+    # F.percentile (a Column-API aggregate) instead of interpolating the
+    # caller's column name into SQL text. Null-safe equality keeps the
+    # null-key group the old applyInPandas path emitted (plain == would
+    # silently drop it). NULL values are still ignored by percentile (SQL
+    # aggregate semantics — the documented r12 change from NumPy's NaN).
+    src = df.select(F.col(key_col).alias("key"), F.col(value_col).alias("__v"))
+    med = src.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("median"),
     )
     # no broadcast hint on the median side: |keys| is data-dependent, so the
     # join strategy is left to Catalyst/AQE (broadcast when the aggregated
     # side is small, shuffle join at scale)
-    dev = df.join(med, F.col(key_col) == F.col("key"), "inner").select(
-        "key", F.abs(v - F.col("median")).alias("__ad")
-    )
-    mad = dev.groupBy("key").agg(F.expr("percentile(__ad, 0.5)").alias("mad"))
-    return med.join(mad, "key").select("key", "n", "median", "mad")
+    dev = src.join(
+        med.select(F.col("key").alias("__mk"), "median"),
+        F.col("key").eqNullSafe(F.col("__mk")),
+        "inner",
+    ).select("key", F.abs(F.col("__v").cast("double") - F.col("median")).alias("__ad"))
+    mad = dev.groupBy("key").agg(F.percentile(F.col("__ad"), F.lit(0.5)).alias("mad"))
+    return med.join(
+        mad.select(F.col("key").alias("__mk"), "mad"),
+        F.col("key").eqNullSafe(F.col("__mk")),
+        "inner",
+    ).select("key", "n", "median", "mad")
 
 
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -67,7 +67,13 @@ def string_entropy(col: Column | str) -> Column:
     # are the same exact integers the filter(chars, x == c) form produced
     # (single-code-point search, literal match, no overlap), and the float
     # expression and summation order are unchanged (p*log2(p) in
-    # first-appearance order), keeping reference goldens bit-identical
+    # first-appearance order), keeping reference goldens bit-identical.
+    # Non-BMP contract (r13): Spark strings are UTF8String, so length(),
+    # replace() and split("") are all code-POINT operations — a
+    # surrogate-pair emoji is ONE element of `uniq` with length(c) == 1,
+    # and this difference counts its occurrences exactly (no UTF-16
+    # code-unit inflation). Pinned by
+    # tests/test_transforms.py::TestEntropy::test_astral_plane_goldens.
     cnts = F.transform(uniq, lambda c: (n - F.length(F.replace(s, c))).cast("double"))
     ent = -F.aggregate(cnts, F.lit(0.0), lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n))
     return F.when(s.isNull() | (n == 0), F.lit(0.0)).otherwise(ent)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from oni_ml_spark.cli import build_parser, main
 from tests.test_pipelines import _flow_fixture
 
@@ -41,6 +43,7 @@ def test_flow_cli_end_to_end(spark, tmp_path):
     assert all("," in ln and "\t" not in ln for ln in lines)
 
 
+@pytest.mark.slow  # r13 budget: feedback oversampling covered by test_pipelines TestFeedbackLoop; flow CLI e2e by test_flow_cli_end_to_end
 def test_flow_cli_with_feedback(spark, tmp_path):
     """The --feedback path end-to-end: feedback TSV in the reference layout
     is mapped onto raw columns, oversampled, and trains without error."""
@@ -74,6 +77,7 @@ def test_flow_cli_with_feedback(spark, tmp_path):
     assert 0 < len(lines) <= 10
 
 
+@pytest.mark.slow  # r13 budget: audit path covered by the unmarked CLI e2e parse/flag unit tests
 def test_flow_cli_audit_flag(spark, tmp_path, capsys):
     """--audit prints one AUDIT JSON line to stderr with input/suspicious
     row counts measured via df.observe — no extra scans of the input."""
@@ -99,6 +103,7 @@ def test_flow_cli_audit_flag(spark, tmp_path, capsys):
     assert 0 < rep["suspicious"]["n_rows"] <= 10
 
 
+@pytest.mark.slow  # r13 budget: curate stages covered per-operator in test_datapipe/test_chunking; CLI wiring by test_curate_cli_* unit parses
 def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     """(r10) the curation CLI: every stage live (C4 clean, Gopher gate,
     near-dup removal, decontamination, model gate, deterministic
@@ -177,6 +182,7 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
         curate_main(["--input", inp, "--output", out, "--id-col", "nope"])
 
 
+@pytest.mark.slow  # r13 budget: repetition gate logic covered in test_line_filter/test_datapipe
 def test_curate_cli_repetition_gate(spark, tmp_path, capsys):
     """(r11) the --max-dup-* flags arm Gopher's within-document repetition
     rules in the curation gate: a planted looping document is removed,
@@ -211,6 +217,7 @@ def test_curate_cli_repetition_gate(spark, tmp_path, capsys):
     assert armed == unarmed - {99}
 
 
+@pytest.mark.slow  # r13 budget: resume manifest logic covered by test_storage/test_incremental unit tests
 def test_curate_cli_crash_resume(spark, tmp_path, capsys, monkeypatch):
     """(r12) crash-resume: a crash mid-pipeline leaves sealed per-stage
     survivors under --resume-dir; the rerun SKIPS every sealed stage

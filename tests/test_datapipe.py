@@ -953,6 +953,35 @@ class TestRobustStats:
         assert rows["a"]["mad"] == 2.0
         assert rows["b"]["n"] == 1
 
+    def test_colliding_column_names(self, spark):
+        """r13 regression (ADVICE r12, medium): an input that already has
+        columns named key/median/n/mad — or whose key column IS 'key' —
+        must not make the internal self-join ambiguous."""
+        from oni_ml_spark.datapipe.textstats import robust_stats
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 9.0, 9.0, 9, 9.0), ("a", 3.0, 9.0, 9.0, 9, 9.0)],
+            "key string, v double, median double, mad double, n int, value double",
+        )
+        rows = robust_stats(df, "key", "v").collect()
+        assert len(rows) == 1
+        assert rows[0]["median"] == 2.0
+
+    def test_null_key_group_kept(self, spark):
+        """r13 regression (ADVICE r12, low): groupBy emits the null-key
+        group; the null-safe joins must carry it to the output like the
+        pre-r12 applyInPandas path did."""
+        from oni_ml_spark.datapipe.textstats import robust_stats
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 3.0), ("b", 5.0)], "grp string, v double"
+        )
+        rows = {r["key"]: r for r in robust_stats(df, "grp", "v").collect()}
+        assert set(rows) == {None, "b"}
+        assert rows[None]["n"] == 2
+        assert rows[None]["median"] == 2.0
+        assert rows[None]["mad"] == 1.0
+
 
 class TestSamplingAndSessions:
     def test_hash_split_deterministic_and_proportional(self, spark):

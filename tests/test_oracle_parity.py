@@ -21,6 +21,21 @@ TABLES = [
 _ORACLES = entry_mod.oracle_sql()
 _QUERIES = entry_mod.queries()
 
+# r13 (verify budget): entries with eager construction work (model fits,
+# localCheckpoint pins) pay that work at DataFrame-CONSTRUCTION time, and
+# both the dtype-alignment test and the value test used to construct every
+# frame independently (~80 s of duplicated fits at sf0.01). One lazy
+# module-level cache shares the constructed frame; entries are seeded and
+# deterministic, so a frame built once yields the identical rows to every
+# consumer.
+_FRAME_CACHE: dict[str, object] = {}
+
+
+def _frame(spark, name: str):
+    if name not in _FRAME_CACHE:
+        _FRAME_CACHE[name] = _QUERIES[name](spark, SF_DIR)
+    return _FRAME_CACHE[name]
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -100,7 +115,7 @@ def test_oracle_column_types_align(spark, duck, name):
     Spark column's type — the raw-typed driver compare fails on pairs the
     local stringified compare can't see (the HUGEINT class of bug,
     generalized)."""
-    sdt = dict(_QUERIES[name](spark, SF_DIR).dtypes)
+    sdt = dict(_frame(spark, name).dtypes)
     rel = duck.sql(_ORACLES[name])
     ddt = dict(zip(rel.columns, (str(t) for t in rel.types)))
     bad = []
@@ -113,7 +128,7 @@ def test_oracle_column_types_align(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, duck, name):
-    sdf = _QUERIES[name](spark, SF_DIR)
+    sdf = _frame(spark, name)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -136,6 +151,6 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(spark, name):
-    sdf = _QUERIES[name](spark, SF_DIR)
+    sdf = _frame(spark, name)
     assert len(sdf.columns) > 0
     assert sdf.count() >= 0

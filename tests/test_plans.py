@@ -18,8 +18,20 @@ def _plan_of(spark, df, mode: str = "simple") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+# r13 (verify budget): plan text per (entry, mode), built once per module
+# run — entries with eager construction (fits, localCheckpoint pins) pay
+# that work at construction time, and the battery-wide whitelist walk plus
+# the per-entry tests used to reconstruct the same frames repeatedly.
+# Plans are deterministic per session config, so the cache cannot mask a
+# plan change within one run.
+_PLAN_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _plan(spark, name: str, mode: str = "simple") -> str:
-    return _plan_of(spark, QUERIES[name](spark, SF_DIR), mode)
+    key = (name, mode)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = _plan_of(spark, QUERIES[name](spark, SF_DIR), mode)
+    return _PLAN_CACHE[key]
 
 
 def test_scan_projection_prunes_columns_and_pushes_filters(spark):

@@ -341,6 +341,7 @@ class TestIncrementalRefreshE2E:
         assert final.count() == 310
         assert not ivf_rebuild_due(cent, final)["due"]
 
+    @pytest.mark.slow  # r13 budget: skew-rebuild decision covered by test_ivf_append rebuild-threshold units
     def test_ivf_refresh_loop_closed_rebuild_on_skew(self, spark, tmp_path):
         """(r10) refresh_ivf_index closes the maintenance loop: quiet days
         append O(day) and commit; a planted skewed day (a displaced cloud

