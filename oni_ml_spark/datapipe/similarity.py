@@ -285,7 +285,13 @@ def embedding_near_duplicates_bucketed(
     # run once per vector, not once per consumer (r12, guide §1.2; the
     # same internal-cache pattern as near_dup_pairs' shingle table).
     # Both tables are one narrow row per vector (× bands for buckets) —
-    # bounded at any corpus scale.
+    # bounded at any corpus scale. Ownership contract (same as
+    # near_dup_pairs' shingle cache, r13 per ADVICE r12): the caches
+    # belong to the returned frame's lineage — they cannot be unpersisted
+    # here because the result is lazy; in a long-lived session the blocks
+    # are reclaimed by the ContextCleaner once the frame is GC'd, and a
+    # caller needing deterministic release should unpersist via
+    # spark.catalog.clearCache() after materializing its result.
     v = v.withColumn("v", _checked_dim("v", dim)).where(F.col("n") > 0).cache()
 
     hp = _hyperplanes(dim, planes_per_band * bands, seed)

@@ -796,7 +796,10 @@ def ecdf_quantile_cuts(spark, sf):
     from oni_ml_spark.transforms.quantiles import _ecdf_parts
 
     li = load_table(spark, sf, "lineitem")
-    parts = _ecdf_parts(li, "l_extendedprice").localCheckpoint()
+    # r13 (VERDICT item 7's lesson applied here too): cache(), not an
+    # eager localCheckpoint barrier — identical compute-once sharing of
+    # the distinct-value CDF between both consumers, no separate pin job.
+    parts = _ecdf_parts(li, "l_extendedprice").cache()
     ec = ecdf(li, "l_extendedprice", parts=parts)
     cuts = quantile_cuts_df(li, "l_extendedprice", DECILES, parts=parts)
     return cuts.join(ec, cuts["cutoff"] == ec["value"]).select("p", "cutoff", "cdf")
@@ -2920,7 +2923,10 @@ def tf_idf_bm25(spark, sf):
     # tokenize+tf+idf subtree evaluates once per consumer (plan_report
     # showed 55 exchanges before the pin). Bounded: one row per doc
     # matching a query term.
-    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS, tf=tfc).localCheckpoint()
+    # r13: cache(), not an eager localCheckpoint — same compute-once
+    # sharing between the two consumers, without a driver-blocking pin job
+    # at construction (A/B'd in OPTIMIZATION_r13.md).
+    bm = bm25_scores(d, "doc_id", "text", _QUERY_TERMS, tf=tfc).cache()
     null_l = F.lit(None).cast("long")
     scores = bm.join(qa, "id").select(
         F.lit("scores").alias("part"),
@@ -3054,12 +3060,18 @@ def grouped_quantile_cuts_q(spark, sf):
     # full-data (key, value) shuffle runs once, not three times. Every
     # parts column is an exact count/prefix-sum; the default (parts=None)
     # paths recompute the identical table.
+    # r13 (VERDICT item 7): cache() instead of localCheckpoint() — the
+    # eager pin was a driver-blocking barrier job that cost more than the
+    # saved shuffle at sf0.1 (the entry was slower on BOTH core counts in
+    # r12). A lazy cache keeps the compute-once sharing with no barrier:
+    # the first consumer inside the single final job fills it. A/B'd in
+    # OPTIMIZATION_r13.md.
     ct = _cdf_table(
         li.select(
             F.col("l_returnflag").alias("key"), F.col("l_quantity").alias("value")
         ),
         "value", ["key"],
-    ).localCheckpoint()
+    ).cache()
     cuts = grouped_quantile_cuts(
         li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 1.0], parts=ct
     ).select(F.lit("cuts").alias("part"), "key", "p", F.col("cutoff").alias("v"))
@@ -3126,9 +3138,11 @@ def simhash_near_dups_q(spark, sf):
 
     d = _docs(spark, sf)
     # r12 (guide §1.2): the band self-join consumes the fingerprint
-    # subtree twice (stream + broadcast build) — pin the (id, simhash)
-    # table so the tokenize + 64-bitplane aggregation runs once.
-    fp = simhash64(d, "doc_id", "text").localCheckpoint()
+    # subtree twice (stream + broadcast build) — share the (id, simhash)
+    # table so the tokenize + 64-bitplane aggregation runs once. r13:
+    # cache() instead of an eager localCheckpoint pin (no barrier job;
+    # the self-join's first side fills it, the second side reads it).
+    fp = simhash64(d, "doc_id", "text").cache()
     return simhash_near_dups(d, "doc_id", "text", max_hamming=3, bands=4, fp=fp)
 
 
@@ -3388,18 +3402,36 @@ def minhash_ml_builtin(spark, sf):
     )
 
     d = _docs(spark, sf).filter(F.col("doc_id") < 2000)
+
     # ONE signature pass (r12, guide §1.2): the banded candidate path and
     # the refresh check both need the corpus's minhash index at the same
     # (n=3, num_hashes=8) — build index0 once, cache it, and feed it to
     # near_dup_pairs via the sig= fast path instead of re-shingling and
     # re-hashing the corpus a second time. Signatures are exact min-of-md5
     # integers, so sharing cannot move any value.
-    index0 = lsh_index(d, "doc_id", "text", n=3, num_hashes=8).localCheckpoint()
+    #
+    # r13 (guide §2.6): the index0 localCheckpoint and the MLlib estimator
+    # construction (CountVectorizer.fit + MinHashLSH.fit, both eager
+    # seeded fits) are independent DAGs that used to run serially on the
+    # driver; a 2-thread pool overlaps them. Seeds are fixed (MinHashLSH
+    # seed=7; CountVectorizer vocab order is data-deterministic), so every
+    # result tensor is identical to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_idx = pool.submit(
+            lambda: lsh_index(d, "doc_id", "text", n=3, num_hashes=8).localCheckpoint()
+        )
+        f_ml = pool.submit(
+            lambda: minhash_ml_candidates(d, "doc_id", "text",
+                                          jaccard_distance_threshold=0.8)
+        )
+        index0 = f_idx.result()
+        ml = f_ml.result()
     banded = near_dup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3,
         sig=index0,
     ).select("id_a", "id_b")
-    ml = minhash_ml_candidates(d, "doc_id", "text", jaccard_distance_threshold=0.8)
     nb = banded.agg(F.count(F.lit(1)).cast("long").alias("n_banded"))
     cov = banded.join(ml.select("id_a", "id_b"), ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("__hits")
@@ -3900,13 +3932,14 @@ def ngram_diagnostics_q(spark, sf):
     shd = grams8.select("id", F.col("gkey").alias("shingle")).distinct()
     rep = repetition_metrics(d, "doc_id", "text", n=3)
     # the contamination fractions feed BOTH the reported columns and the
-    # removal below; localCheckpoint materializes the small per-doc table
-    # once so the two consumers don't each re-run the shingle passes
+    # removal below; r13: cache() (lazy, filled by the first consumer in
+    # the final job) replaces the eager localCheckpoint pin so the two
+    # consumers still share one shingle pass without a barrier job
     cont = ngram_contamination(
         train, evald, "doc_id", "text", n=8,
         train_shingles=shd.filter(F.col("id") % 10 != 0),
         eval_shingles=shd.filter(F.col("id") % 10 == 0).select("shingle"),
-    ).localCheckpoint()
+    ).cache()
     decon = remove_contaminated(
         train, evald, "doc_id", "text", n=8, fractions=cont
     ).select(F.col("doc_id").alias("id"), F.lit(1).cast("long").alias("__dk"))

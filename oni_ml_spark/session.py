@@ -45,14 +45,30 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # r12 (guide §3.1/§9): let the planner pick shuffled-hash join when
-        # its size conditions hold instead of always sort-merge — drops the
-        # per-partition sorts on the many mid-size equi-joins (dedup
-        # verify, profile full-outer joins, doc-stat joins). Join strategy
-        # does not change results; the oracle gate re-verified all 50
-        # entries under this setting. Overridable per run via
-        # SPARK_GRAFT_EXTRA_CONF for A/B.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r13 (VERDICT r12 item 5 + ADVICE): the r12 session-wide
+        # preferSortMergeJoin=false default is REVERTED to Spark's default
+        # (sort-merge). The interleaved per-entry A/B (OPTIMIZATION_r13.md)
+        # shows SMJ flat-to-better on every join-shaped entry measured
+        # (dedup_exact 1.31x, json_properties 1.16x, never >5% worse), and
+        # shuffled-hash's build side cannot spill — at 100 TB a skewed
+        # build partition OOMs an executor where SMJ degrades gracefully
+        # (guide §3.1's own caution). SHJ remains one env flag away for
+        # workloads measured to benefit:
+        #   SPARK_GRAFT_EXTRA_CONF=spark.sql.join.preferSortMergeJoin=false
+        #
+        # r13 (VERDICT r12 item 3, guide §2.2/§9): size REDUCERS BY BYTES,
+        # not by core count — parallelismFirst=false makes AQE coalesce
+        # shuffle reads toward advisoryPartitionSizeInBytes instead of
+        # stopping at the default-parallelism floor, so the same plan gets
+        # KB-appropriate reducer counts at local SFs and 64m-appropriate
+        # counts at 100 TB. The advisory size is the production sizing
+        # knob (guide §9 suggests 256m for big batch; Spark's 64m default
+        # kept here so local file sizing stays sane) and is parameterised:
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         # reliable checkpoints (connected_components on a cluster with a
         # checkpoint dir) are deleted when their frame is GC'd instead of
         # accumulating until application stop

@@ -99,9 +99,10 @@ def main() -> None:
             med = statistics.median(vals)
             if base is None:
                 base = med
+            ratio = base / med if med else 0.0
+            runs = [round(v, 2) for v in vals]
             print(f"{entry:30s} {vname:12s} med={med:7.3f} "
-                  f"vs_first={base / med if med else 0:5.2f}x  runs={
-                      [round(v, 2) for v in vals]}")
+                  f"vs_first={ratio:5.2f}x  runs={runs}")
 
 
 if __name__ == "__main__":
